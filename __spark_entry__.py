@@ -1,38 +1,82 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  — flagship: run a 20-constraint validation suite over the
+sf0.001 tables as ONE fused aggregation job per table (the engine's
+scan-sharing design center) and return the outcome report as a
+DataFrame.
+
+queries() / oracle_sql() — one entry per implemented operator family
+from SURVEY.md §2; definitions live in term_spark/queries.py.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from term_spark import Assertion, Check, Level, ValidationSuite
+    from term_spark.sources import load_tpch_tables
+
+    tables = load_tpch_tables(
+        spark, "/root/testdata/sf0.001",
+        ("customer", "orders", "lineitem", "nation", "region"))
+
+    suite = (
+        ValidationSuite.builder("flagship")
+        .on_table("lineitem")
+        .with_check(
+            Check("lineitem_quality", Level.ERROR)
+            .has_size(Assertion.gt(0))
+            .is_complete("l_orderkey").is_complete("l_quantity")
+            .has_min("l_quantity", Assertion.ge(1))
+            .has_max("l_quantity", Assertion.le(50))
+            .has_mean("l_quantity", Assertion.between(20, 30))
+            .has_sum("l_extendedprice", Assertion.gt(0))
+            .has_standard_deviation("l_quantity", Assertion.gt(0))
+            .value_range("l_discount", 0.0, 0.1)
+            .is_contained_in("l_returnflag", ["R", "A", "N"])
+            .is_contained_in("l_linestatus", ["O", "F"])
+            .satisfies("l_extendedprice >= 0", 1.0)
+            .uniqueness(["l_orderkey", "l_linenumber"], 0.5)
+            .has_approx_quantile("l_quantity", 0.5, Assertion.between(10, 40))
+            .has_correlation("l_quantity", "l_extendedprice", Assertion.between(-1, 1)))
+        .with_check(
+            Check("orders_quality", Level.ERROR, table="orders")
+            .is_complete("o_orderkey")
+            .validates_distinctness("o_custkey", Assertion.gt(0.0))
+            .is_contained_in("o_orderstatus", ["O", "F", "P"])
+            .within_date_range("o_orderdate", "1990-01-01", "2005-12-31"))
+        .with_check(
+            Check("referential", Level.ERROR)
+            .foreign_key("orders", "o_custkey", "customer", "c_custkey")
+            .foreign_key("nation", "n_regionkey", "region", "r_regionkey"))
+    )
+    result = suite.run(spark, tables)
+    rows = [o.to_dict() for o in result.report.outcomes]
+    for r in rows:
+        r["metric"] = float(r["metric"]) if r["metric"] is not None else None
+        r["column"] = r["column"] or ""
+        r["suite_passed"] = bool(result.passed)
+    return spark.createDataFrame(
+        rows,
+        "check string, level string, constraint string, column string, "
+        "status string, metric double, message string, suite_passed boolean")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from term_spark.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from term_spark.queries import ORACLES
+
+    return dict(ORACLES)

@@ -1,0 +1,102 @@
+"""Benchmark harness: headline = a 20-constraint validation suite over
+lineitem at $SPARK_GRAFT_SF_DIR (default sf0.1, ~600k rows), executed as
+the engine's fused scan-sharing plan (1 Spark job for all scalar
+metrics). Mirrors BASELINE.md's "1M rows × 20 constraints" workload.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def build_suite():
+    from term_spark import Assertion, Check, Level, ValidationSuite
+
+    check = (Check("lineitem_20", Level.ERROR)
+             .has_size(Assertion.gt(0))
+             .is_complete("l_orderkey").is_complete("l_partkey")
+             .is_complete("l_suppkey").is_complete("l_quantity")
+             .has_min("l_quantity", Assertion.ge(1))
+             .has_max("l_quantity", Assertion.le(50))
+             .has_mean("l_quantity", Assertion.between(20, 30))
+             .has_sum("l_extendedprice", Assertion.gt(0))
+             .has_standard_deviation("l_quantity", Assertion.gt(0))
+             .has_variance("l_quantity", Assertion.gt(0))
+             .value_range("l_discount", 0.0, 0.1)
+             .is_contained_in("l_returnflag", ["R", "A", "N"])
+             .is_contained_in("l_linestatus", ["O", "F"])
+             .satisfies("l_extendedprice >= 0", 1.0)
+             .satisfies("l_tax >= 0", 1.0)
+             .uniqueness(["l_orderkey", "l_linenumber"], 0.5)
+             .has_approx_count_distinct("l_orderkey", Assertion.gt(100))
+             .has_approx_quantile("l_quantity", 0.5, Assertion.between(20, 30))
+             .has_correlation("l_quantity", "l_extendedprice",
+                              Assertion.between(-1, 1)))
+    return check
+
+
+def main() -> None:
+    from term_spark import ValidationSuite
+    from term_spark.queries import QUERIES
+    from term_spark.session import get_spark
+    from term_spark.sources import read_parquet
+
+    spark = get_spark("term_spark_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    lineitem = read_parquet(spark, f"{SF_DIR}/lineitem.parquet")
+    lineitem.count()  # warm: file listing, footer reads, JIT
+
+    suite = ValidationSuite.builder("bench_suite").with_check(build_suite())
+
+    # steady-state: warm-up run, then the measured run (BASELINE.md note)
+    suite.run(spark, lineitem)
+    t0 = time.perf_counter()
+    result = suite.run(spark, lineitem)
+    suite_sec = time.perf_counter() - t0
+    assert result.passed, result.report.to_json()
+
+    per_query = {"suite_20_constraints": round(suite_sec, 4)}
+
+    bench_queries = [
+        "pricing_summary", "stats_quantity", "histogram_returnflag",
+        "entropy_returnflag", "unique_value_ratio_custkey",
+        "fk_orders_customer", "join_coverage_lineitem_orders",
+        "cross_table_sum_orders_lineitem", "max_time_gap_events",
+        "corr_quantity_price", "mutual_information_lineitem",
+    ]
+    for name in bench_queries:
+        fn = QUERIES[name]
+        fn(spark, SF_DIR).collect()  # warm
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).collect()
+        per_query[name] = round(time.perf_counter() - t0, 4)
+
+    sf = 0.1
+    if "sf" in SF_DIR:
+        try:
+            sf = float(SF_DIR.rstrip("/").split("sf")[-1])
+        except ValueError:
+            pass
+
+    print(json.dumps({
+        "metric": "suite_20_constraints_wall_sec",
+        "value": round(suite_sec, 4),
+        "unit": "sec",
+        "queries": per_query,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

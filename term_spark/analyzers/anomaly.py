@@ -1,0 +1,121 @@
+"""Anomaly detection over a metric's history.
+
+Parity: /root/reference/term-guard/src/analyzers/anomaly/detector.rs —
+RelativeRateOfChange (:478), AbsoluteChange (:611), ZScore (:709) and
+strategy variants (strategy.rs:155): asymmetric thresholds (:193),
+minimum history (:211), confidence + expected range (strategy.rs:59-123).
+Pure driver-side Python — no Spark involvement (SURVEY §2.10).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import List, Optional, Sequence
+
+
+@dataclass
+class AnomalyResult:
+    is_anomaly: bool
+    value: float
+    expected_low: Optional[float]
+    expected_high: Optional[float]
+    confidence: float
+    detail: str = ""
+
+
+class DetectionStrategy:
+    """Base: override detect(history, newest)."""
+
+    min_history = 1
+
+    def check(self, series: Sequence[float]) -> AnomalyResult:
+        if len(series) < self.min_history + 1:
+            return AnomalyResult(False, series[-1] if series else float("nan"),
+                                 None, None, 0.0, "insufficient history")
+        return self.detect(list(series[:-1]), float(series[-1]))
+
+    def detect(self, history: List[float], newest: float) -> AnomalyResult:
+        raise NotImplementedError
+
+
+class RelativeRateOfChange(DetectionStrategy):
+    """newest/previous must stay within [max_decrease, max_increase]."""
+
+    def __init__(self, max_increase: float = 2.0, max_decrease: float = 0.5,
+                 min_history: int = 1):
+        self.max_increase = max_increase
+        self.max_decrease = max_decrease
+        self.min_history = min_history
+
+    def detect(self, history, newest):
+        prev = history[-1]
+        if prev == 0:
+            rate = math.inf if newest != 0 else 1.0
+        else:
+            rate = newest / prev
+        low, high = prev * self.max_decrease, prev * self.max_increase
+        anomaly = not (self.max_decrease <= rate <= self.max_increase)
+        conf = min(1.0, abs(math.log(rate)) / math.log(max(self.max_increase, 2.0))) \
+            if rate > 0 and not math.isinf(rate) else 1.0
+        return AnomalyResult(anomaly, newest, low, high,
+                             conf if anomaly else 1.0 - conf,
+                             f"rate of change {rate:.4f}")
+
+
+class AbsoluteChange(DetectionStrategy):
+    def __init__(self, max_increase: float, max_decrease: Optional[float] = None,
+                 min_history: int = 1):
+        self.max_increase = max_increase
+        self.max_decrease = max_decrease if max_decrease is not None else max_increase
+        self.min_history = min_history
+
+    def detect(self, history, newest):
+        prev = history[-1]
+        delta = newest - prev
+        low, high = prev - self.max_decrease, prev + self.max_increase
+        anomaly = not (low <= newest <= high)
+        span = self.max_increase + self.max_decrease
+        conf = min(1.0, abs(delta) / span) if span > 0 else 1.0
+        return AnomalyResult(anomaly, newest, low, high,
+                             conf if anomaly else 1.0 - conf,
+                             f"absolute change {delta:+.4f}")
+
+
+class ZScore(DetectionStrategy):
+    def __init__(self, threshold: float = 3.0, min_history: int = 3):
+        self.threshold = threshold
+        self.min_history = min_history
+
+    def detect(self, history, newest):
+        n = len(history)
+        mean = sum(history) / n
+        var = sum((x - mean) ** 2 for x in history) / (n - 1) if n > 1 else 0.0
+        std = math.sqrt(var)
+        if std == 0:
+            anomaly = newest != mean
+            return AnomalyResult(anomaly, newest, mean, mean,
+                                 1.0 if anomaly else 0.0, "zero variance history")
+        z = (newest - mean) / std
+        low, high = mean - self.threshold * std, mean + self.threshold * std
+        anomaly = abs(z) > self.threshold
+        conf = min(1.0, abs(z) / (2 * self.threshold))
+        return AnomalyResult(anomaly, newest, low, high,
+                             conf if anomaly else 1.0 - conf, f"z-score {z:+.3f}")
+
+
+class AnomalyDetector:
+    """Runner+builder (detector.rs:840,936): strategy over a repository
+    metric series."""
+
+    def __init__(self, strategy: DetectionStrategy):
+        self.strategy = strategy
+
+    def detect_on(self, repository, metric: str, tags=None) -> AnomalyResult:
+        series = repository.series(metric, tags=tags)
+        if not series:
+            return AnomalyResult(False, float("nan"), None, None, 0.0, "no history")
+        return self.strategy.check(series)
+
+    def detect_series(self, series: Sequence[float]) -> AnomalyResult:
+        return self.strategy.check(series)

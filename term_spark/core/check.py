@@ -1,0 +1,335 @@
+"""Check — named group of constraints with a severity level, plus the
+fluent builder API.
+
+Parity: /root/reference/term-guard/src/core/check.rs:146-156 (model) and
+the ~60 builder methods grepped at check.rs:321-2305 plus
+builder_extensions.rs (CompletenessOptions:14, StatisticalOptions:85,
+statistics():203, primary_key:276, email:309, url:335, phone:361,
+contains_ssn:399, value_range:423). Method names port snake_case →
+snake_case almost verbatim (SURVEY §2.12).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Mapping, Optional, Sequence
+
+from ..operators.completeness import (CompletenessConstraint,
+                                      MultiColumnCompletenessConstraint)
+from ..operators.compliance import (ContainmentConstraint, SatisfiesConstraint,
+                                    ValueRangeConstraint)
+from ..operators.datatype import (ConsistentDataTypeConstraint,
+                                  DataTypeDistributionConstraint)
+from ..operators.entropy import (EntropyConstraint, MutualInformationConstraint,
+                                 SpearmanConstraint)
+from ..operators.format import FormatConstraint, FormatOptions
+from ..operators.grouped import GroupedCompletenessConstraint, GroupingConfig
+from ..operators.histogram import HistogramConstraint
+from ..operators.length import LengthConstraint
+from ..operators.multitable import (CrossTableSumConstraint, ForeignKeyConstraint,
+                                    JoinCoverageConstraint)
+from ..operators.size import ColumnCountConstraint, SizeConstraint
+from ..operators.statistics import (ApproxCountDistinctConstraint,
+                                    CorrelationConstraint, CovarianceConstraint,
+                                    MultiStatisticConstraint, QuantileConstraint,
+                                    StatisticConstraint)
+from ..operators.temporal import (BusinessHoursConstraint, DateRangeConstraint,
+                                  MaxTimeGapConstraint, TemporalOrderingConstraint)
+from ..operators.uniqueness import UniquenessConstraint, UniqueValueRatioConstraint
+from .assertion import Assertion
+from .constraint import Constraint
+from .level import DEFAULT_LEVEL, Level
+from .logical import LogicalOperator
+
+
+class Check:
+    def __init__(self, name: str, level: Level = DEFAULT_LEVEL,
+                 table: Optional[str] = None, description: str = ""):
+        self.name = name
+        self.level = level
+        self.table = table  # None → suite default table
+        self.description = description
+        self.constraints: List[Constraint] = []
+
+    # ---- generic ----------------------------------------------------
+    def with_constraint(self, constraint: Constraint) -> "Check":
+        self.constraints.append(constraint)
+        return self
+
+    def build(self) -> "Check":  # fluent terminator, parity with check.rs:2305
+        return self
+
+    # ---- size / schema ----------------------------------------------
+    def has_size(self, assertion) -> "Check":
+        return self.with_constraint(SizeConstraint(Assertion.coerce(assertion)))
+
+    def has_column_count(self, assertion) -> "Check":
+        return self.with_constraint(ColumnCountConstraint(Assertion.coerce(assertion)))
+
+    # ---- completeness -----------------------------------------------
+    def is_complete(self, column: str) -> "Check":
+        return self.with_constraint(CompletenessConstraint(column))
+
+    def completeness(self, column: str, assertion) -> "Check":
+        return self.with_constraint(CompletenessConstraint(column, Assertion.coerce(assertion)))
+
+    has_completeness = completeness
+
+    def any_complete(self, columns: Sequence[str]) -> "Check":
+        return self.with_constraint(
+            MultiColumnCompletenessConstraint(list(columns), LogicalOperator.any()))
+
+    def at_least_complete(self, columns: Sequence[str], n: int) -> "Check":
+        return self.with_constraint(
+            MultiColumnCompletenessConstraint(list(columns), LogicalOperator.at_least(n)))
+
+    def exactly_complete(self, columns: Sequence[str], n: int) -> "Check":
+        return self.with_constraint(
+            MultiColumnCompletenessConstraint(list(columns), LogicalOperator.exactly(n)))
+
+    def grouped_completeness(self, column: str, group_by, assertion,
+                             config: GroupingConfig = GroupingConfig()) -> "Check":
+        return self.with_constraint(GroupedCompletenessConstraint(
+            column, group_by, Assertion.coerce(assertion), config))
+
+    # ---- uniqueness family -------------------------------------------
+    def uniqueness(self, columns, threshold: float = 1.0) -> "Check":
+        return self.with_constraint(UniquenessConstraint(columns, "full", threshold=threshold))
+
+    validates_uniqueness = uniqueness
+
+    def is_unique(self, column: str) -> "Check":
+        return self.uniqueness([column] if isinstance(column, str) else column, 1.0)
+
+    def validates_distinctness(self, columns, assertion) -> "Check":
+        return self.with_constraint(
+            UniquenessConstraint(columns, "distinctness", Assertion.coerce(assertion)))
+
+    def validates_unique_value_ratio(self, columns, assertion) -> "Check":
+        return self.with_constraint(
+            UniqueValueRatioConstraint(columns, Assertion.coerce(assertion)))
+
+    def validates_primary_key(self, *columns) -> "Check":
+        return self.with_constraint(UniquenessConstraint(list(columns), "primary_key"))
+
+    primary_key = validates_primary_key
+
+    def validates_uniqueness_with_nulls(self, columns, threshold: float = 1.0,
+                                        null_handling: str = "include") -> "Check":
+        mode = {"include": "include_nulls", "distinct": "distinct_nulls"}[null_handling]
+        return self.with_constraint(UniquenessConstraint(columns, mode, threshold=threshold))
+
+    def has_approx_count_distinct(self, column: str, assertion, rsd: float = 0.05) -> "Check":
+        return self.with_constraint(
+            ApproxCountDistinctConstraint(column, Assertion.coerce(assertion), rsd))
+
+    # ---- statistics ---------------------------------------------------
+    def statistic(self, column: str, stat: str, assertion) -> "Check":
+        return self.with_constraint(StatisticConstraint(column, stat, Assertion.coerce(assertion)))
+
+    def has_min(self, column: str, assertion) -> "Check":
+        return self.statistic(column, "min", assertion)
+
+    def has_max(self, column: str, assertion) -> "Check":
+        return self.statistic(column, "max", assertion)
+
+    def has_mean(self, column: str, assertion) -> "Check":
+        return self.statistic(column, "mean", assertion)
+
+    def has_sum(self, column: str, assertion) -> "Check":
+        return self.statistic(column, "sum", assertion)
+
+    def has_standard_deviation(self, column: str, assertion) -> "Check":
+        return self.statistic(column, "stddev", assertion)
+
+    def has_variance(self, column: str, assertion) -> "Check":
+        return self.statistic(column, "variance", assertion)
+
+    def statistics(self, column: str, assertions: Mapping[str, object]) -> "Check":
+        return self.with_constraint(MultiStatisticConstraint(
+            column, {k: Assertion.coerce(v) for k, v in assertions.items()}))
+
+    def has_approx_quantile(self, column: str, q: float, assertion) -> "Check":
+        return self.with_constraint(
+            QuantileConstraint(column, q, Assertion.coerce(assertion), "approx"))
+
+    def has_exact_quantile(self, column: str, q: float, assertion) -> "Check":
+        return self.with_constraint(
+            QuantileConstraint(column, q, Assertion.coerce(assertion), "exact"))
+
+    def has_quantile(self, column: str, q: float, assertion, mode: str = "auto") -> "Check":
+        return self.with_constraint(
+            QuantileConstraint(column, q, Assertion.coerce(assertion), mode))
+
+    def has_median(self, column: str, assertion, mode: str = "approx") -> "Check":
+        return self.with_constraint(
+            QuantileConstraint(column, 0.5, Assertion.coerce(assertion), mode))
+
+    def has_correlation(self, column_a: str, column_b: str, assertion) -> "Check":
+        return self.with_constraint(
+            CorrelationConstraint(column_a, column_b, Assertion.coerce(assertion)))
+
+    def has_covariance(self, column_a: str, column_b: str, assertion) -> "Check":
+        return self.with_constraint(
+            CovarianceConstraint(column_a, column_b, Assertion.coerce(assertion)))
+
+    def has_spearman_correlation(self, column_a: str, column_b: str, assertion) -> "Check":
+        return self.with_constraint(
+            SpearmanConstraint(column_a, column_b, Assertion.coerce(assertion)))
+
+    def has_mutual_information(self, column_a: str, column_b: str, assertion,
+                               bins: int = 10) -> "Check":
+        return self.with_constraint(
+            MutualInformationConstraint(column_a, column_b, Assertion.coerce(assertion), bins))
+
+    def has_entropy(self, column: str, assertion, max_unique: int = 10000) -> "Check":
+        return self.with_constraint(
+            EntropyConstraint(column, Assertion.coerce(assertion), max_unique))
+
+    # ---- predicate / containment ---------------------------------------
+    def satisfies(self, predicate: str, assertion=1.0, description: str = "") -> "Check":
+        return self.with_constraint(
+            SatisfiesConstraint(predicate, Assertion.coerce(assertion), description))
+
+    def is_contained_in(self, column: str, values: Sequence, assertion=1.0,
+                        allow_nulls: bool = False) -> "Check":
+        return self.with_constraint(ContainmentConstraint(
+            column, values, Assertion.coerce(assertion), allow_nulls))
+
+    def value_range(self, column: str, lo: float, hi: float, assertion=1.0) -> "Check":
+        return self.with_constraint(
+            ValueRangeConstraint(column, lo, hi, Assertion.coerce(assertion)))
+
+    def is_non_negative(self, column: str, assertion=1.0) -> "Check":
+        return self.satisfies(f"`{column}` >= 0", assertion, f"{column} >= 0")
+
+    def is_positive(self, column: str, assertion=1.0) -> "Check":
+        return self.satisfies(f"`{column}` > 0", assertion, f"{column} > 0")
+
+    # ---- length ---------------------------------------------------------
+    def length(self, column: str, length_assertion, ratio_assertion=1.0) -> "Check":
+        return self.with_constraint(LengthConstraint(
+            column, Assertion.coerce(length_assertion), Assertion.coerce(ratio_assertion)))
+
+    def has_min_length(self, column: str, n: int, ratio_assertion=1.0) -> "Check":
+        return self.length(column, Assertion.ge(n), ratio_assertion)
+
+    def has_max_length(self, column: str, n: int, ratio_assertion=1.0) -> "Check":
+        return self.length(column, Assertion.le(n), ratio_assertion)
+
+    def has_length_between(self, column: str, lo: int, hi: int, ratio_assertion=1.0) -> "Check":
+        return self.length(column, Assertion.between(lo, hi), ratio_assertion)
+
+    def has_exact_length(self, column: str, n: int, ratio_assertion=1.0) -> "Check":
+        return self.length(column, Assertion.eq(n), ratio_assertion)
+
+    def is_not_empty(self, column: str, ratio_assertion=1.0) -> "Check":
+        return self.length(column, Assertion.ge(1), ratio_assertion)
+
+    # ---- format / regex ---------------------------------------------------
+    def has_format(self, column: str, format_type: str, assertion=1.0,
+                   options: FormatOptions = FormatOptions(), **kw) -> "Check":
+        return self.with_constraint(FormatConstraint(
+            column, format_type=format_type, assertion=Assertion.coerce(assertion),
+            options=options, **kw))
+
+    def validates_regex(self, column: str, pattern: str, assertion=1.0,
+                        options: FormatOptions = FormatOptions()) -> "Check":
+        return self.with_constraint(FormatConstraint(
+            column, pattern=pattern, assertion=Assertion.coerce(assertion), options=options))
+
+    def validates_email(self, column: str, assertion=1.0, **kw) -> "Check":
+        return self.has_format(column, "email", assertion, **kw)
+
+    def validates_url(self, column: str, assertion=1.0, allow_localhost=False, **kw) -> "Check":
+        return self.has_format(column, "url", assertion, allow_localhost=allow_localhost, **kw)
+
+    def validates_credit_card(self, column: str, assertion=1.0, **kw) -> "Check":
+        return self.has_format(column, "credit_card", assertion, **kw)
+
+    def validates_phone(self, column: str, assertion=1.0, country=None, **kw) -> "Check":
+        return self.has_format(column, "phone", assertion, country=country, **kw)
+
+    def validates_postal_code(self, column: str, country: str, assertion=1.0, **kw) -> "Check":
+        return self.has_format(column, "postal_code", assertion, country=country, **kw)
+
+    def validates_uuid(self, column: str, assertion=1.0, **kw) -> "Check":
+        return self.has_format(column, "uuid", assertion, **kw)
+
+    def validates_ipv4(self, column: str, assertion=1.0, **kw) -> "Check":
+        return self.has_format(column, "ipv4", assertion, **kw)
+
+    def validates_ipv6(self, column: str, assertion=1.0, **kw) -> "Check":
+        return self.has_format(column, "ipv6", assertion, **kw)
+
+    def validates_json(self, column: str, assertion=1.0, **kw) -> "Check":
+        return self.has_format(column, "json", assertion, **kw)
+
+    def validates_iso8601_datetime(self, column: str, assertion=1.0, **kw) -> "Check":
+        return self.has_format(column, "iso8601_datetime", assertion, **kw)
+
+    def contains_ssn(self, column: str, assertion=0.0, **kw) -> "Check":
+        # detection: assert the *fraction matching* (default: none allowed)
+        return self.has_format(column, "ssn", assertion, **kw)
+
+    # ---- data type ----------------------------------------------------------
+    def has_consistent_data_type(self, column: str, expected_type: str,
+                                 assertion=1.0) -> "Check":
+        return self.with_constraint(ConsistentDataTypeConstraint(
+            column, expected_type, Assertion.coerce(assertion)))
+
+    def has_data_type_distribution(self, column: str, assertion_fn) -> "Check":
+        return self.with_constraint(DataTypeDistributionConstraint(column, assertion_fn))
+
+    # ---- histogram -------------------------------------------------------------
+    def has_histogram(self, column: str, assertion_fn: Callable, max_buckets: int = 1000) -> "Check":
+        return self.with_constraint(HistogramConstraint(column, assertion_fn,
+                                                        max_buckets=max_buckets))
+
+    def has_histogram_with_description(self, column: str, assertion_fn: Callable,
+                                       description: str, max_buckets: int = 1000) -> "Check":
+        return self.with_constraint(HistogramConstraint(
+            column, assertion_fn, description, max_buckets))
+
+    # ---- multi-table ----------------------------------------------------------
+    def foreign_key(self, child_table: str, child_column: str, parent_table: str,
+                    parent_column: str, allow_nulls: bool = True,
+                    max_violations: int = 100) -> "Check":
+        return self.with_constraint(ForeignKeyConstraint(
+            child_table, child_column, parent_table, parent_column,
+            allow_nulls, max_violations))
+
+    def join_coverage(self, left_table: str, left_column: str, right_table: str,
+                      right_column: str, assertion, direction: str = "left") -> "Check":
+        return self.with_constraint(JoinCoverageConstraint(
+            left_table, left_column, right_table, right_column,
+            Assertion.coerce(assertion), direction))
+
+    def cross_table_sum(self, left_table: str, left_expr: str, right_table: str,
+                        right_expr: str, tolerance: float = 0.0,
+                        group_by=None) -> "Check":
+        return self.with_constraint(CrossTableSumConstraint(
+            left_table, left_expr, right_table, right_expr, tolerance, group_by))
+
+    # ---- temporal ----------------------------------------------------------------
+    def temporal_ordering(self, before_column: str, after_column: str,
+                          allow_equal: bool = True, tolerance_seconds: int = 0,
+                          assertion=None) -> "Check":
+        return self.with_constraint(TemporalOrderingConstraint(
+            before_column, after_column, allow_equal, tolerance_seconds,
+            assertion=assertion))
+
+    def within_business_hours(self, timestamp_column: str, start_hour: int = 9,
+                              end_hour: int = 17, weekdays_only: bool = True,
+                              assertion=None) -> "Check":
+        return self.with_constraint(BusinessHoursConstraint(
+            timestamp_column, start_hour, end_hour, weekdays_only, assertion))
+
+    def within_date_range(self, timestamp_column: str, min_date=None, max_date=None,
+                          assertion=None) -> "Check":
+        return self.with_constraint(DateRangeConstraint(
+            timestamp_column, min_date, max_date, assertion))
+
+    def has_max_time_gap(self, timestamp_column: str, max_gap_seconds: float,
+                         group_by=None, assertion=None) -> "Check":
+        return self.with_constraint(MaxTimeGapConstraint(
+            timestamp_column, max_gap_seconds, group_by, assertion))

@@ -1,0 +1,52 @@
+"""ValidationSuite — named group of checks; run() drives the
+scan-sharing executor.
+
+Parity: /root/reference/term-guard/src/core/suite.rs:41-54,399-500 —
+suite = checks; run returns Success/Failure (Failure ⇔ any Error-level
+constraint failed); default table "data" (suite.rs:549) overridable per
+suite (suite.rs:582-585). Where the reference loops constraints
+sequentially, one SQL query each (suite.rs:84), we fuse all scalar
+constraints into one Spark job per table (plans/executor.py).
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING, Mapping, Optional, Union
+
+from .check import Check
+from .result import ValidationResult
+
+if TYPE_CHECKING:  # pragma: no cover
+    from pyspark.sql import DataFrame, SparkSession
+
+DEFAULT_TABLE = "data"
+
+
+class ValidationSuite:
+    def __init__(self, name: str, default_table: str = DEFAULT_TABLE):
+        self.name = name
+        self.default_table = default_table
+        self.checks: list = []
+
+    @staticmethod
+    def builder(name: str) -> "ValidationSuite":
+        return ValidationSuite(name)
+
+    def on_table(self, table: str) -> "ValidationSuite":
+        self.default_table = table
+        return self
+
+    def with_check(self, check: Check) -> "ValidationSuite":
+        self.checks.append(check)
+        return self
+
+    def run(self, spark: "SparkSession",
+            data: Union["DataFrame", Mapping[str, "DataFrame"]],
+            ) -> ValidationResult:
+        from ..plans.executor import SuiteRunner
+
+        if hasattr(data, "sparkSession"):  # a bare DataFrame
+            tables = {self.default_table: data}
+        else:
+            tables = dict(data)
+        return SuiteRunner().run(self, spark, tables)

@@ -1,0 +1,128 @@
+"""Histogram constraints (categorical + equi-width numeric) and the
+driver-side Histogram API.
+
+Parity:
+- /root/reference/term-guard/src/constraints/histogram.rs:217-241 —
+  value_counts GROUP BY col, totals incl. null count attached via CROSS
+  JOIN (we use a window-free two-agg form), ORDER BY count DESC;
+  Histogram API: most_common_ratio (:50), bucket_count (:60),
+  is_roughly_uniform(factor) (:77); assertion = user closure
+  (core/check.rs:725-733);
+- analyzers/advanced/histogram.rs:185-194,281-291 — numeric equi-width
+  buckets via FLOOR((x-min)/width) after a min/max pass.
+
+Scale: groupBy is a two-stage hash aggregate; only ``max_buckets``
+rows reach the driver (TakeOrderedAndProject top-k).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Dict, List, Optional
+
+import pyspark.sql.functions as F
+
+from ..core.constraint import Constraint, EngineContext
+from ..core.result import ConstraintResult
+from ..functions.security import validate_identifier
+
+NULL_BUCKET = "NullValue"
+
+
+@dataclass
+class HistogramBucket:
+    value: str
+    count: int
+    ratio: float
+
+
+@dataclass
+class Histogram:
+    buckets: List[HistogramBucket]
+    total_count: int
+
+    def most_common_ratio(self) -> float:
+        return self.buckets[0].ratio if self.buckets else 0.0
+
+    def bucket_count(self) -> int:
+        return len(self.buckets)
+
+    def ratio_of(self, value: str) -> float:
+        for b in self.buckets:
+            if b.value == value:
+                return b.ratio
+        return 0.0
+
+    def is_roughly_uniform(self, factor: float = 2.0) -> bool:
+        counts = [b.count for b in self.buckets if b.value != NULL_BUCKET]
+        if not counts:
+            return True
+        expected = sum(counts) / len(counts)
+        return all(expected / factor <= c <= expected * factor for c in counts)
+
+
+def compute_histogram(df, column: str, max_buckets: int = 1000) -> Histogram:
+    """Categorical histogram: value → count/ratio, NULLs as a bucket."""
+    validate_identifier(column)
+    rows = (df.groupBy(
+                F.coalesce(F.col(column).cast("string"), F.lit(NULL_BUCKET)).alias("value"))
+              .agg(F.count(F.lit(1)).alias("cnt"))
+              .orderBy(F.desc("cnt"), F.asc("value"))
+              .limit(max_buckets)
+              .collect())
+    total = df.count()
+    buckets = [HistogramBucket(r["value"], r["cnt"], r["cnt"] / total if total else 0.0)
+               for r in rows]
+    return Histogram(buckets, total)
+
+
+def compute_numeric_histogram(df, column: str, num_buckets: int = 10):
+    """Equi-width numeric histogram; one pass for min/max + one groupBy."""
+    validate_identifier(column)
+    col = F.col(column).cast("double")
+    stats = df.agg(F.min(col).alias("mn"), F.max(col).alias("mx"),
+                   F.count(col).alias("n")).collect()[0]
+    if not stats["n"]:
+        return Histogram([], 0), None, None
+    mn, mx = float(stats["mn"]), float(stats["mx"])
+    width = (mx - mn) / num_buckets if mx > mn else 1.0
+    bucket = F.least(F.floor((col - F.lit(mn)) / F.lit(width)),
+                     F.lit(num_buckets - 1)).cast("long")
+    rows = (df.filter(col.isNotNull())
+              .groupBy(bucket.alias("bucket"))
+              .agg(F.count(F.lit(1)).alias("cnt"))
+              .orderBy("bucket").collect())
+    total = int(stats["n"])
+    buckets = [HistogramBucket(str(r["bucket"]), r["cnt"], r["cnt"] / total) for r in rows]
+    return Histogram(buckets, total), mn, mx
+
+
+class HistogramConstraint(Constraint):
+    """User closure over the computed Histogram (check.rs:725-733)."""
+
+    name = "histogram"
+
+    def __init__(self, column: str, assertion_fn: Callable[[Histogram], bool],
+                 description: str = "", max_buckets: int = 1000):
+        self.column = validate_identifier(column)
+        self.assertion_fn = assertion_fn
+        self.description = description
+        self.max_buckets = max_buckets
+
+    def evaluate(self, ctx: EngineContext) -> ConstraintResult:
+        df = ctx.df(self.table)
+        hist = compute_histogram(df, self.column, self.max_buckets)
+        if hist.total_count == 0:
+            return self._finish(ConstraintResult.skipped())
+        try:
+            ok = bool(self.assertion_fn(hist))
+        except Exception as exc:
+            return self._finish(ConstraintResult.error(f"histogram assertion raised: {exc}"))
+        metric = hist.most_common_ratio()
+        if ok:
+            return self._finish(ConstraintResult.success(metric))
+        desc = self.description or "histogram assertion"
+        return self._finish(ConstraintResult.failure(
+            metric,
+            f"{desc} failed for {self.column} "
+            f"({hist.bucket_count()} buckets, top ratio {metric:.3f})"))

@@ -1,0 +1,237 @@
+"""Statistical constraints: min/max/mean/sum/stddev/variance/median/
+percentile, multi-statistic single pass, approx count distinct,
+correlation and covariance.
+
+Parity:
+- /root/reference/term-guard/src/constraints/statistics.rs:45-74
+  (StatisticalConstraint: MIN/MAX/AVG/SUM/STDDEV/VARIANCE sample
+  semantics, APPROX_PERCENTILE_CONT for median/percentile);
+- constraints/mod.rs:226 MultiStatisticalConstraint — all requested
+  stats in ONE SELECT (native here: aliases merge into the shared agg);
+- constraints/approx_count_distinct.rs:64 (HyperLogLog, 2-3% error);
+- constraints/correlation.rs:260-274 (CORR / COVAR_SAMP);
+- constraints/quantile.rs:21-25,228-258 (approx/exact/auto modes —
+  reference "exact" falls back to approx; we implement a true exact
+  mode via Spark's ``percentile``).
+
+Scale: every metric here is a partial-aggregatable expression — one
+shared scan, map-side combine, bytes-sized shuffle.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Mapping, Optional
+
+import pyspark.sql.functions as F
+
+from ..core.assertion import Assertion
+from ..core.constraint import Constraint, metric_alias
+from ..core.result import ConstraintResult
+from ..functions.security import validate_identifier
+
+_STATS = {
+    "min": lambda c: F.min(c),
+    "max": lambda c: F.max(c),
+    "mean": lambda c: F.avg(c),
+    "sum": lambda c: F.sum(c),
+    "stddev": lambda c: F.stddev_samp(c),      # sample (n−1), property-pinned
+    "variance": lambda c: F.var_samp(c),
+    "count_non_null": lambda c: F.count(c),
+}
+
+
+class StatisticConstraint(Constraint):
+    def __init__(self, column: str, stat: str, assertion: Assertion):
+        stat = stat.lower()
+        if stat not in _STATS:
+            raise ValueError(f"unknown statistic {stat!r} (have {sorted(_STATS)})")
+        self.column = validate_identifier(column)
+        self.stat = stat
+        self.name = stat
+        self.assertion = Assertion.coerce(assertion)
+        self._alias = metric_alias("stat", stat, column)
+
+    def scalar_metrics(self, df) -> Dict[str, "F.Column"]:
+        return {self._alias: _STATS[self.stat](F.col(self.column))}
+
+    def result_from_metrics(self, metrics: Mapping[str, object]) -> ConstraintResult:
+        raw = metrics[self._alias]
+        if raw is None:  # all-null column
+            return ConstraintResult.skipped(
+                f"{self.stat}({self.column}) is NULL (no non-null values)")
+        value = float(raw)
+        if self.assertion.evaluate(value):
+            return ConstraintResult.success(value)
+        return ConstraintResult.failure(
+            value,
+            f"{self.stat}({self.column}) = {value} does not satisfy "
+            f"{self.assertion.describe()}")
+
+
+class MultiStatisticConstraint(Constraint):
+    """All requested statistics of one column, asserted together.
+
+    The reference builds one SELECT with every aggregate
+    (builder_extensions.rs:85-159,203); here each stat is an alias in
+    the shared pass, so fusion is automatic.
+    """
+
+    name = "statistics"
+
+    def __init__(self, column: str, assertions: Mapping[str, Assertion]):
+        self.column = validate_identifier(column)
+        self.assertions = {k.lower(): Assertion.coerce(v) for k, v in assertions.items()}
+        for stat in self.assertions:
+            if stat not in _STATS:
+                raise ValueError(f"unknown statistic {stat!r}")
+        self._aliases = {s: metric_alias("stat", s, column) for s in self.assertions}
+
+    def scalar_metrics(self, df) -> Dict[str, "F.Column"]:
+        return {a: _STATS[s](F.col(self.column)) for s, a in self._aliases.items()}
+
+    def result_from_metrics(self, metrics: Mapping[str, object]) -> ConstraintResult:
+        failures = []
+        last = None
+        for stat, alias in self._aliases.items():
+            raw = metrics[alias]
+            if raw is None:
+                failures.append(f"{stat} is NULL")
+                continue
+            last = float(raw)
+            if not self.assertions[stat].evaluate(last):
+                failures.append(
+                    f"{stat}={last} !({self.assertions[stat].describe()})")
+        if failures:
+            return ConstraintResult.failure(
+                last, f"statistics of {self.column} failed: {'; '.join(failures)}")
+        return ConstraintResult.success(last)
+
+
+class QuantileConstraint(Constraint):
+    """Approx/exact/auto quantiles.
+
+    approx → ``percentile_approx`` (like the reference's
+    APPROX_PERCENTILE_CONT); exact → Spark's exact ``percentile``;
+    auto → exact below ``auto_threshold`` rows else approx, decided from
+    the shared-scan row count (quantile.rs:244-258).
+    """
+
+    name = "quantile"
+
+    def __init__(self, column: str, q: float, assertion: Assertion,
+                 mode: str = "approx", accuracy: int = 10000,
+                 auto_threshold: int = 1_000_000):
+        if not (0.0 <= q <= 1.0):
+            raise ValueError("quantile must be in [0,1]")
+        if mode not in ("approx", "exact", "auto"):
+            raise ValueError("mode must be approx|exact|auto")
+        self.column = validate_identifier(column)
+        self.q = float(q)
+        self.mode = mode
+        self.accuracy = accuracy
+        self.auto_threshold = auto_threshold
+        self.assertion = Assertion.coerce(assertion)
+        self._approx = metric_alias("quantile_approx", column, q, accuracy, tag="k")
+        self._exact = metric_alias("quantile_exact", column, q, tag="k")
+        self._sz = metric_alias("size")
+
+    def scalar_metrics(self, df) -> Dict[str, "F.Column"]:
+        col = F.col(self.column)
+        exprs = {self._sz: F.count(F.lit(1))}
+        if self.mode in ("approx", "auto"):
+            exprs[self._approx] = F.percentile_approx(col, self.q, self.accuracy)
+        if self.mode in ("exact", "auto"):
+            exprs[self._exact] = F.percentile(col, self.q)
+        return exprs
+
+    def result_from_metrics(self, metrics: Mapping[str, object]) -> ConstraintResult:
+        if self.mode == "approx":
+            raw = metrics[self._approx]
+        elif self.mode == "exact":
+            raw = metrics[self._exact]
+        else:
+            use_exact = float(metrics[self._sz]) <= self.auto_threshold
+            raw = metrics[self._exact if use_exact else self._approx]
+        if raw is None:
+            return ConstraintResult.skipped(f"quantile({self.column}) is NULL")
+        value = float(raw)
+        if self.assertion.evaluate(value):
+            return ConstraintResult.success(value)
+        return ConstraintResult.failure(
+            value,
+            f"p{self.q:g}({self.column}) = {value} does not satisfy "
+            f"{self.assertion.describe()}")
+
+
+class ApproxCountDistinctConstraint(Constraint):
+    name = "approx_count_distinct"
+
+    def __init__(self, column: str, assertion: Assertion, rsd: float = 0.05):
+        self.column = validate_identifier(column)
+        self.assertion = Assertion.coerce(assertion)
+        self.rsd = rsd
+        self._alias = metric_alias("approx_distinct", column, rsd, tag="k")
+
+    def scalar_metrics(self, df) -> Dict[str, "F.Column"]:
+        return {self._alias: F.approx_count_distinct(F.col(self.column), self.rsd)}
+
+    def result_from_metrics(self, metrics: Mapping[str, object]) -> ConstraintResult:
+        value = float(metrics[self._alias])
+        if self.assertion.evaluate(value):
+            return ConstraintResult.success(value)
+        return ConstraintResult.failure(
+            value,
+            f"approx_count_distinct({self.column}) = {value:.0f} does not "
+            f"satisfy {self.assertion.describe()}")
+
+
+class CorrelationConstraint(Constraint):
+    name = "correlation"
+
+    def __init__(self, column_a: str, column_b: str, assertion: Assertion):
+        self.column_a = validate_identifier(column_a)
+        self.column_b = validate_identifier(column_b)
+        self.column = f"{column_a},{column_b}"
+        self.assertion = Assertion.coerce(assertion)
+        self._alias = metric_alias("corr", column_a, column_b)
+
+    def scalar_metrics(self, df) -> Dict[str, "F.Column"]:
+        return {self._alias: F.corr(F.col(self.column_a), F.col(self.column_b))}
+
+    def result_from_metrics(self, metrics: Mapping[str, object]) -> ConstraintResult:
+        raw = metrics[self._alias]
+        if raw is None:
+            return ConstraintResult.skipped("correlation undefined (constant or empty)")
+        value = float(raw)
+        if self.assertion.evaluate(value):
+            return ConstraintResult.success(value)
+        return ConstraintResult.failure(
+            value,
+            f"corr({self.column_a},{self.column_b}) = {value:.6f} does not "
+            f"satisfy {self.assertion.describe()}")
+
+
+class CovarianceConstraint(Constraint):
+    name = "covariance"
+
+    def __init__(self, column_a: str, column_b: str, assertion: Assertion):
+        self.column_a = validate_identifier(column_a)
+        self.column_b = validate_identifier(column_b)
+        self.column = f"{column_a},{column_b}"
+        self.assertion = Assertion.coerce(assertion)
+        self._alias = metric_alias("covar", column_a, column_b)
+
+    def scalar_metrics(self, df) -> Dict[str, "F.Column"]:
+        return {self._alias: F.covar_samp(F.col(self.column_a), F.col(self.column_b))}
+
+    def result_from_metrics(self, metrics: Mapping[str, object]) -> ConstraintResult:
+        raw = metrics[self._alias]
+        if raw is None:
+            return ConstraintResult.skipped("covariance undefined")
+        value = float(raw)
+        if self.assertion.evaluate(value):
+            return ConstraintResult.success(value)
+        return ConstraintResult.failure(
+            value,
+            f"covar_samp({self.column_a},{self.column_b}) = {value:.6f} does "
+            f"not satisfy {self.assertion.describe()}")

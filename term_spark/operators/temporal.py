@@ -1,0 +1,198 @@
+"""Temporal constraints: before/after ordering, business hours, date
+range, max time-gap.
+
+Parity: /root/reference/term-guard/src/constraints/temporal_ordering.rs
+:340-480 — four validation modes generating violation-count SQL:
+- BeforeAfter{before,after,allow_equal,tolerance_seconds}: violations =
+  rows where NOT (after >[=] before [+ tolerance]);
+- BusinessHours{start,end,weekdays_only}: CAST(ts AS TIME) BETWEEN +
+  EXTRACT(DOW) BETWEEN 1 AND 5 (:385-415);
+- DateRange{min,max} (:417-452);
+- MaxTimeGap{group_by,max_gap_seconds}: LAG(ts) OVER ([PARTITION BY g]
+  ORDER BY ts), EPOCH diff, count gaps > max (:454-480).
+
+The metric is the violation ratio (0.0 = fully ordered); assertion
+defaults to == 0 violations.
+
+Scale: the first three are scalar-shaped (they join the shared agg
+pass). MaxTimeGap needs a window sort — partitioned by the group column
+it distributes; un-grouped it is a single-partition sort, same as the
+reference's semantics, flagged for callers in the docstring.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Mapping, Optional
+
+import pyspark.sql.functions as F
+
+from ..core.assertion import Assertion
+from ..core.constraint import Constraint, EngineContext, metric_alias
+from ..core.result import ConstraintResult
+from ..functions.security import validate_identifier
+
+
+def _ratio_result(self, violations: float, total: float, what: str) -> ConstraintResult:
+    ratio = violations / total
+    if self.assertion.evaluate(ratio):
+        return ConstraintResult.success(ratio)
+    return ConstraintResult.failure(
+        ratio, f"{violations:.0f}/{total:.0f} rows violate {what}")
+
+
+class TemporalOrderingConstraint(Constraint):
+    """before_column happens-before after_column."""
+
+    name = "temporal_ordering"
+
+    def __init__(self, before_column: str, after_column: str,
+                 allow_equal: bool = True, tolerance_seconds: int = 0,
+                 allow_nulls: bool = False, assertion: Assertion = None):
+        self.before_column = validate_identifier(before_column)
+        self.after_column = validate_identifier(after_column)
+        self.allow_equal = allow_equal
+        self.tolerance_seconds = int(tolerance_seconds)
+        self.allow_nulls = allow_nulls
+        self.assertion = Assertion.coerce(assertion) if assertion is not None else Assertion.eq(0.0)
+        self.column = f"{before_column}->{after_column}"
+        self._v = metric_alias("temporal_ba", before_column, after_column,
+                               allow_equal, tolerance_seconds, allow_nulls)
+        self._t = metric_alias("temporal_ba_total", before_column, after_column, allow_nulls)
+
+    def scalar_metrics(self, df) -> Dict[str, "F.Column"]:
+        before = F.col(self.before_column)
+        after = F.col(self.after_column)
+        shifted = (before + F.expr(f"INTERVAL {self.tolerance_seconds} SECOND")
+                   if self.tolerance_seconds else before)
+        ok = (after >= shifted) if self.allow_equal else (after > shifted)
+        in_scope = F.lit(True) if self.allow_nulls else (
+            before.isNotNull() & after.isNotNull())
+        return {
+            self._v: F.count(F.when(in_scope & ~F.coalesce(ok, F.lit(False)), 1)),
+            self._t: F.count(F.when(in_scope, 1)),
+        }
+
+    def result_from_metrics(self, metrics: Mapping[str, object]) -> ConstraintResult:
+        total = float(metrics[self._t])
+        if total == 0:
+            return ConstraintResult.skipped()
+        return _ratio_result(self, float(metrics[self._v]), total,
+                             f"{self.before_column} <= {self.after_column}")
+
+
+class BusinessHoursConstraint(Constraint):
+    name = "business_hours"
+
+    def __init__(self, timestamp_column: str, start_hour: int = 9,
+                 end_hour: int = 17, weekdays_only: bool = True,
+                 assertion: Assertion = None):
+        self.timestamp_column = validate_identifier(timestamp_column)
+        self.column = timestamp_column
+        self.start_hour, self.end_hour = int(start_hour), int(end_hour)
+        self.weekdays_only = weekdays_only
+        self.assertion = Assertion.coerce(assertion) if assertion is not None else Assertion.eq(0.0)
+        self._v = metric_alias("bh", timestamp_column, start_hour, end_hour, weekdays_only)
+        self._t = metric_alias("bh_total", timestamp_column, weekdays_only)
+
+    def scalar_metrics(self, df) -> Dict[str, "F.Column"]:
+        ts = F.col(self.timestamp_column)
+        # seconds-since-midnight BETWEEN start:00:00 AND end:00:00 —
+        # matches CAST(ts AS TIME) BETWEEN TIME 'hh:00' semantics.
+        secs = (F.hour(ts) * 3600 + F.minute(ts) * 60 + F.second(ts))
+        in_hours = secs.between(self.start_hour * 3600, self.end_hour * 3600)
+        # Reference restricts the population by the weekday filter
+        # (WHERE … AND EXTRACT(DOW) BETWEEN 1 AND 5): weekend rows are
+        # out of scope, not violations. Spark dayofweek: 1=Sun..7=Sat.
+        weekday = F.dayofweek(ts).between(2, 6)
+        in_scope = ts.isNotNull() & (weekday if self.weekdays_only else F.lit(True))
+        return {
+            self._v: F.count(F.when(in_scope & ~in_hours, 1)),
+            self._t: F.count(F.when(in_scope, 1)),
+        }
+
+    def result_from_metrics(self, metrics: Mapping[str, object]) -> ConstraintResult:
+        total = float(metrics[self._t])
+        if total == 0:
+            return ConstraintResult.skipped()
+        return _ratio_result(
+            self, float(metrics[self._v]), total,
+            f"business hours {self.start_hour:02d}:00-{self.end_hour:02d}:00")
+
+
+class DateRangeConstraint(Constraint):
+    name = "date_range"
+
+    def __init__(self, timestamp_column: str, min_date: Optional[str] = None,
+                 max_date: Optional[str] = None, assertion: Assertion = None):
+        if min_date is None and max_date is None:
+            raise ValueError("DateRange requires at least min_date or max_date")
+        self.timestamp_column = validate_identifier(timestamp_column)
+        self.column = timestamp_column
+        self.min_date, self.max_date = min_date, max_date
+        self.assertion = Assertion.coerce(assertion) if assertion is not None else Assertion.eq(0.0)
+        self._v = metric_alias("dr", timestamp_column, min_date, max_date)
+        self._t = metric_alias("dr_total", timestamp_column)
+
+    def scalar_metrics(self, df) -> Dict[str, "F.Column"]:
+        ts = F.col(self.timestamp_column)
+        cond = F.lit(True)
+        if self.min_date:
+            cond = cond & (ts >= F.lit(self.min_date).cast("timestamp"))
+        if self.max_date:
+            cond = cond & (ts <= F.lit(self.max_date).cast("timestamp"))
+        return {
+            self._v: F.count(F.when(ts.isNotNull() & ~cond, 1)),
+            self._t: F.count(ts),
+        }
+
+    def result_from_metrics(self, metrics: Mapping[str, object]) -> ConstraintResult:
+        total = float(metrics[self._t])
+        if total == 0:
+            return ConstraintResult.skipped()
+        return _ratio_result(
+            self, float(metrics[self._v]), total,
+            f"date range [{self.min_date}, {self.max_date}]")
+
+
+class MaxTimeGapConstraint(Constraint):
+    """Max gap between consecutive timestamps (optionally per group).
+
+    Window-shaped → own job. With ``group_by`` the sort distributes per
+    group; without it Spark must total-sort one partition (identical to
+    the reference's single-node semantics) — prefer grouped at scale.
+    """
+
+    name = "max_time_gap"
+
+    def __init__(self, timestamp_column: str, max_gap_seconds: float,
+                 group_by: Optional[str] = None, assertion: Assertion = None):
+        self.timestamp_column = validate_identifier(timestamp_column)
+        self.column = timestamp_column
+        self.max_gap_seconds = float(max_gap_seconds)
+        self.group_by = validate_identifier(group_by) if group_by else None
+        self.assertion = Assertion.coerce(assertion) if assertion is not None else Assertion.eq(0.0)
+
+    def evaluate(self, ctx: EngineContext) -> ConstraintResult:
+        from pyspark.sql import Window
+
+        df = ctx.df(self.table)
+        ts = F.col(self.timestamp_column)
+        w = (Window.partitionBy(self.group_by) if self.group_by else Window.partitionBy()
+             ).orderBy(self.timestamp_column)
+        gaps = (df.filter(ts.isNotNull())
+                  .select((ts.cast("double") -
+                           F.lag(ts).over(w).cast("double")).alias("gap_seconds")))
+        row = gaps.filter(F.col("gap_seconds").isNotNull()).agg(
+            F.count(F.lit(1)).alias("total_gaps"),
+            F.count(F.when(F.col("gap_seconds") > self.max_gap_seconds, 1))
+             .alias("violations"),
+            F.max("gap_seconds").alias("max_gap")).collect()[0]
+        if row["total_gaps"] == 0:
+            return self._finish(ConstraintResult.skipped())
+        ratio = row["violations"] / row["total_gaps"]
+        if self.assertion.evaluate(ratio):
+            return self._finish(ConstraintResult.success(ratio))
+        return self._finish(ConstraintResult.failure(
+            ratio,
+            f"{row['violations']}/{row['total_gaps']} consecutive gaps exceed "
+            f"{self.max_gap_seconds}s (max gap {row['max_gap']:.1f}s)"))

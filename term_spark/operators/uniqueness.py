@@ -1,0 +1,145 @@
+"""Uniqueness family — 6 modes with explicit NULL handling.
+
+Parity: /root/reference/term-guard/src/constraints/uniqueness.rs:
+- FullUniqueness{threshold}  — COUNT(DISTINCT cols)/COUNT(*)  (:569-617)
+- Distinctness(assertion)    — same metric, assertion form    (:625-655)
+- UniqueValueRatio(assertion)— rows whose value occurs exactly once /
+  total rows (value_counts CTE, :660-684)
+- PrimaryKey                 — unique AND no NULLs            (:686-718)
+- UniqueWithNulls{Include}   — COALESCE(col,'<NULL>') in distinct (:575)
+- UniqueWithNulls{Distinct}  — each NULL counts as its own value (:597)
+
+NULL parity note (SURVEY §7.4.2): Spark's COUNT(DISTINCT a,b) drops rows
+where ANY column is NULL; DataFusion's COUNT(DISTINCT (a,b)) counts the
+tuple. We use countDistinct over a struct for multi-column so tuple
+semantics match the reference.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Mapping, Sequence
+
+import pyspark.sql.functions as F
+
+from ..core.assertion import Assertion
+from ..core.constraint import Constraint, EngineContext, metric_alias
+from ..core.result import ConstraintResult
+from ..functions.security import validate_identifiers
+
+NULL_SENTINEL = "<NULL>"
+
+
+def _distinct_expr(columns: Sequence[str], null_handling: str = "exclude") -> "F.Column":
+    if len(columns) == 1:
+        col = F.col(columns[0])
+        if null_handling == "include":
+            col = F.coalesce(col.cast("string"), F.lit(NULL_SENTINEL))
+        return F.count_distinct(col)
+    # tuple distinct (DataFusion semantics): struct is non-null even if
+    # a field is null, so no rows are silently dropped.
+    return F.count_distinct(F.struct(*[F.col(c) for c in columns]))
+
+
+class UniquenessConstraint(Constraint):
+    """Modes: full (threshold), distinctness, unique_with_nulls_include,
+    unique_with_nulls_distinct, primary_key — all scalar-shaped."""
+
+    def __init__(self, columns, mode: str = "full", assertion: Assertion = None,
+                 threshold: float = 1.0):
+        if isinstance(columns, str):
+            columns = [columns]
+        self.columns: List[str] = validate_identifiers(columns)
+        self.column = ",".join(self.columns)
+        self.mode = mode
+        self.name = {"full": "uniqueness", "distinctness": "distinctness",
+                     "include_nulls": "unique_with_nulls",
+                     "distinct_nulls": "unique_with_nulls",
+                     "primary_key": "primary_key"}[mode]
+        self.threshold = float(threshold)
+        self.assertion = Assertion.coerce(assertion) if assertion is not None \
+            else Assertion.ge(self.threshold)
+        self._sz = metric_alias("size")
+        self._uq = metric_alias("uniq", self.column, mode, tag="d")
+        self._nn = metric_alias("non_null_all", self.column)
+
+    def scalar_metrics(self, df) -> Dict[str, "F.Column"]:
+        exprs = {self._sz: F.count(F.lit(1))}
+        if self.mode == "include_nulls":
+            exprs[self._uq] = _distinct_expr(self.columns, "include")
+        elif self.mode == "distinct_nulls":
+            if len(self.columns) == 1:
+                c = F.col(self.columns[0])
+                # COUNT(DISTINCT col) + max(COUNT(*) - COUNT(col), 0)
+                exprs[self._uq] = F.count_distinct(c)
+                exprs[self._nn] = F.count(c)
+            else:
+                exprs[self._uq] = _distinct_expr(self.columns)
+        else:
+            exprs[self._uq] = _distinct_expr(self.columns)
+            if self.mode == "primary_key":
+                nn = F.lit(True)
+                for c in self.columns:
+                    nn = nn & F.col(c).isNotNull()
+                exprs[self._nn] = F.count(F.when(nn, 1))
+        return exprs
+
+    def result_from_metrics(self, metrics: Mapping[str, object]) -> ConstraintResult:
+        total = float(metrics[self._sz])
+        unique = float(metrics[self._uq])
+        if self.mode == "distinct_nulls" and len(self.columns) == 1:
+            null_count = total - float(metrics[self._nn])
+            unique += max(null_count, 0.0)
+        if self.mode == "primary_key":
+            null_count = total - float(metrics[self._nn])
+            ratio = unique / total
+            if null_count == 0 and abs(ratio - 1.0) < 1e-12:
+                return ConstraintResult.success(ratio)
+            return ConstraintResult.failure(
+                ratio,
+                f"primary key violated for ({self.column}): uniqueness "
+                f"{ratio:.4f}, {null_count:.0f} NULL rows")
+        ratio = unique / total
+        if self.assertion.evaluate(ratio):
+            return ConstraintResult.success(ratio)
+        return ConstraintResult.failure(
+            ratio,
+            f"{self.name} ratio {ratio:.3f} does not satisfy "
+            f"{self.assertion.describe()} for columns: {self.column}")
+
+
+class UniqueValueRatioConstraint(Constraint):
+    """Fraction of rows whose value occurs exactly once (uniqueness.rs:660-684).
+
+    GroupBy-shaped: needs per-value counts, so it runs as its own job —
+    the reference's non-combinable carve-out. The groupBy keeps the
+    aggregation fully distributed (two-stage partial agg); only a
+    3-number summary reaches the driver.
+    """
+
+    name = "unique_value_ratio"
+
+    def __init__(self, columns, assertion: Assertion):
+        if isinstance(columns, str):
+            columns = [columns]
+        self.columns = validate_identifiers(columns)
+        self.column = ",".join(self.columns)
+        self.assertion = Assertion.coerce(assertion)
+
+    def evaluate(self, ctx: EngineContext) -> ConstraintResult:
+        df = ctx.df(self.table)
+        counts = df.groupBy(*self.columns).agg(F.count(F.lit(1)).alias("cnt"))
+        row = counts.agg(
+            F.coalesce(F.sum(F.when(F.col("cnt") == 1, F.col("cnt"))), F.lit(0)).alias("unique_rows"),
+            F.coalesce(F.sum("cnt"), F.lit(0)).alias("total_rows"),
+            F.count(F.lit(1)).alias("distinct_values"),
+        ).collect()[0]
+        total = float(row["total_rows"])
+        if total == 0:
+            return self._finish(ConstraintResult.skipped())
+        ratio = float(row["unique_rows"]) / total
+        if self.assertion.evaluate(ratio):
+            return self._finish(ConstraintResult.success(ratio))
+        return self._finish(ConstraintResult.failure(
+            ratio,
+            f"unique_value_ratio {ratio:.3f} does not satisfy "
+            f"{self.assertion.describe()} for columns: {self.column}"))

@@ -1,0 +1,642 @@
+"""Driver-contract queries: every operator family exposed as a
+(spark, sf_dir) -> DataFrame callable plus an equivalent DuckDB oracle
+SQL string.
+
+Determinism rules (so Spark and DuckDB value-hashes match):
+- money/double sums go through DECIMAL(25,4) (exact, order-independent
+  in both engines) and are cast back to double at the end;
+- pure-double aggregates (avg/stddev/corr/entropy) are rounded to 6
+  decimals (both engines round half-away-from-zero for positives);
+- counts/ratios of counts are exact;
+- every computed column is aliased identically in Spark and SQL.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from .sources import load_tpch_tables
+
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+
+
+def _t(spark: SparkSession, sf_dir: str, *names):
+    tables = load_tpch_tables(spark, sf_dir, names)
+    return [tables[n] for n in names]
+
+
+def r6(col):
+    return F.round(col, 6)
+
+
+# ---------------------------------------------------------------------------
+# scan / scalar-aggregate family
+# ---------------------------------------------------------------------------
+
+def q_size_lineitem(spark, sf_dir) -> DataFrame:
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return li.agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+SQL_SIZE_LINEITEM = "SELECT COUNT(*) AS n_rows FROM lineitem"
+
+
+def q_completeness_customer(spark, sf_dir) -> DataFrame:
+    (c,) = _t(spark, sf_dir, "customer")
+    return c.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("c_name").alias("nn_name"),
+        F.count("c_acctbal").alias("nn_acctbal"),
+        r6(F.count("c_name") / F.count(F.lit(1))).alias("completeness_name"),
+        r6(F.count("c_acctbal") / F.count(F.lit(1))).alias("completeness_acctbal"),
+    )
+
+
+SQL_COMPLETENESS_CUSTOMER = """
+SELECT COUNT(*) AS n_rows,
+       COUNT(c_name) AS nn_name,
+       COUNT(c_acctbal) AS nn_acctbal,
+       ROUND(COUNT(c_name) * 1.0 / COUNT(*), 6) AS completeness_name,
+       ROUND(COUNT(c_acctbal) * 1.0 / COUNT(*), 6) AS completeness_acctbal
+FROM customer
+"""
+
+
+def q_stats_quantity(spark, sf_dir) -> DataFrame:
+    (li,) = _t(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    return li.agg(
+        F.min(q).alias("min_qty"),
+        F.max(q).alias("max_qty"),
+        F.sum(q).alias("sum_qty"),             # integral doubles — exact
+        r6(F.avg(q)).alias("avg_qty"),
+        r6(F.stddev_samp(q)).alias("stddev_qty"),
+        r6(F.var_samp(q)).alias("var_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(25,4)"))
+         .cast("double").alias("sum_price"),
+    )
+
+
+SQL_STATS_QUANTITY = """
+SELECT MIN(l_quantity) AS min_qty,
+       MAX(l_quantity) AS max_qty,
+       SUM(l_quantity) AS sum_qty,
+       ROUND(AVG(l_quantity), 6) AS avg_qty,
+       ROUND(STDDEV_SAMP(l_quantity), 6) AS stddev_qty,
+       ROUND(VAR_SAMP(l_quantity), 6) AS var_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,4))) AS DOUBLE) AS sum_price
+FROM lineitem
+"""
+
+
+def q_distinctness_orders(spark, sf_dir) -> DataFrame:
+    (o,) = _t(spark, sf_dir, "orders")
+    return o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct(F.col("o_custkey")).alias("distinct_custkey"),
+        r6(F.count_distinct(F.col("o_custkey")) / F.count(F.lit(1))).alias("distinctness"),
+    )
+
+
+SQL_DISTINCTNESS_ORDERS = """
+SELECT COUNT(*) AS n_rows,
+       COUNT(DISTINCT o_custkey) AS distinct_custkey,
+       ROUND(COUNT(DISTINCT o_custkey) * 1.0 / COUNT(*), 6) AS distinctness
+FROM orders
+"""
+
+
+def q_unique_value_ratio_custkey(spark, sf_dir) -> DataFrame:
+    """Rows whose o_custkey occurs exactly once / total rows
+    (uniqueness.rs:660-684 value_counts CTE)."""
+    (o,) = _t(spark, sf_dir, "orders")
+    counts = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("cnt"))
+    return counts.agg(
+        F.coalesce(F.sum(F.when(F.col("cnt") == 1, F.col("cnt"))), F.lit(0)).alias("unique_rows"),
+        F.count(F.lit(1)).alias("distinct_values"),
+        F.sum("cnt").alias("total_rows"),
+        r6(F.coalesce(F.sum(F.when(F.col("cnt") == 1, F.col("cnt"))), F.lit(0))
+           / F.sum("cnt")).alias("unique_value_ratio"),
+    )
+
+
+SQL_UNIQUE_VALUE_RATIO_CUSTKEY = """
+WITH value_counts AS (
+    SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY o_custkey
+)
+SELECT COALESCE(SUM(CASE WHEN cnt = 1 THEN cnt ELSE 0 END), 0) AS unique_rows,
+       COUNT(*) AS distinct_values,
+       SUM(cnt) AS total_rows,
+       ROUND(COALESCE(SUM(CASE WHEN cnt = 1 THEN cnt ELSE 0 END), 0) * 1.0
+             / SUM(cnt), 6) AS unique_value_ratio
+FROM value_counts
+"""
+
+
+def q_compliance_discount(spark, sf_dir) -> DataFrame:
+    (li,) = _t(spark, sf_dir, "lineitem")
+    pred = F.col("l_discount").between(0.0, 0.1)
+    return li.agg(
+        F.count(F.when(pred, 1)).alias("hits"),
+        F.count(F.lit(1)).alias("total"),
+        r6(F.count(F.when(pred, 1)) / F.count(F.lit(1))).alias("compliance"),
+    )
+
+
+SQL_COMPLIANCE_DISCOUNT = """
+SELECT COUNT(CASE WHEN l_discount BETWEEN 0.0 AND 0.1 THEN 1 END) AS hits,
+       COUNT(*) AS total,
+       ROUND(COUNT(CASE WHEN l_discount BETWEEN 0.0 AND 0.1 THEN 1 END) * 1.0
+             / COUNT(*), 6) AS compliance
+FROM lineitem
+"""
+
+
+def q_containment_orderstatus(spark, sf_dir) -> DataFrame:
+    (o,) = _t(spark, sf_dir, "orders")
+    pred = F.col("o_orderstatus").isin("O", "F", "P")
+    return o.agg(
+        F.count(F.when(pred, 1)).alias("hits"),
+        F.count(F.lit(1)).alias("total"),
+        r6(F.count(F.when(pred, 1)) / F.count(F.lit(1))).alias("containment"),
+    )
+
+
+SQL_CONTAINMENT_ORDERSTATUS = """
+SELECT COUNT(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1 END) AS hits,
+       COUNT(*) AS total,
+       ROUND(COUNT(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1 END) * 1.0
+             / COUNT(*), 6) AS containment
+FROM orders
+"""
+
+
+def q_format_orderpriority(spark, sf_dir) -> DataFrame:
+    (o,) = _t(spark, sf_dir, "orders")
+    pat = "^[1-5]-[A-Z ]+$"
+    pred = F.col("o_orderpriority").rlike(pat)
+    return o.agg(
+        F.count(F.when(pred, 1)).alias("matches"),
+        F.count(F.lit(1)).alias("total"),
+        r6(F.count(F.when(pred, 1)) / F.count(F.lit(1))).alias("match_ratio"),
+    )
+
+
+SQL_FORMAT_ORDERPRIORITY = r"""
+SELECT COUNT(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-[A-Z ]+$')
+                  THEN 1 END) AS matches,
+       COUNT(*) AS total,
+       ROUND(COUNT(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-[A-Z ]+$')
+                        THEN 1 END) * 1.0 / COUNT(*), 6) AS match_ratio
+FROM orders
+"""
+
+
+def q_length_customer_name(spark, sf_dir) -> DataFrame:
+    (c,) = _t(spark, sf_dir, "customer")
+    ln = F.char_length(F.col("c_name"))
+    cond = ln.between(10, 25) | F.col("c_name").isNull()  # NULL valid (length.rs:167-171)
+    return c.agg(
+        F.count(F.when(cond, 1)).alias("valid"),
+        F.count(F.lit(1)).alias("total"),
+        r6(F.count(F.when(cond, 1)) / F.count(F.lit(1))).alias("valid_ratio"),
+    )
+
+
+SQL_LENGTH_CUSTOMER_NAME = """
+SELECT COUNT(CASE WHEN LENGTH(c_name) BETWEEN 10 AND 25 OR c_name IS NULL
+                  THEN 1 END) AS valid,
+       COUNT(*) AS total,
+       ROUND(COUNT(CASE WHEN LENGTH(c_name) BETWEEN 10 AND 25 OR c_name IS NULL
+                        THEN 1 END) * 1.0 / COUNT(*), 6) AS valid_ratio
+FROM customer
+"""
+
+
+def q_datatype_detection(spark, sf_dir) -> DataFrame:
+    """Regex CASE type classification (consistency.rs:66-87) over a
+    string rendering of documents.n_chars + the lang column."""
+    (d,) = _t(spark, sf_dir, "documents")
+    from .operators.datatype import classify_expr
+    d2 = d.select(F.col("n_chars").cast("string").alias("v")).union(
+        d.select(F.col("lang").alias("v")))
+    df = d2.select(classify_expr("v").alias("detected_type"))
+    return (df.groupBy("detected_type").agg(F.count(F.lit(1)).alias("cnt"))
+              .orderBy(F.desc("cnt"), F.asc("detected_type")))
+
+
+SQL_DATATYPE_DETECTION = r"""
+WITH vals AS (
+    SELECT CAST(n_chars AS VARCHAR) AS v FROM documents
+    UNION ALL
+    SELECT lang AS v FROM documents
+), classified AS (
+    SELECT CASE
+        WHEN regexp_matches(v, '^[+-]?\d+$') THEN 'integer'
+        WHEN regexp_matches(v, '^[+-]?(\d+\.\d*|\.\d+|\d+)([eE][+-]?\d+)?$') THEN 'float'
+        WHEN regexp_matches(v, '^(true|false|TRUE|FALSE|True|False|0|1|yes|no|YES|NO)$') THEN 'boolean'
+        WHEN regexp_matches(v, '^\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}(:\d{2})?(\.\d+)?([Zz]|[+-]\d{2}:?\d{2})?$') THEN 'datetime'
+        WHEN regexp_matches(v, '^\d{4}-\d{2}-\d{2}$') THEN 'date'
+        WHEN regexp_matches(v, '^\d{2}:\d{2}(:\d{2})?(\.\d+)?$') THEN 'time'
+        ELSE 'text' END AS detected_type
+    FROM vals WHERE v IS NOT NULL
+)
+SELECT detected_type, COUNT(*) AS cnt FROM classified
+GROUP BY detected_type ORDER BY cnt DESC, detected_type ASC
+"""
+
+
+# ---------------------------------------------------------------------------
+# groupBy-shaped family
+# ---------------------------------------------------------------------------
+
+def q_histogram_returnflag(spark, sf_dir) -> DataFrame:
+    (li,) = _t(spark, sf_dir, "lineitem")
+    g = li.groupBy(F.col("l_returnflag").alias("value")) \
+          .agg(F.count(F.lit(1)).alias("cnt"))
+    from pyspark.sql import Window
+    return (g.withColumn("ratio", r6(F.col("cnt") /
+                                     F.sum("cnt").over(Window.partitionBy())))
+             .orderBy(F.desc("cnt"), F.asc("value")))
+
+
+SQL_HISTOGRAM_RETURNFLAG = """
+SELECT l_returnflag AS value, COUNT(*) AS cnt,
+       ROUND(COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (), 6) AS ratio
+FROM lineitem GROUP BY l_returnflag ORDER BY cnt DESC, value ASC
+"""
+
+
+def q_entropy_returnflag(spark, sf_dir) -> DataFrame:
+    (li,) = _t(spark, sf_dir, "lineitem")
+    counts = (li.filter(F.col("l_returnflag").isNotNull())
+                .groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("cnt")))
+    return counts.agg(
+        r6(F.log(F.sum("cnt")) -
+           F.sum(F.col("cnt") * F.log(F.col("cnt"))) / F.sum("cnt")).alias("entropy"))
+
+
+SQL_ENTROPY_RETURNFLAG = """
+WITH counts AS (
+    SELECT COUNT(*) AS cnt FROM lineitem
+    WHERE l_returnflag IS NOT NULL GROUP BY l_returnflag
+)
+SELECT ROUND(LN(SUM(cnt)) - SUM(cnt * LN(cnt)) / SUM(cnt), 6) AS entropy
+FROM counts
+"""
+
+
+def q_grouped_completeness_events(spark, sf_dir) -> DataFrame:
+    (e,) = _t(spark, sf_dir, "events")
+    return (e.groupBy("event_type")
+             .agg(F.count(F.lit(1)).alias("total_count"),
+                  F.count("value").alias("non_null_count"),
+                  r6(F.count("value") / F.count(F.lit(1))).alias("completeness"))
+             .orderBy("event_type"))
+
+
+SQL_GROUPED_COMPLETENESS_EVENTS = """
+SELECT event_type, COUNT(*) AS total_count, COUNT(value) AS non_null_count,
+       ROUND(COUNT(value) * 1.0 / COUNT(*), 6) AS completeness
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_mutual_information_lineitem(spark, sf_dir) -> DataFrame:
+    """MI between the two low-cardinality lineitem flags (categorical
+    passthrough binning, mutual_information.rs:236-260)."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    from .operators.entropy import mutual_information_value
+    mi = mutual_information_value(li, "l_returnflag", "l_linestatus")
+    return spark.createDataFrame([(round(mi, 6),)], "mi double")
+
+
+SQL_MUTUAL_INFORMATION_LINEITEM = """
+WITH joint AS (
+    SELECT l_returnflag AS bx, l_linestatus AS by, COUNT(*) AS nxy
+    FROM lineitem
+    WHERE l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL
+    GROUP BY 1, 2
+), enriched AS (
+    SELECT nxy,
+           SUM(nxy) OVER () AS n,
+           SUM(nxy) OVER (PARTITION BY bx) AS nx,
+           SUM(nxy) OVER (PARTITION BY by) AS ny
+    FROM joint
+)
+SELECT ROUND(SUM((nxy * 1.0 / n) * LN((nxy * 1.0 * n) / (nx * 1.0 * ny))), 6) AS mi
+FROM enriched
+"""
+
+
+def q_spearman_quantity_price(spark, sf_dir) -> DataFrame:
+    (li,) = _t(spark, sf_dir, "lineitem")
+    from .operators.entropy import spearman_value
+    rho = spearman_value(li, "l_quantity", "l_extendedprice")
+    return spark.createDataFrame([(round(rho, 6),)], "spearman double")
+
+
+SQL_SPEARMAN_QUANTITY_PRICE = """
+WITH ranked AS (
+    SELECT RANK() OVER (ORDER BY l_quantity) AS rx,
+           RANK() OVER (ORDER BY l_extendedprice) AS ry
+    FROM lineitem
+    WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+)
+SELECT ROUND(CORR(rx, ry), 6) AS spearman FROM ranked
+"""
+
+
+def q_corr_quantity_price(spark, sf_dir) -> DataFrame:
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        r6(F.corr("l_quantity", "l_extendedprice")).alias("pearson"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("covariance"),
+    )
+
+
+SQL_CORR_QUANTITY_PRICE = """
+SELECT ROUND(CORR(l_quantity, l_extendedprice), 6) AS pearson,
+       ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 2) AS covariance
+FROM lineitem
+"""
+
+
+# ---------------------------------------------------------------------------
+# join-shaped family
+# ---------------------------------------------------------------------------
+
+def q_fk_orders_customer(spark, sf_dir) -> DataFrame:
+    o, c = _t(spark, sf_dir, "orders", "customer")
+    keys = o.select("o_custkey").filter(F.col("o_custkey").isNotNull())
+    orphans = keys.join(c.select("c_custkey").distinct(),
+                        keys["o_custkey"] == F.col("c_custkey"), "left_anti")
+    return orphans.agg(
+        F.count(F.lit(1)).alias("orphan_rows"),
+        F.count_distinct(F.col("o_custkey")).alias("orphan_keys"))
+
+
+SQL_FK_ORDERS_CUSTOMER = """
+SELECT COUNT(*) AS orphan_rows,
+       COUNT(DISTINCT o.o_custkey) AS orphan_keys
+FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL
+"""
+
+
+def q_join_coverage_lineitem_orders(spark, sf_dir) -> DataFrame:
+    li, o = _t(spark, sf_dir, "lineitem", "orders")
+    total = li.count()
+    matched = li.select("l_orderkey").join(
+        o.select("o_orderkey").distinct(),
+        F.col("l_orderkey") == F.col("o_orderkey"), "left_semi").count()
+    return spark.createDataFrame(
+        [(matched, total, round(matched / total, 6))],
+        "matched bigint, total bigint, coverage double")
+
+
+SQL_JOIN_COVERAGE_LINEITEM_ORDERS = """
+SELECT COUNT(CASE WHEN o.o_orderkey IS NOT NULL THEN 1 END) AS matched,
+       COUNT(*) AS total,
+       ROUND(COUNT(CASE WHEN o.o_orderkey IS NOT NULL THEN 1 END) * 1.0
+             / COUNT(*), 6) AS coverage
+FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+  ON l.l_orderkey = o.o_orderkey
+"""
+
+
+def q_cross_table_sum_orders_lineitem(spark, sf_dir) -> DataFrame:
+    """Grouped sum reconciliation (cross_table_sum.rs:252-279): per
+    order, o_totalprice vs Σ l_extendedprice·(1−disc)·(1+tax); exact
+    decimal arithmetic keeps violation counts deterministic."""
+    o, li = _t(spark, sf_dir, "orders", "lineitem")
+    left = o.groupBy(F.col("o_orderkey").alias("grp")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(25,4)")).alias("left_sum"))
+    charge = (F.col("l_extendedprice") * (1 - F.col("l_discount")) *
+              (1 + F.col("l_tax"))).cast("decimal(25,4)")
+    right = li.groupBy(F.col("l_orderkey").alias("grp")).agg(
+        F.sum(charge).alias("right_sum"))
+    joined = (left.join(right, "grp", "full_outer")
+              .select(F.coalesce("left_sum", F.lit(0).cast("decimal(25,4)")).alias("l"),
+                      F.coalesce("right_sum", F.lit(0).cast("decimal(25,4)")).alias("r")))
+    diff = F.abs(F.col("l") - F.col("r"))
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.count(F.when(diff > 1.0, 1)).alias("violations"),
+        F.max(diff).cast("double").alias("max_diff"))
+
+
+SQL_CROSS_TABLE_SUM_ORDERS_LINEITEM = """
+WITH l AS (
+    SELECT o_orderkey AS grp,
+           SUM(CAST(o_totalprice AS DECIMAL(25,4))) AS left_sum
+    FROM orders GROUP BY 1
+), r AS (
+    SELECT l_orderkey AS grp,
+           SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                    AS DECIMAL(25,4))) AS right_sum
+    FROM lineitem GROUP BY 1
+), j AS (
+    SELECT COALESCE(left_sum, 0) AS lv, COALESCE(right_sum, 0) AS rv
+    FROM l FULL OUTER JOIN r USING (grp)
+)
+SELECT COUNT(*) AS n_groups,
+       COUNT(CASE WHEN ABS(lv - rv) > 1.0 THEN 1 END) AS violations,
+       CAST(MAX(ABS(lv - rv)) AS DOUBLE) AS max_diff
+FROM j
+"""
+
+
+# ---------------------------------------------------------------------------
+# temporal family
+# ---------------------------------------------------------------------------
+
+def q_temporal_ordering_orders_lineitem(spark, sf_dir) -> DataFrame:
+    """Cross-table BeforeAfter: order date must precede ship date."""
+    o, li = _t(spark, sf_dir, "orders", "lineitem")
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"], "inner")
+    ok = F.col("l_shipdate") >= F.col("o_orderdate")
+    return j.agg(
+        F.count(F.lit(1)).alias("total_rows"),
+        F.count(F.when(~ok, 1)).alias("violations"))
+
+
+SQL_TEMPORAL_ORDERING_ORDERS_LINEITEM = """
+SELECT COUNT(*) AS total_rows,
+       COUNT(CASE WHEN NOT (l.l_shipdate >= o.o_orderdate) THEN 1 END) AS violations
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+"""
+
+
+def q_business_hours_events(spark, sf_dir) -> DataFrame:
+    (e,) = _t(spark, sf_dir, "events")
+    ts = F.col("ts")
+    secs = F.hour(ts) * 3600 + F.minute(ts) * 60 + F.second(ts)
+    in_hours = secs.between(9 * 3600, 17 * 3600)
+    weekday = F.dayofweek(ts).between(2, 6)  # Mon..Fri
+    scoped = e.filter(ts.isNotNull() & weekday)
+    return scoped.agg(
+        F.count(F.lit(1)).alias("total_rows"),
+        F.count(F.when(~in_hours, 1)).alias("violations"),
+        r6(F.count(F.when(~in_hours, 1)) / F.count(F.lit(1))).alias("violation_ratio"))
+
+
+SQL_BUSINESS_HOURS_EVENTS = """
+WITH scoped AS (
+    SELECT ts,
+           EXTRACT(HOUR FROM ts) * 3600 + EXTRACT(MINUTE FROM ts) * 60
+           + FLOOR(EXTRACT(SECOND FROM ts)) AS secs
+    FROM events
+    WHERE ts IS NOT NULL AND EXTRACT(DOW FROM ts) BETWEEN 1 AND 5
+)
+SELECT COUNT(*) AS total_rows,
+       COUNT(CASE WHEN NOT (secs BETWEEN 32400 AND 61200) THEN 1 END) AS violations,
+       ROUND(COUNT(CASE WHEN NOT (secs BETWEEN 32400 AND 61200) THEN 1 END) * 1.0
+             / COUNT(*), 6) AS violation_ratio
+FROM scoped
+"""
+
+
+def q_date_range_orders(spark, sf_dir) -> DataFrame:
+    (o,) = _t(spark, sf_dir, "orders")
+    ts = F.col("o_orderdate")
+    in_range = (ts >= F.lit("1995-01-01").cast("timestamp")) & \
+               (ts <= F.lit("2000-12-31").cast("timestamp"))
+    return o.agg(
+        F.count(ts).alias("total_rows"),
+        F.count(F.when(ts.isNotNull() & ~in_range, 1)).alias("violations"))
+
+
+SQL_DATE_RANGE_ORDERS = """
+SELECT COUNT(o_orderdate) AS total_rows,
+       COUNT(CASE WHEN o_orderdate IS NOT NULL AND NOT
+             (o_orderdate >= TIMESTAMP '1995-01-01' AND
+              o_orderdate <= TIMESTAMP '2000-12-31') THEN 1 END) AS violations
+FROM orders
+"""
+
+
+def q_max_time_gap_events(spark, sf_dir) -> DataFrame:
+    """LAG max-gap per user (temporal_ordering.rs:454-480)."""
+    from pyspark.sql import Window
+    (e,) = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gaps = (e.filter(F.col("ts").isNotNull())
+             .select((F.col("ts").cast("double") -
+                      F.lag("ts").over(w).cast("double")).alias("gap")))
+    return gaps.filter(F.col("gap").isNotNull()).agg(
+        F.count(F.lit(1)).alias("total_gaps"),
+        F.count(F.when(F.col("gap") > 3600 * 24, 1)).alias("violations"),
+        r6(F.max("gap")).alias("max_gap_seconds"))
+
+
+SQL_MAX_TIME_GAP_EVENTS = """
+WITH gaps AS (
+    SELECT EXTRACT(EPOCH FROM ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts))
+           AS gap
+    FROM events WHERE ts IS NOT NULL
+)
+SELECT COUNT(*) AS total_gaps,
+       COUNT(CASE WHEN gap > 86400 THEN 1 END) AS violations,
+       ROUND(MAX(gap), 6) AS max_gap_seconds
+FROM gaps WHERE gap IS NOT NULL
+"""
+
+
+# ---------------------------------------------------------------------------
+# flagship analytical rollup (TPC-H Q1 shape over the validation columns)
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark, sf_dir) -> DataFrame:
+    (li,) = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: c.cast("decimal(25,4)")
+    disc_price = dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    charge = dec(F.col("l_extendedprice") * (1 - F.col("l_discount")) *
+                 (1 + F.col("l_tax")))
+    return (li.groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum("l_quantity").alias("sum_qty"),
+                 F.sum(dec(F.col("l_extendedprice"))).cast("double").alias("sum_base_price"),
+                 F.sum(disc_price).cast("double").alias("sum_disc_price"),
+                 F.sum(charge).cast("double").alias("sum_charge"),
+                 r6(F.avg("l_quantity")).alias("avg_qty"),
+                 r6(F.avg("l_discount")).alias("avg_disc"),
+                 F.count(F.lit(1)).alias("count_order"))
+            .orderBy("l_returnflag", "l_linestatus"))
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       SUM(l_quantity) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,4))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,4))) AS DOUBLE)
+           AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                AS DECIMAL(25,4))) AS DOUBLE) AS sum_charge,
+       ROUND(AVG(l_quantity), 6) AS avg_qty,
+       ROUND(AVG(l_discount), 6) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "size_lineitem": q_size_lineitem,
+    "completeness_customer": q_completeness_customer,
+    "stats_quantity": q_stats_quantity,
+    "distinctness_orders": q_distinctness_orders,
+    "unique_value_ratio_custkey": q_unique_value_ratio_custkey,
+    "compliance_discount": q_compliance_discount,
+    "containment_orderstatus": q_containment_orderstatus,
+    "format_orderpriority": q_format_orderpriority,
+    "length_customer_name": q_length_customer_name,
+    "datatype_detection": q_datatype_detection,
+    "histogram_returnflag": q_histogram_returnflag,
+    "entropy_returnflag": q_entropy_returnflag,
+    "grouped_completeness_events": q_grouped_completeness_events,
+    "mutual_information_lineitem": q_mutual_information_lineitem,
+    "spearman_quantity_price": q_spearman_quantity_price,
+    "corr_quantity_price": q_corr_quantity_price,
+    "fk_orders_customer": q_fk_orders_customer,
+    "join_coverage_lineitem_orders": q_join_coverage_lineitem_orders,
+    "cross_table_sum_orders_lineitem": q_cross_table_sum_orders_lineitem,
+    "temporal_ordering_orders_lineitem": q_temporal_ordering_orders_lineitem,
+    "business_hours_events": q_business_hours_events,
+    "date_range_orders": q_date_range_orders,
+    "max_time_gap_events": q_max_time_gap_events,
+    "pricing_summary": q_pricing_summary,
+}
+
+ORACLES = {
+    "size_lineitem": SQL_SIZE_LINEITEM,
+    "completeness_customer": SQL_COMPLETENESS_CUSTOMER,
+    "stats_quantity": SQL_STATS_QUANTITY,
+    "distinctness_orders": SQL_DISTINCTNESS_ORDERS,
+    "unique_value_ratio_custkey": SQL_UNIQUE_VALUE_RATIO_CUSTKEY,
+    "compliance_discount": SQL_COMPLIANCE_DISCOUNT,
+    "containment_orderstatus": SQL_CONTAINMENT_ORDERSTATUS,
+    "format_orderpriority": SQL_FORMAT_ORDERPRIORITY,
+    "length_customer_name": SQL_LENGTH_CUSTOMER_NAME,
+    "datatype_detection": SQL_DATATYPE_DETECTION,
+    "histogram_returnflag": SQL_HISTOGRAM_RETURNFLAG,
+    "entropy_returnflag": SQL_ENTROPY_RETURNFLAG,
+    "grouped_completeness_events": SQL_GROUPED_COMPLETENESS_EVENTS,
+    "mutual_information_lineitem": SQL_MUTUAL_INFORMATION_LINEITEM,
+    "spearman_quantity_price": SQL_SPEARMAN_QUANTITY_PRICE,
+    "corr_quantity_price": SQL_CORR_QUANTITY_PRICE,
+    "fk_orders_customer": SQL_FK_ORDERS_CUSTOMER,
+    "join_coverage_lineitem_orders": SQL_JOIN_COVERAGE_LINEITEM_ORDERS,
+    "cross_table_sum_orders_lineitem": SQL_CROSS_TABLE_SUM_ORDERS_LINEITEM,
+    "temporal_ordering_orders_lineitem": SQL_TEMPORAL_ORDERING_ORDERS_LINEITEM,
+    "business_hours_events": SQL_BUSINESS_HOURS_EVENTS,
+    "date_range_orders": SQL_DATE_RANGE_ORDERS,
+    "max_time_gap_events": SQL_MAX_TIME_GAP_EVENTS,
+    "pricing_summary": SQL_PRICING_SUMMARY,
+}

@@ -1,0 +1,130 @@
+"""Data sources: file readers, cloud URLs, JDBC, joined views, registry.
+
+Parity: /root/reference/term-guard/src/sources/ — CsvSource (csv.rs:76),
+JsonSource (json.rs:92), ParquetSource (parquet.rs:65), cloud sources
+(cloud.rs:61,266,450 → s3a://, gs://, abfss:// URLs with Hadoop
+connector conf), DatabaseSource (database.rs:133 → JDBC), JoinedSource
+(joined.rs:37-167 → DataFrame join registered as a temp view).
+
+Spark reads gz/zstd/bz2/lz4/snappy compression natively, matching the
+reference's auto-detect (sources/mod.rs:116-150); glob patterns are
+native to Hadoop path resolution (sources/mod.rs:167-197).
+
+Nanosecond-timestamp note: the driver's testdata parquet carries
+TIMESTAMP(NANOS) columns, which Spark refuses by default. read_parquet
+reads them via ``spark.sql.legacy.parquet.nanosAsLong`` and rebuilds
+proper timestamps (microsecond precision).
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+from typing import Dict, List, Optional, Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _nano_timestamp_columns(path: str) -> List[str]:
+    """Inspect parquet footers for timestamp[ns] columns via pyarrow."""
+    try:
+        import pyarrow.parquet as pq
+        import pyarrow.types as pt
+    except ImportError:  # pragma: no cover
+        return []
+    candidates = sorted(_glob.glob(path)) if any(ch in path for ch in "*?[") else [path]
+    for p in candidates:
+        try:
+            schema = pq.read_schema(p)
+        except Exception:
+            import os
+            files = sorted(_glob.glob(os.path.join(p, "*.parquet")))
+            if not files:
+                continue
+            schema = pq.read_schema(files[0])
+        return [name for name, typ in zip(schema.names, schema.types)
+                if pt.is_timestamp(typ) and typ.unit == "ns"]
+    return []
+
+
+def read_parquet(spark: SparkSession, path: str, **options) -> DataFrame:
+    nanos = _nano_timestamp_columns(path)
+    if nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.options(**options).parquet(path)
+    for c in nanos:
+        df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+    return df
+
+
+def read_csv(spark: SparkSession, path, header: bool = True,
+             infer_schema: bool = True, delimiter: str = ",", **options) -> DataFrame:
+    paths = path if isinstance(path, (list, tuple)) else [path]
+    return (spark.read
+            .option("header", header)
+            .option("inferSchema", infer_schema)
+            .option("delimiter", delimiter)
+            .options(**options)
+            .csv(list(paths)))
+
+
+def read_json(spark: SparkSession, path, multiline: Optional[bool] = None,
+              **options) -> DataFrame:
+    """NDJSON by default; ``multiline=True`` for JSON-array files
+    (format-by-extension in the reference, json.rs:26)."""
+    reader = spark.read.options(**options)
+    if multiline is None:
+        first = path[0] if isinstance(path, (list, tuple)) else path
+        multiline = not str(first).endswith((".ndjson", ".jsonl"))
+    reader = reader.option("multiLine", bool(multiline))
+    paths = path if isinstance(path, (list, tuple)) else [path]
+    return reader.json(list(paths))
+
+
+def read_jdbc(spark: SparkSession, url: str, table: str,
+              properties: Optional[Dict[str, str]] = None, **options) -> DataFrame:
+    reader = (spark.read.format("jdbc")
+              .option("url", url)
+              .option("dbtable", table))
+    for k, v in {**(properties or {}), **options}.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+class JoinedSource:
+    """Reusable joined view over two (or more) tables.
+
+    Parity: sources/joined.rs:37-167 — CREATE VIEW l <JOIN> r ON … with
+    Inner/Left/Right/Full, additional join stages, optional WHERE.
+    """
+
+    _HOW = {"inner": "inner", "left": "left", "right": "right", "full": "full_outer"}
+
+    def __init__(self, left: DataFrame, right: DataFrame, on, how: str = "inner"):
+        self._df = left.join(right, on, self._HOW[how.lower()])
+
+    def join(self, other: DataFrame, on, how: str = "inner") -> "JoinedSource":
+        self._df = self._df.join(other, on, self._HOW[how.lower()])
+        return self
+
+    def where(self, condition: str) -> "JoinedSource":
+        from ..functions.security import validate_sql_expression
+        self._df = self._df.filter(validate_sql_expression(condition))
+        return self
+
+    def df(self) -> DataFrame:
+        return self._df
+
+    def register(self, name: str) -> DataFrame:
+        from ..functions.security import validate_identifier
+        validate_identifier(name)
+        self._df.createOrReplaceTempView(name)
+        return self._df
+
+
+def load_tpch_tables(spark: SparkSession, sf_dir: str,
+                     names: Sequence[str] = ("region", "nation", "customer",
+                                             "supplier", "part", "orders",
+                                             "lineitem", "events", "documents",
+                                             "embeddings")) -> Dict[str, DataFrame]:
+    return {n: read_parquet(spark, f"{sf_dir}/{n}.parquet") for n in names}

@@ -1,0 +1,135 @@
+"""GroupBy-shaped and join-shaped operators: histogram, entropy, MI,
+Spearman, grouped completeness, FK, join coverage, cross-table sum,
+max time gap."""
+
+import math
+
+import pytest
+
+from term_spark import Assertion, Check, Level, Status, ValidationSuite
+from term_spark.operators.entropy import (entropy_value,
+                                          mutual_information_value,
+                                          spearman_value)
+from term_spark.operators.histogram import compute_histogram
+
+
+def run(spark, tables, check):
+    return ValidationSuite.builder("t").with_check(check).run(spark, tables)
+
+
+def test_histogram_api(spark, dupes_df):
+    hist = compute_histogram(dupes_df, "status")
+    assert hist.total_count == 6
+    assert hist.ratio_of("ok") == pytest.approx(4 / 6)
+    assert hist.bucket_count() == 2
+    r = run(spark, {"data": dupes_df}, Check("h", Level.ERROR)
+            .has_histogram("status", lambda h: h.most_common_ratio() <= 0.7))
+    assert r.passed
+
+
+def test_entropy_exact(spark):
+    # 4×a, 2×b → H = -(2/3 ln 2/3 + 1/3 ln 1/3)
+    df = spark.createDataFrame([("a",)] * 4 + [("b",)] * 2, "v string")
+    expected = -(2 / 3 * math.log(2 / 3) + 1 / 3 * math.log(1 / 3))
+    assert entropy_value(df, "v") == pytest.approx(expected, abs=1e-9)
+
+
+def test_mutual_information_identical_columns(spark):
+    # MI(X;X) == H(X) for categorical passthrough
+    df = spark.createDataFrame([("a", "a")] * 3 + [("b", "b")] * 3, "x string, y string")
+    mi = mutual_information_value(df, "x", "y")
+    assert mi == pytest.approx(math.log(2), abs=1e-9)
+
+
+def test_spearman_monotonic(spark):
+    df = spark.createDataFrame(
+        [(float(i), float(i * i)) for i in range(1, 20)], "x double, y double")
+    assert spearman_value(df, "x", "y") == pytest.approx(1.0, abs=1e-9)
+
+
+def test_grouped_completeness(spark):
+    rows = [("g1", "v")] * 4 + [("g1", None)] + [("g2", "v")] * 5
+    df = spark.createDataFrame(rows, "g string, c string")
+    # worst group completeness = 0.8
+    r = run(spark, {"data": df}, Check("gc", Level.ERROR)
+            .grouped_completeness("c", "g", Assertion.ge(0.8)))
+    assert r.passed, r.report.to_json(2)
+    r = run(spark, {"data": df}, Check("gc2", Level.ERROR)
+            .grouped_completeness("c", "g", Assertion.ge(0.9)))
+    assert not r.passed
+
+
+def test_foreign_key_orphans(spark):
+    products = spark.createDataFrame([(1,), (2,), (3,)], "product_id long")
+    orders = spark.createDataFrame(
+        [(10, 1), (11, 2), (12, 99), (13, 99), (14, None)],
+        "order_id long, product_id long")
+    tables = {"orders": orders, "products": products}
+    r = run(spark, tables, Check("fk", Level.ERROR)
+            .foreign_key("orders", "product_id", "products", "product_id"))
+    o = r.report.outcomes[0].result
+    assert o.status == Status.FAILURE
+    assert "2 rows (1 distinct" in o.message
+    # clean FK passes
+    clean = spark.createDataFrame([(10, 1), (11, 2)], "order_id long, product_id long")
+    r = run(spark, {"orders": clean, "products": products},
+            Check("fk2", Level.ERROR).foreign_key("orders", "product_id",
+                                                  "products", "product_id"))
+    assert r.passed
+
+
+def test_join_coverage_directions(spark):
+    left = spark.createDataFrame([(1,), (2,), (3,), (4,)], "k long")
+    right = spark.createDataFrame([(3,), (4,), (5,)], "j long")
+    tables = {"l": left, "r": right}
+    r = run(spark, tables, Check("jc", Level.ERROR)
+            .join_coverage("l", "k", "r", "j", Assertion.eq(0.5), "left"))
+    assert r.passed, r.report.to_json(2)
+    r = run(spark, tables, Check("jc2", Level.ERROR)
+            .join_coverage("l", "k", "r", "j", Assertion.eq(2 / 3), "right"))
+    assert r.passed
+    r = run(spark, tables, Check("jc3", Level.ERROR)
+            .join_coverage("l", "k", "r", "j", Assertion.eq(0.5), "bidirectional"))
+    assert r.passed
+
+
+def test_cross_table_sum(spark):
+    a = spark.createDataFrame([(1, 10.0), (1, 5.0), (2, 7.0)], "k long, v double")
+    b = spark.createDataFrame([(1, 15.0), (2, 7.5)], "k long, v double")
+    tables = {"a": a, "b": b}
+    # ungrouped: 22 vs 22.5 → diff 0.5
+    r = run(spark, tables, Check("s", Level.ERROR)
+            .cross_table_sum("a", "v", "b", "v", tolerance=1.0))
+    assert r.passed
+    r = run(spark, tables, Check("s2", Level.ERROR)
+            .cross_table_sum("a", "v", "b", "v", tolerance=0.1))
+    assert not r.passed
+    # grouped: group 1 matches, group 2 differs by 0.5
+    r = run(spark, tables, Check("s3", Level.ERROR)
+            .cross_table_sum("a", "v", "b", "v", tolerance=0.1, group_by=("k", "k")))
+    o = r.report.outcomes[0].result
+    assert o.status == Status.FAILURE and o.metric == 1.0
+
+
+def test_max_time_gap(spark):
+    rows = [("d1", "2024-01-01 00:00:00"), ("d1", "2024-01-01 00:01:00"),
+            ("d1", "2024-01-01 02:00:00"),  # 119-minute gap
+            ("d2", "2024-01-01 00:00:00"), ("d2", "2024-01-01 00:00:30")]
+    df = spark.createDataFrame(rows, "dev string, ts string") \
+        .selectExpr("dev", "cast(ts as timestamp) ts")
+    r = run(spark, {"data": df}, Check("g", Level.ERROR)
+            .has_max_time_gap("ts", 3600, group_by="dev",
+                              assertion=Assertion.eq(1 / 3)))
+    assert r.passed, r.report.to_json(2)
+
+
+def test_tpch_referential_integrity(spark, tpch):
+    suite = (ValidationSuite.builder("ri")
+             .with_check(Check("fk", Level.ERROR)
+                         .foreign_key("orders", "o_custkey", "customer", "c_custkey")
+                         .foreign_key("lineitem", "l_orderkey", "orders", "o_orderkey")
+                         .foreign_key("nation", "n_regionkey", "region", "r_regionkey")
+                         .join_coverage("lineitem", "l_orderkey", "orders",
+                                        "o_orderkey", Assertion.eq(1.0), "left")))
+    r = suite.run(spark, tpch)
+    assert r.passed, r.report.to_json(2)

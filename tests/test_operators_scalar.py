@@ -1,0 +1,186 @@
+"""Scalar operator family vs independently-computed expectations,
+mirroring the reference's integration tests (known small inputs →
+exact metric values)."""
+
+import pytest
+
+from term_spark import Assertion, Check, Level, Status, ValidationSuite
+
+
+def run_one(spark, df, check):
+    result = ValidationSuite.builder("t").with_check(check).run(spark, df)
+    return result
+
+
+def outcome(result, idx=0):
+    return result.report.outcomes[idx].result
+
+
+def test_statistics_known_values(spark):
+    vals = [1.0, 2.0, 3.0, 4.0, 5.0]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    check = (Check("stats", Level.ERROR)
+             .has_min("x", 1.0).has_max("x", 5.0).has_mean("x", 3.0)
+             .has_sum("x", 15.0)
+             .has_standard_deviation("x", Assertion.between(1.5811, 1.5812))
+             .has_variance("x", 2.5))  # sample variance n−1
+    result = run_one(spark, df, check)
+    assert result.passed, result.report.to_json(2)
+
+
+def test_multi_statistic_single_constraint(spark):
+    df = spark.createDataFrame([(float(i),) for i in range(1, 11)], "x double")
+    check = Check("m", Level.ERROR).statistics(
+        "x", {"min": 1.0, "max": 10.0, "mean": 5.5, "sum": 55.0})
+    assert run_one(spark, df, check).passed
+
+
+def test_uniqueness_modes(spark, dupes_df):
+    # 6 rows, transaction_id distinct = 4 → uniqueness 4/6
+    r = run_one(spark, dupes_df,
+                Check("u", Level.ERROR).uniqueness("transaction_id", 1.0))
+    o = outcome(r)
+    assert o.status == Status.FAILURE
+    assert o.metric == pytest.approx(4 / 6)
+    # distinctness assertion form
+    r = run_one(spark, dupes_df,
+                Check("d", Level.ERROR).validates_distinctness(
+                    "transaction_id", Assertion.between(0.6, 0.7)))
+    assert r.passed
+    # unique value ratio: t1,t3 unique → 2/6 rows
+    r = run_one(spark, dupes_df,
+                Check("uvr", Level.ERROR).validates_unique_value_ratio(
+                    "transaction_id", Assertion.eq(2 / 6)))
+    assert r.passed, r.report.to_json(2)
+    # primary key on user_id (all distinct, no nulls) passes
+    r = run_one(spark, dupes_df, Check("pk", Level.ERROR).validates_primary_key("user_id"))
+    assert r.passed
+    # primary key on transaction_id fails
+    r = run_one(spark, dupes_df,
+                Check("pk2", Level.ERROR).validates_primary_key("transaction_id"))
+    assert not r.passed
+
+
+def test_uniqueness_null_handling(spark):
+    df = spark.createDataFrame(
+        [("a",), ("b",), (None,), (None,)], "x string")
+    # exclude (standard): distinct non-null = 2, total 4 → 0.5
+    r = run_one(spark, df, Check("s", Level.ERROR).uniqueness("x", 0.5))
+    assert outcome(r).metric == pytest.approx(0.5)
+    # include: NULL coalesced to sentinel → distinct 3 → 0.75
+    r = run_one(spark, df, Check("i", Level.ERROR)
+                .validates_uniqueness_with_nulls("x", 0.75, "include"))
+    assert outcome(r).metric == pytest.approx(0.75)
+    # distinct: each NULL its own value → (2 + 2)/4 = 1.0
+    r = run_one(spark, df, Check("d", Level.ERROR)
+                .validates_uniqueness_with_nulls("x", 1.0, "distinct"))
+    assert outcome(r).metric == pytest.approx(1.0)
+
+
+def test_multicolumn_uniqueness_tuple_semantics(spark):
+    # struct-distinct must NOT drop rows with a null component
+    df = spark.createDataFrame(
+        [(1, None), (1, None), (1, 2)], "a long, b long")
+    r = run_one(spark, df, Check("u", Level.ERROR).uniqueness(["a", "b"], 1.0))
+    # distinct tuples: (1,null), (1,2) → 2/3
+    assert outcome(r).metric == pytest.approx(2 / 3)
+
+
+def test_satisfies_and_containment(spark, dupes_df):
+    r = run_one(spark, dupes_df, Check("s", Level.ERROR)
+                .satisfies("amount > 15", Assertion.eq(5 / 6))
+                .is_contained_in("status", ["ok", "bad"])
+                .is_contained_in("status", ["ok"], Assertion.eq(4 / 6)))
+    assert r.passed, r.report.to_json(2)
+
+
+def test_satisfies_rejects_injection(spark, dupes_df):
+    with pytest.raises(Exception):
+        Check("x").satisfies("1=1; DROP TABLE t", 1.0)
+
+
+def test_format_email(spark):
+    rows = [("a@x.com",), ("bad",), ("b@y.org",), (None,)]
+    df = spark.createDataFrame(rows, "email string")
+    # 2 match / 4 total (null fails by default)
+    r = run_one(spark, df, Check("f", Level.ERROR)
+                .validates_email("email", Assertion.eq(0.5)))
+    assert r.passed, r.report.to_json(2)
+    # null_is_valid → 3/4
+    from term_spark.operators.format import FormatOptions
+    r = run_one(spark, df, Check("f2", Level.ERROR).validates_email(
+        "email", Assertion.eq(0.75), options=FormatOptions(null_is_valid=True)))
+    assert r.passed
+
+
+def test_format_patterns(spark):
+    df = spark.createDataFrame(
+        [("550e8400-e29b-41d4-a716-446655440000", "192.168.1.1",
+          "2024-01-15T10:30:00Z", '{"a": 1}', "12345", "555-123-4567")],
+        "uuid string, ip string, ts string, js string, zip string, phone string")
+    check = (Check("fmt", Level.ERROR)
+             .validates_uuid("uuid")
+             .validates_ipv4("ip")
+             .validates_iso8601_datetime("ts")
+             .validates_json("js")
+             .validates_postal_code("zip", "US")
+             .validates_phone("phone", country="US"))
+    r = run_one(spark, df, check)
+    assert r.passed, r.report.to_json(2)
+
+
+def test_length_family(spark):
+    df = spark.createDataFrame([("ab",), ("abcd",), (None,)], "s string")
+    # nulls are VALID in the reference's length semantics
+    r = run_one(spark, df, Check("l", Level.ERROR)
+                .has_min_length("s", 2)
+                .has_max_length("s", 4)
+                .has_length_between("s", 1, 10)
+                .is_not_empty("s")
+                .has_exact_length("s", 2, Assertion.eq(2 / 3)))
+    assert r.passed, r.report.to_json(2)
+
+
+def test_quantile_exact_vs_approx(spark):
+    df = spark.createDataFrame([(float(i),) for i in range(1, 101)], "x double")
+    r = run_one(spark, df, Check("q", Level.ERROR)
+                .has_exact_quantile("x", 0.5, Assertion.between(50.0, 51.0))
+                .has_approx_quantile("x", 0.5, Assertion.between(49.0, 52.0))
+                .has_quantile("x", 0.9, Assertion.between(90.0, 91.0), mode="auto"))
+    assert r.passed, r.report.to_json(2)
+
+
+def test_consistent_data_type(spark):
+    df = spark.createDataFrame(
+        [("1",), ("2",), ("3.5",), ("abc",), (None,)], "v string")
+    r = run_one(spark, df, Check("t", Level.ERROR)
+                .has_consistent_data_type("v", "integer", Assertion.eq(0.5)))
+    assert r.passed, r.report.to_json(2)
+
+
+def test_column_count_and_size(spark, dupes_df):
+    r = run_one(spark, dupes_df, Check("c", Level.ERROR)
+                .has_column_count(5).has_size(6))
+    assert r.passed
+
+
+def test_temporal_scalar_constraints(spark):
+    rows = [
+        ("2024-01-01 10:00:00", "2024-01-01 11:00:00"),
+        ("2024-01-02 09:00:00", "2024-01-02 08:00:00"),  # violation
+        ("2024-01-03 12:00:00", "2024-01-03 12:00:00"),  # equal
+    ]
+    df = spark.createDataFrame(rows, "a string, b string") \
+        .selectExpr("cast(a as timestamp) a", "cast(b as timestamp) b")
+    r = run_one(spark, df, Check("t", Level.ERROR)
+                .temporal_ordering("a", "b", allow_equal=True,
+                                   assertion=Assertion.eq(1 / 3)))
+    assert r.passed, r.report.to_json(2)
+    r = run_one(spark, df, Check("t2", Level.ERROR)
+                .within_date_range("a", "2024-01-01", "2024-12-31"))
+    assert r.passed
+    # business hours: all three are weekdays within 9-17 except 08:00 one
+    r = run_one(spark, df, Check("t3", Level.ERROR)
+                .within_business_hours("b", 9, 17, weekdays_only=False,
+                                       assertion=Assertion.eq(1 / 3)))
+    assert r.passed, r.report.to_json(2)
