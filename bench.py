@@ -74,6 +74,9 @@ def main() -> None:
         "fk_orders_customer", "join_coverage_lineitem_orders",
         "cross_table_sum_orders_lineitem", "max_time_gap_events",
         "corr_quantity_price", "mutual_information_lineitem",
+        # LLM-data operators over documents/embeddings
+        "dedup_exact_docs", "ngram_jaccard_pairs", "minhash_lsh_candidates",
+        "simhash_docs", "cosine_topk_embeddings",
     ]
     for name in bench_queries:
         fn = QUERIES[name]

@@ -10,8 +10,10 @@ signature), with Catalyst/AQE doing physical planning.
 from .core.assertion import Assertion
 from .core.check import Check
 from .core.constraint import Constraint, EngineContext
+from .core.fluent import MultiTableCheck, validate_tables
 from .core.level import Level
 from .core.logical import LogicalOperator
+from .core.multi_source import MultiSourceValidator
 from .core.result import (ConstraintResult, Status, ValidationReport,
                           ValidationResult)
 from .core.suite import ValidationSuite
@@ -21,5 +23,6 @@ __version__ = "0.1.0"
 __all__ = [
     "Assertion", "Check", "Constraint", "EngineContext", "Level",
     "LogicalOperator", "ConstraintResult", "Status", "ValidationReport",
-    "ValidationResult", "ValidationSuite",
+    "ValidationResult", "ValidationSuite", "MultiTableCheck",
+    "validate_tables", "MultiSourceValidator",
 ]

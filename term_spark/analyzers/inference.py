@@ -52,12 +52,13 @@ def infer_column_type(values: List[Optional[str]],
         counts[classify_value(str(v))] = counts.get(classify_value(str(v)), 0) + 1
     n = len(sample)
 
-    # numeric folding: integers count toward float/decimal dominance
+    # numeric folding: mixed integer/decimal/float columns promote to the
+    # most general numeric type present
     num = counts.get("integer", 0) + counts.get("decimal", 0) + counts.get("float", 0)
     best, best_n = max(counts.items(), key=lambda kv: kv[1])
-    if best in ("decimal", "float") and num > best_n:
-        best, best_n = ("decimal" if counts.get("decimal", 0) >= counts.get("float", 0)
-                        else "float"), num
+    if best in ("integer", "decimal", "float") and num > counts.get(best, 0):
+        best = "decimal" if counts.get("decimal", 0) else "float"
+        best_n = num
     conf = best_n / n
     if best == "text" or conf < confidence_threshold:
         distinct = len(set(sample))

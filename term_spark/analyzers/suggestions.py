@@ -1,0 +1,144 @@
+"""Constraint suggestions from column profiles.
+
+Parity: /root/reference/term-guard/src/analyzers/suggestions.rs:1-60 —
+rule trait + SuggestionEngine; rules consume ColumnProfile and emit
+suggested constraints with confidence + rationale. Pure Python.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, List, Optional
+
+from .profiler import ColumnProfile, TableProfile
+
+
+@dataclass
+class Suggestion:
+    column: str
+    constraint: str          # builder method name on Check
+    args: dict
+    confidence: float
+    rationale: str
+
+    def apply_to(self, check):
+        """Apply to a Check builder; returns the check. ``_pos`` in
+        args carries positional arguments (for varargs builders)."""
+        kwargs = {k: v for k, v in self.args.items() if k != "_pos"}
+        getattr(check, self.constraint)(*self.args.get("_pos", []), **kwargs)
+        return check
+
+
+class SuggestionRule:
+    name = "rule"
+
+    def evaluate(self, profile: ColumnProfile, table: TableProfile) -> List[Suggestion]:
+        raise NotImplementedError
+
+
+class CompletenessRule(SuggestionRule):
+    """Fully-complete columns → is_complete; nearly complete →
+    completeness ≥ observed (with head-room)."""
+
+    name = "completeness"
+
+    def evaluate(self, p, table):
+        if table.num_rows == 0:
+            return []
+        if p.completeness == 1.0:
+            return [Suggestion(p.column, "is_complete", {"column": p.column},
+                               1.0, "column had no NULLs in the profiled data")]
+        if p.completeness >= 0.9:
+            bound = round(max(0.0, p.completeness - 0.05), 2)
+            from ..core.assertion import Assertion
+            return [Suggestion(p.column, "completeness",
+                               {"column": p.column, "assertion": Assertion.ge(bound)},
+                               0.8,
+                               f"observed completeness {p.completeness:.3f}; "
+                               f"suggest ≥ {bound}")]
+        return []
+
+
+class UniquenessRule(SuggestionRule):
+    name = "uniqueness"
+
+    def evaluate(self, p, table):
+        if table.num_rows == 0 or p.non_null == 0:
+            return []
+        # approx_distinct within HLL error of row count → candidate key
+        # (default approx_count_distinct rsd is 5%, so allow 10%)
+        if p.completeness == 1.0 and \
+                abs(p.approx_distinct - table.num_rows) / table.num_rows < 0.10:
+            return [Suggestion(p.column, "validates_primary_key",
+                               {"_pos": [p.column]}, 0.75,
+                               f"~{p.approx_distinct} distinct of "
+                               f"{table.num_rows} rows (within HLL error)")]
+        return []
+
+
+class ContainmentRule(SuggestionRule):
+    name = "containment"
+
+    def evaluate(self, p, table):
+        if p.histogram and 1 < len(p.histogram) <= 20:
+            values = sorted(p.histogram)
+            return [Suggestion(p.column, "is_contained_in",
+                               {"column": p.column, "values": values},
+                               0.85,
+                               f"only {len(values)} distinct values observed")]
+        return []
+
+
+class ValueRangeRule(SuggestionRule):
+    name = "value_range"
+
+    def evaluate(self, p, table):
+        if p.min is not None and p.max is not None and p.min < p.max:
+            return [Suggestion(p.column, "value_range",
+                               {"column": p.column, "lo": p.min, "hi": p.max},
+                               0.6,
+                               f"observed range [{p.min}, {p.max}]")]
+        return []
+
+
+class TypeConsistencyRule(SuggestionRule):
+    name = "type_consistency"
+
+    def evaluate(self, p, table):
+        if p.inferred_type in ("integer", "float", "decimal", "date",
+                               "datetime", "time", "boolean") and \
+                p.inferred_confidence >= 0.9:
+            expected = "float" if p.inferred_type == "decimal" else p.inferred_type
+            return [Suggestion(p.column, "has_consistent_data_type",
+                               {"column": p.column, "expected_type": expected},
+                               p.inferred_confidence,
+                               f"inferred {p.inferred_type} at "
+                               f"{p.inferred_confidence:.2f} confidence")]
+        return []
+
+
+DEFAULT_RULES = [CompletenessRule(), UniquenessRule(), ContainmentRule(),
+                 ValueRangeRule(), TypeConsistencyRule()]
+
+
+class SuggestionEngine:
+    def __init__(self, rules: Optional[List[SuggestionRule]] = None):
+        self.rules = rules if rules is not None else list(DEFAULT_RULES)
+
+    def suggest(self, profile: TableProfile) -> List[Suggestion]:
+        out: List[Suggestion] = []
+        for col_profile in profile.columns.values():
+            for rule in self.rules:
+                out.extend(rule.evaluate(col_profile, profile))
+        out.sort(key=lambda s: -s.confidence)
+        return out
+
+    def suggest_check(self, profile: TableProfile, name: str = "suggested",
+                      min_confidence: float = 0.7):
+        """Materialize suggestions into a runnable Check."""
+        from ..core.check import Check
+        check = Check(name)
+        for s in self.suggest(profile):
+            if s.confidence >= min_confidence:
+                s.apply_to(check)
+        return check

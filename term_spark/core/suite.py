@@ -45,8 +45,19 @@ class ValidationSuite:
             ) -> ValidationResult:
         from ..plans.executor import SuiteRunner
 
+        return SuiteRunner().run(self, spark, self._tables(data))
+
+    def explain(self, spark: "SparkSession",
+                data: Union["DataFrame", Mapping[str, "DataFrame"]],
+                mode: str = "formatted") -> str:
+        """Physical plans of the fused aggregation job(s) — the
+        reference's explain_plan equivalent (optimizer/mod.rs:140-212).
+        Use to confirm scan sharing / pushdown / codegen spans."""
+        from ..plans.executor import SuiteRunner
+
+        return SuiteRunner().explain(self, spark, self._tables(data), mode)
+
+    def _tables(self, data) -> Mapping[str, "DataFrame"]:
         if hasattr(data, "sparkSession"):  # a bare DataFrame
-            tables = {self.default_table: data}
-        else:
-            tables = dict(data)
-        return SuiteRunner().run(self, spark, tables)
+            return {self.default_table: data}
+        return dict(data)

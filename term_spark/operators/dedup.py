@@ -1,0 +1,192 @@
+"""Deduplication operators for training-data pipelines.
+
+Five strategies, each returning DataFrames (never collecting):
+
+- exact_duplicates: hash-groupBy on normalized text (one shuffle on the
+  md5 key; at 100 TB this is the canonical 2-stage partial agg).
+- ngram_jaccard_pairs: EXACT pairwise n-gram Jaccard via shingle
+  inverted-index self-join — explode shingles, join on shingle,
+  count co-occurrences, Jaccard = |∩| / (|A|+|B|−|∩|). The join is
+  the verification stage of MinHash-LSH pipelines; the shingle join
+  key distributes evenly (no giant-key skew for natural text; a
+  stopword-shingle cap is provided).
+- minhash_lsh_candidates: MinHash signatures from lexicographic min of
+  md5(seed‖shingle) (deterministic, engine-portable), banded into
+  buckets, candidate pairs = same (band, band-hash) bucket. Scale path:
+  k·|shingles| map work, one shuffle on band hash.
+- simhash64: 64-bit SimHash from md5-derived token bits, Hamming
+  near-dup join on 16-bit blocks (pigeonhole: ≤3 differing bits →
+  some block equal).
+- embedding near-dup lives in operators/similarity.py (cosine).
+
+Reference relationship: the reference has no dedup operators — this is
+the build-brief extension (SURVEY §7.2 step 9); the groupBy/join shapes
+reuse the same primitives as its uniqueness/FK constraints.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from .text import fingerprint, word_shingles
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Groups of exact duplicates (normalized): fingerprint, n_docs,
+    doc_ids (bounded sample of 100 ids per group)."""
+    return (df.select(F.col(id_col), fingerprint(text_col))
+              .groupBy("fingerprint")
+              .agg(F.count(F.lit(1)).alias("n_docs"),
+                   F.slice(F.sort_array(F.collect_list(id_col)), 1, 100).alias("doc_ids"))
+              .filter(F.col("n_docs") > 1))
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep one representative (min id) per distinct normalized text."""
+    fp = df.select("*", fingerprint(text_col))
+    from pyspark.sql import Window
+    w = Window.partitionBy("fingerprint").orderBy(id_col)
+    return (fp.withColumn("__rn", F.row_number().over(w))
+              .filter(F.col("__rn") == 1)
+              .drop("__rn", "fingerprint"))
+
+
+def _doc_shingles(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
+    """(id, shingle) distinct pairs."""
+    return (df.select(F.col(id_col).alias("id"), word_shingles(text_col, k))
+              .select("id", F.explode("shingles").alias("shingle"))
+              .distinct())
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = 3,
+                        threshold: float = 0.5,
+                        max_shingle_freq: Optional[int] = None) -> DataFrame:
+    """Exact n-gram Jaccard similar pairs (id_a < id_b, jaccard ≥ τ).
+
+    ``max_shingle_freq`` drops shingles appearing in more than N docs
+    (stop-shingles) — the standard skew guard for the inverted-index
+    join at scale. Leave None for exact semantics.
+    """
+    sh = _doc_shingles(df, text_col, id_col, k)
+    if max_shingle_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
+        sh = (sh.join(freq.filter(F.col("df_") <= max_shingle_freq), "shingle")
+                .drop("df_"))
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle")) &
+                    (F.col("a.id") < F.col("b.id")))
+             .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+             .agg(F.count(F.lit(1)).alias("n_common")))
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_shingles").alias("n_b"))
+    return (inter.join(sa, "id_a").join(sb, "id_b")
+            .withColumn("jaccard",
+                        F.round(F.col("n_common") /
+                                (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "n_common", "n_a", "n_b", "jaccard"))
+
+
+def minhash_signature_cols(num_hashes: int):
+    """MinHash h_i(doc) = min over shingles of md5(i‖':'‖shingle).
+
+    Lexicographic min over uniformly-distributed hex strings is an
+    order statistic identical across engines — no platform hash needed.
+    """
+    def build(shingle_col):
+        return [F.min(F.md5(F.concat(F.lit(f"{i}:"), shingle_col))).alias(f"mh_{i}")
+                for i in range(num_hashes)]
+    return build
+
+
+def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", k: int = 3,
+                           num_hashes: int = 16, bands: int = 4) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash.
+
+    num_hashes/bands rows-per-band r = num_hashes//bands gives the
+    S-curve threshold ≈ (1/bands)^(1/r). Defaults (16,4): τ ≈ 0.71.
+    Returns (id_a, id_b, n_bands_matched).
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sh = _doc_shingles(df, text_col, id_col, k)
+    sig = sh.groupBy("id").agg(*minhash_signature_cols(num_hashes)(F.col("shingle")))
+    # band hash = md5 of the concatenated row minhashes
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"mh_{i}") for i in range(b * r, (b + 1) * r)]
+        band_cols.append(F.md5(F.concat_ws("|", *parts)).alias(f"band_{b}"))
+    banded = sig.select("id", *band_cols)
+    stacked = banded.select(
+        "id", F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"), F.col(f"band_{b}").alias("h"))
+            for b in range(bands)])).alias("bh")
+    ).select("id", F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
+    a = stacked.alias("a")
+    b_ = stacked.alias("b")
+    return (a.join(b_, (F.col("a.band") == F.col("b.band")) &
+                   (F.col("a.h") == F.col("b.h")) &
+                   (F.col("a.id") < F.col("b.id")))
+            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("n_bands_matched")))
+
+
+def simhash64(df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash over whitespace tokens.
+
+    Token bit source: first 16 hex chars of md5(token) → 64 bits.
+    For each bit position, sum(+1 if bit set else −1) over tokens;
+    simhash bit = sign. Computed via array ops + conv(), fully JVM-side.
+    Returns (id, simhash (bigint)).
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    exploded = (df.select(F.col(id_col).alias("id"), F.explode(toks).alias("tok"))
+                  .withColumn("h", F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10)
+                              .cast("bigint")))
+    # 60 usable bits from 15 hex chars (conv of 16 chars can overflow sign)
+    bit_cols = [
+        F.sum(F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1)
+              .otherwise(-1)).alias(f"b{i}")
+        for i in range(60)]
+    agg = exploded.groupBy("id").agg(*bit_cols)
+    sim = None
+    for i in range(60):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("bigint")
+        term = F.shiftleft(bit, i)
+        sim = term if sim is None else sim + term
+    return agg.select("id", sim.alias("simhash"))
+
+
+def simhash_near_pairs(sim_df: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by Hamming distance over 4×15-bit blocks
+    (pigeonhole: ≤3 differing bits ⇒ at least one block identical).
+    Input: (id, simhash). Returns (id_a, id_b, hamming)."""
+    blocks = [(F.shiftright(F.col("simhash"), 15 * i).bitwiseAND(F.lit((1 << 15) - 1)))
+              .alias(f"blk_{i}") for i in range(4)]
+    with_blocks = sim_df.select("id", "simhash", *blocks)
+    stacked = with_blocks.select(
+        "id", "simhash",
+        F.explode(F.array(*[F.struct(F.lit(i).alias("bi"), F.col(f"blk_{i}").alias("bv"))
+                            for i in range(4)])).alias("b")
+    ).select("id", "simhash", F.col("b.bi").alias("bi"), F.col("b.bv").alias("bv"))
+    a, b = stacked.alias("a"), stacked.alias("b")
+    cand = (a.join(b, (F.col("a.bi") == F.col("b.bi")) &
+                   (F.col("a.bv") == F.col("b.bv")) &
+                   (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                    F.col("a.simhash").alias("sh_a"), F.col("b.simhash").alias("sh_b"))
+            .distinct())
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (cand.withColumn("hamming", ham)
+                .filter(F.col("hamming") <= max_hamming)
+                .select("id_a", "id_b", "hamming"))

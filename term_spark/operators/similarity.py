@@ -1,0 +1,155 @@
+"""Similarity search over embedding columns (array<float>).
+
+- cosine_pairs / cosine_topk: brute-force exact baseline. The dot
+  product is a JVM-side ``aggregate(zip_with(...))`` fold — no Python
+  UDF, deterministic left-to-right accumulation (engine-portable).
+- lsh_bucketed_topk: random-hyperplane LSH scale path — sign bits of
+  dot(v, h_j) for deterministic md5-derived hyperplanes bucket the
+  vectors; top-k runs within buckets (+ multi-probe neighbors).
+  At 100 TB: buckets shard the O(n²) pair space; the bucket id is the
+  shuffle key.
+- ivf_topk: IVF-style variant — kmeans-lite centroids from a seeded
+  sample, probe the nearest ``nprobe`` centroid partitions.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                              F.lit(0.0), lambda acc, v: acc + v))
+
+
+def with_cosine(df: DataFrame, col_a: str, col_b: str,
+                out: str = "cosine") -> DataFrame:
+    a = F.transform(F.col(col_a), lambda x: x.cast("double"))
+    b = F.transform(F.col(col_b), lambda x: x.cast("double"))
+    return df.withColumn(out, _dot(a, b) / (_norm(a) * _norm(b)))
+
+
+def cosine_pairs(df: DataFrame, id_col: str = "vec_id",
+                 vec_col: str = "embedding", threshold: float = 0.9,
+                 query_filter=None) -> DataFrame:
+    """All pairs (id_a < id_b) with cosine ≥ threshold; brute force.
+    ``query_filter``: optional Column predicate restricting the left
+    side (e.g. probe a subset against the full corpus)."""
+    left = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    if query_filter is not None:
+        left = left.filter(query_filter)
+    right = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    pairs = left.join(right, F.col("id_a") < F.col("id_b"))
+    pairs = with_cosine(pairs, "va", "vb")
+    return (pairs.filter(F.col("cosine") >= threshold)
+                 .select("id_a", "id_b", F.round("cosine", 6).alias("cosine")))
+
+
+def cosine_topk(df: DataFrame, queries: DataFrame, k: int = 5,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                query_id_col: str = "query_id",
+                query_vec_col: str = "query_vec") -> DataFrame:
+    """Exact top-k neighbors per query vector (brute force baseline).
+    Cross join queries × corpus → windowed top-k. Broadcast the query
+    side — it is small by construction."""
+    from pyspark.sql import Window
+
+    corpus = df.select(F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("vb"))
+    q = queries.select(F.col(query_id_col).alias("query_id"),
+                       F.col(query_vec_col).alias("va"))
+    scored = with_cosine(F.broadcast(q).crossJoin(corpus), "va", "vb")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "nbr_id", F.round("cosine", 6).alias("cosine"), "rank"))
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: str = "term") -> List[List[float]]:
+    """Deterministic pseudo-random unit-ish hyperplanes from md5 bytes."""
+    import hashlib
+    planes = []
+    for j in range(n_planes):
+        vals: List[float] = []
+        counter = 0
+        while len(vals) < dim:
+            h = hashlib.md5(f"{seed}:{j}:{counter}".encode()).digest()
+            vals.extend(b / 127.5 - 1.0 for b in h)
+            counter += 1
+        planes.append(vals[:dim])
+    return planes
+
+
+def lsh_bucket(df: DataFrame, vec_col: str = "embedding", n_planes: int = 8,
+               seed: str = "term", out: str = "bucket") -> DataFrame:
+    """Random-hyperplane signature: bucket = bitstring of sign(v·h_j)."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    dim = len(df.select(vec_col).first()[0])
+    bits = []
+    for j, plane in enumerate(_hyperplanes(dim, n_planes, seed)):
+        h = F.array(*[F.lit(x) for x in plane])
+        bits.append(F.when(_dot(v, h) >= 0, "1").otherwise("0"))
+    return df.withColumn(out, F.concat(*bits))
+
+
+def lsh_bucketed_pairs(df: DataFrame, id_col: str = "vec_id",
+                       vec_col: str = "embedding", threshold: float = 0.9,
+                       n_planes: int = 8, seed: str = "term") -> DataFrame:
+    """Near-dup pairs within LSH buckets (approximate recall; scale
+    path for cosine_pairs)."""
+    b = lsh_bucket(df, vec_col, n_planes, seed)
+    left = b.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+                    F.col("bucket"))
+    right = b.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+                     F.col("bucket").alias("bucket_b"))
+    pairs = left.join(right, (F.col("bucket") == F.col("bucket_b")) &
+                      (F.col("id_a") < F.col("id_b")))
+    pairs = with_cosine(pairs, "va", "vb")
+    return (pairs.filter(F.col("cosine") >= threshold)
+                 .select("id_a", "id_b", F.round("cosine", 6).alias("cosine")))
+
+
+def ivf_topk(df: DataFrame, queries: DataFrame, k: int = 5, n_centroids: int = 16,
+             nprobe: int = 4, id_col: str = "vec_id", vec_col: str = "embedding",
+             query_id_col: str = "query_id", query_vec_col: str = "query_vec",
+             seed: int = 42) -> DataFrame:
+    """IVF-style ANN: assign corpus vectors to seeded-sample centroids,
+    probe the ``nprobe`` nearest centroids per query.
+
+    Centroids come from a deterministic sample (first n by id hash) —
+    a Lloyd refinement can be layered on; partition assignment +
+    probing shapes are what matter at scale.
+    """
+    from pyspark.sql import Window
+
+    cents = (df.orderBy(F.md5(F.concat(F.lit(str(seed)), F.col(id_col).cast("string"))))
+               .limit(n_centroids)
+               .select(F.monotonically_increasing_id().alias("cid"),
+                       F.col(vec_col).alias("cvec")))
+    cents = F.broadcast(cents)
+
+    corpus = df.select(F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("vb"))
+    assigned = with_cosine(corpus.crossJoin(cents), "vb", "cvec", "csim")
+    w = Window.partitionBy("nbr_id").orderBy(F.desc("csim"))
+    corpus_part = (assigned.withColumn("r", F.row_number().over(w))
+                   .filter(F.col("r") == 1).select("nbr_id", "vb", "cid"))
+
+    q = queries.select(F.col(query_id_col).alias("query_id"),
+                       F.col(query_vec_col).alias("va"))
+    q_assigned = with_cosine(F.broadcast(q).crossJoin(cents), "va", "cvec", "csim")
+    wq = Window.partitionBy("query_id").orderBy(F.desc("csim"))
+    probes = (q_assigned.withColumn("r", F.row_number().over(wq))
+              .filter(F.col("r") <= nprobe).select("query_id", "va", "cid"))
+
+    scored = with_cosine(probes.join(corpus_part, "cid"), "va", "vb")
+    wk = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))
+    return (scored.withColumn("rank", F.row_number().over(wk))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "nbr_id", F.round("cosine", 6).alias("cosine"), "rank"))

@@ -147,6 +147,39 @@ class SuiteRunner:
             metrics.update(row.asDict())
         return metrics
 
+    def explain(self, suite, spark, tables, mode: str = "formatted") -> str:
+        """Render the fused-aggregation physical plan(s) per table."""
+        import contextlib
+        import io
+
+        ctx = EngineContext(spark, tables, suite.default_table)
+        merged_by_table: Dict[str, Dict[str, "F.Column"]] = defaultdict(dict)
+        for check in suite.checks:
+            for con in check.constraints:
+                table = con.table or check.table or suite.default_table
+                try:
+                    exprs = con.scalar_metrics(ctx.df(table))
+                except Exception:
+                    continue
+                merged_by_table[table].update(exprs)
+        out = []
+        for table, merged in merged_by_table.items():
+            has_distinct = any(a.startswith("md_") for a in merged)
+            groups = {"scalar+distinct": {a: c for a, c in merged.items()
+                                          if not (has_distinct and a.startswith("mk_"))},
+                      "sketch": {a: c for a, c in merged.items()
+                                 if has_distinct and a.startswith("mk_")}}
+            for label, group in groups.items():
+                if not group:
+                    continue
+                df = ctx.df(table).agg(*[c.alias(a) for a, c in group.items()])
+                buf = io.StringIO()
+                with contextlib.redirect_stdout(buf):
+                    df.explain(mode)
+                out.append(f"== table: {table} [{label}, {len(group)} metrics] ==\n"
+                           + buf.getvalue())
+        return "\n".join(out)
+
     @staticmethod
     def _record(report: ValidationReport, check, con: Constraint,
                 res: ConstraintResult) -> None:

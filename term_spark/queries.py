@@ -614,7 +614,7 @@ QUERIES = {
     "pricing_summary": q_pricing_summary,
 }
 
-ORACLES = {
+_BASE_ORACLES = {
     "size_lineitem": SQL_SIZE_LINEITEM,
     "completeness_customer": SQL_COMPLETENESS_CUSTOMER,
     "stats_quantity": SQL_STATS_QUANTITY,
@@ -640,3 +640,11 @@ ORACLES = {
     "max_time_gap_events": SQL_MAX_TIME_GAP_EVENTS,
     "pricing_summary": SQL_PRICING_SUMMARY,
 }
+
+ORACLES = dict(_BASE_ORACLES)
+
+# LLM-data operators (dedup / similarity / text analysis)
+from .queries_llm import LLM_ORACLES, LLM_QUERIES  # noqa: E402
+
+QUERIES.update(LLM_QUERIES)
+ORACLES.update(LLM_ORACLES)

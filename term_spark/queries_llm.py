@@ -1,0 +1,379 @@
+"""Driver-contract queries for the LLM-data operators (dedup,
+similarity search, text analysis) with exact DuckDB oracles.
+
+Engine-portability techniques:
+- identity hashing via md5 hex strings (identical in Spark & DuckDB);
+- MinHash = lexicographic MIN of md5(seed‖shingle) — an order statistic
+  over strings, portable without a shared murmur implementation;
+- SimHash bit source = first 15 hex chars of md5(token) converted to a
+  60-bit integer (Spark conv(...,16,10) ≡ DuckDB ('0x'‖...)::UBIGINT);
+- cosine similarities rounded to 6 decimals (fold-order noise ~1e-15).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from .operators import dedup as D
+from .operators import similarity as S
+from .operators import text as T
+from .sources import read_parquet
+
+NUM_HASHES = 16
+BANDS = 4
+JACCARD_K = 3
+JACCARD_THRESHOLD = 0.6
+
+
+def _docs(spark, sf_dir) -> DataFrame:
+    return read_parquet(spark, f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark, sf_dir) -> DataFrame:
+    return read_parquet(spark, f"{sf_dir}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------------------
+# exact dedup + fingerprints
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact_docs(spark, sf_dir) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    fp = d.select(T.fingerprint("text"))
+    return fp.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct(F.col("fingerprint")).alias("n_distinct"),
+        (F.count(F.lit(1)) - F.count_distinct(F.col("fingerprint"))).alias("n_dup_docs"))
+
+
+SQL_DEDUP_EXACT_DOCS = r"""
+WITH fp AS (
+    SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint
+    FROM documents
+)
+SELECT COUNT(*) AS n_docs,
+       COUNT(DISTINCT fingerprint) AS n_distinct,
+       COUNT(*) - COUNT(DISTINCT fingerprint) AS n_dup_docs
+FROM fp
+"""
+
+
+def q_fingerprint_docs(spark, sf_dir) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", T.fingerprint("text")).orderBy("doc_id")
+
+
+SQL_FINGERPRINT_DOCS = r"""
+SELECT doc_id,
+       md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint
+FROM documents ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+def q_text_tokens(spark, sf_dir) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        T.token_count("text"),
+        F.length("text").alias("n_chars_c"),
+        T.bpe_ish_token_count("text"),
+    ).orderBy("doc_id")
+
+
+SQL_TEXT_TOKENS = r"""
+SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+       length(text) AS n_chars_c,
+       length(regexp_replace(
+         regexp_replace(text, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]', chr(1), 'g'),
+         '[^' || chr(1) || ']', '', 'g')) AS n_bpe_tokens
+FROM documents ORDER BY doc_id
+"""
+
+
+_SW = ", ".join(f"'{w}'" for w in T.STOPWORDS_EN)
+
+
+def q_text_quality(spark, sf_dir) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.round(T.punct_ratio("text"), 6).alias("punct_ratio"),
+        F.round(T.stopword_ratio("text"), 6).alias("stopword_ratio"),
+        F.round(T.quality_score("text"), 6).alias("quality_score"),
+    ).orderBy("doc_id")
+
+
+SQL_TEXT_QUALITY = rf"""
+WITH t AS (
+    SELECT doc_id, text,
+           length(text) AS n,
+           string_split_regex(lower(trim(text)), '\s+') AS toks,
+           length(regexp_replace(text, '[^.,;:!?''"()\[\]{{}}-]', '', 'g')) AS np_wide,
+           length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS np_narrow
+    FROM documents
+)
+SELECT doc_id,
+       ROUND(np_wide * 1.0 / GREATEST(n, 1), 6) AS punct_ratio,
+       ROUND(len(list_filter(toks, x -> x IN ({_SW}))) * 1.0
+             / GREATEST(len(toks), 1), 6) AS stopword_ratio,
+       ROUND((LEAST(n / 200.0, 1.0)
+              + (1.0 - LEAST(np_narrow * 10.0 / GREATEST(n, 1), 1.0))
+              + LEAST(len(list_filter(toks, x -> x IN ({_SW}))) / 3.0, 1.0)
+             ) / 3, 6) AS quality_score
+FROM t ORDER BY doc_id
+"""
+
+
+def q_lang_id(spark, sf_dir) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return (d.select("doc_id", T.language_id("text"), F.col("lang").alias("labeled_lang"))
+             .withColumn("agrees", (F.col("predicted_lang") == F.col("labeled_lang"))
+                         .cast("int"))
+             .orderBy("doc_id"))
+
+
+def _lang_sql() -> str:
+    score = {lang: f"len(list_filter(toks, x -> x IN ({', '.join(repr(w) for w in words)})))"
+             for lang, words in T.LANG_MARKERS.items()}
+    langs = sorted(T.LANG_MARKERS)  # de, en, es, fr, zh — earliest max wins
+    cases = []
+    for i, lang in enumerate(langs):
+        later = langs[i + 1:]
+        if later:
+            cond = " AND ".join(f"s_{lang} >= s_{o}" for o in later)
+            cases.append(f"WHEN {cond} THEN '{lang}'")
+        else:
+            cases.append(f"ELSE '{lang}'")
+    case_sql = "CASE " + " ".join(cases) + " END"
+    scores_sql = ", ".join(f"{expr} AS s_{lang}" for lang, expr in score.items())
+    total = " + ".join(f"s_{lang}" for lang in langs)
+    return f"""
+WITH t AS (
+    SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\\s+') AS toks
+    FROM documents
+), s AS (
+    SELECT doc_id, lang, {scores_sql} FROM t
+)
+SELECT doc_id,
+       CASE WHEN {total} > 0 THEN {case_sql} ELSE 'und' END AS predicted_lang,
+       lang AS labeled_lang,
+       CAST(CASE WHEN {total} > 0 THEN {case_sql} ELSE 'und' END = lang AS INT) AS agrees
+FROM s ORDER BY doc_id
+"""
+
+
+SQL_LANG_ID = _lang_sql()
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact) + MinHash-LSH (candidate generation)
+# ---------------------------------------------------------------------------
+
+_SHINGLE_SQL = r"""
+    SELECT DISTINCT doc_id AS id,
+           unnest(CASE WHEN len(toks) >= 3
+                  THEN list_transform(generate_series(1, len(toks) - 2),
+                                      i -> array_to_string(toks[i:i+2], ' '))
+                  ELSE [array_to_string(toks, ' ')] END) AS shingle
+    FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+          FROM documents)
+"""
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return (D.ngram_jaccard_pairs(d, "text", "doc_id", JACCARD_K, JACCARD_THRESHOLD)
+            .orderBy("id_a", "id_b"))
+
+
+SQL_NGRAM_JACCARD_PAIRS = f"""
+WITH dsh AS ({_SHINGLE_SQL}),
+sizes AS (SELECT id, COUNT(*) AS n FROM dsh GROUP BY id),
+inter AS (
+    SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+    FROM dsh a JOIN dsh b ON a.shingle = b.shingle AND a.id < b.id
+    GROUP BY 1, 2
+)
+SELECT id_a, id_b, n_common, sa.n AS n_a, sb.n AS n_b,
+       ROUND(n_common * 1.0 / (sa.n + sb.n - n_common), 6) AS jaccard
+FROM inter JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
+WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= {JACCARD_THRESHOLD}
+ORDER BY id_a, id_b
+"""
+
+
+def q_minhash_lsh_candidates(spark, sf_dir) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return (D.minhash_lsh_candidates(d, "text", "doc_id", JACCARD_K,
+                                     NUM_HASHES, BANDS)
+            .orderBy("id_a", "id_b"))
+
+
+def _minhash_sql() -> str:
+    r = NUM_HASHES // BANDS
+    mh = ", ".join(
+        f"MIN(md5('{i}:' || shingle)) AS mh_{i}" for i in range(NUM_HASHES))
+    band_exprs = []
+    for b in range(BANDS):
+        parts = " || '|' || ".join(f"mh_{i}" for i in range(b * r, (b + 1) * r))
+        band_exprs.append(f"md5({parts}) AS band_{b}")
+    bands_sql = ", ".join(band_exprs)
+    stack = " UNION ALL ".join(
+        f"SELECT id, {b} AS band, band_{b} AS h FROM banded" for b in range(BANDS))
+    return f"""
+WITH dsh AS ({_SHINGLE_SQL}),
+sig AS (SELECT id, {mh} FROM dsh GROUP BY id),
+banded AS (SELECT id, {bands_sql} FROM sig),
+stacked AS ({stack})
+SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_bands_matched
+FROM stacked a JOIN stacked b
+  ON a.band = b.band AND a.h = b.h AND a.id < b.id
+GROUP BY 1, 2 ORDER BY id_a, id_b
+"""
+
+
+SQL_MINHASH_LSH_CANDIDATES = _minhash_sql()
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def q_simhash_docs(spark, sf_dir) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return D.simhash64(d, "text", "doc_id").orderBy("id")
+
+
+def _simhash_sql() -> str:
+    bit_sums = ", ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(60))
+    # parens around each shift: DuckDB gives '+' higher precedence than '<<'
+    recompose = " + ".join(
+        f"((CASE WHEN b{i} > 0 THEN 1 ELSE 0 END)::BIGINT << {i})"
+        for i in range(60))
+    return f"""
+WITH toks AS (
+    SELECT doc_id AS id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+    FROM documents
+), hashed AS (
+    SELECT id, (('0x' || substr(md5(tok), 1, 15))::UBIGINT)::BIGINT AS h FROM toks
+), bits AS (
+    SELECT id, {bit_sums} FROM hashed GROUP BY id
+)
+SELECT id, {recompose} AS simhash FROM bits ORDER BY id
+"""
+
+
+SQL_SIMHASH_DOCS = _simhash_sql()
+
+
+def q_simhash_near_pairs(spark, sf_dir) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    sim = D.simhash64(d, "text", "doc_id")
+    return D.simhash_near_pairs(sim, max_hamming=10).orderBy("id_a", "id_b")
+
+
+SQL_SIMHASH_NEAR_PAIRS = f"""
+WITH sig AS ({_simhash_sql().replace("ORDER BY id", "")})
+SELECT a.id AS id_a, b.id AS id_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM sig a JOIN sig b ON a.id < b.id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 10
+  AND ({" OR ".join(f"((a.simhash >> {15*i}) & 32767) = ((b.simhash >> {15*i}) & 32767)" for i in range(4))})
+ORDER BY id_a, id_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# embedding similarity
+# ---------------------------------------------------------------------------
+
+def q_cosine_topk_embeddings(spark, sf_dir) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    queries = (e.filter(F.col("vec_id") < 5)
+                .select(F.col("vec_id").alias("query_id"),
+                        F.col("embedding").alias("query_vec")))
+    topk = S.cosine_topk(e.filter(F.col("vec_id") >= 5), queries, k=5)
+    return topk.orderBy("query_id", "rank")
+
+
+SQL_COSINE_TOPK_EMBEDDINGS = """
+WITH v AS (
+    SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings
+), scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+           list_dot_product(q.e, c.e) /
+           (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e)))
+               AS cos_raw
+    FROM v q JOIN v c ON q.vec_id < 5 AND c.vec_id >= 5
+), ranked AS (
+    SELECT query_id, nbr_id, cos_raw,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cos_raw DESC, nbr_id ASC) AS rank
+    FROM scored
+)
+SELECT query_id, nbr_id, ROUND(cos_raw, 6) AS cosine, rank
+FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
+def q_embedding_neardup_pairs(spark, sf_dir) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    return (S.cosine_pairs(e, threshold=0.45)
+            .orderBy("id_a", "id_b"))
+
+
+SQL_EMBEDDING_NEARDUP_PAIRS = """
+WITH v AS (
+    SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_dot_product(a.e, b.e) /
+             (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
+             6) AS cosine
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.e, b.e) /
+      (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.45
+ORDER BY id_a, id_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+LLM_QUERIES = {
+    "dedup_exact_docs": q_dedup_exact_docs,
+    "fingerprint_docs": q_fingerprint_docs,
+    "text_tokens": q_text_tokens,
+    "text_quality": q_text_quality,
+    "lang_id": q_lang_id,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "minhash_lsh_candidates": q_minhash_lsh_candidates,
+    "simhash_docs": q_simhash_docs,
+    "simhash_near_pairs": q_simhash_near_pairs,
+    "cosine_topk_embeddings": q_cosine_topk_embeddings,
+    "embedding_neardup_pairs": q_embedding_neardup_pairs,
+}
+
+LLM_ORACLES = {
+    "dedup_exact_docs": SQL_DEDUP_EXACT_DOCS,
+    "fingerprint_docs": SQL_FINGERPRINT_DOCS,
+    "text_tokens": SQL_TEXT_TOKENS,
+    "text_quality": SQL_TEXT_QUALITY,
+    "lang_id": SQL_LANG_ID,
+    "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
+    "minhash_lsh_candidates": SQL_MINHASH_LSH_CANDIDATES,
+    "simhash_docs": SQL_SIMHASH_DOCS,
+    "simhash_near_pairs": SQL_SIMHASH_NEAR_PAIRS,
+    "cosine_topk_embeddings": SQL_COSINE_TOPK_EMBEDDINGS,
+    "embedding_neardup_pairs": SQL_EMBEDDING_NEARDUP_PAIRS,
+}

@@ -1,1 +1,100 @@
+"""Structured Streaming extension (additive — the reference has no
+streaming runtime; SURVEY §2.9/§7.2-9 marks this as the optional
+``foreachBatch`` wrapper plus watermark-aware freshness checks).
 
+- StreamingSuiteRunner: run a batch ValidationSuite per micro-batch via
+  ``foreachBatch``; results flow into a MetricsRepository keyed by
+  batch id, so anomaly detection works across micro-batches.
+- windowed_metrics: watermarked tumbling/sliding-window aggregation of
+  the same scalar metric expressions the batch engine uses.
+- freshness_check: watermark-aware data-freshness metric.
+- stateful_dedup_stream: exact streaming dedup via dropDuplicates
+  within watermark (state-store backed).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Dict, List, Optional
+
+import pyspark.sql.functions as F
+
+
+class StreamingSuiteRunner:
+    """foreachBatch adapter: validates every micro-batch with the batch
+    engine (one fused agg per batch — the per-batch cost is the same
+    1-2 jobs as the batch path)."""
+
+    def __init__(self, suite, repository=None, on_result: Optional[Callable] = None,
+                 fail_on_error: bool = False):
+        self.suite = suite
+        self.repository = repository
+        self.on_result = on_result
+        self.fail_on_error = fail_on_error
+        self.results: List = []  # bounded: last 100
+
+    def foreach_batch(self, batch_df, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        result = self.suite.run(spark, batch_df)
+        self.results.append((batch_id, result))
+        del self.results[:-100]
+        if self.repository is not None:
+            from ..analyzers.base import MetricValue
+            from ..repository import ResultKey
+            key = ResultKey.of(time.time(), batch_id=str(batch_id),
+                               suite=self.suite.name)
+            self.repository.save(key, {
+                k: MetricValue.double(v) for k, v in result.metrics.items()
+                if isinstance(v, (int, float))})
+        if self.on_result is not None:
+            self.on_result(batch_id, result)
+        if self.fail_on_error and not result.passed:
+            raise RuntimeError(
+                f"validation failed for micro-batch {batch_id}: "
+                f"{[i.message for i in result.report.issues][:5]}")
+
+    def attach(self, stream_writer):
+        """writer.foreachBatch hookup: runner.attach(df.writeStream)"""
+        return stream_writer.foreachBatch(self.foreach_batch)
+
+
+def windowed_metrics(stream_df, ts_col: str, metric_exprs: Dict[str, "F.Column"],
+                     window: str = "1 minute", slide: Optional[str] = None,
+                     watermark: str = "10 minutes"):
+    """Watermarked windowed aggregation of scalar metric expressions.
+
+    Late rows beyond the watermark are dropped by Spark's state
+    eviction — the streaming analogue of the batch engine's shared
+    single-pass agg.
+    """
+    win = (F.window(F.col(ts_col), window, slide) if slide
+           else F.window(F.col(ts_col), window))
+    return (stream_df
+            .withWatermark(ts_col, watermark)
+            .groupBy(win.alias("window"))
+            .agg(*[c.alias(a) for a, c in metric_exprs.items()]))
+
+
+def freshness_check(stream_df, ts_col: str, watermark: str = "10 minutes",
+                    window: str = "1 minute"):
+    """Per-window max event-time lag vs processing time — a freshness
+    metric stream (watermark-aware; SURVEY §7.2-9)."""
+    return (stream_df
+            .withWatermark(ts_col, watermark)
+            .groupBy(F.window(F.col(ts_col), window).alias("window"))
+            .agg(F.max(F.col(ts_col)).alias("max_event_time"),
+                 F.count(F.lit(1)).alias("n_events"))
+            .withColumn("observed_at", F.current_timestamp())
+            .withColumn("freshness_lag_seconds",
+                        F.col("observed_at").cast("double") -
+                        F.col("max_event_time").cast("double")))
+
+
+def stateful_dedup_stream(stream_df, key_cols: List[str], ts_col: str,
+                          watermark: str = "1 hour"):
+    """Streaming exact dedup: state-store-backed dropDuplicates within
+    the watermark horizon (unbounded dedup is unrunnable at scale —
+    the watermark bounds state size)."""
+    return (stream_df
+            .withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark(key_cols))

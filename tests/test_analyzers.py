@@ -1,0 +1,99 @@
+"""Analyzer state algebra: compute/merge/metric triplet + incremental
+partition analysis (the reference's core abstraction, traits.rs:64-178)."""
+
+import math
+
+import pytest
+
+from term_spark.analyzers.base import (ApproxCountDistinctAnalyzer,
+                                       CompletenessAnalyzer,
+                                       CorrelationAnalyzer, MaxAnalyzer,
+                                       MeanAnalyzer, MinAnalyzer, SizeAnalyzer,
+                                       StandardDeviationAnalyzer, SumAnalyzer)
+from term_spark.analyzers.runner import (AnalysisRunner, FilesystemStateStore,
+                                         IncrementalAnalysisRunner)
+
+
+def test_analysis_runner_single_pass(spark, nulls_df):
+    ctx = (AnalysisRunner()
+           .add(SizeAnalyzer())
+           .add(CompletenessAnalyzer("name"))
+           .add(MeanAnalyzer("score"))
+           .add(StandardDeviationAnalyzer("age"))
+           .run(nulls_df))
+    assert ctx.metrics["size"].value == 5
+    assert ctx.metrics["completeness.name"].value == pytest.approx(0.8)
+    assert ctx.metrics["mean.score"].value == pytest.approx((1 + 2 + 3 + 5) / 4)
+    assert not ctx.errors
+
+
+def test_state_merge_equals_global(spark):
+    """Partition-wise states merged == global metric (the monoid law
+    the reference's property tests pin)."""
+    df = spark.createDataFrame([(float(i),) for i in range(1, 101)], "x double")
+    p1 = df.filter("x <= 40")
+    p2 = df.filter("x > 40 and x <= 77")
+    p3 = df.filter("x > 77")
+
+    for an_factory in (lambda: MeanAnalyzer("x"),
+                       lambda: SumAnalyzer("x"),
+                       lambda: MinAnalyzer("x"),
+                       lambda: MaxAnalyzer("x"),
+                       lambda: StandardDeviationAnalyzer("x")):
+        an = an_factory()
+        states = []
+        for part in (p1, p2, p3):
+            row = part.agg(*[c.alias(a) for a, c in an.state_exprs().items()]
+                           ).collect()[0]
+            states.append(an.state_from_row(row.asDict()))
+        merged_metric = an.metric_from_state(an.merge_states(states))
+        global_metric = an.compute(df)
+        assert merged_metric.value == pytest.approx(global_metric.value, rel=1e-9), \
+            an.name
+
+
+def test_correlation_state_merge(spark):
+    df = spark.createDataFrame(
+        [(float(i), float(2 * i + 1)) for i in range(1, 51)], "x double, y double")
+    an = CorrelationAnalyzer("x", "y")
+    s1 = df.filter("x <= 25")
+    s2 = df.filter("x > 25")
+    states = []
+    for part in (s1, s2):
+        row = part.agg(*[c.alias(a) for a, c in an.state_exprs().items()]).collect()[0]
+        states.append(an.state_from_row(row.asDict()))
+    merged = an.metric_from_state(an.merge_states(states))
+    assert merged.value == pytest.approx(1.0, abs=1e-9)
+
+
+def test_incremental_runner_filesystem(spark, tmp_path):
+    store = FilesystemStateStore(str(tmp_path / "states"))
+    runner = (IncrementalAnalysisRunner(store)
+              .add(SizeAnalyzer()).add(MeanAnalyzer("v")))
+    d1 = spark.createDataFrame([(1.0,), (2.0,)], "v double")
+    d2 = spark.createDataFrame([(3.0,), (4.0,), (5.0,)], "v double")
+    runner.analyze_partition(d1, "2024-01-01")
+    runner.analyze_partition(d2, "2024-01-02")
+    assert store.partitions() == ["2024-01-01", "2024-01-02"]
+
+    # a fresh runner (fresh process) can aggregate from persisted state
+    runner2 = (IncrementalAnalysisRunner(FilesystemStateStore(str(tmp_path / "states")))
+               .add(SizeAnalyzer()).add(MeanAnalyzer("v")))
+    ctx = runner2.aggregate_partitions()
+    assert ctx.metrics["size"].value == 5
+    assert ctx.metrics["mean.v"].value == pytest.approx(3.0)
+    # single-partition rollup
+    ctx1 = runner2.aggregate_partitions(["2024-01-01"])
+    assert ctx1.metrics["mean.v"].value == pytest.approx(1.5)
+
+
+def test_hll_sketch_merge(spark):
+    an = ApproxCountDistinctAnalyzer("v").bind_spark(spark)
+    d1 = spark.createDataFrame([(i,) for i in range(1000)], "v long")
+    d2 = spark.createDataFrame([(i,) for i in range(500, 1500)], "v long")
+    states = []
+    for part in (d1, d2):
+        row = part.agg(*[c.alias(a) for a, c in an.state_exprs().items()]).collect()[0]
+        states.append(an.state_from_row(row.asDict()))
+    est = an.metric_from_state(an.merge_states(states)).value
+    assert est == pytest.approx(1500, rel=0.05)  # HLL 2-3% error band

@@ -1,0 +1,120 @@
+"""Multi-table fluent DSL, formatters, sources, streaming wrapper."""
+
+import time
+
+import pytest
+
+from term_spark import Assertion, Check, Level, ValidationSuite
+from term_spark.core.fluent import validate_tables
+from term_spark.formatters import (FormatterConfig, HumanFormatter,
+                                   JsonFormatter)
+
+
+def test_fluent_multi_table_dsl(spark, tpch):
+    check = (validate_tables("orders", "customer")
+             .join_on("o_custkey", "c_custkey")
+             .ensure_referential_integrity()
+             .expect_join_coverage(1.0)
+             .and_validate_tables("orders", "lineitem")
+             .ensure_sum_consistency("o_totalprice", "l_extendedprice")
+             .group_by("o_orderkey", "l_orderkey")
+             .with_tolerance(1e12)  # synthetic data doesn't reconcile; huge tol
+             .and_validate_temporal("events")
+             .within_business_hours("ts", 0, 24, weekdays_only=False)
+             .build())
+    assert len(check.constraints) == 4
+    result = (ValidationSuite.builder("fluent").with_check(check)
+              .run(spark, tpch))
+    assert result.passed, result.report.to_json(2)
+
+
+def test_fluent_requires_stages():
+    with pytest.raises(ValueError):
+        validate_tables("a", "b").ensure_referential_integrity()
+
+
+def test_formatters(spark, nulls_df):
+    suite = (ValidationSuite.builder("fmt")
+             .with_check(Check("c", Level.ERROR)
+                         .is_complete("id")
+                         .completeness("name", Assertion.ge(0.9))))
+    result = suite.run(spark, nulls_df)
+    js = JsonFormatter().format(result)
+    assert '"passed": false' in js
+    human = HumanFormatter().format(result)
+    assert "FAILED" in human and "completeness" in human
+    minimal = HumanFormatter(FormatterConfig.minimal()).format(result)
+    assert "✓" not in minimal and "✗" in minimal
+
+
+def test_sources_csv_json_roundtrip(spark, tmp_path, dupes_df):
+    from term_spark.sources import JoinedSource, read_csv, read_json
+
+    csv_path = str(tmp_path / "data_csv")
+    dupes_df.write.option("header", True).csv(csv_path)
+    back = read_csv(spark, csv_path)
+    assert back.count() == 6 and set(back.columns) == set(dupes_df.columns)
+
+    json_path = str(tmp_path / "data_json")
+    dupes_df.write.json(json_path)
+    back = read_json(spark, json_path, multiline=False)
+    assert back.count() == 6
+
+    j = JoinedSource(back, back.select("transaction_id").distinct(),
+                     "transaction_id", "inner")
+    assert j.df().count() == 6
+
+
+def test_streaming_suite_per_microbatch(spark, tmp_path):
+    """foreachBatch wrapper drives the batch engine per micro-batch and
+    feeds the metrics repository."""
+    from term_spark.analyzers.anomaly import AnomalyDetector, ZScore
+    from term_spark.repository import InMemoryRepository
+    from term_spark.streaming import StreamingSuiteRunner
+
+    src = str(tmp_path / "stream_src")
+    import os
+    os.makedirs(src)
+    df = spark.createDataFrame([(i, float(i)) for i in range(50)], "id long, v double")
+    df.write.parquet(src + "/batch0.parquet")
+
+    stream = spark.readStream.schema("id long, v double").parquet(src + "/*.parquet")
+    suite = (ValidationSuite.builder("stream_suite")
+             .with_check(Check("c", Level.ERROR)
+                         .is_complete("id").has_min("v", Assertion.ge(0))))
+    repo = InMemoryRepository()
+    runner = StreamingSuiteRunner(suite, repository=repo)
+    q = runner.attach(stream.writeStream).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    assert runner.results, "no micro-batch processed"
+    bid, result = runner.results[0]
+    assert result.passed
+    assert repo.series("completeness.id") == [1.0]
+    assert not AnomalyDetector(ZScore()).detect_series(
+        repo.series("completeness.id") * 4).is_anomaly
+
+
+def test_windowed_metrics_stream(spark, tpch, tmp_path):
+    """Watermarked windowed aggregation over the events table replayed
+    as a file stream."""
+    import pyspark.sql.functions as F
+    from term_spark.streaming import windowed_metrics
+
+    src = str(tmp_path / "events_stream")
+    tpch["events"].write.parquet(src)
+    schema = tpch["events"].schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    agg = windowed_metrics(
+        stream, "ts",
+        {"n": F.count(F.lit(1)), "nn_value": F.count("value")},
+        window="1 day", watermark="1 hour")
+    # complete mode: emits every window each trigger (append mode would
+    # hold back windows still inside the watermark at end-of-input)
+    q = (agg.writeStream.format("memory").queryName("win_metrics")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.sql("select * from win_metrics").collect()
+    # events span ~30 days → ~30 daily windows; counts must sum to total
+    total = sum(r["n"] for r in rows)
+    assert total == tpch["events"].count()
+    assert 25 <= len(rows) <= 35

@@ -1,0 +1,178 @@
+"""LLM-data operators: dedup (exact / jaccard / minhash / simhash),
+similarity search, text analysis, multimodal plumbing."""
+
+import pytest
+
+import pyspark.sql.functions as F
+from term_spark.operators import dedup as D
+from term_spark.operators import multimodal as M
+from term_spark.operators import similarity as S
+from term_spark.operators import text as T
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),      # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy cat"),      # near dup
+        (4, "completely different text about spark and data"),
+        (5, "  THE   quick brown fox jumps over the lazy dog "), # normalized dup
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates(spark, docs):
+    groups = D.exact_duplicates(docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["n_docs"] == 3  # 1, 2, 5 (case/whitespace-normalized)
+    assert groups[0]["doc_ids"] == [1, 2, 5]
+
+
+def test_dedup_exact_keeps_representative(spark, docs):
+    kept = D.dedup_exact(docs).orderBy("doc_id").collect()
+    assert [r["doc_id"] for r in kept] == [1, 3, 4]
+
+
+def test_ngram_jaccard(spark, docs):
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+    assert got[(1, 2)] == 1.0
+    assert got[(1, 5)] == 1.0
+    assert 0.5 <= got[(1, 3)] < 1.0  # near dup
+    assert (1, 4) not in got
+
+
+def test_minhash_lsh_finds_dups(spark, docs):
+    cands = D.minhash_lsh_candidates(docs, num_hashes=16, bands=4).collect()
+    got = {(r["id_a"], r["id_b"]) for r in cands}
+    assert (1, 2) in got and (1, 5) in got and (2, 5) in got
+    assert (1, 4) not in got
+
+
+def test_simhash_signatures(spark, docs):
+    sim = D.simhash64(docs)
+    rows = {r["id"]: r["simhash"] for r in sim.collect()}
+    assert rows[1] == rows[2] == rows[5]  # identical token multisets
+    assert rows[1] != rows[4]
+    pairs = D.simhash_near_pairs(sim, max_hamming=3).collect()
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+    assert got[(1, 2)] == 0 and got[(1, 5)] == 0 and got[(2, 5)] == 0
+    assert (1, 4) not in got
+
+
+def test_simhash_block_join_guarantee(spark):
+    """Pigeonhole: hamming ≤ 3 over 4 blocks ⇒ some 15-bit block equal
+    ⇒ the pair MUST be produced. Crafted signatures pin the join."""
+    base = 0b1011011101111011110111101111011101101110111101  # arbitrary 46-bit
+    rows = [(1, base),
+            (2, base ^ 0b101),            # hamming 2, same high blocks
+            (3, base ^ (1 << 40)),        # hamming 1
+            (4, base ^ 0x5555555),        # hamming 13 → excluded
+            ]
+    sim = spark.createDataFrame(rows, "id long, simhash long")
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in D.simhash_near_pairs(sim, max_hamming=3).collect()}
+    assert got[(1, 2)] == 2
+    assert got[(1, 3)] == 1
+    assert got[(2, 3)] == 3
+    assert all((1, 4) != k and (2, 4) != k and (3, 4) != k for k in got)
+
+
+def test_token_and_quality(spark, docs):
+    out = docs.select("doc_id", T.token_count("text"),
+                      F.round(T.stopword_ratio("text"), 4).alias("sw"),
+                      F.round(T.quality_score("text"), 4).alias("q")).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[1]["n_tokens"] == 9
+    assert by_id[1]["sw"] == pytest.approx(2 / 9, abs=1e-4)
+    assert 0 <= by_id[4]["q"] <= 1
+
+
+def test_language_id(spark):
+    rows = [(1, "the cat and the dog is with us"),
+            (2, "der hund und die katze nicht das haus"),
+            (3, "le chat est une des merveilles les"),
+            (4, "xyzzy plugh qwerty")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["predicted_lang"]
+           for r in df.select("doc_id", T.language_id("text")).collect()}
+    assert got == {1: "en", 2: "de", 3: "fr", 4: "und"}
+
+
+@pytest.fixture()
+def vectors(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),   # close to 1
+        (3, [0.0, 1.0, 0.0]),
+        (4, [0.0, 0.0, 1.0]),
+        (5, [1.0, 0.01, 0.0]),  # very close to 1
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_pairs_and_topk(spark, vectors):
+    pairs = {(r["id_a"], r["id_b"]): r["cosine"]
+             for r in S.cosine_pairs(vectors, threshold=0.9).collect()}
+    assert (1, 5) in pairs and pairs[(1, 5)] > 0.99
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs
+
+    queries = vectors.filter("vec_id = 1").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    topk = S.cosine_topk(vectors.filter("vec_id != 1"), queries, k=2).collect()
+    assert [r["nbr_id"] for r in topk] == [5, 2]
+
+
+def test_lsh_bucketed_pairs_recall(spark, vectors):
+    # add an exact duplicate of vector 1 — identical vectors ALWAYS
+    # share every hyperplane sign, so the pair is guaranteed recall
+    dup = spark.createDataFrame([(6, [1.0, 0.0, 0.0])],
+                                "vec_id long, embedding array<float>")
+    vecs = vectors.union(dup)
+    exact = {(r["id_a"], r["id_b"])
+             for r in S.cosine_pairs(vecs, threshold=0.95).collect()}
+    approx = {(r["id_a"], r["id_b"])
+              for r in S.lsh_bucketed_pairs(vecs, threshold=0.95,
+                                            n_planes=4).collect()}
+    # LSH output is a subset of exact pairs (candidates are re-verified)
+    assert approx <= exact
+    assert (1, 6) in approx
+
+
+def test_ivf_topk(spark):
+    import random
+    rng = random.Random(7)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(64)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = df.filter("vec_id < 2").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    got = S.ivf_topk(df, queries, k=3, n_centroids=8, nprobe=8)
+    exact = S.cosine_topk(df, queries, k=3)
+    # nprobe = all centroids → IVF must equal brute force
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exact.collect()))
+
+
+def test_multimodal_feature_extraction(spark):
+    media = M.synthetic_media(spark, n=8)
+    feats = M.extract_features(media, dim=4).collect()
+    assert len(feats) == 8
+    assert all(len(r["feature"]) == 4 for r in feats)
+    assert all(0.0 <= v <= 1.0 for r in feats for v in r["feature"])
+    # deterministic: same input → same features
+    again = M.extract_features(media, dim=4).collect()
+    assert sorted(map(tuple, feats)) == sorted(map(tuple, again))
+
+
+def test_multimodal_frame_sampling(spark):
+    media = M.synthetic_media(spark, n=3, kind="video")
+    frames = M.sample_frames(media, every_ms=500).collect()
+    assert len(frames) > 0
+    assert all(r["ts_ms"] == r["frame_idx"] * 500 for r in frames)
+
+
+def test_multimodal_resize_stub_raises(spark):
+    media = M.synthetic_media(spark, n=2)
+    with pytest.raises(Exception):  # NotImplementedError inside executor
+        M.resize_images(media, 32, 32).collect()

@@ -1,0 +1,72 @@
+"""Profiler (3-pass), type inference, suggestion engine, schema analyzer."""
+
+import pytest
+
+from term_spark.analyzers.inference import classify_value, infer_column_type
+from term_spark.analyzers.profiler import ColumnProfiler
+from term_spark.analyzers.schema_analyzer import SchemaAnalyzer
+from term_spark.analyzers.suggestions import SuggestionEngine
+
+
+def test_classify_value():
+    assert classify_value("42") == "integer"
+    assert classify_value("-3.14") == "decimal"
+    assert classify_value("1e9") == "float"
+    assert classify_value("true") == "boolean"
+    assert classify_value("2024-01-15") == "date"
+    assert classify_value("2024-01-15T10:30:00Z") == "datetime"
+    assert classify_value("10:30:00") == "time"
+    assert classify_value("hello") == "text"
+
+
+def test_infer_column_type():
+    t, conf = infer_column_type(["1", "2", "3", "4"])
+    assert t == "integer" and conf == 1.0
+    t, conf = infer_column_type(["1", "2.5", "3"])  # mixed numeric → decimal/float
+    assert t in ("decimal", "float")
+    t, conf = infer_column_type(["a", "b", "a", "b", "a"])
+    assert t == "categorical"
+    t, _ = infer_column_type([f"text {i} unique" for i in range(200)])
+    assert t == "text"
+
+
+def test_profiler_three_passes(spark, tpch):
+    profile = ColumnProfiler().profile(tpch["customer"])
+    assert profile.num_rows == tpch["customer"].count()
+    ck = profile.columns["c_custkey"]
+    assert ck.completeness == 1.0
+    assert ck.approx_distinct == pytest.approx(profile.num_rows, rel=0.05)
+    seg = profile.columns["c_mktsegment"]
+    assert seg.is_low_cardinality
+    assert seg.histogram and sum(seg.histogram.values()) == profile.num_rows
+    bal = profile.columns["c_acctbal"]
+    assert bal.min is not None and bal.max is not None and bal.min < bal.max
+    assert bal.quantiles and bal.quantiles["p25"] <= bal.quantiles["p50"] <= bal.quantiles["p75"]
+
+
+def test_suggestions_from_profile(spark, tpch):
+    profile = ColumnProfiler().profile(tpch["orders"])
+    suggestions = SuggestionEngine().suggest(profile)
+    by_col = {}
+    for s in suggestions:
+        by_col.setdefault(s.column, []).append(s.constraint)
+    # o_orderkey unique+complete → primary key; o_orderstatus low-card → containment
+    assert "validates_primary_key" in by_col.get("o_orderkey", [])
+    assert "is_contained_in" in by_col.get("o_orderstatus", [])
+    # suggested check actually runs and passes on the same data
+    check = SuggestionEngine().suggest_check(profile, min_confidence=0.75)
+    from term_spark import ValidationSuite
+    result = ValidationSuite.builder("sugg").with_check(check).run(
+        spark, tpch["orders"])
+    assert result.passed, result.report.to_json(2)
+
+
+def test_schema_analyzer_finds_tpch_fks(spark, tpch):
+    tables = {k: tpch[k] for k in ("orders", "customer", "nation", "region")}
+    cands = SchemaAnalyzer().find_fk_candidates(tables)
+    found = {(c.child_table, c.child_column, c.parent_table, c.parent_column)
+             for c in cands}
+    assert ("orders", "o_custkey", "customer", "c_custkey") in found
+    assert ("nation", "n_regionkey", "region", "r_regionkey") in found
+    # every reported candidate has high overlap
+    assert all(c.overlap >= 0.95 for c in cands)

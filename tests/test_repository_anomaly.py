@@ -1,0 +1,82 @@
+"""Metrics repository + anomaly detection over metric history."""
+
+import pytest
+
+from term_spark.analyzers.anomaly import (AbsoluteChange, AnomalyDetector,
+                                          RelativeRateOfChange, ZScore)
+from term_spark.analyzers.base import MetricValue
+from term_spark.repository import (InMemoryRepository, ParquetRepository,
+                                   ResultKey)
+
+
+def _seed(repo, values, metric="completeness.name", **tags):
+    for i, v in enumerate(values):
+        repo.save(ResultKey.of(1000.0 + i, **tags),
+                  {metric: MetricValue.double(v)})
+
+
+def test_in_memory_repository_query():
+    repo = InMemoryRepository()
+    _seed(repo, [0.9, 0.92, 0.95], env="prod")
+    _seed(repo, [0.5], metric="completeness.name", env="dev")
+    prod = repo.query("completeness.name", tags={"env": "prod"})
+    assert len(prod) == 3
+    assert repo.series("completeness.name", tags={"env": "prod"}) == [0.9, 0.92, 0.95]
+    # time-range filter
+    recent = repo.query("completeness.name", after=1001.5, tags={"env": "prod"})
+    assert len(recent) == 1
+
+
+def test_parquet_repository_roundtrip(tmp_path):
+    repo = ParquetRepository(str(tmp_path / "metrics"))
+    key = ResultKey.of(1234.5, suite="s1")
+    repo.save(key, {"size": MetricValue.long(100),
+                    "mean.x": MetricValue.double(3.5)})
+    loaded = repo.load(key)
+    assert loaded["size"].value == 100
+    assert loaded["mean.x"].value == 3.5
+    assert repo.keys() == [key]
+
+
+def test_rate_of_change_detector():
+    repo = InMemoryRepository()
+    _seed(repo, [100, 105, 110, 300])  # 2.7× jump
+    det = AnomalyDetector(RelativeRateOfChange(max_increase=2.0, max_decrease=0.5))
+    res = det.detect_on(repo, "completeness.name")
+    assert res.is_anomaly
+    _seed_ok = InMemoryRepository()
+    _seed(_seed_ok, [100, 105, 110, 120])
+    assert not det.detect_on(_seed_ok, "completeness.name").is_anomaly
+
+
+def test_absolute_change_detector():
+    det = AnomalyDetector(AbsoluteChange(max_increase=10, max_decrease=5))
+    assert det.detect_series([100, 100, 115]).is_anomaly
+    assert det.detect_series([100, 100, 94]).is_anomaly  # asymmetric
+    assert not det.detect_series([100, 100, 108]).is_anomaly
+
+
+def test_zscore_detector_min_history():
+    det = AnomalyDetector(ZScore(threshold=3.0, min_history=3))
+    # insufficient history → not anomalous
+    assert not det.detect_series([1.0, 2.0]).is_anomaly
+    series = [10, 10.5, 9.5, 10.2, 9.8, 10.1, 25.0]
+    res = det.detect_series(series)
+    assert res.is_anomaly
+    assert res.expected_low < 10 < res.expected_high
+
+
+def test_validation_result_metrics_flow_to_repository(spark, nulls_df):
+    """End-to-end: suite run → repository → anomaly check."""
+    from term_spark import Check, Level, ValidationSuite
+
+    repo = InMemoryRepository()
+    suite = (ValidationSuite.builder("s")
+             .with_check(Check("c", Level.WARNING).completeness("name", 0.8)))
+    for ts in (1.0, 2.0, 3.0):
+        result = suite.run(spark, nulls_df)
+        repo.save(ResultKey.of(ts, suite="s"),
+                  {k: MetricValue.double(v) for k, v in result.metrics.items()})
+    series = repo.series("completeness.name")
+    assert series == [0.8, 0.8, 0.8]
+    assert not AnomalyDetector(ZScore()).detect_series(series + [0.8]).is_anomaly
