@@ -1,0 +1,106 @@
+"""Mergeable quantile state (KLL-role analyzer).
+
+Parity target: /root/reference/term-guard/src/analyzers/advanced/
+kll_sketch.rs:142-229 — a mergeable quantile sketch with error
+≈ 1.65/√k and cross-partition merge support.
+
+Spark-first realization: rather than porting the KLL compactor (a
+row-at-a-time Python hot path), the per-slice state is an
+**equi-depth quantile grid** computed JVM-side by ``percentile_approx``
+(k grid points = k equal-mass strata plus exact n/min/max). Merging
+states is a weighted merge of grids: every grid point of state i
+carries mass n_i/k; merged quantiles read off the combined cumulative
+mass. Accuracy is O(1/k) rank error on top of percentile_approx's own
+bound — comparable to KLL at the same k for the reference's use cases
+(incremental per-partition analysis, kll_sketch.rs merge path), with
+zero driver-side scans.
+"""
+
+from __future__ import annotations
+
+import bisect
+from typing import List
+
+import pyspark.sql.functions as F
+
+from ..core.constraint import metric_alias
+from ..functions.security import validate_identifier
+from .base import Analyzer, AnalyzerState, MetricValue
+
+
+class QuantileSketchAnalyzer(Analyzer):
+    name = "quantile_sketch"
+
+    def __init__(self, column: str, k: int = 200, accuracy: int = 10000,
+                 q: float = 0.5):
+        self.column = validate_identifier(column)
+        self.k = int(k)
+        self.q = float(q)  # the quantile reported as THE metric
+        self.accuracy = accuracy
+        self._n = metric_alias("qs_n", column, k)
+        self._mn = metric_alias("qs_min", column)
+        self._mx = metric_alias("qs_max", column)
+        self._grid = metric_alias("qs_grid", column, k, accuracy, tag="k")
+
+    def state_exprs(self):
+        col = F.col(self.column).cast("double")
+        # grid point j estimates quantile (j+0.5)/k — stratum midpoints
+        probs = [(j + 0.5) / self.k for j in range(self.k)]
+        return {
+            self._n: F.count(col),
+            self._mn: F.min(col),
+            self._mx: F.max(col),
+            self._grid: F.percentile_approx(col, probs, self.accuracy),
+        }
+
+    def state_from_row(self, row):
+        grid = row[self._grid]
+        return AnalyzerState(
+            n=int(row[self._n]),
+            mn=float(row[self._mn]) if row[self._mn] is not None else None,
+            mx=float(row[self._mx]) if row[self._mx] is not None else None,
+            grid=[float(g) for g in grid] if grid is not None else [])
+
+    def merge_states(self, states: List[AnalyzerState]) -> AnalyzerState:
+        total = sum(s["n"] for s in states)
+        if total == 0:
+            return AnalyzerState(n=0, mn=None, mx=None, grid=[])
+        # weighted points: each grid point of state i carries n_i/k mass
+        points = []
+        for s in states:
+            if not s["grid"]:
+                continue
+            w = s["n"] / len(s["grid"])
+            points.extend((v, w) for v in s["grid"])
+        points.sort(key=lambda t: t[0])
+        values = [p[0] for p in points]
+        cum = []
+        acc = 0.0
+        for _, w in points:
+            acc += w
+            cum.append(acc)
+        # resample k midpoint quantiles from the merged mass function
+        merged_grid = []
+        for j in range(self.k):
+            target = (j + 0.5) / self.k * total
+            idx = min(bisect.bisect_left(cum, target), len(values) - 1)
+            merged_grid.append(values[idx])
+        mns = [s["mn"] for s in states if s["mn"] is not None]
+        mxs = [s["mx"] for s in states if s["mx"] is not None]
+        return AnalyzerState(n=total, mn=min(mns), mx=max(mxs), grid=merged_grid)
+
+    # ---- queries over a state ---------------------------------------
+    def quantile_from_state(self, state: AnalyzerState, q: float) -> float:
+        if not state["grid"]:
+            return float("nan")
+        if q <= 0:
+            return state["mn"]
+        if q >= 1:
+            return state["mx"]
+        grid = state["grid"]
+        pos = q * len(grid) - 0.5
+        lo = max(0, min(len(grid) - 1, int(pos)))
+        return grid[lo]
+
+    def metric_from_state(self, state):
+        return MetricValue.double(self.quantile_from_state(state, self.q))

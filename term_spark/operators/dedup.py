@@ -57,10 +57,18 @@ def dedup_exact(df: DataFrame, text_col: str = "text",
 
 
 def _doc_shingles(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
-    """(id, shingle) distinct pairs."""
-    return (df.select(F.col(id_col).alias("id"), word_shingles(text_col, k))
-              .select("id", F.explode("shingles").alias("shingle"))
-              .distinct())
+    """(id, shingle) distinct pairs.
+
+    Two-stage projection: tokens materialize first so the shingle
+    lambda reads an attribute (not a re-evaluated split; see
+    word_shingles_from)."""
+    from .text import word_shingles_from
+    toks = (df.select(F.col(id_col).alias("id"),
+                      F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+                       .alias("__toks")))
+    return (toks.select("id", F.explode(word_shingles_from(F.col("__toks"), k))
+                        .alias("shingle"))
+                .distinct())
 
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",

@@ -648,3 +648,118 @@ from .queries_llm import LLM_ORACLES, LLM_QUERIES  # noqa: E402
 
 QUERIES.update(LLM_QUERIES)
 ORACLES.update(LLM_ORACLES)
+
+
+# ---------------------------------------------------------------------------
+# additional coverage: exact quantiles, numeric histogram, profile,
+# approx-distinct (rows-only check — approx values are engine-specific)
+# ---------------------------------------------------------------------------
+
+def q_quantile_exact_quantity(spark, sf_dir) -> DataFrame:
+    (li,) = _t(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    return li.agg(
+        r6(F.percentile(q, 0.25)).alias("p25"),
+        r6(F.percentile(q, 0.5)).alias("p50"),
+        r6(F.percentile(q, 0.75)).alias("p75"),
+        r6(F.percentile(q, 0.99)).alias("p99"),
+    )
+
+
+SQL_QUANTILE_EXACT_QUANTITY = """
+SELECT ROUND(quantile_cont(l_quantity, 0.25), 6) AS p25,
+       ROUND(quantile_cont(l_quantity, 0.5), 6) AS p50,
+       ROUND(quantile_cont(l_quantity, 0.75), 6) AS p75,
+       ROUND(quantile_cont(l_quantity, 0.99), 6) AS p99
+FROM lineitem
+"""
+
+
+def q_numeric_histogram_quantity(spark, sf_dir) -> DataFrame:
+    """Equi-width numeric histogram (analyzers/advanced/histogram.rs:
+    185-291): min/max pass then FLOOR((x-min)/width) buckets."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    col = F.col("l_quantity").cast("double")
+    stats = li.agg(F.min(col).alias("mn"), F.max(col).alias("mx")).collect()[0]
+    mn, mx = float(stats["mn"]), float(stats["mx"])
+    buckets = 10
+    width = (mx - mn) / buckets
+    bucket = F.least(F.floor((col - F.lit(mn)) / F.lit(width)),
+                     F.lit(buckets - 1)).cast("long")
+    return (li.filter(col.isNotNull())
+              .groupBy(bucket.alias("bucket"))
+              .agg(F.count(F.lit(1)).alias("cnt"))
+              .orderBy("bucket"))
+
+
+SQL_NUMERIC_HISTOGRAM_QUANTITY = """
+WITH stats AS (
+    SELECT MIN(l_quantity) AS mn, MAX(l_quantity) AS mx FROM lineitem
+)
+SELECT LEAST(FLOOR((l_quantity - mn) / ((mx - mn) / 10.0)), 9)::BIGINT AS bucket,
+       COUNT(*) AS cnt
+FROM lineitem, stats
+WHERE l_quantity IS NOT NULL
+GROUP BY 1 ORDER BY bucket
+"""
+
+
+def q_profile_customer(spark, sf_dir) -> DataFrame:
+    """Per-column profile rows (profiler pass-1/3 shape): one row per
+    numeric column with counts + exact min/max."""
+    (c,) = _t(spark, sf_dir, "customer")
+    rows = []
+    for colname in ("c_custkey", "c_nationkey", "c_acctbal"):
+        col = F.col(colname).cast("double")
+        rows.append(c.agg(
+            F.lit(colname).alias("column_name"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(col).alias("non_null"),
+            F.count_distinct(F.col(colname)).alias("n_distinct"),
+            r6(F.min(col)).alias("min_value"),
+            r6(F.max(col)).alias("max_value"),
+        ))
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("column_name")
+
+
+SQL_PROFILE_CUSTOMER = """
+SELECT 'c_custkey' AS column_name, COUNT(*) AS n_rows, COUNT(c_custkey) AS non_null,
+       COUNT(DISTINCT c_custkey) AS n_distinct,
+       ROUND(MIN(c_custkey), 6) AS min_value, ROUND(MAX(c_custkey), 6) AS max_value
+FROM customer
+UNION ALL
+SELECT 'c_nationkey', COUNT(*), COUNT(c_nationkey), COUNT(DISTINCT c_nationkey),
+       ROUND(MIN(c_nationkey), 6), ROUND(MAX(c_nationkey), 6) FROM customer
+UNION ALL
+SELECT 'c_acctbal', COUNT(*), COUNT(c_acctbal), COUNT(DISTINCT c_acctbal),
+       ROUND(MIN(c_acctbal), 6), ROUND(MAX(c_acctbal), 6) FROM customer
+ORDER BY column_name
+"""
+
+
+def q_approx_distinct_orderkey(spark, sf_dir) -> DataFrame:
+    """HLL approx distinct — engine-specific estimate, so no SQL oracle
+    (the driver records a rows-only check); the exact-distinct column
+    'exact_distinct' is the accuracy yardstick."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct(F.col("l_orderkey"), 0.02).alias("approx_distinct"),
+        F.count_distinct(F.col("l_orderkey")).alias("exact_distinct"),
+    )
+
+
+QUERIES.update({
+    "quantile_exact_quantity": q_quantile_exact_quantity,
+    "numeric_histogram_quantity": q_numeric_histogram_quantity,
+    "profile_customer": q_profile_customer,
+    "approx_distinct_orderkey": q_approx_distinct_orderkey,
+})
+ORACLES.update({
+    "quantile_exact_quantity": SQL_QUANTILE_EXACT_QUANTITY,
+    "numeric_histogram_quantity": SQL_NUMERIC_HISTOGRAM_QUANTITY,
+    "profile_customer": SQL_PROFILE_CUSTOMER,
+    # approx_distinct_orderkey intentionally has no oracle (approx).
+})

@@ -128,3 +128,55 @@ def load_tpch_tables(spark: SparkSession, sf_dir: str,
                                              "lineitem", "events", "documents",
                                              "embeddings")) -> Dict[str, DataFrame]:
     return {n: read_parquet(spark, f"{sf_dir}/{n}.parquet") for n in names}
+
+
+# ---------------------------------------------------------------------------
+# cloud sources (parity: sources/cloud.rs:61,266,450)
+# ---------------------------------------------------------------------------
+
+def configure_s3(spark: SparkSession, access_key: Optional[str] = None,
+                 secret_key: Optional[str] = None,
+                 session_token: Optional[str] = None,
+                 endpoint: Optional[str] = None,
+                 region: Optional[str] = None) -> SparkSession:
+    """Hadoop-S3A credentials/endpoint conf; with no keys, falls back to
+    the default provider chain (IAM role / env) like the reference's
+    object_store auth modes. Read with ``read_parquet(spark,
+    "s3a://bucket/path")`` afterwards."""
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    if access_key and secret_key:
+        conf.set("fs.s3a.access.key", access_key)
+        conf.set("fs.s3a.secret.key", secret_key)
+        if session_token:
+            conf.set("fs.s3a.session.token", session_token)
+            conf.set("fs.s3a.aws.credentials.provider",
+                     "org.apache.hadoop.fs.s3a.TemporaryAWSCredentialsProvider")
+    if endpoint:
+        conf.set("fs.s3a.endpoint", endpoint)
+    if region:
+        conf.set("fs.s3a.endpoint.region", region)
+    return spark
+
+
+def configure_gcs(spark: SparkSession,
+                  service_account_json: Optional[str] = None) -> SparkSession:
+    """GCS connector conf; default = application-default credentials
+    (the reference's ADC mode, cloud.rs:266)."""
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    conf.set("fs.gs.impl", "com.google.cloud.hadoop.fs.gcs.GoogleHadoopFileSystem")
+    if service_account_json:
+        conf.set("google.cloud.auth.service.account.enable", "true")
+        conf.set("google.cloud.auth.service.account.json.keyfile",
+                 service_account_json)
+    return spark
+
+
+def configure_azure(spark: SparkSession, account: str,
+                    access_key: Optional[str] = None) -> SparkSession:
+    """ABFS conf for ``abfss://container@account.dfs.core.windows.net/…``
+    (cloud.rs:450)."""
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    if access_key:
+        conf.set(f"fs.azure.account.key.{account}.dfs.core.windows.net",
+                 access_key)
+    return spark

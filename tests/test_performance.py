@@ -1,0 +1,69 @@
+"""Performance regression budgets, mirroring the reference's
+performance_regression_test.rs (env-multiplier-adjusted budgets at
+:59; 10k-row suite <300ms native; scaling <15× for 10× data at
+:235-271). Spark adds a fixed per-job floor, so absolute budgets are
+Spark-adjusted; the SCALING budget is the architecture-sensitive one —
+a per-constraint-per-job engine would blow it immediately.
+
+Set TERM_SPARK_PERF_MULTIPLIER to loosen budgets on slow/shared boxes.
+"""
+
+import os
+import time
+
+import pytest
+
+from term_spark import Assertion, Check, Level, ValidationSuite
+
+MULT = float(os.environ.get("TERM_SPARK_PERF_MULTIPLIER", "3.0"))
+
+
+def _suite():
+    return (ValidationSuite.builder("perf").with_check(
+        Check("c", Level.ERROR)
+        .has_size(Assertion.gt(0))
+        .is_complete("l_orderkey").is_complete("l_quantity")
+        .has_min("l_quantity", Assertion.ge(1))
+        .has_max("l_quantity", Assertion.le(50))
+        .has_mean("l_quantity", Assertion.between(20, 30))
+        .has_standard_deviation("l_quantity", Assertion.gt(0))
+        .value_range("l_discount", 0.0, 0.1)
+        .is_contained_in("l_returnflag", ["R", "A", "N"])
+        .satisfies("l_extendedprice >= 0", 1.0)
+        .uniqueness(["l_orderkey", "l_linenumber"], 0.5)
+        .has_approx_quantile("l_quantity", 0.5, Assertion.between(20, 30))
+        .has_correlation("l_quantity", "l_extendedprice", Assertion.between(-1, 1))))
+
+
+def _run_timed(spark, df):
+    suite = _suite()
+    suite.run(spark, df)  # warm
+    t0 = time.perf_counter()
+    result = suite.run(spark, df)
+    return time.perf_counter() - t0, result
+
+
+def test_suite_stays_fused(spark, tpch):
+    """The job-count budget IS the performance contract: 13 constraints
+    → ≤2 Spark jobs regardless of constraint count."""
+    _, result = _run_timed(spark, tpch["lineitem"])
+    assert result.report.num_spark_jobs <= 2
+
+
+def test_absolute_budget_small(spark, tpch):
+    dt, result = _run_timed(spark, tpch["lineitem"])  # sf0.001: 6k rows
+    assert result.passed
+    assert dt < 5.0 * MULT, f"suite took {dt:.2f}s on 6k rows"
+
+
+def test_scaling_budget(spark, tpch):
+    """6k → 60k rows (10×) must grow far sub-linearly (reference
+    budget: <15× for 10×; fused Spark should be near-flat)."""
+    from term_spark.sources import read_parquet
+
+    small = tpch["lineitem"]
+    big = read_parquet(spark, "/root/testdata/sf0.01/lineitem.parquet")
+    t_small, _ = _run_timed(spark, small)
+    t_big, _ = _run_timed(spark, big)
+    assert t_big < max(t_small * 15.0, 2.0 * MULT), \
+        f"10x data: {t_small:.2f}s -> {t_big:.2f}s"

@@ -1,0 +1,76 @@
+"""Mergeable quantile sketch + grouped analyzer runner + cloud conf."""
+
+import pytest
+
+from term_spark.analyzers.base import CompletenessAnalyzer, MeanAnalyzer
+from term_spark.analyzers.grouped import GroupedAnalysisRunner
+from term_spark.analyzers.quantile_sketch import QuantileSketchAnalyzer
+from term_spark.operators.grouped import GroupingConfig
+
+
+def test_quantile_sketch_single(spark):
+    df = spark.createDataFrame([(float(i),) for i in range(1, 1001)], "x double")
+    an = QuantileSketchAnalyzer("x", k=100)
+    m = an.compute(df)
+    assert m.value == pytest.approx(500, rel=0.05)
+
+
+def test_quantile_sketch_merge_law(spark):
+    """Merged per-partition sketches ≈ global sketch (the KLL merge
+    guarantee the reference tests, kll_sketch.rs merge support)."""
+    df = spark.createDataFrame([(float(i),) for i in range(1, 2001)], "x double")
+    an = QuantileSketchAnalyzer("x", k=200)
+    parts = [df.filter(f"x > {lo} and x <= {lo + 500}") for lo in (0, 500, 1000, 1500)]
+    states = []
+    for p in parts:
+        row = p.agg(*[c.alias(a) for a, c in an.state_exprs().items()]).collect()[0]
+        states.append(an.state_from_row(row.asDict()))
+    merged = an.merge_states(states)
+    assert merged["n"] == 2000
+    assert merged["mn"] == 1.0 and merged["mx"] == 2000.0
+    for q, expected in ((0.1, 200), (0.5, 1000), (0.9, 1800)):
+        got = an.quantile_from_state(merged, q)
+        assert got == pytest.approx(expected, rel=0.05), q
+
+
+def test_quantile_sketch_skewed_partitions(spark):
+    """Unequal partition sizes must be weighted correctly in the merge."""
+    df = spark.createDataFrame([(float(i),) for i in range(1, 1001)], "x double")
+    an = QuantileSketchAnalyzer("x", k=100)
+    small = df.filter("x <= 50")      # 5% of mass
+    big = df.filter("x > 50")         # 95% of mass
+    states = []
+    for p in (small, big):
+        row = p.agg(*[c.alias(a) for a, c in an.state_exprs().items()]).collect()[0]
+        states.append(an.state_from_row(row.asDict()))
+    merged = an.merge_states(states)
+    assert an.quantile_from_state(merged, 0.5) == pytest.approx(500, rel=0.07)
+
+
+def test_grouped_analysis_runner(spark):
+    rows = ([("a", 1.0, "x")] * 8 + [("a", None, "x")] * 2 +
+            [("b", 5.0, "y")] * 5)
+    df = spark.createDataFrame(rows, "g string, v double, s string")
+    out = (GroupedAnalysisRunner("g")
+           .add(CompletenessAnalyzer("v"))
+           .add(MeanAnalyzer("v"))
+           .run(df))
+    assert out[("a",)]["completeness.v"].value == pytest.approx(0.8)
+    assert out[("a",)]["mean.v"].value == pytest.approx(1.0)
+    assert out[("b",)]["completeness.v"].value == 1.0
+    assert out[("b",)]["mean.v"].value == pytest.approx(5.0)
+
+
+def test_grouped_overflow_strategies(spark):
+    rows = [(f"g{i}", float(i)) for i in range(20) for _ in range(i + 1)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    cfg = GroupingConfig(max_groups=5, overflow="top_k")
+    out = GroupedAnalysisRunner("g", cfg).add(MeanAnalyzer("v")).run(df)
+    assert len(out) == 5
+    assert ("g19",) in out  # biggest groups kept
+    cfg = GroupingConfig(max_groups=5, overflow="bottom_k")
+    out = GroupedAnalysisRunner("g", cfg).add(MeanAnalyzer("v")).run(df)
+    assert ("g0",) in out
+    with pytest.raises(ValueError):
+        GroupedAnalysisRunner("g", GroupingConfig(max_groups=5, overflow="fail")) \
+            .add(MeanAnalyzer("v")).run(df)
