@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import time
 from collections import defaultdict
+from concurrent.futures import ThreadPoolExecutor
 from typing import TYPE_CHECKING, Dict, List, Mapping, Tuple
 
 import pyspark.sql.functions as F
@@ -34,6 +35,12 @@ if TYPE_CHECKING:  # pragma: no cover
     from ..core.suite import ValidationSuite
 
 SIZE_ALIAS = "__size"
+
+#: concurrent Spark actions per suite run. Spark's scheduler is
+#: thread-safe; independent jobs (different tables' fused aggs, join
+#: constraints) overlap instead of queueing — the reference runs
+#: everything sequentially (suite.rs:84).
+MAX_CONCURRENT_JOBS = 4
 
 
 class SuiteRunner:
@@ -52,7 +59,13 @@ class SuiteRunner:
                 table = con.table or check.table or suite.default_table
                 df = ctx.df(table)
                 try:
-                    exprs = con.scalar_metrics(df)
+                    # expressions are column-name-based (df-independent);
+                    # cache per constraint so repeat runs of one suite
+                    # skip the py4j expression rebuild
+                    exprs = con.__dict__.get("_scalar_exprs_cache")
+                    if exprs is None:
+                        exprs = con.scalar_metrics(df)
+                        con.__dict__["_scalar_exprs_cache"] = exprs
                 except Exception as exc:  # bad column etc. — record, continue
                     report.outcomes.append(ConstraintOutcome(
                         check.name, check.level,
@@ -63,57 +76,65 @@ class SuiteRunner:
                 else:
                     own_job.append((check, con))
 
-        # ---- phase 1: fused agg(s) per table --------------------------
+        # ---- build independent job thunks -----------------------------
+        fused_jobs = {}   # table -> (pairs, [agg DataFrames])
         for table, pairs in scalar.items():
             df = ctx.df(table)
             merged: Dict[str, "F.Column"] = {SIZE_ALIAS: F.count(F.lit(1))}
             for _, _, exprs in pairs:
                 for alias, col in exprs.items():
                     merged.setdefault(alias, col)  # dedup by alias
-            try:
-                metrics = self._run_fused(df, merged, report)
-            except Exception:
-                # one constraint's expression failed analysis (e.g. a bad
-                # column in a satisfies predicate) — fall back to
-                # per-constraint evaluation so the error is attributed to
-                # the offender and the rest still run fused-per-constraint.
-                metrics = None
-            if metrics is None:
-                for check, con, exprs in pairs:
-                    try:
-                        row = df.agg(F.count(F.lit(1)).alias(SIZE_ALIAS),
-                                     *[c.alias(a) for a, c in exprs.items()]
-                                     ).collect()[0]
-                        report.num_spark_jobs += 1
-                        if (row[SIZE_ALIAS] or 0) == 0:
-                            res = con._finish(ConstraintResult.skipped())
-                        else:
-                            res = con._finish(con.result_from_metrics(row.asDict()))
-                    except Exception as exc:
-                        res = con._finish(ConstraintResult.error(str(exc)))
-                    self._record(report, check, con, res)
-                continue
-            empty = (metrics[SIZE_ALIAS] or 0) == 0
-            for check, con, _ in pairs:
-                if empty:
-                    res = con._finish(ConstraintResult.skipped())
-                else:
-                    try:
-                        res = con._finish(con.result_from_metrics(metrics))
-                    except Exception as exc:
-                        res = con._finish(ConstraintResult.error(str(exc)))
-                self._record(report, check, con, res)
+            fused_jobs[table] = (pairs, self._fusion_groups(merged))
 
-        # ---- phase 2: groupBy/join/window-shaped constraints ---------
-        for check, con in own_job:
+        def run_group(table, group):
+            df = ctx.df(table)
+            return df.agg(*[c.alias(a) for a, c in group.items()]).collect()[0]
+
+        def run_own(check, con):
             table = con.table or check.table or suite.default_table
             sub_ctx = EngineContext(spark, tables, table)
-            try:
-                res = con.evaluate(sub_ctx)
-            except Exception as exc:
-                res = con._finish(ConstraintResult.error(str(exc)))
-            report.num_spark_jobs += 1
-            self._record(report, check, con, res)
+            return con.evaluate(sub_ctx)
+
+        # ---- execute concurrently, record deterministically -----------
+        with ThreadPoolExecutor(max_workers=MAX_CONCURRENT_JOBS) as pool:
+            group_futures = {
+                (t, i): pool.submit(run_group, t, group)
+                for t, (_, groups) in fused_jobs.items()
+                for i, group in enumerate(groups)}
+            own_futures = [(check, con, pool.submit(run_own, check, con))
+                           for check, con in own_job]
+
+            for table, (pairs, groups) in fused_jobs.items():
+                try:
+                    metrics: Dict[str, object] = {}
+                    for i in range(len(groups)):
+                        metrics.update(group_futures[(table, i)].result().asDict())
+                        report.num_spark_jobs += 1
+                except Exception:
+                    # one constraint's expression failed analysis (e.g. a
+                    # bad column in a satisfies predicate) — fall back to
+                    # per-constraint evaluation so the error is attributed
+                    # to the offender and the rest still run.
+                    self._per_constraint_fallback(ctx.df(table), pairs, report)
+                    continue
+                empty = (metrics[SIZE_ALIAS] or 0) == 0
+                for check, con, _ in pairs:
+                    if empty:
+                        res = con._finish(ConstraintResult.skipped())
+                    else:
+                        try:
+                            res = con._finish(con.result_from_metrics(metrics))
+                        except Exception as exc:
+                            res = con._finish(ConstraintResult.error(str(exc)))
+                    self._record(report, check, con, res)
+
+            for check, con, fut in own_futures:
+                try:
+                    res = fut.result()
+                except Exception as exc:
+                    res = con._finish(ConstraintResult.error(str(exc)))
+                report.num_spark_jobs += 1
+                self._record(report, check, con, res)
 
         report.duration_sec = time.perf_counter() - t0
         return ValidationResult.from_report(report)
@@ -127,9 +148,8 @@ class SuiteRunner:
     # fuse into at most TWO jobs: {plain + distinct} and {sketches}.
     # Classification comes from the alias tag (metric_alias tag=):
     # 'md_' = distinct, 'mk_' = sketch, 'ms_' = plain.
-    @classmethod
-    def _run_fused(cls, df: "DataFrame", merged: Dict[str, "F.Column"],
-                   report: ValidationReport) -> Dict[str, object]:
+    @staticmethod
+    def _fusion_groups(merged: Dict[str, "F.Column"]) -> List[Dict[str, "F.Column"]]:
         has_distinct = any(a.startswith("md_") for a in merged)
         plain: Dict[str, "F.Column"] = {}
         sketch: Dict[str, "F.Column"] = {}
@@ -138,14 +158,23 @@ class SuiteRunner:
                 sketch[alias] = col
             else:
                 plain[alias] = col
-        metrics: Dict[str, object] = {}
-        for group in (plain, sketch):
-            if not group:
-                continue
-            row = df.agg(*[c.alias(a) for a, c in group.items()]).collect()[0]
-            report.num_spark_jobs += 1
-            metrics.update(row.asDict())
-        return metrics
+        return [g for g in (plain, sketch) if g]
+
+    def _per_constraint_fallback(self, df: "DataFrame", pairs,
+                                 report: ValidationReport) -> None:
+        for check, con, exprs in pairs:
+            try:
+                row = df.agg(F.count(F.lit(1)).alias(SIZE_ALIAS),
+                             *[c.alias(a) for a, c in exprs.items()]
+                             ).collect()[0]
+                report.num_spark_jobs += 1
+                if (row[SIZE_ALIAS] or 0) == 0:
+                    res = con._finish(ConstraintResult.skipped())
+                else:
+                    res = con._finish(con.result_from_metrics(row.asDict()))
+            except Exception as exc:
+                res = con._finish(ConstraintResult.error(str(exc)))
+            self._record(report, check, con, res)
 
     def explain(self, suite, spark, tables, mode: str = "formatted") -> str:
         """Render the fused-aggregation physical plan(s) per table."""
