@@ -43,16 +43,31 @@ from .logical import LogicalOperator
 
 class Check:
     def __init__(self, name: str, level: Level = DEFAULT_LEVEL,
-                 table: Optional[str] = None, description: str = ""):
+                 table: Optional[str] = None, description: str = "",
+                 where: Optional[str] = None):
+        from ..functions.security import validate_sql_expression
+
         self.name = name
         self.level = level
         self.table = table  # None → suite default table
         self.description = description
+        # row-scope filter: constraints validate only matching rows; the
+        # executor fuses per (table, where) pair — the reference
+        # optimizer's grouping key (optimizer/combiner.rs:34-143,
+        # predicate pushdown at optimizer/executor.rs:195-232). Catalyst
+        # pushes the filter into the scan.
+        self.where = validate_sql_expression(where) if where else None
         self.constraints: List[Constraint] = []
 
     # ---- generic ----------------------------------------------------
     def with_constraint(self, constraint: Constraint) -> "Check":
         self.constraints.append(constraint)
+        return self
+
+    def where_rows(self, predicate: str) -> "Check":
+        from ..functions.security import validate_sql_expression
+
+        self.where = validate_sql_expression(predicate)
         return self
 
     def build(self) -> "Check":  # fluent terminator, parity with check.rs:2305

@@ -57,6 +57,21 @@ class ValidationSuite:
 
         return SuiteRunner().explain(self, spark, self._tables(data), mode)
 
+    def run_and_store(self, spark: "SparkSession", data, repository,
+                      timestamp: float = None, **tags) -> ValidationResult:
+        """Run, then persist numeric metrics to a MetricsRepository
+        keyed by ResultKey(timestamp, tags) — the repository+anomaly
+        workflow in one call."""
+        from ..analyzers.base import MetricValue
+        from ..repository import ResultKey
+
+        result = self.run(spark, data)
+        repository.save(
+            ResultKey.of(timestamp, suite=self.name, **tags),
+            {k: MetricValue.double(v) for k, v in result.metrics.items()
+             if isinstance(v, (int, float))})
+        return result
+
     def _tables(self, data) -> Mapping[str, "DataFrame"]:
         if hasattr(data, "sparkSession"):  # a bare DataFrame
             return {self.default_table: data}

@@ -105,6 +105,7 @@ class JoinCoverageConstraint(Constraint):
         self.max_violations = max_violations
         self.column = f"{left_column}~{right_column}"
         self.table = left_table
+        self.violation_examples: List = []
 
     @staticmethod
     def _match_rate(src, src_col: str, dst, dst_col: str) -> Tuple[float, int]:
@@ -131,12 +132,23 @@ class JoinCoverageConstraint(Constraint):
             return self._finish(ConstraintResult.skipped())
         if self.assertion.evaluate(rate):
             return self._finish(ConstraintResult.success(rate))
+        # bounded unmatched-key examples (join_coverage.rs:311-321)
+        src, src_col, dst, dst_col = (
+            (left, self.left_column, right, self.right_column)
+            if self.direction != "right"
+            else (right, self.right_column, left, self.left_column))
+        self.violation_examples = [
+            r[src_col] for r in src.select(src_col).join(
+                dst.select(dst_col).distinct(),
+                F.col(src_col) == F.col(dst_col), "left_anti")
+            .distinct().limit(self.max_violations).collect()]
         return self._finish(ConstraintResult.failure(
             rate,
             f"join coverage ({self.direction}) {rate:.3f} between "
             f"{self.left_table}.{self.left_column} and "
             f"{self.right_table}.{self.right_column} does not satisfy "
-            f"{self.assertion.describe()}"))
+            f"{self.assertion.describe()}; unmatched examples: "
+            f"{self.violation_examples[:10]}"))
 
 
 class CrossTableSumConstraint(Constraint):

@@ -153,3 +153,62 @@ def ivf_topk(df: DataFrame, queries: DataFrame, k: int = 5, n_centroids: int = 1
     return (scored.withColumn("rank", F.row_number().over(wk))
             .filter(F.col("rank") <= k)
             .select("query_id", "nbr_id", F.round("cosine", 6).alias("cosine"), "rank"))
+
+
+def cosine_topk_pandas(df: DataFrame, queries: DataFrame, k: int = 5,
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       query_id_col: str = "query_id",
+                       query_vec_col: str = "query_vec") -> DataFrame:
+    """Arrow-vectorized brute-force top-k: the query matrix (small by
+    construction) ships to every executor; each Arrow batch of corpus
+    vectors scores against ALL queries with one numpy matmul, emitting
+    per-batch top-k candidates; a final small groupBy reduces
+    per-batch candidates to global top-k per query.
+
+    This is the scale shape for wide embeddings (d ≫ 64): one
+    O(batch×d×Q) GEMM per batch instead of per-row array folds, and
+    only batches×Q×k candidate rows shuffle.
+    """
+    import numpy as np
+    from pyspark.sql import Window
+    from pyspark.sql.types import (DoubleType, LongType, StructField,
+                                   StructType)
+
+    q_rows = queries.select(query_id_col, query_vec_col).collect()
+    q_ids = np.array([r[query_id_col] for r in q_rows])
+    q_mat = np.array([list(r[query_vec_col]) for r in q_rows], dtype=np.float64)
+    q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    sc = df.sparkSession.sparkContext
+    bq = sc.broadcast((q_ids, q_norm))
+
+    out_schema = StructType([
+        StructField("query_id", LongType()),
+        StructField("nbr_id", LongType()),
+        StructField("cosine", DoubleType()),
+    ])
+
+    def score(batches):
+        import pandas as pd
+        ids, qn = bq.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            c_mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            c_norm = c_mat / np.linalg.norm(c_mat, axis=1, keepdims=True)
+            sims = qn @ c_norm.T                      # Q × batch
+            nbr = pdf[id_col].to_numpy()
+            take = min(k, sims.shape[1])
+            idx = np.argpartition(-sims, take - 1, axis=1)[:, :take]
+            rows = {
+                "query_id": np.repeat(ids, take),
+                "nbr_id": nbr[idx].ravel(),
+                "cosine": np.take_along_axis(sims, idx, axis=1).ravel(),
+            }
+            yield pd.DataFrame(rows)
+
+    candidates = df.select(id_col, vec_col).mapInPandas(score, out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))
+    return (candidates.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "nbr_id", F.round("cosine", 6).alias("cosine"),
+                    "rank"))

@@ -51,13 +51,19 @@ class SuiteRunner:
         t0 = time.perf_counter()
 
         # ---- partition constraints by execution shape ---------------
-        # scalar: table -> [(check, constraint, exprs)]
-        scalar: Dict[str, List[Tuple]] = defaultdict(list)
+        # scalar: (table, where) -> [(check, constraint, exprs)] — the
+        # fusion key is the (table, filter) pair (SURVEY §7.1)
+        scalar: Dict[Tuple, List[Tuple]] = defaultdict(list)
         own_job: List[Tuple[object, Constraint]] = []
+
+        def scoped_df(table, where):
+            df = ctx.df(table)
+            return df.filter(where) if where else df
+
         for check in suite.checks:
             for con in check.constraints:
                 table = con.table or check.table or suite.default_table
-                df = ctx.df(table)
+                df = scoped_df(table, check.where)
                 try:
                     # expressions are column-name-based (df-independent);
                     # cache per constraint so repeat runs of one suite
@@ -72,50 +78,52 @@ class SuiteRunner:
                         con._finish(ConstraintResult.error(str(exc)))))
                     continue
                 if exprs:
-                    scalar[table].append((check, con, exprs))
+                    scalar[(table, check.where)].append((check, con, exprs))
                 else:
                     own_job.append((check, con))
 
         # ---- build independent job thunks -----------------------------
-        fused_jobs = {}   # table -> (pairs, [agg DataFrames])
-        for table, pairs in scalar.items():
-            df = ctx.df(table)
+        fused_jobs = {}   # (table, where) -> (pairs, fusion groups)
+        for key, pairs in scalar.items():
             merged: Dict[str, "F.Column"] = {SIZE_ALIAS: F.count(F.lit(1))}
             for _, _, exprs in pairs:
                 for alias, col in exprs.items():
                     merged.setdefault(alias, col)  # dedup by alias
-            fused_jobs[table] = (pairs, self._fusion_groups(merged))
+            fused_jobs[key] = (pairs, self._fusion_groups(merged))
 
-        def run_group(table, group):
-            df = ctx.df(table)
+        def run_group(key, group):
+            df = scoped_df(*key)
             return df.agg(*[c.alias(a) for a, c in group.items()]).collect()[0]
 
         def run_own(check, con):
             table = con.table or check.table or suite.default_table
-            sub_ctx = EngineContext(spark, tables, table)
+            tbls = dict(tables)
+            if check.where:  # row scope applies to the check's own table
+                tbls[table] = scoped_df(table, check.where)
+            sub_ctx = EngineContext(spark, tbls, table)
             return con.evaluate(sub_ctx)
 
         # ---- execute concurrently, record deterministically -----------
         with ThreadPoolExecutor(max_workers=MAX_CONCURRENT_JOBS) as pool:
             group_futures = {
-                (t, i): pool.submit(run_group, t, group)
-                for t, (_, groups) in fused_jobs.items()
+                (key, i): pool.submit(run_group, key, group)
+                for key, (_, groups) in fused_jobs.items()
                 for i, group in enumerate(groups)}
             own_futures = [(check, con, pool.submit(run_own, check, con))
                            for check, con in own_job]
 
-            for table, (pairs, groups) in fused_jobs.items():
+            for key, (pairs, groups) in fused_jobs.items():
                 try:
                     metrics: Dict[str, object] = {}
                     for i in range(len(groups)):
-                        metrics.update(group_futures[(table, i)].result().asDict())
+                        metrics.update(group_futures[(key, i)].result().asDict())
                         report.num_spark_jobs += 1
                 except Exception:
                     # one constraint's expression failed analysis (e.g. a
                     # bad column in a satisfies predicate) — fall back to
                     # per-constraint evaluation so the error is attributed
                     # to the offender and the rest still run.
-                    self._per_constraint_fallback(ctx.df(table), pairs, report)
+                    self._per_constraint_fallback(scoped_df(*key), pairs, report)
                     continue
                 empty = (metrics[SIZE_ALIAS] or 0) == 0
                 for check, con, _ in pairs:
@@ -182,7 +190,7 @@ class SuiteRunner:
         import io
 
         ctx = EngineContext(spark, tables, suite.default_table)
-        merged_by_table: Dict[str, Dict[str, "F.Column"]] = defaultdict(dict)
+        merged_by_table: Dict[Tuple, Dict[str, "F.Column"]] = defaultdict(dict)
         for check in suite.checks:
             for con in check.constraints:
                 table = con.table or check.table or suite.default_table
@@ -190,9 +198,9 @@ class SuiteRunner:
                     exprs = con.scalar_metrics(ctx.df(table))
                 except Exception:
                     continue
-                merged_by_table[table].update(exprs)
+                merged_by_table[(table, check.where)].update(exprs)
         out = []
-        for table, merged in merged_by_table.items():
+        for (table, where), merged in merged_by_table.items():
             has_distinct = any(a.startswith("md_") for a in merged)
             groups = {"scalar+distinct": {a: c for a, c in merged.items()
                                           if not (has_distinct and a.startswith("mk_"))},
@@ -201,12 +209,16 @@ class SuiteRunner:
             for label, group in groups.items():
                 if not group:
                     continue
-                df = ctx.df(table).agg(*[c.alias(a) for a, c in group.items()])
+                base = ctx.df(table)
+                if where:
+                    base = base.filter(where)
+                df = base.agg(*[c.alias(a) for a, c in group.items()])
                 buf = io.StringIO()
                 with contextlib.redirect_stdout(buf):
                     df.explain(mode)
-                out.append(f"== table: {table} [{label}, {len(group)} metrics] ==\n"
-                           + buf.getvalue())
+                scope = f", where {where}" if where else ""
+                out.append(f"== table: {table} [{label}, {len(group)} metrics"
+                           f"{scope}] ==\n" + buf.getvalue())
         return "\n".join(out)
 
     @staticmethod

@@ -1,0 +1,85 @@
+"""Skew-handling utilities: key salting for hot-key aggregations and
+joins.
+
+At 100 TB a single hot key (one giant customer, one viral document)
+serializes an entire shuffle partition. AQE's skew-join handling
+(enabled in session.py) covers sort-merge joins; these helpers cover
+the cases AQE doesn't: hash aggregations with hot group keys and
+broadcast-infeasible hot-key joins.
+
+- salted_group_count / salted_agg: two-stage aggregation through a
+  random salt — stage 1 aggregates (key, salt) partials, stage 2
+  merges partials per key. Works for any commutative-monoid aggregate
+  (the same state algebra as analyzers/base.py).
+- salted_join: replicate the small side per salt, salt the hot side;
+  equi-join on (key, salt) spreads one hot key over ``salts``
+  partitions.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+SALT_COL = "__salt"
+
+
+def with_salt(df: DataFrame, salts: int) -> DataFrame:
+    """Uniform random salt in [0, salts) — used for aggregation salting
+    where any distribution works (monoid merge fixes it up)."""
+    return df.withColumn(SALT_COL, (F.rand(seed=42) * salts).cast("int"))
+
+
+def salted_group_count(df: DataFrame, key_cols: List[str], salts: int = 16,
+                       count_alias: str = "cnt") -> DataFrame:
+    """groupBy(key).count() resistant to hot keys: partial counts per
+    (key, salt), then merge per key. Two small shuffles instead of one
+    skewed one."""
+    partial = (with_salt(df, salts)
+               .groupBy(*key_cols, SALT_COL)
+               .agg(F.count(F.lit(1)).alias("__partial")))
+    return (partial.groupBy(*key_cols)
+            .agg(F.sum("__partial").alias(count_alias)))
+
+
+def salted_agg(df: DataFrame, key_cols: List[str],
+               partial_exprs: Dict[str, "F.Column"],
+               merge_exprs: Dict[str, "F.Column"],
+               salts: int = 16) -> DataFrame:
+    """General two-stage salted aggregation.
+
+    ``partial_exprs``: alias -> aggregate over raw rows (stage 1,
+    per (key, salt)); ``merge_exprs``: alias -> aggregate over the
+    stage-1 partial columns (stage 2, per key). Example — mean:
+      partial: {"s": F.sum("x"), "c": F.count("x")}
+      merge:   {"s": F.sum("s"), "c": F.sum("c")}
+    then mean = s/c.
+    """
+    partial = (with_salt(df, salts)
+               .groupBy(*key_cols, SALT_COL)
+               .agg(*[c.alias(a) for a, c in partial_exprs.items()]))
+    return (partial.groupBy(*key_cols)
+            .agg(*[c.alias(a) for a, c in merge_exprs.items()]))
+
+
+def salted_join(big: DataFrame, small: DataFrame, big_key: str,
+                small_key: str, salts: int = 8,
+                how: str = "inner") -> DataFrame:
+    """Join a skewed big side with a modest small side without
+    broadcasting: salt the big side's key, replicate each small-side
+    row ``salts`` times, join on (key, salt).
+
+    Small side grows ×salts — use when it's too big to broadcast but
+    far smaller than the big side.
+    """
+    big_salted = big.withColumn(SALT_COL, (F.rand(seed=42) * salts).cast("int"))
+    small_replicated = (small
+                        .withColumn(SALT_COL,
+                                    F.explode(F.array(*[F.lit(i)
+                                                        for i in range(salts)]))))
+    cond = (big_salted[big_key] == small_replicated[small_key]) & \
+           (big_salted[SALT_COL] == small_replicated[SALT_COL])
+    return (big_salted.join(small_replicated, cond, how)
+            .drop(small_replicated[SALT_COL]).drop(big_salted[SALT_COL]))

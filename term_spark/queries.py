@@ -763,3 +763,59 @@ ORACLES.update({
     "profile_customer": SQL_PROFILE_CUSTOMER,
     # approx_distinct_orderkey intentionally has no oracle (approx).
 })
+
+
+def q_grouped_stats_mktsegment(spark, sf_dir) -> DataFrame:
+    """Grouped statistics (grouped analyzer shape): per-segment counts
+    and exact decimal means of customer balance."""
+    (c,) = _t(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal").cast("decimal(25,4)")
+    return (c.groupBy("c_mktsegment")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum(bal).cast("double").alias("sum_bal"),
+                  r6(F.sum(bal).cast("double") / F.count(F.lit(1))).alias("avg_bal"),
+                  r6(F.min("c_acctbal")).alias("min_bal"),
+                  r6(F.max("c_acctbal")).alias("max_bal"))
+             .orderBy("c_mktsegment"))
+
+
+SQL_GROUPED_STATS_MKTSEGMENT = """
+SELECT c_mktsegment,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(25,4))) AS DOUBLE) AS sum_bal,
+       ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(25,4))) AS DOUBLE) / COUNT(*), 6)
+           AS avg_bal,
+       ROUND(MIN(c_acctbal), 6) AS min_bal,
+       ROUND(MAX(c_acctbal), 6) AS max_bal
+FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+def q_rollup_pricing(spark, sf_dir) -> DataFrame:
+    """ROLLUP aggregation (SURVEY 2.4 'free via df.rollup'): subtotals
+    per returnflag and grand total, NULL-labeled like ANSI ROLLUP."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return (li.rollup("l_returnflag", "l_linestatus")
+              .agg(F.sum("l_quantity").alias("sum_qty"),
+                   F.count(F.lit(1)).alias("n"))
+              .orderBy(F.asc_nulls_first("l_returnflag"),
+                       F.asc_nulls_first("l_linestatus")))
+
+
+SQL_ROLLUP_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       SUM(l_quantity) AS sum_qty, COUNT(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+"""
+
+
+QUERIES.update({
+    "grouped_stats_mktsegment": q_grouped_stats_mktsegment,
+    "rollup_pricing": q_rollup_pricing,
+})
+ORACLES.update({
+    "grouped_stats_mktsegment": SQL_GROUPED_STATS_MKTSEGMENT,
+    "rollup_pricing": SQL_ROLLUP_PRICING,
+})

@@ -176,3 +176,15 @@ def test_multimodal_resize_stub_raises(spark):
     media = M.synthetic_media(spark, n=2)
     with pytest.raises(Exception):  # NotImplementedError inside executor
         M.resize_images(media, 32, 32).collect()
+
+
+def test_cosine_topk_pandas_matches_exact(spark, tpch):
+    """Arrow-vectorized GEMM path must equal the JVM fold path."""
+    emb = tpch["embeddings"]
+    queries = (emb.filter("vec_id < 3")
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("query_vec")))
+    corpus = emb.filter("vec_id >= 3")
+    exact = S.cosine_topk(corpus, queries, k=4).collect()
+    fast = S.cosine_topk_pandas(corpus, queries, k=4).collect()
+    assert sorted(map(tuple, exact)) == sorted(map(tuple, fast))

@@ -1,0 +1,125 @@
+"""Physical-plan quality gates: the properties that make this engine
+hold at 100 TB, asserted from `.explain` output so regressions are
+caught — column pruning reaching the parquet scan, whole-stage codegen
+on the fused agg, broadcast joins for dimension-sized parents, no
+Expand+sort degenerate plans, salting utilities.
+"""
+
+import contextlib
+import io
+
+import pytest
+
+import pyspark.sql.functions as F
+from term_spark import Assertion, Check, Level, ValidationSuite
+
+
+def plan_of(df, mode="formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_fused_agg_prunes_columns(spark, tpch):
+    """A 3-constraint suite touching 2 columns must scan ONLY those
+    columns (ReadSchema pruning through to the parquet scan)."""
+    suite = (ValidationSuite.builder("prune")
+             .with_check(Check("c", Level.ERROR)
+                         .is_complete("l_quantity")
+                         .has_min("l_discount", Assertion.ge(0))))
+    text = suite.explain(spark, tpch["lineitem"])
+    assert "ReadSchema" in text
+    read_schema = [ln for ln in text.splitlines() if "ReadSchema" in ln][0]
+    assert "l_quantity" in read_schema and "l_discount" in read_schema
+    for other in ("l_comment", "l_extendedprice", "l_orderkey", "l_shipdate"):
+        assert other not in read_schema, f"unpruned column {other}"
+
+
+def test_fused_agg_uses_whole_stage_codegen(spark, tpch):
+    # AQE's pre-execution formatted plan hides codegen stage markers;
+    # disable it for the introspection so `*(n)` codegen stars show.
+    suite = (ValidationSuite.builder("codegen")
+             .with_check(Check("c", Level.ERROR)
+                         .is_complete("l_quantity")
+                         .has_mean("l_quantity", Assertion.between(0, 100))
+                         .satisfies("l_discount >= 0", 1.0)))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        text = suite.explain(spark, tpch["lineitem"], mode="simple")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert "*(" in text, text  # whole-stage-codegen stage markers
+
+
+def test_no_expand_in_fused_groups(spark, tpch):
+    """The fusion policy must keep sketch aggregates out of the
+    DISTINCT group — neither plan may contain Expand+Sort aggregation
+    with ObjectHashAggregate fallback."""
+    check = (Check("c", Level.ERROR)
+             .uniqueness(["l_orderkey", "l_linenumber"], 0.5)
+             .has_approx_quantile("l_quantity", 0.5, Assertion.between(0, 100))
+             .has_approx_count_distinct("l_orderkey", Assertion.gt(1)))
+    suite = ValidationSuite.builder("split").with_check(check)
+    text = suite.explain(spark, tpch["lineitem"])
+    sections = text.split("== table:")
+    for sec in sections:
+        if "sketch" in sec.split("]")[0]:
+            assert "Expand" not in sec, "sketch group polluted by distinct Expand"
+
+
+def test_fk_join_broadcasts_dimension(spark, tpch):
+    """The anti-join against a dimension-sized parent must be a
+    broadcast join, not a shuffle join."""
+    parent = tpch["customer"].select("c_custkey").distinct()
+    child = tpch["orders"].select("o_custkey")
+    plan = plan_of(child.join(parent, child["o_custkey"] == parent["c_custkey"],
+                              "left_anti"))
+    assert "Broadcast" in plan, plan
+
+
+def test_salted_group_count_matches_plain(spark, tpch):
+    from term_spark.plans.skew import salted_group_count
+
+    plain = {tuple(r)[:-1]: r["cnt"] for r in
+             tpch["orders"].groupBy("o_orderstatus")
+             .agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    salted = {tuple(r)[:-1]: r["cnt"] for r in
+              salted_group_count(tpch["orders"], ["o_orderstatus"], salts=8)
+              .collect()}
+    assert plain == salted
+
+
+def test_salted_agg_mean(spark):
+    from term_spark.plans.skew import salted_agg
+
+    df = spark.createDataFrame(
+        [("hot", float(i)) for i in range(1000)] + [("cold", 5.0)] * 3,
+        "k string, x double")
+    out = salted_agg(df, ["k"],
+                     {"s": F.sum("x"), "c": F.count("x")},
+                     {"s": F.sum("s"), "c": F.sum("c")}, salts=8)
+    got = {r["k"]: r["s"] / r["c"] for r in out.collect()}
+    assert got["hot"] == pytest.approx(499.5)
+    assert got["cold"] == pytest.approx(5.0)
+
+
+def test_salted_join_matches_plain(spark, tpch):
+    from term_spark.plans.skew import salted_join
+
+    nation = tpch["nation"]
+    customer = tpch["customer"]
+    plain = (customer.join(nation, customer["c_nationkey"] == nation["n_nationkey"])
+             .groupBy("n_name").agg(F.count(F.lit(1)).alias("cnt")))
+    salted = (salted_join(customer, nation, "c_nationkey", "n_nationkey", salts=4)
+              .groupBy("n_name").agg(F.count(F.lit(1)).alias("cnt")))
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_filter_pushdown_reaches_scan(spark, tpch):
+    """A constraint-level filter must appear in PushedFilters."""
+    df = tpch["lineitem"].filter(F.col("l_quantity") > 40).select("l_quantity")
+    plan = plan_of(df)
+    assert "PushedFilters" in plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln][0]
+    assert "l_quantity" in pushed

@@ -86,3 +86,35 @@ def test_scan_sharing_many_constraints_one_job(spark, tpch):
     result = suite.run(spark, tpch["lineitem"])
     assert result.report.num_spark_jobs == 2
     assert result.passed, result.report.to_json(2)
+
+
+def test_check_where_row_scope(spark, tpch):
+    """Scoped checks validate only matching rows; the (table, where)
+    pair is the fusion key so differently-scoped checks run as
+    separate fused jobs (both pushed to the scan by Catalyst)."""
+    from term_spark import Assertion, Check, Level, ValidationSuite
+
+    li = tpch["lineitem"]
+    suite = (ValidationSuite.builder("scoped")
+             .with_check(Check("returned_only", Level.ERROR,
+                               where="l_returnflag = 'R'")
+                         .satisfies("l_returnflag = 'R'", 1.0)
+                         .has_size(Assertion.gt(0)))
+             .with_check(Check("all_rows", Level.ERROR)
+                         .satisfies("l_returnflag = 'R'",
+                                    Assertion.between(0.1, 0.6))))
+    result = suite.run(spark, li)
+    assert result.passed, result.report.to_json(2)
+    assert result.report.num_spark_jobs == 2  # two (table, where) scopes
+
+
+def test_run_and_store(spark, nulls_df):
+    from term_spark import Assertion, Check, Level, ValidationSuite
+    from term_spark.repository import InMemoryRepository
+
+    repo = InMemoryRepository()
+    suite = (ValidationSuite.builder("stored")
+             .with_check(Check("c").completeness("name", Assertion.ge(0.5))))
+    suite.run_and_store(spark, nulls_df, repo, timestamp=1.0, env="test")
+    suite.run_and_store(spark, nulls_df, repo, timestamp=2.0, env="test")
+    assert repo.series("completeness.name", tags={"env": "test"}) == [0.8, 0.8]
