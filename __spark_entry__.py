@@ -26,7 +26,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
     tables = load_tpch_tables(
         spark, "/root/testdata/sf0.001",
-        ("customer", "orders", "lineitem", "nation", "region"))
+        ("customer", "orders", "lineitem", "nation", "region", "events"))
 
     suite = (
         ValidationSuite.builder("flagship")
@@ -57,6 +57,15 @@ def entry(spark: SparkSession) -> DataFrame:
             Check("referential", Level.ERROR)
             .foreign_key("orders", "o_custkey", "customer", "c_custkey")
             .foreign_key("nation", "n_regionkey", "region", "r_regionkey"))
+        .with_check(
+            Check("distributions", Level.ERROR)
+            .has_histogram("l_returnflag", lambda h: h.bucket_count() == 3)
+            .has_entropy("l_returnflag", Assertion.between(0.5, 1.2))
+            .validates_unique_value_ratio("l_orderkey", Assertion.between(0, 1)))
+        .with_check(
+            Check("events_stream", Level.ERROR, table="events")
+            .grouped_completeness("value", "event_type", Assertion.eq(1.0))
+            .has_max_time_gap("ts", 3600 * 24 * 7, group_by="user_id"))
     )
     result = suite.run(spark, tables)
     rows = [o.to_dict() for o in result.report.outcomes]
