@@ -1,0 +1,88 @@
+"""End-to-end tour of term_spark against the driver testdata.
+
+Run: python examples/quickstart.py [sf_dir]
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from term_spark import (Assertion, Check, Level, MultiSourceValidator,
+                        ValidationSuite, validate_tables)
+from term_spark.analyzers.anomaly import AnomalyDetector, ZScore
+from term_spark.analyzers.base import CompletenessAnalyzer, MeanAnalyzer
+from term_spark.analyzers.profiler import ColumnProfiler
+from term_spark.analyzers.runner import AnalysisRunner
+from term_spark.analyzers.suggestions import SuggestionEngine
+from term_spark.formatters import HumanFormatter
+from term_spark.operators import dedup, similarity, text
+from term_spark.repository import InMemoryRepository
+from term_spark.session import get_spark
+from term_spark.sources import load_tpch_tables
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("quickstart", shuffle_partitions=8, master="local[8]")
+    spark.sparkContext.setLogLevel("ERROR")
+    tables = load_tpch_tables(spark, sf_dir)
+
+    # 1. declarative validation — all scalar metrics in ONE Spark job
+    suite = (ValidationSuite.builder("demo").on_table("lineitem")
+             .with_check(Check("quality", Level.ERROR)
+                         .is_complete("l_orderkey")
+                         .has_mean("l_quantity", Assertion.between(20, 30))
+                         .value_range("l_discount", 0.0, 0.1)
+                         .is_contained_in("l_returnflag", ["R", "A", "N"])
+                         .satisfies("l_extendedprice >= 0", 1.0)))
+    result = suite.run(spark, tables)
+    print(HumanFormatter().format(result))
+    print("\nfused plan:\n", suite.explain(spark, tables)[:600], "...\n")
+
+    # 2. multi-table fluent DSL
+    ri = (validate_tables("orders", "customer").join_on("o_custkey", "c_custkey")
+          .ensure_referential_integrity().expect_join_coverage(0.99)
+          .to_suite().run(spark, tables))
+    print("referential integrity passed:", ri.passed)
+
+    # 3. metrics-first API + repository + anomaly detection
+    repo = InMemoryRepository()
+    for ts in (1.0, 2.0, 3.0):
+        suite.run_and_store(spark, tables, repo, timestamp=ts)
+    series = repo.series("completeness.l_orderkey")
+    print("metric history:", series, "anomaly:",
+          AnomalyDetector(ZScore()).detect_series(series + [0.2]).is_anomaly)
+
+    ctx = (AnalysisRunner().add(CompletenessAnalyzer("l_quantity"))
+           .add(MeanAnalyzer("l_quantity")).run(tables["lineitem"]))
+    print("analyzer metrics:", {k: v.value for k, v in ctx.metrics.items()})
+
+    # 4. profile → suggested constraints → run them
+    profile = ColumnProfiler().profile(tables["orders"])
+    check = SuggestionEngine().suggest_check(profile, min_confidence=0.75)
+    print("suggested constraints:", [c.name for c in check.constraints])
+    print("suggested check passes:",
+          ValidationSuite.builder("suggested").on_table("orders")
+          .with_check(check).run(spark, tables).passed)
+
+    # 5. LLM-data operators
+    docs = tables["documents"]
+    print("near-dup pairs (jaccard ≥ 0.6):",
+          dedup.ngram_jaccard_pairs(docs, threshold=0.6).count())
+    print("LSH candidates:", dedup.minhash_lsh_candidates(docs).count())
+    langs = (docs.select(text.language_id("text")).groupBy("predicted_lang")
+             .count().collect())
+    print("language distribution:", {r[0]: r[1] for r in langs})
+
+    import pyspark.sql.functions as F
+    emb = tables["embeddings"]
+    queries = (emb.filter("vec_id < 3")
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("query_vec")))
+    topk = similarity.cosine_topk(emb.filter("vec_id >= 3"), queries, k=3)
+    print("ANN sample:", [tuple(r) for r in topk.collect()[:3]])
+
+
+if __name__ == "__main__":
+    main()
