@@ -194,7 +194,7 @@ def simhash_near_pairs(sim_df: DataFrame, max_hamming: int = 3) -> DataFrame:
             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
                     F.col("a.simhash").alias("sh_a"), F.col("b.simhash").alias("sh_b"))
             .distinct())
-    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("bigint")
     return (cand.withColumn("hamming", ham)
                 .filter(F.col("hamming") <= max_hamming)
                 .select("id_a", "id_b", "hamming"))

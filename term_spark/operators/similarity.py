@@ -69,7 +69,8 @@ def cosine_topk(df: DataFrame, queries: DataFrame, k: int = 5,
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
-            .select("query_id", "nbr_id", F.round("cosine", 6).alias("cosine"), "rank"))
+            .select("query_id", "nbr_id", F.round("cosine", 6).alias("cosine"),
+                    F.col("rank").cast("bigint").alias("rank")))
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: str = "term") -> List[List[float]]:
@@ -152,7 +153,8 @@ def ivf_topk(df: DataFrame, queries: DataFrame, k: int = 5, n_centroids: int = 1
     wk = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))
     return (scored.withColumn("rank", F.row_number().over(wk))
             .filter(F.col("rank") <= k)
-            .select("query_id", "nbr_id", F.round("cosine", 6).alias("cosine"), "rank"))
+            .select("query_id", "nbr_id", F.round("cosine", 6).alias("cosine"),
+                    F.col("rank").cast("bigint").alias("rank")))
 
 
 def cosine_topk_pandas(df: DataFrame, queries: DataFrame, k: int = 5,

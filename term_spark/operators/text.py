@@ -31,10 +31,11 @@ STOPWORDS_EN = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]
 
 
 def token_count(column: str) -> "F.Column":
-    """Whitespace token count; 0 for empty/blank text."""
+    """Whitespace token count; 0 for empty/blank text. bigint to match
+    engines whose len() is int64."""
     col = F.trim(F.col(column))
     return F.when(col == "", 0).otherwise(
-        F.size(F.split(col, r"\s+"))).alias("n_tokens")
+        F.size(F.split(col, r"\s+"))).cast("bigint").alias("n_tokens")
 
 
 def bpe_ish_token_count(column: str) -> "F.Column":
@@ -43,7 +44,8 @@ def bpe_ish_token_count(column: str) -> "F.Column":
     col = F.col(column)
     # count matches of: word chars run | digit run | single non-space punct
     stripped = F.regexp_replace(col, r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]", "\x01")
-    return F.length(F.regexp_replace(stripped, r"[^\x01]", "")).alias("n_bpe_tokens")
+    return (F.length(F.regexp_replace(stripped, r"[^\x01]", ""))
+            .cast("bigint").alias("n_bpe_tokens"))
 
 
 def punct_ratio(column: str) -> "F.Column":

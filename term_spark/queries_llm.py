@@ -284,7 +284,7 @@ def q_simhash_near_pairs(spark, sf_dir) -> DataFrame:
 SQL_SIMHASH_NEAR_PAIRS = f"""
 WITH sig AS ({_simhash_sql().replace("ORDER BY id", "")})
 SELECT a.id AS id_a, b.id AS id_b,
-       bit_count(xor(a.simhash, b.simhash)) AS hamming
+       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
 FROM sig a JOIN sig b ON a.id < b.id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 10
   AND ({" OR ".join(f"((a.simhash >> {15*i}) & 32767) = ((b.simhash >> {15*i}) & 32767)" for i in range(4))})
