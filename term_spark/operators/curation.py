@@ -1,0 +1,97 @@
+"""Corpus curation pipeline — the composition a training-data stack
+runs over raw documents, assembled from the individual operators:
+
+    raw → exact dedup → near-dup dedup (MinHash-LSH candidates +
+    exact-Jaccard verification) → quality filter → language filter
+    → curated corpus + per-stage accounting
+
+Everything stays a DataFrame until the caller acts; per-stage counts
+come from one action each. At 100 TB the exact-dedup groupBy and the
+LSH band join are the only wide shuffles; quality/language are narrow.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from . import dedup as D
+from . import text as T
+
+
+@dataclass
+class CurationReport:
+    input_docs: int = 0
+    after_exact_dedup: int = 0
+    after_near_dedup: int = 0
+    after_quality: int = 0
+    after_language: int = 0
+    stages: Dict[str, int] = field(default_factory=dict)
+
+    def removed(self) -> Dict[str, int]:
+        return {
+            "exact_dups": self.input_docs - self.after_exact_dedup,
+            "near_dups": self.after_exact_dedup - self.after_near_dedup,
+            "low_quality": self.after_near_dedup - self.after_quality,
+            "wrong_language": self.after_quality - self.after_language,
+        }
+
+
+def near_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+               k: int = 3, jaccard_threshold: float = 0.85,
+               num_hashes: int = 16, bands: int = 4) -> DataFrame:
+    """Remove near-duplicates: LSH candidates → exact Jaccard verify →
+    drop the higher id of each confirmed pair (transitively keeps the
+    minimum id of each duplicate cluster reachable through pairs)."""
+    cands = D.minhash_lsh_candidates(df, text_col, id_col, k, num_hashes, bands)
+    verified = D.ngram_jaccard_pairs(df, text_col, id_col, k, jaccard_threshold)
+    confirmed = (cands.select("id_a", "id_b")
+                 .join(verified.select("id_a", "id_b"), ["id_a", "id_b"],
+                       "inner"))
+    to_drop = confirmed.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(to_drop, id_col, "left_anti")
+
+
+def curate_corpus(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                  min_quality: float = 0.3,
+                  keep_languages: Optional[List[str]] = None,
+                  jaccard_threshold: float = 0.85,
+                  count_stages: bool = True):
+    """Returns (curated DataFrame, CurationReport)."""
+    report = CurationReport()
+    if count_stages:
+        report.input_docs = df.count()
+
+    stage1 = D.dedup_exact(df, text_col, id_col)
+    if count_stages:
+        report.after_exact_dedup = stage1.count()
+
+    stage2 = near_dedup(stage1, text_col, id_col,
+                        jaccard_threshold=jaccard_threshold)
+    if count_stages:
+        report.after_near_dedup = stage2.count()
+
+    stage3 = (stage2.withColumn("__q", T.quality_score(text_col))
+                    .filter(F.col("__q") >= min_quality).drop("__q"))
+    if count_stages:
+        report.after_quality = stage3.count()
+
+    if keep_languages:
+        stage4 = (stage3.withColumn("__lang", T.language_id(text_col))
+                        .filter(F.col("__lang").isin(keep_languages))
+                        .drop("__lang"))
+    else:
+        stage4 = stage3
+    if count_stages:
+        report.after_language = stage4.count()
+        report.stages = {
+            "input": report.input_docs,
+            "exact_dedup": report.after_exact_dedup,
+            "near_dedup": report.after_near_dedup,
+            "quality": report.after_quality,
+            "language": report.after_language,
+        }
+    return stage4, report

@@ -26,6 +26,10 @@ def get_spark(app_name: str = "term_spark", shuffle_partitions: int = None,
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", shuffle)
+        # start shuffles wide and let AQE coalesce down — the setting
+        # that survives a 1000-executor scale-up unchanged
+        .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+                str(max(int(shuffle) * 4, 64)))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

@@ -188,3 +188,27 @@ def test_cosine_topk_pandas_matches_exact(spark, tpch):
     exact = S.cosine_topk(corpus, queries, k=4).collect()
     fast = S.cosine_topk_pandas(corpus, queries, k=4).collect()
     assert sorted(map(tuple, exact)) == sorted(map(tuple, fast))
+
+
+def test_curate_corpus_pipeline(spark):
+    from term_spark.operators.curation import curate_corpus
+
+    rows = [
+        (1, "the data pipeline processes the large table with care and the results are good"),
+        (2, "the data pipeline processes the large table with care and the results are good"),  # exact dup
+        (3, "the data pipeline processes the large table with care and the results are fine"),  # near dup
+        (4, "short"),                                                # low quality
+        (5, "der hund und die katze laufen durch das haus und der garten und die sonne scheint"),  # german
+        (6, "a completely different document about the spark engine and the catalyst optimizer with the best plans"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    curated, report = curate_corpus(df, min_quality=0.4,
+                                    keep_languages=["en"],
+                                    jaccard_threshold=0.7)
+    kept = sorted(r["doc_id"] for r in curated.collect())
+    assert report.input_docs == 6
+    assert report.after_exact_dedup == 5          # drop 2 (exact dup)
+    assert report.after_near_dedup == 4           # drop 3 (jaccard 0.846)
+    assert report.removed()["low_quality"] == 1   # drop 4 (score 0.342)
+    assert report.removed()["wrong_language"] == 1  # drop 5 (german)
+    assert kept == [1, 6]
