@@ -367,3 +367,120 @@ class ApproxCountDistinctAnalyzer(Analyzer):
         row = df.select(
             F.hll_sketch_estimate(F.unbase64("b64")).alias("est")).collect()[0]
         return MetricValue.long(int(row["est"]))
+
+
+class DistinctnessAnalyzer(Analyzer):
+    """Distinct/total ratio (basic/distinctness.rs). The exact distinct
+    count is not a mergeable scalar, so the state carries BOTH the
+    exact count (used when a single slice answers the query) and an
+    HLL sketch (used when states merge across partitions) — mirroring
+    the reference's exact-vs-incremental split."""
+
+    name = "distinctness"
+
+    def __init__(self, column: str, lg_k: int = 12):
+        self.column = validate_identifier(column)
+        self.lg_k = lg_k
+        self._n = metric_alias("an_dn", column)
+        self._d = metric_alias("an_dd", column, tag="d")
+        self._sk = metric_alias("an_dhll", column, lg_k, tag="k")
+        self._spark = None
+
+    def bind_spark(self, spark):
+        self._spark = spark
+        return self
+
+    def state_exprs(self):
+        col = F.col(self.column)
+        return {
+            self._n: F.count(F.lit(1)),
+            self._d: F.count_distinct(col),
+            self._sk: F.hll_sketch_agg(col.cast("string"), F.lit(self.lg_k)),
+        }
+
+    def state_from_row(self, row):
+        raw = row[self._sk]
+        return AnalyzerState(
+            n=int(row[self._n]), d=int(row[self._d]),
+            exact=True,
+            sketch=base64.b64encode(bytes(raw)).decode() if raw is not None else None)
+
+    def merge_states(self, states):
+        if len(states) == 1:
+            return states[0]
+        sketches = [s["sketch"] for s in states if s.get("sketch")]
+        if self._spark is None:
+            raise RuntimeError("distinctness merge needs bind_spark")
+        df = self._spark.createDataFrame([(s,) for s in sketches], "b64 string")
+        row = df.select(F.hll_sketch_estimate(
+            F.hll_union_agg(F.unbase64("b64"))).alias("est")).collect()[0]
+        return AnalyzerState(n=sum(s["n"] for s in states),
+                             d=int(row["est"]), exact=False, sketch=None)
+
+    def metric_from_state(self, state):
+        return MetricValue.double(
+            state["d"] / state["n"] if state["n"] else float("nan"))
+
+
+class ComplianceAnalyzer(Analyzer):
+    """Predicate-satisfaction ratio with mergeable (hits, total) state
+    (advanced/compliance.rs:153-159)."""
+
+    name = "compliance"
+
+    def __init__(self, name: str, predicate: str):
+        from ..functions.security import validate_sql_expression
+
+        self.column = name  # metric key segment, like the reference
+        self.predicate = validate_sql_expression(predicate)
+        self._h = metric_alias("an_comp_h", predicate)
+        self._n = metric_alias("an_comp_n")
+
+    def state_exprs(self):
+        return {self._h: F.count(F.when(F.expr(self.predicate), 1)),
+                self._n: F.count(F.lit(1))}
+
+    def state_from_row(self, row):
+        return AnalyzerState(h=int(row[self._h]), n=int(row[self._n]))
+
+    def merge_states(self, states):
+        return AnalyzerState(h=sum(s["h"] for s in states),
+                             n=sum(s["n"] for s in states))
+
+    def metric_from_state(self, state):
+        return MetricValue.double(
+            state["h"] / state["n"] if state["n"] else float("nan"))
+
+
+class DataTypeDistributionAnalyzer(Analyzer):
+    """Detected-type shares with a mergeable per-type count state
+    (advanced/data_type.rs:129-141 buckets)."""
+
+    name = "data_type_distribution"
+
+    def __init__(self, column: str):
+        from ..operators.datatype import TYPE_PATTERNS
+
+        self.column = validate_identifier(column)
+        self._labels = [t for t, _ in TYPE_PATTERNS] + ["text"]
+        self._aliases = {t: metric_alias("an_dt", column, t) for t in self._labels}
+
+    def state_exprs(self):
+        from ..operators.datatype import classify_expr
+
+        detected = classify_expr(self.column)
+        nn = F.col(self.column).isNotNull()
+        return {a: F.count(F.when(nn & (detected == t), 1))
+                for t, a in self._aliases.items()}
+
+    def state_from_row(self, row):
+        return AnalyzerState({t: int(row[a]) for t, a in self._aliases.items()})
+
+    def merge_states(self, states):
+        return AnalyzerState({t: sum(s[t] for s in states) for t in self._labels})
+
+    def metric_from_state(self, state):
+        total = sum(state.values())
+        shares = ({t: c / total for t, c in state.items() if c}
+                  if total else {})
+        return MetricValue("map", shares)

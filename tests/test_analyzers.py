@@ -97,3 +97,45 @@ def test_hll_sketch_merge(spark):
         states.append(an.state_from_row(row.asDict()))
     est = an.metric_from_state(an.merge_states(states)).value
     assert est == pytest.approx(1500, rel=0.05)  # HLL 2-3% error band
+
+
+def test_distinctness_analyzer_exact_and_merged(spark):
+    from term_spark.analyzers.base import DistinctnessAnalyzer
+
+    df = spark.createDataFrame([(i % 100,) for i in range(1000)], "v long")
+    an = DistinctnessAnalyzer("v").bind_spark(spark)
+    assert an.compute(df).value == pytest.approx(0.1)
+    # merged across slices: HLL-approximate ratio within error band
+    parts = [df.filter(f"v % 2 = {i}") for i in (0, 1)]
+    states = []
+    for p in parts:
+        row = p.agg(*[c.alias(a) for a, c in an.state_exprs().items()]).collect()[0]
+        states.append(an.state_from_row(row.asDict()))
+    merged = an.metric_from_state(an.merge_states(states))
+    assert merged.value == pytest.approx(0.1, rel=0.1)
+
+
+def test_compliance_analyzer_merge(spark):
+    from term_spark.analyzers.base import ComplianceAnalyzer
+
+    df = spark.createDataFrame([(float(i),) for i in range(100)], "x double")
+    an = ComplianceAnalyzer("x_small", "x < 25")
+    assert an.compute(df).value == pytest.approx(0.25)
+    states = []
+    for p in (df.filter("x < 50"), df.filter("x >= 50")):
+        row = p.agg(*[c.alias(a) for a, c in an.state_exprs().items()]).collect()[0]
+        states.append(an.state_from_row(row.asDict()))
+    assert an.metric_from_state(an.merge_states(states)).value == pytest.approx(0.25)
+
+
+def test_datatype_distribution_analyzer(spark):
+    from term_spark.analyzers.base import DataTypeDistributionAnalyzer
+
+    df = spark.createDataFrame(
+        [("1",), ("2",), ("3.5",), ("abc",), ("2024-01-01",)], "v string")
+    an = DataTypeDistributionAnalyzer("v")
+    shares = an.compute(df).value
+    assert shares["integer"] == pytest.approx(0.4)
+    assert shares["float"] == pytest.approx(0.2)
+    assert shares["date"] == pytest.approx(0.2)
+    assert shares["text"] == pytest.approx(0.2)
