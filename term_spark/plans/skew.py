@@ -83,3 +83,20 @@ def salted_join(big: DataFrame, small: DataFrame, big_key: str,
            (big_salted[SALT_COL] == small_replicated[SALT_COL])
     return (big_salted.join(small_replicated, cond, how)
             .drop(small_replicated[SALT_COL]).drop(big_salted[SALT_COL]))
+
+
+def write_bucketed(df: DataFrame, path_or_table: str, bucket_cols: List[str],
+                   num_buckets: int = 64, sort_cols: Optional[List[str]] = None,
+                   fmt: str = "parquet") -> None:
+    """Persist a table bucketed by join key so repeated joins/aggs on
+    that key skip the shuffle entirely (co-located joins; the 100 TB
+    answer to 'this fact table joins on the same key every day').
+
+    Bucketed writes require a table (metastore) target, not a bare
+    path — ``path_or_table`` is a table name.
+    """
+    writer = (df.write.format(fmt)
+              .bucketBy(num_buckets, *bucket_cols))
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.mode("overwrite").saveAsTable(path_or_table)

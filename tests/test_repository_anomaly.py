@@ -80,3 +80,22 @@ def test_validation_result_metrics_flow_to_repository(spark, nulls_df):
     series = repo.series("completeness.name")
     assert series == [0.8, 0.8, 0.8]
     assert not AnomalyDetector(ZScore()).detect_series(series + [0.8]).is_anomaly
+
+
+def test_sql_over_metrics_history(spark, tmp_path):
+    """DataFusionQueryExecutor parity: run SQL over the persisted
+    metrics history (repository/datafusion_executor.rs)."""
+    repo = ParquetRepository(str(tmp_path / "m"))
+    for i, v in enumerate([0.8, 0.9, 0.95]):
+        repo.save(ResultKey.of(1000.0 + i, env="prod"),
+                  {"completeness.name": MetricValue.double(v)})
+    repo.as_spark_df(spark)
+    rows = spark.sql("""
+        SELECT metric, COUNT(*) AS n_runs,
+               MIN(CAST(value AS DOUBLE)) AS min_v,
+               MAX(CAST(value AS DOUBLE)) AS max_v
+        FROM metrics_history GROUP BY metric
+    """).collect()
+    assert len(rows) == 1
+    assert rows[0]["n_runs"] == 3
+    assert rows[0]["min_v"] == 0.8 and rows[0]["max_v"] == 0.95
