@@ -30,23 +30,28 @@ from ..functions.security import validate_identifier
 
 
 def entropy_value(df, column: str, max_unique: int = 10000) -> Optional[float]:
-    """−Σ p·ln p over non-null values, computed fully Spark-side."""
+    """−Σ p·ln p over non-null values, computed fully Spark-side.
+
+    Single job: the cardinality guard (entropy.rs:205) is fused into the
+    same aggregate as the entropy terms instead of a separate
+    limit+count pass, so each entropy constraint costs exactly one scan
+    + one groupBy shuffle.
+    """
     validate_identifier(column)
     col = F.col(column).cast("string")
     counts = (df.filter(col.isNotNull())
                 .groupBy(col.alias("v"))
                 .agg(F.count(F.lit(1)).alias("cnt")))
-    # Cardinality guard (entropy.rs:205): refuse absurd-cardinality columns.
-    card = counts.limit(max_unique + 1).count()
-    if card == 0:
-        return None
-    if card > max_unique:
-        raise ValueError(
-            f"entropy: column {column} exceeds max_unique={max_unique} distinct values")
     row = counts.agg(
+        F.count(F.lit(1)).alias("card"),
         F.sum("cnt").alias("total"),
         F.sum(F.col("cnt") * F.log(F.col("cnt"))).alias("sum_n_ln_n"),
     ).collect()[0]
+    if row["card"] == 0:
+        return None
+    if row["card"] > max_unique:
+        raise ValueError(
+            f"entropy: column {column} exceeds max_unique={max_unique} distinct values")
     total = float(row["total"])
     # −Σ (n/N) ln(n/N) = ln N − (Σ n ln n)/N
     import math
@@ -73,32 +78,44 @@ class EntropyConstraint(Constraint):
             f"{self.assertion.describe()}"))
 
 
-def _binned(df, column: str, bins: int):
-    """Numeric → FLOOR((x-min)/width) bin label; non-numeric → string value."""
+def _is_numeric(df, column: str) -> bool:
     dtype = dict(df.dtypes)[column]
-    numeric = dtype in ("tinyint", "smallint", "int", "bigint", "float", "double",
-                        "decimal") or dtype.startswith("decimal")
+    return dtype in ("tinyint", "smallint", "int", "bigint", "float",
+                     "double") or dtype.startswith("decimal")
+
+
+def _bin_expr(column: str, bins: int, mn, mx):
+    """FLOOR((x-min)/width) bin label from precomputed min/max."""
     col = F.col(column)
-    if not numeric:
-        return df, F.col(column).cast("string")
-    stats = df.agg(F.min(col).alias("mn"), F.max(col).alias("mx")).collect()[0]
-    mn, mx = stats["mn"], stats["mx"]
     if mn is None or mx is None or float(mx) == float(mn):
-        return df, F.lit("0")
+        return F.lit("0")
     width = (float(mx) - float(mn)) / bins
     b = F.least(F.floor((col.cast("double") - F.lit(float(mn))) / F.lit(width)),
                 F.lit(bins - 1))
-    return df, b.cast("string")
+    return b.cast("string")
 
 
 def mutual_information_value(df, column_x: str, column_y: str,
                              bins: int = 10) -> Optional[float]:
-    """MI in nats over the joint distribution of binned x, y."""
+    """MI in nats over the joint distribution of binned x, y.
+
+    Two jobs total: one fused min/max pass covering BOTH numeric columns
+    (the reference runs one per column, mutual_information.rs:143), then
+    the joint groupBy + windowed marginals.
+    """
     validate_identifier(column_x)
     validate_identifier(column_y)
     df = df.filter(F.col(column_x).isNotNull() & F.col(column_y).isNotNull())
-    _, bx = _binned(df, column_x, bins)
-    _, by = _binned(df, column_y, bins)
+    exprs = []
+    for c in (column_x, column_y):
+        if _is_numeric(df, c):
+            exprs += [F.min(c).alias(f"mn_{c}"), F.max(c).alias(f"mx_{c}")]
+    stats = df.agg(*exprs).collect()[0] if exprs else {}
+    def _b(c):
+        if _is_numeric(df, c):
+            return _bin_expr(c, bins, stats[f"mn_{c}"], stats[f"mx_{c}"])
+        return F.col(c).cast("string")
+    bx, by = _b(column_x), _b(column_y)
     joint = (df.groupBy(bx.alias("bx"), by.alias("by"))
                .agg(F.count(F.lit(1)).alias("nxy")))
     from pyspark.sql import Window
@@ -142,23 +159,71 @@ class MutualInformationConstraint(Constraint):
             f"satisfy {self.assertion.describe()}"))
 
 
-def spearman_value(df, column_x: str, column_y: str) -> Optional[float]:
-    """Spearman rank correlation — RANK() over each column then Pearson
-    on the ranks (advanced/correlation.rs:334-350).
+def _rank_map(d, column: str, alias: str):
+    """Distinct-value → RANK() lookup table, computed WITHOUT a global
+    single-partition sort.
 
-    Scale note: global RANK() is a total sort; for 100 TB inputs prefer
-    approximate rank via ntile/percent_rank on a sample. This exact form
-    matches the reference.
+    RANK(v) = 1 + Σ count(u) for u < v, i.e. an exclusive prefix-sum
+    over the value-counts table in value order. We range-repartition the
+    (distinct) counts, take per-partition totals (≤ num_partitions rows
+    to the driver — bounded at any data size), broadcast the cumulative
+    offsets back, and finish with a window partitioned BY partition id —
+    every stage is partition-parallel, unlike Window.orderBy(col) which
+    funnels all rows through one task.
     """
     from pyspark.sql import Window
+    counts = (d.groupBy(F.col(column).alias(alias + "_v"))
+                .agg(F.count(F.lit(1)).alias("cnt")))
+    # Persist: the range boundaries are sampled per-execution, so the
+    # totals job and the downstream window job MUST see the same
+    # partition assignment — materialize it once.
+    parts = (counts.repartitionByRange(F.col(alias + "_v"))
+                   .withColumn("pid", F.spark_partition_id())
+                   .persist())
+    totals = {r["pid"]: r["tot"] for r in
+              parts.groupBy("pid").agg(F.sum("cnt").alias("tot")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid]
+    spark = d.sparkSession
+    off_df = spark.createDataFrame(
+        [(int(p), int(o)) for p, o in offsets.items()] or [(0, 0)],
+        "pid int, off bigint")
+    w = (Window.partitionBy("pid").orderBy(alias + "_v")
+               .rowsBetween(Window.unboundedPreceding, -1))
+    ranked = (parts.join(F.broadcast(off_df), "pid")
+                   .withColumn(alias,
+                               1 + F.col("off") +
+                               F.coalesce(F.sum("cnt").over(w), F.lit(0)))
+                   .select(alias + "_v", alias))
+    return ranked, parts
+
+
+def spearman_value(df, column_x: str, column_y: str) -> Optional[float]:
+    """Spearman rank correlation — RANK() per column then Pearson on the
+    ranks (advanced/correlation.rs:334-350).
+
+    Scale-safe exact form: ranks come from a distributed prefix-sum over
+    each column's value-counts (`_rank_map`), joined back to the rows.
+    The plan contains no single-partition Exchange/Sort except the final
+    1-row Pearson reduce; at 100 TB every heavy stage (2 groupBys,
+    2 joins) is an ordinary parallel shuffle.
+    """
     validate_identifier(column_x)
     validate_identifier(column_y)
-    d = df.filter(F.col(column_x).isNotNull() & F.col(column_y).isNotNull())
-    ranked = d.select(
-        F.rank().over(Window.orderBy(column_x)).alias("rx"),
-        F.rank().over(Window.orderBy(column_y)).alias("ry"),
-    )
-    row = ranked.agg(F.corr("rx", "ry").alias("rho")).collect()[0]
+    d = (df.filter(F.col(column_x).isNotNull() & F.col(column_y).isNotNull())
+           .select(F.col(column_x).alias("x"), F.col(column_y).alias("y")))
+    rx, px = _rank_map(d, "x", "rx")
+    ry, py = _rank_map(d, "y", "ry")
+    ranked = (d.join(rx, d["x"] == rx["rx_v"])
+                .join(ry, d["y"] == ry["ry_v"])
+                .select("rx", "ry"))
+    try:
+        row = ranked.agg(F.corr("rx", "ry").alias("rho")).collect()[0]
+    finally:
+        px.unpersist()
+        py.unpersist()
     return None if row["rho"] is None else float(row["rho"])
 
 

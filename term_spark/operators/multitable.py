@@ -53,29 +53,41 @@ class ForeignKeyConstraint(Constraint):
         self.table = child_table
         self.violation_examples: List = []
 
+    def _orphan_join(self, ctx: EngineContext):
+        """child LEFT JOIN distinct(parent keys) with both keys aliased to
+        unique names (safe when child/parent columns share a name)."""
+        child = ctx.df(self.child_table).select(
+            F.col(self.child_column).alias("__fk"))
+        parent = (ctx.df(self.parent_table)
+                  .select(F.col(self.parent_column).alias("__pk")).distinct())
+        joined = child.join(parent, F.col("__fk") == F.col("__pk"), "left")
+        orphan = (F.col("__fk").isNotNull() & F.col("__pk").isNull()
+                  if self.allow_nulls else F.col("__pk").isNull())
+        return joined, orphan
+
     def evaluate(self, ctx: EngineContext) -> ConstraintResult:
-        child = ctx.df(self.child_table)
-        parent = ctx.df(self.parent_table).select(self.parent_column).distinct()
-        fk = F.col(self.child_column)
-        child_keys = child.select(self.child_column)
-        if self.allow_nulls:
-            child_keys = child_keys.filter(fk.isNotNull())
-        total = child.count()
+        # Single job on the success path: total + orphan counts fold into
+        # one left-join aggregate (the reference's one-query NOT-EXISTS
+        # shape, foreign_key.rs:151-207). The distinct parent side stays
+        # broadcast-able; AQE picks the join strategy.
+        joined, orphan = self._orphan_join(ctx)
+        agg = joined.agg(
+            F.count(F.lit(1)).alias("total"),
+            F.count(F.when(orphan, 1)).alias("orphan_rows"),
+            F.count_distinct(F.when(orphan, F.col("__fk"))).alias("orphan_keys"),
+        ).collect()[0]
+        total = int(agg["total"])
         if total == 0:
             return self._finish(ConstraintResult.skipped())
-        orphans = child_keys.join(
-            parent, child_keys[self.child_column] == parent[self.parent_column],
-            "left_anti")
-        agg = orphans.agg(
-            F.count(F.lit(1)).alias("orphan_rows"),
-            F.count_distinct(fk).alias("orphan_keys")).collect()[0]
         orphan_rows = int(agg["orphan_rows"])
         if orphan_rows == 0:
             return self._finish(ConstraintResult.success(0.0))
+        # Failure path only: bounded example scan (second job).
+        joined2, orphan2 = self._orphan_join(ctx)
         self.violation_examples = [
-            r[self.child_column]
-            for r in orphans.select(self.child_column).distinct()
-                            .limit(self.max_violations).collect()]
+            r["__fk"] for r in joined2.filter(orphan2).select("__fk")
+                                      .distinct().limit(self.max_violations)
+                                      .collect()]
         ratio = orphan_rows / total
         return self._finish(ConstraintResult.failure(
             ratio,
@@ -109,13 +121,20 @@ class JoinCoverageConstraint(Constraint):
 
     @staticmethod
     def _match_rate(src, src_col: str, dst, dst_col: str) -> Tuple[float, int]:
-        total = src.count()
+        """One job: LEFT JOIN against distinct dst keys, then a single
+        agg of (total, matched) — the reference's exact one-query shape
+        (join_coverage.rs:213-275). Keys are aliased per side so
+        same-named columns (e.g. both 'id') never collide."""
+        joined = (src.select(F.col(src_col).alias("__src_key"))
+                  .join(dst.select(F.col(dst_col).alias("__dst_key")).distinct(),
+                        F.col("__src_key") == F.col("__dst_key"), "left"))
+        row = joined.agg(
+            F.count(F.lit(1)).alias("total"),
+            F.count("__dst_key").alias("matched")).collect()[0]
+        total = int(row["total"])
         if total == 0:
             return 1.0, 0
-        matched = src.select(src_col).join(
-            dst.select(dst_col).distinct(),
-            F.col(src_col) == F.col(dst_col), "left_semi").count()
-        return matched / total, total
+        return int(row["matched"]) / total, total
 
     def evaluate(self, ctx: EngineContext) -> ConstraintResult:
         left = ctx.df(self.left_table)
@@ -137,10 +156,11 @@ class JoinCoverageConstraint(Constraint):
             (left, self.left_column, right, self.right_column)
             if self.direction != "right"
             else (right, self.right_column, left, self.left_column))
+        src_sel = src.select(F.col(src_col).alias("__src_key"))
+        dst_sel = dst.select(F.col(dst_col).alias("__dst_key")).distinct()
         self.violation_examples = [
-            r[src_col] for r in src.select(src_col).join(
-                dst.select(dst_col).distinct(),
-                F.col(src_col) == F.col(dst_col), "left_anti")
+            r["__src_key"] for r in src_sel.join(
+                dst_sel, F.col("__src_key") == F.col("__dst_key"), "left_anti")
             .distinct().limit(self.max_violations).collect()]
         return self._finish(ConstraintResult.failure(
             rate,

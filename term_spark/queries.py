@@ -129,8 +129,8 @@ WITH value_counts AS (
 SELECT COALESCE(SUM(CASE WHEN cnt = 1 THEN cnt ELSE 0 END), 0) AS unique_rows,
        COUNT(*) AS distinct_values,
        SUM(cnt) AS total_rows,
-       ROUND(COALESCE(SUM(CASE WHEN cnt = 1 THEN cnt ELSE 0 END), 0) * 1.0
-             / SUM(cnt), 6) AS unique_value_ratio
+       ROUND(CAST(COALESCE(SUM(CASE WHEN cnt = 1 THEN cnt ELSE 0 END), 0) AS DOUBLE)
+             / CAST(SUM(cnt) AS DOUBLE), 6) AS unique_value_ratio
 FROM value_counts
 """
 
@@ -387,14 +387,16 @@ WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL
 
 
 def q_join_coverage_lineitem_orders(spark, sf_dir) -> DataFrame:
+    """Single-plan coverage: one LEFT JOIN + one agg (no driver-side
+    count round-trips), mirroring JoinCoverageConstraint._match_rate."""
     li, o = _t(spark, sf_dir, "lineitem", "orders")
-    total = li.count()
-    matched = li.select("l_orderkey").join(
+    j = li.select("l_orderkey").join(
         o.select("o_orderkey").distinct(),
-        F.col("l_orderkey") == F.col("o_orderkey"), "left_semi").count()
-    return spark.createDataFrame(
-        [(matched, total, round(matched / total, 6))],
-        "matched bigint, total bigint, coverage double")
+        F.col("l_orderkey") == F.col("o_orderkey"), "left")
+    return j.agg(
+        F.count("o_orderkey").alias("matched"),
+        F.count(F.lit(1)).alias("total"),
+        r6(F.count("o_orderkey") / F.count(F.lit(1))).alias("coverage"))
 
 
 SQL_JOIN_COVERAGE_LINEITEM_ORDERS = """
@@ -410,17 +412,19 @@ FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
 def q_cross_table_sum_orders_lineitem(spark, sf_dir) -> DataFrame:
     """Grouped sum reconciliation (cross_table_sum.rs:252-279): per
     order, o_totalprice vs Σ l_extendedprice·(1−disc)·(1+tax); exact
-    decimal arithmetic keeps violation counts deterministic."""
+    decimal arithmetic (scale 6: the 3-factor charge product carries
+    up to 6 decimal digits, so the cast never rounds) keeps violation
+    counts deterministic."""
     o, li = _t(spark, sf_dir, "orders", "lineitem")
     left = o.groupBy(F.col("o_orderkey").alias("grp")).agg(
-        F.sum(F.col("o_totalprice").cast("decimal(25,4)")).alias("left_sum"))
+        F.sum(F.col("o_totalprice").cast("decimal(25,6)")).alias("left_sum"))
     charge = (F.col("l_extendedprice") * (1 - F.col("l_discount")) *
-              (1 + F.col("l_tax"))).cast("decimal(25,4)")
+              (1 + F.col("l_tax"))).cast("decimal(25,6)")
     right = li.groupBy(F.col("l_orderkey").alias("grp")).agg(
         F.sum(charge).alias("right_sum"))
     joined = (left.join(right, "grp", "full_outer")
-              .select(F.coalesce("left_sum", F.lit(0).cast("decimal(25,4)")).alias("l"),
-                      F.coalesce("right_sum", F.lit(0).cast("decimal(25,4)")).alias("r")))
+              .select(F.coalesce("left_sum", F.lit(0).cast("decimal(25,6)")).alias("l"),
+                      F.coalesce("right_sum", F.lit(0).cast("decimal(25,6)")).alias("r")))
     diff = F.abs(F.col("l") - F.col("r"))
     return joined.agg(
         F.count(F.lit(1)).alias("n_groups"),
@@ -431,12 +435,12 @@ def q_cross_table_sum_orders_lineitem(spark, sf_dir) -> DataFrame:
 SQL_CROSS_TABLE_SUM_ORDERS_LINEITEM = """
 WITH l AS (
     SELECT o_orderkey AS grp,
-           SUM(CAST(o_totalprice AS DECIMAL(25,4))) AS left_sum
+           SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS left_sum
     FROM orders GROUP BY 1
 ), r AS (
     SELECT l_orderkey AS grp,
            SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
-                    AS DECIMAL(25,4))) AS right_sum
+                    AS DECIMAL(25,6))) AS right_sum
     FROM lineitem GROUP BY 1
 ), j AS (
     SELECT COALESCE(left_sum, 0) AS lv, COALESCE(right_sum, 0) AS rv
@@ -551,31 +555,43 @@ FROM gaps WHERE gap IS NOT NULL
 
 def q_pricing_summary(spark, sf_dir) -> DataFrame:
     (li,) = _t(spark, sf_dir, "lineitem")
-    dec = lambda c: c.cast("decimal(25,4)")
+    # Scale 6, not 4: price/discount/tax each carry 2 decimal digits, so the
+    # 3-factor charge product has up to 6 — at scale 4 the cast would round
+    # exact .00005 midpoints, where Spark (HALF_UP on the binary expansion)
+    # and DuckDB (half-even on the shortest repr) disagree. At scale 6 the
+    # cast is value-exact in both engines.
+    dec = lambda c: c.cast("decimal(25,6)")
     disc_price = dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     charge = dec(F.col("l_extendedprice") * (1 - F.col("l_discount")) *
                  (1 + F.col("l_tax")))
+    # Determinism rule (module docstring): every float aggregate goes through
+    # exact DECIMAL summation; averages are decimal-sum / count in DOUBLE so
+    # Spark's parallel partial aggs and DuckDB agree bit-for-bit.
     return (li.groupBy("l_returnflag", "l_linestatus")
-            .agg(F.sum("l_quantity").alias("sum_qty"),
+            .agg(F.sum(dec(F.col("l_quantity"))).cast("double").alias("sum_qty"),
                  F.sum(dec(F.col("l_extendedprice"))).cast("double").alias("sum_base_price"),
                  F.sum(disc_price).cast("double").alias("sum_disc_price"),
                  F.sum(charge).cast("double").alias("sum_charge"),
-                 r6(F.avg("l_quantity")).alias("avg_qty"),
-                 r6(F.avg("l_discount")).alias("avg_disc"),
+                 r6(F.sum(dec(F.col("l_quantity"))).cast("double")
+                    / F.count(F.lit(1))).alias("avg_qty"),
+                 r6(F.sum(dec(F.col("l_discount"))).cast("double")
+                    / F.count(F.lit(1))).alias("avg_disc"),
                  F.count(F.lit(1)).alias("count_order"))
             .orderBy("l_returnflag", "l_linestatus"))
 
 
 SQL_PRICING_SUMMARY = """
 SELECT l_returnflag, l_linestatus,
-       SUM(l_quantity) AS sum_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,4))) AS DOUBLE) AS sum_base_price,
-       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,4))) AS DOUBLE)
+       CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE)
            AS sum_disc_price,
        CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
-                AS DECIMAL(25,4))) AS DOUBLE) AS sum_charge,
-       ROUND(AVG(l_quantity), 6) AS avg_qty,
-       ROUND(AVG(l_discount), 6) AS avg_disc,
+                AS DECIMAL(25,6))) AS DOUBLE) AS sum_charge,
+       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*), 6)
+           AS avg_qty,
+       ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*), 6)
+           AS avg_disc,
        COUNT(*) AS count_order
 FROM lineitem
 GROUP BY l_returnflag, l_linestatus

@@ -93,6 +93,35 @@ def test_join_coverage_directions(spark):
     assert r.passed
 
 
+def test_join_coverage_same_column_name(spark):
+    """Regression: left and right key columns sharing a name must not
+    raise AMBIGUOUS_REFERENCE (keys are aliased per side)."""
+    left = spark.createDataFrame([(1,), (2,), (3,), (4,)], "id long")
+    right = spark.createDataFrame([(3,), (4,), (5,)], "id long")
+    tables = {"l": left, "r": right}
+    r = run(spark, tables, Check("jc", Level.ERROR)
+            .join_coverage("l", "id", "r", "id", Assertion.eq(0.5), "left"))
+    assert r.passed, r.report.to_json(2)
+    # failure path exercises the aliased violation-examples join too
+    r = run(spark, tables, Check("jc2", Level.ERROR)
+            .join_coverage("l", "id", "r", "id", Assertion.eq(1.0), "left"))
+    o = r.report.outcomes[0].result
+    assert o.status == Status.FAILURE
+    assert "unmatched examples" in o.message
+    assert "1" in o.message and "2" in o.message
+
+
+def test_foreign_key_same_column_name(spark):
+    """FK with identically-named child/parent key columns."""
+    parent = spark.createDataFrame([(1,), (2,)], "id long")
+    child = spark.createDataFrame([(1,), (2,), (9,)], "id long")
+    r = run(spark, {"c": child, "p": parent},
+            Check("fk", Level.ERROR).foreign_key("c", "id", "p", "id"))
+    o = r.report.outcomes[0].result
+    assert o.status == Status.FAILURE
+    assert "1 rows (1 distinct" in o.message
+
+
 def test_cross_table_sum(spark):
     a = spark.createDataFrame([(1, 10.0), (1, 5.0), (2, 7.0)], "k long, v double")
     b = spark.createDataFrame([(1, 15.0), (2, 7.5)], "k long, v double")

@@ -34,10 +34,9 @@ def _normalize(rows, columns):
         for i in idx:
             v = row[i]
             if isinstance(v, float):
-                if math.isnan(v):
-                    vals.append("nan")
-                else:
-                    vals.append(f"{v:.9g}")
+                # Full repr, not %.9g: the driver's value-hash is exact, so
+                # the local gate must be bit-exact too (round-1 lesson).
+                vals.append("nan" if math.isnan(v) else repr(v))
             else:
                 vals.append(str(v))
         out.append(tuple(vals))

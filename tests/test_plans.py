@@ -116,6 +116,28 @@ def test_salted_join_matches_plain(spark, tpch):
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
 
 
+def test_spearman_rank_has_no_global_sort(spark, tpch):
+    """The distributed rank map must never funnel all rows through a
+    single task: no `Exchange SinglePartition` (and hence no global
+    WindowExec) anywhere in its executed plan."""
+    from term_spark.operators.entropy import _rank_map
+
+    d = tpch["lineitem"].select(F.col("l_quantity").alias("x"))
+    ranked, parts = _rank_map(d, "x", "rx")
+    try:
+        plan = ranked._jdf.queryExecution().executedPlan().toString()
+        assert "SinglePartition" not in plan, plan
+        # and it is still exactly RANK(): spot-check against the window form
+        from pyspark.sql import Window
+        expect = sorted(tuple(r) for r in d.select(
+            F.col("x"), F.rank().over(Window.orderBy("x")).alias("rx"))
+            .distinct().collect())
+        got = sorted(tuple(r) for r in ranked.collect())
+        assert got == expect
+    finally:
+        parts.unpersist()
+
+
 def test_filter_pushdown_reaches_scan(spark, tpch):
     """A constraint-level filter must appear in PushedFilters."""
     df = tpch["lineitem"].filter(F.col("l_quantity") > 40).select("l_quantity")
