@@ -5,8 +5,10 @@ analyzers, run, collect metrics into an AnalyzerContext keyed
 "{analyzer}.{column}"; per-analyzer errors recorded with
 continue_on_error (default true). The reference runs analyzers
 sequentially (one SQL each — grouping is an acknowledged TODO,
-runner.rs:159); here all analyzers' state expressions fuse into ONE
-``df.agg`` (SURVEY §3 entry-2 mapping), so N analyzers cost one scan.
+runner.rs:159); here all analyzers' state expressions fuse into at most
+TWO ``df.agg`` jobs (SURVEY §3 entry-2 mapping; the suite executor's
+distinct/sketch split keeps Expand plans away from sketch buffers), so
+N analyzers cost one scan, two when sketches mix with DISTINCT.
 
 IncrementalAnalysisRunner — parity with analyzers/incremental/
 runner.rs:165-230 + state_store.rs: compute per-partition states,
@@ -37,6 +39,21 @@ class AnalyzerContext:
         return self.metrics.get(key)
 
 
+def _collect_fused(df, merged) -> Dict[str, object]:
+    """Evaluate merged state expressions under the suite executor's
+    fusion policy (at most two jobs: {plain+distinct} and {sketches}) —
+    mixing DISTINCT aggregates with sketch aggregates in one ``df.agg``
+    plans an Expand that drags sketch buffers through a sort (~100×;
+    see plans/executor.py:150)."""
+    from ..plans.executor import SuiteRunner
+
+    values: Dict[str, object] = {}
+    for group in SuiteRunner._fusion_groups(merged):
+        row = df.agg(*[c.alias(a) for a, c in group.items()]).collect()[0]
+        values.update(row.asDict())
+    return values
+
+
 class AnalysisRunner:
     def __init__(self, continue_on_error: bool = True):
         self.analyzers: List[Analyzer] = []
@@ -56,8 +73,7 @@ class AnalysisRunner:
                 merged.setdefault(alias, col)
         if not merged:
             return ctx
-        row = df.agg(*[c.alias(a) for a, c in merged.items()]).collect()[0]
-        values = row.asDict()
+        values = _collect_fused(df, merged)
         for an in self.analyzers:
             try:
                 state = an.state_from_row(values)
@@ -148,8 +164,7 @@ class IncrementalAnalysisRunner:
                 an.bind_spark(spark)
             for alias, col in an.state_exprs().items():
                 merged.setdefault(alias, col)
-        row = df.agg(*[c.alias(a) for a, c in merged.items()]).collect()[0]
-        values = row.asDict()
+        values = _collect_fused(df, merged)
         states = {an.metric_key(): an.state_from_row(values).to_json()
                   for an in self.analyzers}
         self.store.save(partition, states)

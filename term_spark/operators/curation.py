@@ -47,10 +47,12 @@ def near_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     drop the higher id of each confirmed pair (transitively keeps the
     minimum id of each duplicate cluster reachable through pairs)."""
     cands = D.minhash_lsh_candidates(df, text_col, id_col, k, num_hashes, bands)
-    verified = D.ngram_jaccard_pairs(df, text_col, id_col, k, jaccard_threshold)
-    confirmed = (cands.select("id_a", "id_b")
-                 .join(verified.select("id_a", "id_b"), ["id_a", "id_b"],
-                       "inner"))
+    # Verify ONLY the candidate pairs: the exact-Jaccard join fans out
+    # from the LSH candidate list, so LSH actually bounds the O(pairs)
+    # verification work instead of being a post-filter on an all-pairs
+    # join.
+    confirmed = D.ngram_jaccard_for_pairs(df, cands, text_col, id_col, k,
+                                          jaccard_threshold)
     to_drop = confirmed.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(to_drop, id_col, "left_anti")
 

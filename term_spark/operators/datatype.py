@@ -30,16 +30,17 @@ TYPE_PATTERNS = [
 
 
 def classify_expr(column: str) -> "F.Column":
-    """CASE chain assigning each non-null value a detected type label.
+    """CASE chain assigning each non-null value a detected type label;
+    NULL stays NULL (rlike(NULL) is NULL, so without the explicit guard
+    every branch would fall through and mislabel NULL as 'text').
 
     'float' intentionally also matches integer text in the reference's
     ordering; we test integer first so integers classify as integer.
     """
     col = F.col(column).cast("string")
-    expr = None
+    expr = F.when(col.isNull(), F.lit(None))
     for label, pat in TYPE_PATTERNS:
-        cond = col.rlike(pat)
-        expr = F.when(cond, label) if expr is None else expr.when(cond, label)
+        expr = expr.when(col.rlike(pat), label)
     return expr.otherwise("text")
 
 

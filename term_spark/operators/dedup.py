@@ -103,6 +103,37 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
             .select("id_a", "id_b", "n_common", "n_a", "n_b", "jaccard"))
 
 
+def ngram_jaccard_for_pairs(df: DataFrame, pairs: DataFrame,
+                            text_col: str = "text", id_col: str = "doc_id",
+                            k: int = 3, threshold: float = 0.5) -> DataFrame:
+    """Exact n-gram Jaccard restricted to the given (id_a, id_b)
+    candidate pairs — the verification stage after LSH.
+
+    Unlike ``ngram_jaccard_pairs`` (all-pairs inverted-index join), the
+    shingle join here fans out from the candidate list, so the work is
+    O(|candidates| · shingles-per-doc) instead of O(corpus²) — this is
+    what makes LSH + verify actually cheaper than exact-all-pairs at
+    scale. Returns (id_a, id_b, n_common, n_a, n_b, jaccard ≥ τ).
+    """
+    sh = _doc_shingles(df, text_col, id_col, k)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    p = pairs.select("id_a", "id_b")
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    inter = (p.join(a, "id_a")
+              .join(b, ["id_b", "shingle"])
+              .groupBy("id_a", "id_b")
+              .agg(F.count(F.lit(1)).alias("n_common")))
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_shingles").alias("n_b"))
+    return (inter.join(sa, "id_a").join(sb, "id_b")
+            .withColumn("jaccard",
+                        F.round(F.col("n_common") /
+                                (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "n_common", "n_a", "n_b", "jaccard"))
+
+
 def minhash_signature_cols(num_hashes: int):
     """MinHash h_i(doc) = min over shingles of md5(i‖':'‖shingle).
 
@@ -175,17 +206,42 @@ def simhash64(df: DataFrame, text_col: str = "text",
     return agg.select("id", sim.alias("simhash"))
 
 
+SIMHASH_BITS = 60
+
+
+def simhash_block_layout(max_hamming: int, total_bits: int = SIMHASH_BITS):
+    """(offset, size) per block. ``max_hamming + 1`` blocks guarantee
+    recall by pigeonhole: with at most h differing bits, at least one of
+    h+1 disjoint blocks is untouched. Shared with the SQL oracle so both
+    engines bucket identically."""
+    if max_hamming < 0:
+        raise ValueError("max_hamming must be >= 0")
+    nb = min(max_hamming + 1, total_bits)
+    base, rem = divmod(total_bits, nb)
+    layout, off = [], 0
+    for i in range(nb):
+        size = base + (1 if i < rem else 0)
+        layout.append((off, size))
+        off += size
+    return layout
+
+
 def simhash_near_pairs(sim_df: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by Hamming distance over 4×15-bit blocks
-    (pigeonhole: ≤3 differing bits ⇒ at least one block identical).
-    Input: (id, simhash). Returns (id_a, id_b, hamming)."""
-    blocks = [(F.shiftright(F.col("simhash"), 15 * i).bitwiseAND(F.lit((1 << 15) - 1)))
-              .alias(f"blk_{i}") for i in range(4)]
+    """Near-dup pairs by Hamming distance ≤ max_hamming.
+
+    Blocking derives from the argument: ``max_hamming + 1`` disjoint bit
+    blocks (pigeonhole ⇒ guaranteed recall for ANY max_hamming < 60,
+    not just ≤3), candidates join on equal (block index, block value),
+    then exact bit_count verification. Input: (id, simhash).
+    Returns (id_a, id_b, hamming)."""
+    layout = simhash_block_layout(max_hamming)
+    blocks = [(F.shiftright(F.col("simhash"), off).bitwiseAND(F.lit((1 << size) - 1)))
+              .alias(f"blk_{i}") for i, (off, size) in enumerate(layout)]
     with_blocks = sim_df.select("id", "simhash", *blocks)
     stacked = with_blocks.select(
         "id", "simhash",
         F.explode(F.array(*[F.struct(F.lit(i).alias("bi"), F.col(f"blk_{i}").alias("bv"))
-                            for i in range(4)])).alias("b")
+                            for i in range(len(layout))])).alias("b")
     ).select("id", "simhash", F.col("b.bi").alias("bi"), F.col("b.bv").alias("bv"))
     a, b = stacked.alias("a"), stacked.alias("b")
     cand = (a.join(b, (F.col("a.bi") == F.col("b.bi")) &

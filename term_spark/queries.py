@@ -222,7 +222,10 @@ def q_datatype_detection(spark, sf_dir) -> DataFrame:
     from .operators.datatype import classify_expr
     d2 = d.select(F.col("n_chars").cast("string").alias("v")).union(
         d.select(F.col("lang").alias("v")))
-    df = d2.select(classify_expr("v").alias("detected_type"))
+    # NULLs are excluded on both engines (the oracle filters v IS NOT
+    # NULL; classify_expr also maps NULL → NULL rather than 'text').
+    df = (d2.filter(F.col("v").isNotNull())
+            .select(classify_expr("v").alias("detected_type")))
     return (df.groupBy("detected_type").agg(F.count(F.lit(1)).alias("cnt"))
               .orderBy(F.desc("cnt"), F.asc("detected_type")))
 

@@ -281,15 +281,21 @@ def q_simhash_near_pairs(spark, sf_dir) -> DataFrame:
     return D.simhash_near_pairs(sim, max_hamming=10).orderBy("id_a", "id_b")
 
 
-SQL_SIMHASH_NEAR_PAIRS = f"""
+def _simhash_pairs_sql(max_hamming: int) -> str:
+    # Pure semantic contract — ALL pairs with hamming ≤ h, no blocking
+    # clause. The Spark side buckets on h+1 pigeonhole blocks; matching
+    # this oracle proves the blocking achieves full recall.
+    return f"""
 WITH sig AS ({_simhash_sql().replace("ORDER BY id", "")})
 SELECT a.id AS id_a, b.id AS id_b,
        bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
 FROM sig a JOIN sig b ON a.id < b.id
-WHERE bit_count(xor(a.simhash, b.simhash)) <= 10
-  AND ({" OR ".join(f"((a.simhash >> {15*i}) & 32767) = ((b.simhash >> {15*i}) & 32767)" for i in range(4))})
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
 ORDER BY id_a, id_b
 """
+
+
+SQL_SIMHASH_NEAR_PAIRS = _simhash_pairs_sql(10)
 
 
 # ---------------------------------------------------------------------------

@@ -27,6 +27,32 @@ def test_analysis_runner_single_pass(spark, nulls_df):
     assert not ctx.errors
 
 
+def test_runner_fusion_splits_distinct_from_sketch(spark, nulls_df):
+    """Two distinct-column analyzers + sketch analyzers must split into
+    exactly two agg jobs (plain+distinct / sketches) — fusing them in
+    one df.agg plans an Expand that drags sketch buffers through a sort
+    (the ~100x trap the suite executor already avoids)."""
+    from term_spark.analyzers.base import DistinctnessAnalyzer
+    from term_spark.plans.executor import SuiteRunner
+
+    runner = (AnalysisRunner()
+              .add(DistinctnessAnalyzer("name"))
+              .add(DistinctnessAnalyzer("score"))
+              .add(ApproxCountDistinctAnalyzer("age")))
+    merged = {}
+    for an in runner.analyzers:
+        for a, c in an.state_exprs().items():
+            merged.setdefault(a, c)
+    groups = SuiteRunner._fusion_groups(merged)
+    assert len(groups) == 2
+    assert all(a.startswith("mk_") for a in groups[1]), groups[1].keys()
+    assert not any(a.startswith("mk_") for a in groups[0])
+    # and the split runner still produces correct metrics
+    ctx = runner.run(nulls_df, spark=spark)
+    assert not ctx.errors, ctx.errors
+    assert ctx.metrics["distinctness.name"].value == pytest.approx(4 / 5)
+
+
 def test_state_merge_equals_global(spark):
     """Partition-wise states merged == global metric (the monoid law
     the reference's property tests pin)."""
@@ -139,3 +165,17 @@ def test_datatype_distribution_analyzer(spark):
     assert shares["float"] == pytest.approx(0.2)
     assert shares["date"] == pytest.approx(0.2)
     assert shares["text"] == pytest.approx(0.2)
+
+
+def test_classify_expr_null_stays_null(spark):
+    """Regression (ADVICE r1): NULL must not classify as 'text' —
+    rlike(NULL) is NULL so a bare CASE falls through to otherwise."""
+    import pyspark.sql.functions as F
+
+    from term_spark.operators.datatype import classify_expr
+
+    df = spark.createDataFrame([("1",), (None,), ("x",)], "v string")
+    got = {r["v"]: r["t"] for r in
+           df.select("v", classify_expr("v").alias("t")).collect()}
+    assert got["1"] == "integer" and got["x"] == "text"
+    assert got[None] is None

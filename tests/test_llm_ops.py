@@ -79,6 +79,37 @@ def test_simhash_block_join_guarantee(spark):
     assert all((1, 4) != k and (2, 4) != k and (3, 4) != k for k in got)
 
 
+def test_jaccard_for_pairs_equals_allpairs_restriction(spark, docs):
+    """Candidate-restricted verification must equal the all-pairs join
+    intersected with the candidate list (same jaccard values)."""
+    cands = D.minhash_lsh_candidates(docs)
+    full = D.ngram_jaccard_pairs(docs, threshold=0.1)
+    expect = sorted(tuple(r) for r in full.join(
+        cands.select("id_a", "id_b"), ["id_a", "id_b"]).collect())
+    got = sorted(tuple(r) for r in
+                 D.ngram_jaccard_for_pairs(docs, cands, threshold=0.1).collect())
+    assert got == expect and got  # non-empty on the fixture
+
+
+def test_simhash_recall_beyond_three(spark):
+    """max_hamming=5 derives 6 pigeonhole blocks: a pair differing in 5
+    bits spread across every old 15-bit block (which the fixed 4-block
+    scheme would MISS) must still be found."""
+    base = 0b1011011101111011110111101111011101101110111101
+    # one flipped bit inside each old 15-bit block, plus one more: any
+    # fixed 4x15 blocking has no identical block.
+    flips = (1 << 0) | (1 << 15) | (1 << 30) | (1 << 45) | (1 << 50)
+    sim = spark.createDataFrame([(1, base), (2, base ^ flips)],
+                                "id long, simhash long")
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in D.simhash_near_pairs(sim, max_hamming=5).collect()}
+    assert got == {(1, 2): 5}
+    # and the same pair is invisible at max_hamming=3 (distance filter)
+    assert D.simhash_near_pairs(sim, max_hamming=3).count() == 0
+    with pytest.raises(ValueError):
+        D.simhash_near_pairs(sim, max_hamming=-1)
+
+
 def test_token_and_quality(spark, docs):
     out = docs.select("doc_id", T.token_count("text"),
                       F.round(T.stopword_ratio("text"), 4).alias("sw"),
