@@ -92,13 +92,40 @@ def main() -> None:
         except ValueError:
             pass
 
-    print(json.dumps({
+    payload = {
         "metric": "suite_20_constraints_wall_sec",
         "value": round(suite_sec, 4),
         "unit": "sec",
         "queries": per_query,
         "sf": sf,
-    }))
+    }
+
+    # sf1 crossover point (BASELINE.md extrapolation): generated once by
+    # scripts/make_sf1.py; measured only when present so the default
+    # bench stays fast.
+    sf1_dir = os.environ.get(
+        "SPARK_GRAFT_SF1_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "benchdata", "sf1"))
+    if os.path.isdir(sf1_dir):
+        li1 = read_parquet(spark, f"{sf1_dir}/lineitem.parquet")
+        li1.count()
+        suite.run(spark, li1)  # warm
+        t0 = time.perf_counter()
+        result1 = suite.run(spark, li1)
+        sf1 = {"suite_20_constraints": round(time.perf_counter() - t0, 4)}
+        assert result1.passed, result1.report.to_json()
+        for name in ("pricing_summary", "cross_table_sum_orders_lineitem",
+                     "fk_orders_customer", "join_coverage_lineitem_orders",
+                     "unique_value_ratio_custkey", "max_time_gap_events"):
+            fn = QUERIES[name]
+            fn(spark, sf1_dir).collect()  # warm
+            t0 = time.perf_counter()
+            fn(spark, sf1_dir).collect()
+            sf1[name] = round(time.perf_counter() - t0, 4)
+        payload["sf1"] = sf1
+
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

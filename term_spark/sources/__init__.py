@@ -22,6 +22,7 @@ import glob as _glob
 from typing import Dict, List, Optional, Sequence
 
 import pyspark.sql.functions as F
+import pyspark.sql.types as T
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -52,8 +53,14 @@ def read_parquet(spark: SparkSession, path: str, **options) -> DataFrame:
     if nanos:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.options(**options).parquet(path)
+    # The rebuild applies only when Spark actually surfaced the column as a
+    # nanos-epoch long. Spark-written INT96 timestamps also read as
+    # timestamp[ns] in pyarrow but land as TimestampType here — skip those.
+    long_cols = {f.name for f in df.schema.fields
+                 if isinstance(f.dataType, T.LongType)}
     for c in nanos:
-        df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+        if c in long_cols:
+            df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
     return df
 
 
