@@ -89,13 +89,28 @@ def read_json(spark: SparkSession, path, multiline: Optional[bool] = None,
 
 
 def read_jdbc(spark: SparkSession, url: str, table: str,
-              properties: Optional[Dict[str, str]] = None, **options) -> DataFrame:
-    reader = (spark.read.format("jdbc")
-              .option("url", url)
-              .option("dbtable", table))
-    for k, v in {**(properties or {}), **options}.items():
-        reader = reader.option(k, v)
-    return reader.load()
+              properties: Optional[Dict[str, str]] = None,
+              partition_column: Optional[str] = None,
+              lower_bound: Optional[int] = None,
+              upper_bound: Optional[int] = None,
+              num_partitions: Optional[int] = None,
+              **options) -> DataFrame:
+    """Generic JDBC read (database.rs:133). Pass ``partition_column``
+    (+ optional bounds) to get a partitioned scan — an unpartitioned
+    JDBC read is a single task regardless of cluster size. Bounds are
+    auto-discovered with a pushed-down MIN/MAX when omitted. For
+    dialect defaults use sources.database.{Postgres,MySql,Sqlite}Source."""
+    from .database import DatabaseSource
+    merged = {**(properties or {}), **options}
+    user = merged.pop("user", None)
+    password = merged.pop("password", None)
+    driver = merged.pop("driver", None)
+    src = DatabaseSource(url, table, user=user, password=password,
+                         partition_column=partition_column,
+                         lower_bound=lower_bound, upper_bound=upper_bound,
+                         num_partitions=num_partitions, driver=driver,
+                         **merged)
+    return src.load(spark)
 
 
 class JoinedSource:
@@ -176,6 +191,11 @@ def configure_gcs(spark: SparkSession,
         conf.set("google.cloud.auth.service.account.json.keyfile",
                  service_account_json)
     return spark
+
+
+from .database import (  # noqa: E402  (re-export; keeps JDBC deps lazy)
+    DatabaseSource, MySqlSource, PostgresSource, SqliteSource,
+)
 
 
 def configure_azure(spark: SparkSession, account: str,
