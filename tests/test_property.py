@@ -105,3 +105,57 @@ def test_multi_constraint_consistency(spark, values):
     result = ValidationSuite.builder("prop").with_check(check).run(spark, df)
     assert result.passed, result.report.to_json(2)
     assert result.report.num_spark_jobs == 1
+
+
+# ---------------------------------------------------------------------------
+# Quantile-sketch merge error bound (kll_sketch.rs:161-166 posture):
+# merged per-partition states must land within the analyzer's stated
+# eps = 2/k + 1/accuracy normalized rank error of the exact quantile.
+# The per-slice grids here are built exactly in Python (accuracy -> inf),
+# isolating the merge algebra; the Spark end-to-end path is covered in
+# tests/test_quantile_grouped.py::test_quantile_sketch_error_bound.
+# ---------------------------------------------------------------------------
+
+def _exact_grid(values, k):
+    """Exact equi-depth stratum-midpoint grid (what percentile_approx
+    produces as accuracy -> inf): grid[j] = quantile((j+0.5)/k)."""
+    s = sorted(values)
+    n = len(s)
+    return [s[min(int((j + 0.5) / k * n), n - 1)] for j in range(k)]
+
+
+def _rank_error(union_sorted, estimate, q):
+    """Normalized distance from q of the estimate's rank interval."""
+    import bisect as _b
+    n = len(union_sorted)
+    lo = _b.bisect_left(union_sorted, estimate) / n
+    hi = _b.bisect_right(union_sorted, estimate) / n
+    if lo <= q <= hi:
+        return 0.0
+    return min(abs(q - lo), abs(q - hi))
+
+
+@given(slices=st.lists(
+    st.lists(st.floats(min_value=-1e6, max_value=1e6, allow_nan=False,
+                       allow_infinity=False),
+             min_size=1, max_size=120),
+    min_size=1, max_size=5),
+    q=st.sampled_from([0.05, 0.25, 0.5, 0.75, 0.95]))
+@SET
+def test_quantile_merge_error_bound(slices, q):
+    from term_spark.analyzers.base import AnalyzerState
+    from term_spark.analyzers.quantile_sketch import QuantileSketchAnalyzer
+
+    k = 50
+    an = QuantileSketchAnalyzer("x", k=k)
+    states = [AnalyzerState(n=len(sl), mn=min(sl), mx=max(sl),
+                            grid=_exact_grid(sl, k))
+              for sl in slices]
+    merged = an.merge_states(states)
+    union = sorted(v for sl in slices for v in sl)
+    assert merged["n"] == len(union)
+    est = an.quantile_from_state(merged, q)
+    # grid build quantizes each slice to ceil-rank atoms: one extra
+    # element of slack per slice on top of the analytical bound
+    eps = 2.0 / k + (len(slices) + 1) / len(union)
+    assert _rank_error(union, est, q) <= eps, (q, est, eps)

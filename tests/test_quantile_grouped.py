@@ -74,3 +74,33 @@ def test_grouped_overflow_strategies(spark):
     with pytest.raises(ValueError):
         GroupedAnalysisRunner("g", GroupingConfig(max_groups=5, overflow="fail")) \
             .add(MeanAnalyzer("v")).run(df)
+
+
+def test_quantile_sketch_error_bound(spark):
+    """Merged Spark-computed states stay within the analyzer's stated
+    merge_error_bound (eps = 2/k + 1/accuracy) of the exact quantile —
+    the reference publishes exactly this kind of guarantee for KLL
+    (kll_sketch.rs:161-166)."""
+    import bisect
+
+    # deterministic skewed data: squares mod a prime, 4 uneven slices
+    values = [float((i * i) % 9973) for i in range(10_000)]
+    df = spark.createDataFrame([(v,) for v in values], "x double")
+    an = QuantileSketchAnalyzer("x", k=200, accuracy=10_000)
+    cuts = (0, 500, 3000, 7000, 10_000)
+    states = []
+    for lo, hi in zip(cuts, cuts[1:]):
+        part = spark.createDataFrame([(v,) for v in values[lo:hi]], "x double")
+        row = part.agg(*[c.alias(a) for a, c in an.state_exprs().items()]).collect()[0]
+        states.append(an.state_from_row(row.asDict()))
+    merged = an.merge_states(states)
+    assert merged["n"] == len(values)
+
+    union = sorted(values)
+    eps = an.merge_error_bound()  # 0.0101 at defaults
+    for q in (0.05, 0.25, 0.5, 0.75, 0.95, 0.99):
+        est = an.quantile_from_state(merged, q)
+        lo_r = bisect.bisect_left(union, est) / len(union)
+        hi_r = bisect.bisect_right(union, est) / len(union)
+        err = 0.0 if lo_r <= q <= hi_r else min(abs(q - lo_r), abs(q - hi_r))
+        assert err <= eps, (q, est, err, eps)
