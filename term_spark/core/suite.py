@@ -42,10 +42,13 @@ class ValidationSuite:
 
     def run(self, spark: "SparkSession",
             data: Union["DataFrame", Mapping[str, "DataFrame"]],
-            ) -> ValidationResult:
+            debug=None) -> ValidationResult:
+        """Run all checks. Pass a ``telemetry.DebugContext`` as ``debug``
+        to collect per-constraint timings, job descriptions, and an
+        error report (debug_context.rs workflow)."""
         from ..plans.executor import SuiteRunner
 
-        return SuiteRunner().run(self, spark, self._tables(data))
+        return SuiteRunner().run(self, spark, self._tables(data), debug=debug)
 
     def explain(self, spark: "SparkSession",
                 data: Union["DataFrame", Mapping[str, "DataFrame"]],

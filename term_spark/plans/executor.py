@@ -45,8 +45,9 @@ MAX_CONCURRENT_JOBS = 4
 
 class SuiteRunner:
     def run(self, suite: "ValidationSuite", spark: "SparkSession",
-            tables: Mapping[str, "DataFrame"]) -> ValidationResult:
+            tables: Mapping[str, "DataFrame"], debug=None) -> ValidationResult:
         ctx = EngineContext(spark, tables, suite.default_table)
+        dbg = debug if (debug is not None and debug.enabled) else None
         report = ValidationReport(suite=suite.name)
         t0 = time.perf_counter()
 
@@ -93,6 +94,17 @@ class SuiteRunner:
 
         def run_group(key, group):
             df = scoped_df(*key)
+            if dbg is not None:
+                table, where = key
+                members = ", ".join(sorted(
+                    con.metric_key() for _, con, _ in fused_jobs[key][0]))
+                dbg.log_query(
+                    f"fused agg on {table}"
+                    + (f" where {where}" if where else "")
+                    + f" [{len(group)} metrics]", context=members)
+                with dbg.track_constraint(f"fused:{table}"):
+                    return df.agg(*[c.alias(a)
+                                    for a, c in group.items()]).collect()[0]
             return df.agg(*[c.alias(a) for a, c in group.items()]).collect()[0]
 
         def run_own(check, con):
@@ -101,6 +113,11 @@ class SuiteRunner:
             if check.where:  # row scope applies to the check's own table
                 tbls[table] = scoped_df(table, check.where)
             sub_ctx = EngineContext(spark, tbls, table)
+            if dbg is not None:
+                dbg.log_query(f"own job: {type(con).__name__} on {table}",
+                              context=con.metric_key())
+                with dbg.track_constraint(con.metric_key()):
+                    return con.evaluate(sub_ctx)
             return con.evaluate(sub_ctx)
 
         # ---- execute concurrently, record deterministically -----------
@@ -134,7 +151,7 @@ class SuiteRunner:
                             res = con._finish(con.result_from_metrics(metrics))
                         except Exception as exc:
                             res = con._finish(ConstraintResult.error(str(exc)))
-                    self._record(report, check, con, res)
+                    self._record(report, check, con, res, dbg)
 
             for check, con, fut in own_futures:
                 try:
@@ -142,7 +159,7 @@ class SuiteRunner:
                 except Exception as exc:
                     res = con._finish(ConstraintResult.error(str(exc)))
                 report.num_spark_jobs += 1
-                self._record(report, check, con, res)
+                self._record(report, check, con, res, dbg)
 
         report.duration_sec = time.perf_counter() - t0
         return ValidationResult.from_report(report)
@@ -223,7 +240,9 @@ class SuiteRunner:
 
     @staticmethod
     def _record(report: ValidationReport, check, con: Constraint,
-                res: ConstraintResult) -> None:
+                res: ConstraintResult, dbg=None) -> None:
         report.outcomes.append(ConstraintOutcome(check.name, check.level, res))
         if res.metric is not None:
             report.metrics[con.metric_key()] = res.metric
+        if dbg is not None:
+            dbg.record_result(con.metric_key(), res)
