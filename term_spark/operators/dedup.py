@@ -81,7 +81,7 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     (stop-shingles) — the standard skew guard for the inverted-index
     join at scale. Leave None for exact semantics.
     """
-    sh = _doc_shingles(df, text_col, id_col, k)
+    sh = _doc_shingles(spread(df, id_col), text_col, id_col, k)
     if max_shingle_freq is not None:
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
         sh = (sh.join(freq.filter(F.col("df_") <= max_shingle_freq), "shingle")
@@ -146,6 +146,22 @@ def minhash_signature_cols(num_hashes: int):
     return build
 
 
+def spread(df: DataFrame, key: str, min_parts: Optional[int] = None) -> DataFrame:
+    """Repartition a CPU-heavy input if it arrives under-partitioned.
+
+    A small parquet file scans as ONE task, so per-row-expensive
+    operators (16 md5s per shingle, 64-bit simhash folds) serialize on
+    a single core no matter how many are available. On a real cluster
+    a 100 TB table arrives with thousands of splits and this is a
+    no-op; locally (and for small dimension-like tables) it buys full
+    parallelism for one narrow shuffle of the raw docs.
+    """
+    target = min_parts or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, key)
+
+
 def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id", k: int = 3,
                            num_hashes: int = 16, bands: int = 4) -> DataFrame:
@@ -154,10 +170,24 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
     num_hashes/bands rows-per-band r = num_hashes//bands gives the
     S-curve threshold ≈ (1/bands)^(1/r). Defaults (16,4): τ ≈ 0.71.
     Returns (id_a, id_b, n_bands_matched).
+
+    Shape notes (measured at sf0.1):
+    - signatures come from explode → groupBy(id) with 16 min-aggs —
+      hash-agg in whole-stage codegen. A shuffle-free alternative
+      (in-row ``array_min(transform(md5))`` / ``F.aggregate`` fold)
+      is value-identical but ~10× more CPU: higher-order-function
+      lambda bodies are interpreted, 16 min-aggs are codegen'd.
+    - shingles are NOT deduped first: a min is duplicate-insensitive,
+      so the distinct shuffle ngram_jaccard needs is skipped here.
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    sh = _doc_shingles(df, text_col, id_col, k)
+    from .text import word_shingles_from
+    toks = spread(df, id_col).select(
+        F.col(id_col).alias("id"),
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("__toks"))
+    sh = toks.select("id", F.explode(word_shingles_from(F.col("__toks"), k))
+                     .alias("shingle"))
     sig = sh.groupBy("id").agg(*minhash_signature_cols(num_hashes)(F.col("shingle")))
     # band hash = md5 of the concatenated row minhashes
     band_cols = []
@@ -189,7 +219,8 @@ def simhash64(df: DataFrame, text_col: str = "text",
     Returns (id, simhash (bigint)).
     """
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    exploded = (df.select(F.col(id_col).alias("id"), F.explode(toks).alias("tok"))
+    exploded = (spread(df, id_col)
+                  .select(F.col(id_col).alias("id"), F.explode(toks).alias("tok"))
                   .withColumn("h", F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10)
                               .cast("bigint")))
     # 60 usable bits from 15 hex chars (conv of 16 chars can overflow sign)

@@ -243,3 +243,22 @@ def test_curate_corpus_pipeline(spark):
     assert report.removed()["low_quality"] == 1   # drop 4 (score 0.342)
     assert report.removed()["wrong_language"] == 1  # drop 5 (german)
     assert kept == [1, 6]
+
+
+def test_minhash_deterministic_across_builds(spark, docs):
+    """Two independently-built plans must agree exactly (band counts
+    included) — guards against seed literals that embed per-plan state
+    (e.g. a Column repr leaking into an f-string via the HOF
+    two-arg-lambda index trap)."""
+    a = sorted(map(tuple, D.minhash_lsh_candidates(docs).collect()))
+    b = sorted(map(tuple, D.minhash_lsh_candidates(docs).collect()))
+    assert a == b and a
+
+
+def test_spread_repartitions_only_when_needed(spark, docs):
+    one = docs.coalesce(1)
+    assert one.rdd.getNumPartitions() == 1
+    out = D.spread(one, "doc_id")
+    assert out.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    wide = docs.repartition(64, "doc_id")
+    assert D.spread(wide, "doc_id") is wide
