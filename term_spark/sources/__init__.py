@@ -160,12 +160,27 @@ def configure_s3(spark: SparkSession, access_key: Optional[str] = None,
                  secret_key: Optional[str] = None,
                  session_token: Optional[str] = None,
                  endpoint: Optional[str] = None,
-                 region: Optional[str] = None) -> SparkSession:
-    """Hadoop-S3A credentials/endpoint conf; with no keys, falls back to
-    the default provider chain (IAM role / env) like the reference's
-    object_store auth modes. Read with ``read_parquet(spark,
-    "s3a://bucket/path")`` afterwards."""
+                 region: Optional[str] = None,
+                 profile: Optional[str] = None,
+                 assume_role_arn: Optional[str] = None,
+                 anonymous: bool = False) -> SparkSession:
+    """Hadoop-S3A auth conf — one function per S3Auth mode of the
+    reference (cloud.rs:30-110):
+
+    - no args → default provider chain (env vars / instance IAM role;
+      ``S3Auth::InstanceCredentials``),
+    - ``access_key``+``secret_key`` (+``session_token`` for STS) →
+      static / temporary credentials (``S3Auth::AccessKey``),
+    - ``profile`` → named profile from ~/.aws/credentials
+      (``S3Auth::Profile``; the JVM reads AWS_PROFILE),
+    - ``assume_role_arn`` → STS assumed role on top of the base chain,
+    - ``anonymous`` → public buckets.
+
+    Read with ``read_parquet(spark, "s3a://bucket/path")`` afterwards.
+    """
     conf = spark.sparkContext._jsc.hadoopConfiguration()
+    if sum((bool(access_key), bool(profile), anonymous)) > 1:
+        raise ValueError("pick ONE of access_key / profile / anonymous")
     if access_key and secret_key:
         conf.set("fs.s3a.access.key", access_key)
         conf.set("fs.s3a.secret.key", secret_key)
@@ -173,6 +188,17 @@ def configure_s3(spark: SparkSession, access_key: Optional[str] = None,
             conf.set("fs.s3a.session.token", session_token)
             conf.set("fs.s3a.aws.credentials.provider",
                      "org.apache.hadoop.fs.s3a.TemporaryAWSCredentialsProvider")
+    elif profile:
+        conf.set("fs.s3a.aws.credentials.provider",
+                 "com.amazonaws.auth.profile.ProfileCredentialsProvider")
+        spark.conf.set("spark.executorEnv.AWS_PROFILE", profile)
+    elif anonymous:
+        conf.set("fs.s3a.aws.credentials.provider",
+                 "org.apache.hadoop.fs.s3a.AnonymousAWSCredentialsProvider")
+    if assume_role_arn:
+        conf.set("fs.s3a.assumed.role.arn", assume_role_arn)
+        conf.set("fs.s3a.aws.credentials.provider",
+                 "org.apache.hadoop.fs.s3a.auth.AssumedRoleCredentialProvider")
     if endpoint:
         conf.set("fs.s3a.endpoint", endpoint)
     if region:
@@ -181,15 +207,30 @@ def configure_s3(spark: SparkSession, access_key: Optional[str] = None,
 
 
 def configure_gcs(spark: SparkSession,
-                  service_account_json: Optional[str] = None) -> SparkSession:
-    """GCS connector conf; default = application-default credentials
-    (the reference's ADC mode, cloud.rs:266)."""
+                  service_account_json: Optional[str] = None,
+                  service_account_keyfile: Optional[str] = None) -> SparkSession:
+    """GCS connector conf — GcsAuth parity (cloud.rs:243-295):
+    default = application-default credentials (``ApplicationDefault``);
+    ``service_account_keyfile`` = path to a key file
+    (``ServiceAccountKey``); ``service_account_json`` = inline JSON
+    (``ServiceAccountJson``)."""
     conf = spark.sparkContext._jsc.hadoopConfiguration()
     conf.set("fs.gs.impl", "com.google.cloud.hadoop.fs.gcs.GoogleHadoopFileSystem")
-    if service_account_json:
+    keyfile = service_account_keyfile or service_account_json
+    if service_account_json and service_account_json.lstrip().startswith("{"):
+        # inline JSON: the Hadoop GCS connector only takes a file path,
+        # so persist to a private temp file (the reference passes JSON
+        # straight to object_store; this is the Hadoop-side equivalent)
+        import os
+        import tempfile
+        fd, path = tempfile.mkstemp(suffix=".json", prefix="gcs_sa_")
+        with os.fdopen(fd, "w") as f:
+            f.write(service_account_json)
+        os.chmod(path, 0o600)
+        keyfile = path
+    if keyfile:
         conf.set("google.cloud.auth.service.account.enable", "true")
-        conf.set("google.cloud.auth.service.account.json.keyfile",
-                 service_account_json)
+        conf.set("google.cloud.auth.service.account.json.keyfile", keyfile)
     return spark
 
 
@@ -199,11 +240,38 @@ from .database import (  # noqa: E402  (re-export; keeps JDBC deps lazy)
 
 
 def configure_azure(spark: SparkSession, account: str,
-                    access_key: Optional[str] = None) -> SparkSession:
+                    access_key: Optional[str] = None,
+                    sas_token: Optional[str] = None,
+                    client_id: Optional[str] = None,
+                    client_secret: Optional[str] = None,
+                    tenant_id: Optional[str] = None) -> SparkSession:
     """ABFS conf for ``abfss://container@account.dfs.core.windows.net/…``
-    (cloud.rs:450)."""
+    — AzureAuth parity (cloud.rs:419-500): ``access_key`` =
+    ``AccessKey``; ``sas_token`` = ``SasToken``; ``client_id`` +
+    ``client_secret`` + ``tenant_id`` = ``ClientSecret`` (OAuth); none =
+    ambient credentials (the reference's ``AzureCli`` mode — managed
+    identity / az login on the nodes)."""
+    host = f"{account}.dfs.core.windows.net"
     conf = spark.sparkContext._jsc.hadoopConfiguration()
+    if sum((bool(access_key), bool(sas_token), bool(client_id))) > 1:
+        raise ValueError("pick ONE of access_key / sas_token / client auth")
     if access_key:
-        conf.set(f"fs.azure.account.key.{account}.dfs.core.windows.net",
-                 access_key)
+        conf.set(f"fs.azure.account.auth.type.{host}", "SharedKey")
+        conf.set(f"fs.azure.account.key.{host}", access_key)
+    elif sas_token:
+        conf.set(f"fs.azure.account.auth.type.{host}", "SAS")
+        conf.set(f"fs.azure.sas.fixed.token.{host}", sas_token.lstrip("?"))
+        conf.set(f"fs.azure.sas.token.provider.type.{host}",
+                 "org.apache.hadoop.fs.azurebfs.sas.FixedSASTokenProvider")
+    elif client_id:
+        if not (client_secret and tenant_id):
+            raise ValueError("client auth needs client_id + client_secret"
+                             " + tenant_id")
+        conf.set(f"fs.azure.account.auth.type.{host}", "OAuth")
+        conf.set(f"fs.azure.account.oauth.provider.type.{host}",
+                 "org.apache.hadoop.fs.azurebfs.oauth2.ClientCredsTokenProvider")
+        conf.set(f"fs.azure.account.oauth2.client.id.{host}", client_id)
+        conf.set(f"fs.azure.account.oauth2.client.secret.{host}", client_secret)
+        conf.set(f"fs.azure.account.oauth2.client.endpoint.{host}",
+                 f"https://login.microsoftonline.com/{tenant_id}/oauth2/token")
     return spark
