@@ -838,3 +838,111 @@ ORACLES.update({
     "grouped_stats_mktsegment": SQL_GROUPED_STATS_MKTSEGMENT,
     "rollup_pricing": SQL_ROLLUP_PRICING,
 })
+
+
+# ---------------------------------------------------------------------------
+# windows/sorts oracle coverage (SURVEY 2.5/2.6): gap sessionization +
+# distributed top-k
+# ---------------------------------------------------------------------------
+
+def q_sessionize_events(spark, sf_dir) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity breaks a session):
+    per-user session counts via LAG + running SUM of boundaries —
+    the standard two-window idiom, partition-parallel by user_id (no
+    global sort; at 100 TB each user's timeline sorts within its own
+    hash partition)."""
+    from pyspark.sql import Window
+    (e,) = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    marked = (e.filter(F.col("ts").isNotNull())
+               .select("user_id", "ts", "event_id",
+                       F.when(gap.isNull() | (gap > 1800.0), 1)
+                        .otherwise(0).alias("is_start")))
+    sess = marked.select(
+        "user_id", "event_id",
+        F.sum("is_start").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)).alias("session_id"))
+    per_session = (sess.groupBy("user_id", "session_id")
+                   .agg(F.count(F.lit(1)).alias("n_events")))
+    return (per_session.groupBy("user_id")
+            .agg(F.max("session_id").alias("n_sessions"),
+                 F.sum("n_events").alias("n_events"),
+                 F.max("n_events").alias("max_session_events"))
+            .orderBy("user_id"))
+
+
+SQL_SESSIONIZE_EVENTS = """
+WITH marked AS (
+    SELECT user_id, event_id,
+           CASE WHEN EXTRACT(EPOCH FROM ts) -
+                     LAG(EXTRACT(EPOCH FROM ts)) OVER
+                         (PARTITION BY user_id ORDER BY ts, event_id)
+                     > 1800.0
+                OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     IS NULL
+                THEN 1 ELSE 0 END AS is_start,
+           ts
+    FROM events WHERE ts IS NOT NULL
+), sess AS (
+    SELECT user_id, event_id,
+           SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM marked
+), per_session AS (
+    SELECT user_id, session_id, COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, session_id
+)
+SELECT user_id,
+       CAST(MAX(session_id) AS BIGINT) AS n_sessions,
+       CAST(SUM(n_events) AS BIGINT) AS n_events,
+       CAST(MAX(n_events) AS BIGINT) AS max_session_events
+FROM per_session GROUP BY user_id ORDER BY user_id
+"""
+
+
+def q_top_customers_revenue(spark, sf_dir) -> DataFrame:
+    """Top-10 customers by total order value: decimal-routed revenue,
+    broadcast dimension join, and a bounded TakeOrderedAndProject
+    top-k (orderBy+limit — never a global single-partition window;
+    the row_number runs on the 10 surviving rows only)."""
+    from pyspark.sql import Window
+    o, c = _t(spark, sf_dir, "orders", "customer")
+    rev = (o.groupBy("o_custkey")
+            .agg(F.sum(F.col("o_totalprice").cast("decimal(25,4)"))
+                 .cast("double").alias("revenue"),
+                 F.count(F.lit(1)).alias("n_orders")))
+    top = (rev.join(F.broadcast(c),
+                    rev["o_custkey"] == c["c_custkey"])
+              .select(F.col("c_custkey").alias("custkey"), "c_name",
+                      r6(F.col("revenue")).alias("revenue"), "n_orders")
+              .orderBy(F.desc("revenue"), "custkey")
+              .limit(10))
+    w = Window.orderBy(F.desc("revenue"), "custkey")
+    return top.select(F.row_number().over(w).cast("bigint").alias("rank"),
+                      "custkey", "c_name", "revenue", "n_orders")
+
+
+SQL_TOP_CUSTOMERS_REVENUE = """
+WITH rev AS (
+    SELECT o_custkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,4))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_custkey
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY revenue DESC, c_custkey) AS BIGINT)
+           AS rank,
+       c_custkey AS custkey, c_name, ROUND(revenue, 6) AS revenue, n_orders
+FROM rev JOIN customer ON o_custkey = c_custkey
+ORDER BY revenue DESC, custkey LIMIT 10
+"""
+
+
+QUERIES.update({
+    "sessionize_events": q_sessionize_events,
+    "top_customers_revenue": q_top_customers_revenue,
+})
+ORACLES.update({
+    "sessionize_events": SQL_SESSIONIZE_EVENTS,
+    "top_customers_revenue": SQL_TOP_CUSTOMERS_REVENUE,
+})
