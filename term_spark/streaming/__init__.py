@@ -98,3 +98,44 @@ def stateful_dedup_stream(stream_df, key_cols: List[str], ts_col: str,
     return (stream_df
             .withWatermark(ts_col, watermark)
             .dropDuplicatesWithinWatermark(key_cols))
+
+
+def running_stats_stream(stream_df, key_col: str, value_col: str):
+    """Custom stateful operator: per-key running (n, sum, sum²) state
+    maintained across micro-batches via ``applyInPandasWithState`` —
+    the streaming form of the batch engine's mergeable analyzer state
+    (analyzers/base.py state algebra; same n/Σx/Σx² triple).
+
+    Emits one row per key per batch with the cumulative n, mean, and
+    sample stddev. State is a 3-number tuple per key — bounded by key
+    cardinality, not stream length, so this holds at cluster scale.
+    Arrow-batched (no row-at-a-time Python).
+    """
+    import math
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        if state.exists:
+            n, s, s2 = state.get
+        else:
+            n, s, s2 = 0, 0.0, 0.0
+        for pdf in pdfs:
+            v = pdf[value_col].dropna()
+            n += int(v.size)
+            s += float(v.sum())
+            s2 += float((v * v).sum())
+        state.update((n, s, s2))
+        mean = s / n if n else None
+        var = (s2 - s * s / n) / (n - 1) if n > 1 else None
+        std = math.sqrt(var) if var is not None and var > 0 else (
+            0.0 if var is not None else None)
+        yield pd.DataFrame([{key_col: key[0], "n": n, "mean": mean,
+                             "stddev": std}])
+
+    out_schema = f"{key_col} bigint, n bigint, mean double, stddev double"
+    state_schema = "n bigint, s double, s2 double"
+    return (stream_df.groupBy(key_col)
+            .applyInPandasWithState(update, out_schema, state_schema,
+                                    "update", GroupStateTimeout.NoTimeout))

@@ -118,3 +118,43 @@ def test_windowed_metrics_stream(spark, tpch, tmp_path):
     total = sum(r["n"] for r in rows)
     assert total == tpch["events"].count()
     assert 25 <= len(rows) <= 35
+
+
+def test_running_stats_stream_state_across_batches(spark, tmp_path):
+    """applyInPandasWithState keeps per-key (n, sum, sum2) across
+    micro-batches: two files processed as separate batches
+    (maxFilesPerTrigger=1) must end with the cumulative stats."""
+    import math
+    import os
+    import statistics
+
+    from term_spark.streaming import running_stats_stream
+
+    src = str(tmp_path / "rs_src")
+    os.makedirs(src)
+    b0 = [(1, 1.0), (1, 2.0), (2, 10.0)]
+    b1 = [(1, 3.0), (2, 20.0), (2, 30.0)]
+    spark.createDataFrame(b0, "k long, v double").coalesce(1) \
+        .write.parquet(src + "/b0.parquet")
+    spark.createDataFrame(b1, "k long, v double").coalesce(1) \
+        .write.parquet(src + "/b1.parquet")
+
+    stream = (spark.readStream.schema("k long, v double")
+              .option("maxFilesPerTrigger", 1).parquet(src + "/*.parquet"))
+    out = running_stats_stream(stream, "k", "v")
+    q = (out.writeStream.format("memory").queryName("running_stats")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    rows = spark.sql("SELECT * FROM running_stats").collect()
+    assert len(rows) >= 3  # >=2 batches emitted, keys overlap
+    # last emission per key carries the cumulative state
+    final = {}
+    for r in rows:  # memory sink appends in batch order
+        final[r["k"]] = (r["n"], r["mean"], r["stddev"])
+    all_v = {1: [1.0, 2.0, 3.0], 2: [10.0, 20.0, 30.0]}
+    for k, vs in all_v.items():
+        n, mean, std = final[k]
+        assert n == len(vs)
+        assert mean == pytest.approx(statistics.mean(vs))
+        assert std == pytest.approx(statistics.stdev(vs))
