@@ -117,23 +117,77 @@ def lsh_bucketed_pairs(df: DataFrame, id_col: str = "vec_id",
                  .select("id_a", "id_b", F.round("cosine", 6).alias("cosine")))
 
 
-def ivf_topk(df: DataFrame, queries: DataFrame, k: int = 5, n_centroids: int = 16,
-             nprobe: int = 4, id_col: str = "vec_id", vec_col: str = "embedding",
-             query_id_col: str = "query_id", query_vec_col: str = "query_vec",
-             seed: int = 42) -> DataFrame:
-    """IVF-style ANN: assign corpus vectors to seeded-sample centroids,
-    probe the ``nprobe`` nearest centroids per query.
+def kmeans_centroids(df: DataFrame, id_col: str = "vec_id",
+                     vec_col: str = "embedding", k: int = 16,
+                     iterations: int = 5, seed: int = 42) -> List[List[float]]:
+    """Distributed Lloyd's k-means for IVF index training, pure
+    DataFrame ops — vectors NEVER collect to the driver; only the k×d
+    centroid matrix does (it is the model, broadcast each round).
 
-    Centroids come from a deterministic sample (first n by id hash) —
-    a Lloyd refinement can be layered on; partition assignment +
-    probing shapes are what matter at scale.
+    Per iteration: cosine-assign every vector to its nearest centroid
+    (broadcast k×d, window-min per row), then recompute centroids as
+    element-wise means via posexplode → groupBy(cid, pos) — k·d result
+    rows regardless of corpus size. Empty clusters keep their previous
+    centroid. Deterministic: seeded md5-hash init, fixed iteration
+    count.
     """
     from pyspark.sql import Window
 
-    cents = (df.orderBy(F.md5(F.concat(F.lit(str(seed)), F.col(id_col).cast("string"))))
-               .limit(n_centroids)
-               .select(F.monotonically_increasing_id().alias("cid"),
-                       F.col(vec_col).alias("cvec")))
+    spark = df.sparkSession
+    v = df.select(F.col(id_col).alias("id"),
+                  F.transform(F.col(vec_col),
+                              lambda x: x.cast("double")).alias("v"))
+    cents = [list(r["v"]) for r in
+             v.orderBy(F.md5(F.concat(F.lit(str(seed)),
+                                      F.col("id").cast("string"))))
+              .limit(k).collect()]
+
+    for _ in range(max(0, iterations)):
+        cdf = F.broadcast(spark.createDataFrame(
+            [(i, c) for i, c in enumerate(cents)], "cid long, cvec array<double>"))
+        scored = with_cosine(v.crossJoin(cdf), "v", "cvec", "csim")
+        w = Window.partitionBy("id").orderBy(F.desc("csim"), F.asc("cid"))
+        assigned = (scored.withColumn("r", F.row_number().over(w))
+                    .filter(F.col("r") == 1).select("cid", "v"))
+        means = (assigned.select("cid", F.posexplode("v").alias("pos", "val"))
+                 .groupBy("cid", "pos").agg(F.avg("val").alias("m"))
+                 .groupBy("cid")
+                 .agg(F.transform(
+                     F.sort_array(F.collect_list(F.struct("pos", "m"))),
+                     lambda s: s["m"]).alias("cvec"))
+                 .collect())
+        new = {r["cid"]: list(r["cvec"]) for r in means}
+        cents = [new.get(i, cents[i]) for i in range(len(cents))]
+    return cents
+
+
+def ivf_topk(df: DataFrame, queries: DataFrame, k: int = 5, n_centroids: int = 16,
+             nprobe: int = 4, id_col: str = "vec_id", vec_col: str = "embedding",
+             query_id_col: str = "query_id", query_vec_col: str = "query_vec",
+             seed: int = 42, train_iterations: int = 0) -> DataFrame:
+    """IVF-style ANN: assign corpus vectors to centroids, probe the
+    ``nprobe`` nearest centroids per query.
+
+    ``train_iterations=0`` uses a deterministic hash-sample as
+    centroids (cheap, assignment/probing shapes unchanged);
+    ``train_iterations>0`` runs distributed Lloyd's k-means
+    (kmeans_centroids) first — the proper index build for skewed
+    embedding distributions.
+    """
+    from pyspark.sql import Window
+
+    if train_iterations > 0:
+        trained = kmeans_centroids(df, id_col, vec_col, n_centroids,
+                                   train_iterations, seed)
+        cents = df.sparkSession.createDataFrame(
+            [(i, c) for i, c in enumerate(trained)],
+            "cid long, cvec array<double>")
+    else:
+        cents = (df.orderBy(F.md5(F.concat(F.lit(str(seed)),
+                                           F.col(id_col).cast("string"))))
+                   .limit(n_centroids)
+                   .select(F.monotonically_increasing_id().alias("cid"),
+                           F.col(vec_col).alias("cvec")))
     cents = F.broadcast(cents)
 
     corpus = df.select(F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("vb"))

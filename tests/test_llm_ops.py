@@ -262,3 +262,55 @@ def test_spread_repartitions_only_when_needed(spark, docs):
     assert out.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
     wide = docs.repartition(64, "doc_id")
     assert D.spread(wide, "doc_id") is wide
+
+
+def test_kmeans_recovers_separated_clusters(spark):
+    """Lloyd's iterations must converge to the true centers of
+    well-separated clusters (cosine geometry: orthogonal directions)."""
+    import random
+    rng = random.Random(3)
+    centers = [[10.0, 0.0, 0.0, 0.0], [0.0, 10.0, 0.0, 0.0],
+               [0.0, 0.0, 10.0, 0.0]]
+    rows = []
+    i = 0
+    for c in centers:
+        for _ in range(30):
+            rows.append((i, [x + rng.gauss(0, 0.3) for x in c]))
+            i += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = S.kmeans_centroids(df, k=3, iterations=4, seed=11)
+    assert len(cents) == 3
+    # every true center has a learned centroid with cosine > 0.99
+    import math
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        return dot / (math.sqrt(sum(x * x for x in a)) *
+                      math.sqrt(sum(y * y for y in b)))
+    for c in centers:
+        assert max(cos(c, learned) for learned in cents) > 0.99
+
+
+def test_ivf_topk_trained(spark):
+    """Trained IVF with full probing still equals brute force, and the
+    trained index with nprobe=1 keeps exact recall on clustered data
+    (each query's neighbors live in its own cluster)."""
+    import random
+    rng = random.Random(5)
+    centers = [[10.0, 0.0, 0.0, 0.0], [0.0, 10.0, 0.0, 0.0],
+               [0.0, 0.0, 10.0, 0.0], [0.0, 0.0, 0.0, 10.0]]
+    rows = []
+    i = 0
+    for c in centers:
+        for _ in range(16):
+            rows.append((i, [x + rng.gauss(0, 0.2) for x in c]))
+            i += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = df.filter("vec_id IN (0, 16, 32)").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    exact = sorted(map(tuple, S.cosine_topk(df, queries, k=3).collect()))
+    full = sorted(map(tuple, S.ivf_topk(
+        df, queries, k=3, n_centroids=4, nprobe=4, train_iterations=3).collect()))
+    assert full == exact
+    probe1 = sorted(map(tuple, S.ivf_topk(
+        df, queries, k=3, n_centroids=4, nprobe=1, train_iterations=3).collect()))
+    assert probe1 == exact
