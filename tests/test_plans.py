@@ -145,3 +145,26 @@ def test_filter_pushdown_reaches_scan(spark, tpch):
     assert "PushedFilters" in plan
     pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln][0]
     assert "l_quantity" in pushed
+
+
+def test_sessionize_windows_are_partition_parallel(spark, tpch):
+    """The session windows must all partition by user_id — a
+    partitionless window would force a single-task global sort."""
+    from term_spark.queries import q_sessionize_events
+    df = q_sessionize_events(spark, "/root/testdata/sf0.001")
+    text = plan_of(df, mode="extended")
+    import re
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", text)
+    assert specs, text
+    for spec in specs:
+        assert "user_id" in spec, f"unpartitioned window: {spec}"
+
+
+def test_top_customers_uses_bounded_topk_and_broadcast(spark, tpch):
+    """orderBy+limit must plan as TakeOrderedAndProject (distributed
+    bounded top-k) and the customer dimension join as broadcast."""
+    from term_spark.queries import q_top_customers_revenue
+    df = q_top_customers_revenue(spark, "/root/testdata/sf0.001")
+    text = plan_of(df)
+    assert "TakeOrderedAndProject" in text, text
+    assert "BroadcastHashJoin" in text or "BroadcastExchange" in text, text
