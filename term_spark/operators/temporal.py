@@ -196,3 +196,54 @@ class MaxTimeGapConstraint(Constraint):
             ratio,
             f"{row['violations']}/{row['total_gaps']} consecutive gaps exceed "
             f"{self.max_gap_seconds}s (max gap {row['max_gap']:.1f}s)"))
+
+
+def asof_join(left, right, on: str, left_ts: str = "ts",
+              right_ts: str = "ts", suffix: str = "_r",
+              tolerance_seconds: float = None):
+    """Point-in-time (as-of) join: for each left row, the LATEST right
+    row with ``right_ts <= left_ts`` in the same ``on`` group — the
+    time-series enrichment join Spark has no native operator for
+    (DuckDB: ASOF JOIN; pandas: merge_asof).
+
+    Scale-safe union idiom instead of an O(n·m) range join: tag both
+    sides, sort the union once per key, and carry the last right
+    payload forward with ``last(ignorenulls)`` over an unbounded-
+    preceding window. One shuffle on ``on``, partition-parallel — no
+    per-key fan-out, no global sort. Right rows order before left rows
+    at equal timestamps, so ties match (<=). ``tolerance_seconds``
+    null-matches rows whose matched right timestamp is too old
+    (merge_asof semantics).
+
+    Returns all left columns plus each right payload column suffixed.
+    """
+    from pyspark.sql import Window
+
+    rcols = [c for c in right.columns if c != on]
+    payload = F.struct(*[F.col(c) for c in rcols])
+    r = right.select(F.col(on).alias("__k"),
+                     F.col(right_ts).cast("double").alias("__t"),
+                     F.lit(0).alias("__src"), payload.alias("__p"),
+                     *[F.lit(None).cast(f.dataType).alias(f"__l_{f.name}")
+                       for f in left.schema.fields])
+    l = left.select(F.col(on).alias("__k"),
+                    F.col(left_ts).cast("double").alias("__t"),
+                    F.lit(1).alias("__src"),
+                    F.lit(None).cast(r.schema["__p"].dataType).alias("__p"),
+                    *[F.col(f.name).alias(f"__l_{f.name}")
+                      for f in left.schema.fields])
+    u = l.unionByName(r)
+    w = (Window.partitionBy("__k").orderBy("__t", "__src")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    matched = (u.withColumn("__m", F.last("__p", ignorenulls=True).over(w))
+               .withColumn("__mt", F.last(F.when(F.col("__src") == 0,
+                                                 F.col("__t")),
+                                          ignorenulls=True).over(w))
+               .filter(F.col("__src") == 1))
+    if tolerance_seconds is not None:
+        in_tol = (F.col("__t") - F.col("__mt")) <= float(tolerance_seconds)
+        matched = matched.withColumn("__m", F.when(in_tol, F.col("__m")))
+    out = matched.select(
+        *[F.col(f"__l_{f.name}").alias(f.name) for f in left.schema.fields],
+        *[F.col("__m")[c].alias(c + suffix) for c in rcols])
+    return out

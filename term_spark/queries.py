@@ -946,3 +946,51 @@ ORACLES.update({
     "sessionize_events": SQL_SESSIONIZE_EVENTS,
     "top_customers_revenue": SQL_TOP_CUSTOMERS_REVENUE,
 })
+
+
+def q_asof_click_error(spark, sf_dir) -> DataFrame:
+    """As-of join: each click event enriched with the user's latest
+    prior (or simultaneous) error event — the point-in-time join
+    (operators/temporal.py asof_join; union + last(ignorenulls)
+    window, one shuffle on user_id). The error side is deduped to one
+    row per (user_id, ts) keeping max event_id so both engines break
+    exact-timestamp ties identically."""
+    from .operators.temporal import asof_join
+    (e,) = _t(spark, sf_dir, "events")
+    clicks = (e.filter(F.col("event_type") == "click")
+               .select("event_id", "user_id", "ts"))
+    errors = (e.filter(F.col("event_type") == "error")
+               .groupBy("user_id", "ts")
+               .agg(F.max("event_id").alias("error_id")))
+    j = asof_join(clicks, errors, on="user_id", left_ts="ts", right_ts="ts")
+    return (j.select(F.col("event_id").alias("click_id"), "user_id",
+                     r6(F.col("ts").cast("double")).alias("click_epoch"),
+                     F.col("error_id_r").alias("error_id"),
+                     r6(F.col("ts_r").cast("double")).alias("error_epoch"))
+             .withColumn("gap_seconds",
+                         r6(F.col("click_epoch") - F.col("error_epoch")))
+             .orderBy("click_id"))
+
+
+SQL_ASOF_CLICK_ERROR = """
+WITH clicks AS (
+    SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+), errors AS (
+    SELECT user_id, ts, MAX(event_id) AS error_id
+    FROM events WHERE event_type = 'error' GROUP BY user_id, ts
+)
+SELECT c.event_id AS click_id, c.user_id,
+       ROUND(EXTRACT(EPOCH FROM c.ts), 6) AS click_epoch,
+       e.error_id,
+       ROUND(EXTRACT(EPOCH FROM e.ts), 6) AS error_epoch,
+       ROUND(EXTRACT(EPOCH FROM c.ts) - EXTRACT(EPOCH FROM e.ts), 6)
+           AS gap_seconds
+FROM clicks c
+ASOF LEFT JOIN errors e
+    ON c.user_id = e.user_id AND c.ts >= e.ts
+ORDER BY click_id
+"""
+
+
+QUERIES.update({"asof_click_error": q_asof_click_error})
+ORACLES.update({"asof_click_error": SQL_ASOF_CLICK_ERROR})

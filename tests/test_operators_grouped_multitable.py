@@ -162,3 +162,39 @@ def test_tpch_referential_integrity(spark, tpch):
                                         "o_orderkey", Assertion.eq(1.0), "left")))
     r = suite.run(spark, tpch)
     assert r.passed, r.report.to_json(2)
+
+
+def test_asof_join_backward_with_ties_and_tolerance(spark):
+    from term_spark.operators.temporal import asof_join
+
+    trades = spark.createDataFrame(
+        [(1, 10.0, "buy"), (1, 20.0, "sell"), (1, 35.0, "buy"), (2, 5.0, "buy")],
+        "uid long, t double, side string")
+    quotes = spark.createDataFrame(
+        [(1, 9.0, 100.0), (1, 20.0, 105.0), (1, 30.0, 110.0), (2, 9.0, 50.0)],
+        "uid long, t double, px double")
+
+    out = {(r["uid"], r["t"]): (r["t_r"], r["px_r"])
+           for r in asof_join(trades, quotes, on="uid",
+                              left_ts="t", right_ts="t").collect()}
+    assert out[(1, 10.0)] == (9.0, 100.0)
+    assert out[(1, 20.0)] == (20.0, 105.0)   # tie matches (<=)
+    assert out[(1, 35.0)] == (30.0, 110.0)
+    assert out[(2, 5.0)] == (None, None)     # left-outer: no prior quote
+
+    tol = {(r["uid"], r["t"]): r["px_r"]
+           for r in asof_join(trades, quotes, on="uid", left_ts="t",
+                              right_ts="t", tolerance_seconds=2.0).collect()}
+    assert tol[(1, 10.0)] == 100.0
+    assert tol[(1, 35.0)] is None            # 5s gap > 2s tolerance
+
+
+def test_asof_join_keeps_left_row_count(spark, tpch):
+    """As-of join is 1:1 with the left side by construction — no
+    fan-out, unlike a naive range join."""
+    from term_spark.operators.temporal import asof_join
+    e = tpch["events"]
+    clicks = e.filter("event_type = 'click'").select("event_id", "user_id", "ts")
+    errors = e.filter("event_type = 'error'").select("user_id", "ts", "value")
+    joined = asof_join(clicks, errors, on="user_id")
+    assert joined.count() == clicks.count()
