@@ -159,3 +159,42 @@ def test_quantile_merge_error_bound(slices, q):
     # element of slack per slice on top of the analytical bound
     eps = 2.0 / k + (len(slices) + 1) / len(union)
     assert _rank_error(union, est, q) <= eps, (q, est, eps)
+
+
+@given(
+    left=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 50)),
+                  min_size=1, max_size=15),
+    right=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 50)),
+                   min_size=1, max_size=15),
+)
+@SET
+def test_asof_join_matches_pandas_merge_asof(spark, left, right):
+    """asof_join == pandas merge_asof(by=key, direction='backward')
+    on random key/timestamp layouts, including ties and no-match rows."""
+    import pandas as pd
+
+    from term_spark.operators.temporal import asof_join
+
+    # dedupe right on (key, ts): merge_asof picks the LAST among equal
+    # timestamps, the union idiom the last in window order — make the
+    # match unambiguous the same way the contract query does
+    right_dd = {}
+    for k, t in right:
+        right_dd[(k, t)] = max(right_dd.get((k, t), -1), k * 1000 + t)
+    rrows = [(k, float(t), v) for (k, t), v in sorted(right_dd.items())]
+    lrows = [(i, k, float(t)) for i, (k, t) in enumerate(left)]
+
+    ldf = spark.createDataFrame(lrows, "row_id long, k long, t double")
+    rdf = spark.createDataFrame(rrows, "k long, t double, payload long")
+    got = {r["row_id"]: r["payload_r"]
+           for r in asof_join(ldf, rdf, on="k", left_ts="t",
+                              right_ts="t").collect()}
+
+    lp = pd.DataFrame(lrows, columns=["row_id", "k", "t"]).sort_values("t",
+                                                                       kind="stable")
+    rp = pd.DataFrame(rrows, columns=["k", "t", "payload"]).sort_values("t",
+                                                                        kind="stable")
+    merged = pd.merge_asof(lp, rp, on="t", by="k", direction="backward")
+    for _, row in merged.iterrows():
+        expect = None if pd.isna(row["payload"]) else int(row["payload"])
+        assert got[int(row["row_id"])] == expect, (row["row_id"], dict(row))
