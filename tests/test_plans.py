@@ -168,3 +168,24 @@ def test_top_customers_uses_bounded_topk_and_broadcast(spark, tpch):
     text = plan_of(df)
     assert "TakeOrderedAndProject" in text, text
     assert "BroadcastHashJoin" in text or "BroadcastExchange" in text, text
+
+
+def test_all_query_plans_scale_safe(spark):
+    """Whole-catalog gate: no contract query may plan a cartesian
+    product, an Expand outside ROLLUP, or an unpartitioned window on
+    an unbounded row set — the three shapes that do not survive a
+    100x scale-up."""
+    from term_spark.plans.audit import audit_plan
+    from term_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    failures = []
+    for name in sorted(QUERIES):
+        a = audit_plan(QUERIES[name](spark, sf))
+        if a["cartesian"]:
+            failures.append(f"{name}: CartesianProduct")
+        if a["expand"] and name != "rollup_pricing":
+            failures.append(f"{name}: Expand outside ROLLUP")
+        if a["unpartitioned_windows"] and not a["bounded_by_limit"]:
+            failures.append(f"{name}: unpartitioned window, unbounded rows")
+    assert not failures, failures
