@@ -97,3 +97,90 @@ def curate_corpus(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             "language": report.after_language,
         }
     return stage4, report
+
+
+def connected_components(pairs: DataFrame, id_a: str = "id_a",
+                         id_b: str = "id_b", max_iterations: int = 10) -> DataFrame:
+    """Cluster near-duplicate PAIRS into components: (id, component)
+    where component = min id reachable through the pair graph.
+
+    Large-scale dedup needs clusters, not pairs — "A~B, B~C" must
+    collapse to ONE keeper even though (A,C) was never emitted.
+    Min-label propagation: each round every vertex takes the min label
+    in its neighborhood; converges in O(graph diameter) rounds, and
+    near-dup graphs are shallow (dup clusters are cliques or short
+    chains, diameter ≤ ~4). Per round: one join + one groupBy —
+    shuffle on vertex id, no driver-side graph. ``localCheckpoint``
+    truncates the growing lineage each round (iterative-plan blowup is
+    the classic failure here). Stops early when a round changes no
+    label (one lightweight count per round).
+    """
+    edges = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+             .union(pairs.select(F.col(id_b).alias("src"),
+                                 F.col(id_a).alias("dst")))
+             .distinct())
+    edges = edges.localCheckpoint()
+    labels = (edges.select(F.col("src").alias("id"))
+              .distinct()
+              .withColumn("component", F.col("id")))
+
+    for _ in range(max_iterations):
+        nbr_min = (edges.join(labels, edges["dst"] == labels["id"])
+                   .groupBy("src")
+                   .agg(F.min("component").alias("nbr_component")))
+        updated = (labels.join(nbr_min, labels["id"] == nbr_min["src"], "left")
+                   .select(labels["id"],
+                           F.least("component",
+                                   F.coalesce("nbr_component", "component"))
+                           .alias("component"),
+                           (F.col("nbr_component") < F.col("component"))
+                           .alias("__changed")))
+        updated = updated.localCheckpoint()
+        changed = updated.filter("__changed").count()
+        labels = updated.drop("__changed")
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_by_components(df: DataFrame, pairs: DataFrame,
+                        id_col: str = "doc_id", id_a: str = "id_a",
+                        id_b: str = "id_b",
+                        max_iterations: int = 10) -> DataFrame:
+    """Keep one representative (min id) per near-dup component; rows
+    not in any pair pass through untouched."""
+    comp = connected_components(pairs, id_a, id_b, max_iterations)
+    drop = comp.filter(F.col("id") != F.col("component")).select("id")
+    return df.join(drop, df[id_col] == drop["id"], "left_anti")
+
+
+#: split-name -> weight; hash_split assigns each row deterministically
+DEFAULT_SPLITS = {"train": 0.9, "val": 0.05, "test": 0.05}
+
+
+def hash_split(df: DataFrame, id_col: str = "doc_id",
+               splits: dict = None, seed: str = "term",
+               out: str = "split") -> DataFrame:
+    """Deterministic train/val/test assignment from md5(seed‖id) —
+    stable across runs, machines, and engines (no sampleBy RNG), so a
+    document never migrates between splits when the corpus grows.
+    Narrow op: no shuffle, no state. Bucket = first 15 md5 hex digits
+    mod 1e6 (same arithmetic is expressible in SQL for the oracle).
+    """
+    splits = dict(splits or DEFAULT_SPLITS)
+    total = sum(splits.values())
+    bucket = F.pmod(
+        F.conv(F.substring(
+            F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))),
+            1, 15), 16, 10).cast("bigint"),
+        F.lit(1_000_000))
+    expr = None
+    acc = 0.0
+    items = list(splits.items())
+    for name, w in items[:-1]:
+        acc += w / total * 1_000_000
+        cond = bucket < F.lit(int(acc))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(last)
+    return df.withColumn(out, expr)

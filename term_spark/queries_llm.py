@@ -383,3 +383,92 @@ LLM_ORACLES = {
     "cosine_topk_embeddings": SQL_COSINE_TOPK_EMBEDDINGS,
     "embedding_neardup_pairs": SQL_EMBEDDING_NEARDUP_PAIRS,
 }
+
+
+# ---------------------------------------------------------------------------
+# near-dup components + deterministic splits (curation pipeline ops)
+# ---------------------------------------------------------------------------
+
+def q_neardup_components(spark, sf_dir) -> DataFrame:
+    """Near-dup clusters: MinHash-LSH candidate pairs collapsed into
+    connected components (iterative min-label propagation,
+    operators/curation.py) — per-component member counts. The oracle
+    computes the same transitive closure with a recursive CTE, so even
+    this ITERATIVE operator is value-hash-checked."""
+    from .operators.curation import connected_components
+    from .operators.dedup import minhash_lsh_candidates
+    from .sources import read_parquet
+    d = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    pairs = minhash_lsh_candidates(d, "text", "doc_id", JACCARD_K,
+                                   NUM_HASHES, BANDS)
+    comp = connected_components(pairs)
+    return (comp.groupBy("component")
+            .agg(F.count(F.lit(1)).alias("n_members"))
+            .orderBy("component"))
+
+
+def _components_sql() -> str:
+    base = SQL_MINHASH_LSH_CANDIDATES.replace("ORDER BY id_a, id_b", "")
+    # re-head the minhash CTE chain under WITH RECURSIVE and append the
+    # transitive-closure CTEs
+    body = base.strip()
+    assert body.startswith("WITH ")
+    chain = body[len("WITH "):]
+    head, final = chain.rsplit("\nSELECT", 1)
+    return f"""
+WITH RECURSIVE {head},
+cands AS (SELECT{final}),
+edges AS (
+    SELECT id_a AS s, id_b AS d FROM cands
+    UNION
+    SELECT id_b, id_a FROM cands
+),
+verts AS (SELECT DISTINCT s AS v FROM edges),
+reach(v, r) AS (
+    SELECT v, v FROM verts
+    UNION
+    SELECT reach.v, edges.d FROM reach JOIN edges ON reach.r = edges.s
+),
+comps AS (SELECT v, MIN(r) AS component FROM reach GROUP BY v)
+SELECT component, COUNT(*) AS n_members
+FROM comps GROUP BY component ORDER BY component
+"""
+
+
+SQL_NEARDUP_COMPONENTS = _components_sql()
+
+
+def q_split_counts_docs(spark, sf_dir) -> DataFrame:
+    """Deterministic hash-split assignment (train/val/test from
+    md5(seed‖doc_id) — stable as the corpus grows; narrow, no RNG
+    state), aggregated to per-split counts."""
+    from .operators.curation import hash_split
+    from .sources import read_parquet
+    d = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    return (hash_split(d, "doc_id").groupBy("split")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .orderBy("split"))
+
+
+SQL_SPLIT_COUNTS_DOCS = """
+WITH bucketed AS (
+    SELECT ('0x' || SUBSTRING(md5('term:' || CAST(doc_id AS VARCHAR)), 1, 15))
+               ::UBIGINT % 1000000 AS bucket
+    FROM documents
+)
+SELECT CASE WHEN bucket < 900000 THEN 'train'
+            WHEN bucket < 950000 THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_docs
+FROM bucketed GROUP BY 1 ORDER BY split
+"""
+
+
+LLM_QUERIES.update({
+    "neardup_components": q_neardup_components,
+    "split_counts_docs": q_split_counts_docs,
+})
+LLM_ORACLES.update({
+    "neardup_components": SQL_NEARDUP_COMPONENTS,
+    "split_counts_docs": SQL_SPLIT_COUNTS_DOCS,
+})

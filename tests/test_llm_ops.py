@@ -314,3 +314,36 @@ def test_ivf_topk_trained(spark):
     probe1 = sorted(map(tuple, S.ivf_topk(
         df, queries, k=3, n_centroids=4, nprobe=1, train_iterations=3).collect()))
     assert probe1 == exact
+
+
+def test_connected_components_chain_and_islands(spark):
+    from term_spark.operators.curation import (connected_components,
+                                               dedup_by_components)
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (3, 4), (6, 5), (7, 8)],
+                                  "id_a long, id_b long")
+    comp = {r["id"]: r["component"]
+            for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 7, 8: 7}
+
+    docs9 = spark.createDataFrame([(i, f"d{i}") for i in range(1, 10)],
+                                  "doc_id long, text string")
+    kept = sorted(r["doc_id"] for r in dedup_by_components(docs9, pairs).collect())
+    # one keeper (min id) per component; 9 untouched
+    assert kept == [1, 5, 7, 9]
+
+
+def test_hash_split_deterministic_and_proportional(spark):
+    from term_spark.operators.curation import hash_split
+    df = spark.createDataFrame([(i,) for i in range(5000)], "doc_id long")
+    a = {r["doc_id"]: r["split"] for r in hash_split(df, "doc_id").collect()}
+    b = {r["doc_id"]: r["split"] for r in hash_split(df, "doc_id").collect()}
+    assert a == b  # no RNG state
+    from collections import Counter
+    frac = Counter(a.values())
+    assert 0.87 < frac["train"] / 5000 < 0.93
+    assert 0.03 < frac["val"] / 5000 < 0.07
+    assert 0.03 < frac["test"] / 5000 < 0.07
+    # growth stability: the same ids keep their split in a larger corpus
+    big = spark.createDataFrame([(i,) for i in range(10000)], "doc_id long")
+    c = {r["doc_id"]: r["split"] for r in hash_split(big, "doc_id").collect()}
+    assert all(c[i] == a[i] for i in a)
