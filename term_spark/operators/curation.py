@@ -44,8 +44,8 @@ def near_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                k: int = 3, jaccard_threshold: float = 0.85,
                num_hashes: int = 16, bands: int = 4) -> DataFrame:
     """Remove near-duplicates: LSH candidates → exact Jaccard verify →
-    drop the higher id of each confirmed pair (transitively keeps the
-    minimum id of each duplicate cluster reachable through pairs)."""
+    connected components over confirmed pairs → keep the minimum id of
+    each duplicate cluster."""
     cands = D.minhash_lsh_candidates(df, text_col, id_col, k, num_hashes, bands)
     # Verify ONLY the candidate pairs: the exact-Jaccard join fans out
     # from the LSH candidate list, so LSH actually bounds the O(pairs)
@@ -53,8 +53,12 @@ def near_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     # join.
     confirmed = D.ngram_jaccard_for_pairs(df, cands, text_col, id_col, k,
                                           jaccard_threshold)
-    to_drop = confirmed.select(F.col("id_b").alias(id_col)).distinct()
-    return df.join(to_drop, id_col, "left_anti")
+    # Collapse confirmed pairs into clusters and keep ONE doc per
+    # cluster: pair-wise dropping (remove id_b per pair) keeps both
+    # endpoints of an unverified-but-connected pair — e.g. pairs
+    # (1,3),(2,3) would keep 1 AND 2 even though they share a cluster
+    # through 3.
+    return dedup_by_components(df, confirmed, id_col)
 
 
 def curate_corpus(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
