@@ -8,7 +8,7 @@ suggested constraints with confidence + rationale. Pure Python.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Callable, List, Optional
+from typing import List, Optional
 
 from .profiler import ColumnProfile, TableProfile
 

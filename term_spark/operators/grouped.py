@@ -9,7 +9,7 @@ overflow strategies TopK / BottomK / Sample / Fail.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Dict, List, Optional
+from typing import List, Optional
 
 import pyspark.sql.functions as F
 
