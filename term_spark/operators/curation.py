@@ -104,7 +104,7 @@ def curate_corpus(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
 
 def connected_components(pairs: DataFrame, id_a: str = "id_a",
-                         id_b: str = "id_b", max_iterations: int = 10) -> DataFrame:
+                         id_b: str = "id_b", max_iterations: int = 50) -> DataFrame:
     """Cluster near-duplicate PAIRS into components: (id, component)
     where component = min id reachable through the pair graph.
 
@@ -143,7 +143,13 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
         changed = updated.filter("__changed").count()
         labels = updated.drop("__changed")
         if changed == 0:
-            break
+            return labels
+    import warnings
+    warnings.warn(
+        f"connected_components hit max_iterations={max_iterations} before "
+        "convergence — labels may be split across what is one component "
+        "(graph diameter exceeds the cap). Raise max_iterations.",
+        RuntimeWarning)
     return labels
 
 

@@ -347,3 +347,24 @@ def test_hash_split_deterministic_and_proportional(spark):
     big = spark.createDataFrame([(i,) for i in range(10000)], "doc_id long")
     c = {r["doc_id"]: r["split"] for r in hash_split(big, "doc_id").collect()}
     assert all(c[i] == a[i] for i in a)
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 15-link chain (diameter > the old fixed cap of 10) must still
+    collapse to one component; hitting the cap warns instead of
+    silently mislabeling."""
+    import warnings
+
+    from term_spark.operators.curation import connected_components
+    chain = spark.createDataFrame([(i, i + 1) for i in range(15)],
+                                  "id_a long, id_b long")
+    comp = {r["id"]: r["component"]
+            for r in connected_components(chain).collect()}
+    assert set(comp.values()) == {0}
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        capped = {r["id"]: r["component"]
+                  for r in connected_components(chain, max_iterations=2).collect()}
+        assert any("max_iterations" in str(x.message) for x in w)
+    assert set(capped.values()) != {0}
