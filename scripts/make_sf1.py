@@ -31,6 +31,8 @@ KEY_OFFSETS = {
     "lineitem": {"l_orderkey": "orderkey"},
     "customer": {"c_custkey": "custkey"},
     "events": {"event_id": "eventid", "user_id": "userid"},
+    "documents": {"doc_id": "docid"},
+    "embeddings": {"vec_id": "vecid"},
 }
 
 
