@@ -102,16 +102,35 @@ def lsh_bucket(df: DataFrame, vec_col: str = "embedding", n_planes: int = 8,
 
 def lsh_bucketed_pairs(df: DataFrame, id_col: str = "vec_id",
                        vec_col: str = "embedding", threshold: float = 0.9,
-                       n_planes: int = 8, seed: str = "term") -> DataFrame:
+                       n_planes: int = 8, seed: str = "term",
+                       multi_probe: int = 0) -> DataFrame:
     """Near-dup pairs within LSH buckets (approximate recall; scale
-    path for cosine_pairs)."""
+    path for cosine_pairs).
+
+    ``multi_probe=k`` additionally probes, for each LEFT vector, every
+    bucket within Hamming distance 1 on up to k sign bits — recovering
+    pairs split by a single near-zero hyperplane margin at the cost of
+    (1 + k) bucket keys per vector on one side only (the standard
+    multi-probe LSH trade: more probes, fewer tables/planes).
+    """
     b = lsh_bucket(df, vec_col, n_planes, seed)
     left = b.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
                     F.col("bucket"))
+    if multi_probe > 0:
+        k = min(multi_probe, n_planes)
+        probes = [F.col("bucket")] + [
+            F.concat(
+                F.substring("bucket", 1, j),
+                F.when(F.substring("bucket", j + 1, 1) == "1", "0").otherwise("1"),
+                F.substring("bucket", j + 2, n_planes - j - 1))
+            for j in range(k)]
+        left = (left.withColumn("bucket", F.explode(F.array(*probes))))
     right = b.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
                      F.col("bucket").alias("bucket_b"))
     pairs = left.join(right, (F.col("bucket") == F.col("bucket_b")) &
                       (F.col("id_a") < F.col("id_b")))
+    if multi_probe > 0:  # a pair can now meet in several probe buckets
+        pairs = pairs.dropDuplicates(["id_a", "id_b"])
     pairs = with_cosine(pairs, "va", "vb")
     return (pairs.filter(F.col("cosine") >= threshold)
                  .select("id_a", "id_b", F.round("cosine", 6).alias("cosine")))

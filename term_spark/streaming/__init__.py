@@ -139,3 +139,19 @@ def running_stats_stream(stream_df, key_col: str, value_col: str):
     return (stream_df.groupBy(key_col)
             .applyInPandasWithState(update, out_schema, state_schema,
                                     "update", GroupStateTimeout.NoTimeout))
+
+
+def session_metrics(stream_df, ts_col: str, key_col: str,
+                    gap: str = "30 minutes", watermark: str = "1 hour",
+                    metric_exprs: Optional[Dict[str, "F.Column"]] = None):
+    """Streaming sessionization via Spark's native session_window:
+    per-(key, session) aggregates where a session closes after ``gap``
+    inactivity — the streaming counterpart of the batch
+    q_sessionize_events LAG idiom, with state eviction driven by the
+    watermark instead of a full-history window."""
+    exprs = metric_exprs or {"n_events": F.count(F.lit(1))}
+    return (stream_df
+            .withWatermark(ts_col, watermark)
+            .groupBy(F.session_window(F.col(ts_col), gap).alias("session"),
+                     F.col(key_col))
+            .agg(*[c.alias(a) for a, c in exprs.items()]))

@@ -158,3 +158,31 @@ def test_running_stats_stream_state_across_batches(spark, tmp_path):
         assert n == len(vs)
         assert mean == pytest.approx(statistics.mean(vs))
         assert std == pytest.approx(statistics.stdev(vs))
+
+
+def test_session_metrics_stream(spark, tmp_path):
+    """Native session_window sessionization: events 10s apart share a
+    session; a 10-minute gap opens a new one."""
+    import os
+
+    from term_spark.streaming import session_metrics
+
+    src = str(tmp_path / "sess_src")
+    os.makedirs(src)
+    rows = [(7, "2024-01-01 00:00:00"), (7, "2024-01-01 00:00:10"),
+            (7, "2024-01-01 00:20:00"),          # > 5 min gap -> new session
+            (8, "2024-01-01 00:00:05")]
+    df = spark.createDataFrame(rows, "user_id long, ts_s string") \
+        .selectExpr("user_id", "CAST(ts_s AS TIMESTAMP) AS ts")
+    df.coalesce(1).write.parquet(src + "/b0.parquet")
+
+    stream = spark.readStream.schema("user_id long, ts timestamp").parquet(
+        src + "/*.parquet")
+    agg = session_metrics(stream, "ts", "user_id", gap="5 minutes")
+    q = (agg.writeStream.format("memory").queryName("sess_metrics")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    out = spark.sql(
+        "SELECT user_id, n_events FROM sess_metrics ORDER BY user_id, n_events"
+    ).collect()
+    assert [(r["user_id"], r["n_events"]) for r in out] == [(7, 1), (7, 2), (8, 1)]

@@ -368,3 +368,52 @@ def test_connected_components_long_chain_converges(spark):
                   for r in connected_components(chain, max_iterations=2).collect()}
         assert any("max_iterations" in str(x.message) for x in w)
     assert set(capped.values()) != {0}
+
+
+def test_lsh_multi_probe_recovers_split_pair(spark):
+    """A vector reflected across its smallest-margin hyperplane flips
+    exactly that sign bit: the pair lands in adjacent buckets, plain
+    bucketing misses it, multi-probe (1-bit flips) recovers it."""
+    import math
+    import random
+
+    from term_spark.operators.similarity import _hyperplanes, lsh_bucket
+
+    rng = random.Random(23)
+    n_planes, dim = 12, 16
+    planes = _hyperplanes(dim, n_planes)
+    base = [rng.gauss(0, 1) for _ in range(dim)]
+
+    def dot(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    # reflect base across the plane with the smallest |margin|; nudge
+    # past zero so the sign truly flips
+    j = min(range(n_planes), key=lambda i: abs(dot(base, planes[i])))
+    h = planes[j]
+    hn2 = dot(h, h)
+    coef = 2.0 * (dot(base, h) / hn2) * 1.05
+    twin = [x - coef * hx for x, hx in zip(base, h)]
+    signs_b = [dot(base, p) >= 0 for p in planes]
+    signs_t = [dot(twin, p) >= 0 for p in planes]
+    assert sum(a != b for a, b in zip(signs_b, signs_t)) == 1  # construction
+    cos = dot(base, twin) / math.sqrt(dot(base, base) * dot(twin, twin))
+    assert cos > 0.99
+
+    rows = [(0, base), (1, twin)] + [
+        (i, [rng.gauss(0, 1) for _ in range(dim)]) for i in range(2, 40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    buckets = {r["vec_id"]: r["bucket"]
+               for r in lsh_bucket(df, n_planes=n_planes).collect()}
+    assert sum(a != b for a, b in zip(buckets[0], buckets[1])) == 1
+
+    plain = {(r["id_a"], r["id_b"])
+             for r in S.lsh_bucketed_pairs(df, threshold=0.99,
+                                           n_planes=n_planes).collect()}
+    probed = {(r["id_a"], r["id_b"])
+              for r in S.lsh_bucketed_pairs(df, threshold=0.99,
+                                            n_planes=n_planes,
+                                            multi_probe=n_planes).collect()}
+    assert (0, 1) not in plain          # split pair: plain LSH misses
+    assert (0, 1) in probed             # one-bit probe recovers it
+    assert plain <= probed              # probing only adds candidates
