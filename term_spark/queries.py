@@ -994,3 +994,31 @@ ORDER BY click_id
 
 QUERIES.update({"asof_click_error": q_asof_click_error})
 ORACLES.update({"asof_click_error": SQL_ASOF_CLICK_ERROR})
+
+
+def q_median_by_returnflag(spark, sf_dir) -> DataFrame:
+    """EXACT grouped median/quartiles via Spark's `percentile` (true
+    exact, not percentile_approx — the reference's 'exact' mode falls
+    back to approx, SURVEY §2.4; here exact is native). Group-parallel:
+    one shuffle on the group key, sort within groups only."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.expr("percentile(l_quantity, 0.25)").alias("q1"),
+                 F.expr("percentile(l_quantity, 0.5)").alias("median"),
+                 F.expr("percentile(l_quantity, 0.75)").alias("q3"),
+                 F.count(F.lit(1)).alias("n"))
+            .orderBy("l_returnflag"))
+
+
+SQL_MEDIAN_BY_RETURNFLAG = """
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.25) AS q1,
+       quantile_cont(l_quantity, 0.5) AS median,
+       quantile_cont(l_quantity, 0.75) AS q3,
+       COUNT(*) AS n
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+QUERIES.update({"median_by_returnflag": q_median_by_returnflag})
+ORACLES.update({"median_by_returnflag": SQL_MEDIAN_BY_RETURNFLAG})
