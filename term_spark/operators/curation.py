@@ -194,3 +194,43 @@ def hash_split(df: DataFrame, id_col: str = "doc_id",
     last = items[-1][0]
     expr = F.lit(last) if expr is None else expr.otherwise(last)
     return df.withColumn(out, expr)
+
+
+def decontaminate_exact(df: DataFrame, eval_df: DataFrame,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        eval_text_col: str = "text") -> DataFrame:
+    """Drop training docs whose normalized fingerprint matches ANY
+    eval-set document (benchmark decontamination, exact tier). One
+    broadcast-or-shuffle anti-join on the md5 fingerprint."""
+    fps = (eval_df.select(T.fingerprint(eval_text_col))
+           .withColumnRenamed("fingerprint", "__fp").distinct())
+    return (df.select("*", T.fingerprint(text_col))
+            .withColumnRenamed("fingerprint", "__fp")
+            .join(fps, "__fp", "left_anti")
+            .drop("__fp"))
+
+
+def decontaminate_ngram(df: DataFrame, eval_df: DataFrame,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        eval_text_col: str = "text", k: int = 8,
+                        max_overlap: int = 0) -> DataFrame:
+    """Drop training docs sharing more than ``max_overlap`` distinct
+    k-gram shingles with the eval set (catches paraphrased/partial
+    contamination exact matching misses; k≈8-13 words is the standard
+    benchmark-decontamination regime).
+
+    Shape: eval shingles (distinct, typically small → broadcast by
+    AQE) inverted-index-join against doc shingles, count hits per doc,
+    anti-join the offenders. Work is O(|doc shingles|) map + one
+    shuffle; no pairwise comparison."""
+    from .dedup import _doc_shingles
+    doc_sh = _doc_shingles(df, text_col, id_col, k)
+    eval_sh = (_doc_shingles(
+        eval_df.select(F.monotonically_increasing_id().alias("__eid"),
+                       F.col(eval_text_col)),
+        eval_text_col, "__eid", k)
+        .select("shingle").distinct())
+    hits = (doc_sh.join(eval_sh, "shingle")
+            .groupBy("id").agg(F.count(F.lit(1)).alias("n_hits"))
+            .filter(F.col("n_hits") > max_overlap))
+    return df.join(hits.withColumnRenamed("id", id_col), id_col, "left_anti")

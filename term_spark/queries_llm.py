@@ -472,3 +472,47 @@ LLM_ORACLES.update({
     "neardup_components": SQL_NEARDUP_COMPONENTS,
     "split_counts_docs": SQL_SPLIT_COUNTS_DOCS,
 })
+
+
+def _shingle_sql_k(k: int, where: str) -> str:
+    return rf"""
+    SELECT DISTINCT doc_id AS id,
+           unnest(CASE WHEN len(toks) >= {k}
+                  THEN list_transform(generate_series(1, len(toks) - {k - 1}),
+                                      i -> array_to_string(toks[i:i+{k - 1}], ' '))
+                  ELSE [array_to_string(toks, ' ')] END) AS shingle
+    FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+          FROM documents WHERE {where})
+"""
+
+
+def q_decontaminate_docs(spark, sf_dir) -> DataFrame:
+    """Benchmark decontamination: hold out source='src0' as the "eval
+    set", drop every other doc sharing an 8-gram shingle with it
+    (operators/curation.py decontaminate_ngram — eval shingles
+    inverted-index join, no pairwise work). Returns the accounting row
+    (train size, kept, removed)."""
+    from .operators.curation import decontaminate_ngram
+    d = _docs(spark, sf_dir)
+    evals = d.filter(F.col("source") == "src0")
+    train = d.filter(F.col("source") != "src0")
+    kept = decontaminate_ngram(train, evals, k=8)
+    return (train.agg(F.count(F.lit(1)).alias("n_train"))
+            .crossJoin(kept.agg(F.count(F.lit(1)).alias("n_kept")))
+            .select("n_train", "n_kept",
+                    (F.col("n_train") - F.col("n_kept")).alias("n_removed")))
+
+
+SQL_DECONTAMINATE_DOCS = f"""
+WITH tsh AS ({_shingle_sql_k(8, "source <> 'src0'")}),
+esh AS (SELECT DISTINCT shingle FROM ({_shingle_sql_k(8, "source = 'src0'")})),
+hits AS (SELECT DISTINCT t.id FROM tsh t JOIN esh e ON t.shingle = e.shingle)
+SELECT (SELECT COUNT(*) FROM documents WHERE source <> 'src0') AS n_train,
+       (SELECT COUNT(*) FROM documents WHERE source <> 'src0')
+           - (SELECT COUNT(*) FROM hits) AS n_kept,
+       (SELECT COUNT(*) FROM hits) AS n_removed
+"""
+
+
+LLM_QUERIES.update({"decontaminate_docs": q_decontaminate_docs})
+LLM_ORACLES.update({"decontaminate_docs": SQL_DECONTAMINATE_DOCS})

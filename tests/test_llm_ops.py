@@ -417,3 +417,30 @@ def test_lsh_multi_probe_recovers_split_pair(spark):
     assert (0, 1) not in plain          # split pair: plain LSH misses
     assert (0, 1) in probed             # one-bit probe recovers it
     assert plain <= probed              # probing only adds candidates
+
+
+def test_decontamination_exact_and_ngram(spark):
+    from term_spark.operators.curation import (decontaminate_exact,
+                                               decontaminate_ngram)
+    train = spark.createDataFrame([
+        (1, "the quick brown fox jumps over the lazy dog today ok"),
+        (2, "completely unrelated text about spark and large data"),
+        (3, "THE QUICK  brown fox jumps over the lazy dog today ok"),
+        (4, "prefix words the quick brown fox jumps over the lazy dog today x"),
+    ], "doc_id long, text string")
+    evals = spark.createDataFrame(
+        [("the quick brown fox jumps over the lazy dog today ok",)],
+        "text string")
+
+    # exact tier: normalized-identical docs 1 and 3 go; 4 (superset) stays
+    kept = sorted(r["doc_id"] for r in decontaminate_exact(train, evals).collect())
+    assert kept == [2, 4]
+    # ngram tier: 4 shares eval 8-grams and goes too
+    kept2 = sorted(r["doc_id"]
+                   for r in decontaminate_ngram(train, evals, k=8).collect())
+    assert kept2 == [2]
+    # max_overlap loosens the threshold
+    kept3 = sorted(r["doc_id"]
+                   for r in decontaminate_ngram(train, evals, k=8,
+                                                max_overlap=1000).collect())
+    assert kept3 == [1, 2, 3, 4]
