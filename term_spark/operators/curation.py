@@ -234,3 +234,21 @@ def decontaminate_ngram(df: DataFrame, eval_df: DataFrame,
             .groupBy("id").agg(F.count(F.lit(1)).alias("n_hits"))
             .filter(F.col("n_hits") > max_overlap))
     return df.join(hits.withColumnRenamed("id", id_col), id_col, "left_anti")
+
+
+def stratified_sample_exact(df: DataFrame, strata_col: str,
+                            n_per_stratum: int, id_col: str = "doc_id",
+                            seed: str = "term") -> DataFrame:
+    """EXACTLY n rows per stratum (or all rows of smaller strata),
+    chosen deterministically: rank by md5(seed‖id) within each stratum
+    and keep the first n. Unlike ``sampleBy`` (Bernoulli — approximate
+    counts, RNG state), the selection is reproducible across runs and
+    engines and the per-stratum count is exact — what a balanced
+    training-mix builder actually needs. One shuffle on the stratum
+    key; rows sort only within their stratum."""
+    from pyspark.sql import Window
+    rank_key = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(strata_col).orderBy(rank_key, id_col)
+    return (df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= n_per_stratum)
+            .drop("__rn"))

@@ -516,3 +516,33 @@ SELECT (SELECT COUNT(*) FROM documents WHERE source <> 'src0') AS n_train,
 
 LLM_QUERIES.update({"decontaminate_docs": q_decontaminate_docs})
 LLM_ORACLES.update({"decontaminate_docs": SQL_DECONTAMINATE_DOCS})
+
+
+def q_stratified_sample_docs(spark, sf_dir) -> DataFrame:
+    """Balanced corpus mix: exactly 5 docs per source, chosen by
+    deterministic md5 rank (curation.stratified_sample_exact) —
+    reproducible across engines, exact per-stratum counts (sampleBy
+    can't do either). Emits the sampled ids so the oracle checks the
+    SELECTION, not just the counts."""
+    from .operators.curation import stratified_sample_exact
+    d = _docs(spark, sf_dir)
+    return (stratified_sample_exact(d, "source", 5)
+            .select("source", "doc_id")
+            .orderBy("source", "doc_id"))
+
+
+SQL_STRATIFIED_SAMPLE_DOCS = """
+WITH ranked AS (
+    SELECT source, doc_id,
+           ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5('term:' || CAST(doc_id AS VARCHAR)), doc_id
+           ) AS rn
+    FROM documents
+)
+SELECT source, doc_id FROM ranked WHERE rn <= 5 ORDER BY source, doc_id
+"""
+
+
+LLM_QUERIES.update({"stratified_sample_docs": q_stratified_sample_docs})
+LLM_ORACLES.update({"stratified_sample_docs": SQL_STRATIFIED_SAMPLE_DOCS})

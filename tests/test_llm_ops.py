@@ -444,3 +444,19 @@ def test_decontamination_exact_and_ngram(spark):
                    for r in decontaminate_ngram(train, evals, k=8,
                                                 max_overlap=1000).collect())
     assert kept3 == [1, 2, 3, 4]
+
+
+def test_stratified_sample_exact_counts_and_determinism(spark):
+    from collections import Counter
+
+    from term_spark.operators.curation import stratified_sample_exact
+    rows = [(i, f"s{i % 3}") for i in range(100)] + [(100, "tiny")]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = stratified_sample_exact(df, "source", 7).collect()
+    counts = Counter(r["source"] for r in out)
+    assert counts == {"s0": 7, "s1": 7, "s2": 7, "tiny": 1}
+    again = stratified_sample_exact(df, "source", 7).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    # different seed -> (almost surely) different selection
+    other = stratified_sample_exact(df, "source", 7, seed="other").collect()
+    assert sorted(map(tuple, out)) != sorted(map(tuple, other))
