@@ -247,3 +247,34 @@ def asof_join(left, right, on: str, left_ts: str = "ts",
         *[F.col(f"__l_{f.name}").alias(f.name) for f in left.schema.fields],
         *[F.col("__m")[c].alias(c + suffix) for c in rcols])
     return out
+
+
+def range_join(points, intervals, point_col: str,
+               start_col: str, end_col: str, bucket_width: float,
+               how: str = "inner"):
+    """Point-in-interval join: match each left row to every interval
+    with ``start <= point < end``.
+
+    Spark has no native range-join strategy — a plain inequality join
+    plans BroadcastNestedLoopJoin (O(n·m) compared rows). This is the
+    bucketized form: intervals explode to the buckets they overlap,
+    points map to one bucket, and the match becomes an EQUI-join on
+    the bucket id plus a residual BETWEEN filter — O(n + m·spread)
+    with a shuffle on the bucket key. Pick ``bucket_width`` near the
+    typical interval length: each interval then lands in ~2 buckets
+    and each point probes one.
+
+    Long intervals fan out to many buckets (cost, not correctness);
+    extremely skewed interval lengths warrant splitting the long tail
+    into a separate broadcast pass.
+    """
+    p = points.withColumn(
+        "__b", F.floor(F.col(point_col) / F.lit(bucket_width)).cast("bigint"))
+    i = intervals.withColumn(
+        "__b", F.explode(F.sequence(
+            F.floor(F.col(start_col) / F.lit(bucket_width)).cast("bigint"),
+            F.floor(F.col(end_col) / F.lit(bucket_width)).cast("bigint"))))
+    joined = (p.join(i, "__b", how)
+              .filter((F.col(point_col) >= F.col(start_col)) &
+                      (F.col(point_col) < F.col(end_col))))
+    return joined.drop("__b")

@@ -1022,3 +1022,42 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 
 QUERIES.update({"median_by_returnflag": q_median_by_returnflag})
 ORACLES.update({"median_by_returnflag": SQL_MEDIAN_BY_RETURNFLAG})
+
+
+def q_range_join_events(spark, sf_dir) -> DataFrame:
+    """Point-in-interval (range) join: events.value matched to
+    OVERLAPPING value bands [i*40, i*40+60), i < 12 — each point can
+    hit 2 bands, so this is a genuine range join, not a bucketing
+    groupBy. Executed via operators.temporal.range_join: interval
+    bucketization turns Spark's all-pairs inequality-join plan into an
+    equi-join on the bucket id (gated by
+    test_range_join_matches_nested_loop_and_avoids_nlj)."""
+    from .operators.temporal import range_join
+    (e,) = _t(spark, sf_dir, "events")
+    bands = spark.range(12).select(
+        F.col("id").alias("band"),
+        (F.col("id") * 40.0).alias("lo"),
+        (F.col("id") * 40.0 + 60.0).alias("hi"))
+    j = range_join(e.select("event_id", "value"), bands,
+                   "value", "lo", "hi", bucket_width=40.0)
+    return (j.groupBy("band")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 r6(F.sum(F.col("value").cast("decimal(25,4)"))
+                    .cast("double")).alias("sum_value"))
+            .orderBy("band"))
+
+
+SQL_RANGE_JOIN_EVENTS = """
+WITH bands AS (
+    SELECT i AS band, i * 40.0 AS lo, i * 40.0 + 60.0 AS hi
+    FROM range(12) t(i)
+)
+SELECT band, COUNT(*) AS n_events,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(25,4))) AS DOUBLE), 6) AS sum_value
+FROM events JOIN bands ON value >= lo AND value < hi
+GROUP BY band ORDER BY band
+"""
+
+
+QUERIES.update({"range_join_events": q_range_join_events})
+ORACLES.update({"range_join_events": SQL_RANGE_JOIN_EVENTS})

@@ -198,3 +198,33 @@ def test_asof_join_keeps_left_row_count(spark, tpch):
     errors = e.filter("event_type = 'error'").select("user_id", "ts", "value")
     joined = asof_join(clicks, errors, on="user_id")
     assert joined.count() == clicks.count()
+
+
+def test_range_join_matches_nested_loop_and_avoids_nlj(spark):
+    from term_spark.operators.temporal import range_join
+    from term_spark.plans.audit import plan_text
+
+    points = spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], "pid long, v double")
+    # overlapping bands of differing widths, plus an empty one
+    intervals = spark.createDataFrame(
+        [(0, 0.0, 30.0), (1, 20.0, 45.0), (2, 40.0, 41.0), (3, 200.0, 250.0)],
+        "band long, lo double, hi double")
+
+    got = sorted((r["pid"], r["band"]) for r in
+                 range_join(points, intervals, "v", "lo", "hi", 10.0).collect())
+    naive = sorted((r["pid"], r["band"]) for r in
+                   points.join(intervals, (points["v"] >= intervals["lo"]) &
+                               (points["v"] < intervals["hi"])).collect())
+    assert got == naive and got
+
+    text = plan_text(range_join(points, intervals, "v", "lo", "hi", 10.0))
+    assert "BroadcastNestedLoopJoin" not in text   # equi-join on bucket
+    assert "CartesianProduct" not in text
+    naive_text = plan_text(points.join(
+        intervals, (points["v"] >= intervals["lo"]) &
+        (points["v"] < intervals["hi"])))
+    # what we avoided: Spark plans a pure inequality join as an
+    # all-pairs strategy
+    assert ("BroadcastNestedLoopJoin" in naive_text
+            or "CartesianProduct" in naive_text)
