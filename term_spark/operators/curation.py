@@ -178,6 +178,8 @@ def hash_split(df: DataFrame, id_col: str = "doc_id",
     mod 1e6 (same arithmetic is expressible in SQL for the oracle).
     """
     splits = dict(splits or DEFAULT_SPLITS)
+    if not splits or any(w <= 0 for w in splits.values()):
+        raise ValueError("splits must be non-empty with positive weights")
     total = sum(splits.values())
     bucket = F.pmod(
         F.conv(F.substring(

@@ -268,6 +268,8 @@ def range_join(points, intervals, point_col: str,
     extremely skewed interval lengths warrant splitting the long tail
     into a separate broadcast pass.
     """
+    if not bucket_width > 0:
+        raise ValueError("bucket_width must be positive")
     p = points.withColumn(
         "__b", F.floor(F.col(point_col) / F.lit(bucket_width)).cast("bigint"))
     i = intervals.withColumn(

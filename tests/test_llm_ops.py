@@ -460,3 +460,17 @@ def test_stratified_sample_exact_counts_and_determinism(spark):
     # different seed -> (almost surely) different selection
     other = stratified_sample_exact(df, "source", 7, seed="other").collect()
     assert sorted(map(tuple, out)) != sorted(map(tuple, other))
+
+
+def test_operator_input_guards(spark):
+    import pytest as _pt
+
+    from term_spark.operators.curation import hash_split
+    from term_spark.operators.temporal import range_join
+    df = spark.createDataFrame([(1,)], "doc_id long")
+    with _pt.raises(ValueError, match="positive"):
+        hash_split(df, splits={"train": 0.0, "test": 1.0})
+    iv = spark.createDataFrame([(0, 0.0, 1.0)], "band long, lo double, hi double")
+    with _pt.raises(ValueError, match="positive"):
+        range_join(df.selectExpr("CAST(doc_id AS DOUBLE) v"), iv,
+                   "v", "lo", "hi", 0.0)
