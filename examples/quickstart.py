@@ -83,6 +83,22 @@ def main():
     topk = similarity.cosine_topk(emb.filter("vec_id >= 3"), queries, k=3)
     print("ANN sample:", [tuple(r) for r in topk.collect()[:3]])
 
+    # 6. Curation: clustering, splits, decontamination, sampling
+    from term_spark.operators import curation
+    pairs = dedup.minhash_lsh_candidates(docs)
+    comp = curation.connected_components(pairs)
+    print("near-dup clusters:",
+          comp.select("component").distinct().count(),
+          "covering", comp.count(), "docs")
+    splits = (curation.hash_split(docs).groupBy("split").count().collect())
+    print("splits:", {r["split"]: r["count"] for r in splits})
+    evals = docs.filter("source = 'src0'")
+    train = docs.filter("source <> 'src0'")
+    clean = curation.decontaminate_ngram(train, evals, k=8)
+    print("decontamination: kept", clean.count(), "of", train.count())
+    sample = curation.stratified_sample_exact(docs, "source", 2)
+    print("stratified sample:", sample.count(), "docs (2 per source)")
+
 
 if __name__ == "__main__":
     main()
