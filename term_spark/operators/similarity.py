@@ -43,6 +43,8 @@ def cosine_pairs(df: DataFrame, id_col: str = "vec_id",
     """All pairs (id_a < id_b) with cosine ≥ threshold; brute force.
     ``query_filter``: optional Column predicate restricting the left
     side (e.g. probe a subset against the full corpus)."""
+    from .dedup import spread
+    df = spread(df, id_col)   # per-row folds are CPU-heavy: use all cores
     left = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     if query_filter is not None:
         left = left.filter(query_filter)
@@ -62,7 +64,9 @@ def cosine_topk(df: DataFrame, queries: DataFrame, k: int = 5,
     side — it is small by construction."""
     from pyspark.sql import Window
 
-    corpus = df.select(F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("vb"))
+    from .dedup import spread
+    corpus = (spread(df, id_col)
+              .select(F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("vb")))
     q = queries.select(F.col(query_id_col).alias("query_id"),
                        F.col(query_vec_col).alias("va"))
     scored = with_cosine(F.broadcast(q).crossJoin(corpus), "va", "vb")
@@ -281,7 +285,10 @@ def cosine_topk_pandas(df: DataFrame, queries: DataFrame, k: int = 5,
             }
             yield pd.DataFrame(rows)
 
-    candidates = df.select(id_col, vec_col).mapInPandas(score, out_schema)
+    from .dedup import spread
+    # one input partition = ONE Arrow worker; spread so every core GEMMs
+    candidates = (spread(df, id_col)
+                  .select(id_col, vec_col).mapInPandas(score, out_schema))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))
     return (candidates.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
