@@ -93,10 +93,14 @@ def _hyperplanes(dim: int, n_planes: int, seed: str = "term") -> List[List[float
 
 
 def lsh_bucket(df: DataFrame, vec_col: str = "embedding", n_planes: int = 8,
-               seed: str = "term", out: str = "bucket") -> DataFrame:
-    """Random-hyperplane signature: bucket = bitstring of sign(v·h_j)."""
+               seed: str = "term", out: str = "bucket",
+               dim: Optional[int] = None) -> DataFrame:
+    """Random-hyperplane signature: bucket = bitstring of sign(v·h_j).
+    Pass ``dim`` to skip the one-row dimension sniff (an eager action
+    during plan build)."""
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    dim = len(df.select(vec_col).first()[0])
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
     bits = []
     for j, plane in enumerate(_hyperplanes(dim, n_planes, seed)):
         h = F.array(*[F.lit(x) for x in plane])
@@ -107,7 +111,8 @@ def lsh_bucket(df: DataFrame, vec_col: str = "embedding", n_planes: int = 8,
 def lsh_bucketed_pairs(df: DataFrame, id_col: str = "vec_id",
                        vec_col: str = "embedding", threshold: float = 0.9,
                        n_planes: int = 8, seed: str = "term",
-                       multi_probe: int = 0) -> DataFrame:
+                       multi_probe: int = 0,
+                       dim: Optional[int] = None) -> DataFrame:
     """Near-dup pairs within LSH buckets (approximate recall; scale
     path for cosine_pairs).
 
@@ -117,7 +122,7 @@ def lsh_bucketed_pairs(df: DataFrame, id_col: str = "vec_id",
     (1 + k) bucket keys per vector on one side only (the standard
     multi-probe LSH trade: more probes, fewer tables/planes).
     """
-    b = lsh_bucket(df, vec_col, n_planes, seed)
+    b = lsh_bucket(df, vec_col, n_planes, seed, dim=dim)
     left = b.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
                     F.col("bucket"))
     if multi_probe > 0:
