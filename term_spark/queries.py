@@ -8,6 +8,10 @@ Determinism rules (so Spark and DuckDB value-hashes match):
 - pure-double aggregates (avg/stddev/corr/entropy) are rounded to 6
   decimals (both engines round half-away-from-zero for positives);
 - counts/ratios of counts are exact;
+- DuckDB SUM/product of integers returns HUGEINT (int128), which
+  pandas/Arrow render as float64 and break the value hash against
+  Spark's bigint — ALWAYS CAST(SUM(int_col) AS BIGINT) in oracle SQL
+  (COUNT is already BIGINT and safe);
 - every computed column is aliased identically in Spark and SQL.
 """
 
@@ -126,9 +130,9 @@ SQL_UNIQUE_VALUE_RATIO_CUSTKEY = """
 WITH value_counts AS (
     SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY o_custkey
 )
-SELECT COALESCE(SUM(CASE WHEN cnt = 1 THEN cnt ELSE 0 END), 0) AS unique_rows,
+SELECT CAST(COALESCE(SUM(CASE WHEN cnt = 1 THEN cnt ELSE 0 END), 0) AS BIGINT) AS unique_rows,
        COUNT(*) AS distinct_values,
-       SUM(cnt) AS total_rows,
+       CAST(SUM(cnt) AS BIGINT) AS total_rows,
        ROUND(CAST(COALESCE(SUM(CASE WHEN cnt = 1 THEN cnt ELSE 0 END), 0) AS DOUBLE)
              / CAST(SUM(cnt) AS DOUBLE), 6) AS unique_value_ratio
 FROM value_counts

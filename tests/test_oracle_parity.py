@@ -3,12 +3,18 @@ queries() on Spark and the matching oracle_sql() in DuckDB on the same
 parquet tables, then compare row count, column names, and (order-
 insensitive) values — exactly, since the query contract guarantees
 determinism (decimal sums, rounded float aggregates).
+
+Both sides go through pandas (Spark ``toPandas``, DuckDB ``fetchdf``)
+because that is how the driver renders values before hashing — a DuckDB
+HUGEINT column renders as float64 ("6.0") against Spark's int64 ("6"),
+a drift ``fetchall()``-based comparison can never see (round-2 lesson).
 """
 
 import math
 import os
 
 import duckdb
+import pandas as pd
 import pytest
 
 SF_DIR = os.environ.get("TERM_SPARK_ORACLE_SF_DIR", "/root/testdata/sf0.001")
@@ -25,18 +31,26 @@ def ddb():
     return con
 
 
-def _normalize(rows, columns):
-    """Sort columns by name, then rows; stringify cells canonically."""
+def _normalize(df: "pd.DataFrame"):
+    """Sort columns by name, then rows; stringify cells canonically.
+
+    Floats use full repr (the driver's value-hash is exact — round-1
+    lesson); int64 vs float64 column dtypes therefore render "6" vs
+    "6.0" and are deliberately NOT unified.  None/NaN/NaT normalize to
+    one token so missing-value representation differences between
+    pandas object and float columns don't mask a real dtype check.
+    """
+    columns = list(df.columns)
     idx = sorted(range(len(columns)), key=lambda i: columns[i])
     out = []
-    for row in rows:
+    for row in df.itertuples(index=False, name=None):
         vals = []
         for i in idx:
             v = row[i]
-            if isinstance(v, float):
-                # Full repr, not %.9g: the driver's value-hash is exact, so
-                # the local gate must be bit-exact too (round-1 lesson).
-                vals.append("nan" if math.isnan(v) else repr(v))
+            if v is None or (isinstance(v, float) and math.isnan(v)) or v is pd.NaT:
+                vals.append("null")
+            elif isinstance(v, float):
+                vals.append(repr(float(v)))
             else:
                 vals.append(str(v))
         out.append(tuple(vals))
@@ -54,15 +68,11 @@ def test_query_matches_oracle(spark, ddb, name):
     from term_spark.queries import ORACLES, QUERIES
 
     sdf = QUERIES[name](spark, SF_DIR)
-    spark_rows = [tuple(r) for r in sdf.collect()]
-    spark_cols = list(sdf.columns)
+    spark_pdf = sdf.toPandas()
+    duck_pdf = ddb.execute(ORACLES[name]).fetchdf()
 
-    res = ddb.execute(ORACLES[name])
-    duck_cols = [d[0] for d in res.description]
-    duck_rows = res.fetchall()
-
-    s_vals, s_cols = _normalize(spark_rows, spark_cols)
-    d_vals, d_cols = _normalize(duck_rows, duck_cols)
+    s_vals, s_cols = _normalize(spark_pdf)
+    d_vals, d_cols = _normalize(duck_pdf)
 
     assert s_cols == d_cols, f"{name}: column names differ {s_cols} vs {d_cols}"
     assert len(s_vals) == len(d_vals), (
