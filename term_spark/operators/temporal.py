@@ -267,16 +267,33 @@ def range_join(points, intervals, point_col: str,
     Long intervals fan out to many buckets (cost, not correctness);
     extremely skewed interval lengths warrant splitting the long tail
     into a separate broadcast pass.
+
+    ``how`` may be ``inner`` or ``left`` (unmatched points survive
+    null-extended). The range predicate is folded into the join
+    condition — not applied as a post-join filter, which would silently
+    drop null-extended rows and degrade ``left`` to ``inner``. A point
+    maps to exactly ONE bucket, so folding cannot duplicate matches.
+    ``right``/``full`` are rejected: the interval side is exploded per
+    bucket, so an unmatched interval would surface once per bucket.
     """
     if not bucket_width > 0:
         raise ValueError("bucket_width must be positive")
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"range_join supports how='inner' or 'left', got {how!r}: the "
+            "interval side is bucket-exploded, so right/full semantics "
+            "would emit one row per bucket for unmatched intervals")
     p = points.withColumn(
-        "__b", F.floor(F.col(point_col) / F.lit(bucket_width)).cast("bigint"))
+        "__b", F.floor(F.col(point_col) / F.lit(bucket_width)).cast("bigint")
+    ).alias("__p")
     i = intervals.withColumn(
         "__b", F.explode(F.sequence(
             F.floor(F.col(start_col) / F.lit(bucket_width)).cast("bigint"),
-            F.floor(F.col(end_col) / F.lit(bucket_width)).cast("bigint"))))
-    joined = (p.join(i, "__b", how)
-              .filter((F.col(point_col) >= F.col(start_col)) &
-                      (F.col(point_col) < F.col(end_col))))
-    return joined.drop("__b")
+            F.floor(F.col(end_col) / F.lit(bucket_width)).cast("bigint")))
+    ).alias("__i")
+    cond = ((F.col("__p.__b") == F.col("__i.__b")) &
+            (F.col(f"__p.{point_col}") >= F.col(f"__i.{start_col}")) &
+            (F.col(f"__p.{point_col}") < F.col(f"__i.{end_col}")))
+    joined = (p.join(i, cond, how)
+              .drop(F.col("__p.__b")).drop(F.col("__i.__b")))
+    return joined

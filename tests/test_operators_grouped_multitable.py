@@ -228,3 +228,34 @@ def test_range_join_matches_nested_loop_and_avoids_nlj(spark):
     # all-pairs strategy
     assert ("BroadcastNestedLoopJoin" in naive_text
             or "CartesianProduct" in naive_text)
+
+
+def test_range_join_left_keeps_unmatched_points(spark):
+    """how='left' must null-extend unmatched points — including points
+    whose bucket collides with an interval but fail the range predicate
+    (the case a post-join filter silently drops)."""
+    import pytest
+    from term_spark.operators.temporal import range_join
+
+    points = spark.createDataFrame(
+        [(0, 5.0),    # inside band 0
+         (1, 9.5),    # same bucket as band 0's tail, but >= hi -> unmatched
+         (2, 500.0)], # no interval anywhere near
+        "pid long, v double")
+    intervals = spark.createDataFrame(
+        [(0, 0.0, 9.0)], "band long, lo double, hi double")
+
+    rows = {r["pid"]: r for r in
+            range_join(points, intervals, "v", "lo", "hi", 10.0,
+                       how="left").collect()}
+    assert set(rows) == {0, 1, 2}
+    assert rows[0]["band"] == 0
+    assert rows[1]["band"] is None and rows[2]["band"] is None
+
+    # inner mode unchanged
+    inner = range_join(points, intervals, "v", "lo", "hi", 10.0).collect()
+    assert [(r["pid"], r["band"]) for r in inner] == [(0, 0)]
+
+    # exploded-interval side cannot express right/full semantics
+    with pytest.raises(ValueError, match="right/full"):
+        range_join(points, intervals, "v", "lo", "hi", 10.0, how="full")
