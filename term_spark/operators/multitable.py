@@ -120,32 +120,54 @@ class JoinCoverageConstraint(Constraint):
         self.violation_examples: List = []
 
     @staticmethod
-    def _match_rate(src, src_col: str, dst, dst_col: str) -> Tuple[float, int]:
-        """One job: LEFT JOIN against distinct dst keys, then a single
-        agg of (total, matched) — the reference's exact one-query shape
-        (join_coverage.rs:213-275). Keys are aliased per side so
-        same-named columns (e.g. both 'id') never collide."""
-        joined = (src.select(F.col(src_col).alias("__src_key"))
-                  .join(dst.select(F.col(dst_col).alias("__dst_key")).distinct(),
-                        F.col("__src_key") == F.col("__dst_key"), "left"))
-        row = joined.agg(
+    def _tagged_matches(src, src_col: str, dst, dst_col: str, tag: str):
+        """LEFT JOIN against distinct dst keys, projected down to a
+        direction tag + matched flag — the per-direction building block
+        of the single-query shape (join_coverage.rs:213-275). Keys are
+        aliased per side so same-named columns (e.g. both 'id') never
+        collide; the boolean projection makes both directions
+        union-compatible regardless of key types."""
+        return (src.select(F.col(src_col).alias("__src_key"))
+                .join(dst.select(F.col(dst_col).alias("__dst_key")).distinct(),
+                      F.col("__src_key") == F.col("__dst_key"), "left")
+                .select(F.lit(tag).alias("__dir"),
+                        F.col("__dst_key").isNotNull().cast("int").alias("__m")))
+
+    def _match_rates(self, left, right, directions) -> dict:
+        """ALL requested directions in ONE query/action: union the
+        tagged per-direction match flags and aggregate grouped by
+        direction (2 groups — a trivial final shuffle). Bidirectional
+        previously ran its two joins as two sequential driver
+        round-trips; this is the reference's one-query shape."""
+        parts = [self._tagged_matches(
+                     *( (left, self.left_column, right, self.right_column)
+                        if d == "left"
+                        else (right, self.right_column, left, self.left_column)),
+                     d)
+                 for d in directions]
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        rows = u.groupBy("__dir").agg(
             F.count(F.lit(1)).alias("total"),
-            F.count("__dst_key").alias("matched")).collect()[0]
-        total = int(row["total"])
-        if total == 0:
-            return 1.0, 0
-        return int(row["matched"]) / total, total
+            F.sum("__m").alias("matched")).collect()
+        # a direction with zero src rows yields no group: rate 1.0, total 0
+        out = {d: (1.0, 0) for d in directions}
+        for r in rows:
+            total = int(r["total"])
+            out[r["__dir"]] = (int(r["matched"]) / total if total else 1.0,
+                               total)
+        return out
 
     def evaluate(self, ctx: EngineContext) -> ConstraintResult:
         left = ctx.df(self.left_table)
         right = ctx.df(self.right_table)
-        if self.direction == "left":
-            rate, total = self._match_rate(left, self.left_column, right, self.right_column)
-        elif self.direction == "right":
-            rate, total = self._match_rate(right, self.right_column, left, self.left_column)
+        if self.direction in ("left", "right"):
+            rate, total = self._match_rates(
+                left, right, [self.direction])[self.direction]
         else:
-            l_rate, lt = self._match_rate(left, self.left_column, right, self.right_column)
-            r_rate, rt = self._match_rate(right, self.right_column, left, self.left_column)
+            rates = self._match_rates(left, right, ["left", "right"])
+            (l_rate, lt), (r_rate, rt) = rates["left"], rates["right"]
             rate, total = min(l_rate, r_rate), lt + rt  # LEAST (join_coverage.rs:267)
         if total == 0:
             return self._finish(ConstraintResult.skipped())
@@ -199,10 +221,22 @@ class CrossTableSumConstraint(Constraint):
         left = ctx.df(self.left_table)
         right = ctx.df(self.right_table)
         if not self.group_by:
-            ls = left.agg(F.coalesce(F.sum(F.expr(self.left_expr)), F.lit(0.0))
-                          .alias("s")).collect()[0]["s"]
-            rs = right.agg(F.coalesce(F.sum(F.expr(self.right_expr)), F.lit(0.0))
-                           .alias("s")).collect()[0]["s"]
+            # ONE query for both sums (cross_table_sum.rs:202-213 computes
+            # them via scalar subqueries in a single statement): union the
+            # two one-row aggregates instead of two sequential collects.
+            # Cast to double for union compatibility across differing
+            # decimal/float sum types; the tolerance compare is float.
+            both = (
+                left.agg(F.coalesce(F.sum(F.expr(self.left_expr)), F.lit(0.0))
+                         .cast("double").alias("s"))
+                    .select(F.lit("l").alias("side"), "s")
+                .unionByName(
+                    right.agg(F.coalesce(F.sum(F.expr(self.right_expr)),
+                                         F.lit(0.0))
+                              .cast("double").alias("s"))
+                         .select(F.lit("r").alias("side"), "s")))
+            sums = {r["side"]: r["s"] for r in both.collect()}
+            ls, rs = sums["l"], sums["r"]
             diff = abs(float(ls) - float(rs))
             if diff <= self.tolerance:
                 return self._finish(ConstraintResult.success(diff))

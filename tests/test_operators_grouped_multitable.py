@@ -140,6 +140,57 @@ def test_cross_table_sum(spark):
     assert o.status == Status.FAILURE and o.metric == 1.0
 
 
+def test_cross_table_sum_and_bidirectional_coverage_single_action(
+        spark, monkeypatch):
+    """Success path = ONE driver action (the reference computes both
+    scalar sums in a single statement, cross_table_sum.rs:202-213, and
+    both coverage directions in one query). Counts DataFrame.collect
+    calls — one collect == one query submission; AQE may split it into
+    several Spark jobs internally, which is fine."""
+    from term_spark.core.constraint import EngineContext
+    from term_spark.operators.multitable import (CrossTableSumConstraint,
+                                                 JoinCoverageConstraint)
+
+    a = spark.createDataFrame([(1, 10.0), (1, 5.0), (2, 7.0)], "k long, v double")
+    b = spark.createDataFrame([(1, 15.0), (2, 7.5)], "k long, v double")
+    ctx = EngineContext(spark, {"a": a, "b": b}, "a")
+
+    calls = []
+    # patch the CONCRETE class (pyspark 4's runtime DataFrame subclasses
+    # the public pyspark.sql.DataFrame and overrides collect)
+    cls = type(a)
+    orig = cls.collect
+    monkeypatch.setattr(cls, "collect",
+                        lambda self: calls.append(1) or orig(self))
+
+    res = CrossTableSumConstraint("a", "v", "b", "v", tolerance=1.0).evaluate(ctx)
+    assert res.status == Status.SUCCESS and len(calls) == 1
+
+    calls.clear()
+    res = JoinCoverageConstraint("a", "k", "b", "k", Assertion.eq(1.0),
+                                 "bidirectional").evaluate(ctx)
+    assert res.status == Status.SUCCESS and len(calls) == 1
+
+
+def test_join_coverage_empty_side(spark):
+    """A direction with zero source rows yields no group in the
+    single-query agg — treated as rate 1.0; both sides empty skips."""
+    left = spark.createDataFrame([(1,), (2,)], "k long")
+    empty = spark.createDataFrame([], "j long")
+    tables = {"l": left, "r": empty}
+    # right direction: empty source → vacuous 1.0; left: 0 matched
+    r = run(spark, tables, Check("jc", Level.ERROR)
+            .join_coverage("l", "k", "r", "j", Assertion.eq(0.0), "left"))
+    assert r.passed, r.report.to_json(2)
+    r = run(spark, tables, Check("jc2", Level.ERROR)
+            .join_coverage("l", "k", "r", "j", Assertion.eq(0.0), "bidirectional"))
+    assert r.passed, r.report.to_json(2)
+    r = run(spark, {"l": empty.selectExpr("j as k"), "r": empty},
+            Check("jc3", Level.ERROR)
+            .join_coverage("l", "k", "r", "j", Assertion.eq(1.0), "left"))
+    assert r.report.outcomes[0].result.status == Status.SKIPPED
+
+
 def test_max_time_gap(spark):
     rows = [("d1", "2024-01-01 00:00:00"), ("d1", "2024-01-01 00:01:00"),
             ("d1", "2024-01-01 02:00:00"),  # 119-minute gap
