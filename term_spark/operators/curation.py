@@ -42,10 +42,12 @@ class CurationReport:
 
 def near_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                k: int = 3, jaccard_threshold: float = 0.85,
-               num_hashes: int = 16, bands: int = 4) -> DataFrame:
+               num_hashes: int = 16, bands: int = 4,
+               max_iterations: int = 50) -> DataFrame:
     """Remove near-duplicates: LSH candidates → exact Jaccard verify →
     connected components over confirmed pairs → keep the minimum id of
-    each duplicate cluster."""
+    each duplicate cluster. ``max_iterations`` caps the component
+    propagation rounds (raise it if duplicate chains run deeper)."""
     cands = D.minhash_lsh_candidates(df, text_col, id_col, k, num_hashes, bands)
     # Verify ONLY the candidate pairs: the exact-Jaccard join fans out
     # from the LSH candidate list, so LSH actually bounds the O(pairs)
@@ -58,7 +60,8 @@ def near_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     # endpoints of an unverified-but-connected pair — e.g. pairs
     # (1,3),(2,3) would keep 1 AND 2 even though they share a cluster
     # through 3.
-    return dedup_by_components(df, confirmed, id_col)
+    return dedup_by_components(df, confirmed, id_col,
+                               max_iterations=max_iterations)
 
 
 def curate_corpus(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
@@ -156,9 +159,13 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
 def dedup_by_components(df: DataFrame, pairs: DataFrame,
                         id_col: str = "doc_id", id_a: str = "id_a",
                         id_b: str = "id_b",
-                        max_iterations: int = 10) -> DataFrame:
+                        max_iterations: int = 50) -> DataFrame:
     """Keep one representative (min id) per near-dup component; rows
-    not in any pair pass through untouched."""
+    not in any pair pass through untouched.
+
+    ``max_iterations`` defaults to ``connected_components``'s 50 — a
+    lower cap here would silently leave deep duplicate chains split
+    into multiple components (extra near-duplicates kept)."""
     comp = connected_components(pairs, id_a, id_b, max_iterations)
     drop = comp.filter(F.col("id") != F.col("component")).select("id")
     return df.join(drop, df[id_col] == drop["id"], "left_anti")

@@ -174,12 +174,15 @@ def _rank_map(d, column: str, alias: str):
     from pyspark.sql import Window
     counts = (d.groupBy(F.col(column).alias(alias + "_v"))
                 .agg(F.count(F.lit(1)).alias("cnt")))
-    # Persist: the range boundaries are sampled per-execution, so the
-    # totals job and the downstream window job MUST see the same
-    # partition assignment — materialize it once.
+    # localCheckpoint (not persist): the range boundaries are sampled
+    # per-execution, so the totals job and the downstream window job
+    # MUST see the same partition assignment. persist() is best-effort —
+    # an evicted block recomputes, resamples boundaries, and the
+    # pid-keyed offsets silently produce wrong ranks. Checkpointing cuts
+    # the lineage so recomputation is impossible.
     parts = (counts.repartitionByRange(F.col(alias + "_v"))
                    .withColumn("pid", F.spark_partition_id())
-                   .persist())
+                   .localCheckpoint(eager=True))
     totals = {r["pid"]: r["tot"] for r in
               parts.groupBy("pid").agg(F.sum("cnt").alias("tot")).collect()}
     offsets, acc = {}, 0
@@ -214,16 +217,13 @@ def spearman_value(df, column_x: str, column_y: str) -> Optional[float]:
     validate_identifier(column_y)
     d = (df.filter(F.col(column_x).isNotNull() & F.col(column_y).isNotNull())
            .select(F.col(column_x).alias("x"), F.col(column_y).alias("y")))
-    rx, px = _rank_map(d, "x", "rx")
-    ry, py = _rank_map(d, "y", "ry")
+    rx, _ = _rank_map(d, "x", "rx")
+    ry, _ = _rank_map(d, "y", "ry")
     ranked = (d.join(rx, d["x"] == rx["rx_v"])
                 .join(ry, d["y"] == ry["ry_v"])
                 .select("rx", "ry"))
-    try:
-        row = ranked.agg(F.corr("rx", "ry").alias("rho")).collect()[0]
-    finally:
-        px.unpersist()
-        py.unpersist()
+    # checkpoint blocks are freed when the checkpointed frames are GC'd
+    row = ranked.agg(F.corr("rx", "ry").alias("rho")).collect()[0]
     return None if row["rho"] is None else float(row["rho"])
 
 

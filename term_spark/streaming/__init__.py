@@ -134,7 +134,17 @@ def running_stats_stream(stream_df, key_col: str, value_col: str):
         yield pd.DataFrame([{key_col: key[0], "n": n, "mean": mean,
                              "stddev": std}])
 
-    out_schema = f"{key_col} bigint, n bigint, mean double, stddev double"
+    from pyspark.sql.types import (LongType, StructField, StructType,
+                                   DoubleType)
+
+    # the key keeps its incoming type (string user ids are as common as
+    # bigints) — hardcoding bigint here failed at runtime for any other key
+    key_field = stream_df.schema[key_col]
+    out_schema = StructType([
+        StructField(key_col, key_field.dataType, True),
+        StructField("n", LongType(), True),
+        StructField("mean", DoubleType(), True),
+        StructField("stddev", DoubleType(), True)])
     state_schema = "n bigint, s double, s2 double"
     return (stream_df.groupBy(key_col)
             .applyInPandasWithState(update, out_schema, state_schema,

@@ -160,6 +160,30 @@ def test_running_stats_stream_state_across_batches(spark, tmp_path):
         assert std == pytest.approx(statistics.stdev(vs))
 
 
+def test_running_stats_stream_string_key(spark, tmp_path):
+    """The output schema derives the key type from the input stream —
+    a string user-id key must work, not just bigint."""
+    import os
+
+    from term_spark.streaming import running_stats_stream
+
+    src = str(tmp_path / "rs_str_src")
+    os.makedirs(src)
+    spark.createDataFrame([("alice", 1.0), ("alice", 3.0), ("bob", 5.0)],
+                          "k string, v double").coalesce(1) \
+        .write.parquet(src + "/b0.parquet")
+    stream = spark.readStream.schema("k string, v double").parquet(
+        src + "/*.parquet")
+    out = running_stats_stream(stream, "k", "v")
+    q = (out.writeStream.format("memory").queryName("running_stats_str")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    rows = {r["k"]: r for r in
+            spark.sql("SELECT * FROM running_stats_str").collect()}
+    assert rows["alice"]["n"] == 2 and rows["alice"]["mean"] == 2.0
+    assert rows["bob"]["n"] == 1
+
+
 def test_session_metrics_stream(spark, tmp_path):
     """Native session_window sessionization: events 10s apart share a
     session; a 10-minute gap opens a new one."""

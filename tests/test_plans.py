@@ -123,19 +123,16 @@ def test_spearman_rank_has_no_global_sort(spark, tpch):
     from term_spark.operators.entropy import _rank_map
 
     d = tpch["lineitem"].select(F.col("l_quantity").alias("x"))
-    ranked, parts = _rank_map(d, "x", "rx")
-    try:
-        plan = ranked._jdf.queryExecution().executedPlan().toString()
-        assert "SinglePartition" not in plan, plan
-        # and it is still exactly RANK(): spot-check against the window form
-        from pyspark.sql import Window
-        expect = sorted(tuple(r) for r in d.select(
-            F.col("x"), F.rank().over(Window.orderBy("x")).alias("rx"))
-            .distinct().collect())
-        got = sorted(tuple(r) for r in ranked.collect())
-        assert got == expect
-    finally:
-        parts.unpersist()
+    ranked, _ = _rank_map(d, "x", "rx")
+    plan = ranked._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
+    # and it is still exactly RANK(): spot-check against the window form
+    from pyspark.sql import Window
+    expect = sorted(tuple(r) for r in d.select(
+        F.col("x"), F.rank().over(Window.orderBy("x")).alias("rx"))
+        .distinct().collect())
+    got = sorted(tuple(r) for r in ranked.collect())
+    assert got == expect
 
 
 def test_filter_pushdown_reaches_scan(spark, tpch):
