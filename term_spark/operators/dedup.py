@@ -61,11 +61,12 @@ def _doc_shingles(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFram
 
     Two-stage projection: tokens materialize first so the shingle
     lambda reads an attribute (not a re-evaluated split; see
-    word_shingles_from)."""
-    from .text import word_shingles_from
+    word_shingles_from). Tokens are NORMALIZED (lowercase, punctuation
+    stripped — text.normalize_text) so reformatting can't defeat
+    near-dup detection or decontamination."""
+    from .text import norm_tokens, word_shingles_from
     toks = (df.select(F.col(id_col).alias("id"),
-                      F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-                       .alias("__toks")))
+                      norm_tokens(text_col).alias("__toks")))
     return (toks.select("id", F.explode(word_shingles_from(F.col("__toks"), k))
                         .alias("shingle"))
                 .distinct())
@@ -190,10 +191,10 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    from .text import word_shingles_from
+    from .text import norm_tokens, word_shingles_from
     toks = spread(df, id_col).select(
         F.col(id_col).alias("id"),
-        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("__toks"))
+        norm_tokens(text_col).alias("__toks"))
     sh = toks.select("id", F.explode(word_shingles_from(F.col("__toks"), k))
                      .alias("shingle"))
     sig = sh.groupBy("id").agg(*minhash_signature_cols(num_hashes)(F.col("shingle")))
@@ -224,9 +225,11 @@ def simhash64(df: DataFrame, text_col: str = "text",
     Token bit source: first 16 hex chars of md5(token) → 64 bits.
     For each bit position, sum(+1 if bit set else −1) over tokens;
     simhash bit = sign. Computed via array ops + conv(), fully JVM-side.
-    Returns (id, simhash (bigint)).
+    Tokens are normalized (text.normalize_text) like every other
+    identity operator. Returns (id, simhash (bigint)).
     """
-    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    from .text import norm_tokens
+    toks = norm_tokens(text_col)
     exploded = (spread(df, id_col)
                   .select(F.col(id_col).alias("id"), F.explode(toks).alias("tok"))
                   .withColumn("h", F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10)

@@ -29,6 +29,33 @@ LANG_MARKERS: Dict[str, List[str]] = {
 
 STOPWORDS_EN = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]
 
+#: characters that are neither letters, digits, nor whitespace —
+#: identical semantics in Java regex (Spark) and RE2 (DuckDB oracles)
+PUNCT_CLASS = r"[^\p{L}\p{N}\s]"
+
+
+def normalize_text(column) -> "F.Column":
+    """Canonical text normalization shared by EVERY identity-ish
+    operator (fingerprint, shingling, simhash): lowercase, strip
+    punctuation to spaces, collapse whitespace, trim.
+
+    Without the punctuation strip, "Hello, world" and "Hello world"
+    produce different fingerprints AND different shingles, so near-dup
+    detection and n-gram decontamination miss trivially-reformatted
+    contamination. Real decontamination pipelines strip punctuation
+    before k-gram matching. The DuckDB oracles mirror this expression
+    exactly (queries_llm._NORM_SQL).
+    """
+    col = F.col(column) if isinstance(column, str) else column
+    return F.trim(F.regexp_replace(
+        F.regexp_replace(F.lower(col), PUNCT_CLASS, " "), r"\s+", " "))
+
+
+def norm_tokens(column) -> "F.Column":
+    """Token array over normalized text (single-space split — the
+    normalizer already collapsed runs). Empty text → [\"\"]."""
+    return F.split(normalize_text(column), " ")
+
 
 def token_count(column: str) -> "F.Column":
     """Whitespace token count; 0 for empty/blank text. bigint to match
@@ -106,10 +133,10 @@ def language_id(column: str, markers: Optional[Dict[str, List[str]]] = None) -> 
 
 
 def fingerprint(column: str) -> "F.Column":
-    """Deterministic document fingerprint: md5 of whitespace-normalized
-    lowercase text (rolling-hash-equivalent identity for dedup)."""
-    normalized = F.lower(F.regexp_replace(F.trim(F.col(column)), r"\s+", " "))
-    return F.md5(normalized).alias("fingerprint")
+    """Deterministic document fingerprint: md5 of punctuation-stripped,
+    whitespace-normalized lowercase text (rolling-hash-equivalent
+    identity for dedup; see ``normalize_text``)."""
+    return F.md5(normalize_text(column)).alias("fingerprint")
 
 
 def char_ngrams(column: str, n: int = 5) -> "F.Column":
@@ -137,10 +164,10 @@ def word_shingles_from(toks_col: "F.Column", k: int = 3) -> "F.Column":
 
 
 def word_shingles(column: str, k: int = 3) -> "F.Column":
-    """Array of k-word shingles (space-joined), lowercased.
+    """Array of k-word shingles (space-joined) over NORMALIZED tokens
+    (lowercase, punctuation stripped — ``normalize_text``).
 
     Prefer ``word_shingles_from`` over a pre-projected token column in
     hot paths (see its docstring).
     """
-    toks = F.split(F.lower(F.trim(F.col(column))), r"\s+")
-    return word_shingles_from(toks, k)
+    return word_shingles_from(norm_tokens(column), k)

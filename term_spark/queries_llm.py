@@ -25,6 +25,16 @@ BANDS = 4
 JACCARD_K = 3
 JACCARD_THRESHOLD = 0.6
 
+#: DuckDB mirror of text.normalize_text — lowercase, punctuation→space,
+#: collapse whitespace, trim. RE2's \p{L}/\p{N}/\s match Java's here.
+#: Kept as a plain (non-f) string so the {L} braces survive; interpolate
+#: it into f-string SQL templates via the variable, never inline.
+_NORM_SQL = (r"trim(regexp_replace(regexp_replace(lower(text), "
+             r"'[^\p{L}\p{N}\s]', ' ', 'g'), '\s+', ' ', 'g'))")
+
+#: normalized token array (single-space split — runs already collapsed)
+_TOKS_SQL = f"string_split({_NORM_SQL}, ' ')"
+
 
 def _docs(spark, sf_dir) -> DataFrame:
     return read_parquet(spark, f"{sf_dir}/documents.parquet")
@@ -47,9 +57,9 @@ def q_dedup_exact_docs(spark, sf_dir) -> DataFrame:
         (F.count(F.lit(1)) - F.count_distinct(F.col("fingerprint"))).alias("n_dup_docs"))
 
 
-SQL_DEDUP_EXACT_DOCS = r"""
+SQL_DEDUP_EXACT_DOCS = f"""
 WITH fp AS (
-    SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint
+    SELECT md5({_NORM_SQL}) AS fingerprint
     FROM documents
 )
 SELECT COUNT(*) AS n_docs,
@@ -64,9 +74,9 @@ def q_fingerprint_docs(spark, sf_dir) -> DataFrame:
     return d.select("doc_id", T.fingerprint("text")).orderBy("doc_id")
 
 
-SQL_FINGERPRINT_DOCS = r"""
+SQL_FINGERPRINT_DOCS = f"""
 SELECT doc_id,
-       md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint
+       md5({_NORM_SQL}) AS fingerprint
 FROM documents ORDER BY doc_id
 """
 
@@ -176,13 +186,13 @@ SQL_LANG_ID = _lang_sql()
 # n-gram Jaccard (exact) + MinHash-LSH (candidate generation)
 # ---------------------------------------------------------------------------
 
-_SHINGLE_SQL = r"""
+_SHINGLE_SQL = f"""
     SELECT DISTINCT doc_id AS id,
            unnest(CASE WHEN len(toks) >= 3
                   THEN list_transform(generate_series(1, len(toks) - 2),
                                       i -> array_to_string(toks[i:i+2], ' '))
                   ELSE [array_to_string(toks, ' ')] END) AS shingle
-    FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+    FROM (SELECT doc_id, {_TOKS_SQL} AS toks
           FROM documents)
 """
 
@@ -261,7 +271,7 @@ def _simhash_sql() -> str:
         for i in range(60))
     return f"""
 WITH toks AS (
-    SELECT doc_id AS id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+    SELECT doc_id AS id, unnest({_TOKS_SQL}) AS tok
     FROM documents
 ), hashed AS (
     SELECT id, (('0x' || substr(md5(tok), 1, 15))::UBIGINT)::BIGINT AS h FROM toks
@@ -475,13 +485,13 @@ LLM_ORACLES.update({
 
 
 def _shingle_sql_k(k: int, where: str) -> str:
-    return rf"""
+    return f"""
     SELECT DISTINCT doc_id AS id,
            unnest(CASE WHEN len(toks) >= {k}
                   THEN list_transform(generate_series(1, len(toks) - {k - 1}),
                                       i -> array_to_string(toks[i:i+{k - 1}], ' '))
                   ELSE [array_to_string(toks, ' ')] END) AS shingle
-    FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+    FROM (SELECT doc_id, {_TOKS_SQL} AS toks
           FROM documents WHERE {where})
 """
 

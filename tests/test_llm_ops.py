@@ -446,6 +446,38 @@ def test_decontamination_exact_and_ngram(spark):
     assert kept3 == [1, 2, 3, 4]
 
 
+def test_punctuation_variant_contamination_caught(spark):
+    """Reformatted contamination — same words, different punctuation /
+    casing / whitespace — must be caught by BOTH the exact tier (shared
+    fingerprint normalizer) and the n-gram tier (shared shingle
+    normalizer)."""
+    from term_spark.operators.curation import (decontaminate_exact,
+                                               decontaminate_ngram)
+    from term_spark.operators.dedup import exact_duplicates
+
+    eval_text = "What is the capital of France? Paris, of course."
+    train = spark.createDataFrame([
+        (1, "what is the capital of france paris of course"),   # punct stripped
+        (2, "What is the capital of France?? Paris -- of course!"),  # re-punctuated
+        (3, "an entirely different document about something else here"),
+    ], "doc_id long, text string")
+    evals = spark.createDataFrame([(eval_text,)], "text string")
+
+    kept_exact = sorted(r["doc_id"]
+                        for r in decontaminate_exact(train, evals).collect())
+    assert kept_exact == [3]
+    kept_ngram = sorted(r["doc_id"]
+                        for r in decontaminate_ngram(train, evals, k=8).collect())
+    assert kept_ngram == [3]
+
+    # and exact dedup groups punctuation variants together
+    both = spark.createDataFrame(
+        [(1, "Hello, world! Nice."), (2, "hello world nice"),
+         (3, "goodbye world")], "doc_id long, text string")
+    groups = exact_duplicates(both).collect()
+    assert len(groups) == 1 and sorted(groups[0]["doc_ids"]) == [1, 2]
+
+
 def test_stratified_sample_exact_counts_and_determinism(spark):
     from collections import Counter
 
