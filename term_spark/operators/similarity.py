@@ -3,13 +3,17 @@
 - cosine_pairs / cosine_topk: brute-force exact baseline. The dot
   product is a JVM-side ``aggregate(zip_with(...))`` fold — no Python
   UDF, deterministic left-to-right accumulation (engine-portable).
-- lsh_bucketed_topk: random-hyperplane LSH scale path — sign bits of
+- lsh_bucketed_pairs: random-hyperplane LSH scale path — sign bits of
   dot(v, h_j) for deterministic md5-derived hyperplanes bucket the
-  vectors; top-k runs within buckets (+ multi-probe neighbors).
-  At 100 TB: buckets shard the O(n²) pair space; the bucket id is the
-  shuffle key.
-- ivf_topk: IVF-style variant — kmeans-lite centroids from a seeded
-  sample, probe the nearest ``nprobe`` centroid partitions.
+  vectors; pairs form within buckets, plus margin-ordered multi-probe
+  (Lv et al. 2007: flip the smallest-|v·h| bits first). At 100 TB:
+  buckets shard the O(n²) pair space; the bucket id is the shuffle key.
+- ivf_topk: IVF-style ANN — distributed-Lloyd's centroids, probe the
+  nearest ``nprobe`` centroid cells.
+- build_ivf_index / load_ivf_index / ivf_topk_from_index: the index
+  LIFECYCLE — train + assign once, persist as parquet with the
+  assignments partitioned by centroid id, then serve many query
+  batches with partition-pruned scans (no re-training/re-assignment).
 """
 
 from __future__ import annotations
@@ -94,46 +98,91 @@ def _hyperplanes(dim: int, n_planes: int, seed: str = "term") -> List[List[float
 
 def lsh_bucket(df: DataFrame, vec_col: str = "embedding", n_planes: int = 8,
                seed: str = "term", out: str = "bucket",
-               dim: Optional[int] = None) -> DataFrame:
+               dim: Optional[int] = None,
+               dots_col: Optional[str] = None) -> DataFrame:
     """Random-hyperplane signature: bucket = bitstring of sign(v·h_j).
     Pass ``dim`` to skip the one-row dimension sniff (an eager action
-    during plan build)."""
+    during plan build). ``dots_col`` additionally materializes the raw
+    projections array (v·h_0 … v·h_{n-1}) — the margins multi-probe
+    ranks by."""
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
-    bits = []
-    for j, plane in enumerate(_hyperplanes(dim, n_planes, seed)):
+    dots = []
+    for plane in _hyperplanes(dim, n_planes, seed):
         h = F.array(*[F.lit(x) for x in plane])
-        bits.append(F.when(_dot(v, h) >= 0, "1").otherwise("0"))
-    return df.withColumn(out, F.concat(*bits))
+        dots.append(_dot(v, h))
+    if dots_col is not None:
+        # materialize the projections once; bits derive from the array
+        # (each _dot fold is CPU-heavy — never evaluate it twice)
+        df = df.withColumn(dots_col, F.array(*dots))
+        bits = F.transform(F.col(dots_col),
+                           lambda d: F.when(d >= 0, "1").otherwise("0"))
+        return df.withColumn(out, F.array_join(bits, ""))
+    return df.withColumn(
+        out, F.concat(*[F.when(d >= 0, "1").otherwise("0") for d in dots]))
 
 
 def lsh_bucketed_pairs(df: DataFrame, id_col: str = "vec_id",
                        vec_col: str = "embedding", threshold: float = 0.9,
                        n_planes: int = 8, seed: str = "term",
                        multi_probe: int = 0,
-                       dim: Optional[int] = None) -> DataFrame:
+                       dim: Optional[int] = None,
+                       probe_order: str = "margin") -> DataFrame:
     """Near-dup pairs within LSH buckets (approximate recall; scale
     path for cosine_pairs).
 
-    ``multi_probe=k`` additionally probes, for each LEFT vector, every
-    bucket within Hamming distance 1 on up to k sign bits — recovering
-    pairs split by a single near-zero hyperplane margin at the cost of
-    (1 + k) bucket keys per vector on one side only (the standard
-    multi-probe LSH trade: more probes, fewer tables/planes).
+    ``multi_probe=T`` additionally probes, for each LEFT vector, T
+    single-bit-flipped buckets — (1 + T) bucket keys per vector on one
+    side only (the standard multi-probe trade: more probes, fewer
+    planes/tables).
+
+    ``probe_order`` picks WHICH bits flip:
+    - ``"margin"`` (default, Lv et al. 2007): the T bits with the
+      smallest |v·h_j| — the hyperplanes this vector most nearly
+      touches, i.e. the splits most likely to have separated a true
+      neighbor. Costs one extra projections array per left vector.
+    - ``"fixed"``: the first T bits regardless of margin (the naive
+      scheme; kept for recall comparison — measurably worse at the
+      same candidate volume).
     """
-    b = lsh_bucket(df, vec_col, n_planes, seed, dim=dim)
-    left = b.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
-                    F.col("bucket"))
+    if probe_order not in ("margin", "fixed"):
+        raise ValueError("probe_order must be 'margin' or 'fixed'")
+    use_margin = multi_probe > 0 and probe_order == "margin"
+    b = lsh_bucket(df, vec_col, n_planes, seed, dim=dim,
+                   dots_col="__dots" if use_margin else None)
+    left_cols = [F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+                 F.col("bucket")]
+    if use_margin:
+        left_cols.append(F.col("__dots"))
+    left = b.select(*left_cols)
     if multi_probe > 0:
-        k = min(multi_probe, n_planes)
-        probes = [F.col("bucket")] + [
-            F.concat(
-                F.substring("bucket", 1, j),
-                F.when(F.substring("bucket", j + 1, 1) == "1", "0").otherwise("1"),
-                F.substring("bucket", j + 2, n_planes - j - 1))
-            for j in range(k)]
-        left = (left.withColumn("bucket", F.explode(F.array(*probes))))
+        T = min(multi_probe, n_planes)
+        if use_margin:
+            # margin-ordered perturbation: rank bit indices by |v·h_j|
+            # ascending, take the T nearest hyperplanes. JVM-side:
+            # sort_array over (|margin|, index) structs.
+            order = F.transform(
+                F.sort_array(F.array(*[
+                    F.struct(F.abs(F.col("__dots")[j]).alias("m"),
+                             F.lit(j).alias("j"))
+                    for j in range(n_planes)])),
+                lambda s: s["j"])
+            flip_idx = F.slice(order, 1, T)
+        else:
+            flip_idx = F.array(*[F.lit(j) for j in range(T)])
+        # -1 sentinel = the unflipped home bucket
+        left = left.withColumn(
+            "__pj", F.explode(F.concat(F.array(F.lit(-1)), flip_idx)))
+        j = F.col("__pj")
+        flipped = F.concat(
+            F.substring(F.col("bucket"), F.lit(1), j),
+            F.when(F.substring(F.col("bucket"), j + 1, F.lit(1)) == "1", "0")
+             .otherwise("1"),
+            F.substring(F.col("bucket"), j + 2, F.lit(n_planes) - j - 1))
+        left = (left.withColumn(
+                    "bucket", F.when(j < 0, F.col("bucket")).otherwise(flipped))
+                .drop("__pj", *(["__dots"] if use_margin else [])))
     right = b.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
                      F.col("bucket").alias("bucket_b"))
     pairs = left.join(right, (F.col("bucket") == F.col("bucket_b")) &
@@ -232,6 +281,86 @@ def ivf_topk(df: DataFrame, queries: DataFrame, k: int = 5, n_centroids: int = 1
               .filter(F.col("r") <= nprobe).select("query_id", "va", "cid"))
 
     scored = with_cosine(probes.join(corpus_part, "cid"), "va", "vb")
+    wk = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))
+    return (scored.withColumn("rank", F.row_number().over(wk))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "nbr_id", F.round("cosine", 6).alias("cosine"),
+                    F.col("rank").cast("bigint").alias("rank")))
+
+
+def build_ivf_index(df: DataFrame, path: str, n_centroids: int = 16,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    train_iterations: int = 5, seed: int = 42) -> None:
+    """Build a persistent IVF index: train centroids (distributed
+    Lloyd's), assign every corpus vector to its nearest centroid, and
+    write both as parquet under ``path``:
+
+    - ``{path}/centroids``    — (cid, cvec)            (k rows)
+    - ``{path}/assignments``  — (nbr_id, vb, cid), PARTITIONED BY cid
+
+    The cid partitioning is the point: serving a query batch probes
+    ``nprobe`` centroids, and the ``cid IN (...)`` filter prunes to
+    those partitions at the parquet scan — only nprobe/k of a 100 TB
+    corpus is ever read. Build once, serve many query batches
+    (``ivf_topk_from_index``) with no re-training or re-assignment.
+    """
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    trained = kmeans_centroids(df, id_col, vec_col, n_centroids,
+                               train_iterations, seed)
+    cents = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(trained)], "cid long, cvec array<double>")
+    cents.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+
+    corpus = df.select(F.col(id_col).alias("nbr_id"),
+                       F.transform(F.col(vec_col),
+                                   lambda x: x.cast("double")).alias("vb"))
+    assigned = with_cosine(corpus.crossJoin(F.broadcast(cents)),
+                           "vb", "cvec", "csim")
+    w = Window.partitionBy("nbr_id").orderBy(F.desc("csim"), F.asc("cid"))
+    (assigned.withColumn("r", F.row_number().over(w))
+     .filter(F.col("r") == 1).select("nbr_id", "vb", "cid")
+     .write.mode("overwrite").partitionBy("cid")
+     .parquet(f"{path}/assignments"))
+
+
+def load_ivf_index(spark, path: str):
+    """(centroids, assignments) DataFrames of a ``build_ivf_index``
+    output. Assignments keep their cid partitioning — filters on cid
+    prune at the scan."""
+    return (spark.read.parquet(f"{path}/centroids"),
+            spark.read.parquet(f"{path}/assignments"))
+
+
+def ivf_topk_from_index(spark, path: str, queries: DataFrame, k: int = 5,
+                        nprobe: int = 4, query_id_col: str = "query_id",
+                        query_vec_col: str = "query_vec") -> DataFrame:
+    """Serve top-k from a persisted IVF index — no training, no corpus
+    re-assignment; the only non-scan work is Q×k centroid scoring and
+    the probed-partition join.
+
+    The probed cid set (≤ Q·nprobe literals, driver-side by
+    construction since the query batch is small) is pushed into the
+    assignments scan as an IN filter, so parquet partition pruning
+    skips every unprobed centroid's files.
+    """
+    from pyspark.sql import Window
+
+    cents, assignments = load_ivf_index(spark, path)
+    cents = F.broadcast(cents)
+    q = queries.select(F.col(query_id_col).alias("query_id"),
+                       F.transform(F.col(query_vec_col),
+                                   lambda x: x.cast("double")).alias("va"))
+    q_assigned = with_cosine(q.crossJoin(cents), "va", "cvec", "csim")
+    wq = Window.partitionBy("query_id").orderBy(F.desc("csim"), F.asc("cid"))
+    probes = (q_assigned.withColumn("r", F.row_number().over(wq))
+              .filter(F.col("r") <= nprobe).select("query_id", "va", "cid"))
+
+    probed_cids = [r["cid"] for r in probes.select("cid").distinct().collect()]
+    pruned = assignments.filter(F.col("cid").isin(probed_cids))
+
+    scored = with_cosine(probes.join(pruned, "cid"), "va", "vb")
     wk = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))
     return (scored.withColumn("rank", F.row_number().over(wk))
             .filter(F.col("rank") <= k)

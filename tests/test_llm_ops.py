@@ -418,6 +418,77 @@ def test_lsh_multi_probe_recovers_split_pair(spark):
     assert (0, 1) in probed             # one-bit probe recovers it
     assert plain <= probed              # probing only adds candidates
 
+    # margin-ordered probing (Lv et al.): ONE probe aimed at the
+    # smallest-|v·h| bit recovers the pair, while the naive fixed-order
+    # probe of the same volume (1 extra bucket per vector) flips bit 0
+    # and misses — better recall at matched candidate volume.
+    assert j != 0  # construction premise for the comparison below
+    margin1 = {(r["id_a"], r["id_b"])
+               for r in S.lsh_bucketed_pairs(df, threshold=0.99,
+                                             n_planes=n_planes,
+                                             multi_probe=1,
+                                             probe_order="margin").collect()}
+    fixed1 = {(r["id_a"], r["id_b"])
+              for r in S.lsh_bucketed_pairs(df, threshold=0.99,
+                                            n_planes=n_planes,
+                                            multi_probe=1,
+                                            probe_order="fixed").collect()}
+    assert (0, 1) in margin1
+    assert (0, 1) not in fixed1
+
+
+def test_ivf_index_persist_roundtrip(spark, tmp_path):
+    """build_ivf_index → load/serve: results equal brute force on
+    clustered data, with no re-training or corpus re-assignment at
+    serve time, and the probed-cid filter prunes assignment partitions
+    at the scan."""
+    import random
+
+    from term_spark.operators.similarity import (build_ivf_index,
+                                                 ivf_topk_from_index,
+                                                 load_ivf_index)
+
+    rng = random.Random(5)
+    centers = [[10.0, 0.0, 0.0, 0.0], [0.0, 10.0, 0.0, 0.0],
+               [0.0, 0.0, 10.0, 0.0], [0.0, 0.0, 0.0, 10.0]]
+    rows = []
+    i = 0
+    for c in centers:
+        for _ in range(16):
+            rows.append((i, [x + rng.gauss(0, 0.2) for x in c]))
+            i += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    path = str(tmp_path / "ivf_index")
+    build_ivf_index(df, path, n_centroids=4, train_iterations=3)
+
+    cents, assignments = load_ivf_index(spark, path)
+    assert cents.count() == 4
+    assert assignments.count() == 64           # every vector assigned once
+    # Lloyd's can leave a centroid empty (local optimum) — every vector
+    # still assigns to exactly one of the remaining cells
+    n_cells = assignments.select("cid").distinct().count()
+    assert 2 <= n_cells <= 4
+
+    queries = df.filter("vec_id IN (0, 16, 32)").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    exact = sorted(map(tuple, S.cosine_topk(df, queries, k=3).collect()))
+    served = sorted(map(tuple, ivf_topk_from_index(
+        spark, path, queries, k=3, nprobe=4).collect()))
+    assert served == exact
+    # clustered data: 1 probe per query still finds its own cluster
+    served1 = sorted(map(tuple, ivf_topk_from_index(
+        spark, path, queries, k=3, nprobe=1).collect()))
+    assert served1 == exact
+
+    # cid partitioning is real: hive-style dirs + partition pruning
+    import os
+    subdirs = [d for d in os.listdir(f"{path}/assignments")
+               if d.startswith("cid=")]
+    assert len(subdirs) == n_cells
+    plan = (assignments.filter(F.col("cid").isin([0, 1]))
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "PartitionFilters" in plan and "cid" in plan
+
 
 def test_decontamination_exact_and_ngram(spark):
     from term_spark.operators.curation import (decontaminate_exact,
