@@ -88,13 +88,16 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
         sh = (sh.join(freq.filter(F.col("df_") <= max_shingle_freq), "shingle")
                 .drop("df_"))
     # Three consumers read the shingle index (both self-join sides +
-    # sizes); without a cache Spark recomputes the explode+distinct
-    # (+spread shuffle) once per consumer — measured 1.7x the query at
-    # sf0.1. MEMORY_AND_DISK so a big corpus spills instead of OOMs.
-    # The cache lives until the caller unpersists or the session ends
-    # (one bounded shingle index per pipeline run).
-    from pyspark import StorageLevel
-    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    # sizes); without materialization Spark recomputes the
+    # explode+distinct (+spread shuffle) once per consumer — measured
+    # 1.7x the query at sf0.1. localCheckpoint, NOT persist():
+    # df.persist registers the plan in Catalyst's CacheManager, which
+    # holds it forever — repeated calls leak cached copies and the GC
+    # pressure inflated every later query in a long session (measured
+    # 7x on unrelated queries). Checkpoint blocks are RDD-level and are
+    # freed by the ContextCleaner when the result DataFrame drops out
+    # of scope. Eager: materializes here (one job at build time).
+    sh = sh.localCheckpoint(eager=True)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")

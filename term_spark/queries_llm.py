@@ -25,12 +25,13 @@ BANDS = 4
 JACCARD_K = 3
 JACCARD_THRESHOLD = 0.6
 
-#: DuckDB mirror of text.normalize_text — lowercase, punctuation→space,
-#: collapse whitespace, trim. RE2's \p{L}/\p{N}/\s match Java's here.
-#: Kept as a plain (non-f) string so the {L} braces survive; interpolate
-#: it into f-string SQL templates via the variable, never inline.
-_NORM_SQL = (r"trim(regexp_replace(regexp_replace(lower(text), "
-             r"'[^\p{L}\p{N}\s]', ' ', 'g'), '\s+', ' ', 'g'))")
+#: DuckDB mirror of text.normalize_text — lowercase, then any run of
+#: non-alphanumerics (punctuation AND whitespace) collapses to one
+#: space, then trim. RE2's \p{L}/\p{N} match Java's here. Kept as a
+#: plain (non-f) string so the {L} braces survive; interpolate it into
+#: f-string SQL templates via the variable, never inline.
+_NORM_SQL = (r"trim(regexp_replace(lower(text), "
+             r"'[^\p{L}\p{N}]+', ' ', 'g'))")
 
 #: normalized token array (single-space split — runs already collapsed)
 _TOKS_SQL = f"string_split({_NORM_SQL}, ' ')"
