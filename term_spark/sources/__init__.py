@@ -26,33 +26,97 @@ import pyspark.sql.types as T
 from pyspark.sql import DataFrame, SparkSession
 
 
-def _nano_timestamp_columns(path: str) -> List[str]:
-    """Inspect parquet footers for timestamp[ns] columns via pyarrow."""
+#: below this row count a 1-task scan finishes in well under the cost
+#: of the extra exchange auto-spread would add
+SPREAD_MIN_ROWS = 100_000
+
+#: past this many files the dataset has at least that many row groups —
+#: effective parallelism is fine and footer inspection would only add
+#: driver-side latency
+_FOOTER_SCAN_CAP = 64
+
+
+def _parquet_footer_info(path: str):
+    """(nanos_cols, total_row_groups, total_rows) from parquet footers.
+
+    Row-group count is the scan's EFFECTIVE parallelism ceiling: Spark
+    plans byte-range splits, but a split only yields rows for row
+    groups whose midpoint it contains, so a 600k-row single-row-group
+    file is read by exactly one task no matter how it's split.
+
+    Local paths only (pyarrow); remote schemes and >_FOOTER_SCAN_CAP
+    file sets return (nanos_from_first_file_or_[], None, None) meaning
+    "unknown / plenty".
+    """
     try:
         import pyarrow.parquet as pq
         import pyarrow.types as pt
     except ImportError:  # pragma: no cover
-        return []
-    candidates = sorted(_glob.glob(path)) if any(ch in path for ch in "*?[") else [path]
-    for p in candidates:
-        try:
-            schema = pq.read_schema(p)
-        except Exception:
-            import os
-            files = sorted(_glob.glob(os.path.join(p, "*.parquet")))
-            if not files:
-                continue
-            schema = pq.read_schema(files[0])
+        return [], None, None
+    import os
+    if any(ch in path for ch in "*?["):
+        files = sorted(_glob.glob(path))
+    elif os.path.isdir(path):
+        files = sorted(_glob.glob(os.path.join(path, "*.parquet")))
+    elif os.path.isfile(path):
+        files = [path]
+    else:  # remote scheme (s3a://, gs://, abfss://) or missing
+        files = []
+
+    def _nanos(schema) -> List[str]:
         return [name for name, typ in zip(schema.names, schema.types)
                 if pt.is_timestamp(typ) and typ.unit == "ns"]
-    return []
+
+    if not files:
+        return [], None, None
+    if len(files) > _FOOTER_SCAN_CAP:
+        try:
+            return _nanos(pq.read_schema(files[0])), None, None
+        except Exception:
+            return [], None, None
+    row_groups = rows = 0
+    nanos: List[str] = []
+    for i, p in enumerate(files):
+        try:
+            meta = pq.ParquetFile(p).metadata
+        except Exception:
+            return nanos, None, None
+        if i == 0:
+            nanos = _nanos(meta.schema.to_arrow_schema())
+        row_groups += meta.num_row_groups
+        rows += meta.num_rows
+    return nanos, row_groups, rows
 
 
-def read_parquet(spark: SparkSession, path: str, **options) -> DataFrame:
-    nanos = _nano_timestamp_columns(path)
+def read_parquet(spark: SparkSession, path: str, spread: bool = False,
+                 **options) -> DataFrame:
+    """Read parquet with nanos-timestamp handling and scan-width repair.
+
+    ``spread=None`` (auto): when the footers show fewer row groups than
+    half the core count but enough rows that a serialized scan hurts
+    (>= SPREAD_MIN_ROWS), insert one round-robin repartition so
+    per-partition work uses every core. Catalyst still pushes filters
+    and column pruning below the repartition, so the exchange carries
+    only pruned columns. At scale auto never triggers: a 100 TB table
+    has ~1e5 row groups.
+
+    Default OFF: the exchange only pays for itself when downstream
+    per-row CPU dominates (wide decimal aggregates, per-row hashing) —
+    measured 2.6s -> 1.4s on a single-row-group 600k-row file for the
+    decimal-heavy pricing query, but 0.5s -> 1.5s on a light windowed
+    query whose own hash exchange follows anyway. CPU-heavy operators
+    opt in with spread=None/True.
+    """
+    nanos, row_groups, rows = _parquet_footer_info(path)
     if nanos:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.options(**options).parquet(path)
+    cores = spark.sparkContext.defaultParallelism
+    if spread is None:
+        spread = (row_groups is not None and row_groups < max(2, cores // 2)
+                  and rows is not None and rows >= SPREAD_MIN_ROWS)
+    if spread:
+        df = df.repartition(cores)
     # The rebuild applies only when Spark actually surfaced the column as a
     # nanos-epoch long. Spark-written INT96 timestamps also read as
     # timestamp[ns] in pyarrow but land as TimestampType here — skip those.
