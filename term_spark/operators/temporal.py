@@ -29,6 +29,7 @@ import pyspark.sql.functions as F
 from ..core.assertion import Assertion
 from ..core.constraint import Constraint, EngineContext, metric_alias
 from ..core.result import ConstraintResult
+from ..functions.datetime import epoch_seconds
 from ..functions.security import validate_identifier
 
 
@@ -179,9 +180,9 @@ class MaxTimeGapConstraint(Constraint):
         ts = F.col(self.timestamp_column)
         w = (Window.partitionBy(self.group_by) if self.group_by else Window.partitionBy()
              ).orderBy(self.timestamp_column)
+        secs = epoch_seconds(ts)
         gaps = (df.filter(ts.isNotNull())
-                  .select((ts.cast("double") -
-                           F.lag(ts).over(w).cast("double")).alias("gap_seconds")))
+                  .select((secs - F.lag(secs).over(w)).alias("gap_seconds")))
         row = gaps.filter(F.col("gap_seconds").isNotNull()).agg(
             F.count(F.lit(1)).alias("total_gaps"),
             F.count(F.when(F.col("gap_seconds") > self.max_gap_seconds, 1))
@@ -222,12 +223,12 @@ def asof_join(left, right, on: str, left_ts: str = "ts",
     rcols = [c for c in right.columns if c != on]
     payload = F.struct(*[F.col(c) for c in rcols])
     r = right.select(F.col(on).alias("__k"),
-                     F.col(right_ts).cast("double").alias("__t"),
+                     epoch_seconds(right_ts).alias("__t"),
                      F.lit(0).alias("__src"), payload.alias("__p"),
                      *[F.lit(None).cast(f.dataType).alias(f"__l_{f.name}")
                        for f in left.schema.fields])
     l = left.select(F.col(on).alias("__k"),
-                    F.col(left_ts).cast("double").alias("__t"),
+                    epoch_seconds(left_ts).alias("__t"),
                     F.lit(1).alias("__src"),
                     F.lit(None).cast(r.schema["__p"].dataType).alias("__p"),
                     *[F.col(f.name).alias(f"__l_{f.name}")

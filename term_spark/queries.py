@@ -20,6 +20,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from .functions import epoch_seconds
 from .sources import load_tpch_tables
 
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
@@ -534,9 +535,9 @@ def q_max_time_gap_events(spark, sf_dir) -> DataFrame:
     from pyspark.sql import Window
     (e,) = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts")
+    ts = epoch_seconds("ts")
     gaps = (e.filter(F.col("ts").isNotNull())
-             .select((F.col("ts").cast("double") -
-                      F.lag("ts").over(w).cast("double")).alias("gap")))
+             .select((ts - F.lag(ts).over(w)).alias("gap")))
     return gaps.filter(F.col("gap").isNotNull()).agg(
         F.count(F.lit(1)).alias("total_gaps"),
         F.count(F.when(F.col("gap") > 3600 * 24, 1)).alias("violations"),
@@ -862,7 +863,7 @@ def q_sessionize_events(spark, sf_dir) -> DataFrame:
     from pyspark.sql import Window
     (e,) = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    gap = epoch_seconds("ts") - F.lag(epoch_seconds("ts")).over(w)
     marked = (e.filter(F.col("ts").isNotNull())
                .select("user_id", "ts", "event_id",
                        F.when(gap.isNull() | (gap > 1800.0), 1)
@@ -972,9 +973,9 @@ def q_asof_click_error(spark, sf_dir) -> DataFrame:
                .agg(F.max("event_id").alias("error_id")))
     j = asof_join(clicks, errors, on="user_id", left_ts="ts", right_ts="ts")
     return (j.select(F.col("event_id").alias("click_id"), "user_id",
-                     r6(F.col("ts").cast("double")).alias("click_epoch"),
+                     r6(epoch_seconds("ts")).alias("click_epoch"),
                      F.col("error_id_r").alias("error_id"),
-                     r6(F.col("ts_r").cast("double")).alias("error_epoch"))
+                     r6(epoch_seconds("ts_r")).alias("error_epoch"))
              .withColumn("gap_seconds",
                          r6(F.col("click_epoch") - F.col("error_epoch")))
              .orderBy("click_id"))

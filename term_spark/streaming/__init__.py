@@ -58,6 +58,15 @@ class StreamingSuiteRunner:
         return stream_writer.foreachBatch(self.foreach_batch)
 
 
+def _with_event_time(stream_df, ts_col: str):
+    """Watermarks require TIMESTAMP (LTZ); naive parquet timestamps load
+    as TIMESTAMP_NTZ, which Spark rejects as an event-time column. Coerce
+    in place — in a UTC session the instants are identical."""
+    if dict(stream_df.dtypes).get(ts_col) == "timestamp_ntz":
+        return stream_df.withColumn(ts_col, F.col(ts_col).cast("timestamp_ltz"))
+    return stream_df
+
+
 def windowed_metrics(stream_df, ts_col: str, metric_exprs: Dict[str, "F.Column"],
                      window: str = "1 minute", slide: Optional[str] = None,
                      watermark: str = "10 minutes"):
@@ -67,6 +76,7 @@ def windowed_metrics(stream_df, ts_col: str, metric_exprs: Dict[str, "F.Column"]
     eviction — the streaming analogue of the batch engine's shared
     single-pass agg.
     """
+    stream_df = _with_event_time(stream_df, ts_col)
     win = (F.window(F.col(ts_col), window, slide) if slide
            else F.window(F.col(ts_col), window))
     return (stream_df
@@ -79,6 +89,7 @@ def freshness_check(stream_df, ts_col: str, watermark: str = "10 minutes",
                     window: str = "1 minute"):
     """Per-window max event-time lag vs processing time — a freshness
     metric stream (watermark-aware; SURVEY §7.2-9)."""
+    stream_df = _with_event_time(stream_df, ts_col)
     return (stream_df
             .withWatermark(ts_col, watermark)
             .groupBy(F.window(F.col(ts_col), window).alias("window"))
@@ -95,6 +106,7 @@ def stateful_dedup_stream(stream_df, key_cols: List[str], ts_col: str,
     """Streaming exact dedup: state-store-backed dropDuplicates within
     the watermark horizon (unbounded dedup is unrunnable at scale —
     the watermark bounds state size)."""
+    stream_df = _with_event_time(stream_df, ts_col)
     return (stream_df
             .withWatermark(ts_col, watermark)
             .dropDuplicatesWithinWatermark(key_cols))
@@ -160,6 +172,7 @@ def session_metrics(stream_df, ts_col: str, key_col: str,
     q_sessionize_events LAG idiom, with state eviction driven by the
     watermark instead of a full-history window."""
     exprs = metric_exprs or {"n_events": F.count(F.lit(1))}
+    stream_df = _with_event_time(stream_df, ts_col)
     return (stream_df
             .withWatermark(ts_col, watermark)
             .groupBy(F.session_window(F.col(ts_col), gap).alias("session"),
