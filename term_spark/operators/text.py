@@ -175,3 +175,77 @@ def word_shingles(column: str, k: int = 3) -> "F.Column":
     hot paths (see its docstring).
     """
     return word_shingles_from(norm_tokens(column), k)
+
+
+def repetition_metrics(df, text_col: str = "text", id_col: str = "doc_id",
+                       ngram: int = 2):
+    """Per-document repetition metrics (Gopher-style quality filters —
+    Rae et al. 2021 §A1.1 uses repeated-n-gram fractions to drop
+    boilerplate and degenerate text):
+
+    - ``n_tokens``: normalized token count;
+    - ``dup_token_ratio``: 1 − distinct/total tokens (0 = all unique);
+    - ``top_ngram_count`` / ``top_ngram_frac``: occurrences of the most
+      frequent word n-gram and its share of all n-gram occurrences.
+
+    Shape: one scan; per-doc scalars (n_tokens, n_distinct) are computed
+    map-side from the token array and ride the explode as grouping
+    columns (functionally dependent on the id, so the wider key is
+    free); two hash aggregations keyed by the doc id. No windows, no
+    joins — at 100 TB this is two partial-agg shuffles on the id key.
+    """
+    toks = df.select(F.col(id_col), norm_tokens(text_col).alias("__t"))
+    ex = toks.select(
+        F.col(id_col),
+        F.size("__t").cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct("__t")).cast("bigint").alias("__nd"),
+        F.explode(word_shingles_from(F.col("__t"), ngram)).alias("__g"))
+    per = (ex.groupBy(id_col, "n_tokens", "__nd", "__g")
+             .agg(F.count(F.lit(1)).alias("__c")))
+    return (per.groupBy(id_col, "n_tokens", "__nd")
+               .agg(F.max("__c").alias("top_ngram_count"),
+                    F.sum("__c").alias("__ng"))
+               .select(F.col(id_col), F.col("n_tokens"),
+                       F.round(F.lit(1.0) - F.col("__nd") / F.col("n_tokens"), 6)
+                        .alias("dup_token_ratio"),
+                       F.col("top_ngram_count"),
+                       F.round(F.col("top_ngram_count") / F.col("__ng"), 6)
+                        .alias("top_ngram_frac")))
+
+
+def pack_sequences(df, text_col: str = "text", id_col: str = "doc_id",
+                   stratum_col: str = "lang", context_len: int = 2048):
+    """Concat-and-chunk sequence packing stats — the standard LLM
+    pretraining layout: documents are concatenated in a deterministic
+    order (``id_col`` within each stratum) and the token stream is cut
+    into fixed ``context_len`` windows.
+
+    Returns one row per stratum: n_docs, total_tokens, n_windows
+    (= ceil(total/context)), n_straddling (docs crossing a window
+    boundary — candidates for attention-mask resets), and fill
+    efficiency (1.0 here by construction except the final partial
+    window; with pad-to-boundary packing this drops below 1).
+
+    Scale: the running sum is windowed per stratum — at 100 TB shard
+    the stratum further (e.g. (lang, hash(doc_id) % N)) so no single
+    partition holds a whole language; semantics per shard are
+    unchanged.
+    """
+    from pyspark.sql import Window
+
+    C = int(context_len)
+    per = df.select(F.col(stratum_col).alias("stratum"), F.col(id_col),
+                    F.size(norm_tokens(text_col)).cast("bigint").alias("__n"))
+    w = Window.partitionBy("stratum").orderBy(id_col)
+    cum = per.withColumn("__cum", F.sum("__n").over(w))
+    start = F.col("__cum") - F.col("__n")
+    straddles = (F.floor(start / C) != F.floor((F.col("__cum") - 1) / C))
+    return (cum.groupBy("stratum")
+               .agg(F.count(F.lit(1)).alias("n_docs"),
+                    F.sum("__n").alias("total_tokens"),
+                    F.ceil(F.sum("__n") / C).alias("n_windows"),
+                    F.sum(F.when(straddles, 1).otherwise(0)).cast("bigint")
+                     .alias("n_straddling"))
+               .withColumn("fill_efficiency",
+                           F.round(F.col("total_tokens") /
+                                   (F.col("n_windows") * C), 6)))

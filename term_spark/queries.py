@@ -1070,3 +1070,46 @@ GROUP BY band ORDER BY band
 
 QUERIES.update({"range_join_events": q_range_join_events})
 ORACLES.update({"range_join_events": SQL_RANGE_JOIN_EVENTS})
+
+
+def q_rolling_daily_events(spark, sf_dir) -> DataFrame:
+    """Daily event counts per type with a 7-day trailing moving average
+    — the rolling-window time-series shape (RANGE frame over a day
+    index, so missing days genuinely widen the window instead of the
+    ROWS frame silently spanning gaps).
+
+    Scale: the pre-aggregation shrinks events to |types|×|days| rows
+    before any window runs; the window partitions by event_type. The
+    global orderBy is presentation-only over that tiny aggregate.
+    """
+    from pyspark.sql import Window
+    (e,) = _t(spark, sf_dir, "events")
+    daily = (e.filter(F.col("ts").isNotNull())
+              .groupBy("event_type", F.to_date("ts").alias("day"))
+              .agg(F.count(F.lit(1)).alias("n_events")))
+    w = (Window.partitionBy("event_type")
+         .orderBy(F.datediff(F.col("day"), F.lit("1970-01-01")))
+         .rangeBetween(-6, 0))
+    return (daily.select("event_type",
+                         F.date_format("day", "yyyy-MM-dd").alias("day"),
+                         "n_events",
+                         r6(F.avg("n_events").over(w)).alias("avg_7d"))
+            .orderBy("event_type", "day"))
+
+
+SQL_ROLLING_DAILY_EVENTS = """
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n_events
+    FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+)
+SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n_events,
+       ROUND(AVG(n_events) OVER (
+           PARTITION BY event_type
+           ORDER BY date_diff('day', DATE '1970-01-01', day)
+           RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS avg_7d
+FROM daily ORDER BY event_type, day
+"""
+
+
+QUERIES.update({"rolling_daily_events": q_rolling_daily_events})
+ORACLES.update({"rolling_daily_events": SQL_ROLLING_DAILY_EVENTS})

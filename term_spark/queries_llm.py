@@ -557,3 +557,85 @@ SELECT source, doc_id FROM ranked WHERE rn <= 5 ORDER BY source, doc_id
 
 LLM_QUERIES.update({"stratified_sample_docs": q_stratified_sample_docs})
 LLM_ORACLES.update({"stratified_sample_docs": SQL_STRATIFIED_SAMPLE_DOCS})
+
+
+# ---------------------------------------------------------------------------
+# repetition metrics (Gopher-style) + sequence packing
+# ---------------------------------------------------------------------------
+
+def q_repetition_docs(spark, sf_dir) -> DataFrame:
+    """Per-doc repeated-token / repeated-bigram fractions
+    (text.repetition_metrics; Gopher §A1.1-style quality filter)."""
+    return (T.repetition_metrics(_docs(spark, sf_dir), "text", "doc_id", ngram=2)
+            .orderBy("doc_id"))
+
+
+SQL_REPETITION_DOCS = f"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+base AS (
+    SELECT doc_id, len(t) AS n_tokens, len(list_distinct(t)) AS nd,
+           CASE WHEN len(t) >= 2
+                THEN list_transform(generate_series(1, len(t) - 1),
+                                    i -> array_to_string(t[i:i+1], ' '))
+                ELSE [array_to_string(t, ' ')] END AS gs
+    FROM toks
+),
+ex  AS (SELECT doc_id, n_tokens, nd, unnest(gs) AS g FROM base),
+cnt AS (SELECT doc_id, n_tokens, nd, g, COUNT(*) AS c
+        FROM ex GROUP BY doc_id, n_tokens, nd, g)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       ROUND(1.0 - nd * 1.0 / n_tokens, 6) AS dup_token_ratio,
+       CAST(MAX(c) AS BIGINT) AS top_ngram_count,
+       ROUND(MAX(c) * 1.0 / CAST(SUM(c) AS BIGINT), 6) AS top_ngram_frac
+FROM cnt GROUP BY doc_id, n_tokens, nd ORDER BY doc_id
+"""
+
+
+PACK_CONTEXT_LEN = 2048
+
+
+def q_packing_stats_docs(spark, sf_dir) -> DataFrame:
+    """Concat-and-chunk sequence-packing stats per language stratum
+    (text.pack_sequences): windows of PACK_CONTEXT_LEN normalized
+    tokens, docs ordered by doc_id within stratum."""
+    return (T.pack_sequences(_docs(spark, sf_dir), "text", "doc_id",
+                             stratum_col="lang",
+                             context_len=PACK_CONTEXT_LEN)
+            .orderBy("stratum"))
+
+
+SQL_PACKING_STATS_DOCS = f"""
+WITH per AS (
+    SELECT lang AS stratum, doc_id, len({_TOKS_SQL}) AS n
+    FROM documents
+),
+cum AS (
+    SELECT stratum, n,
+           SUM(n) OVER (PARTITION BY stratum ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING) AS c
+    FROM per
+)
+SELECT stratum,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n) AS BIGINT) AS total_tokens,
+       CAST(CEIL(CAST(SUM(n) AS BIGINT) * 1.0 / {PACK_CONTEXT_LEN}) AS BIGINT)
+           AS n_windows,
+       CAST(COUNT(CASE WHEN FLOOR((c - n) * 1.0 / {PACK_CONTEXT_LEN}) !=
+                            FLOOR((c - 1) * 1.0 / {PACK_CONTEXT_LEN})
+                  THEN 1 END) AS BIGINT) AS n_straddling,
+       ROUND(CAST(SUM(n) AS BIGINT) * 1.0 /
+             (CAST(CEIL(CAST(SUM(n) AS BIGINT) * 1.0 / {PACK_CONTEXT_LEN})
+                   AS BIGINT) * {PACK_CONTEXT_LEN}), 6) AS fill_efficiency
+FROM cum GROUP BY stratum ORDER BY stratum
+"""
+
+
+LLM_QUERIES.update({
+    "repetition_docs": q_repetition_docs,
+    "packing_stats_docs": q_packing_stats_docs,
+})
+LLM_ORACLES.update({
+    "repetition_docs": SQL_REPETITION_DOCS,
+    "packing_stats_docs": SQL_PACKING_STATS_DOCS,
+})

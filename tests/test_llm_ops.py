@@ -577,3 +577,58 @@ def test_operator_input_guards(spark):
     with _pt.raises(ValueError, match="positive"):
         range_join(df.selectExpr("CAST(doc_id AS DOUBLE) v"), iv,
                    "v", "lo", "hi", 0.0)
+
+
+# ---------------------------------------------------------------------------
+# repetition metrics + sequence packing
+# ---------------------------------------------------------------------------
+
+def test_repetition_metrics_hand_computed(spark):
+    from term_spark.operators.text import repetition_metrics
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a"),          # tokens [a b a b a]: 5 tokens, 2 distinct
+                                    # bigrams: "a b"x2, "b a"x2 -> top 2 of 4
+         (2, "x y z"),              # all unique; bigrams "x y","y z" -> top 1 of 2
+         (3, "w w w w")],           # 4 tokens 1 distinct; "w w"x3 -> top 3 of 3
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in
+            repetition_metrics(docs).orderBy("doc_id").collect()}
+    assert rows[1]["n_tokens"] == 5
+    assert rows[1]["dup_token_ratio"] == 0.6       # 1 - 2/5
+    assert rows[1]["top_ngram_count"] == 2
+    assert rows[1]["top_ngram_frac"] == 0.5
+    assert rows[2]["dup_token_ratio"] == 0.0
+    assert rows[2]["top_ngram_frac"] == 0.5
+    assert rows[3]["dup_token_ratio"] == 0.75
+    assert rows[3]["top_ngram_count"] == 3
+    assert rows[3]["top_ngram_frac"] == 1.0
+
+
+def test_repetition_metrics_short_doc(spark):
+    from term_spark.operators.text import repetition_metrics
+
+    docs = spark.createDataFrame([(1, "solo")], "doc_id long, text string")
+    r = repetition_metrics(docs).collect()[0]
+    # single token: the fallback shingle is the whole doc
+    assert r["n_tokens"] == 1 and r["top_ngram_count"] == 1
+    assert r["dup_token_ratio"] == 0.0 and r["top_ngram_frac"] == 1.0
+
+
+def test_pack_sequences_boundary_math(spark):
+    from term_spark.operators.text import pack_sequences
+
+    # context=5; stratum "en": docs of 3,3,4 tokens -> cum 3,6,10.
+    #  doc1 [0,3) in window 0; doc2 [3,6) straddles 5; doc3 [6,10) in window 1
+    #  -> 2 windows (ceil(10/5)), 1 straddler, fill 10/10 = 1.0
+    docs = spark.createDataFrame(
+        [(1, "a b c", "en"), (2, "d e f", "en"), (3, "g h i j", "en"),
+         (4, "k l", "fr")],  # fr: 2 tokens -> 1 window, fill 2/5
+        "doc_id long, text string, lang string")
+    rows = {r["stratum"]: r for r in pack_sequences(
+        docs, context_len=5).collect()}
+    en = rows["en"]
+    assert (en["n_docs"], en["total_tokens"], en["n_windows"],
+            en["n_straddling"], en["fill_efficiency"]) == (3, 10, 2, 1, 1.0)
+    fr = rows["fr"]
+    assert (fr["n_windows"], fr["n_straddling"], fr["fill_efficiency"]) == (1, 0, 0.4)
