@@ -23,6 +23,7 @@ import pyspark.sql.functions as F
 from .inference import infer_column_type
 
 NUMERIC_TYPES = {"tinyint", "smallint", "int", "bigint", "float", "double"}
+TEMPORAL_TYPES = {"timestamp", "timestamp_ntz", "date"}
 
 
 @dataclass
@@ -100,9 +101,14 @@ class ColumnProfiler:
                           .limit(self.cardinality_threshold).collect())
                 p.histogram = {str(r["v"]): int(r["cnt"]) for r in rows}
 
-        # ---- pass 3: fused numeric moments + quantiles ----------------
+        # ---- pass 3: ONE fused agg — numeric moments + quantiles, plus
+        # temporal min/max as ISO strings (no epoch cast, so
+        # TIMESTAMP_NTZ from naive parquet profiles identically to
+        # TIMESTAMP/DATE; ISO strings also order lexicographically, so
+        # downstream range rules keep working).
         numeric = [c for c in cols if dtypes[c] in NUMERIC_TYPES]
-        if numeric:
+        temporal = [c for c in cols if dtypes[c] in TEMPORAL_TYPES]
+        if numeric or temporal:
             exprs = []
             for c in numeric:
                 col = F.col(c).cast("double")
@@ -110,6 +116,9 @@ class ColumnProfiler:
                           F.avg(col).alias(f"av_{c}"), F.stddev_samp(col).alias(f"sd_{c}"),
                           F.percentile_approx(col, [0.25, 0.5, 0.75],
                                               self.quantile_accuracy).alias(f"qs_{c}")]
+            for c in temporal:
+                exprs += [F.min(F.col(c)).cast("string").alias(f"tmn_{c}"),
+                          F.max(F.col(c)).cast("string").alias(f"tmx_{c}")]
             row = df.agg(*exprs).collect()[0]
             for c in numeric:
                 p = profile.columns[c]
@@ -120,6 +129,10 @@ class ColumnProfiler:
                 qs = row[f"qs_{c}"]
                 if qs is not None:
                     p.quantiles = {"p25": _f(qs[0]), "p50": _f(qs[1]), "p75": _f(qs[2])}
+            for c in temporal:
+                p = profile.columns[c]
+                p.min = row[f"tmn_{c}"]
+                p.max = row[f"tmx_{c}"]
         return profile
 
 

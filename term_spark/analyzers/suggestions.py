@@ -94,6 +94,15 @@ class ValueRangeRule(SuggestionRule):
 
     def evaluate(self, p, table):
         if p.min is not None and p.max is not None and p.min < p.max:
+            # temporal profiles carry ISO-string min/max (profiler pass
+            # 3) — the right constraint there is date_range, not a
+            # numeric value_range
+            if p.spark_type in ("timestamp", "timestamp_ntz", "date"):
+                return [Suggestion(p.column, "within_date_range",
+                                   {"timestamp_column": p.column,
+                                    "min_date": p.min, "max_date": p.max},
+                                   0.6,
+                                   f"observed range [{p.min}, {p.max}]")]
             return [Suggestion(p.column, "value_range",
                                {"column": p.column, "lo": p.min, "hi": p.max},
                                0.6,

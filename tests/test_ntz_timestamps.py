@@ -90,3 +90,29 @@ def test_date_range_constraint_on_ntz(spark, events):
                            in c.scalar_metrics(events).items()]).collect()[0]
     res = c.result_from_metrics(metrics.asDict())
     assert res.metric == 0.0  # all testdata events are in 2024
+
+
+def test_profiler_temporal_ranges_on_ntz(spark, events):
+    from term_spark.analyzers.profiler import ColumnProfiler
+
+    prof = ColumnProfiler().profile(events.select("ts", "value"))
+    ts = prof.columns["ts"]
+    assert ts.spark_type == "timestamp_ntz"
+    assert isinstance(ts.min, str) and ts.min.startswith("2024-")
+    assert ts.max > ts.min  # ISO strings order lexicographically
+    assert prof.columns["value"].mean is not None  # numeric pass intact
+
+
+def test_suggestions_date_range_for_ntz(spark, events):
+    from term_spark.analyzers.profiler import ColumnProfiler
+    from term_spark.analyzers.suggestions import SuggestionEngine
+
+    prof = ColumnProfiler().profile(events.select("ts"))
+    sugg = [s for s in SuggestionEngine().suggest(prof)
+            if s.constraint == "within_date_range"]
+    assert sugg and sugg[0].args["min_date"].startswith("2024-")
+
+    # the suggestion materializes into a runnable Check
+    from term_spark.core.check import Check
+    check = sugg[0].apply_to(Check("t"))
+    assert any(c.name == "date_range" for c in check.constraints)
