@@ -1113,3 +1113,43 @@ FROM daily ORDER BY event_type, day
 
 QUERIES.update({"rolling_daily_events": q_rolling_daily_events})
 ORACLES.update({"rolling_daily_events": SQL_ROLLING_DAILY_EVENTS})
+
+
+def q_pivot_returnflag_linestatus(spark, sf_dir) -> DataFrame:
+    """Pivot (cross-tab): row counts and quantity sums per l_returnflag
+    × l_linestatus cell, statuses as columns — the reshaping operator
+    (§2.6). Spark's groupBy().pivot() with EXPLICIT pivot values: the
+    values list keeps the plan a single pass (no extra distinct scan to
+    discover columns) and fixes the output schema, which is what a 100
+    TB job wants anyway (schema drift in a pivot is an error, not a
+    feature)."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+              .pivot("l_linestatus", ["O", "F"])
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.sum(F.col("l_quantity").cast("decimal(25,4)"))
+                    .cast("double").alias("sum_qty"))
+              .select("l_returnflag",
+                      F.coalesce("O_n", F.lit(0)).alias("o_n"),
+                      F.coalesce("O_sum_qty", F.lit(0.0)).alias("o_sum_qty"),
+                      F.coalesce("F_n", F.lit(0)).alias("f_n"),
+                      F.coalesce("F_sum_qty", F.lit(0.0)).alias("f_sum_qty"))
+              .orderBy("l_returnflag"))
+
+
+SQL_PIVOT_RETURNFLAG_LINESTATUS = """
+SELECT l_returnflag,
+       COUNT(CASE WHEN l_linestatus = 'O' THEN 1 END) AS o_n,
+       CAST(COALESCE(SUM(CASE WHEN l_linestatus = 'O'
+                 THEN CAST(l_quantity AS DECIMAL(25,4)) END), 0) AS DOUBLE)
+           AS o_sum_qty,
+       COUNT(CASE WHEN l_linestatus = 'F' THEN 1 END) AS f_n,
+       CAST(COALESCE(SUM(CASE WHEN l_linestatus = 'F'
+                 THEN CAST(l_quantity AS DECIMAL(25,4)) END), 0) AS DOUBLE)
+           AS f_sum_qty
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+QUERIES.update({"pivot_returnflag_linestatus": q_pivot_returnflag_linestatus})
+ORACLES.update({"pivot_returnflag_linestatus": SQL_PIVOT_RETURNFLAG_LINESTATUS})
