@@ -428,3 +428,77 @@ def cosine_topk_pandas(df: DataFrame, queries: DataFrame, k: int = 5,
             .filter(F.col("rank") <= k)
             .select("query_id", "nbr_id", F.round("cosine", 6).alias("cosine"),
                     "rank"))
+
+
+def semantic_dedup_pairs(df: DataFrame, id_col: str = "vec_id",
+                         vec_col: str = "embedding",
+                         threshold: float = 0.95, n_clusters: int = 16,
+                         seed: int = 42,
+                         train_iterations: int = 0) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space, then compute exact
+    pairwise cosine ONLY within each cluster — the all-pairs join is
+    bounded by the largest cluster instead of the corpus, which is what
+    makes embedding dedup tractable at web scale. Cross-cluster dups
+    are missed by design (the paper's recall/cost trade-off); raise
+    ``n_clusters`` with corpus size (cost ~ Σ cluster² per cluster).
+
+    ``train_iterations=0`` uses deterministic md5-hash-sampled
+    centroids (cid = rank in hash order — engine-portable, so the
+    whole operator is oracle-checkable); ``>0`` runs distributed
+    Lloyd's k-means first (kmeans_centroids).
+
+    Returns (id_a, id_b, cid, cosine) with id_a < id_b, cosine ≥ τ.
+    """
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    v = df.select(F.col(id_col).alias("id"),
+                  F.transform(F.col(vec_col),
+                              lambda x: x.cast("double")).alias("v"))
+    if train_iterations > 0:
+        trained = kmeans_centroids(df, id_col, vec_col, n_clusters,
+                                   train_iterations, seed)
+        cents = spark.createDataFrame(
+            [(i, c) for i, c in enumerate(trained)],
+            "cid long, cvec array<double>")
+    else:
+        # deterministic hash sample; TakeOrdered (bounded k×d collect),
+        # cid = position in hash order so an oracle can reproduce it
+        sample = (v.orderBy(F.md5(F.concat(F.lit(f"{seed}:"),
+                                           F.col("id").cast("string"))), "id")
+                   .limit(n_clusters).collect())
+        cents = spark.createDataFrame(
+            [(i, list(r["v"])) for i, r in enumerate(sample)],
+            "cid long, cvec array<double>")
+
+    scored = with_cosine(v.crossJoin(F.broadcast(cents)), "v", "cvec", "csim")
+    w = Window.partitionBy("id").orderBy(F.desc("csim"), F.asc("cid"))
+    assigned = (scored.withColumn("r", F.row_number().over(w))
+                .filter(F.col("r") == 1).select("id", "v", "cid"))
+
+    a = assigned.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
+                        "cid")
+    b = assigned.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
+                        "cid")
+    pairs = with_cosine(
+        a.join(b, ["cid"]).filter(F.col("id_a") < F.col("id_b")),
+        "va", "vb")
+    return (pairs.filter(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", "cid",
+                    F.round("cosine", 6).alias("cosine")))
+
+
+def semantic_dedup(df: DataFrame, id_col: str = "vec_id",
+                   vec_col: str = "embedding", threshold: float = 0.95,
+                   n_clusters: int = 16, seed: int = 42,
+                   train_iterations: int = 0) -> DataFrame:
+    """Keep-one semantic dedup: cluster-bounded near-pairs →
+    connected components → keep the min id per component
+    (curation.dedup_by_components). Returns the surviving rows of
+    ``df`` (all columns)."""
+    from .curation import dedup_by_components
+
+    pairs = semantic_dedup_pairs(df, id_col, vec_col, threshold,
+                                 n_clusters, seed, train_iterations)
+    return dedup_by_components(df, pairs, id_col=id_col)

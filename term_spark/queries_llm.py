@@ -729,3 +729,95 @@ SQL_DEDUP_PIPELINE_DOCS = _pipeline_sql()
 
 LLM_QUERIES.update({"dedup_pipeline_docs": q_dedup_pipeline_docs})
 LLM_ORACLES.update({"dedup_pipeline_docs": SQL_DEDUP_PIPELINE_DOCS})
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup (SemDeDup-style, untrained deterministic-centroid path)
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_THRESHOLD = 0.4
+SEMDEDUP_CLUSTERS = 8
+
+
+def q_semantic_dedup_embeddings(spark, sf_dir) -> DataFrame:
+    """Semantic dedup accounting row over the embeddings table:
+    hash-sampled centroids (deterministic, so the ITERATIVE-free path
+    is oracle-checkable), argmax-cosine cluster assignment,
+    within-cluster pairwise cosine ≥ τ, components, keep-one math
+    (operators/similarity.semantic_dedup_pairs)."""
+    from .operators.curation import connected_components
+    from .operators.similarity import semantic_dedup_pairs
+    e = _emb(spark, sf_dir)
+    pairs = semantic_dedup_pairs(e, "vec_id", "embedding",
+                                 SEMDEDUP_THRESHOLD, SEMDEDUP_CLUSTERS)
+    comp = connected_components(pairs.select("id_a", "id_b"))
+    stats = comp.agg(F.count(F.lit(1)).alias("n_members"),
+                     F.count_distinct("component").alias("n_components"))
+    return (e.agg(F.count(F.lit(1)).alias("n_vecs"))
+            .crossJoin(pairs.agg(F.count(F.lit(1)).alias("n_dup_pairs")))
+            .crossJoin(stats)
+            .select("n_vecs", "n_dup_pairs", "n_components",
+                    (F.col("n_members") - F.col("n_components"))
+                    .alias("n_removed"),
+                    (F.col("n_vecs") - (F.col("n_members") -
+                                        F.col("n_components")))
+                    .alias("n_survivors")))
+
+
+SQL_SEMANTIC_DEDUP_EMBEDDINGS = f"""
+WITH RECURSIVE v AS (
+    SELECT vec_id AS id, list_transform(embedding, x -> x::DOUBLE) AS e
+    FROM embeddings
+),
+cents AS (
+    SELECT (ROW_NUMBER() OVER (ORDER BY md5('{42}:' || CAST(id AS VARCHAR)), id)) - 1
+               AS cid,
+           e AS c
+    FROM v
+    QUALIFY ROW_NUMBER() OVER (ORDER BY md5('{42}:' || CAST(id AS VARCHAR)), id)
+            <= {SEMDEDUP_CLUSTERS}
+),
+assigned AS (
+    SELECT id, e, cid FROM (
+        SELECT v.id, v.e, cents.cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY v.id
+                   ORDER BY list_dot_product(v.e, cents.c) /
+                            (sqrt(list_dot_product(v.e, v.e)) *
+                             sqrt(list_dot_product(cents.c, cents.c))) DESC,
+                            cents.cid ASC) AS r
+        FROM v CROSS JOIN cents)
+    WHERE r = 1
+),
+pairs AS (
+    SELECT a.id AS id_a, b.id AS id_b
+    FROM assigned a JOIN assigned b ON a.cid = b.cid AND a.id < b.id
+    WHERE list_dot_product(a.e, b.e) /
+          (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
+          >= {SEMDEDUP_THRESHOLD}
+),
+edges AS (
+    SELECT id_a AS s, id_b AS d FROM pairs
+    UNION
+    SELECT id_b, id_a FROM pairs
+),
+verts AS (SELECT DISTINCT s AS vv FROM edges),
+reach(vv, r) AS (
+    SELECT vv, vv FROM verts
+    UNION
+    SELECT reach.vv, edges.d FROM reach JOIN edges ON reach.r = edges.s
+),
+comps AS (SELECT vv, MIN(r) AS component FROM reach GROUP BY vv)
+SELECT (SELECT COUNT(*) FROM embeddings) AS n_vecs,
+       (SELECT COUNT(*) FROM pairs) AS n_dup_pairs,
+       (SELECT COUNT(DISTINCT component) FROM comps) AS n_components,
+       (SELECT COUNT(*) FROM comps) - (SELECT COUNT(DISTINCT component) FROM comps)
+           AS n_removed,
+       (SELECT COUNT(*) FROM embeddings)
+           - ((SELECT COUNT(*) FROM comps)
+              - (SELECT COUNT(DISTINCT component) FROM comps)) AS n_survivors
+"""
+
+
+LLM_QUERIES.update({"semantic_dedup_embeddings": q_semantic_dedup_embeddings})
+LLM_ORACLES.update({"semantic_dedup_embeddings": SQL_SEMANTIC_DEDUP_EMBEDDINGS})

@@ -632,3 +632,36 @@ def test_pack_sequences_boundary_math(spark):
             en["n_straddling"], en["fill_efficiency"]) == (3, 10, 2, 1, 1.0)
     fr = rows["fr"]
     assert (fr["n_windows"], fr["n_straddling"], fr["fill_efficiency"]) == (1, 0, 0.4)
+
+
+def test_semantic_dedup_removes_near_identical_vectors(spark):
+    from term_spark.operators.similarity import semantic_dedup, semantic_dedup_pairs
+
+    # two tight groups of near-identical vectors + two singletons
+    rows = [
+        (1, [1.0, 0.0, 0.0]), (2, [0.999, 0.001, 0.0]), (3, [0.998, 0.0, 0.002]),
+        (4, [0.0, 1.0, 0.0]), (5, [0.0, 0.999, 0.001]),
+        (6, [0.0, 0.0, 1.0]),
+        (7, [0.5, 0.5, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = semantic_dedup_pairs(df, threshold=0.999, n_clusters=3).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in found and (1, 3) in found and (4, 5) in found
+    assert not any(a in (6, 7) or b in (6, 7) for a, b in found)
+
+    kept = sorted(r["vec_id"] for r in semantic_dedup(
+        df, threshold=0.999, n_clusters=3).collect())
+    assert kept == [1, 4, 6, 7]  # min id survives each component
+
+
+def test_semantic_dedup_trained_path_runs(spark):
+    from term_spark.operators.similarity import semantic_dedup
+
+    rows = [(i, [float(i % 3 == 0), float(i % 3 == 1), float(i % 3 == 2)])
+            for i in range(12)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kept = semantic_dedup(df, threshold=0.9999, n_clusters=3,
+                          train_iterations=2).collect()
+    # 3 exact-duplicate groups of 4 -> one keeper each
+    assert sorted(r["vec_id"] for r in kept) == [0, 1, 2]
