@@ -261,3 +261,75 @@ def stratified_sample_exact(df: DataFrame, strata_col: str,
     return (df.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") <= n_per_stratum)
             .drop("__rn"))
+
+
+def weighted_sample(df: DataFrame, weight_col, id_col: str = "doc_id",
+                    seed: str = "term") -> DataFrame:
+    """Deterministic Bernoulli thinning: keep a row iff
+    u(id) < weight, where u(id) = md5(seed‖id) mapped to [0, 1) and
+    weight ∈ [0, 1] may be a column or expression (e.g. a quality
+    score). No RNG state, engine-portable, stable as the corpus grows —
+    the per-row decision never changes when other rows appear. Narrow
+    (map-only); expected kept fraction = mean(weight).
+    """
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    u = (F.conv(F.substring(
+            F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))),
+            1, 15), 16, 10).cast("double") / F.lit(float(16 ** 15)))
+    return df.filter(u < w)
+
+
+def source_mixing_rates(df: DataFrame, source_col: str = "source",
+                        alpha: float = 0.5,
+                        target_fraction: float = 1.0) -> DataFrame:
+    """Temperature-based source mixing rates (the multilingual /
+    multi-source rebalancing step: sampling probability ∝ n_s^alpha,
+    alpha < 1 upweights small sources — Devlin et al. 2019 mBERT
+    exponent-smoothed mixing; alpha=1 is proportional, 0 is uniform).
+
+    Returns one row per source: n_docs, mix_weight (normalized
+    n^alpha), target_docs (weight × target_fraction × corpus), and
+    keep_rate = min(1, target/n) — the Bernoulli rate to feed
+    ``weighted_sample``. One tiny aggregation; rates are data, not
+    config, so they stay consistent with the corpus snapshot.
+    """
+    if alpha < 0:
+        raise ValueError("alpha must be >= 0")
+    counts = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).alias("n_docs"))
+    tot = F.sum("n_docs").over(Window_all())
+    wsum = F.sum(F.pow(F.col("n_docs").cast("double"), alpha)).over(Window_all())
+    weight = F.pow(F.col("n_docs").cast("double"), alpha) / wsum
+    target = weight * tot * float(target_fraction)
+    return (counts.select(
+        "source", "n_docs",
+        F.round(weight, 6).alias("mix_weight"),
+        F.floor(target).cast("bigint").alias("target_docs"),
+        F.round(F.least(F.lit(1.0), target / F.col("n_docs")), 6)
+         .alias("keep_rate"))
+        .orderBy("source"))
+
+
+def Window_all():
+    """Unpartitioned window over the per-source aggregate ONLY — the
+    input is |sources| rows (already reduced), so the single-partition
+    frame is bounded by source cardinality, not data size."""
+    from pyspark.sql import Window
+    return Window.partitionBy()
+
+
+def mix_sources(df: DataFrame, source_col: str = "source",
+                id_col: str = "doc_id", alpha: float = 0.5,
+                target_fraction: float = 1.0,
+                seed: str = "term") -> DataFrame:
+    """Apply temperature mixing: compute per-source keep rates
+    (source_mixing_rates) and deterministically thin each source to its
+    rate (weighted_sample). Broadcast-joins the |sources|-row rate table
+    — the corpus pass stays map-only."""
+    rates = source_mixing_rates(df, source_col, alpha, target_fraction)
+    rate_col = rates.select(F.col("source").alias("__src"),
+                            F.col("keep_rate").alias("__rate"))
+    joined = df.join(F.broadcast(rate_col),
+                     df[source_col] == F.col("__src"))
+    return (weighted_sample(joined, F.col("__rate"), id_col, seed)
+            .drop("__src", "__rate"))

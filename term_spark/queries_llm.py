@@ -821,3 +821,66 @@ SELECT (SELECT COUNT(*) FROM embeddings) AS n_vecs,
 
 LLM_QUERIES.update({"semantic_dedup_embeddings": q_semantic_dedup_embeddings})
 LLM_ORACLES.update({"semantic_dedup_embeddings": SQL_SEMANTIC_DEDUP_EMBEDDINGS})
+
+
+# ---------------------------------------------------------------------------
+# temperature-based source mixing (deterministic Bernoulli thinning)
+# ---------------------------------------------------------------------------
+
+MIX_ALPHA = 0.5
+MIX_TARGET_FRACTION = 0.6
+
+
+def q_source_mixing_docs(spark, sf_dir) -> DataFrame:
+    """Per-source mixing accounting: n^alpha temperature weights,
+    target sizes, Bernoulli keep rates, and the row counts actually
+    kept by the deterministic md5-uniform thinning
+    (curation.source_mixing_rates + mix_sources). The kept counts are
+    exact — selection is a pure function of (seed, doc_id) — so the
+    oracle checks the mixing math AND the hash-thinning parity."""
+    from .operators.curation import mix_sources, source_mixing_rates
+    d = _docs(spark, sf_dir)
+    rates = source_mixing_rates(d, "source", MIX_ALPHA, MIX_TARGET_FRACTION)
+    kept = (mix_sources(d, "source", "doc_id", MIX_ALPHA, MIX_TARGET_FRACTION)
+            .groupBy("source").agg(F.count(F.lit(1)).alias("n_kept")))
+    return (rates.join(kept, "source", "left")
+            .select("source", "n_docs", "mix_weight", "target_docs",
+                    "keep_rate",
+                    F.coalesce("n_kept", F.lit(0)).alias("n_kept"))
+            .orderBy("source"))
+
+
+SQL_SOURCE_MIXING_DOCS = f"""
+WITH counts AS (
+    SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+),
+tot AS (
+    SELECT CAST(SUM(n_docs) AS DOUBLE) AS t,
+           SUM(POW(CAST(n_docs AS DOUBLE), {MIX_ALPHA})) AS ws
+    FROM counts
+),
+rates AS (
+    SELECT source, n_docs,
+           ROUND(POW(CAST(n_docs AS DOUBLE), {MIX_ALPHA}) / ws, 6) AS mix_weight,
+           CAST(FLOOR(POW(CAST(n_docs AS DOUBLE), {MIX_ALPHA}) / ws * t
+                      * {MIX_TARGET_FRACTION}) AS BIGINT) AS target_docs,
+           ROUND(LEAST(1.0, POW(CAST(n_docs AS DOUBLE), {MIX_ALPHA}) / ws * t
+                            * {MIX_TARGET_FRACTION} / n_docs), 6) AS keep_rate
+    FROM counts, tot
+),
+kept AS (
+    SELECT d.source, COUNT(*) AS n_kept
+    FROM documents d JOIN rates r ON d.source = r.source
+    WHERE ('0x' || SUBSTRING(md5('term:' || CAST(d.doc_id AS VARCHAR)), 1, 15))
+              ::UBIGINT::DOUBLE / 1152921504606846976.0 < r.keep_rate
+    GROUP BY d.source
+)
+SELECT r.source, r.n_docs, r.mix_weight, r.target_docs, r.keep_rate,
+       COALESCE(k.n_kept, 0) AS n_kept
+FROM rates r LEFT JOIN kept k ON r.source = k.source
+ORDER BY r.source
+"""
+
+
+LLM_QUERIES.update({"source_mixing_docs": q_source_mixing_docs})
+LLM_ORACLES.update({"source_mixing_docs": SQL_SOURCE_MIXING_DOCS})

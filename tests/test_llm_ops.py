@@ -665,3 +665,45 @@ def test_semantic_dedup_trained_path_runs(spark):
                           train_iterations=2).collect()
     # 3 exact-duplicate groups of 4 -> one keeper each
     assert sorted(r["vec_id"] for r in kept) == [0, 1, 2]
+
+
+def test_source_mixing_alpha_upweights_small_sources(spark):
+    from term_spark.operators.curation import source_mixing_rates
+
+    rows = [(i, "big") for i in range(900)] + [(900 + i, "small") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    r = {x["source"]: x for x in source_mixing_rates(df, alpha=0.5).collect()}
+    # sqrt weighting: big 30/(30+10)=0.75, small 0.25 — small's share of
+    # the mix (0.25) is far above its corpus share (0.1)
+    assert r["big"]["mix_weight"] == 0.75 and r["small"]["mix_weight"] == 0.25
+    assert r["small"]["keep_rate"] == 1.0  # 250 target > 100 available, capped
+    assert r["big"]["target_docs"] == 750
+
+    r1 = {x["source"]: x for x in source_mixing_rates(df, alpha=1.0).collect()}
+    assert r1["big"]["mix_weight"] == 0.9  # alpha=1 is proportional
+
+    r0 = {x["source"]: x for x in source_mixing_rates(df, alpha=0.0).collect()}
+    assert r0["big"]["mix_weight"] == r0["small"]["mix_weight"] == 0.5
+
+
+def test_weighted_sample_deterministic_and_growth_stable(spark):
+    import pyspark.sql.functions as F
+    from term_spark.operators.curation import weighted_sample
+
+    df = spark.createDataFrame([(i, 0.5) for i in range(1000)],
+                               "doc_id long, w double")
+    kept1 = {r["doc_id"] for r in weighted_sample(df, "w").collect()}
+    kept2 = {r["doc_id"] for r in weighted_sample(df, "w").collect()}
+    assert kept1 == kept2  # deterministic
+    assert 400 < len(kept1) < 600  # ~ mean(weight)
+
+    # growth stability: adding rows never flips an existing decision
+    bigger = spark.createDataFrame([(i, 0.5) for i in range(2000)],
+                                   "doc_id long, w double")
+    kept_big = {r["doc_id"] for r in weighted_sample(bigger, "w").collect()}
+    assert kept1 == {i for i in kept_big if i < 1000}
+
+    # weight 0 keeps nothing, weight 1 keeps everything
+    zero = weighted_sample(df.withColumn("w", F.lit(0.0)), "w").count()
+    one = weighted_sample(df.withColumn("w", F.lit(1.0)), "w").count()
+    assert zero == 0 and one == 1000
