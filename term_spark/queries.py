@@ -1153,3 +1153,75 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 
 QUERIES.update({"pivot_returnflag_linestatus": q_pivot_returnflag_linestatus})
 ORACLES.update({"pivot_returnflag_linestatus": SQL_PIVOT_RETURNFLAG_LINESTATUS})
+
+
+def q_top3_customers_per_segment(spark, sf_dir) -> DataFrame:
+    """Per-group top-N (top-3 customers by balance within each market
+    segment) — the windowed-rank shape. Partition-parallel: each
+    segment ranks inside its own hash partition; no global sort. Ties
+    broken by key so both engines pick identical rows."""
+    from pyspark.sql import Window
+    (c,) = _t(spark, sf_dir, "customer")
+    w = (Window.partitionBy("c_mktsegment")
+         .orderBy(F.desc("c_acctbal"), F.asc("c_custkey")))
+    return (c.withColumn("rank", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rank") <= 3)
+            .select("c_mktsegment", "rank", "c_custkey",
+                    F.col("c_acctbal").alias("acctbal"))
+            .orderBy("c_mktsegment", "rank"))
+
+
+SQL_TOP3_CUSTOMERS_PER_SEGMENT = """
+SELECT c_mktsegment, rank, c_custkey, acctbal FROM (
+    SELECT c_mktsegment, c_custkey, c_acctbal AS acctbal,
+           ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                              ORDER BY c_acctbal DESC, c_custkey ASC) AS rank
+    FROM customer)
+WHERE rank <= 3 ORDER BY c_mktsegment, rank
+"""
+
+
+def q_unpivot_pricing(spark, sf_dir) -> DataFrame:
+    """Unpivot/melt: per-returnflag metric columns reshaped to long
+    (metric, value) rows via the stack generator — the inverse of the
+    pivot query, same single-agg-then-narrow-reshape plan."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    wide = (li.groupBy("l_returnflag")
+              .agg(F.sum(F.col("l_quantity").cast("decimal(25,4)"))
+                    .cast("double").alias("sum_qty"),
+                   F.sum(F.col("l_extendedprice").cast("decimal(25,4)"))
+                    .cast("double").alias("sum_price"),
+                   F.count(F.lit(1)).cast("double").alias("n_rows")))
+    return (wide.select(
+        "l_returnflag",
+        F.expr("stack(3, 'sum_qty', sum_qty, 'sum_price', sum_price, "
+               "'n_rows', n_rows) AS (metric, value)"))
+        .orderBy("l_returnflag", "metric"))
+
+
+SQL_UNPIVOT_PRICING = """
+WITH wide AS (
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,4))) AS DOUBLE) AS sum_price,
+           CAST(COUNT(*) AS DOUBLE) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, metric, value FROM (
+    SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM wide
+    UNION ALL
+    SELECT l_returnflag, 'sum_price', sum_price FROM wide
+    UNION ALL
+    SELECT l_returnflag, 'n_rows', n_rows FROM wide)
+ORDER BY l_returnflag, metric
+"""
+
+
+QUERIES.update({
+    "top3_customers_per_segment": q_top3_customers_per_segment,
+    "unpivot_pricing": q_unpivot_pricing,
+})
+ORACLES.update({
+    "top3_customers_per_segment": SQL_TOP3_CUSTOMERS_PER_SEGMENT,
+    "unpivot_pricing": SQL_UNPIVOT_PRICING,
+})
