@@ -200,6 +200,12 @@ class Check:
         return self.with_constraint(
             EntropyConstraint(column, Assertion.coerce(assertion), max_unique))
 
+    def has_benford_distribution(self, column: str, assertion=None) -> "Check":
+        """First-digit distribution close to Benford's law (metric =
+        total variation distance; default assertion TVD <= 0.05)."""
+        from ..operators.statistics import BenfordConstraint
+        return self.with_constraint(BenfordConstraint(column, assertion))
+
     # ---- predicate / containment ---------------------------------------
     def satisfies(self, predicate: str, assertion=1.0, description: str = "") -> "Check":
         return self.with_constraint(

@@ -40,6 +40,18 @@ _STATS = {
 }
 
 
+def _stat_col(df, column: str) -> "F.Column":
+    """Temporal columns enter the stat aggregates as epoch seconds:
+    min/max/mean/stddev then yield meaningful floats, assertions take
+    epochs, and TIMESTAMP_NTZ (naive parquet) works where a raw
+    datetime would crash the float() in result_from_metrics."""
+    dt = dict(df.dtypes).get(column, "")
+    if dt.startswith("timestamp") or dt == "date":
+        from ..functions.datetime import epoch_seconds
+        return epoch_seconds(column)
+    return F.col(column)
+
+
 class StatisticConstraint(Constraint):
     def __init__(self, column: str, stat: str, assertion: Assertion):
         stat = stat.lower()
@@ -52,7 +64,7 @@ class StatisticConstraint(Constraint):
         self._alias = metric_alias("stat", stat, column)
 
     def scalar_metrics(self, df) -> Dict[str, "F.Column"]:
-        return {self._alias: _STATS[self.stat](F.col(self.column))}
+        return {self._alias: _STATS[self.stat](_stat_col(df, self.column))}
 
     def result_from_metrics(self, metrics: Mapping[str, object]) -> ConstraintResult:
         raw = metrics[self._alias]
@@ -87,7 +99,8 @@ class MultiStatisticConstraint(Constraint):
         self._aliases = {s: metric_alias("stat", s, column) for s in self.assertions}
 
     def scalar_metrics(self, df) -> Dict[str, "F.Column"]:
-        return {a: _STATS[s](F.col(self.column)) for s, a in self._aliases.items()}
+        col = _stat_col(df, self.column)
+        return {a: _STATS[s](col) for s, a in self._aliases.items()}
 
     def result_from_metrics(self, metrics: Mapping[str, object]) -> ConstraintResult:
         failures = []
@@ -235,3 +248,61 @@ class CovarianceConstraint(Constraint):
             value,
             f"covar_samp({self.column_a},{self.column_b}) = {value:.6f} does "
             f"not satisfy {self.assertion.describe()}")
+
+
+class BenfordConstraint(Constraint):
+    """First-significant-digit distribution vs Benford's law.
+
+    Classic fraud/data-quality screen for naturally-occurring numeric
+    columns (amounts, balances, populations): first digits should
+    follow P(d) = log10(1 + 1/d). Metric = total variation distance
+    (0.5·Σ|observed − expected|) ∈ [0, 1) — unlike a χ² p-value it does
+    not degenerate at billion-row n, so the same threshold works at
+    every scale. Default assertion: TVD ≤ 0.05.
+
+    Shape: nine conditional counts in the shared fused aggregation —
+    scalar protocol, no extra job, no groupBy. Zero/null values are out
+    of scope (no first digit).
+    """
+
+    name = "benford"
+
+    BENFORD_P = {d: __import__("math").log10(1 + 1 / d) for d in range(1, 10)}
+
+    def __init__(self, column: str, assertion: Assertion = None):
+        self.column = validate_identifier(column)
+        self.assertion = (Assertion.coerce(assertion) if assertion is not None
+                          else Assertion.le(0.05))
+        self._d = {d: metric_alias("benford", column, d) for d in range(1, 10)}
+
+    @staticmethod
+    def first_digit(col: "F.Column") -> "F.Column":
+        """First significant digit of |col| (NULL for 0/NULL) — plain
+        floor/log10 arithmetic so any engine reproduces it."""
+        v = F.abs(col.cast("double"))
+        return F.when(
+            v > 0,
+            F.floor(v / F.pow(F.lit(10.0), F.floor(F.log10(v))))
+             .cast("int")).otherwise(F.lit(None))
+
+    def scalar_metrics(self, df) -> Dict[str, "F.Column"]:
+        fd = self.first_digit(F.col(self.column))
+        return {a: F.count(F.when(fd == d, 1)) for d, a in self._d.items()}
+
+    def result_from_metrics(self, metrics: Mapping[str, object]) -> ConstraintResult:
+        counts = {d: int(metrics[a]) for d, a in self._d.items()}
+        n = sum(counts.values())
+        if n == 0:
+            return ConstraintResult.skipped(
+                f"benford({self.column}): no non-zero values")
+        tvd = 0.5 * sum(abs(counts[d] / n - self.BENFORD_P[d])
+                        for d in range(1, 10))
+        if self.assertion.evaluate(tvd):
+            return ConstraintResult.success(tvd)
+        worst = max(range(1, 10),
+                    key=lambda d: abs(counts[d] / n - self.BENFORD_P[d]))
+        return ConstraintResult.failure(
+            tvd,
+            f"benford({self.column}) TVD = {tvd:.4f} does not satisfy "
+            f"{self.assertion.describe()} (digit {worst}: observed "
+            f"{counts[worst] / n:.3f} vs expected {self.BENFORD_P[worst]:.3f})")

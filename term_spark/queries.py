@@ -1225,3 +1225,41 @@ ORACLES.update({
     "top3_customers_per_segment": SQL_TOP3_CUSTOMERS_PER_SEGMENT,
     "unpivot_pricing": SQL_UNPIVOT_PRICING,
 })
+
+
+def q_benford_acctbal(spark, sf_dir) -> DataFrame:
+    """Benford first-digit distribution of customer balances: per-digit
+    counts + observed vs expected shares (BenfordConstraint's nine
+    conditional counts, shown long-form). Synthetic balances are
+    uniform-ish, so the distribution is far from Benford — the parity
+    check cares that both engines compute the identical digits and
+    shares, not that the data obeys the law."""
+    from .operators.statistics import BenfordConstraint
+    (c,) = _t(spark, sf_dir, "customer")
+    fd = BenfordConstraint.first_digit(F.col("c_acctbal"))
+    per = (c.select(fd.alias("digit")).filter(F.col("digit").isNotNull())
+            .groupBy("digit").agg(F.count(F.lit(1)).alias("n")))
+    from pyspark.sql import Window
+    tot = F.sum("n").over(Window.partitionBy())
+    return (per.select(F.col("digit").cast("bigint").alias("digit"), "n",
+                       r6(F.col("n") / tot).alias("observed"),
+                       r6(F.log10(1 + 1 / F.col("digit"))).alias("expected"))
+            .orderBy("digit"))
+
+
+SQL_BENFORD_ACCTBAL = """
+WITH fd AS (
+    SELECT CAST(FLOOR(ABS(c_acctbal) /
+                POW(10.0, FLOOR(LOG10(ABS(c_acctbal))))) AS INT) AS digit
+    FROM customer WHERE c_acctbal IS NOT NULL AND ABS(c_acctbal) > 0
+),
+per AS (SELECT digit, COUNT(*) AS n FROM fd GROUP BY digit)
+SELECT CAST(digit AS BIGINT) AS digit, n,
+       ROUND(n * 1.0 / SUM(n) OVER (), 6) AS observed,
+       ROUND(LOG10(1 + 1.0 / digit), 6) AS expected
+FROM per ORDER BY digit
+"""
+
+
+QUERIES.update({"benford_acctbal": q_benford_acctbal})
+ORACLES.update({"benford_acctbal": SQL_BENFORD_ACCTBAL})

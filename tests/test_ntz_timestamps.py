@@ -116,3 +116,16 @@ def test_suggestions_date_range_for_ntz(spark, events):
     from term_spark.core.check import Check
     check = sugg[0].apply_to(Check("t"))
     assert any(c.name == "date_range" for c in check.constraints)
+
+
+def test_has_min_max_on_ntz_timestamp(spark, events):
+    from term_spark import Assertion, Check, Level, ValidationSuite
+
+    # 2024 epoch range: min/max/mean enter the fused agg as epoch seconds
+    suite = ValidationSuite.builder("ts_stats").with_check(
+        Check("ts", Level.ERROR)
+        .has_min("ts", Assertion.between(1.70e9, 1.72e9))
+        .has_max("ts", Assertion.between(1.70e9, 1.72e9))
+        .has_mean("ts", Assertion.between(1.70e9, 1.72e9)))
+    result = suite.run(spark, events)
+    assert result.passed, [i.message for i in result.report.issues]

@@ -184,3 +184,49 @@ def test_temporal_scalar_constraints(spark):
                 .within_business_hours("b", 9, 17, weekdays_only=False,
                                        assertion=Assertion.eq(1 / 3)))
     assert r.passed, r.report.to_json(2)
+
+
+# ---------------------------------------------------------------------------
+# Benford's law
+# ---------------------------------------------------------------------------
+
+def test_benford_accepts_benford_data(spark):
+    import math
+    from term_spark import Assertion, Check, Level, ValidationSuite
+
+    # synthesize ~Benford data: first digits drawn with P(d)=log10(1+1/d)
+    rows, i = [], 0
+    for d in range(1, 10):
+        for _ in range(int(round(1000 * math.log10(1 + 1 / d)))):
+            rows.append((i, float(d * 10 + i % 10))); i += 1
+    df = spark.createDataFrame(rows, "id long, v double")
+    suite = ValidationSuite.builder("b").with_check(
+        Check("b", Level.ERROR).has_benford_distribution("v"))
+    res = suite.run(spark, df)
+    assert res.passed, [x.message for x in res.report.issues]
+
+
+def test_benford_rejects_uniform_digits(spark):
+    from term_spark import Assertion, Check, Level, ValidationSuite
+
+    # all values start with digit 9 — maximally non-Benford
+    df = spark.createDataFrame([(i, 900.0 + i) for i in range(100)],
+                               "id long, v double")
+    suite = ValidationSuite.builder("b").with_check(
+        Check("b", Level.ERROR).has_benford_distribution("v"))
+    res = suite.run(spark, df)
+    assert not res.passed
+    msg = [x.message for x in res.report.issues][0]
+    assert "digit 9" in msg  # failure names the worst digit
+
+
+def test_benford_first_digit_edges(spark):
+    import pyspark.sql.functions as F
+    from term_spark.operators.statistics import BenfordConstraint
+
+    df = spark.createDataFrame(
+        [(0.0,), (None,), (0.042,), (-523.0,), (1.0,), (999999.0,)],
+        "v double")
+    got = [r["d"] for r in df.select(
+        BenfordConstraint.first_digit(F.col("v")).alias("d")).collect()]
+    assert got == [None, None, 4, 5, 1, 9]
