@@ -106,6 +106,9 @@ def main() -> None:
         # LLM-data operators over documents/embeddings
         "dedup_exact_docs", "ngram_jaccard_pairs", "minhash_lsh_candidates",
         "simhash_docs", "cosine_topk_embeddings",
+        # round-4 curation additions
+        "repetition_docs", "packing_stats_docs", "semantic_dedup_embeddings",
+        "source_mixing_docs",
     ]
     for name in bench_queries:
         fn = QUERIES[name]
