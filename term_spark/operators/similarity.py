@@ -474,16 +474,22 @@ def semantic_dedup_pairs(df: DataFrame, id_col: str = "vec_id",
 
     scored = with_cosine(v.crossJoin(F.broadcast(cents)), "v", "cvec", "csim")
     w = Window.partitionBy("id").orderBy(F.desc("csim"), F.asc("cid"))
+    # carry each vector's norm OUT of the pair join: norm work is then
+    # O(n·d) instead of O(pairs·d) — the pair stage only computes the
+    # dot. Same doubles as a per-pair norm (a row's norm is one number
+    # however often it's read), so oracle parity is untouched.
     assigned = (scored.withColumn("r", F.row_number().over(w))
-                .filter(F.col("r") == 1).select("id", "v", "cid"))
+                .filter(F.col("r") == 1)
+                .select("id", "v", "cid", _norm(F.col("v")).alias("nrm")))
 
     a = assigned.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
-                        "cid")
+                        "cid", F.col("nrm").alias("na"))
     b = assigned.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
-                        "cid")
-    pairs = with_cosine(
-        a.join(b, ["cid"]).filter(F.col("id_a") < F.col("id_b")),
-        "va", "vb")
+                        "cid", F.col("nrm").alias("nb"))
+    pairs = (a.join(b, ["cid"]).filter(F.col("id_a") < F.col("id_b"))
+             .withColumn("cosine",
+                         _dot(F.col("va"), F.col("vb")) /
+                         (F.col("na") * F.col("nb"))))
     return (pairs.filter(F.col("cosine") >= threshold)
             .select("id_a", "id_b", "cid",
                     F.round("cosine", 6).alias("cosine")))

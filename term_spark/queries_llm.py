@@ -748,8 +748,11 @@ def q_semantic_dedup_embeddings(spark, sf_dir) -> DataFrame:
     from .operators.curation import connected_components
     from .operators.similarity import semantic_dedup_pairs
     e = _emb(spark, sf_dir)
+    # three consumers (pair count, components, survivor math) — without
+    # materialization each re-runs the assignment + pair join pipeline
     pairs = semantic_dedup_pairs(e, "vec_id", "embedding",
-                                 SEMDEDUP_THRESHOLD, SEMDEDUP_CLUSTERS)
+                                 SEMDEDUP_THRESHOLD, SEMDEDUP_CLUSTERS
+                                 ).localCheckpoint(eager=False)
     comp = connected_components(pairs.select("id_a", "id_b"))
     stats = comp.agg(F.count(F.lit(1)).alias("n_members"),
                      F.count_distinct("component").alias("n_components"))
