@@ -49,12 +49,21 @@ def cosine_pairs(df: DataFrame, id_col: str = "vec_id",
     side (e.g. probe a subset against the full corpus)."""
     from .dedup import spread
     df = spread(df, id_col)   # per-row folds are CPU-heavy: use all cores
-    left = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    # norms hoisted out of the pair join: O(n·d) once instead of
+    # O(pairs·d) — the pair stage evaluates only the dot product
+    v = df.select(F.col(id_col).alias("id"),
+                  F.transform(F.col(vec_col),
+                              lambda x: x.cast("double")).alias("v"))
+    v = v.withColumn("nrm", _norm(F.col("v")))
+    left = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
+                    F.col("nrm").alias("na"))
     if query_filter is not None:
         left = left.filter(query_filter)
-    right = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    pairs = left.join(right, F.col("id_a") < F.col("id_b"))
-    pairs = with_cosine(pairs, "va", "vb")
+    right = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
+                     F.col("nrm").alias("nb"))
+    pairs = (left.join(right, F.col("id_a") < F.col("id_b"))
+             .withColumn("cosine", _dot(F.col("va"), F.col("vb")) /
+                         (F.col("na") * F.col("nb"))))
     return (pairs.filter(F.col("cosine") >= threshold)
                  .select("id_a", "id_b", F.round("cosine", 6).alias("cosine")))
 
@@ -69,11 +78,20 @@ def cosine_topk(df: DataFrame, queries: DataFrame, k: int = 5,
     from pyspark.sql import Window
 
     from .dedup import spread
+    # per-side norms precomputed (see cosine_pairs): the q×corpus stage
+    # evaluates one dot per pair instead of dot + two norms
     corpus = (spread(df, id_col)
-              .select(F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("vb")))
-    q = queries.select(F.col(query_id_col).alias("query_id"),
-                       F.col(query_vec_col).alias("va"))
-    scored = with_cosine(F.broadcast(q).crossJoin(corpus), "va", "vb")
+              .select(F.col(id_col).alias("nbr_id"),
+                      F.transform(F.col(vec_col),
+                                  lambda x: x.cast("double")).alias("vb")))
+    corpus = corpus.withColumn("nb", _norm(F.col("vb")))
+    q = (queries.select(F.col(query_id_col).alias("query_id"),
+                        F.transform(F.col(query_vec_col),
+                                    lambda x: x.cast("double")).alias("va"))
+         .withColumn("na", _norm(F.col("va"))))
+    scored = (F.broadcast(q).crossJoin(corpus)
+              .withColumn("cosine", _dot(F.col("va"), F.col("vb")) /
+                          (F.col("na") * F.col("nb"))))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
@@ -267,20 +285,29 @@ def ivf_topk(df: DataFrame, queries: DataFrame, k: int = 5, n_centroids: int = 1
                            F.col(vec_col).alias("cvec")))
     cents = F.broadcast(cents)
 
-    corpus = df.select(F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("vb"))
+    corpus = df.select(F.col(id_col).alias("nbr_id"),
+                       F.transform(F.col(vec_col),
+                                   lambda x: x.cast("double")).alias("vb"))
     assigned = with_cosine(corpus.crossJoin(cents), "vb", "cvec", "csim")
     w = Window.partitionBy("nbr_id").orderBy(F.desc("csim"))
+    # probe-stage norms computed once per corpus row / query, not per
+    # probed pair (see cosine_pairs)
     corpus_part = (assigned.withColumn("r", F.row_number().over(w))
-                   .filter(F.col("r") == 1).select("nbr_id", "vb", "cid"))
+                   .filter(F.col("r") == 1).select("nbr_id", "vb", "cid",
+                                                   _norm(F.col("vb")).alias("nb")))
 
-    q = queries.select(F.col(query_id_col).alias("query_id"),
-                       F.col(query_vec_col).alias("va"))
+    q = (queries.select(F.col(query_id_col).alias("query_id"),
+                        F.transform(F.col(query_vec_col),
+                                    lambda x: x.cast("double")).alias("va"))
+         .withColumn("na", _norm(F.col("va"))))
     q_assigned = with_cosine(F.broadcast(q).crossJoin(cents), "va", "cvec", "csim")
     wq = Window.partitionBy("query_id").orderBy(F.desc("csim"))
     probes = (q_assigned.withColumn("r", F.row_number().over(wq))
-              .filter(F.col("r") <= nprobe).select("query_id", "va", "cid"))
+              .filter(F.col("r") <= nprobe).select("query_id", "va", "na", "cid"))
 
-    scored = with_cosine(probes.join(corpus_part, "cid"), "va", "vb")
+    scored = (probes.join(corpus_part, "cid")
+              .withColumn("cosine", _dot(F.col("va"), F.col("vb")) /
+                          (F.col("na") * F.col("nb"))))
     wk = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))
     return (scored.withColumn("rank", F.row_number().over(wk))
             .filter(F.col("rank") <= k)
@@ -319,8 +346,11 @@ def build_ivf_index(df: DataFrame, path: str, n_centroids: int = 16,
     assigned = with_cosine(corpus.crossJoin(F.broadcast(cents)),
                            "vb", "cvec", "csim")
     w = Window.partitionBy("nbr_id").orderBy(F.desc("csim"), F.asc("cid"))
+    # persist each vector's norm with its assignment — serving then
+    # evaluates one dot per probed pair and never recomputes norms
     (assigned.withColumn("r", F.row_number().over(w))
-     .filter(F.col("r") == 1).select("nbr_id", "vb", "cid")
+     .filter(F.col("r") == 1)
+     .select("nbr_id", "vb", "cid", _norm(F.col("vb")).alias("nb"))
      .write.mode("overwrite").partitionBy("cid")
      .parquet(f"{path}/assignments"))
 
@@ -349,18 +379,23 @@ def ivf_topk_from_index(spark, path: str, queries: DataFrame, k: int = 5,
 
     cents, assignments = load_ivf_index(spark, path)
     cents = F.broadcast(cents)
-    q = queries.select(F.col(query_id_col).alias("query_id"),
-                       F.transform(F.col(query_vec_col),
-                                   lambda x: x.cast("double")).alias("va"))
+    q = (queries.select(F.col(query_id_col).alias("query_id"),
+                        F.transform(F.col(query_vec_col),
+                                    lambda x: x.cast("double")).alias("va"))
+         .withColumn("na", _norm(F.col("va"))))
     q_assigned = with_cosine(q.crossJoin(cents), "va", "cvec", "csim")
     wq = Window.partitionBy("query_id").orderBy(F.desc("csim"), F.asc("cid"))
     probes = (q_assigned.withColumn("r", F.row_number().over(wq))
-              .filter(F.col("r") <= nprobe).select("query_id", "va", "cid"))
+              .filter(F.col("r") <= nprobe).select("query_id", "va", "na", "cid"))
 
     probed_cids = [r["cid"] for r in probes.select("cid").distinct().collect()]
     pruned = assignments.filter(F.col("cid").isin(probed_cids))
+    if "nb" not in pruned.columns:  # index built before norms were persisted
+        pruned = pruned.withColumn("nb", _norm(F.col("vb")))
 
-    scored = with_cosine(probes.join(pruned, "cid"), "va", "vb")
+    scored = (probes.join(pruned, "cid")
+              .withColumn("cosine", _dot(F.col("va"), F.col("vb")) /
+                          (F.col("na") * F.col("nb"))))
     wk = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))
     return (scored.withColumn("rank", F.row_number().over(wk))
             .filter(F.col("rank") <= k)
