@@ -99,6 +99,29 @@ def main():
     sample = curation.stratified_sample_exact(docs, "source", 2)
     print("stratified sample:", sample.count(), "docs (2 per source)")
 
+    # 7. Round-4 additions: repetition/quality, PII, mixing, semantic dedup
+    rep = text.repetition_metrics(docs).agg(
+        F.round(F.avg("dup_token_ratio"), 3).alias("avg_dup"),
+        F.round(F.avg("top_ngram_frac"), 3).alias("avg_top2g")).collect()[0]
+    print("repetition: avg dup-token ratio", rep["avg_dup"],
+          "avg top-bigram share", rep["avg_top2g"])
+
+    from term_spark.operators import pii
+    gate = pii.corpus_pii_summary(docs).collect()[0]
+    print("PII gate:", gate["docs_with_pii"], "of", gate["n_docs"],
+          "docs carry structured PII")
+
+    mixed = curation.mix_sources(docs, alpha=0.5, target_fraction=0.5)
+    print("temperature mixing (alpha=0.5, 50%):", mixed.count(),
+          "of", docs.count(), "docs kept")
+
+    kept = similarity.semantic_dedup(emb, threshold=0.4, n_clusters=8)
+    print("semantic dedup: kept", kept.count(), "of", emb.count(), "vectors")
+
+    packed = text.pack_sequences(docs, context_len=2048).collect()
+    print("packing:", {r["stratum"]: (r["n_windows"], r["fill_efficiency"])
+                       for r in packed[:3]})
+
 
 if __name__ == "__main__":
     main()
