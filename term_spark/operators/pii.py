@@ -92,3 +92,62 @@ def corpus_pii_summary(df: DataFrame, text_col: str = "text",
     aggs.append(F.count(F.lit(1)).alias("n_docs"))
     aggs.append(F.count(F.when(F.col("has_pii"), 1)).alias("docs_with_pii"))
     return per.agg(*aggs)
+
+
+# ---------------------------------------------------------------------------
+# URLs / domains (web-corpus curation: domain stats + blocklists)
+# ---------------------------------------------------------------------------
+
+URL_PATTERN = r"https?://[^\s<>\"')\]]+"
+#: capture group 1 = registrable host (strips scheme, creds, port, path)
+DOMAIN_PATTERN = r"https?://(?:[^/@\s]+@)?([A-Za-z0-9.-]+)"
+
+
+def url_counts(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Per-document URL count + distinct lowercased domains (array).
+    Codegen regex only — map-only scan, no UDF, no shuffle."""
+    urls = F.regexp_extract_all(F.col(text_col), F.lit(URL_PATTERN), 0)
+    domains = F.array_distinct(F.transform(
+        urls, lambda u: F.lower(F.regexp_extract(u, DOMAIN_PATTERN, 1))))
+    return df.select(F.col(id_col),
+                     F.size(urls).cast("bigint").alias("n_urls"),
+                     F.filter(domains, lambda d: d != "").alias("domains"))
+
+
+def domain_counts(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Corpus-level domain frequency: (domain, n_docs, n_urls) —
+    the input to manual blocklist review. One explode + one groupBy
+    on the domain key."""
+    urls = F.regexp_extract_all(F.col(text_col), F.lit(URL_PATTERN), 0)
+    ex = df.select(
+        F.col(id_col),
+        F.explode(F.transform(
+            urls, lambda u: F.lower(F.regexp_extract(u, DOMAIN_PATTERN, 1))))
+         .alias("domain")).filter(F.col("domain") != "")
+    return (ex.groupBy("domain")
+            .agg(F.count_distinct(F.col(id_col)).alias("n_docs"),
+                 F.count(F.lit(1)).alias("n_urls"))
+            .orderBy(F.desc("n_urls"), "domain"))
+
+
+def blocklist_filter(df: DataFrame, blocked_domains, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     match_subdomains: bool = True) -> DataFrame:
+    """Drop documents containing a URL on a blocked domain (or any of
+    its subdomains when ``match_subdomains``). The blocklist broadcasts
+    (it is human-curated, bounded); the corpus pass stays map-side plus
+    one anti-join on the offender ids."""
+    spark = df.sparkSession
+    bl = F.broadcast(spark.createDataFrame(
+        [(d.lower(),) for d in blocked_domains], "blocked string"))
+    docs = (url_counts(df, text_col, id_col)
+            .select(F.col(id_col), F.explode("domains").alias("domain")))
+    if match_subdomains:
+        cond = (F.col("domain") == F.col("blocked")) | \
+               F.col("domain").endswith(F.concat(F.lit("."), F.col("blocked")))
+    else:
+        cond = F.col("domain") == F.col("blocked")
+    offenders = docs.join(bl, cond).select(F.col(id_col)).distinct()
+    return df.join(offenders, id_col, "left_anti")

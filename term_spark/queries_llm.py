@@ -887,3 +887,33 @@ ORDER BY r.source
 
 LLM_QUERIES.update({"source_mixing_docs": q_source_mixing_docs})
 LLM_ORACLES.update({"source_mixing_docs": SQL_SOURCE_MIXING_DOCS})
+
+
+def q_doc_length_buckets(spark, sf_dir) -> DataFrame:
+    """Sequence-length distribution: docs per power-of-2 token-count
+    bucket — the pre-packing diagnostic (how much of the corpus fits a
+    context window, where truncation would bite). bucket = floor(log2
+    (n_tokens)); single groupBy on a 10-ish-value key."""
+    d = _docs(spark, sf_dir)
+    n = F.size(T.norm_tokens("text")).cast("bigint")
+    bucket = F.floor(F.log2(n)).cast("bigint")
+    return (d.select(bucket.alias("log2_bucket"), n.alias("n"))
+            .groupBy("log2_bucket")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.min("n").alias("min_tokens"),
+                 F.max("n").alias("max_tokens"))
+            .orderBy("log2_bucket"))
+
+
+SQL_DOC_LENGTH_BUCKETS = f"""
+WITH t AS (SELECT CAST(len({_TOKS_SQL}) AS BIGINT) AS n FROM documents)
+SELECT CAST(FLOOR(LOG2(n)) AS BIGINT) AS log2_bucket,
+       COUNT(*) AS n_docs,
+       MIN(n) AS min_tokens,
+       MAX(n) AS max_tokens
+FROM t GROUP BY 1 ORDER BY log2_bucket
+"""
+
+
+LLM_QUERIES.update({"doc_length_buckets": q_doc_length_buckets})
+LLM_ORACLES.update({"doc_length_buckets": SQL_DOC_LENGTH_BUCKETS})

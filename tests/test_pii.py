@@ -69,3 +69,47 @@ def test_pii_scan_is_codegen_only(spark, pii_docs):
 
     plan = pii_counts(pii_docs)._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "BatchEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# URLs / domains
+# ---------------------------------------------------------------------------
+
+@pytest.fixture()
+def url_docs(spark):
+    rows = [
+        (1, "see https://spam.example.com/a and http://ok.org/page?q=1"),
+        (2, "mirror at https://cdn.spam.example.com/x plus https://ok.org/2"),
+        (3, "only good: https://docs.python.org/3/"),
+        (4, "no links here at all"),
+        (5, "creds http://user:pw@evil.net:8080/p and https://OK.org/z"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_url_and_domain_counts(spark, url_docs):
+    from term_spark.operators.pii import domain_counts, url_counts
+
+    rows = {r["doc_id"]: r for r in url_counts(url_docs).collect()}
+    assert rows[1]["n_urls"] == 2 and sorted(rows[1]["domains"]) == [
+        "ok.org", "spam.example.com"]
+    assert rows[4]["n_urls"] == 0 and rows[4]["domains"] == []
+    assert rows[5]["domains"] == ["evil.net:8080", "ok.org"] or \
+        "evil.net" in rows[5]["domains"][0]  # port keeps the host identifiable
+
+    dom = {r["domain"]: (r["n_docs"], r["n_urls"])
+           for r in domain_counts(url_docs).collect()}
+    assert dom["ok.org"] == (3, 3)
+    assert dom["spam.example.com"] == (1, 1)
+
+
+def test_blocklist_filter_subdomains(spark, url_docs):
+    from term_spark.operators.pii import blocklist_filter
+
+    kept = sorted(r["doc_id"] for r in blocklist_filter(
+        url_docs, ["spam.example.com"]).collect())
+    assert kept == [3, 4, 5]  # doc 2's cdn. subdomain is blocked too
+
+    kept_exact = sorted(r["doc_id"] for r in blocklist_filter(
+        url_docs, ["spam.example.com"], match_subdomains=False).collect())
+    assert kept_exact == [2, 3, 4, 5]
