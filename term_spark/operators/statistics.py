@@ -306,3 +306,55 @@ class BenfordConstraint(Constraint):
             f"benford({self.column}) TVD = {tvd:.4f} does not satisfy "
             f"{self.assertion.describe()} (digit {worst}: observed "
             f"{counts[worst] / n:.3f} vs expected {self.BENFORD_P[worst]:.3f})")
+
+
+def population_stability(ref, cur, column: str, bins: int = 10,
+                         lo: float = None, hi: float = None,
+                         eps: float = 1e-6):
+    """Population Stability Index between two snapshots of a numeric
+    column — the standard distribution-drift score (credit-risk
+    heritage; <0.1 stable, 0.1-0.25 moderate shift, >0.25 drifted).
+
+    PSI = Σ_b (p_b − q_b) · ln(p_b / q_b) over equi-width buckets,
+    with zero shares floored at ``eps`` (the conventional smoothing —
+    PSI is undefined at empty buckets). ``lo``/``hi`` fix the bucket
+    domain; when omitted one tiny agg over each side derives them
+    (pass them when the domain is known to save the extra job — at
+    100 TB the fused min/max costs a full scan).
+
+    Returns a 1-row DataFrame: n_ref, n_cur, psi. Shape: two
+    grouped counts on a ≤``bins``-value key + a broadcast-sized
+    full-outer join — scale-independent of row count.
+    """
+    if lo is None or hi is None:
+        r = ref.agg(F.min(F.col(column)).alias("mn"),
+                    F.max(F.col(column)).alias("mx")).collect()[0]
+        c = cur.agg(F.min(F.col(column)).alias("mn"),
+                    F.max(F.col(column)).alias("mx")).collect()[0]
+        lo = min(float(r["mn"]), float(c["mn"])) if lo is None else lo
+        hi = max(float(r["mx"]), float(c["mx"])) if hi is None else hi
+    width = (float(hi) - float(lo)) / bins or 1.0
+
+    def bucketed(df, share_name):
+        col = F.col(column).cast("double")
+        b = F.least(F.lit(bins - 1),
+                    F.floor((col - float(lo)) / width)).cast("bigint")
+        per = (df.filter(col.isNotNull())
+                 .groupBy(b.alias("bucket"))
+                 .agg(F.count(F.lit(1)).alias("n")))
+        from pyspark.sql import Window
+        tot = F.sum("n").over(Window.partitionBy())
+        return per.select("bucket", F.col("n").alias(f"n_{share_name}"),
+                          (F.col("n") / tot).alias(share_name))
+
+    p = bucketed(ref, "p")
+    q = bucketed(cur, "q")
+    j = (p.join(q, "bucket", "full_outer")
+         .select(F.coalesce("n_p", F.lit(0)).alias("n_p"),
+                 F.coalesce("n_q", F.lit(0)).alias("n_q"),
+                 F.greatest(F.coalesce("p", F.lit(0.0)), F.lit(eps)).alias("p"),
+                 F.greatest(F.coalesce("q", F.lit(0.0)), F.lit(eps)).alias("q")))
+    return j.agg(F.sum("n_p").alias("n_ref"),
+                 F.sum("n_q").alias("n_cur"),
+                 F.round(F.sum((F.col("p") - F.col("q")) *
+                               F.log(F.col("p") / F.col("q"))), 6).alias("psi"))

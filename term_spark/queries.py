@@ -1263,3 +1263,50 @@ FROM per ORDER BY digit
 
 QUERIES.update({"benford_acctbal": q_benford_acctbal})
 ORACLES.update({"benford_acctbal": SQL_BENFORD_ACCTBAL})
+
+
+def q_drift_psi_quantity(spark, sf_dir) -> DataFrame:
+    """Distribution drift between two lineitem snapshots (even vs odd
+    orderkeys — a deterministic split standing in for yesterday/today):
+    PSI of l_quantity over 10 fixed-width buckets on its [1, 50]
+    domain (statistics.population_stability). Fixed domain = no extra
+    min/max scan, and both engines bucket identically."""
+    from .operators.statistics import population_stability
+    (li,) = _t(spark, sf_dir, "lineitem")
+    ref = li.filter(F.col("l_orderkey") % 2 == 0)
+    cur = li.filter(F.col("l_orderkey") % 2 == 1)
+    return population_stability(ref, cur, "l_quantity",
+                                bins=10, lo=1.0, hi=50.0)
+
+
+SQL_DRIFT_PSI_QUANTITY = """
+WITH ref AS (
+    SELECT LEAST(9, CAST(FLOOR((CAST(l_quantity AS DOUBLE) - 1.0) / 4.9)
+                         AS BIGINT)) AS bucket
+    FROM lineitem WHERE l_orderkey % 2 = 0 AND l_quantity IS NOT NULL
+), cur AS (
+    SELECT LEAST(9, CAST(FLOOR((CAST(l_quantity AS DOUBLE) - 1.0) / 4.9)
+                         AS BIGINT)) AS bucket
+    FROM lineitem WHERE l_orderkey % 2 = 1 AND l_quantity IS NOT NULL
+),
+p AS (SELECT bucket, COUNT(*) AS n_p,
+             COUNT(*) * 1.0 / SUM(COUNT(*)) OVER () AS p
+      FROM ref GROUP BY bucket),
+q AS (SELECT bucket, COUNT(*) AS n_q,
+             COUNT(*) * 1.0 / SUM(COUNT(*)) OVER () AS q
+      FROM cur GROUP BY bucket),
+j AS (
+    SELECT COALESCE(n_p, 0) AS n_p, COALESCE(n_q, 0) AS n_q,
+           GREATEST(COALESCE(p, 0.0), 1e-6) AS p,
+           GREATEST(COALESCE(q, 0.0), 1e-6) AS q
+    FROM p FULL OUTER JOIN q USING (bucket)
+)
+SELECT CAST(SUM(n_p) AS BIGINT) AS n_ref,
+       CAST(SUM(n_q) AS BIGINT) AS n_cur,
+       ROUND(SUM((p - q) * LN(p / q)), 6) AS psi
+FROM j
+"""
+
+
+QUERIES.update({"drift_psi_quantity": q_drift_psi_quantity})
+ORACLES.update({"drift_psi_quantity": SQL_DRIFT_PSI_QUANTITY})

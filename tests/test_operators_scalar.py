@@ -230,3 +230,35 @@ def test_benford_first_digit_edges(spark):
     got = [r["d"] for r in df.select(
         BenfordConstraint.first_digit(F.col("v")).alias("d")).collect()]
     assert got == [None, None, 4, 5, 1, 9]
+
+
+# ---------------------------------------------------------------------------
+# PSI distribution drift
+# ---------------------------------------------------------------------------
+
+def test_psi_zero_for_identical_distributions(spark):
+    from term_spark.operators.statistics import population_stability
+
+    df = spark.createDataFrame([(float(i % 50),) for i in range(1000)], "v double")
+    r = population_stability(df, df, "v", bins=10, lo=0.0, hi=50.0).collect()[0]
+    assert r["n_ref"] == r["n_cur"] == 1000
+    assert r["psi"] == 0.0
+
+
+def test_psi_flags_shifted_distribution(spark):
+    from term_spark.operators.statistics import population_stability
+
+    ref = spark.createDataFrame([(float(i % 20),) for i in range(1000)], "v double")
+    cur = spark.createDataFrame([(30.0 + i % 20,) for i in range(1000)], "v double")
+    r = population_stability(ref, cur, "v", bins=10, lo=0.0, hi=50.0).collect()[0]
+    assert r["psi"] > 0.25  # fully disjoint ranges -> severe drift
+
+
+def test_psi_auto_domain_matches_fixed(spark):
+    from term_spark.operators.statistics import population_stability
+
+    ref = spark.createDataFrame([(float(i % 50),) for i in range(500)], "v double")
+    cur = spark.createDataFrame([(float((i * 7) % 50),) for i in range(500)], "v double")
+    fixed = population_stability(ref, cur, "v", bins=10, lo=0.0, hi=49.0).collect()[0]
+    auto = population_stability(ref, cur, "v", bins=10).collect()[0]
+    assert auto["psi"] == fixed["psi"]  # same [0,49] domain derived
