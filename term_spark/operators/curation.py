@@ -295,10 +295,15 @@ def source_mixing_rates(df: DataFrame, source_col: str = "source",
     """
     if alpha < 0:
         raise ValueError("alpha must be >= 0")
+    from pyspark.sql import Window
+
     counts = df.groupBy(F.col(source_col).alias("source")).agg(
         F.count(F.lit(1)).alias("n_docs"))
-    tot = F.sum("n_docs").over(Window_all())
-    wsum = F.sum(F.pow(F.col("n_docs").cast("double"), alpha)).over(Window_all())
+    # unpartitioned window over the per-source aggregate ONLY — the
+    # input is |sources| rows, bounded by source cardinality
+    w_all = Window.partitionBy()
+    tot = F.sum("n_docs").over(w_all)
+    wsum = F.sum(F.pow(F.col("n_docs").cast("double"), alpha)).over(w_all)
     weight = F.pow(F.col("n_docs").cast("double"), alpha) / wsum
     target = weight * tot * float(target_fraction)
     return (counts.select(
@@ -308,14 +313,6 @@ def source_mixing_rates(df: DataFrame, source_col: str = "source",
         F.round(F.least(F.lit(1.0), target / F.col("n_docs")), 6)
          .alias("keep_rate"))
         .orderBy("source"))
-
-
-def Window_all():
-    """Unpartitioned window over the per-source aggregate ONLY — the
-    input is |sources| rows (already reduced), so the single-partition
-    frame is bounded by source cardinality, not data size."""
-    from pyspark.sql import Window
-    return Window.partitionBy()
 
 
 def mix_sources(df: DataFrame, source_col: str = "source",
@@ -330,6 +327,6 @@ def mix_sources(df: DataFrame, source_col: str = "source",
     rate_col = rates.select(F.col("source").alias("__src"),
                             F.col("keep_rate").alias("__rate"))
     joined = df.join(F.broadcast(rate_col),
-                     df[source_col] == F.col("__src"))
+                     df[source_col].eqNullSafe(F.col("__src")))
     return (weighted_sample(joined, F.col("__rate"), id_col, seed)
             .drop("__src", "__rate"))

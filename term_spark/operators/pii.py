@@ -32,7 +32,10 @@ PII_PATTERNS: Dict[str, str] = {
     "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
     "credit_card": r"\b(?:\d{4}[- ]){3}\d{4}\b|\b\d{15,16}\b",
     "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
-    "phone": r"\b(?:\+?1[-. ])?\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}\b",
+    # the paren alternative matters for redaction: \b cannot sit before
+    # '(', so a single \b(?:...)\(? pattern never consumes the opening
+    # paren and redaction would leave a dangling '(' artifact
+    "phone": r"(?:\+?1[-. ])?(?:\(\d{3}\)|\b\d{3})[-. ]\d{3}[-. ]\d{4}\b",
 }
 
 
@@ -52,7 +55,10 @@ def pii_counts(df: DataFrame, text_col: str = "text",
     """Per-document PII match counts: one ``n_<kind>`` column per kind,
     plus ``n_pii`` (total) and ``has_pii``. Map-only (codegen regex)."""
     ks = _kinds(kinds)
-    cols = [F.regexp_count(F.col(text_col), F.lit(PII_PATTERNS[k]))
+    # NULL text counts as zero matches (a NULL has_pii would silently
+    # drop NULL-text docs from ~has_pii filters — three-valued logic)
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    cols = [F.regexp_count(txt, F.lit(PII_PATTERNS[k]))
              .cast("bigint").alias(f"n_{k}") for k in ks]
     out = df.select(F.col(id_col), *cols)
     total = sum((F.col(f"n_{k}") for k in ks), F.lit(0).cast("bigint"))

@@ -20,6 +20,7 @@ shared scan, map-side combine, bytes-sized shuffle.
 
 from __future__ import annotations
 
+import math
 from typing import Dict, Mapping, Optional
 
 import pyspark.sql.functions as F
@@ -267,7 +268,7 @@ class BenfordConstraint(Constraint):
 
     name = "benford"
 
-    BENFORD_P = {d: __import__("math").log10(1 + 1 / d) for d in range(1, 10)}
+    BENFORD_P = {d: math.log10(1 + 1 / d) for d in range(1, 10)}
 
     def __init__(self, column: str, assertion: Assertion = None):
         self.column = validate_identifier(column)
@@ -331,14 +332,22 @@ def population_stability(ref, cur, column: str, bins: int = 10,
                     F.max(F.col(column)).alias("mx")).collect()[0]
         c = cur.agg(F.min(F.col(column)).alias("mn"),
                     F.max(F.col(column)).alias("mx")).collect()[0]
+        if r["mn"] is None or c["mn"] is None:
+            raise ValueError(
+                f"population_stability({column!r}): a side has no non-null "
+                "rows — PSI is undefined for an empty snapshot (pass lo/hi "
+                "and handle the empty side upstream if this is expected)")
         lo = min(float(r["mn"]), float(c["mn"])) if lo is None else lo
         hi = max(float(r["mx"]), float(c["mx"])) if hi is None else hi
     width = (float(hi) - float(lo)) / bins or 1.0
 
     def bucketed(df, share_name):
         col = F.col(column).cast("double")
-        b = F.least(F.lit(bins - 1),
-                    F.floor((col - float(lo)) / width)).cast("bigint")
+        # clamp BOTH ends: out-of-domain values land in the edge buckets,
+        # keeping the key bounded by ``bins`` whatever the data does
+        b = F.greatest(F.lit(0), F.least(
+            F.lit(bins - 1),
+            F.floor((col - float(lo)) / width))).cast("bigint")
         per = (df.filter(col.isNotNull())
                  .groupBy(b.alias("bucket"))
                  .agg(F.count(F.lit(1)).alias("n")))

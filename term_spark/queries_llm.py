@@ -656,10 +656,14 @@ def q_dedup_pipeline_docs(spark, sf_dir) -> DataFrame:
     from .operators.curation import connected_components
     from .operators.dedup import minhash_lsh_candidates, ngram_jaccard_for_pairs
     d = _docs(spark, sf_dir)
+    # cands feeds the verify join AND its own count; verified feeds the
+    # count, plus components reads it twice (symmetric edges) — without
+    # materialization each consumer re-runs the minhash/shingle pipeline
     cands = minhash_lsh_candidates(d, "text", "doc_id", JACCARD_K,
-                                   NUM_HASHES, BANDS)
+                                   NUM_HASHES, BANDS).localCheckpoint(eager=False)
     verified = ngram_jaccard_for_pairs(d, cands, "text", "doc_id",
-                                       JACCARD_K, JACCARD_THRESHOLD)
+                                       JACCARD_K, JACCARD_THRESHOLD
+                                       ).localCheckpoint(eager=False)
     comp = connected_components(verified.select("id_a", "id_b"))
     stats = comp.agg(F.count(F.lit(1)).alias("n_members"),
                      F.count_distinct("component").alias("n_components"))

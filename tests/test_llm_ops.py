@@ -707,3 +707,15 @@ def test_weighted_sample_deterministic_and_growth_stable(spark):
     zero = weighted_sample(df.withColumn("w", F.lit(0.0)), "w").count()
     one = weighted_sample(df.withColumn("w", F.lit(1.0)), "w").count()
     assert zero == 0 and one == 1000
+
+
+def test_mix_sources_keeps_null_source_stratum(spark):
+    from term_spark.operators.curation import mix_sources
+
+    rows = [(i, "a") for i in range(100)] + [(100 + i, None) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    mixed = mix_sources(df, alpha=1.0, target_fraction=0.5)
+    by_src = {r["source"]: r["n"] for r in
+              mixed.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # the NULL stratum is sampled like any other, not silently dropped
+    assert None in by_src and 25 < by_src[None] < 75

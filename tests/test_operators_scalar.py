@@ -262,3 +262,25 @@ def test_psi_auto_domain_matches_fixed(spark):
     fixed = population_stability(ref, cur, "v", bins=10, lo=0.0, hi=49.0).collect()[0]
     auto = population_stability(ref, cur, "v", bins=10).collect()[0]
     assert auto["psi"] == fixed["psi"]  # same [0,49] domain derived
+
+
+def test_psi_clamps_out_of_domain_values(spark):
+    from term_spark.operators.statistics import population_stability
+
+    ref = spark.createDataFrame([(float(10 + i % 10),) for i in range(100)], "v double")
+    # cur sprawls far below lo and above hi — must clamp to edge buckets
+    cur = spark.createDataFrame([(-1000.0 + i,) for i in range(50)] +
+                                [(9000.0 + i,) for i in range(50)], "v double")
+    r = population_stability(ref, cur, "v", bins=10, lo=10.0, hi=20.0).collect()[0]
+    assert r["n_ref"] == 100 and r["n_cur"] == 100  # nothing dropped
+    assert r["psi"] > 0.25  # severe drift, finite and bounded
+
+
+def test_psi_raises_on_empty_side_with_auto_domain(spark):
+    import pytest as _pytest
+    from term_spark.operators.statistics import population_stability
+
+    ref = spark.createDataFrame([(1.0,)], "v double")
+    empty = spark.createDataFrame([], "v double")
+    with _pytest.raises(ValueError, match="no non-null"):
+        population_stability(ref, empty, "v")

@@ -113,3 +113,24 @@ def test_blocklist_filter_subdomains(spark, url_docs):
     kept_exact = sorted(r["doc_id"] for r in blocklist_filter(
         url_docs, ["spam.example.com"], match_subdomains=False).collect())
     assert kept_exact == [2, 3, 4, 5]
+
+
+def test_pii_counts_null_text_is_zero_not_null(spark):
+    from term_spark.operators.pii import pii_counts
+
+    df = spark.createDataFrame([(1, None), (2, "a@b.io")],
+                               "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in pii_counts(df).collect()}
+    assert rows[1]["n_pii"] == 0 and rows[1]["has_pii"] is False
+    # a ~has_pii clean filter must KEEP the NULL-text doc
+    clean = pii_counts(df).filter(~F.col("has_pii")).count()
+    assert clean == 1
+
+
+def test_redact_parenthesized_phone_leaves_no_artifact(spark):
+    from term_spark.operators.pii import redact_pii
+
+    df = spark.createDataFrame([(1, "call (415) 555-1234 now")],
+                               "doc_id long, text string")
+    out = redact_pii(df).collect()[0]["text"]
+    assert out == "call [PHONE] now"  # the '(' is consumed by the mask
