@@ -2,10 +2,13 @@
 
 Training-data pipelines scrub personally identifiable information
 before a corpus ships; these operators count and mask the standard
-structured-PII families (emails, phone numbers, IPv4 addresses, SSNs,
-card numbers) with JVM-side regex only — ``regexp_count`` /
-``regexp_replace`` stay inside whole-stage codegen, so the scan is
-map-only and embarrassingly parallel at any scale (no UDF, no shuffle).
+structured-PII families (emails, NANP + E.164 phone numbers, IPv4 and
+IPv6 addresses, SSNs, card numbers) with JVM-side regex only —
+``regexp_count`` / ``regexp_replace`` stay inside whole-stage codegen,
+so the scan is map-only and embarrassingly parallel at any scale (no
+UDF, no shuffle). Kinds with a checksum (credit cards) run a two-step
+match: the regex proposes candidates, a JVM column predicate (Luhn)
+confirms them — still codegen, no Python.
 
 The patterns are intentionally high-precision/recall-bounded (the
 usual production trade-off: a regex pass catches structured PII;
@@ -19,23 +22,75 @@ plumbing mirrors operators/format.py.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence
+from typing import Callable, Dict, Optional, Sequence
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 
 #: Java-regex patterns per PII kind. Order matters for redaction:
 #: longer/more-specific families first so e.g. an IPv4 inside a URL is
-#: masked before the phone pattern can claim a 3-3-4 digit substring.
+#: masked before the phone pattern can claim a 3-3-4 digit substring,
+#: and IPv6 (colon-hex) is masked before IPv4 can claim a dotted-quad
+#: tail of an IPv4-mapped address.
 PII_PATTERNS: Dict[str, str] = {
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
     "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+    # candidates only — a bare 15/16-digit run is NOT a card unless it
+    # passes the Luhn checksum (PII_VALIDATORS below); without that gate
+    # every order id / hash / timestamp in a corpus would be redacted
     "credit_card": r"\b(?:\d{4}[- ]){3}\d{4}\b|\b\d{15,16}\b",
+    # free-text IPv6: full form, or compressed (::) forms. Requires ≥1
+    # digit inside the colon-hex run so C++ `std::vector` / pure-word hex
+    # ("dead:beef") don't match — recall-bounded by design, like the rest
+    # of the regex families.
+    "ipv6": (
+        r"(?<![0-9A-Fa-f:.])(?=[0-9A-Fa-f:]*\d)(?:"
+        r"(?:[0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}"       # full 8 groups
+        r"|(?:[0-9A-Fa-f]{1,4}:){1,7}:"                    # trailing ::
+        r"|(?:[0-9A-Fa-f]{1,4}:){1,6}(?::[0-9A-Fa-f]{1,4}){1,6}"  # mid ::
+        r"|::(?:[0-9A-Fa-f]{1,4}(?::[0-9A-Fa-f]{1,4}){0,6})"      # leading ::
+        r")(?![0-9A-Fa-f:])"
+    ),
     "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    # E.164 international form: '+' then 7-15 digits, no separators.
+    # The NANP 'phone' pattern below requires separators, so the two
+    # families are disjoint in what they match.
+    "phone_e164": r"(?<![\d+])\+[1-9]\d{6,14}\b",
     # the paren alternative matters for redaction: \b cannot sit before
     # '(', so a single \b(?:...)\(? pattern never consumes the opening
     # paren and redaction would leave a dangling '(' artifact
     "phone": r"(?:\+?1[-. ])?(?:\(\d{3}\)|\b\d{3})[-. ]\d{3}[-. ]\d{4}\b",
+}
+
+
+def luhn_valid(candidate: Column) -> Column:
+    """Luhn checksum over a digit string (separators stripped) — pure
+    JVM column expression (split / reverse / transform / aggregate), so
+    validation stays inside whole-stage codegen like the regex scan.
+
+    Standard algorithm: from the rightmost digit, double every second
+    digit, subtract 9 when the doubled value exceeds 9, and require the
+    total to be ≡ 0 (mod 10).
+    """
+    digits = F.filter(
+        F.split(F.regexp_replace(candidate, r"[- ]", ""), ""),
+        lambda ch: ch != "")
+    vals = F.transform(
+        F.reverse(digits),
+        lambda d, i: F.when(
+            i % 2 == 1,
+            F.when(d.cast("int") * 2 > 9, d.cast("int") * 2 - 9)
+             .otherwise(d.cast("int") * 2),
+        ).otherwise(d.cast("int")))
+    total = F.aggregate(vals, F.lit(0), lambda acc, x: acc + x)
+    return total % 10 == 0
+
+
+#: Post-regex validators: the regex finds candidates, the validator
+#: (a JVM column predicate on the matched string) confirms them. Only
+#: confirmed matches are counted/redacted.
+PII_VALIDATORS: Dict[str, Callable[[Column], Column]] = {
+    "credit_card": luhn_valid,
 }
 
 
@@ -58,8 +113,14 @@ def pii_counts(df: DataFrame, text_col: str = "text",
     # NULL text counts as zero matches (a NULL has_pii would silently
     # drop NULL-text docs from ~has_pii filters — three-valued logic)
     txt = F.coalesce(F.col(text_col), F.lit(""))
-    cols = [F.regexp_count(txt, F.lit(PII_PATTERNS[k]))
-             .cast("bigint").alias(f"n_{k}") for k in ks]
+    cols = []
+    for k in ks:
+        if k in PII_VALIDATORS:
+            matched = F.regexp_extract_all(txt, F.lit(PII_PATTERNS[k]), 0)
+            cnt = F.size(F.filter(matched, PII_VALIDATORS[k]))
+        else:
+            cnt = F.regexp_count(txt, F.lit(PII_PATTERNS[k]))
+        cols.append(cnt.cast("bigint").alias(f"n_{k}"))
     out = df.select(F.col(id_col), *cols)
     total = sum((F.col(f"n_{k}") for k in ks), F.lit(0).cast("bigint"))
     return (out.withColumn("n_pii", total)
@@ -77,8 +138,23 @@ def redact_pii(df: DataFrame, text_col: str = "text",
     ks = _kinds(kinds)
     col = F.col(text_col)
     for k in ks:
-        col = F.regexp_replace(col, PII_PATTERNS[k],
-                               placeholder.format(kind=k.upper()))
+        mask = placeholder.format(kind=k.upper())
+        if k in PII_VALIDATORS:
+            # two-step: the regex proposes candidates, the validator
+            # confirms them, and only confirmed strings are replaced
+            # (word-bounded, so a confirmed PAN never clips a longer
+            # digit run elsewhere in the text). Candidates are digits,
+            # spaces and hyphens only — safe to inline into a regex.
+            confirmed = F.array_distinct(F.filter(
+                F.regexp_extract_all(col, F.lit(PII_PATTERNS[k]), 0),
+                PII_VALIDATORS[k]))
+            col = F.aggregate(
+                confirmed, col,
+                lambda acc, c: F.regexp_replace(
+                    acc, F.concat(F.lit(r"\b"), c, F.lit(r"\b")),
+                    F.lit(mask)))
+        else:
+            col = F.regexp_replace(col, PII_PATTERNS[k], mask)
     return df.withColumn(output_col or text_col, col)
 
 

@@ -115,6 +115,81 @@ def test_blocklist_filter_subdomains(spark, url_docs):
     assert kept_exact == [2, 3, 4, 5]
 
 
+def test_credit_card_requires_luhn(spark):
+    """A bare 16-digit integer is only a card if the Luhn checksum holds
+    — order ids / hashes / timestamps must survive counting AND redaction."""
+    from term_spark.operators.pii import pii_counts, redact_pii
+
+    rows = [
+        (1, "order id 1234567890123456 shipped"),        # Luhn-invalid
+        (2, "pan 4111111111111111 charged"),             # Luhn-valid Visa
+        (3, "pan 4111-1111-1111-1111 charged"),          # separator form
+        (4, "ts 1700000000000000 and 5500000000000004"),  # invalid + valid
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    counts = {r["doc_id"]: r["n_credit_card"]
+              for r in pii_counts(df, kinds=["credit_card"]).collect()}
+    assert counts == {1: 0, 2: 1, 3: 1, 4: 1}
+
+    texts = {r["doc_id"]: r["text"]
+             for r in redact_pii(df, kinds=["credit_card"]).collect()}
+    assert texts[1] == "order id 1234567890123456 shipped"  # untouched
+    assert texts[2] == "pan [CREDIT_CARD] charged"
+    assert texts[3] == "pan [CREDIT_CARD] charged"
+    assert "1700000000000000" in texts[4] and "[CREDIT_CARD]" in texts[4]
+
+
+def test_luhn_validation_stays_jvm_side(spark):
+    from term_spark.operators.pii import pii_counts, redact_pii
+
+    df = spark.createDataFrame([(1, "pan 4111111111111111")],
+                               "doc_id long, text string")
+    for q in (pii_counts(df), redact_pii(df)):
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in plan and "BatchEvalPython" not in plan
+
+
+def test_ipv6_detection_and_redaction(spark):
+    from term_spark.operators.pii import pii_counts, redact_pii
+
+    rows = [
+        (1, "host 2001:0db8:85a3:0000:0000:8a2e:0370:7334 up"),  # full form
+        (2, "link fe80::1 and loopback ::1"),                     # compressed
+        (3, "std::vector<int> and a dead:beef word"),             # code, no digit
+        (4, "router at 2001:db8::8a2e:370:7334 replied"),         # mid ::
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    c = {r["doc_id"]: r["n_ipv6"]
+         for r in pii_counts(df, kinds=["ipv6"]).collect()}
+    assert c == {1: 1, 2: 2, 3: 0, 4: 1}
+
+    texts = {r["doc_id"]: r["text"]
+             for r in redact_pii(df, kinds=["ipv6"]).collect()}
+    assert texts[1] == "host [IPV6] up"
+    assert texts[2] == "link [IPV6] and loopback [IPV6]"
+    assert texts[3] == "std::vector<int> and a dead:beef word"
+    assert texts[4] == "router at [IPV6] replied"
+
+
+def test_phone_e164_detection(spark):
+    from term_spark.operators.pii import pii_counts, redact_pii
+
+    rows = [
+        (1, "call +14155551234 or +442071838750 today"),
+        (2, "equation 2+345678901 is not a phone"),   # '+' mid-expression
+        (3, "short +1234 stays"),                     # below 7 digits
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    c = {r["doc_id"]: r["n_phone_e164"]
+         for r in pii_counts(df, kinds=["phone_e164"]).collect()}
+    assert c == {1: 2, 2: 0, 3: 0}
+
+    out = redact_pii(df, kinds=["phone_e164"]).collect()
+    texts = {r["doc_id"]: r["text"] for r in out}
+    assert texts[1] == "call [PHONE_E164] or [PHONE_E164] today"
+    assert texts[2] == "equation 2+345678901 is not a phone"
+
+
 def test_pii_counts_null_text_is_zero_not_null(spark):
     from term_spark.operators.pii import pii_counts
 
