@@ -19,6 +19,35 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def _wait_for_quiet(threshold: float = 2.0, cap_sec: float = 150.0) -> dict:
+    """Block until the 1-minute loadavg drops below ``threshold`` (cap
+    ``cap_sec``), so the headline numbers are taken on a quiet machine.
+
+    Round-2 and round-4 both recorded headline samples under leftover
+    load (pytest/driver runs just before) that the artifact's own stamp
+    exposed; the stamp alone doesn't prevent it.  Returns the quiet-gate
+    outcome: the loadavg the measurement actually started under, how
+    long we waited, and ``contended`` when the cap expired first — a
+    self-identifying artifact either way.
+
+    The cap must outlast the 1-minute EWMA's decay: falling from
+    loadavg 8 (a just-finished test suite) to 2 on an idle box takes
+    ~60·ln(4) ≈ 83 s, so a 60 s cap would mark honest runs contended.
+    """
+    t0 = time.monotonic()
+    load = os.getloadavg()[0]
+    while load >= threshold and time.monotonic() - t0 < cap_sec:
+        time.sleep(2.0)
+        load = os.getloadavg()[0]
+    waited = time.monotonic() - t0
+    contended = load >= threshold
+    if contended:
+        print(f"bench: WARNING loadavg {load:.2f} still >= {threshold} after "
+              f"{waited:.0f}s wait — numbers marked contended", file=sys.stderr)
+    return {"loadavg_1m": round(load, 2), "quiet_wait_sec": round(waited, 1),
+            "contended": contended}
+
+
 def _count_java_procs() -> int:
     """Java processes currently alive (incl. our own driver JVM).
 
@@ -72,6 +101,10 @@ def main() -> None:
     from term_spark.session import get_spark
     from term_spark.sources import read_parquet
 
+    # quiet-gate BEFORE the JVM exists: from here on our own 32-thread
+    # stages dominate loadavg, so this is the only honest sample point
+    quiet = _wait_for_quiet()
+
     spark = get_spark("term_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -87,7 +120,7 @@ def main() -> None:
     # warm-up and misrepresent the engine (round-2 lesson).
     suite.run(spark, lineitem)
     suite_sec = float("inf")
-    for _ in range(2):
+    for _ in range(3):  # headline gets one extra sample — it IS the metric
         jvm_gc()
         t0 = time.perf_counter()
         result = suite.run(spark, lineitem)
@@ -109,6 +142,12 @@ def main() -> None:
         # round-4 curation additions
         "repetition_docs", "packing_stats_docs", "semantic_dedup_embeddings",
         "source_mixing_docs",
+        # round-4 window/reshape/drift family (regressions here were
+        # invisible to BENCH_r04 — judge ask #8)
+        "asof_click_error", "range_join_events", "rolling_daily_events",
+        "pivot_returnflag_linestatus", "top3_customers_per_segment",
+        "unpivot_pricing", "rollup_pricing", "median_by_returnflag",
+        "benford_acctbal", "drift_psi_quantity",
     ]
     for name in bench_queries:
         fn = QUERIES[name]
@@ -141,7 +180,10 @@ def main() -> None:
         "queries": per_query,
         "sf": sf,
         "env": {
-            "loadavg_1m": round(os.getloadavg()[0], 2),
+            # loadavg at the quiet-gate (pre-JVM): the machine state the
+            # measurements actually started under — sampling here at the
+            # END would mostly measure our own finished stages
+            **quiet,
             "other_jvms": other_jvms,
         },
     }
@@ -158,7 +200,7 @@ def main() -> None:
         li1.count()
         suite.run(spark, li1)  # warm
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):  # headline crossover point — extra sample
             jvm_gc()
             t0 = time.perf_counter()
             result1 = suite.run(spark, li1)

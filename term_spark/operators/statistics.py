@@ -279,12 +279,19 @@ class BenfordConstraint(Constraint):
     @staticmethod
     def first_digit(col: "F.Column") -> "F.Column":
         """First significant digit of |col| (NULL for 0/NULL) — plain
-        floor/log10 arithmetic so any engine reproduces it."""
+        floor/log10 arithmetic so any engine reproduces it.
+
+        Clamped to 1..9: near powers of ten, float rounding of log10
+        can push the ratio to 10 (nearest-double log10 rounds just
+        below the integer) or to 0.999… (rounds just above), and an
+        unclamped floor would silently drop such rows from all nine
+        digit counts, shrinking n and skewing the TVD."""
         v = F.abs(col.cast("double"))
         return F.when(
             v > 0,
-            F.floor(v / F.pow(F.lit(10.0), F.floor(F.log10(v))))
-             .cast("int")).otherwise(F.lit(None))
+            F.greatest(F.lit(1), F.least(F.lit(9), F.floor(
+                v / F.pow(F.lit(10.0), F.floor(F.log10(v)))).cast("int")))
+        ).otherwise(F.lit(None))
 
     def scalar_metrics(self, df) -> Dict[str, "F.Column"]:
         fd = self.first_digit(F.col(self.column))
@@ -339,7 +346,15 @@ def population_stability(ref, cur, column: str, bins: int = 10,
                 "and handle the empty side upstream if this is expected)")
         lo = min(float(r["mn"]), float(c["mn"])) if lo is None else lo
         hi = max(float(r["mx"]), float(c["mx"])) if hi is None else hi
-    width = (float(hi) - float(lo)) / bins or 1.0
+    if float(hi) <= float(lo):
+        # fail fast instead of silently collapsing every row into the
+        # edge buckets (reversed pair → negative width; equal pair →
+        # constant column, where equi-width PSI is undefined)
+        raise ValueError(
+            f"population_stability({column!r}): hi ({hi}) must exceed lo "
+            f"({lo}); for a constant column there is no bucket domain — "
+            "pass an explicit lo/hi spanning the expected range")
+    width = (float(hi) - float(lo)) / bins
 
     def bucketed(df, share_name):
         col = F.col(column).cast("double")

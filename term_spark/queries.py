@@ -1249,8 +1249,8 @@ def q_benford_acctbal(spark, sf_dir) -> DataFrame:
 
 SQL_BENFORD_ACCTBAL = """
 WITH fd AS (
-    SELECT CAST(FLOOR(ABS(c_acctbal) /
-                POW(10.0, FLOOR(LOG10(ABS(c_acctbal))))) AS INT) AS digit
+    SELECT GREATEST(1, LEAST(9, CAST(FLOOR(ABS(c_acctbal) /
+                POW(10.0, FLOOR(LOG10(ABS(c_acctbal))))) AS INT))) AS digit
     FROM customer WHERE c_acctbal IS NOT NULL AND ABS(c_acctbal) > 0
 ),
 per AS (SELECT digit, COUNT(*) AS n FROM fd GROUP BY digit)
@@ -1281,12 +1281,12 @@ def q_drift_psi_quantity(spark, sf_dir) -> DataFrame:
 
 SQL_DRIFT_PSI_QUANTITY = """
 WITH ref AS (
-    SELECT LEAST(9, CAST(FLOOR((CAST(l_quantity AS DOUBLE) - 1.0) / 4.9)
-                         AS BIGINT)) AS bucket
+    SELECT GREATEST(0, LEAST(9, CAST(FLOOR((CAST(l_quantity AS DOUBLE) - 1.0)
+                                     / 4.9) AS BIGINT))) AS bucket
     FROM lineitem WHERE l_orderkey % 2 = 0 AND l_quantity IS NOT NULL
 ), cur AS (
-    SELECT LEAST(9, CAST(FLOOR((CAST(l_quantity AS DOUBLE) - 1.0) / 4.9)
-                         AS BIGINT)) AS bucket
+    SELECT GREATEST(0, LEAST(9, CAST(FLOOR((CAST(l_quantity AS DOUBLE) - 1.0)
+                                     / 4.9) AS BIGINT))) AS bucket
     FROM lineitem WHERE l_orderkey % 2 = 1 AND l_quantity IS NOT NULL
 ),
 p AS (SELECT bucket, COUNT(*) AS n_p,

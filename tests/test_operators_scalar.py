@@ -284,3 +284,66 @@ def test_psi_raises_on_empty_side_with_auto_domain(spark):
     empty = spark.createDataFrame([], "v double")
     with _pytest.raises(ValueError, match="no non-null"):
         population_stability(ref, empty, "v")
+
+
+def test_psi_raises_on_degenerate_domain(spark):
+    import pytest as _pytest
+    from term_spark.operators.statistics import population_stability
+
+    df = spark.createDataFrame([(float(i),) for i in range(10)], "v double")
+    # reversed explicit pair
+    with _pytest.raises(ValueError, match="must exceed"):
+        population_stability(df, df, "v", bins=10, lo=50.0, hi=10.0)
+    # equal explicit pair
+    with _pytest.raises(ValueError, match="must exceed"):
+        population_stability(df, df, "v", bins=10, lo=5.0, hi=5.0)
+    # constant column -> derived lo == hi must also fail fast
+    const = spark.createDataFrame([(7.0,)] * 10, "v double")
+    with _pytest.raises(ValueError, match="must exceed"):
+        population_stability(const, const, "v", bins=10)
+
+
+def test_benford_first_digit_clamped_at_float_edges(spark):
+    """Near powers of ten, log10 float rounding can push the arithmetic
+    first digit to 0 or 10; the clamp keeps every non-zero value inside
+    1..9 so no row vanishes from the digit counts."""
+    import pyspark.sql.functions as F
+    from term_spark.operators.statistics import BenfordConstraint
+
+    vals = ([(10.0 ** k,) for k in range(-30, 31)] +
+            [(9.999999999999999 * 10.0 ** k,) for k in range(-20, 21)] +
+            [(1e23,), (1e-23,), (9.999999999999999e22,)])
+    df = spark.createDataFrame(vals, "v double")
+    got = df.select(
+        BenfordConstraint.first_digit(F.col("v")).alias("d")).collect()
+    assert all(r["d"] is not None and 1 <= r["d"] <= 9 for r in got)
+
+
+def test_psi_oracle_parity_with_out_of_domain_values(spark, tmp_path):
+    """The contract-query parity the driver can't see: l_quantity values
+    BELOW lo=1.0 and above hi=50.0 must land in the same edge buckets in
+    Spark (greatest/least) and the DuckDB oracle (GREATEST/LEAST)."""
+    import duckdb
+    import pandas as pd
+    from term_spark.queries import ORACLES, QUERIES
+
+    pdf = pd.DataFrame({
+        "l_orderkey": list(range(1, 41)),
+        # even keys -> ref, odd keys -> cur; plant 0.25/-3 (below lo) and
+        # 75/400 (above hi) on both sides
+        "l_quantity": [0.25, 75.0, -3.0, 400.0] +
+                      [float(1 + (i % 50)) for i in range(36)],
+    })
+    path = tmp_path / "lineitem.parquet"
+    pdf.to_parquet(path)
+
+    sdf = QUERIES["drift_psi_quantity"](spark, str(tmp_path))
+    srow = sdf.collect()[0]
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{path}')")
+    drow = con.execute(ORACLES["drift_psi_quantity"]).fetchone()
+
+    assert srow["n_ref"] == drow[0] == 20   # nothing dropped on either side
+    assert srow["n_cur"] == drow[1] == 20
+    assert srow["psi"] == drow[2]
