@@ -467,16 +467,29 @@ def cosine_topk_pandas(df: DataFrame, queries: DataFrame, k: int = 5,
 
 def semantic_dedup_pairs(df: DataFrame, id_col: str = "vec_id",
                          vec_col: str = "embedding",
-                         threshold: float = 0.95, n_clusters: int = 16,
+                         threshold: float = 0.95,
+                         n_clusters: Optional[int] = None,
                          seed: int = 42,
-                         train_iterations: int = 0) -> DataFrame:
+                         train_iterations: int = 0,
+                         max_cluster_size: Optional[int] = None) -> DataFrame:
     """SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embedding space, then compute exact
     pairwise cosine ONLY within each cluster — the all-pairs join is
     bounded by the largest cluster instead of the corpus, which is what
     makes embedding dedup tractable at web scale. Cross-cluster dups
-    are missed by design (the paper's recall/cost trade-off); raise
-    ``n_clusters`` with corpus size (cost ~ Σ cluster² per cluster).
+    are missed by design (the paper's recall/cost trade-off).
+
+    Scale defaults: ``n_clusters=None`` derives ``ceil(sqrt(n))`` (one
+    count job), which keeps the expected within-cluster pair cost at
+    ~n·sqrt(n)·d instead of quadratic, and arms the hot-cluster guard
+    at 4× the expected cluster size. Pass an explicit ``n_clusters``
+    (as the contract query does) to pin results for an oracle — the
+    guard is then off unless ``max_cluster_size`` is given. A cluster
+    larger than ``max_cluster_size`` is SPLIT into deterministic hash
+    shards for the pair join (cost per shard ≤ cap²·d): every row still
+    dedups against its shard-mates, cross-shard pairs inside the hot
+    cluster are the sacrificed recall — the same trade the paper makes
+    cross-cluster, applied once more within a pathological cluster.
 
     ``train_iterations=0`` uses deterministic md5-hash-sampled
     centroids (cid = rank in hash order — engine-portable, so the
@@ -485,12 +498,24 @@ def semantic_dedup_pairs(df: DataFrame, id_col: str = "vec_id",
 
     Returns (id_a, id_b, cid, cosine) with id_a < id_b, cosine ≥ τ.
     """
+    import math
+
     from pyspark.sql import Window
 
     spark = df.sparkSession
     v = df.select(F.col(id_col).alias("id"),
                   F.transform(F.col(vec_col),
                               lambda x: x.cast("double")).alias("v"))
+    if n_clusters is None:
+        n_vecs = v.count()
+        if n_vecs == 0:
+            n_clusters = 1
+        else:
+            n_clusters = max(1, math.ceil(math.sqrt(n_vecs)))
+            if max_cluster_size is None:
+                # expected cluster ≈ sqrt(n); 4x headroom before the
+                # shard guard engages on a genuinely hot cluster
+                max_cluster_size = 4 * n_clusters
     if train_iterations > 0:
         trained = kmeans_centroids(df, id_col, vec_col, n_clusters,
                                    train_iterations, seed)
@@ -517,11 +542,30 @@ def semantic_dedup_pairs(df: DataFrame, id_col: str = "vec_id",
                 .filter(F.col("r") == 1)
                 .select("id", "v", "cid", _norm(F.col("v")).alias("nrm")))
 
+    if max_cluster_size is not None:
+        # hot-cluster guard: a cluster above the cap splits into
+        # ceil(size/cap) deterministic hash shards; the pair join's key
+        # becomes (cid, shard), bounding any single join group by ~cap.
+        # Normal clusters get 1 shard — semantics unchanged for them.
+        if max_cluster_size < 1:
+            raise ValueError(
+                f"max_cluster_size must be >= 1, got {max_cluster_size}")
+        sizes = assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("c_sz"))
+        n_shards = F.greatest(
+            F.lit(1).cast("bigint"),
+            F.ceil(F.col("c_sz") / F.lit(max_cluster_size)).cast("bigint"))
+        assigned = (assigned.join(F.broadcast(sizes), "cid")
+                    .withColumn("shard",
+                                F.pmod(F.xxhash64(F.col("id")), n_shards))
+                    .drop("c_sz"))
+    else:
+        assigned = assigned.withColumn("shard", F.lit(0).cast("bigint"))
+
     a = assigned.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
-                        "cid", F.col("nrm").alias("na"))
+                        "cid", "shard", F.col("nrm").alias("na"))
     b = assigned.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
-                        "cid", F.col("nrm").alias("nb"))
-    pairs = (a.join(b, ["cid"]).filter(F.col("id_a") < F.col("id_b"))
+                        "cid", "shard", F.col("nrm").alias("nb"))
+    pairs = (a.join(b, ["cid", "shard"]).filter(F.col("id_a") < F.col("id_b"))
              .withColumn("cosine",
                          _dot(F.col("va"), F.col("vb")) /
                          (F.col("na") * F.col("nb"))))
@@ -532,14 +576,16 @@ def semantic_dedup_pairs(df: DataFrame, id_col: str = "vec_id",
 
 def semantic_dedup(df: DataFrame, id_col: str = "vec_id",
                    vec_col: str = "embedding", threshold: float = 0.95,
-                   n_clusters: int = 16, seed: int = 42,
-                   train_iterations: int = 0) -> DataFrame:
+                   n_clusters: Optional[int] = None, seed: int = 42,
+                   train_iterations: int = 0,
+                   max_cluster_size: Optional[int] = None) -> DataFrame:
     """Keep-one semantic dedup: cluster-bounded near-pairs →
     connected components → keep the min id per component
     (curation.dedup_by_components). Returns the surviving rows of
-    ``df`` (all columns)."""
+    ``df`` (all columns). Scale defaults as semantic_dedup_pairs."""
     from .curation import dedup_by_components
 
     pairs = semantic_dedup_pairs(df, id_col, vec_col, threshold,
-                                 n_clusters, seed, train_iterations)
+                                 n_clusters, seed, train_iterations,
+                                 max_cluster_size)
     return dedup_by_components(df, pairs, id_col=id_col)

@@ -655,6 +655,59 @@ def test_semantic_dedup_removes_near_identical_vectors(spark):
     assert kept == [1, 4, 6, 7]  # min id survives each component
 
 
+def test_semantic_dedup_hot_cluster_guard_bounds_pairs(spark):
+    """One pathological cluster holding every vector: the shard guard
+    must keep any single join group near max_cluster_size, cutting the
+    pair count from C(n,2) while every row still dedups locally."""
+    import math
+    from collections import Counter
+
+    from term_spark.operators.similarity import semantic_dedup_pairs
+
+    n = 40
+    rows = [(i, [1.0, i * 1e-6, 0.0]) for i in range(n)]  # all one cluster
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    unguarded = semantic_dedup_pairs(df, threshold=0.99, n_clusters=1).collect()
+    assert len(unguarded) == n * (n - 1) // 2  # the quadratic blow-up
+
+    cap = 10
+    guarded = semantic_dedup_pairs(df, threshold=0.99, n_clusters=1,
+                                   max_cluster_size=cap).collect()
+    # ceil(40/10)=4 hash shards; worst-case shard holds s members and
+    # contributes C(s,2) pairs — far below C(40,2), never zero
+    assert 0 < len(guarded) < len(unguarded)
+    shard_members = Counter()
+    for r in guarded:
+        shard_members[r["id_a"]] += 1
+    # a row's degree is bounded by its shard size - 1 (< n - 1)
+    assert max(shard_members.values()) < n - 1
+
+    # cap above the cluster size -> guard is a no-op, results identical
+    same = semantic_dedup_pairs(df, threshold=0.99, n_clusters=1,
+                                max_cluster_size=n + 1).collect()
+    assert {(r["id_a"], r["id_b"]) for r in same} == \
+        {(r["id_a"], r["id_b"]) for r in unguarded}
+
+
+def test_semantic_dedup_auto_cluster_count(spark):
+    """n_clusters=None derives ~sqrt(n) clusters and still finds the
+    planted near-duplicates."""
+    import math
+
+    from term_spark.operators.similarity import semantic_dedup_pairs
+
+    # 30 well-spread singletons + one planted near-dup pair
+    rows = [(i, [math.cos(i * 0.41), math.sin(i * 0.41), 0.1 * (i % 5)])
+            for i in range(30)]
+    rows.append((100, [math.cos(0.41), math.sin(0.41), 0.1 * (1 % 5)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = semantic_dedup_pairs(df, threshold=0.99999).collect()
+    assert (1, 100) in {(r["id_a"], r["id_b"]) for r in pairs}
+    # derived cluster count caps the ids the output can cite
+    assert all(r["cid"] < math.ceil(math.sqrt(31)) for r in pairs)
+
+
 def test_semantic_dedup_trained_path_runs(spark):
     from term_spark.operators.similarity import semantic_dedup
 
