@@ -1,9 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-entry(spark)  — flagship: run a 20-constraint validation suite over the
+entry(spark)  — flagship: run a 29-constraint validation suite over the
 sf0.001 tables as ONE fused aggregation job per table (the engine's
-scan-sharing design center) and return the outcome report as a
-DataFrame.
+scan-sharing design center) — including the corpus PII release gate
+and a PSI drift check against a reference snapshot — and return the
+outcome report as a DataFrame.
 
 queries() / oracle_sql() — one entry per implemented operator family
 from SURVEY.md §2; definitions live in term_spark/queries.py.
@@ -26,7 +27,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
     tables = load_tpch_tables(
         spark, "/root/testdata/sf0.001",
-        ("customer", "orders", "lineitem", "nation", "region", "events"))
+        ("customer", "orders", "lineitem", "nation", "region", "events",
+         "documents"))
+    # drift reference snapshot: even orderkeys stand in for "yesterday"
+    lineitem_ref = tables["lineitem"].filter("l_orderkey % 2 = 0")
 
     suite = (
         ValidationSuite.builder("flagship")
@@ -66,6 +70,14 @@ def entry(spark: SparkSession) -> DataFrame:
             Check("events_stream", Level.ERROR, table="events")
             .grouped_completeness("value", "event_type", Assertion.eq(1.0))
             .has_max_time_gap("ts", 3600 * 24 * 7, group_by="user_id"))
+        .with_check(
+            Check("corpus_release", Level.ERROR, table="documents")
+            .has_no_pii("text")
+            .is_complete("doc_id"))
+        .with_check(
+            Check("drift", Level.ERROR)
+            .has_stable_distribution(lineitem_ref, "l_quantity",
+                                     max_psi=0.25, lo=1.0, hi=50.0))
     )
     result = suite.run(spark, tables)
     rows = [o.to_dict() for o in result.report.outcomes]

@@ -206,6 +206,26 @@ class Check:
         from ..operators.statistics import BenfordConstraint
         return self.with_constraint(BenfordConstraint(column, assertion))
 
+    def has_no_pii(self, column: str, kinds=None, max_ratio: float = 0.0) -> "Check":
+        """Release gate over a text column: the share of rows containing
+        structured PII (emails, phones, SSNs, Luhn-valid card numbers,
+        IPs — or the subset in ``kinds``) must not exceed ``max_ratio``.
+        Rides the shared fused aggregation (codegen regex, no extra
+        scan)."""
+        from ..operators.pii import PiiConstraint
+        return self.with_constraint(PiiConstraint(column, kinds, max_ratio))
+
+    def has_stable_distribution(self, ref_df, column: str,
+                                max_psi: float = 0.25, bins: int = 10,
+                                lo=None, hi=None) -> "Check":
+        """Distribution drift gate: PSI of ``column`` against the
+        ``ref_df`` snapshot must stay under ``max_psi`` (0.25 = the
+        classic drifted line; use 0.1 for the stricter stable gate).
+        Runs as its own bins-bounded job (needs the second table)."""
+        from ..operators.statistics import DistributionStabilityConstraint
+        return self.with_constraint(DistributionStabilityConstraint(
+            column, ref_df, max_psi, bins, lo, hi))
+
     # ---- predicate / containment ---------------------------------------
     def satisfies(self, predicate: str, assertion=1.0, description: str = "") -> "Check":
         return self.with_constraint(

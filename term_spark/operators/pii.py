@@ -27,6 +27,10 @@ from typing import Callable, Dict, Optional, Sequence
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
+from ..core.constraint import Constraint, metric_alias
+from ..core.result import ConstraintResult
+from ..functions.security import validate_identifier
+
 #: Java-regex patterns per PII kind. Order matters for redaction:
 #: longer/more-specific families first so e.g. an IPv4 inside a URL is
 #: masked before the phone pattern can claim a 3-3-4 digit substring,
@@ -104,6 +108,16 @@ def _kinds(kinds: Optional[Sequence[str]]) -> Sequence[str]:
     return tuple(kinds)
 
 
+def pii_count_expr(txt: Column, kind: str) -> Column:
+    """Confirmed-match count for one PII kind over a text Column —
+    regex candidates filtered through the kind's validator when it has
+    one. Pure codegen expression, reusable in any select/agg."""
+    if kind in PII_VALIDATORS:
+        matched = F.regexp_extract_all(txt, F.lit(PII_PATTERNS[kind]), 0)
+        return F.size(F.filter(matched, PII_VALIDATORS[kind]))
+    return F.regexp_count(txt, F.lit(PII_PATTERNS[kind]))
+
+
 def pii_counts(df: DataFrame, text_col: str = "text",
                id_col: str = "doc_id",
                kinds: Optional[Sequence[str]] = None) -> DataFrame:
@@ -113,14 +127,8 @@ def pii_counts(df: DataFrame, text_col: str = "text",
     # NULL text counts as zero matches (a NULL has_pii would silently
     # drop NULL-text docs from ~has_pii filters — three-valued logic)
     txt = F.coalesce(F.col(text_col), F.lit(""))
-    cols = []
-    for k in ks:
-        if k in PII_VALIDATORS:
-            matched = F.regexp_extract_all(txt, F.lit(PII_PATTERNS[k]), 0)
-            cnt = F.size(F.filter(matched, PII_VALIDATORS[k]))
-        else:
-            cnt = F.regexp_count(txt, F.lit(PII_PATTERNS[k]))
-        cols.append(cnt.cast("bigint").alias(f"n_{k}"))
+    cols = [pii_count_expr(txt, k).cast("bigint").alias(f"n_{k}")
+            for k in ks]
     out = df.select(F.col(id_col), *cols)
     total = sum((F.col(f"n_{k}") for k in ks), F.lit(0).cast("bigint"))
     return (out.withColumn("n_pii", total)
@@ -174,6 +182,51 @@ def corpus_pii_summary(df: DataFrame, text_col: str = "text",
     aggs.append(F.count(F.lit(1)).alias("n_docs"))
     aggs.append(F.count(F.when(F.col("has_pii"), 1)).alias("docs_with_pii"))
     return per.agg(*aggs)
+
+
+class PiiConstraint(Constraint):
+    """``has_no_pii``: the affected-row ratio for the given PII kinds
+    must not exceed ``max_ratio`` (default 0 — a release gate).
+
+    Scalar protocol: two aggregate expressions (row count + count of
+    rows with a confirmed match) ride the suite's shared fused
+    aggregation — the corpus gate costs no extra scan when it runs
+    beside other checks on the same table.
+    """
+
+    name = "no_pii"
+
+    def __init__(self, column: str, kinds: Optional[Sequence[str]] = None,
+                 max_ratio: float = 0.0):
+        if not 0.0 <= max_ratio <= 1.0:
+            raise ValueError(f"max_ratio must be in [0, 1], got {max_ratio}")
+        self.column = validate_identifier(column)
+        self.kinds = tuple(_kinds(kinds))
+        self.max_ratio = float(max_ratio)
+        self._rows = metric_alias("no_pii_rows", column)
+        self._hits = metric_alias("no_pii_hits", column, *self.kinds)
+
+    def scalar_metrics(self, df: DataFrame) -> Dict[str, Column]:
+        txt = F.coalesce(F.col(self.column), F.lit(""))
+        total = sum((pii_count_expr(txt, k) for k in self.kinds),
+                    F.lit(0))
+        return {self._rows: F.count(F.lit(1)),
+                self._hits: F.count(F.when(total > 0, 1))}
+
+    def result_from_metrics(self, metrics) -> ConstraintResult:
+        rows = int(metrics[self._rows])
+        if rows == 0:
+            return self._finish(ConstraintResult.skipped(
+                f"no_pii({self.column}): empty table"))
+        hits = int(metrics[self._hits])
+        ratio = hits / rows
+        if ratio <= self.max_ratio:
+            return self._finish(ConstraintResult.success(ratio))
+        return self._finish(ConstraintResult.failure(
+            ratio,
+            f"no_pii({self.column}): {hits} of {rows} rows "
+            f"({ratio:.4%}) contain {'/'.join(self.kinds)}; allowed "
+            f"ratio is {self.max_ratio}"))
 
 
 # ---------------------------------------------------------------------------

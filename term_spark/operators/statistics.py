@@ -382,3 +382,47 @@ def population_stability(ref, cur, column: str, bins: int = 10,
                  F.sum("n_q").alias("n_cur"),
                  F.round(F.sum((F.col("p") - F.col("q")) *
                                F.log(F.col("p") / F.col("q"))), 6).alias("psi"))
+
+
+class DistributionStabilityConstraint(Constraint):
+    """``has_stable_distribution``: PSI of the checked table's column
+    against a reference snapshot must stay under ``max_psi`` (default
+    0.25 — the classic "drifted" line; 0.1 is the stricter "stable"
+    gate).
+
+    Self-executing protocol: PSI needs the second (reference)
+    DataFrame, so it cannot ride the single-table fused aggregation —
+    it runs population_stability's two bins-bounded grouped counts as
+    its own job, like the other join-shaped constraints.
+    """
+
+    name = "distribution_stability"
+
+    def __init__(self, column: str, ref_df, max_psi: float = 0.25,
+                 bins: int = 10, lo: Optional[float] = None,
+                 hi: Optional[float] = None):
+        if max_psi <= 0:
+            raise ValueError(f"max_psi must be > 0, got {max_psi}")
+        self.column = validate_identifier(column)
+        self.ref_df = ref_df
+        self.max_psi = float(max_psi)
+        self.bins = bins
+        self.lo = lo
+        self.hi = hi
+
+    def evaluate(self, ctx) -> ConstraintResult:
+        cur = ctx.df(self.table)
+        try:
+            row = population_stability(
+                self.ref_df, cur, self.column, bins=self.bins,
+                lo=self.lo, hi=self.hi).collect()[0]
+        except ValueError as e:  # empty side / degenerate domain
+            return self._finish(ConstraintResult.error(str(e)))
+        psi = float(row["psi"])
+        if psi <= self.max_psi:
+            return self._finish(ConstraintResult.success(psi))
+        return self._finish(ConstraintResult.failure(
+            psi,
+            f"distribution_stability({self.column}): PSI {psi:.4f} vs "
+            f"reference ({int(row['n_ref'])} rows) exceeds max_psi "
+            f"{self.max_psi}"))
