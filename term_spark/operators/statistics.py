@@ -316,6 +316,17 @@ class BenfordConstraint(Constraint):
             f"{counts[worst] / n:.3f} vs expected {self.BENFORD_P[worst]:.3f})")
 
 
+def psi_bucket(col: "F.Column", lo: float, width: float,
+               bins: int) -> "F.Column":
+    """Equi-width bucket id with BOTH ends clamped: out-of-domain
+    values land in the edge buckets, keeping the key bounded by
+    ``bins`` whatever the data does. Shared by batch PSI and the
+    streaming drift stage so both bucket identically."""
+    return F.greatest(F.lit(0), F.least(
+        F.lit(bins - 1),
+        F.floor((col.cast("double") - float(lo)) / width))).cast("bigint")
+
+
 def population_stability(ref, cur, column: str, bins: int = 10,
                          lo: float = None, hi: float = None,
                          eps: float = 1e-6):
@@ -358,11 +369,7 @@ def population_stability(ref, cur, column: str, bins: int = 10,
 
     def bucketed(df, share_name):
         col = F.col(column).cast("double")
-        # clamp BOTH ends: out-of-domain values land in the edge buckets,
-        # keeping the key bounded by ``bins`` whatever the data does
-        b = F.greatest(F.lit(0), F.least(
-            F.lit(bins - 1),
-            F.floor((col - float(lo)) / width))).cast("bigint")
+        b = psi_bucket(col, lo, width, bins)
         per = (df.filter(col.isNotNull())
                  .groupBy(b.alias("bucket"))
                  .agg(F.count(F.lit(1)).alias("n")))

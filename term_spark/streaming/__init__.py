@@ -163,6 +163,74 @@ def running_stats_stream(stream_df, key_col: str, value_col: str):
                                     "update", GroupStateTimeout.NoTimeout))
 
 
+def drift_metrics(stream_df, ts_col: str, value_col: str, ref_df,
+                  bins: int = 10, lo: Optional[float] = None,
+                  hi: Optional[float] = None, window: str = "1 minute",
+                  slide: Optional[str] = None, watermark: str = "10 minutes",
+                  eps: float = 1e-6):
+    """Streaming distribution drift: PSI of ``value_col`` per event-time
+    window against a STATIC reference snapshot (yesterday's corpus, the
+    training set…) — the canonical streaming DQ ask, composing the batch
+    ``population_stability`` semantics with ``windowed_metrics``'s
+    watermarked windowing.
+
+    Shape: the reference collapses to ``bins`` shares ONCE (one batch
+    agg, bins-bounded collect, then pure literals in the plan); the
+    stream runs a SINGLE windowed aggregation with one conditional
+    count per bucket, and PSI is assembled row-wise from those columns.
+    Chained streaming aggregations (bucket counts → PSI) would be
+    rejected by Spark; one agg + post-projection is the legal,
+    state-bounded form — per-window state is ``bins`` longs, whatever
+    the stream volume.
+
+    Bucketing (both-end clamp, eps-floored shares) matches
+    operators/statistics.population_stability exactly, so a streamed
+    window over the same rows yields the same PSI as the batch call.
+    """
+    from ..operators.statistics import psi_bucket
+
+    rcol = F.col(value_col).cast("double")
+    if lo is None or hi is None:
+        r = ref_df.agg(F.min(rcol).alias("mn"), F.max(rcol).alias("mx")
+                       ).collect()[0]
+        if r["mn"] is None:
+            raise ValueError(
+                f"drift_metrics({value_col!r}): reference has no non-null "
+                "rows — pass lo/hi or supply a non-empty snapshot")
+        lo = float(r["mn"]) if lo is None else float(lo)
+        hi = float(r["mx"]) if hi is None else float(hi)
+    if float(hi) <= float(lo):
+        raise ValueError(
+            f"drift_metrics({value_col!r}): hi ({hi}) must exceed lo ({lo})")
+    width = (float(hi) - float(lo)) / bins
+
+    ref_counts = (ref_df.filter(rcol.isNotNull())
+                  .groupBy(psi_bucket(rcol, lo, width, bins).alias("bucket"))
+                  .agg(F.count(F.lit(1)).alias("n")).collect())
+    ref_n = sum(r["n"] for r in ref_counts)
+    by_bucket = {int(r["bucket"]): r["n"] / ref_n for r in ref_counts}
+    q_shares = [max(by_bucket.get(b, 0.0), eps) for b in range(bins)]
+
+    stream_df = _with_event_time(stream_df, ts_col)
+    scol = F.col(value_col).cast("double")
+    b = psi_bucket(scol, lo, width, bins)
+    cnt_exprs = [F.count(F.when(scol.isNotNull() & (b == i), 1)).alias(f"_b{i}")
+                 for i in range(bins)]
+    win = (F.window(F.col(ts_col), window, slide) if slide
+           else F.window(F.col(ts_col), window))
+    agg = (stream_df
+           .withWatermark(ts_col, watermark)
+           .groupBy(win.alias("window"))
+           .agg(F.count(scol).alias("n_events"), *cnt_exprs))
+
+    n = F.col("n_events")
+    psi = F.lit(0.0)
+    for i in range(bins):
+        p = F.greatest(F.col(f"_b{i}") / n, F.lit(eps))
+        psi = psi + (p - q_shares[i]) * F.log(p / F.lit(q_shares[i]))
+    return agg.select("window", "n_events", F.round(psi, 6).alias("psi"))
+
+
 def session_metrics(stream_df, ts_col: str, key_col: str,
                     gap: str = "30 minutes", watermark: str = "1 hour",
                     metric_exprs: Optional[Dict[str, "F.Column"]] = None):

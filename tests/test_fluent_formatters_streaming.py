@@ -210,3 +210,46 @@ def test_session_metrics_stream(spark, tmp_path):
         "SELECT user_id, n_events FROM sess_metrics ORDER BY user_id, n_events"
     ).collect()
     assert [(r["user_id"], r["n_events"]) for r in out] == [(7, 1), (7, 2), (8, 1)]
+
+
+def test_drift_metrics_stream_psi_per_window(spark, tmp_path):
+    """PSI emitted per micro-batch window vs a static reference: day 1
+    reproduces the reference distribution (PSI ~ 0), day 2 is shifted
+    (PSI above the 0.25 drifted line). Batch parity pinned on day 1."""
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+    from term_spark.operators.statistics import population_stability
+    from term_spark.streaming import drift_metrics
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    for i in range(400):  # day 1: uniform over [0, 50) — matches ref
+        rows.append((base + dt.timedelta(seconds=i), float(i % 50)))
+    for i in range(400):  # day 2: shifted mass, upper edge only
+        rows.append((base + dt.timedelta(days=1, seconds=i),
+                     45.0 + (i % 5)))
+    df = spark.createDataFrame(rows, "ts timestamp, v double")
+    src = str(tmp_path / "drift_stream")
+    df.write.parquet(src)
+
+    ref = spark.createDataFrame(
+        [(float(i % 50),) for i in range(1000)], "v double")
+
+    stream = spark.readStream.schema("ts timestamp, v double").parquet(src)
+    agg = drift_metrics(stream, "ts", "v", ref, bins=10, lo=0.0, hi=50.0,
+                        window="1 day", watermark="1 hour")
+    q = (agg.writeStream.format("memory").queryName("drift_win")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["window"]["start"].day: r for r in
+           spark.sql("select * from drift_win").collect()}
+    assert set(got) == {1, 2} and all(r["n_events"] == 400 for r in got.values())
+    assert got[1]["psi"] < 0.01      # same distribution as reference
+    assert got[2]["psi"] > 0.25      # shifted day trips the drifted line
+
+    # streamed PSI == batch population_stability over the same rows
+    day1 = df.filter(F.col("ts") < dt.datetime(2024, 1, 2))
+    batch = population_stability(ref, day1, "v",
+                                 bins=10, lo=0.0, hi=50.0).collect()[0]
+    assert got[1]["psi"] == batch["psi"]
