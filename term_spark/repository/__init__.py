@@ -142,7 +142,55 @@ class ParquetRepository(MetricsRepository):
         return self._load_all().get(key)
 
     def delete(self, key):
-        raise NotImplementedError("append-only store; compact offline")
+        """Delete = a targeted offline compaction. The live write path
+        stays append-only (every ``save`` is one immutable file); all
+        row removal funnels through ``compact``'s rewrite."""
+        self.compact(drop_key=key)
+
+    def compact(self, before_ts: Optional[float] = None,
+                drop_key: Optional[ResultKey] = None) -> int:
+        """Offline retention/compaction: rewrite the store as ONE
+        parquet file, dropping runs older than ``before_ts`` and/or one
+        exact ``drop_key``. Returns the number of rows dropped.
+
+        Honors the append-only contract: readers and ``save`` never
+        mutate existing files; this is the explicit offline rewrite the
+        docstring always promised. The new file lands via tmp-write +
+        atomic rename BEFORE the old files are unlinked, so a crash
+        mid-compaction can only leave duplicate rows (self-healed by
+        the next compaction), never lost ones. At real scale the
+        same operation is a Delta/Iceberg ``OPTIMIZE``/retention job.
+        """
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        files = self._files()
+        if not files:
+            return 0
+        t = pa.concat_tables([pq.read_table(f) for f in files])
+        keep = [True] * t.num_rows
+        drop_tags = (json.dumps(drop_key.tag_dict, sort_keys=True)
+                     if drop_key is not None else None)
+        for i in range(t.num_rows):
+            ts = t["timestamp"][i].as_py()
+            if before_ts is not None and ts < before_ts:
+                keep[i] = False
+            elif drop_key is not None and ts == drop_key.timestamp \
+                    and t["tags"][i].as_py() == drop_tags:
+                keep[i] = False
+        kept = t.filter(pa.array(keep))
+        dropped = t.num_rows - kept.num_rows
+        if dropped == 0 and len(files) == 1:
+            return 0  # nothing to drop, already compact
+        final = os.path.join(
+            self.path, f"compacted_{time.time():.6f}_{uuid.uuid4().hex[:8]}.parquet")
+        tmp = final + ".tmp"
+        if kept.num_rows:
+            pq.write_table(kept, tmp)
+            os.replace(tmp, final)  # atomic: visible only when complete
+        for f in files:
+            os.remove(f)
+        return dropped
 
     def keys(self):
         return sorted(self._load_all(), key=lambda k: k.timestamp)

@@ -99,3 +99,43 @@ def test_sql_over_metrics_history(spark, tmp_path):
     assert len(rows) == 1
     assert rows[0]["n_runs"] == 3
     assert rows[0]["min_v"] == 0.8 and rows[0]["max_v"] == 0.95
+
+
+def test_parquet_repository_compaction_retention(tmp_path):
+    repo = ParquetRepository(str(tmp_path / "m"))
+    for ts in (100.0, 200.0, 300.0):
+        repo.save(ResultKey.of(ts, run=str(int(ts))),
+                  {"size": MetricValue.double(ts), "mean": MetricValue.double(1.0)})
+    assert len(repo._files()) == 3
+
+    dropped = repo.compact(before_ts=250.0)
+    assert dropped == 4  # two runs x two metrics
+    assert len(repo._files()) == 1  # rewritten as one file
+    remaining = repo.keys()
+    assert [k.timestamp for k in remaining] == [300.0]
+    m = repo.load(remaining[0])
+    assert m["size"].value == 300.0 and m["mean"].value == 1.0
+
+    # idempotent: nothing left to drop, already one file
+    assert repo.compact(before_ts=250.0) == 0
+
+
+def test_parquet_repository_delete_via_compaction(tmp_path):
+    repo = ParquetRepository(str(tmp_path / "m"))
+    k1 = ResultKey.of(100.0, run="a")
+    k2 = ResultKey.of(100.0, run="b")  # same ts, different tags
+    k3 = ResultKey.of(200.0, run="a")
+    for k in (k1, k2, k3):
+        repo.save(k, {"size": MetricValue.double(k.timestamp)})
+
+    repo.delete(k1)  # exact (timestamp, tags) match only
+    assert repo.load(k1) is None
+    assert repo.load(k2).get("size").value == 100.0
+    assert repo.load(k3).get("size").value == 200.0
+
+    # deleting everything leaves an empty, still-usable store
+    repo.delete(k2)
+    repo.delete(k3)
+    assert repo.keys() == []
+    repo.save(k1, {"size": MetricValue.double(1.0)})
+    assert repo.load(k1).get("size").value == 1.0
