@@ -212,7 +212,13 @@ def main() -> None:
         for name in ("pricing_summary", "cross_table_sum_orders_lineitem",
                      "fk_orders_customer", "join_coverage_lineitem_orders",
                      "unique_value_ratio_custkey", "max_time_gap_events",
-                     "dedup_exact_docs", "minhash_lsh_candidates"):
+                     "dedup_exact_docs", "minhash_lsh_candidates",
+                     # round-4 window/reshape/drift scale points: the
+                     # partition-parallel window and bins-bounded drift
+                     # shapes must show the same flat 10x slope
+                     "asof_click_error", "rolling_daily_events",
+                     "pivot_returnflag_linestatus", "drift_psi_quantity",
+                     "top3_customers_per_segment"):
             fn = QUERIES[name]
             fn(spark, sf1_dir).collect()  # warm
             best = float("inf")

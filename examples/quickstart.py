@@ -122,6 +122,20 @@ def main():
     print("packing:", {r["stratum"]: (r["n_windows"], r["fill_efficiency"])
                        for r in packed[:3]})
 
+    # fluent release gates: PII + drift ride the same Check API
+    li = tables["lineitem"]
+    gates = (ValidationSuite.builder("release")
+             .with_check(Check("gates", Level.ERROR)
+                         .has_no_pii("text"))
+             .run(spark, docs))
+    drift = (ValidationSuite.builder("drift")
+             .with_check(Check("d", Level.ERROR)
+                         .has_stable_distribution(
+                             li.filter("l_orderkey % 2 = 0"), "l_quantity",
+                             max_psi=0.25, lo=1.0, hi=50.0))
+             .run(spark, li.filter("l_orderkey % 2 = 1")))
+    print("release gates: pii", gates.passed, "| drift", drift.passed)
+
 
 if __name__ == "__main__":
     main()

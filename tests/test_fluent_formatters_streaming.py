@@ -253,3 +253,38 @@ def test_drift_metrics_stream_psi_per_window(spark, tmp_path):
     batch = population_stability(ref, day1, "v",
                                  bins=10, lo=0.0, hi=50.0).collect()[0]
     assert got[1]["psi"] == batch["psi"]
+
+
+def test_windowed_pii_metrics_stream(spark, tmp_path):
+    """The PII count expressions compose straight into windowed_metrics:
+    a per-window PII-row counter needs no dedicated streaming operator."""
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+    from term_spark.operators.pii import pii_count_expr
+    from term_spark.streaming import windowed_metrics
+
+    base = dt.datetime(2024, 3, 1)
+    rows = [(base + dt.timedelta(seconds=i), "clean row") for i in range(20)]
+    rows += [(base + dt.timedelta(days=1, seconds=i),
+              "leak a@b.io here" if i % 4 == 0 else "still clean")
+             for i in range(20)]
+    df = spark.createDataFrame(rows, "ts timestamp, text string")
+    src = str(tmp_path / "pii_stream")
+    df.write.parquet(src)
+
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    pii_total = pii_count_expr(txt, "email") + pii_count_expr(txt, "credit_card")
+    stream = spark.readStream.schema("ts timestamp, text string").parquet(src)
+    agg = windowed_metrics(
+        stream, "ts",
+        {"n": F.count(F.lit(1)),
+         "pii_rows": F.count(F.when(pii_total > 0, 1))},
+        window="1 day", watermark="1 hour")
+    q = (agg.writeStream.format("memory").queryName("pii_win")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["window"]["start"].day: r
+           for r in spark.sql("select * from pii_win").collect()}
+    assert got[1]["pii_rows"] == 0 and got[1]["n"] == 20
+    assert got[2]["pii_rows"] == 5 and got[2]["n"] == 20

@@ -198,3 +198,30 @@ def test_asof_join_matches_pandas_merge_asof(spark, left, right):
     for _, row in merged.iterrows():
         expect = None if pd.isna(row["payload"]) else int(row["payload"])
         assert got[int(row["row_id"])] == expect, (row["row_id"], dict(row))
+
+
+@given(pans=st.lists(st.integers(10**14, 10**16 - 1), min_size=1, max_size=25))
+@SET
+def test_luhn_column_matches_python(spark, pans):
+    """JVM-side Luhn (split/reverse/transform/aggregate) vs an
+    independent Python implementation over random 15/16-digit runs."""
+    import pyspark.sql.functions as F
+    from term_spark.operators.pii import luhn_valid
+
+    def luhn_py(s: str) -> bool:
+        total = 0
+        for i, ch in enumerate(reversed(s)):
+            d = int(ch)
+            if i % 2 == 1:
+                d *= 2
+                if d > 9:
+                    d -= 9
+            total += d
+        return total % 10 == 0
+
+    rows = [(i, str(p)) for i, p in enumerate(pans)]
+    df = spark.createDataFrame(rows, "id long, pan string")
+    got = {r["id"]: r["ok"]
+           for r in df.select("id", luhn_valid(F.col("pan")).alias("ok")).collect()}
+    expect = {i: luhn_py(s) for i, s in rows}
+    assert got == expect
