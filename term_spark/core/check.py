@@ -226,6 +226,36 @@ class Check:
         return self.with_constraint(DistributionStabilityConstraint(
             column, ref_df, max_psi, bins, lo, hi))
 
+    def has_low_ks_drift(self, ref_df, column: str, max_stat: float = 0.1,
+                         bins=None, lo=None, hi=None) -> "Check":
+        """Two-sample Kolmogorov–Smirnov drift gate: sup-distance
+        between the column's empirical CDF and the ``ref_df``
+        snapshot's must stay under ``max_stat``. Exact over distinct
+        values; pass ``bins``+``lo``+``hi`` to pre-quantize a
+        high-cardinality continuous column."""
+        from ..operators.drift import KsDriftConstraint
+        return self.with_constraint(
+            KsDriftConstraint(column, ref_df, max_stat, bins, lo, hi))
+
+    def has_low_js_divergence(self, ref_df, column: str, max_js: float = 0.1,
+                              bins: int = 10, lo=None, hi=None) -> "Check":
+        """Jensen–Shannon divergence gate (log2, in [0,1]) over
+        equi-width buckets vs the ``ref_df`` snapshot. ``lo``/``hi``
+        are required (they fix the bucket domain without a min/max
+        scan)."""
+        from ..operators.drift import JsDriftConstraint
+        return self.with_constraint(
+            JsDriftConstraint(column, ref_df, max_js, bins, lo, hi))
+
+    def has_stable_categories(self, ref_df, column: str,
+                              max_v: float = 0.1) -> "Check":
+        """Categorical drift gate: Cramér's V of the column's category
+        distribution vs the ``ref_df`` snapshot must stay under
+        ``max_v`` (χ² itself scales with row count; V does not)."""
+        from ..operators.drift import CategoricalDriftConstraint
+        return self.with_constraint(
+            CategoricalDriftConstraint(column, ref_df, max_v))
+
     # ---- predicate / containment ---------------------------------------
     def satisfies(self, predicate: str, assertion=1.0, description: str = "") -> "Check":
         return self.with_constraint(

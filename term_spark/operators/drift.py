@@ -1,0 +1,306 @@
+"""Distribution-drift scores beyond PSI: two-sample Kolmogorov–Smirnov,
+categorical chi-squared (reported with Cramér's V), and Jensen–Shannon
+divergence.
+
+Parity: the reference ships PSI-style snapshot comparison through its
+anomaly/metrics layer (term-guard/src/analyzers/mod.rs history
+detectors); KS/χ²/JS are the standard companions every monitoring
+stack pairs with it (statistics.population_stability holds the PSI
+implementation — same bucket helper, same two-snapshot shape).
+
+Scale shape, shared by all three:
+- one grouped count per side, keyed by distinct value / category /
+  bucket (partial-aggregated map-side, so the shuffle carries one row
+  per key per partition at most);
+- a full-outer join of the two key-count tables;
+- a scalar reduction.
+Row count never crosses the wire — only the key table does.  For KS
+the key table is the distinct-value set, so the cumulative-sum window
+(necessarily a single ordered pass) runs over |distinct values| rows,
+not |data| rows; for genuinely continuous high-cardinality columns
+pass ``bins``/``lo``/``hi`` to pre-quantize to a bounded key set, the
+same trade every engine makes.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from ..core.constraint import Constraint
+from ..core.result import ConstraintResult
+from ..functions.security import validate_identifier
+from .statistics import psi_bucket
+
+
+def _two_sided_counts(ref: DataFrame, cur: DataFrame, column: str,
+                      key: "F.Column") -> DataFrame:
+    """Grouped counts per key for both snapshots, full-outer joined:
+    (k, n_ref, n_cur) with absent keys as 0."""
+    def side(df, name):
+        return (df.filter(F.col(column).isNotNull())
+                  .groupBy(key.alias("k"))
+                  .agg(F.count(F.lit(1)).alias(name)))
+    return (side(ref, "n_ref").join(side(cur, "n_cur"), "k", "full_outer")
+            .select("k",
+                    F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+                    F.coalesce("n_cur", F.lit(0)).alias("n_cur")))
+
+
+def ks_statistic(ref: DataFrame, cur: DataFrame, column: str,
+                 bins: Optional[int] = None, lo: Optional[float] = None,
+                 hi: Optional[float] = None) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic:
+    sup_v |F_ref(v) − F_cur(v)| over the pooled empirical CDFs.
+
+    Exact because the supremum over all reals is attained at an
+    observed value, so evaluating both CDFs at every distinct value is
+    the complete search space.  The cumulative sums run as a
+    partition-parallel prefix-sum over the distinct-value table (the
+    grouped counts already collapsed the data; no stage funnels rows
+    through a single ordered task); with ``bins``+``lo``+``hi`` the
+    values are first quantized to equi-width buckets, bounding the
+    key set for continuous columns (the KS of the quantized CDFs — a
+    lower bound on the exact statistic, like any histogram sketch).
+
+    Returns one row: n_ref, n_cur, ks (rounded 6).
+    """
+    col = F.col(column).cast("double")
+    if bins is not None:
+        if lo is None or hi is None:
+            raise ValueError("ks_statistic: bins requires explicit lo/hi")
+        if float(hi) <= float(lo):
+            raise ValueError(
+                f"ks_statistic({column!r}): hi ({hi}) must exceed lo ({lo})")
+        key = psi_bucket(col, float(lo), (float(hi) - float(lo)) / bins, bins)
+    else:
+        key = col
+    counts = _two_sided_counts(ref, cur, column, key)
+    # Cumulative counts WITHOUT Window.orderBy(k)'s single-task funnel:
+    # range-repartition the key-count table, collect per-partition
+    # subtotals (≤ num_partitions rows — bounded at any scale), broadcast
+    # the exclusive offsets back, and finish with a window partitioned BY
+    # partition id — the same distributed prefix-sum Spearman's rank uses
+    # (entropy._rank_map), with both sides riding one pass.
+    # localCheckpoint, not persist: range boundaries are sampled per
+    # execution, and the offsets job and the window job must see the
+    # same partition assignment.
+    parts = (counts.repartitionByRange(F.col("k"))
+                   .withColumn("pid", F.spark_partition_id())
+                   .localCheckpoint(eager=True))
+    rows = (parts.groupBy("pid")
+                 .agg(F.sum("n_ref").alias("t_ref"),
+                      F.sum("n_cur").alias("t_cur")).collect())
+    totals = {r["pid"]: (r["t_ref"], r["t_cur"]) for r in rows}
+    offs, acc_r, acc_c = [], 0, 0
+    for pid in sorted(totals):
+        offs.append((int(pid), int(acc_r), int(acc_c)))
+        acc_r += totals[pid][0]
+        acc_c += totals[pid][1]
+    tot_ref, tot_cur = acc_r, acc_c
+    spark = ref.sparkSession
+    off_df = spark.createDataFrame(
+        offs or [(0, 0, 0)], "pid int, off_ref bigint, off_cur bigint")
+    w = (Window.partitionBy("pid").orderBy("k")
+               .rowsBetween(Window.unboundedPreceding, 0))
+    cdf = (parts.join(F.broadcast(off_df), "pid")
+                .select(
+        ((F.col("off_ref") + F.sum("n_ref").over(w)) /
+         F.lit(float(tot_ref) if tot_ref else None)).alias("cdf_ref"),
+        ((F.col("off_cur") + F.sum("n_cur").over(w)) /
+         F.lit(float(tot_cur) if tot_cur else None)).alias("cdf_cur")))
+    return cdf.agg(
+        F.max(F.lit(tot_ref).cast("bigint")).alias("n_ref"),
+        F.max(F.lit(tot_cur).cast("bigint")).alias("n_cur"),
+        F.round(F.max(F.abs(F.col("cdf_ref") - F.col("cdf_cur"))), 6).alias("ks"))
+
+
+def chi_squared_drift(ref: DataFrame, cur: DataFrame, column: str,
+                      eps: float = 1e-6) -> DataFrame:
+    """Categorical drift: goodness-of-fit χ² of the current snapshot
+    against the reference's category distribution, reported alongside
+    Cramér's V = sqrt(χ² / (n_cur · (k−1))) ∈ [0, 1].
+
+    V is the thresholdable metric — χ² itself grows linearly with
+    n_cur, so no fixed cutoff survives a 100× scale-up (the same
+    reason Benford uses TVD, not a χ² p-value).  Reference shares are
+    floored at ``eps`` so categories newly appearing in ``cur`` score
+    as drift instead of dividing by zero.
+
+    Returns one row: n_ref, n_cur, n_categories, chi2, cramers_v.
+    """
+    counts = _two_sided_counts(ref, cur, column, F.col(column))
+    tot = Window.partitionBy()
+    shares = counts.select(
+        "n_ref", "n_cur",
+        F.greatest(F.col("n_ref") / F.sum("n_ref").over(tot),
+                   F.lit(eps)).alias("p_ref"),
+        (F.sum("n_cur").over(tot)).alias("tot_cur"))
+    cells = shares.select(
+        "n_ref", "n_cur",
+        (F.col("p_ref") * F.col("tot_cur")).alias("expected"))
+    agg = cells.agg(
+        F.sum("n_ref").alias("n_ref"),
+        F.sum("n_cur").alias("n_cur"),
+        F.count(F.lit(1)).alias("n_categories"),
+        F.sum(F.pow(F.col("n_cur") - F.col("expected"), 2) /
+              F.col("expected")).alias("chi2_raw"))
+    return agg.select(
+        "n_ref", "n_cur", "n_categories",
+        F.round("chi2_raw", 6).alias("chi2"),
+        F.round(F.sqrt(F.col("chi2_raw") /
+                       (F.col("n_cur") *
+                        F.greatest(F.col("n_categories") - 1, F.lit(1)))),
+                6).alias("cramers_v"))
+
+
+def js_divergence(ref: DataFrame, cur: DataFrame, column: str,
+                  bins: int = 10, lo: float = None, hi: float = None) -> DataFrame:
+    """Jensen–Shannon divergence between two snapshots over equi-width
+    buckets — PSI's bounded, symmetric sibling: with log base 2 it
+    lives in [0, 1], is finite even for disjoint supports (no eps
+    smoothing needed — the p·log(p/m) terms vanish at p = 0 since m
+    stays positive wherever either side has mass), and its square root
+    is a metric.
+
+    Same shape as population_stability: two bins-bounded grouped
+    counts + a tiny full-outer join + a scalar reduction.  ``lo``/``hi``
+    fix the bucket domain (pass them — deriving costs a min/max scan
+    of both sides, statistics.population_stability documents the same
+    trade).
+
+    Returns one row: n_ref, n_cur, js (rounded 6).
+    """
+    if lo is None or hi is None:
+        raise ValueError("js_divergence: pass explicit lo/hi (the bucket "
+                         "domain); deriving them costs a full min/max scan "
+                         "of both snapshots")
+    if float(hi) <= float(lo):
+        raise ValueError(
+            f"js_divergence({column!r}): hi ({hi}) must exceed lo ({lo})")
+    width = (float(hi) - float(lo)) / bins
+    key = psi_bucket(F.col(column).cast("double"), float(lo), width, bins)
+    counts = _two_sided_counts(ref, cur, column, key)
+    tot = Window.partitionBy()
+    shares = counts.select(
+        "n_ref", "n_cur",
+        (F.col("n_ref") / F.sum("n_ref").over(tot)).alias("p"),
+        (F.col("n_cur") / F.sum("n_cur").over(tot)).alias("q"))
+    m = (F.col("p") + F.col("q")) / 2
+    term = (F.when(F.col("p") > 0,
+                   F.col("p") * F.log2(F.col("p") / m)).otherwise(F.lit(0.0)) +
+            F.when(F.col("q") > 0,
+                   F.col("q") * F.log2(F.col("q") / m)).otherwise(F.lit(0.0)))
+    return shares.agg(
+        F.sum("n_ref").alias("n_ref"),
+        F.sum("n_cur").alias("n_cur"),
+        F.round(F.sum(term) / 2, 6).alias("js"))
+
+
+class KsDriftConstraint(Constraint):
+    """``has_stable_distribution(method="ks")``: the two-sample KS
+    statistic against a reference snapshot must stay under
+    ``max_stat`` (default 0.1 — 10 % of probability mass displaced).
+
+    Self-executing (needs the second DataFrame), like
+    DistributionStabilityConstraint; the job is two grouped counts plus
+    a distinct-value-sized window.
+    """
+
+    name = "ks_drift"
+
+    def __init__(self, column: str, ref_df, max_stat: float = 0.1,
+                 bins: Optional[int] = None, lo: Optional[float] = None,
+                 hi: Optional[float] = None):
+        if max_stat <= 0:
+            raise ValueError(f"max_stat must be > 0, got {max_stat}")
+        self.column = validate_identifier(column)
+        self.ref_df = ref_df
+        self.max_stat = float(max_stat)
+        self.bins, self.lo, self.hi = bins, lo, hi
+
+    def evaluate(self, ctx) -> ConstraintResult:
+        cur = ctx.df(self.table)
+        try:
+            row = ks_statistic(self.ref_df, cur, self.column,
+                               bins=self.bins, lo=self.lo, hi=self.hi).collect()[0]
+        except ValueError as e:
+            return self._finish(ConstraintResult.error(str(e)))
+        if row["ks"] is None or int(row["n_ref"]) == 0 or int(row["n_cur"]) == 0:
+            return self._finish(ConstraintResult.error(
+                f"ks_drift({self.column}): a snapshot has no non-null rows"))
+        ks = float(row["ks"])
+        if ks <= self.max_stat:
+            return self._finish(ConstraintResult.success(ks))
+        return self._finish(ConstraintResult.failure(
+            ks, f"ks_drift({self.column}): KS {ks:.4f} vs reference "
+                f"({int(row['n_ref'])} rows) exceeds max_stat {self.max_stat}"))
+
+
+class JsDriftConstraint(Constraint):
+    """``has_stable_distribution(method="js")``: Jensen–Shannon
+    divergence (log2, ∈ [0,1]) under ``max_js`` (default 0.1)."""
+
+    name = "js_drift"
+
+    def __init__(self, column: str, ref_df, max_js: float = 0.1,
+                 bins: int = 10, lo: Optional[float] = None,
+                 hi: Optional[float] = None):
+        if max_js <= 0:
+            raise ValueError(f"max_js must be > 0, got {max_js}")
+        self.column = validate_identifier(column)
+        self.ref_df = ref_df
+        self.max_js = float(max_js)
+        self.bins, self.lo, self.hi = bins, lo, hi
+
+    def evaluate(self, ctx) -> ConstraintResult:
+        cur = ctx.df(self.table)
+        try:
+            row = js_divergence(self.ref_df, cur, self.column,
+                                bins=self.bins, lo=self.lo, hi=self.hi).collect()[0]
+        except ValueError as e:
+            return self._finish(ConstraintResult.error(str(e)))
+        if row["js"] is None or int(row["n_ref"]) == 0 or int(row["n_cur"]) == 0:
+            return self._finish(ConstraintResult.error(
+                f"js_drift({self.column}): a snapshot has no non-null rows"))
+        js = float(row["js"])
+        if js <= self.max_js:
+            return self._finish(ConstraintResult.success(js))
+        return self._finish(ConstraintResult.failure(
+            js, f"js_drift({self.column}): JS divergence {js:.4f} vs "
+                f"reference exceeds max_js {self.max_js}"))
+
+
+class CategoricalDriftConstraint(Constraint):
+    """``has_stable_categories``: Cramér's V of the current category
+    distribution vs a reference snapshot must stay under ``max_v``
+    (default 0.1 — "small effect" on the classic scale; V is
+    scale-stable where raw χ² is not)."""
+
+    name = "categorical_drift"
+
+    def __init__(self, column: str, ref_df, max_v: float = 0.1):
+        if max_v <= 0:
+            raise ValueError(f"max_v must be > 0, got {max_v}")
+        self.column = validate_identifier(column)
+        self.ref_df = ref_df
+        self.max_v = float(max_v)
+
+    def evaluate(self, ctx) -> ConstraintResult:
+        cur = ctx.df(self.table)
+        row = chi_squared_drift(self.ref_df, cur, self.column).collect()[0]
+        if row["cramers_v"] is None or int(row["n_cur"]) == 0:
+            return self._finish(ConstraintResult.error(
+                f"categorical_drift({self.column}): a snapshot has no "
+                "non-null rows"))
+        v = float(row["cramers_v"])
+        if v <= self.max_v:
+            return self._finish(ConstraintResult.success(v))
+        return self._finish(ConstraintResult.failure(
+            v, f"categorical_drift({self.column}): Cramér's V {v:.4f} "
+               f"(chi2 {float(row['chi2']):.2f} over "
+               f"{int(row['n_categories'])} categories) exceeds max_v "
+               f"{self.max_v}"))

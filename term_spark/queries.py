@@ -1312,6 +1312,128 @@ QUERIES.update({"drift_psi_quantity": q_drift_psi_quantity})
 ORACLES.update({"drift_psi_quantity": SQL_DRIFT_PSI_QUANTITY})
 
 
+def q_drift_ks_quantity(spark, sf_dir) -> DataFrame:
+    """Exact two-sample KS statistic between the even/odd-orderkey
+    lineitem snapshots on l_quantity (operators.drift.ks_statistic):
+    grouped counts per distinct value per side, one cumulative-sum
+    window over the |distinct|-sized key table, sup of the CDF gap."""
+    from .operators.drift import ks_statistic
+    (li,) = _t(spark, sf_dir, "lineitem")
+    ref = li.filter(F.col("l_orderkey") % 2 == 0)
+    cur = li.filter(F.col("l_orderkey") % 2 == 1)
+    return ks_statistic(ref, cur, "l_quantity")
+
+
+SQL_DRIFT_KS_QUANTITY = """
+WITH ref AS (SELECT CAST(l_quantity AS DOUBLE) AS v FROM lineitem
+             WHERE l_orderkey % 2 = 0 AND l_quantity IS NOT NULL),
+cur AS (SELECT CAST(l_quantity AS DOUBLE) AS v FROM lineitem
+        WHERE l_orderkey % 2 = 1 AND l_quantity IS NOT NULL),
+r AS (SELECT v, COUNT(*) AS n_ref FROM ref GROUP BY v),
+c AS (SELECT v, COUNT(*) AS n_cur FROM cur GROUP BY v),
+j AS (SELECT COALESCE(r.v, c.v) AS v, COALESCE(n_ref, 0) AS n_ref,
+             COALESCE(n_cur, 0) AS n_cur
+      FROM r FULL OUTER JOIN c ON r.v = c.v),
+cdf AS (SELECT n_ref, n_cur,
+               SUM(n_ref) OVER (ORDER BY v) * 1.0 / SUM(n_ref) OVER () AS cdf_ref,
+               SUM(n_cur) OVER (ORDER BY v) * 1.0 / SUM(n_cur) OVER () AS cdf_cur
+        FROM j)
+SELECT CAST(SUM(n_ref) AS BIGINT) AS n_ref,
+       CAST(SUM(n_cur) AS BIGINT) AS n_cur,
+       ROUND(MAX(ABS(cdf_ref - cdf_cur)), 6) AS ks
+FROM cdf
+"""
+
+
+def q_drift_chi2_returnflag(spark, sf_dir) -> DataFrame:
+    """Categorical drift between the even/odd-orderkey lineitem
+    snapshots on l_returnflag: goodness-of-fit chi-squared vs the
+    reference shares plus Cramér's V, the scale-stable threshold
+    metric (operators.drift.chi_squared_drift)."""
+    from .operators.drift import chi_squared_drift
+    (li,) = _t(spark, sf_dir, "lineitem")
+    ref = li.filter(F.col("l_orderkey") % 2 == 0)
+    cur = li.filter(F.col("l_orderkey") % 2 == 1)
+    return chi_squared_drift(ref, cur, "l_returnflag")
+
+
+SQL_DRIFT_CHI2_RETURNFLAG = """
+WITH ref AS (SELECT l_returnflag AS k FROM lineitem
+             WHERE l_orderkey % 2 = 0 AND l_returnflag IS NOT NULL),
+cur AS (SELECT l_returnflag AS k FROM lineitem
+        WHERE l_orderkey % 2 = 1 AND l_returnflag IS NOT NULL),
+r AS (SELECT k, COUNT(*) AS n_ref FROM ref GROUP BY k),
+c AS (SELECT k, COUNT(*) AS n_cur FROM cur GROUP BY k),
+j AS (SELECT COALESCE(n_ref, 0) AS n_ref, COALESCE(n_cur, 0) AS n_cur
+      FROM r FULL OUTER JOIN c USING (k)),
+s AS (SELECT n_ref, n_cur,
+             GREATEST(n_ref * 1.0 / SUM(n_ref) OVER (), 1e-6) AS p_ref,
+             SUM(n_cur) OVER () AS tot_cur FROM j),
+cells AS (SELECT n_ref, n_cur, p_ref * tot_cur AS expected FROM s),
+a AS (SELECT SUM(n_ref) AS n_ref, SUM(n_cur) AS n_cur,
+             COUNT(*) AS n_categories,
+             SUM(POW(n_cur - expected, 2) / expected) AS chi2_raw FROM cells)
+SELECT CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
+       CAST(n_categories AS BIGINT) AS n_categories,
+       ROUND(chi2_raw, 6) AS chi2,
+       ROUND(SQRT(chi2_raw / (n_cur * GREATEST(n_categories - 1, 1))), 6)
+           AS cramers_v
+FROM a
+"""
+
+
+def q_drift_js_quantity(spark, sf_dir) -> DataFrame:
+    """Jensen–Shannon divergence (log2, [0,1]) between the even/odd
+    lineitem snapshots on l_quantity over the same 10 fixed buckets as
+    the PSI query (operators.drift.js_divergence) — symmetric, finite
+    on disjoint supports, no eps smoothing."""
+    from .operators.drift import js_divergence
+    (li,) = _t(spark, sf_dir, "lineitem")
+    ref = li.filter(F.col("l_orderkey") % 2 == 0)
+    cur = li.filter(F.col("l_orderkey") % 2 == 1)
+    return js_divergence(ref, cur, "l_quantity", bins=10, lo=1.0, hi=50.0)
+
+
+SQL_DRIFT_JS_QUANTITY = """
+WITH ref AS (
+    SELECT GREATEST(0, LEAST(9, CAST(FLOOR((CAST(l_quantity AS DOUBLE) - 1.0)
+                                     / 4.9) AS BIGINT))) AS k
+    FROM lineitem WHERE l_orderkey % 2 = 0 AND l_quantity IS NOT NULL
+), cur AS (
+    SELECT GREATEST(0, LEAST(9, CAST(FLOOR((CAST(l_quantity AS DOUBLE) - 1.0)
+                                     / 4.9) AS BIGINT))) AS k
+    FROM lineitem WHERE l_orderkey % 2 = 1 AND l_quantity IS NOT NULL
+),
+r AS (SELECT k, COUNT(*) AS n_ref FROM ref GROUP BY k),
+c AS (SELECT k, COUNT(*) AS n_cur FROM cur GROUP BY k),
+j AS (SELECT COALESCE(n_ref, 0) AS n_ref, COALESCE(n_cur, 0) AS n_cur
+      FROM r FULL OUTER JOIN c USING (k)),
+s AS (SELECT n_ref, n_cur,
+             n_ref * 1.0 / SUM(n_ref) OVER () AS p,
+             n_cur * 1.0 / SUM(n_cur) OVER () AS q FROM j),
+t AS (SELECT n_ref, n_cur,
+             CASE WHEN p > 0 THEN p * LOG2(p / ((p + q) / 2)) ELSE 0 END +
+             CASE WHEN q > 0 THEN q * LOG2(q / ((p + q) / 2)) ELSE 0 END
+                 AS term FROM s)
+SELECT CAST(SUM(n_ref) AS BIGINT) AS n_ref,
+       CAST(SUM(n_cur) AS BIGINT) AS n_cur,
+       ROUND(SUM(term) / 2, 6) AS js
+FROM t
+"""
+
+
+QUERIES.update({
+    "drift_ks_quantity": q_drift_ks_quantity,
+    "drift_chi2_returnflag": q_drift_chi2_returnflag,
+    "drift_js_quantity": q_drift_js_quantity,
+})
+ORACLES.update({
+    "drift_ks_quantity": SQL_DRIFT_KS_QUANTITY,
+    "drift_chi2_returnflag": SQL_DRIFT_CHI2_RETURNFLAG,
+    "drift_js_quantity": SQL_DRIFT_JS_QUANTITY,
+})
+
+
 # ---------------------------------------------------------------------------
 # registry ordering: the driver's correctness gate reads only the FIRST 50
 # entries of this dict.  Every operator *family* must have a representative

@@ -1,0 +1,154 @@
+"""operators.drift: KS / chi-squared (Cramér's V) / Jensen–Shannon —
+known-value checks, edge semantics, and fluent Check wiring.  Oracle
+parity for the contract queries (drift_ks_quantity,
+drift_chi2_returnflag, drift_js_quantity) runs in test_oracle_parity."""
+
+import math
+
+import pytest
+
+from term_spark import Check, Level, ValidationSuite
+from term_spark.operators.drift import (chi_squared_drift, js_divergence,
+                                        ks_statistic)
+
+
+def _df(spark, vals, typ="double"):
+    return spark.createDataFrame([(v,) for v in vals], f"v {typ}")
+
+
+# ---- KS -------------------------------------------------------------------
+
+def test_ks_known_value(spark):
+    ref = _df(spark, [1.0, 1.0, 2.0, 3.0])
+    cur = _df(spark, [2.0, 3.0, 3.0, 4.0])
+    row = ks_statistic(ref, cur, "v").collect()[0]
+    # CDFs at v=1: 0.5 vs 0.0 -> sup gap 0.5
+    assert row["n_ref"] == 4 and row["n_cur"] == 4
+    assert row["ks"] == pytest.approx(0.5)
+
+
+def test_ks_identical_samples_is_zero(spark):
+    d = _df(spark, [float(i % 7) for i in range(100)])
+    assert ks_statistic(d, d, "v").collect()[0]["ks"] == 0.0
+
+
+def test_ks_symmetric(spark):
+    a = _df(spark, [float(i % 5) for i in range(50)])
+    b = _df(spark, [float(i % 9) for i in range(50)])
+    assert (ks_statistic(a, b, "v").collect()[0]["ks"]
+            == ks_statistic(b, a, "v").collect()[0]["ks"])
+
+
+def test_ks_binned_path_bounds_keys_and_requires_domain(spark):
+    ref = _df(spark, [i / 10 for i in range(100)])        # 100 distinct
+    cur = _df(spark, [5.0 + i / 10 for i in range(100)])  # shifted
+    row = ks_statistic(ref, cur, "v", bins=10, lo=0.0, hi=15.0).collect()[0]
+    assert 0.0 < row["ks"] <= 1.0
+    with pytest.raises(ValueError, match="requires explicit lo/hi"):
+        ks_statistic(ref, cur, "v", bins=10)
+    with pytest.raises(ValueError, match="must exceed"):
+        ks_statistic(ref, cur, "v", bins=10, lo=1.0, hi=1.0)
+
+
+def test_ks_ignores_nulls(spark):
+    ref = spark.createDataFrame([(1.0,), (None,), (2.0,)], "v double")
+    cur = spark.createDataFrame([(1.0,), (2.0,), (None,)], "v double")
+    row = ks_statistic(ref, cur, "v").collect()[0]
+    assert row["n_ref"] == 2 and row["n_cur"] == 2 and row["ks"] == 0.0
+
+
+# ---- chi-squared / Cramér's V ----------------------------------------------
+
+def test_chi2_known_value(spark):
+    ref = _df(spark, ["a"] * 50 + ["b"] * 50, "string")
+    cur = _df(spark, ["a"] * 30 + ["b"] * 70, "string")
+    row = chi_squared_drift(ref, cur, "v").collect()[0]
+    # expected 50/50 -> chi2 = 400/50 + 400/50 = 16; V = sqrt(16/100) = 0.4
+    assert row["n_categories"] == 2
+    assert row["chi2"] == pytest.approx(16.0)
+    assert row["cramers_v"] == pytest.approx(0.4)
+
+
+def test_chi2_new_category_scores_as_heavy_drift(spark):
+    ref = _df(spark, ["a"] * 10, "string")
+    cur = _df(spark, ["a"] * 5 + ["b"] * 5, "string")
+    row = chi_squared_drift(ref, cur, "v").collect()[0]
+    # category b has eps-floored reference share -> enormous chi2, V >> 1
+    assert row["cramers_v"] > 1.0
+
+
+def test_chi2_identical_is_zero(spark):
+    d = _df(spark, ["x"] * 7 + ["y"] * 3, "string")
+    row = chi_squared_drift(d, d, "v").collect()[0]
+    assert row["chi2"] == 0.0 and row["cramers_v"] == 0.0
+
+
+# ---- Jensen–Shannon ---------------------------------------------------------
+
+def test_js_disjoint_supports_is_one(spark):
+    ref = _df(spark, [0.5] * 4)
+    cur = _df(spark, [9.5] * 4)
+    row = js_divergence(ref, cur, "v", bins=10, lo=0.0, hi=10.0).collect()[0]
+    assert row["js"] == pytest.approx(1.0)
+
+
+def test_js_identical_is_zero_and_symmetric(spark):
+    a = _df(spark, [float(i % 10) for i in range(100)])
+    b = _df(spark, [float((i * 3) % 10) + 0.4 for i in range(100)])
+    assert js_divergence(a, a, "v", bins=10, lo=0.0, hi=10.0) \
+        .collect()[0]["js"] == 0.0
+    assert (js_divergence(a, b, "v", bins=10, lo=0.0, hi=11.0).collect()[0]["js"]
+            == js_divergence(b, a, "v", bins=10, lo=0.0, hi=11.0).collect()[0]["js"])
+
+
+def test_js_requires_explicit_domain(spark):
+    d = _df(spark, [1.0])
+    with pytest.raises(ValueError, match="lo/hi"):
+        js_divergence(d, d, "v")
+    with pytest.raises(ValueError, match="must exceed"):
+        js_divergence(d, d, "v", lo=2.0, hi=1.0)
+
+
+# ---- fluent Check wiring ----------------------------------------------------
+
+def test_check_ks_drift_passes_and_fails(spark):
+    ref = _df(spark, [float(i % 50) for i in range(1000)])
+    same = _df(spark, [float((i * 7) % 50) for i in range(1000)])
+    shifted = _df(spark, [25.0 + i % 50 for i in range(1000)])
+
+    ok = ValidationSuite.builder("drift").with_check(
+        Check("d", Level.ERROR).has_low_ks_drift(ref, "v", max_stat=0.05))
+    assert ok.run(spark, same).passed
+
+    bad = ValidationSuite.builder("drift").with_check(
+        Check("d", Level.ERROR).has_low_ks_drift(ref, "v", max_stat=0.1))
+    res = bad.run(spark, shifted)
+    assert not res.passed
+    assert "KS" in [x.message for x in res.report.issues][0]
+
+
+def test_check_js_divergence_and_categories(spark):
+    ref_n = _df(spark, [float(i % 10) for i in range(500)])
+    drift_n = _df(spark, [5.0 + i % 10 for i in range(500)])
+    bad = ValidationSuite.builder("drift").with_check(
+        Check("d", Level.ERROR)
+        .has_low_js_divergence(ref_n, "v", max_js=0.05, lo=0.0, hi=15.0))
+    res = bad.run(spark, drift_n)
+    assert not res.passed
+    assert "JS divergence" in [x.message for x in res.report.issues][0]
+
+    ref_c = _df(spark, ["a"] * 80 + ["b"] * 20, "string")
+    cur_c = _df(spark, ["a"] * 20 + ["b"] * 80, "string")
+    res2 = ValidationSuite.builder("drift").with_check(
+        Check("d", Level.ERROR).has_stable_categories(ref_c, "v")) \
+        .run(spark, cur_c)
+    assert not res2.passed
+    assert "Cram" in [x.message for x in res2.report.issues][0]
+
+
+def test_check_js_missing_domain_is_error_not_crash(spark):
+    ref = _df(spark, [1.0, 2.0])
+    suite = ValidationSuite.builder("drift").with_check(
+        Check("d", Level.ERROR).has_low_js_divergence(ref, "v"))
+    res = suite.run(spark, ref)
+    assert not res.passed  # surfaces as an error outcome, not a crash
