@@ -330,3 +330,39 @@ def mix_sources(df: DataFrame, source_col: str = "source",
                      df[source_col].eqNullSafe(F.col("__src")))
     return (weighted_sample(joined, F.col("__rate"), id_col, seed)
             .drop("__src", "__rate"))
+
+
+def token_budget_sample(df: DataFrame, budget_tokens: int,
+                        by: str = "source", text_col: str = "text",
+                        id_col: str = "doc_id",
+                        seed: str = "term") -> DataFrame:
+    """Greedy token-budget selection per group: order each group's
+    documents by md5(seed‖id) (a deterministic, growth-stable shuffle)
+    and keep the prefix whose running token total stays within
+    ``budget_tokens`` — how a training mix is actually capped ("200 B
+    tokens of web, 50 B of code"), where doc-count caps miss because
+    document lengths vary by orders of magnitude.
+
+    Greedy-prefix semantics: a doc is kept iff its INCLUSIVE running
+    total <= budget, so the budget is never exceeded; the first
+    over-budget doc and everything after it in hash order are dropped
+    (no best-fit backfill — determinism and one-pass beat the few
+    percent of budget a knapsack would recover).
+
+    Adds __n_tokens and __cum_tokens columns (callers drop them or
+    feed them to accounting). One window partitioned by ``by`` — at
+    100 TB shard a huge group further (e.g. (source, md5(id) % N)
+    with budget/N per shard; the hash order makes shard budgets
+    compose) the same way pack_sequences documents.
+    """
+    if budget_tokens <= 0:
+        raise ValueError(f"budget_tokens must be > 0, got {budget_tokens}")
+    from pyspark.sql import Window
+
+    from .text import token_count
+    rank_key = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    w = (Window.partitionBy(by).orderBy(rank_key, id_col)
+               .rowsBetween(Window.unboundedPreceding, 0))
+    return (df.withColumn("__n_tokens", token_count(text_col))
+              .withColumn("__cum_tokens", F.sum("__n_tokens").over(w))
+              .filter(F.col("__cum_tokens") <= int(budget_tokens)))

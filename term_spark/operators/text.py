@@ -249,3 +249,72 @@ def pack_sequences(df, text_col: str = "text", id_col: str = "doc_id",
                .withColumn("fill_efficiency",
                            F.round(F.col("total_tokens") /
                                    (F.col("n_windows") * C), 6)))
+
+
+def dedup_lines(df, text_col: str = "text", id_col: str = "doc_id",
+                min_count: int = 2, sep: str = "\n"):
+    """Line-level corpus dedup (the CCNet/RefinedWeb boilerplate pass):
+    drop every line whose EXACT text occurs ``min_count``+ times across
+    the whole corpus (nav bars, cookie banners, license headers), then
+    reassemble each document from its surviving lines in original
+    order. Runs before document-level near-dup — boilerplate inflates
+    every doc-pair similarity, so removing it first makes MinHash/
+    SimHash thresholds meaningful.
+
+    Returns (cleaned_df, lines_df): cleaned_df has (id, text) for
+    documents with >= 1 surviving line (a doc that was ALL boilerplate
+    disappears — count them via line_dedup_summary's accounting);
+    lines_df is the per-line-instance table (id, pos, line, n_corpus)
+    for callers that want their own policy.
+
+    Scale shape: one explode, one line-keyed count (partial-aggregated
+    map-side, so a billion-fold repeated boilerplate line still ships
+    one row per map partition), one shuffle join back (hot boilerplate
+    keys -> AQE skew-join handles them), one per-doc regroup. No
+    windows, no driver-side state.
+    """
+    lines = df.select(
+        F.col(id_col), F.posexplode(
+            F.split(F.col(text_col), sep, -1)).alias("pos", "line"))
+    freq = lines.groupBy("line").agg(F.count(F.lit(1)).alias("n_corpus"))
+    tagged = lines.join(freq, "line").select(id_col, "pos", "line", "n_corpus")
+    kept = tagged.filter(F.col("n_corpus") < min_count)
+    cleaned = (kept.groupBy(id_col)
+                   .agg(F.array_join(
+                       F.transform(
+                           F.array_sort(F.collect_list(
+                               F.struct("pos", "line"))),
+                           lambda s: s["line"]),
+                       sep).alias(text_col)))
+    return cleaned, tagged
+
+
+def line_dedup_summary(df, text_col: str = "text", id_col: str = "doc_id",
+                       min_count: int = 2, sep: str = "\n"):
+    """One-row accounting for dedup_lines at the same ``min_count``:
+    n_docs (rows with non-null text), total_lines, distinct_lines,
+    dup_line_instances (line instances the dedup would drop), and
+    chars_removed (their total length). The release-gate form: run it
+    before committing to the rewrite.
+
+    Every count derives from the line-frequency table (total = Σn,
+    distinct = rows, dup instances = Σn over hot lines) — NO DISTINCT
+    aggregates, so the plan is two plain hash aggs plus a 1-row×1-row
+    broadcast join for the doc count, not the Expand a
+    multi-countDistinct agg would degenerate into."""
+    lines = df.select(F.explode(
+        F.split(F.col(text_col), sep, -1)).alias("line"))
+    freq = lines.groupBy("line").agg(F.count(F.lit(1)).alias("n"))
+    dup = F.col("n") >= min_count
+    stats = freq.agg(
+        F.sum("n").alias("total_lines"),
+        F.count(F.lit(1)).alias("distinct_lines"),
+        F.coalesce(F.sum(F.when(dup, F.col("n"))), F.lit(0))
+         .cast("bigint").alias("dup_line_instances"),
+        F.coalesce(F.sum(F.when(dup, F.col("n") * F.length("line"))),
+                   F.lit(0)).cast("bigint").alias("chars_removed"))
+    n_docs = (df.filter(F.col(text_col).isNotNull())
+                .agg(F.count(F.lit(1)).alias("n_docs")))
+    return n_docs.crossJoin(stats).select(
+        "n_docs", "total_lines", "distinct_lines",
+        "dup_line_instances", "chars_removed")

@@ -1434,6 +1434,84 @@ ORACLES.update({
 })
 
 
+def q_line_dedup_summary_docs(spark, sf_dir) -> DataFrame:
+    """Line-level boilerplate accounting over the documents corpus
+    (text.line_dedup_summary): lines occurring 2+ times corpus-wide
+    are what dedup_lines would strip. The synthetic corpus is
+    single-line prose, so the duplicate counts are zero — the parity
+    check still exercises the full explode → corpus-count → join
+    pipeline on both engines; planted-fixture tests prove the removal
+    behavior (tests/test_line_dedup_budget.py)."""
+    from .operators.text import line_dedup_summary
+    (d,) = _t(spark, sf_dir, "documents")
+    return line_dedup_summary(d)
+
+
+SQL_LINE_DEDUP_SUMMARY_DOCS = """
+WITH lines AS (
+    SELECT unnest(string_split(text, chr(10))) AS line FROM documents
+),
+freq AS (SELECT line, COUNT(*) AS n FROM lines GROUP BY line),
+s AS (
+    SELECT CAST(SUM(n) AS BIGINT) AS total_lines,
+           CAST(COUNT(*) AS BIGINT) AS distinct_lines,
+           CAST(COALESCE(SUM(CASE WHEN n >= 2 THEN n END), 0) AS BIGINT)
+               AS dup_line_instances,
+           CAST(COALESCE(SUM(CASE WHEN n >= 2 THEN n * LENGTH(line) END), 0)
+                AS BIGINT) AS chars_removed
+    FROM freq
+),
+d AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents WHERE text IS NOT NULL)
+SELECT n_docs, total_lines, distinct_lines, dup_line_instances, chars_removed
+FROM d, s
+"""
+
+
+def q_token_budget_sample_docs(spark, sf_dir) -> DataFrame:
+    """Greedy per-source token-budget selection
+    (curation.token_budget_sample, budget 2000 tokens/source): docs
+    ordered by md5(seed‖id) within source, kept while the inclusive
+    running token total fits. Returns per-source kept counts — the
+    oracle recomputes the identical hash order and window in DuckDB."""
+    from .operators.curation import token_budget_sample
+    (d,) = _t(spark, sf_dir, "documents")
+    kept = token_budget_sample(d, 2000, by="source")
+    return (kept.groupBy("source")
+                .agg(F.count(F.lit(1)).alias("kept_docs"),
+                     F.sum("__n_tokens").alias("kept_tokens"))
+                .orderBy("source"))
+
+
+SQL_TOKEN_BUDGET_SAMPLE_DOCS = r"""
+WITH t AS (
+    SELECT source, doc_id,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+           md5('term:' || CAST(doc_id AS VARCHAR)) AS rk
+    FROM documents
+), c AS (
+    SELECT source, n_tokens,
+           SUM(n_tokens) OVER (PARTITION BY source ORDER BY rk, doc_id
+                               ROWS UNBOUNDED PRECEDING) AS cum
+    FROM t
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS kept_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS kept_tokens
+FROM c WHERE cum <= 2000 GROUP BY source ORDER BY source
+"""
+
+
+QUERIES.update({
+    "line_dedup_summary_docs": q_line_dedup_summary_docs,
+    "token_budget_sample_docs": q_token_budget_sample_docs,
+})
+ORACLES.update({
+    "line_dedup_summary_docs": SQL_LINE_DEDUP_SUMMARY_DOCS,
+    "token_budget_sample_docs": SQL_TOKEN_BUDGET_SAMPLE_DOCS,
+})
+
+
 # ---------------------------------------------------------------------------
 # registry ordering: the driver's correctness gate reads only the FIRST 50
 # entries of this dict.  Every operator *family* must have a representative

@@ -1,0 +1,109 @@
+"""Planted-fixture tests for line-level corpus dedup
+(text.dedup_lines / line_dedup_summary) and greedy token-budget
+sampling (curation.token_budget_sample).  The contract queries'
+DuckDB parity runs in test_oracle_parity (the synthetic corpus is
+single-line, so the interesting removal behavior is proven here)."""
+
+import pytest
+
+import pyspark.sql.functions as F
+
+from term_spark.operators.curation import token_budget_sample
+from term_spark.operators.text import dedup_lines, line_dedup_summary
+
+BOILER = "accept cookies to continue"
+
+
+@pytest.fixture()
+def lined_docs(spark):
+    rows = [
+        (1, f"{BOILER}\nunique one\nshared tail"),
+        (2, f"{BOILER}\nunique two\nshared tail"),
+        (3, f"unique three\n{BOILER}"),
+        (4, BOILER),                      # all boilerplate
+        (5, "entirely original text"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dedup_lines_strips_corpus_duplicates(spark, lined_docs):
+    cleaned, _ = dedup_lines(lined_docs)
+    got = {r["doc_id"]: r["text"] for r in cleaned.collect()}
+    # BOILER (x4) and "shared tail" (x2) are corpus-duplicated -> gone
+    assert got == {
+        1: "unique one",
+        2: "unique two",
+        3: "unique three",
+        5: "entirely original text",
+    }  # doc 4 was all boilerplate and disappears
+
+
+def test_dedup_lines_preserves_order_and_min_count(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha\nbeta\ngamma"), (2, "beta\ndelta")],
+        "doc_id long, text string")
+    cleaned, _ = dedup_lines(df, min_count=3)   # no line occurs 3x
+    got = {r["doc_id"]: r["text"] for r in cleaned.collect()}
+    assert got == {1: "alpha\nbeta\ngamma", 2: "beta\ndelta"}
+    cleaned2, _ = dedup_lines(df, min_count=2)  # beta occurs 2x -> dropped
+    got2 = {r["doc_id"]: r["text"] for r in cleaned2.collect()}
+    assert got2 == {1: "alpha\ngamma", 2: "delta"}
+
+
+def test_line_dedup_summary_accounting(spark, lined_docs):
+    row = line_dedup_summary(lined_docs).collect()[0]
+    # 5 docs; lines: doc1:3 doc2:3 doc3:2 doc4:1 doc5:1 = 10 instances
+    assert row["n_docs"] == 5
+    assert row["total_lines"] == 10
+    # distinct: BOILER, unique one/two/three, shared tail, original = 6
+    assert row["distinct_lines"] == 6
+    # dup instances: BOILER x4 + shared tail x2 = 6
+    assert row["dup_line_instances"] == 6
+    assert row["chars_removed"] == 4 * len(BOILER) + 2 * len("shared tail")
+
+
+def test_dedup_lines_null_text_is_dropped(spark):
+    df = spark.createDataFrame(
+        [(1, "keep me"), (2, None)], "doc_id long, text string")
+    cleaned, _ = dedup_lines(df)
+    assert {r["doc_id"] for r in cleaned.collect()} == {1}
+    assert line_dedup_summary(df).collect()[0]["n_docs"] == 1
+
+
+@pytest.fixture()
+def budget_docs(spark):
+    # token counts: a1=4, a2=3, a3=2 ; b1=5, b2=5
+    rows = [
+        (1, "w w w w", "a"),
+        (2, "w w w", "a"),
+        (3, "w w", "a"),
+        (4, "w w w w w", "b"),
+        (5, "w w w w w", "b"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_token_budget_is_never_exceeded_and_deterministic(spark, budget_docs):
+    kept = token_budget_sample(budget_docs, 7, by="source")
+    per = {r["source"]: r["tot"] for r in
+           kept.groupBy("source").agg(F.sum("__n_tokens").alias("tot")).collect()}
+    assert all(v <= 7 for v in per.values())
+    ids1 = sorted(r["doc_id"] for r in kept.collect())
+    ids2 = sorted(r["doc_id"] for r in
+                  token_budget_sample(budget_docs, 7, by="source").collect())
+    assert ids1 == ids2 and ids1  # deterministic, non-empty
+
+
+def test_token_budget_greedy_prefix_no_backfill(spark, budget_docs):
+    # budget 5 in source b: both docs are 5 tokens; exactly the first
+    # in hash order fits, the second would exceed -> 1 kept
+    kept = token_budget_sample(budget_docs, 5, by="source")
+    b = [r for r in kept.collect() if r["source"] == "b"]
+    assert len(b) == 1 and b[0]["__cum_tokens"] == 5
+    # a generous budget keeps everything
+    assert token_budget_sample(budget_docs, 100, by="source").count() == 5
+
+
+def test_token_budget_validates_input(spark, budget_docs):
+    with pytest.raises(ValueError, match="budget_tokens"):
+        token_budget_sample(budget_docs, 0)
