@@ -247,6 +247,17 @@ class Check:
         return self.with_constraint(
             JsDriftConstraint(column, ref_df, max_js, bins, lo, hi))
 
+    def has_no_outliers(self, column: str, k: float = 3.0,
+                        max_ratio: float = 0.0, mode: str = "exact") -> "Check":
+        """Robust outlier gate: the share of rows outside the
+        median ± k·1.4826·MAD fence must not exceed ``max_ratio``.
+        Median/MAD resist the masking that lets outliers inflate a
+        mean/stddev fence past themselves. Runs as its own three-pass
+        job (the fence depends on two sequential median scalars)."""
+        from ..operators.statistics import RobustOutlierConstraint
+        return self.with_constraint(
+            RobustOutlierConstraint(column, k, max_ratio, mode))
+
     def has_stable_categories(self, ref_df, column: str,
                               max_v: float = 0.1) -> "Check":
         """Categorical drift gate: Cramér's V of the column's category

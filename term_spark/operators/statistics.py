@@ -433,3 +433,98 @@ class DistributionStabilityConstraint(Constraint):
             f"distribution_stability({self.column}): PSI {psi:.4f} vs "
             f"reference ({int(row['n_ref'])} rows) exceeds max_psi "
             f"{self.max_psi}"))
+
+
+def robust_outlier_summary(df, column: str, k: float = 3.0,
+                           mode: str = "exact"):
+    """Robust (median/MAD) outlier accounting for a numeric column:
+    median, MAD (median absolute deviation), the implied keep-range
+    [median ± k·1.4826·MAD], and how many rows fall outside it.
+
+    Median/MAD resist the exact failure mode that breaks mean/stddev
+    fences: the outliers being hunted inflate the stddev and hide
+    themselves (masking). 1.4826 is the consistency constant that
+    makes MAD estimate σ on normal data, so ``k`` reads like a z-score
+    (k=3 ≈ the classic 3σ fence).
+
+    Three sequential 1-row aggregations over the pruned column —
+    median, then MAD of deviations from it, then the fence count; each
+    is a plain partial-aggregated scan, and the chain is inherent
+    (each pass is parameterized by the previous scalar). ``mode``
+    "exact" uses Spark's exact ``percentile``; "approx" swaps in
+    ``percentile_approx`` for the two medians when an extra ~0.1 %
+    error is worth avoiding exact-percentile memory at extreme scale.
+
+    Returns a 1-row DataFrame: n, median, mad, lo, hi, n_outliers,
+    outlier_ratio (rounded 6). A constant column has MAD 0 — the fence
+    collapses to the median and every off-median row counts, which is
+    the standard MAD caveat (use a compliance range check for
+    near-constant columns).
+    """
+    if mode not in ("exact", "approx"):
+        raise ValueError("mode must be exact|approx")
+    validate_identifier(column)
+    col = F.col(column).cast("double")
+    pct = (lambda c: F.percentile(c, 0.5)) if mode == "exact" else \
+        (lambda c: F.percentile_approx(c, 0.5, 10000))
+    med_row = df.agg(pct(col).alias("m")).collect()[0]
+    if med_row["m"] is None:
+        raise ValueError(
+            f"robust_outlier_summary({column!r}): no non-null rows")
+    med = float(med_row["m"])
+    mad_row = df.agg(pct(F.abs(col - med)).alias("m")).collect()[0]
+    mad = float(mad_row["m"])
+    half = float(k) * 1.4826 * mad
+    lo, hi = med - half, med + half
+    out = (col < lo) | (col > hi)
+    return df.agg(
+        F.count(col).alias("n"),
+        F.round(F.lit(med), 6).alias("median"),
+        F.round(F.lit(mad), 6).alias("mad"),
+        F.round(F.lit(lo), 6).alias("lo"),
+        F.round(F.lit(hi), 6).alias("hi"),
+        F.count(F.when(out, 1)).alias("n_outliers"),
+        F.round(F.count(F.when(out, 1)) / F.count(col), 6)
+         .alias("outlier_ratio"))
+
+
+class RobustOutlierConstraint(Constraint):
+    """``has_no_outliers``: the fraction of rows outside the
+    median ± k·1.4826·MAD fence must not exceed ``max_ratio``
+    (default 0.0 — any robust outlier fails).
+
+    Self-executing: the fence depends on two sequential median scalars,
+    so it cannot ride the single fused aggregation; it runs
+    robust_outlier_summary's three bounded scans as its own job, like
+    the other multi-pass constraints (Spearman, exact grouped
+    quantiles)."""
+
+    name = "robust_outliers"
+
+    def __init__(self, column: str, k: float = 3.0, max_ratio: float = 0.0,
+                 mode: str = "exact"):
+        if k <= 0:
+            raise ValueError(f"k must be > 0, got {k}")
+        if not (0.0 <= max_ratio <= 1.0):
+            raise ValueError(f"max_ratio must be in [0,1], got {max_ratio}")
+        self.column = validate_identifier(column)
+        self.k = float(k)
+        self.max_ratio = float(max_ratio)
+        self.mode = mode
+
+    def evaluate(self, ctx) -> ConstraintResult:
+        try:
+            row = robust_outlier_summary(
+                ctx.df(self.table), self.column, self.k, self.mode).collect()[0]
+        except ValueError as e:
+            return self._finish(ConstraintResult.error(str(e)))
+        ratio = float(row["outlier_ratio"])
+        if ratio <= self.max_ratio:
+            return self._finish(ConstraintResult.success(ratio))
+        return self._finish(ConstraintResult.failure(
+            ratio,
+            f"robust_outliers({self.column}): {int(row['n_outliers'])} of "
+            f"{int(row['n'])} rows ({ratio:.4%}) fall outside "
+            f"[{row['lo']}, {row['hi']}] (median {row['median']}, MAD "
+            f"{row['mad']}, k={self.k:g}), exceeding max_ratio "
+            f"{self.max_ratio}"))

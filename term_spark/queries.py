@@ -1512,6 +1512,44 @@ ORACLES.update({
 })
 
 
+def q_outlier_mad_acctbal(spark, sf_dir) -> DataFrame:
+    """Robust outlier accounting on customer balances
+    (statistics.robust_outlier_summary, k=3 exact): median, MAD, the
+    median ± 3·1.4826·MAD fence, and how many balances fall outside
+    it. Three sequential pruned 1-row aggs — the chain is inherent
+    (each pass is parameterized by the previous scalar)."""
+    from .operators.statistics import robust_outlier_summary
+    (c,) = _t(spark, sf_dir, "customer")
+    return robust_outlier_summary(c, "c_acctbal", k=3.0, mode="exact")
+
+
+SQL_OUTLIER_MAD_ACCTBAL = """
+WITH m AS (SELECT quantile_cont(CAST(c_acctbal AS DOUBLE), 0.5) AS med
+           FROM customer),
+d AS (SELECT med,
+             quantile_cont(ABS(CAST(c_acctbal AS DOUBLE) - med), 0.5) AS mad
+      FROM customer, m GROUP BY med),
+b AS (SELECT med, mad, med - 3.0 * 1.4826 * mad AS lo,
+             med + 3.0 * 1.4826 * mad AS hi FROM d)
+SELECT CAST(COUNT(c_acctbal) AS BIGINT) AS n,
+       ROUND(MAX(b.med), 6) AS median,
+       ROUND(MAX(b.mad), 6) AS mad,
+       ROUND(MAX(b.lo), 6) AS lo,
+       ROUND(MAX(b.hi), 6) AS hi,
+       CAST(COUNT(CASE WHEN CAST(c_acctbal AS DOUBLE) < b.lo
+                         OR CAST(c_acctbal AS DOUBLE) > b.hi THEN 1 END)
+            AS BIGINT) AS n_outliers,
+       ROUND(COUNT(CASE WHEN CAST(c_acctbal AS DOUBLE) < b.lo
+                          OR CAST(c_acctbal AS DOUBLE) > b.hi THEN 1 END)
+             * 1.0 / COUNT(c_acctbal), 6) AS outlier_ratio
+FROM customer, b
+"""
+
+
+QUERIES.update({"outlier_mad_acctbal": q_outlier_mad_acctbal})
+ORACLES.update({"outlier_mad_acctbal": SQL_OUTLIER_MAD_ACCTBAL})
+
+
 # ---------------------------------------------------------------------------
 # registry ordering: the driver's correctness gate reads only the FIRST 50
 # entries of this dict.  Every operator *family* must have a representative
