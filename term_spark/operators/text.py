@@ -318,3 +318,51 @@ def line_dedup_summary(df, text_col: str = "text", id_col: str = "doc_id",
     return n_docs.crossJoin(stats).select(
         "n_docs", "total_lines", "distinct_lines",
         "dup_line_instances", "chars_removed")
+
+
+#: characters stripped outright by clean_text: C0 controls except \t\n,
+#: DEL, zero-widths and BOM.  Same escapes parse in Java regex (Spark)
+#: and RE2 (DuckDB oracles).
+_STRIP_CHARS = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F\x{200B}-\x{200D}\x{FEFF}]"
+#: unicode horizontal whitespace normalized to a plain space
+_UNISPACE = r"[\x{00A0}\x{1680}\x{2000}-\x{200A}\x{202F}\x{205F}\x{3000}]"
+#: curly quotes / long dashes and their ASCII replacements (translate
+#: is 1:1 per character, UTF-8 aware in both engines)
+_PUNCT_FROM = "“”‘’–—"
+_PUNCT_TO = "\"\"''--"
+
+
+def clean_text(column) -> "F.Column":
+    """Content-preserving text cleanup (the ftfy-lite pass a corpus
+    gets before tokenization; distinct from ``normalize_text``, which
+    is the lossy identity-normalizer for dedup keys): strip control
+    and zero-width characters, normalize unicode spaces to ASCII,
+    straighten curly quotes and long dashes, collapse space/tab runs,
+    cap blank-line runs at one blank line, trim.
+
+    Pure codegen column expression (regexp_replace/translate/trim) —
+    map-only, no UDF, safe in any hot path. Escape set chosen to parse
+    identically in Java regex and RE2 so DuckDB oracles replay it."""
+    col = F.col(column) if isinstance(column, str) else column
+    c = F.regexp_replace(col, _STRIP_CHARS, "")
+    c = F.regexp_replace(c, _UNISPACE, " ")
+    c = F.translate(c, _PUNCT_FROM, _PUNCT_TO)
+    c = F.regexp_replace(c, r"[ \t]+", " ")
+    # a run of 3+ newlines (blank lines possibly holding spaces) -> 2
+    c = F.regexp_replace(c, r"\n[ ]*(\n[ ]*)+", "\n\n")
+    return F.trim(c)
+
+
+def text_cleaning_summary(df, text_col: str = "text"):
+    """One-row accounting for clean_text over a corpus: n_docs,
+    docs_changed (cleanup altered the text), chars_before/chars_after
+    (total length delta = bytes the cleanup would strip). Map-only
+    scan + 1-row agg; run it to decide whether the rewrite is worth
+    scheduling."""
+    col = F.col(text_col)
+    cleaned = clean_text(col)
+    return (df.filter(col.isNotNull())
+              .agg(F.count(F.lit(1)).alias("n_docs"),
+                   F.count(F.when(cleaned != col, 1)).alias("docs_changed"),
+                   F.sum(F.length(col)).alias("chars_before"),
+                   F.sum(F.length(cleaned)).alias("chars_after")))

@@ -1550,6 +1550,49 @@ QUERIES.update({"outlier_mad_acctbal": q_outlier_mad_acctbal})
 ORACLES.update({"outlier_mad_acctbal": SQL_OUTLIER_MAD_ACCTBAL})
 
 
+def q_text_cleaning_docs(spark, sf_dir) -> DataFrame:
+    """Corpus cleanup accounting (text.text_cleaning_summary): how many
+    documents the ftfy-lite pass (control/zero-width strip, unicode
+    space + curly-quote normalization, whitespace collapse) would
+    change and the total character delta. The synthetic corpus is
+    plain ASCII, so the delta is zero — parity still replays the full
+    five-stage regexp/translate chain in both engines; planted-fixture
+    tests prove each cleanup stage (tests/test_text_cleaning.py)."""
+    from .operators.text import text_cleaning_summary
+    (d,) = _t(spark, sf_dir, "documents")
+    return text_cleaning_summary(d)
+
+
+SQL_TEXT_CLEANING_DOCS = r"""
+WITH c AS (
+    SELECT text,
+           trim(regexp_replace(
+               regexp_replace(
+                   translate(
+                       regexp_replace(
+                           regexp_replace(text,
+                               '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F\x{200B}-\x{200D}\x{FEFF}]',
+                               '', 'g'),
+                           '[\x{00A0}\x{1680}\x{2000}-\x{200A}\x{202F}\x{205F}\x{3000}]',
+                           ' ', 'g'),
+                       '“”‘’–—', '""' || chr(39) || chr(39) || '--'),
+                   '[ \t]+', ' ', 'g'),
+               '\n[ ]*(\n[ ]*)+', chr(10) || chr(10), 'g')) AS cleaned
+    FROM documents WHERE text IS NOT NULL
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(CASE WHEN cleaned <> text THEN 1 END) AS BIGINT)
+           AS docs_changed,
+       CAST(SUM(LENGTH(text)) AS BIGINT) AS chars_before,
+       CAST(SUM(LENGTH(cleaned)) AS BIGINT) AS chars_after
+FROM c
+"""
+
+
+QUERIES.update({"text_cleaning_docs": q_text_cleaning_docs})
+ORACLES.update({"text_cleaning_docs": SQL_TEXT_CLEANING_DOCS})
+
+
 # ---------------------------------------------------------------------------
 # registry ordering: the driver's correctness gate reads only the FIRST 50
 # entries of this dict.  Every operator *family* must have a representative

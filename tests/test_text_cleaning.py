@@ -1,0 +1,70 @@
+"""text.clean_text / text_cleaning_summary — planted fixtures for each
+cleanup stage (the synthetic corpus is plain ASCII, so the contract
+query's interesting behavior is proven here; DuckDB parity for
+text_cleaning_docs runs in test_oracle_parity)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from term_spark.operators.text import clean_text, text_cleaning_summary
+
+
+def _clean_one(spark, s):
+    df = spark.createDataFrame([(s,)], "text string")
+    return df.select(clean_text("text").alias("c")).collect()[0]["c"]
+
+
+def test_strips_control_and_zero_width(spark):
+    assert _clean_one(spark, "a\x00b\x07c\x7fd") == "abcd"
+    assert _clean_one(spark, "zero​width‍ joi﻿ner") == \
+        "zerowidth joiner"
+
+
+def test_normalizes_unicode_spaces_and_punctuation(spark):
+    assert _clean_one(spark, "non breaking space") == \
+        "non breaking space"
+    assert _clean_one(spark, "“quoted” ‘single’ a–b—c") == \
+        "\"quoted\" 'single' a-b-c"
+
+
+def test_collapses_whitespace_and_blank_lines(spark):
+    assert _clean_one(spark, "a   b\t\tc") == "a b c"
+    assert _clean_one(spark, "p1\n\n\n\np2") == "p1\n\np2"
+    # blank lines holding stray spaces still collapse
+    assert _clean_one(spark, "p1\n  \n  \np2") == "p1\n\np2"
+    assert _clean_one(spark, "  padded  ") == "padded"
+
+
+def test_keeps_tabs_newlines_semantics(spark):
+    # \t collapses into the space run; single \n survives
+    assert _clean_one(spark, "line1\nline2") == "line1\nline2"
+
+
+def test_clean_text_is_idempotent(spark):
+    dirty = "“A” \x00 b c\n\n\n\nd   e​"
+    once = _clean_one(spark, dirty)
+    assert _clean_one(spark, once) == once
+
+
+def test_cleaning_summary_accounting(spark):
+    df = spark.createDataFrame(
+        [(1, "already clean"),
+         (2, "dirty\x00text"),          # 1 char removed
+         (3, "a b"),               # changed, same length
+         (4, None)],
+        "doc_id long, text string")
+    row = text_cleaning_summary(df).collect()[0]
+    assert row["n_docs"] == 3
+    assert row["docs_changed"] == 2
+    assert row["chars_before"] - row["chars_after"] == 1
+
+
+def test_clean_docs_pipeline_composes(spark):
+    # cleaned text feeds the identity normalizer without surprises
+    from term_spark.operators.text import normalize_text
+    df = spark.createDataFrame(
+        [(1, "“Hello,”  world—and more")],
+        "doc_id long, text string")
+    out = df.select(
+        normalize_text(clean_text("text")).alias("n")).collect()[0]["n"]
+    assert out == "hello world and more"
