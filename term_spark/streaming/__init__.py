@@ -246,3 +246,92 @@ def session_metrics(stream_df, ts_col: str, key_col: str,
             .groupBy(F.session_window(F.col(ts_col), gap).alias("session"),
                      F.col(key_col))
             .agg(*[c.alias(a) for a, c in exprs.items()]))
+
+
+def attribution_join(left_stream, right_stream, key_col: str,
+                     left_ts: str = "ts", right_ts: str = "ts",
+                     tolerance: str = "30 minutes",
+                     watermark: str = "1 hour",
+                     join_type: str = "inner"):
+    """Stream-stream attribution join: match each right-stream event
+    (click/conversion) to the left-stream event (impression/send) with
+    the same key whose timestamp precedes it by at most ``tolerance``
+    — the canonical ad-attribution / cause-effect pairing.
+
+    Both sides are watermarked and the join condition carries the
+    time-range bound, which is what lets Spark EVICT join state: an
+    impression older than watermark+tolerance can never match a future
+    click, so the state store stays bounded however long the streams
+    run (an equi-join without the range bound would buffer both
+    streams forever). ``join_type`` "left_outer" emits unmatched
+    impressions after their matching horizon expires (attribution
+    "no-convert" rows).
+
+    Returns (key, left_ts, right_ts, lag_seconds) plus the remaining
+    payload columns, left/right-prefixed on collision.
+    """
+    lt = _with_event_time(left_stream, left_ts).withWatermark(left_ts, watermark)
+    rt = _with_event_time(right_stream, right_ts).withWatermark(right_ts, watermark)
+    # disambiguate every column name up front; stream-stream joins
+    # cannot rename post-join (analysis resolves on the joined plan)
+    lcols = [F.col(c).alias(c if c == key_col else f"l_{c}")
+             for c in lt.columns]
+    rcols = [F.col(c).alias(f"r_{c}") for c in rt.columns if c != key_col]
+    lt = lt.select(*lcols)
+    rt = rt.select(F.col(key_col).alias("__rk"), *rcols)
+    lts, rts = F.col(f"l_{left_ts}"), F.col(f"r_{right_ts}")
+    cond = ((F.col(key_col) == F.col("__rk")) &
+            (rts >= lts) &
+            (rts <= lts + F.expr(f"INTERVAL {tolerance}")))
+    joined = lt.join(rt, cond, join_type).drop("__rk")
+    return joined.withColumn(
+        "lag_seconds", rts.cast("double") - lts.cast("double"))
+
+
+class StreamingAnomalyMonitor:
+    """Per-micro-batch metric anomaly detection: each batch's scalar
+    metrics (one fused 1-row agg) are checked against their own history
+    in a MetricsRepository with a DetectionStrategy (ZScore /
+    RelativeRateOfChange / AbsoluteChange — the same detectors the
+    batch engine runs over repository history), then appended so the
+    history grows batch by batch.
+
+    The streaming form of "alert me when row count / null rate /
+    mean shifts": state lives in the repository, not the stream, so a
+    restarted query resumes against the full history. ``on_alert``
+    fires with (batch_id, metric, AnomalyResult) per anomalous metric;
+    alerts are also kept on ``self.alerts`` (bounded, last 100).
+    """
+
+    def __init__(self, metric_exprs: Dict[str, "F.Column"], repository,
+                 detector, on_alert: Optional[Callable] = None,
+                 tags: Optional[Dict[str, str]] = None):
+        self.metric_exprs = dict(metric_exprs)
+        self.repository = repository
+        self.detector = detector
+        self.on_alert = on_alert
+        self.tags = dict(tags or {})
+        self.alerts: List = []
+
+    def foreach_batch(self, batch_df, batch_id: int) -> None:
+        from ..analyzers.base import MetricValue
+        from ..repository import ResultKey
+        row = batch_df.agg(
+            *[c.alias(a) for a, c in self.metric_exprs.items()]).collect()[0]
+        values = {a: row[a] for a in self.metric_exprs
+                  if row[a] is not None}
+        for name, value in values.items():
+            history = self.repository.series(name, tags=self.tags or None)
+            result = self.detector.check(history + [float(value)])
+            if result.is_anomaly:
+                self.alerts.append((batch_id, name, result))
+                del self.alerts[:-100]
+                if self.on_alert is not None:
+                    self.on_alert(batch_id, name, result)
+        key = ResultKey.of(time.time(), batch_id=str(batch_id), **self.tags)
+        self.repository.save(key, {
+            a: MetricValue.double(float(v)) for a, v in values.items()})
+
+    def attach(self, stream_writer):
+        """writer.foreachBatch hookup: monitor.attach(df.writeStream)"""
+        return stream_writer.foreachBatch(self.foreach_batch)

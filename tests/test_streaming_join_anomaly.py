@@ -1,0 +1,106 @@
+"""Streaming round-5 additions: watermarked stream-stream attribution
+join (bounded join state via the time-range condition) and per-batch
+metric anomaly detection against repository history."""
+
+import datetime as dt
+import os
+
+import pytest
+
+import pyspark.sql.functions as F
+
+from term_spark.analyzers.anomaly import AbsoluteChange, ZScore
+from term_spark.repository import InMemoryRepository
+from term_spark.streaming import StreamingAnomalyMonitor, attribution_join
+
+T0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+
+def _ts(minutes):
+    return T0 + dt.timedelta(minutes=minutes)
+
+
+def test_attribution_join_matches_within_tolerance(spark, tmp_path):
+    imps = [(1, _ts(0), "ad_a"), (2, _ts(0), "ad_b"), (3, _ts(5), "ad_c")]
+    clicks = [
+        (1, _ts(10), "home"),    # 10 min after imp 1 -> match
+        (2, _ts(45), "cart"),    # 45 min after imp 2 -> outside 30m
+        (3, _ts(2), "home"),     # 3 min BEFORE imp 3 -> no match
+    ]
+    isrc, csrc = str(tmp_path / "imps"), str(tmp_path / "clicks")
+    spark.createDataFrame(imps, "user long, ts timestamp, ad string") \
+        .write.parquet(isrc)
+    spark.createDataFrame(clicks, "user long, ts timestamp, page string") \
+        .write.parquet(csrc)
+
+    istream = spark.readStream.schema("user long, ts timestamp, ad string") \
+        .parquet(isrc)
+    cstream = spark.readStream.schema("user long, ts timestamp, page string") \
+        .parquet(csrc)
+    joined = attribution_join(istream, cstream, "user",
+                              tolerance="30 minutes", watermark="1 hour")
+    q = (joined.writeStream.format("memory").queryName("attrib")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    rows = spark.sql("SELECT * FROM attrib").collect()
+    assert [(r["user"], r["l_ad"], r["r_page"]) for r in rows] == \
+        [(1, "ad_a", "home")]
+    assert rows[0]["lag_seconds"] == pytest.approx(600.0)
+
+
+def test_attribution_join_plan_has_bounded_state_condition(spark, tmp_path):
+    # the analyzed plan must carry watermarks on BOTH sides — that is
+    # what authorizes state eviction in a stream-stream join
+    isrc = str(tmp_path / "i2")
+    spark.createDataFrame([(1, _ts(0), "x")],
+                          "user long, ts timestamp, ad string").write.parquet(isrc)
+    s1 = spark.readStream.schema("user long, ts timestamp, ad string").parquet(isrc)
+    s2 = spark.readStream.schema("user long, ts timestamp, page string").parquet(isrc)
+    j = attribution_join(s1, s2, "user")
+    import re
+    plan = j._jdf.queryExecution().analyzed().toString()
+    assert len(re.findall(r"EventTimeWatermark", plan)) == 2
+
+
+def test_streaming_anomaly_monitor_alerts_on_spike(spark, tmp_path):
+    src = str(tmp_path / "mon_src")
+    os.makedirs(src)
+    # batches 0/1: ~10 rows, value ~1; batch 2: row-count x10 spike
+    for i, (n, v) in enumerate([(10, 1.0), (11, 1.1), (100, 1.05)]):
+        spark.createDataFrame([(float(v),)] * n, "v double").coalesce(1) \
+            .write.parquet(f"{src}/b{i}.parquet")
+
+    repo = InMemoryRepository()
+    monitor = StreamingAnomalyMonitor(
+        {"n_rows": F.count(F.lit(1)), "mean_v": F.avg("v")},
+        repository=repo,
+        detector=AbsoluteChange(max_increase=20, min_history=1))
+    stream = (spark.readStream.schema("v double")
+              .option("maxFilesPerTrigger", 1).parquet(src + "/*.parquet"))
+    q = monitor.attach(stream.writeStream).trigger(availableNow=True).start()
+    q.awaitTermination(180)
+
+    # history accumulated one row per batch
+    assert repo.series("n_rows") == [10.0, 11.0, 100.0]
+    # exactly the row-count spike alerted; the mean stayed inside bounds
+    assert [(m, r.value) for _, m, r in monitor.alerts] == [("n_rows", 100.0)]
+
+
+def test_streaming_anomaly_monitor_respects_min_history(spark, tmp_path):
+    src = str(tmp_path / "mon2_src")
+    os.makedirs(src)
+    for i, n in enumerate([10, 1000]):
+        spark.createDataFrame([(1.0,)] * n, "v double").coalesce(1) \
+            .write.parquet(f"{src}/b{i}.parquet")
+    repo = InMemoryRepository()
+    monitor = StreamingAnomalyMonitor(
+        {"n_rows": F.count(F.lit(1))}, repository=repo,
+        detector=ZScore(threshold=3.0, min_history=3))
+    stream = (spark.readStream.schema("v double")
+              .option("maxFilesPerTrigger", 1).parquet(src + "/*.parquet"))
+    q = monitor.attach(stream.writeStream).trigger(availableNow=True).start()
+    q.awaitTermination(180)
+    # two batches < min_history+1 -> no alerts, but history recorded
+    assert monitor.alerts == []
+    assert repo.series("n_rows") == [10.0, 1000.0]
