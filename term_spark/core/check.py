@@ -258,6 +258,34 @@ class Check:
         return self.with_constraint(
             RobustOutlierConstraint(column, k, max_ratio, mode))
 
+    def has_no_dominant_value(self, column: str,
+                              max_share: float = 0.9) -> "Check":
+        """The single most frequent non-null value must not cover more
+        than ``max_share`` of the column — catches default-value
+        pollution (an upstream bug stamping one placeholder) long
+        before averages move. One grouped count + 1-row reduction."""
+        from ..operators.histogram import DominantValueConstraint
+        return self.with_constraint(DominantValueConstraint(column, max_share))
+
+    def has_same_schema_as(self, ref_df, ignore_nullability: bool = True,
+                           allow_extra: bool = False) -> "Check":
+        """Schema must match the reference snapshot's (name + type;
+        ``allow_extra`` tolerates additive columns). Pure metadata —
+        zero scan — so put it first in any suite: it catches producer
+        changes before value-level checks can."""
+        from ..operators.multitable import SchemaMatchConstraint
+        return self.with_constraint(
+            SchemaMatchConstraint(ref_df, ignore_nullability, allow_extra))
+
+    def has_row_count_ratio(self, ref_df, min_ratio: float = 0.5,
+                            max_ratio: float = 2.0) -> "Check":
+        """Row count relative to a reference snapshot must land in
+        [min_ratio, max_ratio] — the partition-to-partition volume
+        gate. Two 1-row counts."""
+        from ..operators.multitable import RowCountRatioConstraint
+        return self.with_constraint(
+            RowCountRatioConstraint(ref_df, min_ratio, max_ratio))
+
     def has_stable_categories(self, ref_df, column: str,
                               max_v: float = 0.1) -> "Check":
         """Categorical drift gate: Cramér's V of the column's category

@@ -126,3 +126,58 @@ class HistogramConstraint(Constraint):
             metric,
             f"{desc} failed for {self.column} "
             f"({hist.bucket_count()} buckets, top ratio {metric:.3f})"))
+
+
+def dominant_value_summary(df, column: str):
+    """Exact most-frequent-value accounting WITHOUT collecting a
+    histogram: one grouped count + a 1-row struct-max reduction (ties
+    broken toward the larger value, so the result is deterministic on
+    any executor layout). Returns one row: top_value (native type),
+    top_count, total (non-null rows), n_distinct, top_share.
+
+    The default-value-pollution detector: an upstream bug that stamps
+    one placeholder into a column shows up as a share spike long
+    before averages move. Scale: the groupBy is partial-aggregated on
+    the column key; only one row ever reaches the driver."""
+    validate_identifier(column)
+    col = F.col(column)
+    counts = (df.filter(col.isNotNull())
+                .groupBy(col.alias("v"))
+                .agg(F.count(F.lit(1)).alias("n")))
+    return (counts.agg(F.max(F.struct(F.col("n"), F.col("v"))).alias("top"),
+                       F.sum("n").alias("total"),
+                       F.count(F.lit(1)).alias("n_distinct"))
+            .select(F.col("top.v").alias("top_value"),
+                    F.col("top.n").alias("top_count"),
+                    "total", "n_distinct",
+                    F.round(F.col("top.n") / F.col("total"), 6)
+                     .alias("top_share")))
+
+
+class DominantValueConstraint(Constraint):
+    """``has_no_dominant_value``: the share of the single most frequent
+    non-null value must not exceed ``max_share`` (default 0.9)."""
+
+    name = "dominant_value"
+
+    def __init__(self, column: str, max_share: float = 0.9):
+        if not (0.0 < max_share <= 1.0):
+            raise ValueError(f"max_share must be in (0,1], got {max_share}")
+        self.column = validate_identifier(column)
+        self.max_share = float(max_share)
+
+    def evaluate(self, ctx: EngineContext) -> ConstraintResult:
+        rows = dominant_value_summary(ctx.df(self.table), self.column).collect()
+        if not rows or rows[0]["top_share"] is None:
+            return self._finish(ConstraintResult.skipped(
+                f"dominant_value({self.column}): no non-null values"))
+        row = rows[0]
+        share = float(row["top_share"])
+        if share <= self.max_share:
+            return self._finish(ConstraintResult.success(share))
+        return self._finish(ConstraintResult.failure(
+            share,
+            f"dominant_value({self.column}): value {row['top_value']!r} "
+            f"covers {share:.2%} of {int(row['total'])} non-null rows "
+            f"({int(row['n_distinct'])} distinct), exceeding max_share "
+            f"{self.max_share}"))

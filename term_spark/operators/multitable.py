@@ -272,3 +272,86 @@ class CrossTableSumConstraint(Constraint):
             f"{violations}/{int(agg['n_groups'])} groups violate sum "
             f"consistency (max diff {float(agg['max_diff']):.4f} > tolerance "
             f"{self.tolerance})"))
+
+
+class SchemaMatchConstraint(Constraint):
+    """``has_same_schema_as``: the checked table's schema must match a
+    reference snapshot's — the cheapest drift gate there is (pure
+    metadata, zero scan), and the one that catches upstream producer
+    changes (dropped column, silent type widening) before any
+    value-level check can.
+
+    ``ignore_nullability`` (default True) compares only name + type;
+    ``allow_extra`` tolerates new columns (additive evolution) while
+    still failing on missing or retyped ones. Metric = matched
+    reference fields / total reference fields.
+    """
+
+    name = "schema_match"
+
+    def __init__(self, ref_df, ignore_nullability: bool = True,
+                 allow_extra: bool = False):
+        self.ref_schema = ref_df.schema if hasattr(ref_df, "schema") else ref_df
+        self.ignore_nullability = ignore_nullability
+        self.allow_extra = allow_extra
+
+    def evaluate(self, ctx) -> ConstraintResult:
+        cur = {f.name: f for f in ctx.df(self.table).schema.fields}
+        ref = {f.name: f for f in self.ref_schema.fields}
+
+        def fingerprint(f):
+            return (f.dataType.simpleString() if self.ignore_nullability
+                    else (f.dataType.simpleString(), f.nullable))
+
+        missing = sorted(n for n in ref if n not in cur)
+        changed = sorted(n for n in ref if n in cur
+                         and fingerprint(ref[n]) != fingerprint(cur[n]))
+        extra = sorted(n for n in cur if n not in ref)
+        problems = []
+        if missing:
+            problems.append(f"missing: {missing}")
+        if changed:
+            problems.append(", ".join(
+                f"{n}: {fingerprint(cur[n])} (expected {fingerprint(ref[n])})"
+                for n in changed))
+        if extra and not self.allow_extra:
+            problems.append(f"unexpected: {extra}")
+        metric = (len(ref) - len(missing) - len(changed)) / max(len(ref), 1)
+        if not problems:
+            return self._finish(ConstraintResult.success(metric))
+        return self._finish(ConstraintResult.failure(
+            metric, f"schema_match: {'; '.join(problems)}"))
+
+
+class RowCountRatioConstraint(Constraint):
+    """``has_row_count_ratio``: current row count / reference row count
+    must land in [min_ratio, max_ratio] — the partition-to-partition
+    volume gate ("today within ±50 % of yesterday"). Two 1-row counts;
+    an empty reference is an error (the ratio is undefined), an empty
+    current table is simply ratio 0."""
+
+    name = "row_count_ratio"
+
+    def __init__(self, ref_df, min_ratio: float = 0.5,
+                 max_ratio: float = 2.0):
+        if min_ratio < 0 or max_ratio < min_ratio:
+            raise ValueError(
+                f"need 0 <= min_ratio <= max_ratio, got [{min_ratio}, {max_ratio}]")
+        self.ref_df = ref_df
+        self.min_ratio = float(min_ratio)
+        self.max_ratio = float(max_ratio)
+
+    def evaluate(self, ctx) -> ConstraintResult:
+        n_ref = self.ref_df.count()
+        if n_ref == 0:
+            return self._finish(ConstraintResult.error(
+                "row_count_ratio: reference table is empty — ratio undefined"))
+        n_cur = ctx.df(self.table).count()
+        ratio = n_cur / n_ref
+        if self.min_ratio <= ratio <= self.max_ratio:
+            return self._finish(ConstraintResult.success(ratio))
+        return self._finish(ConstraintResult.failure(
+            ratio,
+            f"row_count_ratio: {n_cur} rows vs reference {n_ref} "
+            f"(ratio {ratio:.4f}) outside [{self.min_ratio}, "
+            f"{self.max_ratio}]"))

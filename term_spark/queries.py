@@ -1593,6 +1593,35 @@ QUERIES.update({"text_cleaning_docs": q_text_cleaning_docs})
 ORACLES.update({"text_cleaning_docs": SQL_TEXT_CLEANING_DOCS})
 
 
+def q_dominant_value_orderstatus(spark, sf_dir) -> DataFrame:
+    """Exact most-frequent-value accounting on o_orderstatus
+    (histogram.dominant_value_summary): grouped count + 1-row
+    struct-max, ties broken toward the larger value — the
+    default-value-pollution screen, without collecting a histogram."""
+    from .operators.histogram import dominant_value_summary
+    (o,) = _t(spark, sf_dir, "orders")
+    return dominant_value_summary(o, "o_orderstatus")
+
+
+SQL_DOMINANT_VALUE_ORDERSTATUS = """
+WITH counts AS (
+    SELECT o_orderstatus AS v, COUNT(*) AS n
+    FROM orders WHERE o_orderstatus IS NOT NULL GROUP BY o_orderstatus
+),
+top AS (SELECT v, n FROM counts ORDER BY n DESC, v DESC LIMIT 1),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct FROM counts)
+SELECT top.v AS top_value, CAST(top.n AS BIGINT) AS top_count,
+       tot.total, tot.n_distinct,
+       ROUND(top.n * 1.0 / tot.total, 6) AS top_share
+FROM top, tot
+"""
+
+
+QUERIES.update({"dominant_value_orderstatus": q_dominant_value_orderstatus})
+ORACLES.update({"dominant_value_orderstatus": SQL_DOMINANT_VALUE_ORDERSTATUS})
+
+
 # ---------------------------------------------------------------------------
 # registry ordering: the driver's correctness gate reads only the FIRST 50
 # entries of this dict.  Every operator *family* must have a representative
