@@ -77,7 +77,18 @@ def entry(spark: SparkSession) -> DataFrame:
         .with_check(
             Check("drift", Level.ERROR)
             .has_stable_distribution(lineitem_ref, "l_quantity",
-                                     max_psi=0.25, lo=1.0, hi=50.0))
+                                     max_psi=0.25, lo=1.0, hi=50.0)
+            .has_low_ks_drift(lineitem_ref, "l_quantity", max_stat=0.1)
+            .has_stable_categories(
+                lineitem_ref.select("l_returnflag"), "l_returnflag")
+            .has_same_schema_as(lineitem_ref)
+            # the even-orderkey "yesterday" holds ~half the rows, so the
+            # full table sits near ratio 2; 2.5 leaves split-skew headroom
+            .has_row_count_ratio(lineitem_ref, 0.5, 2.5))
+        .with_check(
+            Check("robustness", Level.ERROR)
+            .has_no_outliers("l_quantity", k=6.0, max_ratio=0.01)
+            .has_no_dominant_value("l_returnflag", max_share=0.9))
     )
     result = suite.run(spark, tables)
     rows = [o.to_dict() for o in result.report.outcomes]

@@ -148,6 +148,12 @@ def main() -> None:
         "pivot_returnflag_linestatus", "top3_customers_per_segment",
         "unpivot_pricing", "rollup_pricing", "median_by_returnflag",
         "benford_acctbal", "drift_psi_quantity",
+        # round-5 additions: drift companions, curation stages, robust
+        # outliers, snapshot gates
+        "drift_ks_quantity", "drift_chi2_returnflag", "drift_js_quantity",
+        "line_dedup_summary_docs", "token_budget_sample_docs",
+        "text_cleaning_docs", "outlier_mad_acctbal",
+        "dominant_value_orderstatus",
     ]
     for name in bench_queries:
         fn = QUERIES[name]
@@ -218,7 +224,11 @@ def main() -> None:
                      # shapes must show the same flat 10x slope
                      "asof_click_error", "rolling_daily_events",
                      "pivot_returnflag_linestatus", "drift_psi_quantity",
-                     "top3_customers_per_segment"):
+                     "top3_customers_per_segment",
+                     # round-5 scale points: KS's distributed prefix-sum
+                     # and line dedup's explode+join must hold the slope
+                     "drift_ks_quantity", "line_dedup_summary_docs",
+                     "outlier_mad_acctbal"):
             fn = QUERIES[name]
             fn(spark, sf1_dir).collect()  # warm
             best = float("inf")
