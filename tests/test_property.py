@@ -225,3 +225,70 @@ def test_luhn_column_matches_python(spark, pans):
            for r in df.select("id", luhn_valid(F.col("pan")).alias("ok")).collect()}
     expect = {i: luhn_py(s) for i, s in rows}
     assert got == expect
+
+
+def _py_ks(ref, cur):
+    """Independent exact two-sample KS over pooled distinct values."""
+    keys = sorted(set(ref) | set(cur))
+    best = 0.0
+    cr = cc = 0
+    for k in keys:
+        cr += sum(1 for v in ref if v == k)
+        cc += sum(1 for v in cur if v == k)
+        best = max(best, abs(cr / len(ref) - cc / len(cur)))
+    return best
+
+
+@given(ref=st.lists(st.integers(min_value=-20, max_value=20),
+                    min_size=1, max_size=40),
+       cur=st.lists(st.integers(min_value=-20, max_value=20),
+                    min_size=1, max_size=40))
+@SET
+def test_ks_statistic_matches_python(spark, ref, cur):
+    from term_spark.operators.drift import ks_statistic
+    rdf = spark.createDataFrame([(float(v),) for v in ref], "v double")
+    cdf = spark.createDataFrame([(float(v),) for v in cur], "v double")
+    row = ks_statistic(rdf, cdf, "v").collect()[0]
+    assert row["ks"] == pytest.approx(_py_ks(ref, cur), abs=1e-6)
+
+
+@given(texts=st.lists(
+    st.lists(st.sampled_from(["aa", "bb", "cc", "dd", "ee"]),
+             min_size=1, max_size=4).map("\n".join),
+    min_size=1, max_size=12))
+@SET
+def test_dedup_lines_matches_python(spark, texts):
+    from collections import Counter
+
+    from term_spark.operators.text import dedup_lines
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    freq = Counter(line for t in texts for line in t.split("\n"))
+    expected = {i: "\n".join(l for l in t.split("\n") if freq[l] < 2)
+                for i, t in enumerate(texts)}
+    expected = {i: t for i, t in expected.items() if t}
+    cleaned, _ = dedup_lines(df)
+    got = {r["doc_id"]: r["text"] for r in cleaned.collect()}
+    assert got == expected
+
+
+@given(budget=st.integers(min_value=1, max_value=30),
+       sizes=st.lists(st.integers(min_value=1, max_value=8),
+                      min_size=1, max_size=15))
+@SET
+def test_token_budget_matches_python(spark, budget, sizes):
+    import hashlib
+
+    from term_spark.operators.curation import token_budget_sample
+    rows = [(i, " ".join(["w"] * n), "s") for i, n in enumerate(sizes)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    order = sorted(range(len(sizes)),
+                   key=lambda i: (hashlib.md5(f"term:{i}".encode()).hexdigest(), i))
+    kept, cum = set(), 0
+    for i in order:
+        cum += sizes[i]
+        if cum > budget:
+            break
+        kept.add(i)
+    got = {r["doc_id"] for r in
+           token_budget_sample(df, budget, by="source").collect()}
+    assert got == kept
