@@ -136,6 +136,42 @@ def main():
              .run(spark, li.filter("l_orderkey % 2 = 1")))
     print("release gates: pii", gates.passed, "| drift", drift.passed)
 
+    # round 5: drift companions, curation stages, robustness gates
+    from term_spark.operators import drift as drift_ops
+    from term_spark.operators.curation import token_budget_sample
+    from term_spark.operators.statistics import robust_outlier_summary
+    from term_spark.operators.text import line_dedup_summary
+
+    ref = li.filter("l_orderkey % 2 = 0")
+    cur = li.filter("l_orderkey % 2 = 1")
+    ks = drift_ops.ks_statistic(ref, cur, "l_quantity").collect()[0]
+    js = drift_ops.js_divergence(ref, cur, "l_quantity",
+                                 lo=1.0, hi=50.0).collect()[0]
+    chi = drift_ops.chi_squared_drift(ref, cur, "l_returnflag").collect()[0]
+    print(f"drift trio: ks={ks['ks']} js={js['js']} "
+          f"cramers_v={chi['cramers_v']}")
+
+    ld = line_dedup_summary(docs).collect()[0]
+    print("line dedup:", ld["dup_line_instances"], "boilerplate line "
+          "instances /", ld["total_lines"], "lines")
+
+    budget = token_budget_sample(docs, 2000, by="source")
+    print("token budget (2k/source):", budget.count(), "of",
+          docs.count(), "docs kept")
+
+    mad = robust_outlier_summary(tables["customer"], "c_acctbal").collect()[0]
+    print(f"robust outliers: {mad['n_outliers']} of {mad['n']} balances "
+          f"outside [{mad['lo']}, {mad['hi']}]")
+
+    robust = (ValidationSuite.builder("robust")
+              .with_check(Check("r", Level.ERROR)
+                          .has_same_schema_as(ref)
+                          .has_row_count_ratio(ref, 0.5, 2.5)
+                          .has_no_dominant_value("l_returnflag")
+                          .has_low_ks_drift(ref, "l_quantity", max_stat=0.1))
+              .run(spark, cur))
+    print("snapshot gates:", robust.passed)
+
 
 if __name__ == "__main__":
     main()

@@ -1470,13 +1470,13 @@ FROM d, s
 
 def q_token_budget_sample_docs(spark, sf_dir) -> DataFrame:
     """Greedy per-source token-budget selection
-    (curation.token_budget_sample, budget 2000 tokens/source): docs
+    (curation.token_budget_sample, budget 500 tokens/source): docs
     ordered by md5(seed‖id) within source, kept while the inclusive
     running token total fits. Returns per-source kept counts — the
     oracle recomputes the identical hash order and window in DuckDB."""
     from .operators.curation import token_budget_sample
     (d,) = _t(spark, sf_dir, "documents")
-    kept = token_budget_sample(d, 2000, by="source")
+    kept = token_budget_sample(d, 500, by="source")
     return (kept.groupBy("source")
                 .agg(F.count(F.lit(1)).alias("kept_docs"),
                      F.sum("__n_tokens").alias("kept_tokens"))
@@ -1498,7 +1498,7 @@ WITH t AS (
 )
 SELECT source, CAST(COUNT(*) AS BIGINT) AS kept_docs,
        CAST(SUM(n_tokens) AS BIGINT) AS kept_tokens
-FROM c WHERE cum <= 2000 GROUP BY source ORDER BY source
+FROM c WHERE cum <= 500 GROUP BY source ORDER BY source
 """
 
 
