@@ -19,33 +19,45 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def _wait_for_quiet(threshold: float = 2.0, cap_sec: float = 150.0) -> dict:
-    """Block until the 1-minute loadavg drops below ``threshold`` (cap
-    ``cap_sec``), so the headline numbers are taken on a quiet machine.
+def _wait_for_quiet(threshold: float = 2.0, threshold_5m: float = 3.0,
+                    cap_sec: float = 150.0) -> dict:
+    """Block until BOTH the 1-minute loadavg drops below ``threshold``
+    and the 5-minute loadavg below ``threshold_5m`` (cap ``cap_sec``),
+    so the headline numbers are taken on a quiet machine.
 
     Round-2 and round-4 both recorded headline samples under leftover
     load (pytest/driver runs just before) that the artifact's own stamp
-    exposed; the stamp alone doesn't prevent it.  Returns the quiet-gate
-    outcome: the loadavg the measurement actually started under, how
-    long we waited, and ``contended`` when the cap expired first — a
-    self-identifying artifact either way.
+    exposed; the stamp alone doesn't prevent it.  Round 5 measured why
+    the 1-minute gate alone is not enough: with load1 at 1.86 but
+    load5 near 3 (a 32-thread Spark job had JUST exited), every
+    CPU-heavy query read 2-3× slow (minhash 5.75 s vs 1.54 s clean) —
+    the 1-minute average decays past the gate while real contention is
+    still draining.  Returns the quiet-gate outcome: the loadavgs the
+    measurement actually started under, how long we waited, and
+    ``contended`` when the cap expired first — a self-identifying
+    artifact either way.
 
     The cap must outlast the 1-minute EWMA's decay: falling from
     loadavg 8 (a just-finished test suite) to 2 on an idle box takes
     ~60·ln(4) ≈ 83 s, so a 60 s cap would mark honest runs contended.
+    The 5-minute EWMA decays slower, so a heavy just-exited job can
+    exhaust the cap — that run is then marked contended, which is the
+    correct verdict for it.
     """
     t0 = time.monotonic()
-    load = os.getloadavg()[0]
-    while load >= threshold and time.monotonic() - t0 < cap_sec:
+    load1, load5, _ = os.getloadavg()
+    while ((load1 >= threshold or load5 >= threshold_5m)
+           and time.monotonic() - t0 < cap_sec):
         time.sleep(2.0)
-        load = os.getloadavg()[0]
+        load1, load5, _ = os.getloadavg()
     waited = time.monotonic() - t0
-    contended = load >= threshold
+    contended = load1 >= threshold or load5 >= threshold_5m
     if contended:
-        print(f"bench: WARNING loadavg {load:.2f} still >= {threshold} after "
-              f"{waited:.0f}s wait — numbers marked contended", file=sys.stderr)
-    return {"loadavg_1m": round(load, 2), "quiet_wait_sec": round(waited, 1),
-            "contended": contended}
+        print(f"bench: WARNING loadavg {load1:.2f}/{load5:.2f} (1m/5m) still "
+              f">= {threshold}/{threshold_5m} after {waited:.0f}s wait — "
+              "numbers marked contended", file=sys.stderr)
+    return {"loadavg_1m": round(load1, 2), "loadavg_5m": round(load5, 2),
+            "quiet_wait_sec": round(waited, 1), "contended": contended}
 
 
 def _count_java_procs() -> int:
