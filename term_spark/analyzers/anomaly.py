@@ -119,3 +119,48 @@ class AnomalyDetector:
 
     def detect_series(self, series: Sequence[float]) -> AnomalyResult:
         return self.strategy.check(series)
+
+
+class SeasonalComparison(DetectionStrategy):
+    """Beyond-parity round-5 addition: compare the newest value against
+    the value exactly ``period`` observations back — the seasonal
+    baseline (same hour yesterday with hourly metrics and period=24,
+    same weekday last week with daily metrics and period=7).
+
+    The plain trend detectors fire every peak of a legitimate daily or
+    weekly cycle; the seasonal lag cancels the cycle, so the gate is
+    the ratio to the SAME phase of the previous period, with the usual
+    asymmetric bounds (``max_increase``/``max_decrease``, the
+    RelativeRateOfChange convention). Driver-side pure Python over
+    repository history like every other strategy.
+    """
+
+    def __init__(self, period: int, max_increase: float = 2.0,
+                 max_decrease: float = 0.5):
+        if period < 1:
+            raise ValueError(f"period must be >= 1, got {period}")
+        if not (0 < max_decrease <= max_increase):
+            raise ValueError(
+                f"need 0 < max_decrease <= max_increase, got "
+                f"[{max_decrease}, {max_increase}]")
+        self.period = int(period)
+        self.max_increase = float(max_increase)
+        self.max_decrease = float(max_decrease)
+        self.min_history = int(period)
+
+    def detect(self, history, newest):
+        baseline = history[-self.period]
+        low, high = baseline * self.max_decrease, baseline * self.max_increase
+        if baseline == 0:
+            anomaly = newest != 0
+            return AnomalyResult(anomaly, newest, 0.0, 0.0,
+                                 1.0 if anomaly else 0.0,
+                                 f"zero seasonal baseline (lag {self.period})")
+        rate = newest / baseline
+        anomaly = not (self.max_decrease <= rate <= self.max_increase)
+        conf = (min(1.0, abs(math.log(rate)) /
+                    math.log(max(self.max_increase, 2.0)))
+                if rate > 0 else 1.0)
+        return AnomalyResult(anomaly, newest, low, high,
+                             conf if anomaly else 1.0 - conf,
+                             f"seasonal rate {rate:.4f} vs lag {self.period}")

@@ -304,3 +304,66 @@ class CategoricalDriftConstraint(Constraint):
                f"(chi2 {float(row['chi2']):.2f} over "
                f"{int(row['n_categories'])} categories) exceeds max_v "
                f"{self.max_v}"))
+
+
+def population_stability_by(ref: DataFrame, cur: DataFrame, column: str,
+                            group_col: str, bins: int = 10,
+                            lo: float = None, hi: float = None,
+                            eps: float = 1e-6) -> DataFrame:
+    """Per-group PSI — the "WHICH segment drifted?" form of
+    statistics.population_stability: one PSI row per value of
+    ``group_col`` (source, language, country), computed over the same
+    equi-width buckets so group scores are comparable.
+
+    ``lo``/``hi`` are required: a shared bucket domain is what makes
+    per-group PSIs comparable, and deriving per-group domains would
+    cost a full extra scan while silently giving every group different
+    buckets.
+
+    A group missing from either snapshot (or with no non-null rows
+    there) gets psi NULL — drift against an empty distribution is
+    undefined, and eps-flooring it would instead report a huge number
+    that buries real drift. Shape: two (group, bucket)-keyed grouped
+    counts (partial-aggregated), per-group share windows over
+    ≤bins-row partitions, one full-outer join, one per-group agg —
+    row count never crosses the wire, only |groups|·bins key rows.
+    """
+    if lo is None or hi is None:
+        raise ValueError("population_stability_by: pass explicit lo/hi "
+                         "(the shared bucket domain is what makes "
+                         "per-group PSIs comparable)")
+    if float(hi) <= float(lo):
+        raise ValueError(
+            f"population_stability_by({column!r}): hi ({hi}) must exceed "
+            f"lo ({lo})")
+    width = (float(hi) - float(lo)) / bins
+    validate_identifier(column)
+    validate_identifier(group_col)
+
+    def bucketed(df, name):
+        col = F.col(column).cast("double")
+        b = psi_bucket(col, float(lo), width, bins)
+        per = (df.filter(col.isNotNull())
+                 .groupBy(F.col(group_col).alias("g"), b.alias("bucket"))
+                 .agg(F.count(F.lit(1)).alias(f"n_{name}")))
+        w = Window.partitionBy("g")
+        return per.withColumn(
+            name, F.col(f"n_{name}") / F.sum(f"n_{name}").over(w))
+
+    j = (bucketed(ref, "p").join(bucketed(cur, "q"), ["g", "bucket"],
+                                 "full_outer")
+         .select("g",
+                 F.coalesce("n_p", F.lit(0)).alias("n_p"),
+                 F.coalesce("n_q", F.lit(0)).alias("n_q"),
+                 F.greatest(F.coalesce("p", F.lit(0.0)), F.lit(eps)).alias("p"),
+                 F.greatest(F.coalesce("q", F.lit(0.0)), F.lit(eps)).alias("q")))
+    agg = j.groupBy(F.col("g").alias(group_col)).agg(
+        F.sum("n_p").alias("n_ref"),
+        F.sum("n_q").alias("n_cur"),
+        F.round(F.sum((F.col("p") - F.col("q")) *
+                      F.log(F.col("p") / F.col("q"))), 6).alias("psi_raw"))
+    return (agg.select(
+        group_col, "n_ref", "n_cur",
+        F.when((F.col("n_ref") > 0) & (F.col("n_cur") > 0),
+               F.col("psi_raw")).alias("psi"))
+        .orderBy(group_col))

@@ -1622,6 +1622,56 @@ QUERIES.update({"dominant_value_orderstatus": q_dominant_value_orderstatus})
 ORACLES.update({"dominant_value_orderstatus": SQL_DOMINANT_VALUE_ORDERSTATUS})
 
 
+def q_drift_psi_by_returnflag(spark, sf_dir) -> DataFrame:
+    """Per-segment drift: PSI of l_quantity per l_returnflag between
+    the even/odd-orderkey snapshots over the SAME 10 fixed buckets as
+    the scalar PSI query (operators.drift.population_stability_by) —
+    the "which segment drifted?" form, one comparable row per flag."""
+    from .operators.drift import population_stability_by
+    (li,) = _t(spark, sf_dir, "lineitem")
+    ref = li.filter(F.col("l_orderkey") % 2 == 0)
+    cur = li.filter(F.col("l_orderkey") % 2 == 1)
+    return population_stability_by(ref, cur, "l_quantity", "l_returnflag",
+                                   bins=10, lo=1.0, hi=50.0)
+
+
+SQL_DRIFT_PSI_BY_RETURNFLAG = """
+WITH ref AS (
+    SELECT l_returnflag AS g,
+           GREATEST(0, LEAST(9, CAST(FLOOR((CAST(l_quantity AS DOUBLE) - 1.0)
+                                     / 4.9) AS BIGINT))) AS bucket
+    FROM lineitem WHERE l_orderkey % 2 = 0 AND l_quantity IS NOT NULL
+), cur AS (
+    SELECT l_returnflag AS g,
+           GREATEST(0, LEAST(9, CAST(FLOOR((CAST(l_quantity AS DOUBLE) - 1.0)
+                                     / 4.9) AS BIGINT))) AS bucket
+    FROM lineitem WHERE l_orderkey % 2 = 1 AND l_quantity IS NOT NULL
+),
+r AS (SELECT g, bucket, COUNT(*) AS n_p,
+             COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (PARTITION BY g) AS p
+      FROM ref GROUP BY g, bucket),
+c AS (SELECT g, bucket, COUNT(*) AS n_q,
+             COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (PARTITION BY g) AS q
+      FROM cur GROUP BY g, bucket),
+j AS (SELECT COALESCE(r.g, c.g) AS g,
+             COALESCE(n_p, 0) AS n_p, COALESCE(n_q, 0) AS n_q,
+             GREATEST(COALESCE(p, 0.0), 1e-6) AS p,
+             GREATEST(COALESCE(q, 0.0), 1e-6) AS q
+      FROM r FULL OUTER JOIN c ON r.g = c.g AND r.bucket = c.bucket),
+a AS (SELECT g, SUM(n_p) AS n_ref, SUM(n_q) AS n_cur,
+             ROUND(SUM((p - q) * LN(p / q)), 6) AS psi_raw
+      FROM j GROUP BY g)
+SELECT g AS l_returnflag, CAST(n_ref AS BIGINT) AS n_ref,
+       CAST(n_cur AS BIGINT) AS n_cur,
+       CASE WHEN n_ref > 0 AND n_cur > 0 THEN psi_raw END AS psi
+FROM a ORDER BY l_returnflag
+"""
+
+
+QUERIES.update({"drift_psi_by_returnflag": q_drift_psi_by_returnflag})
+ORACLES.update({"drift_psi_by_returnflag": SQL_DRIFT_PSI_BY_RETURNFLAG})
+
+
 # ---------------------------------------------------------------------------
 # registry ordering: the driver's correctness gate reads only the FIRST 50
 # entries of this dict.  Every operator *family* must have a representative

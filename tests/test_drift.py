@@ -7,6 +7,8 @@ import math
 
 import pytest
 
+import pyspark.sql.functions as F
+
 from term_spark import Check, Level, ValidationSuite
 from term_spark.operators.drift import (chi_squared_drift, js_divergence,
                                         ks_statistic)
@@ -152,3 +154,57 @@ def test_check_js_missing_domain_is_error_not_crash(spark):
         Check("d", Level.ERROR).has_low_js_divergence(ref, "v"))
     res = suite.run(spark, ref)
     assert not res.passed  # surfaces as an error outcome, not a crash
+
+
+# ---- grouped PSI ------------------------------------------------------------
+
+def test_grouped_psi_flags_only_the_drifted_group(spark):
+    from term_spark.operators.drift import population_stability_by
+    rows_ref = [("a", float(i % 10)) for i in range(500)] + \
+               [("b", float(i % 10)) for i in range(500)]
+    rows_cur = [("a", float((i * 3) % 10)) for i in range(500)] + \
+               [("b", 5.0 + i % 10) for i in range(500)]   # b shifted
+    ref = spark.createDataFrame(rows_ref, "g string, v double")
+    cur = spark.createDataFrame(rows_cur, "g string, v double")
+    out = {r["g"]: r for r in population_stability_by(
+        ref, cur, "v", "g", bins=10, lo=0.0, hi=15.0).collect()}
+    assert out["a"]["psi"] < 0.01          # same distribution
+    assert out["b"]["psi"] > 0.25          # shifted -> drifted
+    assert out["a"]["n_ref"] == out["a"]["n_cur"] == 500
+
+
+def test_grouped_psi_one_sided_group_is_null_not_huge(spark):
+    from term_spark.operators.drift import population_stability_by
+    ref = spark.createDataFrame([("a", 1.0)], "g string, v double")
+    cur = spark.createDataFrame([("a", 1.0), ("new", 2.0)], "g string, v double")
+    out = {r["g"]: r for r in population_stability_by(
+        ref, cur, "v", "g", lo=0.0, hi=10.0).collect()}
+    assert out["new"]["psi"] is None and out["new"]["n_ref"] == 0
+    assert out["a"]["psi"] == 0.0
+
+
+def test_grouped_psi_requires_domain(spark):
+    from term_spark.operators.drift import population_stability_by
+    d = spark.createDataFrame([("a", 1.0)], "g string, v double")
+    with pytest.raises(ValueError, match="lo/hi"):
+        population_stability_by(d, d, "v", "g")
+    with pytest.raises(ValueError, match="must exceed"):
+        population_stability_by(d, d, "v", "g", lo=1.0, hi=1.0)
+
+
+def test_grouped_psi_matches_scalar_psi_per_group(spark):
+    from term_spark.operators.drift import population_stability_by
+    from term_spark.operators.statistics import population_stability
+    ref = spark.createDataFrame(
+        [("a", float(i % 7)) for i in range(200)] +
+        [("b", float(i % 4)) for i in range(100)], "g string, v double")
+    cur = spark.createDataFrame(
+        [("a", float(i % 5)) for i in range(150)] +
+        [("b", float(i % 9)) for i in range(120)], "g string, v double")
+    grouped = {r["g"]: r["psi"] for r in population_stability_by(
+        ref, cur, "v", "g", bins=10, lo=0.0, hi=10.0).collect()}
+    for g in ("a", "b"):
+        scalar = population_stability(
+            ref.filter(F.col("g") == g), cur.filter(F.col("g") == g),
+            "v", bins=10, lo=0.0, hi=10.0).collect()[0]["psi"]
+        assert grouped[g] == pytest.approx(scalar, abs=1e-6)

@@ -139,3 +139,34 @@ def test_parquet_repository_delete_via_compaction(tmp_path):
     assert repo.keys() == []
     repo.save(k1, {"size": MetricValue.double(1.0)})
     assert repo.load(k1).get("size").value == 1.0
+
+
+def test_seasonal_comparison_cancels_the_cycle():
+    from term_spark.analyzers.anomaly import SeasonalComparison
+    # strong daily cycle, period 4: [10, 50, 90, 30] repeating
+    cycle = [10.0, 50.0, 90.0, 30.0] * 3
+    det = SeasonalComparison(period=4)
+    # every in-cycle continuation is NOT an anomaly (same-phase ratio 1)
+    for i in range(4, len(cycle)):
+        assert not det.check(cycle[: i + 1]).is_anomaly
+    # a trend detector would fire on the 30 -> 10 drop; seasonal doesn't
+    # but a genuine same-phase collapse does:
+    res = det.check(cycle + [10.0 * 0.2])  # phase expects ~10, got 2
+    assert res.is_anomaly and "seasonal rate" in res.detail
+    assert res.expected_low == 5.0 and res.expected_high == 20.0
+
+
+def test_seasonal_comparison_guards():
+    import pytest as _pt
+
+    from term_spark.analyzers.anomaly import SeasonalComparison
+    with _pt.raises(ValueError, match="period"):
+        SeasonalComparison(period=0)
+    with _pt.raises(ValueError, match="max_decrease"):
+        SeasonalComparison(period=2, max_increase=1.0, max_decrease=2.0)
+    det = SeasonalComparison(period=7)
+    # fewer than period+1 points -> insufficient history, not an alert
+    assert not det.check([1.0] * 7).is_anomaly
+    assert "insufficient" in det.check([1.0] * 7).detail
+    # zero baseline handled explicitly
+    assert det.check([0.0] * 7 + [5.0]).is_anomaly
