@@ -484,3 +484,82 @@ class DataTypeDistributionAnalyzer(Analyzer):
         shares = ({t: c / total for t, c in state.items() if c}
                   if total else {})
         return MetricValue("map", shares)
+
+
+class BucketDistributionAnalyzer(Analyzer):
+    """State = equi-width bucket counts over a FIXED [lo, hi] domain —
+    the mergeable histogram that turns distribution drift into state
+    arithmetic: persist today's bucket state alongside the other
+    incremental states, then score PSI against yesterday's with
+    ``psi_between_states`` WITHOUT rescanning either snapshot. The
+    domain must be pinned (not derived) or states from different
+    partitions would bucket differently and the merge would be
+    meaningless — same reason the streaming drift stage fixes it.
+
+    ``bins`` conditional counts ride the shared fused aggregation
+    (Benford's nine-count pattern); merge = elementwise add. Metric =
+    Shannon entropy (nats) of the bucket shares — a one-number shape
+    summary for the repository time series.
+    """
+
+    name = "bucket_distribution"
+
+    def __init__(self, column: str, lo: float, hi: float, bins: int = 10):
+        if not float(hi) > float(lo):
+            raise ValueError(
+                f"bucket_distribution({column!r}): hi ({hi}) must exceed "
+                f"lo ({lo})")
+        if bins < 2:
+            raise ValueError(f"bins must be >= 2, got {bins}")
+        self.column = validate_identifier(column)
+        self.lo, self.hi, self.bins = float(lo), float(hi), int(bins)
+        self._aliases = {b: metric_alias("an_bdist", column, b, tag="k")
+                        for b in range(self.bins)}
+
+    def state_exprs(self):
+        from ..operators.statistics import psi_bucket
+        width = (self.hi - self.lo) / self.bins
+        col = F.col(self.column)
+        b = psi_bucket(col.cast("double"), self.lo, width, self.bins)
+        nn = col.isNotNull()
+        return {a: F.count(F.when(nn & (b == i), 1))
+                for i, a in self._aliases.items()}
+
+    def state_from_row(self, row):
+        return AnalyzerState(
+            counts=[int(row[self._aliases[i]]) for i in range(self.bins)])
+
+    def merge_states(self, states):
+        return AnalyzerState(counts=[
+            sum(s["counts"][i] for s in states) for i in range(self.bins)])
+
+    def metric_from_state(self, state):
+        counts = state["counts"]
+        total = sum(counts)
+        if total == 0:
+            return MetricValue.double(float("nan"))
+        ent = -sum((c / total) * math.log(c / total) for c in counts if c)
+        return MetricValue.double(ent)
+
+
+def psi_between_states(ref_state: AnalyzerState, cur_state: AnalyzerState,
+                       eps: float = 1e-6) -> float:
+    """PSI from two persisted bucket-count states (same analyzer
+    config, so same domain/bins) — pure driver arithmetic, zero scans.
+    Matches statistics.population_stability on the same rows: shares
+    eps-floored, Σ (p−q)·ln(p/q), rounded to 6 like the operator."""
+    a, b = ref_state["counts"], cur_state["counts"]
+    if len(a) != len(b):
+        raise ValueError(
+            f"psi_between_states: bucket counts differ ({len(a)} vs "
+            f"{len(b)}) — states come from different analyzer configs")
+    ta, tb = sum(a), sum(b)
+    if ta == 0 or tb == 0:
+        raise ValueError("psi_between_states: a state has no rows — PSI "
+                         "is undefined for an empty snapshot")
+    psi = 0.0
+    for ca, cb in zip(a, b):
+        p = max(ca / ta, eps)
+        q = max(cb / tb, eps)
+        psi += (p - q) * math.log(p / q)
+    return round(psi, 6)

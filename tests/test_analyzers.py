@@ -179,3 +179,88 @@ def test_classify_expr_null_stays_null(spark):
            df.select("v", classify_expr("v").alias("t")).collect()}
     assert got["1"] == "integer" and got["x"] == "text"
     assert got[None] is None
+
+
+def test_bucket_distribution_merge_law(spark):
+    from term_spark.analyzers.base import BucketDistributionAnalyzer
+    an = BucketDistributionAnalyzer("v", lo=0.0, hi=10.0, bins=5)
+    vals = [float(i % 10) + 0.3 for i in range(200)]
+    whole = spark.createDataFrame([(v,) for v in vals], "v double")
+    h1 = spark.createDataFrame([(v,) for v in vals[:77]], "v double")
+    h2 = spark.createDataFrame([(v,) for v in vals[77:]], "v double")
+
+    def state_of(df):
+        row = df.agg(*[c.alias(a) for a, c in an.state_exprs().items()]) \
+                .collect()[0].asDict()
+        return an.state_from_row(row)
+
+    merged = an.merge_states([state_of(h1), state_of(h2)])
+    assert merged["counts"] == state_of(whole)["counts"]
+    assert sum(merged["counts"]) == 200
+
+
+def test_psi_between_states_matches_operator(spark):
+    from term_spark.analyzers.base import (BucketDistributionAnalyzer,
+                                           psi_between_states)
+    from term_spark.operators.statistics import population_stability
+    an = BucketDistributionAnalyzer("v", lo=0.0, hi=10.0, bins=10)
+    ref = spark.createDataFrame(
+        [(float(i % 7),) for i in range(300)], "v double")
+    cur = spark.createDataFrame(
+        [(float((i * 3) % 10) + 0.2,) for i in range(250)], "v double")
+
+    def state_of(df):
+        row = df.agg(*[c.alias(a) for a, c in an.state_exprs().items()]) \
+                .collect()[0].asDict()
+        return an.state_from_row(row)
+
+    from_states = psi_between_states(state_of(ref), state_of(cur))
+    operator = population_stability(ref, cur, "v", bins=10,
+                                    lo=0.0, hi=10.0).collect()[0]["psi"]
+    assert from_states == pytest.approx(operator, abs=1e-6)
+
+
+def test_bucket_distribution_incremental_roundtrip(spark, tmp_path):
+    import math as _m
+
+    from term_spark.analyzers.base import (BucketDistributionAnalyzer,
+                                           psi_between_states)
+    from term_spark.analyzers.runner import (FilesystemStateStore,
+                                             IncrementalAnalysisRunner)
+    an = BucketDistributionAnalyzer("v", lo=0.0, hi=4.0, bins=4)
+    store = FilesystemStateStore(str(tmp_path / "states"))
+    runner = IncrementalAnalysisRunner(store).add(an)
+    runner.analyze_partition(spark.createDataFrame(
+        [(float(i % 4),) for i in range(40)], "v double"), "day1", spark)
+    runner.analyze_partition(spark.createDataFrame(
+        [(3.9,)] * 40, "v double"), "day2", spark)
+
+    # global metric over both partitions: entropy of the merged counts
+    ctx = runner.aggregate_partitions(spark=spark)
+    assert not _m.isnan(ctx.metrics[an.metric_key()].value)
+
+    # drift day1 -> day2 from the persisted states alone (no rescan)
+    from term_spark.analyzers.base import AnalyzerState
+    s1 = AnalyzerState.from_json(store.load("day1")[an.metric_key()])
+    s2 = AnalyzerState.from_json(store.load("day2")[an.metric_key()])
+    assert s1["counts"] == [10, 10, 10, 10]
+    assert s2["counts"] == [0, 0, 0, 40]
+    assert psi_between_states(s1, s2) > 0.25  # collapsed -> drifted
+
+
+def test_bucket_distribution_and_psi_state_guards(spark):
+    import pytest as _pt
+
+    from term_spark.analyzers.base import (AnalyzerState,
+                                           BucketDistributionAnalyzer,
+                                           psi_between_states)
+    with _pt.raises(ValueError, match="must exceed"):
+        BucketDistributionAnalyzer("v", lo=1.0, hi=1.0)
+    with _pt.raises(ValueError, match="bins"):
+        BucketDistributionAnalyzer("v", lo=0.0, hi=1.0, bins=1)
+    with _pt.raises(ValueError, match="different analyzer configs"):
+        psi_between_states(AnalyzerState(counts=[1, 2]),
+                           AnalyzerState(counts=[1, 2, 3]))
+    with _pt.raises(ValueError, match="empty snapshot"):
+        psi_between_states(AnalyzerState(counts=[0, 0]),
+                           AnalyzerState(counts=[1, 1]))
