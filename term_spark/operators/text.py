@@ -366,3 +366,44 @@ def text_cleaning_summary(df, text_col: str = "text"):
                    F.count(F.when(cleaned != col, 1)).alias("docs_changed"),
                    F.sum(F.length(col)).alias("chars_before"),
                    F.sum(F.length(cleaned)).alias("chars_after")))
+
+
+def quality_model_scores(df, weights, text_col: str = "text",
+                         id_col: str = "doc_id", bias: float = 0.0):
+    """fasttext-style linear quality classifier with the hashing trick:
+    raw_score = bias + mean over normalized tokens of
+    weights[h(token) mod D], prob = sigmoid(raw_score). ``weights`` is
+    the injectable model (e.g. exported from a trained fastText /
+    linear classifier); h = first 15 md5 hex chars → int, the
+    engine-portable growth-stable hash every selection operator here
+    uses. This is the standard shape for "score every document with a
+    small quality model" at corpus scale — the model is data, the scan
+    is one explode + one hash aggregation.
+
+    Scale: the D-row weight table is broadcast-joined to the exploded
+    tokens (codegen hash join + hash agg — no interpreted higher-order
+    lambdas in the hot path, and no D-element literal bloating the
+    plan). Docs with NULL text are excluded; an empty text scores the
+    weight of the empty token (normalize upstream if that matters).
+
+    Returns (id, n_tokens, raw_score); apply
+    ``F.round(1 / (1 + F.exp(-F.col("raw_score"))), 6)`` for the
+    probability form (kept out of the parity surface — libm exp may
+    differ across engines by an ulp).
+    """
+    D = len(weights)
+    if D < 1:
+        raise ValueError("weights must be non-empty")
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        [(i, float(w)) for i, w in enumerate(weights)], "idx int, w double")
+    toks = norm_tokens(text_col)
+    ex = (df.filter(F.col(text_col).isNotNull())
+            .select(F.col(id_col), F.explode(toks).alias("tok")))
+    idx = (F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10)
+           .cast("bigint") % D).cast("int")
+    return (ex.select(id_col, idx.alias("idx"))
+              .join(F.broadcast(wdf), "idx")
+              .groupBy(id_col)
+              .agg(F.count(F.lit(1)).alias("n_tokens"),
+                   F.round(float(bias) + F.avg("w"), 6).alias("raw_score")))

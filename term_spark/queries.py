@@ -1672,6 +1672,52 @@ QUERIES.update({"drift_psi_by_returnflag": q_drift_psi_by_returnflag})
 ORACLES.update({"drift_psi_by_returnflag": SQL_DRIFT_PSI_BY_RETURNFLAG})
 
 
+def q_quality_model_docs(spark, sf_dir) -> DataFrame:
+    """Hashed-linear quality-model scoring (text.quality_model_scores)
+    over the documents corpus with a deterministic 64-dim weight
+    vector w[i] = ((i·37) mod 64)/64 − 0.5 — both engines derive the
+    SAME weight from the hashed index, so the oracle needs no literal
+    array."""
+    from .operators.text import quality_model_scores
+    (d,) = _t(spark, sf_dir, "documents")
+    weights = [((i * 37) % 64) / 64.0 - 0.5 for i in range(64)]
+    scored = quality_model_scores(d, weights)
+    # parity surface: the EXACT integer numerator Σ 64·w(token). The
+    # rounded float mean ties at half-decimals (they are dyadic
+    # rationals), where Spark rounds half-away and DuckDB half-even —
+    # a rounding-MODE difference, not a value difference; the integer
+    # is recoverable exactly from the rounded mean (error ≤ 5e-7·64·n
+    # < 0.5 at any corpus doc length).
+    return (scored.select(
+        "doc_id", "n_tokens",
+        F.round(F.col("raw_score") * F.col("n_tokens") * 64.0, 0)
+         .cast("bigint").alias("score_sum64"))
+        .orderBy("doc_id"))
+
+
+SQL_QUALITY_MODEL_DOCS = r"""
+WITH toks AS (
+    SELECT doc_id,
+           unnest(string_split(trim(regexp_replace(lower(text),
+               '[^\p{L}\p{N}]+', ' ', 'g')), ' ')) AS tok
+    FROM documents WHERE text IS NOT NULL
+),
+i AS (
+    SELECT doc_id,
+           CAST((('0x' || substr(md5(tok), 1, 15))::UBIGINT % 64) AS INT)
+               AS idx
+    FROM toks
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM((idx * 37) % 64 - 32) AS BIGINT) AS score_sum64
+FROM i GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+QUERIES.update({"quality_model_docs": q_quality_model_docs})
+ORACLES.update({"quality_model_docs": SQL_QUALITY_MODEL_DOCS})
+
+
 # ---------------------------------------------------------------------------
 # registry ordering: the driver's correctness gate reads only the FIRST 50
 # entries of this dict.  Every operator *family* must have a representative
