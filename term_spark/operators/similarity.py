@@ -589,3 +589,32 @@ def semantic_dedup(df: DataFrame, id_col: str = "vec_id",
                                  n_clusters, seed, train_iterations,
                                  max_cluster_size)
     return dedup_by_components(df, pairs, id_col=id_col)
+
+
+def ann_recall(approx: DataFrame, exact: DataFrame,
+               query_id_col: str = "query_id",
+               neighbor_col: str = "nbr_id") -> DataFrame:
+    """Recall@k per query: the fraction of the EXACT top-k neighbors
+    that the approximate index also returned — the number a user
+    tuning nprobe / LSH bands / bucket counts actually optimizes
+    (cosine_topk is the exact side, ivf_topk / lsh paths the approx
+    side; any (query_id, nbr_id) frames work).
+
+    Returns one row per query (k_exact, hits, recall) plus the
+    aggregate the caller usually wants via
+    ``.agg(F.avg("recall"))``. Both inputs are k-bounded per query by
+    construction, so the join is |queries|·k rows at any corpus size;
+    duplicate approx rows are collapsed so a bucketed path that emits
+    a neighbor twice cannot inflate recall."""
+    e = exact.select(F.col(query_id_col).alias("__q"),
+                     F.col(neighbor_col).alias("__n"))
+    a = (approx.select(F.col(query_id_col).alias("__q"),
+                       F.col(neighbor_col).alias("__n"))
+               .distinct().withColumn("__hit", F.lit(1)))
+    j = e.join(a, ["__q", "__n"], "left")
+    return (j.groupBy(F.col("__q").alias(query_id_col))
+             .agg(F.count(F.lit(1)).alias("k_exact"),
+                  F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("hits"))
+             .withColumn("recall",
+                         F.round(F.col("hits") / F.col("k_exact"), 6))
+             .orderBy(query_id_col))

@@ -46,3 +46,47 @@ def test_model_is_injectable(spark, docs):
 def test_quality_model_validates_weights(spark, docs):
     with pytest.raises(ValueError, match="non-empty"):
         quality_model_scores(docs, [])
+
+
+# ---- ANN recall evaluation --------------------------------------------------
+
+def test_ann_recall_exact_vs_itself_is_one(spark):
+    from term_spark.operators.similarity import ann_recall
+    topk = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20), (2, 21)], "query_id long, nbr_id long")
+    rows = ann_recall(topk, topk).collect()
+    assert all(r["recall"] == 1.0 and r["k_exact"] == 2 for r in rows)
+
+
+def test_ann_recall_counts_misses_and_dedups_approx(spark):
+    from term_spark.operators.similarity import ann_recall
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (1, 13)], "query_id long, nbr_id long")
+    # approx found 2 of 4; the duplicate (1,10) must not inflate hits
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 10), (1, 12), (1, 99)], "query_id long, nbr_id long")
+    row = ann_recall(approx, exact).collect()[0]
+    assert (row["k_exact"], row["hits"], row["recall"]) == (4, 2, 0.5)
+
+
+def test_ann_recall_on_real_ivf_path(spark):
+    import random
+
+    from term_spark.operators.similarity import (ann_recall, cosine_topk,
+                                                 ivf_topk)
+    rng = random.Random(7)
+    # two well-separated clusters of vectors
+    vecs = [(i, [rng.gauss(5.0 if i % 2 else -5.0, 0.3) for _ in range(8)])
+            for i in range(60)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    qs = spark.createDataFrame(
+        [(0, [5.0] * 8), (1, [-5.0] * 8)],
+        "query_id long, query_vec array<double>")
+    exact = cosine_topk(df, qs, k=5)
+    approx = ivf_topk(df, qs, k=5, n_centroids=4, nprobe=2)
+    rows = ann_recall(approx, exact).collect()
+    assert len(rows) == 2
+    # probing half the centroids on clean clusters recovers most of top-5
+    assert all(r["recall"] >= 0.6 for r in rows)
+    mean = sum(r["recall"] for r in rows) / 2
+    assert 0.6 <= mean <= 1.0
