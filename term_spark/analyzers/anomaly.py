@@ -13,6 +13,8 @@ import math
 from dataclasses import dataclass
 from typing import List, Optional, Sequence
 
+from ..core.constraint import Constraint as _Constraint
+
 
 @dataclass
 class AnomalyResult:
@@ -164,3 +166,52 @@ class SeasonalComparison(DetectionStrategy):
         return AnomalyResult(anomaly, newest, low, high,
                              conf if anomaly else 1.0 - conf,
                              f"seasonal rate {rate:.4f} vs lag {self.period}")
+
+
+class AnomalyConstraint(_Constraint):
+    """``has_no_anomaly``: a scalar metric of the CURRENT run must not
+    be anomalous against its own repository history under a
+    DetectionStrategy — the check-level form of anomaly detection
+    (validate-then-alert in one suite run, instead of a separate
+    monitoring pass).
+
+    Rides the shared fused aggregation (the metric is one scalar
+    expression — no extra scan); history comes from the repository at
+    evaluation time, so pair it with ``ValidationSuite.run_and_store``
+    to append each run's metrics and the gate tightens as history
+    accumulates. With no history yet the constraint passes (a brand
+    new metric cannot be anomalous against nothing) — the detector's
+    own ``min_history`` keeps early runs from alerting.
+    """
+
+    name = "no_anomaly"
+
+    def __init__(self, metric_name: str, metric_expr, detector,
+                 repository, tags=None):
+        self.metric_name = str(metric_name)
+        self.metric_expr = metric_expr
+        self.detector = detector
+        self.repository = repository
+        self.tags = tags
+        self._alias = f"anom_{abs(hash(self.metric_name)) % 10**8}"
+
+    def scalar_metrics(self, df):
+        return {self._alias: self.metric_expr}
+
+    def result_from_metrics(self, metrics):
+        from ..core.result import ConstraintResult
+        raw = metrics[self._alias]
+        if raw is None:
+            return ConstraintResult.skipped(
+                f"no_anomaly({self.metric_name}): metric is NULL")
+        value = float(raw)
+        history = self.repository.series(self.metric_name, tags=self.tags)
+        result = self.detector.check(list(history) + [value])
+        if not result.is_anomaly:
+            return ConstraintResult.success(value)
+        return ConstraintResult.failure(
+            value,
+            f"no_anomaly({self.metric_name}): {value} is anomalous vs "
+            f"{len(history)} historical points "
+            f"(expected [{result.expected_low}, {result.expected_high}]; "
+            f"{result.detail})")

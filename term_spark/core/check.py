@@ -258,6 +258,18 @@ class Check:
         return self.with_constraint(
             RobustOutlierConstraint(column, k, max_ratio, mode))
 
+    def has_no_anomaly(self, metric_name: str, metric_expr, detector,
+                       repository, tags=None) -> "Check":
+        """The scalar ``metric_expr`` (any aggregate column, e.g.
+        ``F.count(F.lit(1))`` for row count) must not be anomalous
+        against its own ``repository`` history under ``detector``
+        (ZScore / RelativeRateOfChange / AbsoluteChange /
+        SeasonalComparison). Rides the fused aggregation; pair with
+        ``ValidationSuite.run_and_store`` so history accumulates."""
+        from ..analyzers.anomaly import AnomalyConstraint
+        return self.with_constraint(AnomalyConstraint(
+            metric_name, metric_expr, detector, repository, tags))
+
     def has_no_dominant_value(self, column: str,
                               max_share: float = 0.9) -> "Check":
         """The single most frequent non-null value must not cover more

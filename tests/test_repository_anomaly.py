@@ -170,3 +170,55 @@ def test_seasonal_comparison_guards():
     assert "insufficient" in det.check([1.0] * 7).detail
     # zero baseline handled explicitly
     assert det.check([0.0] * 7 + [5.0]).is_anomaly
+
+
+def test_has_no_anomaly_check_gates_on_history(spark):
+    import pyspark.sql.functions as F
+
+    from term_spark import Check, Level, ValidationSuite
+    from term_spark.analyzers.anomaly import ZScore
+    from term_spark.analyzers.base import MetricValue
+    from term_spark.repository import InMemoryRepository, ResultKey
+
+    repo = InMemoryRepository()
+    for i, v in enumerate([100.0, 102.0, 98.0, 101.0]):
+        repo.save(ResultKey.of(float(i)), {"row_count": MetricValue.double(v)})
+
+    def run(df):
+        return ValidationSuite.builder("anom").with_check(
+            Check("d", Level.ERROR).has_no_anomaly(
+                "row_count", F.count(F.lit(1)), ZScore(threshold=3.0), repo)
+        ).run(spark, df)
+
+    ok = run(spark.createDataFrame([(i,) for i in range(100)], "id long"))
+    assert ok.passed
+
+    spike = run(spark.createDataFrame([(i,) for i in range(500)], "id long"))
+    assert not spike.passed
+    msg = [x.message for x in spike.report.issues][0]
+    assert "anomalous vs 4 historical points" in msg
+
+    # a brand-new metric has no history -> cannot be anomalous
+    fresh = ValidationSuite.builder("anom").with_check(
+        Check("d", Level.ERROR).has_no_anomaly(
+            "never_seen", F.count(F.lit(1)), ZScore(threshold=3.0), repo)
+    ).run(spark, spark.createDataFrame([(1,)], "id long"))
+    assert fresh.passed
+
+
+def test_has_no_anomaly_rides_fused_agg(spark):
+    import pyspark.sql.functions as F
+
+    from term_spark import Assertion, Check, Level, ValidationSuite
+    from term_spark.analyzers.anomaly import ZScore
+    from term_spark.repository import InMemoryRepository
+
+    repo = InMemoryRepository()
+    df = spark.createDataFrame([(float(i),) for i in range(50)], "v double")
+    suite = ValidationSuite.builder("fused").with_check(
+        Check("d", Level.ERROR)
+        .has_size(Assertion.gt(0))
+        .has_mean("v", Assertion.between(0, 100))
+        .has_no_anomaly("mean_v", F.avg("v"), ZScore(), repo))
+    res = suite.run(spark, df)
+    assert res.passed  # shares the one scan; no history -> no alert
