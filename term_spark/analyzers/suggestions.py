@@ -10,7 +10,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import List, Optional
 
-from .profiler import ColumnProfile, TableProfile
+from .profiler import NUMERIC_TYPES, ColumnProfile, TableProfile
 
 
 @dataclass
@@ -126,8 +126,56 @@ class TypeConsistencyRule(SuggestionRule):
         return []
 
 
+class DominantValueRule(SuggestionRule):
+    """Round-5 rule: a low-cardinality column whose top value already
+    covers a large-but-not-total share gets a has_no_dominant_value
+    gate with headroom — the profile-derived default-value-pollution
+    tripwire. A share near 1.0 gets nothing (the gate would be
+    vacuous; containment already pins near-constant columns)."""
+
+    name = "dominant_value"
+
+    def evaluate(self, p, table):
+        if not p.histogram:
+            return []
+        total = sum(p.histogram.values())
+        if total == 0:
+            return []
+        share = max(p.histogram.values()) / total
+        if share >= 0.9:
+            return []
+        bound = round(min(0.95, share + 0.1), 2)
+        return [Suggestion(p.column, "has_no_dominant_value",
+                           {"column": p.column, "max_share": bound},
+                           0.7,
+                           f"top value covers {share:.3f} of rows; gate at "
+                           f"{bound} catches a placeholder flood")]
+
+
+class RobustOutlierRule(SuggestionRule):
+    """Round-5 rule: numeric columns with real spread get a
+    has_no_outliers MAD gate at a loose k — tolerated ratio derived
+    from the profiled tails (p25/p75 spread vs min/max)."""
+
+    name = "robust_outliers"
+
+    def evaluate(self, p, table):
+        if (p.spark_type not in NUMERIC_TYPES or p.stddev is None
+                or not p.stddev or p.quantiles is None):
+            return []
+        q1, q3 = p.quantiles.get("p25"), p.quantiles.get("p75")
+        if q1 is None or q3 is None or q3 <= q1:
+            return []
+        return [Suggestion(p.column, "has_no_outliers",
+                           {"column": p.column, "k": 6.0, "max_ratio": 0.01},
+                           0.5,
+                           f"numeric spread observed (IQR [{q1}, {q3}]); "
+                           "loose MAD fence flags gross corruption only")]
+
+
 DEFAULT_RULES = [CompletenessRule(), UniquenessRule(), ContainmentRule(),
-                 ValueRangeRule(), TypeConsistencyRule()]
+                 ValueRangeRule(), TypeConsistencyRule(),
+                 DominantValueRule(), RobustOutlierRule()]
 
 
 class SuggestionEngine:

@@ -70,3 +70,38 @@ def test_schema_analyzer_finds_tpch_fks(spark, tpch):
     assert ("nation", "n_regionkey", "region", "r_regionkey") in found
     # every reported candidate has high overlap
     assert all(c.overlap >= 0.95 for c in cands)
+
+
+def test_dominant_value_and_outlier_rules_suggest_and_apply(spark):
+    from term_spark import Check, Level, ValidationSuite
+    from term_spark.analyzers.profiler import ColumnProfiler
+    from term_spark.analyzers.suggestions import SuggestionEngine
+
+    rows = [("a" if i % 3 else "b", float(i % 50)) for i in range(300)]
+    df = spark.createDataFrame(rows, "cat string, num double")
+    profile = ColumnProfiler().profile(df)
+    sugg = SuggestionEngine().suggest(profile)
+    by = {(s.column, s.constraint): s for s in sugg}
+
+    dom = by[("cat", "has_no_dominant_value")]
+    # top value 'a' covers ~2/3 -> gate with headroom, not vacuous
+    assert 0.7 <= dom.args["max_share"] <= 0.8
+
+    out = by[("num", "has_no_outliers")]
+    assert out.args["k"] == 6.0
+
+    # suggested constraints apply to a Check and the suite passes on
+    # the very data that produced them
+    check = Check("suggested", Level.ERROR)
+    dom.apply_to(check)
+    out.apply_to(check)
+    assert ValidationSuite.builder("s").with_check(check).run(spark, df).passed
+
+
+def test_dominant_rule_skips_near_constant_columns(spark):
+    from term_spark.analyzers.profiler import ColumnProfiler
+    from term_spark.analyzers.suggestions import SuggestionEngine
+
+    df = spark.createDataFrame([("x",)] * 99 + [("y",)], "c string")
+    sugg = SuggestionEngine().suggest(ColumnProfiler().profile(df))
+    assert not any(s.constraint == "has_no_dominant_value" for s in sugg)
