@@ -24,7 +24,6 @@ same trade every engine makes.
 
 from __future__ import annotations
 
-import math
 from typing import Optional
 
 import pyspark.sql.functions as F
