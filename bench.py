@@ -165,7 +165,8 @@ def main() -> None:
         "drift_ks_quantity", "drift_chi2_returnflag", "drift_js_quantity",
         "line_dedup_summary_docs", "token_budget_sample_docs",
         "text_cleaning_docs", "outlier_mad_acctbal",
-        "dominant_value_orderstatus",
+        "dominant_value_orderstatus", "drift_psi_by_returnflag",
+        "quality_model_docs",
     ]
     for name in bench_queries:
         fn = QUERIES[name]
