@@ -407,3 +407,40 @@ def quality_model_scores(df, weights, text_col: str = "text",
               .groupBy(id_col)
               .agg(F.count(F.lit(1)).alias("n_tokens"),
                    F.round(float(bias) + F.avg("w"), 6).alias("raw_score")))
+
+
+def unigram_surprisal(df, text_col: str = "text", id_col: str = "doc_id",
+                      vocab_df=None):
+    """Mean token surprisal −log₂ p(token) per document — the cheap
+    language-model quality proxy (CCNet scores documents with a small
+    LM and keeps the low-perplexity head; the unigram form needs no
+    model at all): gibberish and boilerplate-free natural text
+    separate cleanly on bits/token under the corpus's own unigram
+    distribution.
+
+    ``vocab_df`` (token, p) injects an external reference distribution
+    (e.g. from a clean corpus — then the score is a cross-entropy
+    filter); by default the corpus itself provides it (two passes:
+    vocab counts, then join + per-doc mean). Out-of-vocab tokens under
+    an injected vocab are dropped from the mean (inner join) — floor
+    them upstream if OOV mass should count.
+
+    Scale: explode → vocab hash-agg (partial-aggregated; the total is
+    ONE driver scalar, not an unpartitioned window) → hash join back
+    on token → per-doc agg. All codegen; the vocab join is
+    shuffle-based so a billion-token vocabulary distributes like any
+    other key.
+    """
+    toks = norm_tokens(text_col)
+    ex = (df.filter(F.col(text_col).isNotNull())
+            .select(F.col(id_col), F.explode(toks).alias("tok")))
+    if vocab_df is None:
+        vocab = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("__n"))
+        total = vocab.agg(F.sum("__n")).collect()[0][0] or 1
+        vocab = vocab.select("tok", (F.col("__n") / float(total)).alias("p"))
+    else:
+        vocab = vocab_df.select("tok", "p")
+    return (ex.join(vocab, "tok")
+              .groupBy(id_col)
+              .agg(F.count(F.lit(1)).alias("n_tokens"),
+                   F.round(F.avg(-F.log2("p")), 6).alias("bits_per_token")))

@@ -1718,6 +1718,37 @@ QUERIES.update({"quality_model_docs": q_quality_model_docs})
 ORACLES.update({"quality_model_docs": SQL_QUALITY_MODEL_DOCS})
 
 
+def q_unigram_surprisal_docs(spark, sf_dir) -> DataFrame:
+    """Per-document mean unigram surprisal (text.unigram_surprisal) —
+    bits/token under the corpus's own unigram distribution, the
+    model-free LM-quality proxy. Two passes: vocab counts, join +
+    per-doc mean; the corpus total is one driver scalar."""
+    from .operators.text import unigram_surprisal
+    (d,) = _t(spark, sf_dir, "documents")
+    return unigram_surprisal(d).orderBy("doc_id")
+
+
+SQL_UNIGRAM_SURPRISAL_DOCS = r"""
+WITH toks AS (
+    SELECT doc_id,
+           unnest(string_split(trim(regexp_replace(lower(text),
+               '[^\p{L}\p{N}]+', ' ', 'g')), ' ')) AS tok
+    FROM documents WHERE text IS NOT NULL
+),
+vocab AS (SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok),
+tot AS (SELECT SUM(n) AS t FROM vocab),
+p AS (SELECT tok, n * 1.0 / (SELECT t FROM tot) AS p FROM vocab)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(AVG(-LOG2(p.p)), 6) AS bits_per_token
+FROM toks JOIN p USING (tok)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+QUERIES.update({"unigram_surprisal_docs": q_unigram_surprisal_docs})
+ORACLES.update({"unigram_surprisal_docs": SQL_UNIGRAM_SURPRISAL_DOCS})
+
+
 # ---------------------------------------------------------------------------
 # registry ordering: the driver's correctness gate reads only the FIRST 50
 # entries of this dict.  Every operator *family* must have a representative

@@ -90,3 +90,39 @@ def test_ann_recall_on_real_ivf_path(spark):
     assert all(r["recall"] >= 0.6 for r in rows)
     mean = sum(r["recall"] for r in rows) / 2
     assert 0.6 <= mean <= 1.0
+
+
+# ---- unigram surprisal ------------------------------------------------------
+
+def test_unigram_surprisal_known_distribution(spark):
+    import math
+
+    from term_spark.operators.text import unigram_surprisal
+    # corpus: 'a' x3, 'b' x1 -> p(a)=0.75, p(b)=0.25
+    df = spark.createDataFrame(
+        [(1, "a a"), (2, "a b")], "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in unigram_surprisal(df).collect()}
+    s_a, s_b = -math.log2(0.75), -math.log2(0.25)
+    assert rows[1]["bits_per_token"] == pytest.approx(s_a, abs=1e-6)
+    assert rows[2]["bits_per_token"] == pytest.approx((s_a + s_b) / 2, abs=1e-6)
+    assert rows[1]["n_tokens"] == 2
+
+
+def test_unigram_surprisal_rare_tokens_score_higher(spark):
+    from term_spark.operators.text import unigram_surprisal
+    common = " ".join(["spark"] * 20)
+    df = spark.createDataFrame(
+        [(1, common), (2, "qzx wvu jkl mno pqr")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r["bits_per_token"]
+            for r in unigram_surprisal(df).collect()}
+    assert rows[2] > rows[1]  # gibberish = high surprisal
+
+
+def test_unigram_surprisal_injected_vocab_is_cross_entropy(spark):
+    from term_spark.operators.text import unigram_surprisal
+    df = spark.createDataFrame([(1, "a b oov")], "doc_id long, text string")
+    vocab = spark.createDataFrame([("a", 0.5), ("b", 0.5)], "tok string, p double")
+    row = unigram_surprisal(df, vocab_df=vocab).collect()[0]
+    # OOV dropped (inner join): 2 in-vocab tokens at 1 bit each
+    assert row["n_tokens"] == 2 and row["bits_per_token"] == 1.0
