@@ -1760,6 +1760,10 @@ ORACLES.update({"unigram_surprisal_docs": SQL_UNIGRAM_SURPRISAL_DOCS})
 # ---------------------------------------------------------------------------
 
 _TAIL_QUERIES = [
+    "temporal_ordering_orders_lineitem",  # multitable family keeps three
+                               # in-window reps (fk, join_coverage,
+                               # cross_table_sum); its slot goes to the
+                               # round-5 line-dedup family (_PROMOTED)
     "fingerprint_docs",        # exact-dedup family: dedup_exact_docs
     "text_tokens",             # text family: text_quality
     "lang_id",                 # text family: text_quality
@@ -1774,6 +1778,12 @@ _TAIL_QUERIES = [
     "approx_distinct_orderkey",# no_oracle by design (rows-only either way)
 ]
 
-QUERIES = {k: v for k, v in QUERIES.items() if k not in _TAIL_QUERIES} | {
+#: round-5 families pulled INTO the window (at the front — in-window
+#: order is irrelevant to the driver, membership is what counts)
+_PROMOTED = ["line_dedup_summary_docs"]
+
+QUERIES = {k: QUERIES[k] for k in _PROMOTED} | {
+    k: v for k, v in QUERIES.items()
+    if k not in _TAIL_QUERIES and k not in _PROMOTED} | {
     k: QUERIES[k] for k in _TAIL_QUERIES
 }

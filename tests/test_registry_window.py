@@ -22,9 +22,10 @@ FAMILY_REPRESENTATIVES = {
     "spearman_quantity_price", "corr_quantity_price",
     "quantile_exact_quantity", "numeric_histogram_quantity",
     "profile_customer", "grouped_stats_mktsegment",
-    # multi-table
+    # multi-table (temporal_ordering demoted round 5: no distinct family
+    # row of its own; fk/join_coverage/cross_table keep the family green)
     "fk_orders_customer", "join_coverage_lineitem_orders",
-    "cross_table_sum_orders_lineitem", "temporal_ordering_orders_lineitem",
+    "cross_table_sum_orders_lineitem",
     # temporal / windows / reshape
     "business_hours_events", "max_time_gap_events", "sessionize_events",
     "asof_click_error", "range_join_events", "rolling_daily_events",
@@ -33,6 +34,8 @@ FAMILY_REPRESENTATIVES = {
     "median_by_returnflag", "pricing_summary",
     # drift / distribution
     "benford_acctbal", "drift_psi_quantity",
+    # round-5 promotion: line-level dedup is a new dedup-family row
+    "line_dedup_summary_docs",
     # LLM data pipeline
     "dedup_exact_docs", "ngram_jaccard_pairs", "minhash_lsh_candidates",
     "simhash_near_pairs", "cosine_topk_embeddings", "neardup_components",
