@@ -25,6 +25,7 @@ from . import text as T
 @dataclass
 class CurationReport:
     input_docs: int = 0
+    after_line_dedup: int = 0
     after_exact_dedup: int = 0
     after_near_dedup: int = 0
     after_quality: int = 0
@@ -68,11 +69,35 @@ def curate_corpus(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                   min_quality: float = 0.3,
                   keep_languages: Optional[List[str]] = None,
                   jaccard_threshold: float = 0.85,
-                  count_stages: bool = True):
-    """Returns (curated DataFrame, CurationReport)."""
+                  count_stages: bool = True,
+                  clean_first: bool = False,
+                  line_dedup_min_count: Optional[int] = None):
+    """Returns (curated DataFrame, CurationReport).
+
+    Round-5 stages, both off by default: ``clean_first`` runs the
+    ftfy-lite ``clean_text`` pass before anything hashes the text
+    (trivially-different whitespace/quotes otherwise defeats exact
+    dedup), and ``line_dedup_min_count`` strips corpus-repeated
+    boilerplate LINES before document-level dedup (boilerplate
+    inflates every doc-pair similarity, which moves the Jaccard
+    threshold's meaning). Stage order: clean → line dedup → exact
+    dedup → near dedup → quality → language.
+    """
     report = CurationReport()
     if count_stages:
         report.input_docs = df.count()
+
+    if clean_first:
+        df = df.withColumn(text_col, T.clean_text(text_col))
+    if line_dedup_min_count:
+        kept_lines, _ = T.dedup_lines(df, text_col, id_col,
+                                      min_count=line_dedup_min_count)
+        # dedup_lines returns only (id, text); rejoin the payload
+        # columns (a doc that was ALL boilerplate drops out here)
+        df = (df.drop(text_col)
+                .join(kept_lines, id_col))
+        if count_stages:
+            report.after_line_dedup = df.count()
 
     stage1 = D.dedup_exact(df, text_col, id_col)
     if count_stages:
@@ -98,6 +123,8 @@ def curate_corpus(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         report.after_language = stage4.count()
         report.stages = {
             "input": report.input_docs,
+            **({"line_dedup": report.after_line_dedup}
+               if line_dedup_min_count else {}),
             "exact_dedup": report.after_exact_dedup,
             "near_dedup": report.after_near_dedup,
             "quality": report.after_quality,

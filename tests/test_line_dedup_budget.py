@@ -107,3 +107,26 @@ def test_token_budget_greedy_prefix_no_backfill(spark, budget_docs):
 def test_token_budget_validates_input(spark, budget_docs):
     with pytest.raises(ValueError, match="budget_tokens"):
         token_budget_sample(budget_docs, 0)
+
+
+def test_curate_corpus_with_clean_and_line_dedup_stages(spark):
+    from term_spark.operators.curation import curate_corpus
+    rows = [
+        (1, "accept  cookies\nreal content one", "en", "web"),
+        (2, "accept  cookies\nreal content two", "en", "web"),
+        (3, "accept  cookies", "en", "web"),          # all boilerplate
+        (4, "a perfectly fine “standalone” doc with the and of is", "en", "web"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    curated, report = curate_corpus(
+        df, min_quality=0.0, clean_first=True, line_dedup_min_count=3)
+    got = {r["doc_id"]: r["text"] for r in curated.collect()}
+    # the cleaned boilerplate line ("accept cookies", whitespace
+    # collapsed by clean_first) repeats 3x -> stripped; doc 3 vanishes
+    assert set(got) == {1, 2, 4}
+    assert got[1] == "real content one"
+    assert got[4].startswith('a perfectly fine "standalone" doc')
+    assert report.after_line_dedup == 3
+    assert report.stages["line_dedup"] == 3
+    # payload columns survive the line-dedup rejoin
+    assert {f.name for f in curated.schema.fields} >= {"lang", "source"}
