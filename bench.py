@@ -166,7 +166,7 @@ def main() -> None:
         "line_dedup_summary_docs", "token_budget_sample_docs",
         "text_cleaning_docs", "outlier_mad_acctbal",
         "dominant_value_orderstatus", "drift_psi_by_returnflag",
-        "quality_model_docs",
+        "quality_model_docs", "unigram_surprisal_docs",
     ]
     for name in bench_queries:
         fn = QUERIES[name]
