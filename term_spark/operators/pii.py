@@ -286,3 +286,55 @@ def blocklist_filter(df: DataFrame, blocked_domains, text_col: str = "text",
         cond = F.col("domain") == F.col("blocked")
     offenders = docs.join(bl, cond).select(F.col(id_col)).distinct()
     return df.join(offenders, id_col, "left_anti")
+
+
+def _badwords_pattern(terms, caller: str) -> str:
+    """One case-insensitive alternation over the curated term list.
+    Word-boundary anchors are applied PER TERM and only on the ends
+    that are word characters — `\\b` next to a non-word char (e.g. a
+    term starting with `$`) can never match, silently disabling that
+    term."""
+    import re as _re
+    cleaned = sorted({t.strip().lower() for t in terms if t and t.strip()})
+    if not cleaned:
+        raise ValueError(f"{caller}: empty term list")
+
+    def anchored(t):
+        pre = r"\b" if _re.match(r"\w", t[0]) else ""
+        post = r"\b" if _re.match(r"\w", t[-1]) else ""
+        return f"{pre}{_re.escape(t)}{post}"
+
+    return "(?i)(?:" + "|".join(anchored(t) for t in cleaned) + ")"
+
+
+def badwords_filter(df: DataFrame, terms, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    max_hits: int = 0) -> DataFrame:
+    """C4-style blocklisted-term document filter: drop documents whose
+    text contains more than ``max_hits`` whole-word occurrences of any
+    blocklisted term (C4 drops on a single hit — the default). The
+    list is human-curated and bounded, so it compiles into ONE
+    case-insensitive alternation regex evaluated map-side by codegen
+    ``regexp_count`` — no join, no explode, no per-term passes.
+
+    Terms are regex-escaped and matched at word boundaries, so "ass"
+    does not fire inside "associate" — the classic C4 false-positive.
+    Returns the surviving documents unchanged.
+    """
+    pattern = _badwords_pattern(terms, "badwords_filter")
+    hits = F.regexp_count(F.col(text_col), F.lit(pattern))
+    return df.filter(F.col(text_col).isNull() | (hits <= int(max_hits)))
+
+
+def badwords_ratio(df: DataFrame, terms, text_col: str = "text") -> DataFrame:
+    """One-row accounting for badwords_filter at max_hits=0: n_docs,
+    docs_flagged, flag_ratio, total_hits — run it before committing to
+    the drop (the release-gate form, like corpus_pii_summary)."""
+    pattern = _badwords_pattern(terms, "badwords_ratio")
+    hits = F.regexp_count(F.col(text_col), F.lit(pattern))
+    return (df.filter(F.col(text_col).isNotNull())
+              .agg(F.count(F.lit(1)).alias("n_docs"),
+                   F.count(F.when(hits > 0, 1)).alias("docs_flagged"),
+                   F.round(F.count(F.when(hits > 0, 1)) / F.count(F.lit(1)),
+                           6).alias("flag_ratio"),
+                   F.sum(hits).alias("total_hits")))

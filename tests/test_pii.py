@@ -209,3 +209,44 @@ def test_redact_parenthesized_phone_leaves_no_artifact(spark):
                                "doc_id long, text string")
     out = redact_pii(df).collect()[0]["text"]
     assert out == "call [PHONE] now"  # the '(' is consumed by the mask
+
+
+def test_badwords_filter_whole_words_only(spark):
+    from term_spark.operators.pii import badwords_filter, badwords_ratio
+    df = spark.createDataFrame(
+        [(1, "a perfectly clean document"),
+         (2, "contains BADWORD right here"),          # case-insensitive hit
+         (3, "an associate of the classic false positive"),  # no hit
+         (4, "badword and another badword"),          # 2 hits
+         (5, None)],
+        "doc_id long, text string")
+    terms = ["badword", "ass"]
+
+    kept = badwords_filter(df, terms)
+    assert {r["doc_id"] for r in kept.collect()} == {1, 3, 5}
+
+    tolerant = badwords_filter(df, terms, max_hits=1)
+    assert {r["doc_id"] for r in tolerant.collect()} == {1, 2, 3, 5}
+
+    row = badwords_ratio(df, terms).collect()[0]
+    assert (row["n_docs"], row["docs_flagged"], row["total_hits"]) == (4, 2, 3)
+    assert row["flag_ratio"] == 0.5
+
+
+def test_badwords_filter_escapes_regex_metachars(spark):
+    from term_spark.operators.pii import badwords_filter
+    df = spark.createDataFrame(
+        [(1, "price is $9.99 today"), (2, "price is $9X99 today")],
+        "doc_id long, text string")
+    # the dot must match LITERALLY, not any char
+    kept = badwords_filter(df, ["$9.99"])
+    assert {r["doc_id"] for r in kept.collect()} == {2}
+
+
+def test_badwords_filter_validates_terms(spark):
+    import pytest as _pt
+
+    from term_spark.operators.pii import badwords_filter
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with _pt.raises(ValueError, match="empty term list"):
+        badwords_filter(df, ["", "  "])
