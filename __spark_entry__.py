@@ -1,6 +1,6 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-entry(spark)  — flagship: run a 29-constraint validation suite over the
+entry(spark)  — flagship: run a 35-constraint validation suite over the
 sf0.001 tables as ONE fused aggregation job per table (the engine's
 scan-sharing design center) — including the corpus PII release gate
 and a PSI drift check against a reference snapshot — and return the

@@ -14,6 +14,7 @@ from dataclasses import dataclass
 from typing import List, Optional, Sequence
 
 from ..core.constraint import Constraint as _Constraint
+from ..core.constraint import metric_alias
 
 
 @dataclass
@@ -193,7 +194,11 @@ class AnomalyConstraint(_Constraint):
         self.detector = detector
         self.repository = repository
         self.tags = tags
-        self._alias = f"anom_{abs(hash(self.metric_name)) % 10**8}"
+        # md5-based deterministic alias (ADVICE r5: Python hash() is
+        # PYTHONHASHSEED-salted across processes and can collide mod
+        # 1e8, silently making one anomaly constraint read another's
+        # metric) — same scheme as every other constraint
+        self._alias = metric_alias("anom", self.metric_name)
 
     def scalar_metrics(self, df):
         return {self._alias: self.metric_expr}

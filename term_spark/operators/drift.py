@@ -291,7 +291,12 @@ class CategoricalDriftConstraint(Constraint):
     def evaluate(self, ctx) -> ConstraintResult:
         cur = ctx.df(self.table)
         row = chi_squared_drift(self.ref_df, cur, self.column).collect()[0]
-        if row["cramers_v"] is None or int(row["n_cur"]) == 0:
+        # guard BOTH snapshots: an empty reference would eps-floor every
+        # expected count and report an absurd V as a drift *failure*
+        # instead of the error outcome KsDrift/JsDrift return for the
+        # same degenerate case (ADVICE r5)
+        if (row["cramers_v"] is None or int(row["n_cur"]) == 0
+                or int(row["n_ref"]) == 0):
             return self._finish(ConstraintResult.error(
                 f"categorical_drift({self.column}): a snapshot has no "
                 "non-null rows"))

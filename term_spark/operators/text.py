@@ -251,6 +251,16 @@ def pack_sequences(df, text_col: str = "text", id_col: str = "doc_id",
                                    (F.col("n_windows") * C), 6)))
 
 
+def _literal_sep(sep: str) -> str:
+    r"""Quote a separator for Java-regex ``F.split`` so it matches
+    LITERALLY.  Documents are reassembled with a literal
+    ``array_join(sep)``, so a regex-special separator like ``|`` or
+    ``.`` would otherwise split on every character and corrupt the
+    round-trip (ADVICE r5).  Uses ``\Q...\E`` quoting; an embedded
+    ``\E`` is closed-requoted-reopened, the standard Java idiom."""
+    return "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+
+
 def dedup_lines(df, text_col: str = "text", id_col: str = "doc_id",
                 min_count: int = 2, sep: str = "\n"):
     """Line-level corpus dedup (the CCNet/RefinedWeb boilerplate pass):
@@ -272,10 +282,18 @@ def dedup_lines(df, text_col: str = "text", id_col: str = "doc_id",
     one row per map partition), one shuffle join back (hot boilerplate
     keys -> AQE skew-join handles them), one per-doc regroup. No
     windows, no driver-side state.
+
+    ``min_count`` must be >= 2: the filter keeps lines occurring fewer
+    than ``min_count`` times, and no line occurs fewer than once, so 1
+    would silently delete the entire corpus (ADVICE r5).
     """
+    if min_count < 2:
+        raise ValueError(
+            f"min_count must be >= 2 (got {min_count}): every line occurs "
+            "at least once, so min_count=1 would drop the whole corpus")
     lines = df.select(
         F.col(id_col), F.posexplode(
-            F.split(F.col(text_col), sep, -1)).alias("pos", "line"))
+            F.split(F.col(text_col), _literal_sep(sep), -1)).alias("pos", "line"))
     freq = lines.groupBy("line").agg(F.count(F.lit(1)).alias("n_corpus"))
     tagged = lines.join(freq, "line").select(id_col, "pos", "line", "n_corpus")
     kept = tagged.filter(F.col("n_corpus") < min_count)
@@ -303,7 +321,7 @@ def line_dedup_summary(df, text_col: str = "text", id_col: str = "doc_id",
     broadcast join for the doc count, not the Expand a
     multi-countDistinct agg would degenerate into."""
     lines = df.select(F.explode(
-        F.split(F.col(text_col), sep, -1)).alias("line"))
+        F.split(F.col(text_col), _literal_sep(sep), -1)).alias("line"))
     freq = lines.groupBy("line").agg(F.count(F.lit(1)).alias("n"))
     dup = F.col("n") >= min_count
     stats = freq.agg(
@@ -429,13 +447,24 @@ def unigram_surprisal(df, text_col: str = "text", id_col: str = "doc_id",
     ONE driver scalar, not an unpartitioned window) → hash join back
     on token → per-doc agg. All codegen; the vocab join is
     shuffle-based so a billion-token vocabulary distributes like any
-    other key.
+    other key.  The VOCAB COUNTS are eagerly localCheckpointed before
+    the total is collected (the round-2 ngram-Jaccard lesson): without
+    it the corpus would explode THREE times — once collecting the
+    vocab total, then again for both the vocab and the token side of
+    the returned plan.  Checkpointing the vocab (|V| rows) rather than
+    the exploded token table caps the stored state at vocabulary size
+    — storing the exploded corpus would exceed the corpus itself at
+    100 TB — and pins the plan to exactly TWO explodes (one feeding
+    the checkpointed vocab, one on the join's token side), measured
+    faster than both the 3-explode original and the
+    full-table-checkpoint variant at sf0.1.
     """
     toks = norm_tokens(text_col)
     ex = (df.filter(F.col(text_col).isNotNull())
             .select(F.col(id_col), F.explode(toks).alias("tok")))
     if vocab_df is None:
-        vocab = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("__n"))
+        vocab = (ex.groupBy("tok").agg(F.count(F.lit(1)).alias("__n"))
+                   .localCheckpoint(eager=True))  # |V| rows, reused 2x
         total = vocab.agg(F.sum("__n")).collect()[0][0] or 1
         vocab = vocab.select("tok", (F.col("__n") / float(total)).alias("p"))
     else:

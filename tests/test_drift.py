@@ -208,3 +208,30 @@ def test_grouped_psi_matches_scalar_psi_per_group(spark):
             ref.filter(F.col("g") == g), cur.filter(F.col("g") == g),
             "v", bins=10, lo=0.0, hi=10.0).collect()[0]["psi"]
         assert grouped[g] == pytest.approx(scalar, abs=1e-6)
+
+
+def test_categorical_drift_empty_reference_is_error_not_failure(spark):
+    # ADVICE r5: an empty reference snapshot must surface as the error
+    # outcome (like KsDrift/JsDrift on the same degenerate case), not
+    # as an eps-floored absurd Cramér's V reported as drift failure.
+    from term_spark.core.result import Status
+    empty_ref = _df(spark, [], "string")
+    cur = _df(spark, ["a"] * 50 + ["b"] * 50, "string")
+    res = ValidationSuite.builder("drift").with_check(
+        Check("d", Level.ERROR).has_stable_categories(empty_ref, "v")) \
+        .run(spark, cur)
+    assert not res.passed
+    statuses = [o.result.status for o in res.report.outcomes]
+    assert Status.ERROR in statuses
+    assert Status.FAILURE not in statuses
+
+
+def test_anomaly_constraint_alias_is_deterministic():
+    # ADVICE r5: the fused-agg alias must not depend on PYTHONHASHSEED
+    from term_spark.analyzers.anomaly import AnomalyConstraint
+    from term_spark.core.constraint import metric_alias
+    c = AnomalyConstraint("row_count", None, None, None)
+    assert c._alias == metric_alias("anom", "row_count")
+    # distinct metric names must never collide on the alias
+    c2 = AnomalyConstraint("null_ratio", None, None, None)
+    assert c._alias != c2._alias

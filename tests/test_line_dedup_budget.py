@@ -130,3 +130,31 @@ def test_curate_corpus_with_clean_and_line_dedup_stages(spark):
     assert report.stages["line_dedup"] == 3
     # payload columns survive the line-dedup rejoin
     assert {f.name for f in curated.schema.fields} >= {"lang", "source"}
+
+
+def test_dedup_lines_rejects_min_count_below_two(spark, lined_docs):
+    # min_count=1 would keep lines occurring "< 1 time" — i.e. delete
+    # the entire corpus silently (ADVICE r5); must raise instead.
+    with pytest.raises(ValueError, match="min_count"):
+        dedup_lines(lined_docs, min_count=1)
+    with pytest.raises(ValueError, match="min_count"):
+        from term_spark.operators.curation import curate_corpus
+        curate_corpus(lined_docs, min_quality=0.0, line_dedup_min_count=1)
+
+
+def test_dedup_lines_regex_special_separator_round_trips(spark):
+    # '|' is regex-special; an unquoted F.split would split on EVERY
+    # character while array_join reassembles with a literal '|',
+    # corrupting the round-trip (ADVICE r5).
+    df = spark.createDataFrame(
+        [(1, "alpha|beta|gamma"), (2, "beta|delta")],
+        "doc_id long, text string")
+    cleaned, _ = dedup_lines(df, min_count=3, sep="|")  # nothing dropped
+    got = {r["doc_id"]: r["text"] for r in cleaned.collect()}
+    assert got == {1: "alpha|beta|gamma", 2: "beta|delta"}
+    cleaned2, _ = dedup_lines(df, min_count=2, sep="|")  # beta x2 dropped
+    got2 = {r["doc_id"]: r["text"] for r in cleaned2.collect()}
+    assert got2 == {1: "alpha|gamma", 2: "delta"}
+    row = line_dedup_summary(df, min_count=2, sep="|").collect()[0]
+    assert row["total_lines"] == 5 and row["distinct_lines"] == 4
+    assert row["dup_line_instances"] == 2
