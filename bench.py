@@ -237,6 +237,9 @@ def main() -> None:
         "text_cleaning_docs", "outlier_mad_acctbal",
         "dominant_value_orderstatus", "drift_psi_by_returnflag",
         "quality_model_docs", "unigram_surprisal_docs",
+        # round-6 additions: DSIR importance weighting, winnowing
+        # partial-copy detection, Unicode script profiling
+        "dsir_weights_docs", "winnow_overlap_docs", "script_profile_docs",
     ]
     for name in bench_queries:
         per_query[name] = round(_measure_query(spark, QUERIES[name], SF_DIR), 4)

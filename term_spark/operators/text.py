@@ -473,3 +473,66 @@ def unigram_surprisal(df, text_col: str = "text", id_col: str = "doc_id",
               .groupBy(id_col)
               .agg(F.count(F.lit(1)).alias("n_tokens"),
                    F.round(F.avg(-F.log2("p")), 6).alias("bits_per_token")))
+
+
+#: Unicode scripts detected by script_profile, with their Java-regex
+#: property names. Keys are the stable output names (also the DuckDB
+#: oracle's \p{<Name>} RE2 properties — queries_llm mirrors them).
+SCRIPTS = {
+    "arabic": "IsArabic",
+    "cyrillic": "IsCyrillic",
+    "devanagari": "IsDevanagari",
+    "greek": "IsGreek",
+    "han": "IsHan",
+    "hangul": "IsHangul",
+    "hebrew": "IsHebrew",
+    "hiragana": "IsHiragana",
+    "katakana": "IsKatakana",
+    "latin": "IsLatin",
+    "thai": "IsThai",
+}
+
+
+def script_profile(df, text_col: str = "text", id_col: str = "doc_id",
+                   scripts=None):
+    """Per-document Unicode script detection — the writing-system
+    counterpart to ``lang_id`` (language needs vocabulary; script is a
+    pure character-class property, so it is robust on short/noisy text
+    and catches mojibake/mixed-script spam that n-gram language ID
+    misreads). Counts letters per script, plus:
+
+    * ``n_letters`` — total ``\\p{L}`` characters;
+    * ``dominant_script`` — the script with the most letters (ties
+      break to the lexicographically LARGER name — both engines'
+      struct-max semantics); NULL when the text has no letters;
+    * ``dominant_share`` — its fraction of all letters (rounded 6).
+
+    A low dominant_share flags mixed-script content (spam, encoding
+    damage, code-mixed text) for the curation gates.
+
+    Scale: map-only — one ``regexp_count`` per script per row inside
+    whole-stage codegen; no explode, no shuffle, no UDF. At 11
+    scripts that is 11 linear regex passes per document; for a
+    reduced bill pass ``scripts`` with just the ones the pipeline
+    routes on.
+    """
+    scripts = dict(scripts) if scripts else SCRIPTS
+    counts = [F.regexp_count(F.col(text_col),
+                             F.lit(rf"\p{{{prop}}}")).cast("bigint")
+               .alias(f"{name}_chars")
+              for name, prop in sorted(scripts.items())]
+    base = (df.filter(F.col(text_col).isNotNull())
+              .select(F.col(id_col),
+                      *counts,
+                      F.regexp_count(F.col(text_col), F.lit(r"\p{L}"))
+                       .cast("bigint").alias("n_letters")))
+    best = F.array_max(F.array(*[
+        F.struct(F.col(f"{name}_chars").alias("c"), F.lit(name).alias("s"))
+        for name in sorted(scripts)]))
+    return (base.withColumn(
+                "dominant_script",
+                F.when(best["c"] > 0, best["s"]))
+                .withColumn(
+                "dominant_share",
+                F.when(F.col("n_letters") > 0,
+                       F.round(best["c"] / F.col("n_letters"), 6))))

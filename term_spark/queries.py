@@ -1799,6 +1799,12 @@ _TAIL_QUERIES = [
     "numeric_histogram_quantity",  # histogram family: histogram_returnflag
     "grouped_stats_mktsegment",    # grouped family: rollup_pricing +
                                    # grouped_completeness_events stay
+    # -- round-6 NEW families start in the tail (the window is full of
+    #    families still earning their first or second driver row); they
+    #    rotate in at round 7 under the double-green policy --
+    "dsir_weights_docs",       # DSIR importance weighting (new r6)
+    "winnow_overlap_docs",     # winnowing partial-copy pairs (new r6)
+    "script_profile_docs",     # Unicode script detection (new r6)
 ]
 
 #: families pulled INTO the window (at the front — in-window order is

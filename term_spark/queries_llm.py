@@ -921,3 +921,161 @@ FROM t GROUP BY 1 ORDER BY log2_bucket
 
 LLM_QUERIES.update({"doc_length_buckets": q_doc_length_buckets})
 LLM_ORACLES.update({"doc_length_buckets": SQL_DOC_LENGTH_BUCKETS})
+
+
+def q_dsir_weights_docs(spark, sf_dir) -> DataFrame:
+    """DSIR hashed-n-gram importance log-weights
+    (curation.dsir_log_weights): score every non-src1 document by how
+    target-like (src1) its hashed unigram distribution is. 256
+    buckets, add-1 smoothing — small enough that the weight table is
+    trivially broadcast, large enough to separate sources."""
+    from .operators.curation import dsir_log_weights
+    d = _docs(spark, sf_dir)
+    target = d.filter(F.col("source") == "src1")
+    raw = d.filter(F.col("source") != "src1")
+    return dsir_log_weights(raw, target, buckets=256).orderBy("doc_id")
+
+
+SQL_DSIR_WEIGHTS_DOCS = f"""
+WITH tgt AS (
+    SELECT unnest({_TOKS_SQL}) AS tok FROM documents
+    WHERE text IS NOT NULL AND source = 'src1'
+),
+raw AS (
+    SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
+    WHERE text IS NOT NULL AND source <> 'src1'
+),
+tb AS (SELECT CAST((('0x' || substr(md5(tok), 1, 15))::UBIGINT % 256) AS INT)
+           AS b, COUNT(*) AS nt FROM tgt GROUP BY 1),
+rb AS (SELECT CAST((('0x' || substr(md5(tok), 1, 15))::UBIGINT % 256) AS INT)
+           AS b, COUNT(*) AS nr FROM raw GROUP BY 1),
+w AS (SELECT COALESCE(tb.b, rb.b) AS b,
+             LN((COALESCE(nt, 0) + 1.0) /
+                ((SELECT COALESCE(SUM(nt), 0) FROM tb) + 256.0)) -
+             LN((COALESCE(nr, 0) + 1.0) /
+                ((SELECT COALESCE(SUM(nr), 0) FROM rb) + 256.0)) AS w
+      FROM tb FULL OUTER JOIN rb ON tb.b = rb.b),
+i AS (SELECT doc_id,
+             CAST((('0x' || substr(md5(tok), 1, 15))::UBIGINT % 256) AS INT)
+                 AS b
+      FROM raw)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(SUM(w.w), 6) AS log_weight
+FROM i JOIN w USING (b)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+LLM_QUERIES.update({"dsir_weights_docs": q_dsir_weights_docs})
+LLM_ORACLES.update({"dsir_weights_docs": SQL_DSIR_WEIGHTS_DOCS})
+
+
+def q_winnow_overlap_docs(spark, sf_dir) -> DataFrame:
+    """Winnowing partial-copy candidates (dedup.winnow_overlap_pairs):
+    pairs sharing >= 5 winnowed k-gram minima (k=8 chars, window=4),
+    with fingerprints present in > 20 docs dropped as boilerplate
+    minima — catches a long verbatim passage inside
+    otherwise-different docs, which whole-doc MinHash dilutes below
+    threshold. The freq cap bounds the self-join at Σfreq·20 rows, the
+    property that keeps the query linear at 100 TB (without it the
+    template-heavy synthetic corpus alone yields 108k pairs on 500
+    docs — a measured quadratic blow-up)."""
+    from .operators.dedup import winnow_overlap_pairs
+    return (winnow_overlap_pairs(_docs(spark, sf_dir), min_common=5,
+                                 max_fp_freq=20)
+            .select("id_a", "id_b", "n_common")
+            .orderBy("id_a", "id_b"))
+
+
+SQL_WINNOW_OVERLAP_DOCS = f"""
+WITH n AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents
+           WHERE text IS NOT NULL),
+g AS (SELECT doc_id,
+             list_transform(range(1, greatest(length(t) - 7, 1) + 1),
+                            i -> substr(t, i, 8)) AS gs
+      FROM n),
+h AS (SELECT doc_id,
+             list_transform(gs,
+                 s -> CAST(('0x' || substr(md5(s), 1, 15))::UBIGINT
+                           AS BIGINT)) AS hs
+      FROM g),
+f AS (SELECT doc_id,
+             list_distinct(list_transform(
+                 range(1, greatest(len(hs) - 3, 1) + 1),
+                 i -> list_aggregate(hs[i:i+3], 'min'))) AS fps
+      FROM h),
+e AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+ef AS (SELECT e.* FROM e
+       JOIN (SELECT fp FROM e GROUP BY fp HAVING COUNT(*) <= 20) k
+       USING (fp))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(COUNT(*) AS BIGINT) AS n_common
+FROM ef a JOIN ef b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING COUNT(*) >= 5
+ORDER BY id_a, id_b
+"""
+
+
+LLM_QUERIES.update({"winnow_overlap_docs": q_winnow_overlap_docs})
+LLM_ORACLES.update({"winnow_overlap_docs": SQL_WINNOW_OVERLAP_DOCS})
+
+
+def q_script_profile_docs(spark, sf_dir) -> DataFrame:
+    """Unicode script detection (text.script_profile) over the corpus:
+    per-script letter counts, dominant script and its share — the
+    mixed-script/mojibake gate. spread() first: the op is map-only, so
+    its parallelism is the input split count, and a small corpus
+    arrives as one split (12 regex passes single-threaded, measured
+    2.2 s -> 0.3 s at sf0.1 with the spread)."""
+    from .operators.dedup import spread
+    from .operators.text import script_profile
+    return script_profile(spread(_docs(spark, sf_dir), "doc_id")) \
+        .orderBy("doc_id")
+
+
+def _script_sql_counts() -> str:
+    from .operators.text import SCRIPTS
+    cols = []
+    for name in sorted(SCRIPTS):
+        prop = SCRIPTS[name][2:]  # IsLatin -> Latin (RE2 property name)
+        cols.append(
+            rf"CAST(length(regexp_replace(text, '[^\p{{{prop}}}]+', '', 'g'))"
+            rf" AS BIGINT) AS {name}_chars")
+    return ",\n       ".join(cols)
+
+
+SQL_SCRIPT_PROFILE_DOCS = f"""
+WITH c AS (
+    SELECT doc_id,
+       {_script_sql_counts()},
+       CAST(length(regexp_replace(text, '[^\\p{{L}}]+', '', 'g')) AS BIGINT)
+           AS n_letters
+    FROM documents WHERE text IS NOT NULL
+),
+m AS (
+    SELECT *, list_aggregate([
+        {{'c': arabic_chars, 's': 'arabic'}},
+        {{'c': cyrillic_chars, 's': 'cyrillic'}},
+        {{'c': devanagari_chars, 's': 'devanagari'}},
+        {{'c': greek_chars, 's': 'greek'}},
+        {{'c': han_chars, 's': 'han'}},
+        {{'c': hangul_chars, 's': 'hangul'}},
+        {{'c': hebrew_chars, 's': 'hebrew'}},
+        {{'c': hiragana_chars, 's': 'hiragana'}},
+        {{'c': katakana_chars, 's': 'katakana'}},
+        {{'c': latin_chars, 's': 'latin'}},
+        {{'c': thai_chars, 's': 'thai'}}], 'max') AS best
+    FROM c
+)
+SELECT doc_id, arabic_chars, cyrillic_chars, devanagari_chars, greek_chars,
+       han_chars, hangul_chars, hebrew_chars, hiragana_chars, katakana_chars,
+       latin_chars, thai_chars, n_letters,
+       CASE WHEN best.c > 0 THEN best.s END AS dominant_script,
+       CASE WHEN n_letters > 0 THEN ROUND(best.c * 1.0 / n_letters, 6) END
+           AS dominant_share
+FROM m ORDER BY doc_id
+"""
+
+
+LLM_QUERIES.update({"script_profile_docs": q_script_profile_docs})
+LLM_ORACLES.update({"script_profile_docs": SQL_SCRIPT_PROFILE_DOCS})

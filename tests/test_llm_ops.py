@@ -772,3 +772,106 @@ def test_mix_sources_keeps_null_source_stratum(spark):
               mixed.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
     # the NULL stratum is sampled like any other, not silently dropped
     assert None in by_src and 25 < by_src[None] < 75
+
+
+# ---- round-6 additions: DSIR, winnowing, script detection ------------------
+
+
+def test_dsir_log_weights_separate_target_like_docs(spark):
+    from term_spark.operators.curation import dsir_log_weights
+    # target domain: legal-ish vocabulary; raw: mostly web chatter plus
+    # two target-like docs that the weights must rank on top
+    target = spark.createDataFrame(
+        [(i, "whereas party agreement herein clause liability") for i in
+         range(20)], "doc_id long, text string")
+    raw_rows = [(100 + i, "lol random cat video click share meme")
+                for i in range(20)]
+    raw_rows += [(900, "whereas agreement clause liability herein party"),
+                 (901, "party agreement whereas liability clause")]
+    raw = spark.createDataFrame(raw_rows, "doc_id long, text string")
+    w = {r["doc_id"]: r["log_weight"]
+         for r in dsir_log_weights(raw, target, buckets=512).collect()}
+    assert len(w) == 22
+    chatter = [w[100 + i] for i in range(20)]
+    # target-like docs score strictly above every chatter doc
+    assert min(w[900], w[901]) > max(chatter)
+    assert w[900] > 0 and max(chatter) < 0
+
+
+def test_dsir_sample_is_deterministic_and_bounded(spark):
+    from term_spark.operators.curation import dsir_sample
+    target = spark.createDataFrame(
+        [(i, "alpha beta gamma delta") for i in range(10)],
+        "doc_id long, text string")
+    raw = spark.createDataFrame(
+        [(100 + i, "alpha beta gamma delta") for i in range(15)] +
+        [(200 + i, "zig zag zombie zoo") for i in range(15)],
+        "doc_id long, text string")
+    s1 = sorted(r["doc_id"] for r in dsir_sample(raw, target, k=8).collect())
+    s2 = sorted(r["doc_id"] for r in dsir_sample(raw, target, k=8).collect())
+    assert s1 == s2 and len(s1) == 8          # deterministic, exactly k
+    # importance resampling strongly prefers the target-like half
+    assert sum(1 for d in s1 if d < 200) >= 6
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        dsir_sample(raw, target, k=0)
+
+
+def test_winnow_guarantee_shared_passage_is_detected(spark):
+    from term_spark.operators.dedup import (winnow_fingerprints,
+                                            winnow_overlap_pairs)
+    # k=8, window=4: any shared normalized substring of >= 11 chars
+    # must contribute >= 1 common fingerprint (the winnowing guarantee)
+    passage = "the quick brown fox jumps over the lazy dog near the river"
+    df = spark.createDataFrame(
+        [(1, f"INTRO A. {passage} ending one differs entirely here"),
+         (2, f"Completely other opening text; {passage} -- closer two"),
+         (3, "nothing in common with either of the other documents at all")],
+        "doc_id long, text string")
+    pairs = {(r["id_a"], r["id_b"]): r["n_common"]
+             for r in winnow_overlap_pairs(df, min_common=1).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 3   # long shared passage
+    assert not any({a, b} & {3} for a, b in pairs), pairs  # doc 3 unrelated
+    # winnowing SAMPLES minima — far fewer fingerprints than grams
+    n_fps = winnow_fingerprints(df).count()
+    n_grams = sum(len(r["text"]) - 7 for r in df.collect())
+    assert 0 < n_fps < n_grams / 2
+
+
+def test_winnow_stop_fingerprint_cap_bounds_join(spark):
+    from term_spark.operators.dedup import winnow_overlap_pairs
+    # 30 docs all share one boilerplate sentence -> without the cap
+    # every pair matches; with max_fp_freq=5 the boilerplate minima
+    # drop and only the two true near-dups survive
+    boiler = "subscribe to our newsletter for updates and offers today"
+    rows = [(i, f"{boiler} unique filler number {i} content piece") for i in
+            range(30)]
+    rows += [(100, "a very specific shared story about winnowing limits"),
+             (101, "a very specific shared story about winnowing limits!")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = winnow_overlap_pairs(df, min_common=2, max_fp_freq=5).collect()
+    ids = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (100, 101) in ids
+    assert all(a >= 100 for a, _ in ids), ids  # boilerplate pairs gone
+
+
+def test_script_profile_detects_scripts_and_mixed_text(spark):
+    from term_spark.operators.text import script_profile
+    df = spark.createDataFrame(
+        [(1, "plain english text only"),
+         (2, "Привет мир это русский текст"),
+         (3, "你好世界 some latin mixed in"),
+         (4, "12345 !!! ---"),
+         (5, None)],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in script_profile(df).collect()}
+    assert 5 not in out                       # null text filtered
+    assert out[1]["dominant_script"] == "latin"
+    assert out[1]["dominant_share"] == 1.0
+    assert out[2]["dominant_script"] == "cyrillic"
+    assert out[3]["han_chars"] == 4 and out[3]["latin_chars"] > 4
+    assert out[3]["dominant_script"] == "latin"
+    assert 0 < out[3]["dominant_share"] < 1
+    assert out[4]["n_letters"] == 0
+    assert out[4]["dominant_script"] is None
+    assert out[4]["dominant_share"] is None
