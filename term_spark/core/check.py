@@ -298,6 +298,21 @@ class Check:
         return self.with_constraint(
             RowCountRatioConstraint(ref_df, min_ratio, max_ratio))
 
+    def has_stable_distribution_by(self, ref_df, column: str, group_col: str,
+                                   max_psi: float = 0.25, bins: int = 10,
+                                   lo=None, hi=None,
+                                   on_missing: str = "ignore") -> "Check":
+        """Per-segment drift gate: the WORST per-``group_col`` PSI of
+        ``column`` vs the ``ref_df`` snapshot must stay under
+        ``max_psi`` — catches a drifted segment the corpus-level PSI
+        averages away. ``lo``/``hi`` are required (shared bucket
+        domain is what makes group scores comparable); failure names
+        the worst group. ``on_missing='fail'`` also fails when a group
+        exists in only one snapshot."""
+        from ..operators.drift import GroupedPsiDriftConstraint
+        return self.with_constraint(GroupedPsiDriftConstraint(
+            column, group_col, ref_df, max_psi, bins, lo, hi, on_missing))
+
     def has_stable_categories(self, ref_df, column: str,
                               max_v: float = 0.1) -> "Check":
         """Categorical drift gate: Cramér's V of the column's category

@@ -503,3 +503,41 @@ def dsir_sample(raw_df: DataFrame, target_df: DataFrame, k: int,
     picked = scored.orderBy(F.desc("__score"), id_col).limit(int(k))
     return (raw_df.join(picked.select(id_col, "log_weight"), id_col)
                   .drop("__score"))
+
+
+def decontamination_report(df: DataFrame, eval_df: DataFrame,
+                           text_col: str = "text", id_col: str = "doc_id",
+                           eval_text_col: str = "text",
+                           k: int = 8) -> DataFrame:
+    """Per-document contamination accounting — the threshold-tuning
+    companion to ``decontaminate_ngram``'s hard drop: for every
+    training doc, how many of its distinct ``k``-gram shingles appear
+    anywhere in the eval set, and what fraction of the doc that is.
+    Returns (id, n_shingles, n_hits, overlap_fraction rounded 6); run
+    it before committing to a ``max_overlap`` cutoff, the same way
+    line_dedup_summary fronts dedup_lines.
+
+    Scale: one shingle explode (distinct per doc), one per-doc size
+    agg, one inverted-index join against the DISTINCT eval shingle set
+    (small → AQE broadcasts it), one per-doc hit agg, one left join
+    back. Work is O(|doc shingles|); no pairwise comparison.
+    """
+    from .dedup import _doc_shingles, spread
+    doc_sh = _doc_shingles(spread(df, id_col), text_col, id_col, k) \
+        .localCheckpoint(eager=True)  # two consumers: sizes + hits
+    eval_sh = (_doc_shingles(
+        eval_df.select(F.monotonically_increasing_id().alias("__eid"),
+                       F.col(eval_text_col)),
+        eval_text_col, "__eid", k)
+        .select("shingle").distinct())
+    sizes = doc_sh.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_shingles"))
+    hits = (doc_sh.join(eval_sh, "shingle")
+            .groupBy("id").agg(F.count(F.lit(1)).alias("n_hits")))
+    return (sizes.join(hits, "id", "left")
+            .select(F.col("id").alias(id_col),
+                    "n_shingles",
+                    F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+                    F.round(F.coalesce("n_hits", F.lit(0)) /
+                            F.col("n_shingles"), 6)
+                     .alias("overlap_fraction")))

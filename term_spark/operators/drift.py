@@ -371,3 +371,71 @@ def population_stability_by(ref: DataFrame, cur: DataFrame, column: str,
         F.when((F.col("n_ref") > 0) & (F.col("n_cur") > 0),
                F.col("psi_raw")).alias("psi"))
         .orderBy(group_col))
+
+
+class GroupedPsiDriftConstraint(Constraint):
+    """``has_stable_distribution_by``: the WORST per-group PSI against
+    a reference snapshot must stay under ``max_psi`` — the "no segment
+    may drift" gate (a small drifted segment disappears inside the
+    corpus-level PSI average; per-group scoring is how it gets
+    caught). Failure names the worst group.
+
+    Groups present in only one snapshot have undefined drift (psi
+    NULL): ``on_missing='ignore'`` (default) skips them but reports
+    the count; ``'fail'`` fails the constraint when any exist.
+
+    Self-executing (needs the second DataFrame). Job shape =
+    population_stability_by: two (group, bucket)-keyed grouped counts,
+    ≤bins-row per-group windows, one join — |groups|·bins rows total.
+    """
+
+    name = "grouped_psi_drift"
+
+    def __init__(self, column: str, group_col: str, ref_df,
+                 max_psi: float = 0.25, bins: int = 10,
+                 lo: float = None, hi: float = None,
+                 on_missing: str = "ignore"):
+        if max_psi <= 0:
+            raise ValueError(f"max_psi must be > 0, got {max_psi}")
+        if on_missing not in ("ignore", "fail"):
+            raise ValueError(f"on_missing must be 'ignore' or 'fail', "
+                             f"got {on_missing!r}")
+        self.column = validate_identifier(column)
+        self.group_col = validate_identifier(group_col)
+        self.ref_df = ref_df
+        self.max_psi = float(max_psi)
+        self.bins, self.lo, self.hi = bins, lo, hi
+        self.on_missing = on_missing
+
+    def evaluate(self, ctx) -> ConstraintResult:
+        cur = ctx.df(self.table)
+        try:
+            rows = population_stability_by(
+                self.ref_df, cur, self.column, self.group_col,
+                bins=self.bins, lo=self.lo, hi=self.hi).collect()
+        except ValueError as e:
+            return self._finish(ConstraintResult.error(str(e)))
+        if not rows:
+            return self._finish(ConstraintResult.error(
+                f"grouped_psi({self.column} by {self.group_col}): "
+                "no groups in either snapshot"))
+        missing = [r[self.group_col] for r in rows if r["psi"] is None]
+        scored = [(float(r["psi"]), r[self.group_col]) for r in rows
+                  if r["psi"] is not None]
+        if missing and self.on_missing == "fail":
+            return self._finish(ConstraintResult.failure(
+                None, f"grouped_psi({self.column} by {self.group_col}): "
+                      f"{len(missing)} group(s) present in only one "
+                      f"snapshot (e.g. {missing[0]!r})"))
+        if not scored:
+            return self._finish(ConstraintResult.error(
+                f"grouped_psi({self.column} by {self.group_col}): no "
+                "group present in both snapshots"))
+        worst, worst_group = max(scored)
+        note = f" ({len(missing)} one-sided group(s) skipped)" if missing else ""
+        if worst <= self.max_psi:
+            return self._finish(ConstraintResult.success(worst))
+        return self._finish(ConstraintResult.failure(
+            worst, f"grouped_psi({self.column} by {self.group_col}): "
+                   f"group {worst_group!r} PSI {worst:.4f} exceeds "
+                   f"max_psi {self.max_psi}{note}"))

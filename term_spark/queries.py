@@ -1805,6 +1805,7 @@ _TAIL_QUERIES = [
     "dsir_weights_docs",       # DSIR importance weighting (new r6)
     "winnow_overlap_docs",     # winnowing partial-copy pairs (new r6)
     "script_profile_docs",     # Unicode script detection (new r6)
+    "decontamination_report_docs",  # decontamination accounting (new r6)
 ]
 
 #: families pulled INTO the window (at the front — in-window order is

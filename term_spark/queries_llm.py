@@ -1079,3 +1079,35 @@ FROM m ORDER BY doc_id
 
 LLM_QUERIES.update({"script_profile_docs": q_script_profile_docs})
 LLM_ORACLES.update({"script_profile_docs": SQL_SCRIPT_PROFILE_DOCS})
+
+
+def q_decontamination_report_docs(spark, sf_dir) -> DataFrame:
+    """Per-doc contamination accounting (curation.decontamination_report):
+    treating source 'src0' as the eval set, the fraction of each
+    training doc's 8-gram shingles that appear in it — the evidence a
+    max_overlap cutoff is tuned on before decontaminate_ngram drops
+    anything."""
+    from .operators.curation import decontamination_report
+    d = _docs(spark, sf_dir)
+    return (decontamination_report(d.filter(F.col("source") != "src0"),
+                                   d.filter(F.col("source") == "src0"))
+            .orderBy("doc_id"))
+
+
+SQL_DECONTAMINATION_REPORT_DOCS = f"""
+WITH tsh AS ({_shingle_sql_k(8, "source <> 'src0'")}),
+esh AS (SELECT DISTINCT shingle FROM ({_shingle_sql_k(8, "source = 'src0'")})),
+sizes AS (SELECT id, COUNT(*) AS n_shingles FROM tsh GROUP BY id),
+hits AS (SELECT t.id, COUNT(*) AS n_hits
+         FROM tsh t JOIN esh e ON t.shingle = e.shingle GROUP BY t.id)
+SELECT s.id AS doc_id, CAST(s.n_shingles AS BIGINT) AS n_shingles,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       ROUND(COALESCE(h.n_hits, 0) * 1.0 / s.n_shingles, 6)
+           AS overlap_fraction
+FROM sizes s LEFT JOIN hits h ON s.id = h.id
+ORDER BY doc_id
+"""
+
+
+LLM_QUERIES.update({"decontamination_report_docs": q_decontamination_report_docs})
+LLM_ORACLES.update({"decontamination_report_docs": SQL_DECONTAMINATION_REPORT_DOCS})

@@ -235,3 +235,45 @@ def test_anomaly_constraint_alias_is_deterministic():
     # distinct metric names must never collide on the alias
     c2 = AnomalyConstraint("null_ratio", None, None, None)
     assert c._alias != c2._alias
+
+
+def test_has_stable_distribution_by_names_worst_group(spark):
+    rows_ref = [("a", float(i % 10)) for i in range(300)] + \
+               [("b", float(i % 10)) for i in range(300)]
+    rows_cur = [("a", float(i % 10)) for i in range(300)] + \
+               [("b", 5.0 + i % 10) for i in range(300)]   # only b drifts
+    ref = spark.createDataFrame(rows_ref, "g string, v double")
+    cur = spark.createDataFrame(rows_cur, "g string, v double")
+    res = ValidationSuite.builder("drift").with_check(
+        Check("d", Level.ERROR).has_stable_distribution_by(
+            ref, "v", "g", max_psi=0.25, bins=10, lo=0.0, hi=15.0)) \
+        .run(spark, cur)
+    assert not res.passed
+    msg = [x.message for x in res.report.issues][0]
+    assert "'b'" in msg and "psi" in msg.lower()
+    # loose gate passes (worst PSI is finite and reported as metric)
+    ok = ValidationSuite.builder("drift").with_check(
+        Check("d", Level.ERROR).has_stable_distribution_by(
+            ref, "v", "g", max_psi=100.0, bins=10, lo=0.0, hi=15.0)) \
+        .run(spark, cur)
+    assert ok.passed
+
+
+def test_has_stable_distribution_by_missing_group_policy(spark):
+    from term_spark.core.result import Status
+    ref = spark.createDataFrame(
+        [("a", float(i % 10)) for i in range(100)], "g string, v double")
+    cur = spark.createDataFrame(
+        [("a", float(i % 10)) for i in range(100)] +
+        [("NEW", float(i % 10)) for i in range(100)], "g string, v double")
+    # default: one-sided group skipped, same-distribution group passes
+    ok = ValidationSuite.builder("d").with_check(
+        Check("d", Level.ERROR).has_stable_distribution_by(
+            ref, "v", "g", lo=0.0, hi=10.0)).run(spark, cur)
+    assert ok.passed
+    # on_missing='fail': the brand-new segment is itself the finding
+    bad = ValidationSuite.builder("d").with_check(
+        Check("d", Level.ERROR).has_stable_distribution_by(
+            ref, "v", "g", lo=0.0, hi=10.0, on_missing="fail")).run(spark, cur)
+    assert not bad.passed
+    assert "one snapshot" in [x.message for x in bad.report.issues][0]

@@ -875,3 +875,25 @@ def test_script_profile_detects_scripts_and_mixed_text(spark):
     assert out[4]["n_letters"] == 0
     assert out[4]["dominant_script"] is None
     assert out[4]["dominant_share"] is None
+
+
+def test_decontamination_report_fractions(spark):
+    from term_spark.operators.curation import decontamination_report
+    eval_df = spark.createDataFrame(
+        [(1, "the secret benchmark answer is forty two exactly here")],
+        "doc_id long, text string")
+    train = spark.createDataFrame(
+        [(10, "the secret benchmark answer is forty two exactly here"),
+         (11, "totally unrelated content about cooking pasta at home well"),
+         (12, "intro text; the secret benchmark answer is forty two "
+              "exactly here; plus extra trailing words beyond")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           decontamination_report(train, eval_df).collect()}
+    assert out[10]["overlap_fraction"] == 1.0          # verbatim copy
+    assert out[11]["n_hits"] == 0
+    assert out[11]["overlap_fraction"] == 0.0
+    assert 0 < out[12]["overlap_fraction"] < 1          # partial overlap
+    assert out[12]["n_hits"] > 0
+    # every doc is accounted for, hit or not
+    assert set(out) == {10, 11, 12}

@@ -213,3 +213,43 @@ def test_unigram_surprisal_explodes_at_most_twice(spark):
     assert abs(rows[1]["bits_per_token"] - exp1) < 1e-5
     assert abs(rows[2]["bits_per_token"] - exp2) < 1e-5
     assert rows[1]["n_tokens"] == 3 and rows[2]["n_tokens"] == 2
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tpch):
+    """The 100 TB co-location story must be REAL, not aspirational:
+    two tables bucketed on the join key must join with ZERO Exchange
+    operators in the physical plan (bucket-aware SortMergeJoin), the
+    property that turns an every-day fact-to-fact join from a full
+    shuffle into a local merge."""
+    from term_spark.plans.skew import write_bucketed
+    spark.sql("DROP TABLE IF EXISTS t_orders_b")
+    spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+    write_bucketed(tpch["orders"], "t_orders_b", ["o_orderkey"],
+                   num_buckets=8, sort_cols=["o_orderkey"])
+    write_bucketed(tpch["lineitem"].select("l_orderkey", "l_quantity"),
+                   "t_lineitem_b", ["l_orderkey"], num_buckets=8,
+                   sort_cols=["l_orderkey"])
+    o = spark.table("t_orders_b")
+    li = spark.table("t_lineitem_b")
+    joined = (o.join(li, o["o_orderkey"] == li["l_orderkey"])
+                .groupBy("o_orderstatus")
+                .agg(F.sum("l_quantity").alias("qty")))
+    # disable broadcast so the join strategy is the bucket-aware SMJ
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        text = plan_of(joined, "simple")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+                       str(64 * 1024 * 1024))
+    join_section = text.split("HashAggregate")[-1]  # below the final agg
+    assert "SortMergeJoin" in text, text
+    assert "Exchange" not in join_section, join_section
+    # and the result matches the plain (shuffled) join
+    plain = (tpch["orders"].join(
+        tpch["lineitem"], tpch["orders"]["o_orderkey"] ==
+        tpch["lineitem"]["l_orderkey"])
+        .groupBy("o_orderstatus").agg(F.sum("l_quantity").alias("qty")))
+    assert sorted(map(tuple, joined.collect())) == \
+        sorted(map(tuple, plain.collect()))
+    spark.sql("DROP TABLE IF EXISTS t_orders_b")
+    spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
