@@ -298,6 +298,19 @@ class Check:
         return self.with_constraint(
             RowCountRatioConstraint(ref_df, min_ratio, max_ratio))
 
+    def has_low_contamination(self, eval_df, text_col: str = "text",
+                              id_col: str = "doc_id", k: int = 8,
+                              per_doc_threshold: float = 0.1,
+                              max_doc_ratio: float = 0.0) -> "Check":
+        """Benchmark-contamination release gate: the fraction of docs
+        whose eval-set ``k``-gram overlap exceeds
+        ``per_doc_threshold`` must stay within ``max_doc_ratio``
+        (default 0 — no contaminated doc ships). Runs as its own
+        shingle-join job (needs the eval table)."""
+        from ..operators.curation import ContaminationConstraint
+        return self.with_constraint(ContaminationConstraint(
+            eval_df, text_col, id_col, k, per_doc_threshold, max_doc_ratio))
+
     def has_stable_distribution_by(self, ref_df, column: str, group_col: str,
                                    max_psi: float = 0.25, bins: int = 10,
                                    lo=None, hi=None,

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame
 
 from . import dedup as D
 from . import text as T
+from ..core.constraint import Constraint
 
 
 @dataclass
@@ -541,3 +542,58 @@ def decontamination_report(df: DataFrame, eval_df: DataFrame,
                     F.round(F.coalesce("n_hits", F.lit(0)) /
                             F.col("n_shingles"), 6)
                      .alias("overlap_fraction")))
+
+
+class ContaminationConstraint(Constraint):
+    """``has_low_contamination``: the fraction of documents whose
+    eval-set k-gram overlap exceeds ``per_doc_threshold`` must stay
+    within ``max_doc_ratio`` (default 0 — a release gate: NO document
+    may be contaminated). The check-level form of
+    ``decontamination_report``: validate-then-ship in one suite run
+    instead of a separate decontamination audit.
+
+    Self-executing (needs the eval DataFrame) like the drift
+    constraints; the job is the report's explode + two hash aggs +
+    eval-index join — O(|doc shingles|), no pairwise work.
+    """
+
+    name = "low_contamination"
+
+    def __init__(self, eval_df, text_col: str = "text",
+                 id_col: str = "doc_id", k: int = 8,
+                 per_doc_threshold: float = 0.1,
+                 max_doc_ratio: float = 0.0):
+        if not 0.0 <= per_doc_threshold <= 1.0:
+            raise ValueError(
+                f"per_doc_threshold must be in [0,1], got {per_doc_threshold}")
+        if not 0.0 <= max_doc_ratio <= 1.0:
+            raise ValueError(
+                f"max_doc_ratio must be in [0,1], got {max_doc_ratio}")
+        from ..functions.security import validate_identifier
+        self.eval_df = eval_df
+        self.text_col = validate_identifier(text_col)
+        self.id_col = validate_identifier(id_col)
+        self.k = int(k)
+        self.per_doc_threshold = float(per_doc_threshold)
+        self.max_doc_ratio = float(max_doc_ratio)
+
+    def evaluate(self, ctx):
+        from ..core.result import ConstraintResult
+        cur = ctx.df(self.table)
+        rep = decontamination_report(cur, self.eval_df, self.text_col,
+                                     self.id_col, self.text_col, self.k)
+        row = rep.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col("overlap_fraction") >
+                           self.per_doc_threshold, 1)).alias("bad")).collect()[0]
+        n, bad = int(row["n"]), int(row["bad"])
+        if n == 0:
+            return self._finish(ConstraintResult.skipped(
+                "low_contamination: no documents with text"))
+        ratio = bad / n
+        if ratio <= self.max_doc_ratio:
+            return self._finish(ConstraintResult.success(ratio))
+        return self._finish(ConstraintResult.failure(
+            ratio, f"low_contamination: {bad}/{n} docs exceed "
+                   f"{self.per_doc_threshold:.0%} eval-set {self.k}-gram "
+                   f"overlap (ratio {ratio:.4f} > max {self.max_doc_ratio})"))

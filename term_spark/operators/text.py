@@ -536,3 +536,88 @@ def script_profile(df, text_col: str = "text", id_col: str = "doc_id",
                 "dominant_share",
                 F.when(F.col("n_letters") > 0,
                        F.round(best["c"] / F.col("n_letters"), 6))))
+
+
+def tfidf_top_terms(df, text_col: str = "text", id_col: str = "doc_id",
+                    k: int = 5, min_df: int = 2,
+                    max_df_frac: float = 0.5):
+    """Per-document top-``k`` keywords by TF-IDF — the classic topic
+    tag / routing signal (smooth idf = ln((N+1)/(df+1)) + 1, rounded 6
+    before the tf multiply so ranking is engine-portable). Tokens in
+    fewer than ``min_df`` docs (typos, ids) or more than
+    ``max_df_frac`` of docs (corpus stopwords) are excluded before
+    ranking. Ties break lexicographically.
+
+    Returns (id, term, tf, df, score, rank<=k).
+
+    Scale: explode → (doc, token) hash-agg (tf) → token hash-agg (df;
+    counts rows of the tf table, which is already (doc,token)-unique,
+    so no DISTINCT/Expand) → broadcast 1-row N → join → per-doc
+    window over ≤|doc vocab| rows. The df table is token-keyed so a
+    billion-token vocabulary shuffles like any other key; no driver
+    collect, no UDF.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be > 0, got {k}")
+    if not 0 < max_df_frac <= 1:
+        raise ValueError(f"max_df_frac must be in (0,1], got {max_df_frac}")
+    from pyspark.sql import Window
+    toks = norm_tokens(text_col)
+    ex = (df.filter(F.col(text_col).isNotNull())
+            .select(F.col(id_col), F.explode(toks).alias("term")))
+    tf = (ex.groupBy(id_col, "term")
+            .agg(F.count(F.lit(1)).alias("tf")))
+    docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = (df.filter(F.col(text_col).isNotNull())
+                .agg(F.count(F.lit(1)).alias("__n")))
+    idf = F.round(
+        F.log((F.col("__n") + 1.0) / (F.col("df") + 1.0)) + 1.0, 6)
+    scored = (tf.join(docfreq, "term")
+                .crossJoin(F.broadcast(n_docs))
+                .filter((F.col("df") >= int(min_df)) &
+                        (F.col("df") <= F.col("__n") * float(max_df_frac)))
+                .select(id_col, "term", "tf", "df",
+                        F.round(F.col("tf") * idf, 6).alias("score")))
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), "term")
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= int(k)))
+
+
+#: markup removal stages for strip_markup — each is a (pattern,
+#: replacement) applied in order; all parse identically in Java regex
+#: and RE2 ((?is) flags, non-greedy spans).
+_MARKUP_STAGES = [
+    (r"(?is)<script\b[^>]*>.*?</script>", " "),   # script incl. body
+    (r"(?is)<style\b[^>]*>.*?</style>", " "),     # style incl. body
+    (r"(?s)<!--.*?-->", " "),                     # comments
+    (r"(?s)<[^>]*>", " "),                        # any remaining tag
+]
+#: minimal entity set decoded after tag removal ("&amp;" LAST so
+#: "&amp;lt;" decodes to the literal "&lt;", not to "<")
+_ENTITIES = [("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+             ("&quot;", '"'), ("&#39;", "'"), ("&apos;", "'"),
+             ("&amp;", "&")]
+
+
+def strip_markup(column) -> "F.Column":
+    """HTML/markup removal — the WET-extraction tier of text cleaning
+    (run BEFORE clean_text; ``clean_text`` normalizes characters,
+    this removes structure): drops <script>/<style> elements WITH
+    their contents, comments, then every remaining tag; decodes the
+    six ubiquitous entities; collapses the whitespace the removals
+    leave behind. Pure codegen regexp chain, map-only, idempotent on
+    plain text.
+
+    Deliberately regex-tier (like every WET pipeline's fast path):
+    handles real-world tag soup but not CDATA edge cases or nested
+    template languages — a full parser belongs in a mapInPandas stage
+    like the multimodal codecs, injectable where fidelity matters.
+    """
+    col = F.col(column) if isinstance(column, str) else column
+    out = col
+    for pat, rep in _MARKUP_STAGES:
+        out = F.regexp_replace(out, pat, rep)
+    for ent, ch in _ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(ch))
+    out = F.trim(F.regexp_replace(out, r"[ \t]+", " "))
+    return F.regexp_replace(out, r" ?\n ?", "\n")

@@ -1806,6 +1806,7 @@ _TAIL_QUERIES = [
     "winnow_overlap_docs",     # winnowing partial-copy pairs (new r6)
     "script_profile_docs",     # Unicode script detection (new r6)
     "decontamination_report_docs",  # decontamination accounting (new r6)
+    "tfidf_top_terms_docs",    # TF-IDF keywords (new r6)
 ]
 
 #: families pulled INTO the window (at the front — in-window order is

@@ -1111,3 +1111,40 @@ ORDER BY doc_id
 
 LLM_QUERIES.update({"decontamination_report_docs": q_decontamination_report_docs})
 LLM_ORACLES.update({"decontamination_report_docs": SQL_DECONTAMINATION_REPORT_DOCS})
+
+
+def q_tfidf_top_terms_docs(spark, sf_dir) -> DataFrame:
+    """Per-doc top-3 TF-IDF keywords (text.tfidf_top_terms) — topic
+    tags for routing/stratification; smooth idf rounded 6 BEFORE the
+    tf multiply so ranking ties resolve identically cross-engine."""
+    from .operators.dedup import spread
+    from .operators.text import tfidf_top_terms
+    return (tfidf_top_terms(spread(_docs(spark, sf_dir), "doc_id"), k=3)
+            .orderBy("doc_id", "rank"))
+
+
+SQL_TFIDF_TOP_TERMS_DOCS = f"""
+WITH toks AS (
+    SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents
+    WHERE text IS NOT NULL
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT COUNT(*) AS n FROM documents WHERE text IS NOT NULL),
+scored AS (
+    SELECT doc_id, term, tf, df,
+           ROUND(tf * ROUND(LN((n.n + 1.0) / (df + 1.0)) + 1.0, 6), 6)
+               AS score
+    FROM tf JOIN dfq USING (term) CROSS JOIN n
+    WHERE df >= 2 AND df <= n.n * 0.5),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, term) AS rank
+      FROM scored)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       score, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 3 ORDER BY doc_id, rank
+"""
+
+
+LLM_QUERIES.update({"tfidf_top_terms_docs": q_tfidf_top_terms_docs})
+LLM_ORACLES.update({"tfidf_top_terms_docs": SQL_TFIDF_TOP_TERMS_DOCS})

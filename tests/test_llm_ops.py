@@ -897,3 +897,78 @@ def test_decontamination_report_fractions(spark):
     assert out[12]["n_hits"] > 0
     # every doc is accounted for, hit or not
     assert set(out) == {10, 11, 12}
+
+
+def test_tfidf_top_terms_ranks_distinctive_terms(spark):
+    from term_spark.operators.text import tfidf_top_terms
+    rows = [(1, "spark spark spark cluster data data common common"),
+            (2, "pasta recipe olive oil cluster common common"),
+            (3, "quantum physics entanglement cluster common data")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = tfidf_top_terms(df, k=2, min_df=1, max_df_frac=0.9).collect()
+    top = {}
+    for r in out:
+        top.setdefault(r["doc_id"], []).append(r["term"])
+    # doc-distinctive high-tf terms win; 'common' (df=3 = every doc,
+    # max_df_frac 0.9 excludes it) never appears
+    assert top[1][0] == "spark"
+    assert "common" not in {t for ts in top.values() for t in ts}
+    assert all(len(ts) <= 2 for ts in top.values())
+    # rank is dense 1..k per doc
+    ranks = sorted(r["rank"] for r in out if r["doc_id"] == 1)
+    assert ranks == list(range(1, len(ranks) + 1))
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        tfidf_top_terms(df, k=0)
+
+
+def test_strip_markup_removes_structure_keeps_content(spark):
+    from term_spark.operators.text import strip_markup
+    rows = [
+        (1, '<html><head><style>p{x}</style><script>var a="<p>";</script>'
+            '</head><body><h1>Title</h1><p>Hello &amp; welcome</p>'
+            '<!-- note --><a href="/x">link text</a></body></html>'),
+        (2, "no markup at all"),
+        (3, "5 &lt; 7 &amp;&amp; 8 &gt; 2"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["t"] for r in
+           df.select("doc_id", strip_markup("text").alias("t")).collect()}
+    assert got[1] == "Title Hello & welcome link text"
+    assert got[2] == "no markup at all"           # idempotent on plain text
+    assert got[3] == '5 < 7 && 8 > 2'
+    # idempotent on angle-bracket-free text; after entity decoding a
+    # second pass would eat the decoded '<' as a tag (documented:
+    # run exactly once, before clean_text)
+    got2 = {r["doc_id"]: r["t"] for r in
+            df.select("doc_id",
+                      strip_markup(strip_markup("text")).alias("t")).collect()}
+    assert got2[2] == got[2]
+
+
+def test_has_low_contamination_gate(spark):
+    from term_spark import Check, Level, ValidationSuite
+    eval_df = spark.createDataFrame(
+        [(1, "the held out benchmark question about unusual zebras here")],
+        "doc_id long, text string")
+    clean = spark.createDataFrame(
+        [(10, "ordinary training text about cooking dinner tonight ok"),
+         (11, "more training text on an unrelated gardening topic now")],
+        "doc_id long, text string")
+    dirty = clean.union(spark.createDataFrame(
+        [(12, "the held out benchmark question about unusual zebras here")],
+        "doc_id long, text string"))
+    ok = ValidationSuite.builder("c").with_check(
+        Check("c", Level.ERROR).has_low_contamination(eval_df)).run(
+        spark, clean)
+    assert ok.passed
+    bad = ValidationSuite.builder("c").with_check(
+        Check("c", Level.ERROR).has_low_contamination(eval_df)).run(
+        spark, dirty)
+    assert not bad.passed
+    assert "1/3 docs" in [x.message for x in bad.report.issues][0]
+    # tolerant ratio passes the same data
+    tol = ValidationSuite.builder("c").with_check(
+        Check("c", Level.ERROR).has_low_contamination(
+            eval_df, max_doc_ratio=0.5)).run(spark, dirty)
+    assert tol.passed
