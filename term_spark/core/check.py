@@ -247,6 +247,18 @@ class Check:
         return self.with_constraint(
             JsDriftConstraint(column, ref_df, max_js, bins, lo, hi))
 
+    def has_low_wasserstein_drift(self, ref_df, column: str,
+                                  max_w1_norm: float = 0.05,
+                                  bins: int = 10, lo=None, hi=None) -> "Check":
+        """Wasserstein-1 (earth mover's) drift gate over equi-width
+        buckets vs the ``ref_df`` snapshot, normalized to the bucket
+        domain (in [0,1]) — weighs how FAR mass moved, not just how
+        much. ``lo``/``hi`` are required (they fix the bucket domain
+        without a min/max scan)."""
+        from ..operators.drift import W1DriftConstraint
+        return self.with_constraint(
+            W1DriftConstraint(column, ref_df, max_w1_norm, bins, lo, hi))
+
     def has_no_outliers(self, column: str, k: float = 3.0,
                         max_ratio: float = 0.0, mode: str = "exact") -> "Check":
         """Robust outlier gate: the share of rows outside the

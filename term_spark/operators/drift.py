@@ -199,6 +199,64 @@ def js_divergence(ref: DataFrame, cur: DataFrame, column: str,
         F.round(F.sum(term) / 2, 6).alias("js"))
 
 
+def wasserstein_1(ref: DataFrame, cur: DataFrame, column: str,
+                  bins: int = 10, lo: float = None,
+                  hi: float = None) -> DataFrame:
+    """Wasserstein-1 (earth mover's) distance between two snapshots
+    over equi-width buckets — the drift score that, unlike PSI/JS/KS,
+    weighs HOW FAR probability mass moved, not just how much: a shift
+    of every value by one bucket and a shift by nine buckets have the
+    same KS but 9× the W1.  Completes the drift family
+    (PSI/KS/χ²/JS + W1), the usual monitoring quintet.
+
+    For binned 1-D distributions the closed form is
+    ``W1 = width · Σ_b |CDF_ref(b) − CDF_cur(b)|`` — reported in
+    COLUMN UNITS (``w1``, "the average value moved by this much") and
+    normalized to the domain (``w1_norm`` = w1 / (hi − lo) ∈ [0, 1],
+    the thresholdable form that survives a unit change).
+
+    ``lo``/``hi`` fix the shared bucket domain (required, same trade
+    as js_divergence).  Shape: two bins-bounded grouped counts +
+    full-outer join + a cumulative sum over ≤``bins`` rows (bounded at
+    any data scale — the single-partition window runs on the bucket
+    table, never the data).
+
+    Returns one row: n_ref, n_cur, w1, w1_norm (rounded 6).
+    """
+    if lo is None or hi is None:
+        raise ValueError("wasserstein_1: pass explicit lo/hi (the bucket "
+                         "domain); deriving them costs a full min/max scan "
+                         "of both snapshots")
+    if float(hi) <= float(lo):
+        raise ValueError(
+            f"wasserstein_1({column!r}): hi ({hi}) must exceed lo ({lo})")
+    width = (float(hi) - float(lo)) / bins
+    key = psi_bucket(F.col(column).cast("double"), float(lo), width, bins)
+    counts = _two_sided_counts(ref, cur, column, key)
+    tot = Window.partitionBy()
+    # cumulative shares over the ≤bins-row bucket table; the ordered
+    # windows are bounded by construction (bins, not rows).  Buckets
+    # empty on BOTH sides are absent from the counts table, but the
+    # CDF difference persists across them — weight each present
+    # bucket's |ΔCDF| by its run length (gap to the next present
+    # bucket index).
+    cum = (Window.orderBy("k")
+                 .rowsBetween(Window.unboundedPreceding, 0))
+    shares = counts.select(
+        "k", "n_ref", "n_cur",
+        (F.coalesce(F.lead("k", 1).over(Window.orderBy("k")),
+                    F.lit(bins)) - F.col("k")).alias("run"),
+        (F.sum("n_ref").over(cum) / F.sum("n_ref").over(tot)).alias("cdf_ref"),
+        (F.sum("n_cur").over(cum) / F.sum("n_cur").over(tot)).alias("cdf_cur"))
+    dist = F.sum(F.abs(F.col("cdf_ref") - F.col("cdf_cur"))
+                 * F.col("run")) * width
+    return shares.agg(
+        F.sum("n_ref").alias("n_ref"),
+        F.sum("n_cur").alias("n_cur"),
+        F.round(dist, 6).alias("w1"),
+        F.round(dist / (float(hi) - float(lo)), 6).alias("w1_norm"))
+
+
 class KsDriftConstraint(Constraint):
     """``has_stable_distribution(method="ks")``: the two-sample KS
     statistic against a reference snapshot must stay under
@@ -271,6 +329,46 @@ class JsDriftConstraint(Constraint):
         return self._finish(ConstraintResult.failure(
             js, f"js_drift({self.column}): JS divergence {js:.4f} vs "
                 f"reference exceeds max_js {self.max_js}"))
+
+
+class W1DriftConstraint(Constraint):
+    """``has_low_wasserstein_drift``: the DOMAIN-NORMALIZED
+    Wasserstein-1 distance against a reference snapshot must stay
+    under ``max_w1_norm`` (default 0.05 — 5 % of the domain width of
+    average displacement)."""
+
+    name = "w1_drift"
+
+    def __init__(self, column: str, ref_df, max_w1_norm: float = 0.05,
+                 bins: int = 10, lo: Optional[float] = None,
+                 hi: Optional[float] = None):
+        if max_w1_norm <= 0:
+            raise ValueError(
+                f"max_w1_norm must be > 0, got {max_w1_norm}")
+        self.column = validate_identifier(column)
+        self.ref_df = ref_df
+        self.max_w1_norm = float(max_w1_norm)
+        self.bins, self.lo, self.hi = bins, lo, hi
+
+    def evaluate(self, ctx) -> ConstraintResult:
+        cur = ctx.df(self.table)
+        try:
+            row = wasserstein_1(self.ref_df, cur, self.column,
+                                bins=self.bins, lo=self.lo,
+                                hi=self.hi).collect()[0]
+        except ValueError as e:
+            return self._finish(ConstraintResult.error(str(e)))
+        if (row["w1_norm"] is None or int(row["n_ref"]) == 0
+                or int(row["n_cur"]) == 0):
+            return self._finish(ConstraintResult.error(
+                f"w1_drift({self.column}): a snapshot has no non-null rows"))
+        w = float(row["w1_norm"])
+        if w <= self.max_w1_norm:
+            return self._finish(ConstraintResult.success(w))
+        return self._finish(ConstraintResult.failure(
+            w, f"w1_drift({self.column}): normalized Wasserstein-1 "
+               f"{w:.4f} (={float(row['w1']):.4f} column units) vs "
+               f"reference exceeds max_w1_norm {self.max_w1_norm}"))
 
 
 class CategoricalDriftConstraint(Constraint):

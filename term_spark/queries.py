@@ -1422,15 +1422,59 @@ FROM t
 """
 
 
+def q_drift_w1_quantity(spark, sf_dir) -> DataFrame:
+    """Wasserstein-1 (earth mover's) distance between the even/odd
+    lineitem snapshots on l_quantity over the same 10 fixed buckets as
+    the PSI/JS queries (operators.drift.wasserstein_1) — the
+    displacement-weighted member of the drift quintet; empty buckets
+    carry the persisting CDF gap via run-length weights."""
+    from .operators.drift import wasserstein_1
+    (li,) = _t(spark, sf_dir, "lineitem")
+    ref = li.filter(F.col("l_orderkey") % 2 == 0)
+    cur = li.filter(F.col("l_orderkey") % 2 == 1)
+    return wasserstein_1(ref, cur, "l_quantity", bins=10, lo=1.0, hi=50.0)
+
+
+SQL_DRIFT_W1_QUANTITY = """
+WITH ref AS (
+    SELECT GREATEST(0, LEAST(9, CAST(FLOOR((CAST(l_quantity AS DOUBLE) - 1.0)
+                                     / 4.9) AS BIGINT))) AS k
+    FROM lineitem WHERE l_orderkey % 2 = 0 AND l_quantity IS NOT NULL
+), cur AS (
+    SELECT GREATEST(0, LEAST(9, CAST(FLOOR((CAST(l_quantity AS DOUBLE) - 1.0)
+                                     / 4.9) AS BIGINT))) AS k
+    FROM lineitem WHERE l_orderkey % 2 = 1 AND l_quantity IS NOT NULL
+),
+r AS (SELECT k, COUNT(*) AS n_ref FROM ref GROUP BY k),
+c AS (SELECT k, COUNT(*) AS n_cur FROM cur GROUP BY k),
+j AS (SELECT k, COALESCE(n_ref, 0) AS n_ref, COALESCE(n_cur, 0) AS n_cur
+      FROM r FULL OUTER JOIN c USING (k)),
+s AS (SELECT k, n_ref, n_cur,
+             COALESCE(LEAD(k) OVER (ORDER BY k), 10) - k AS run,
+             SUM(n_ref) OVER (ORDER BY k) * 1.0 / SUM(n_ref) OVER ()
+                 AS cdf_ref,
+             SUM(n_cur) OVER (ORDER BY k) * 1.0 / SUM(n_cur) OVER ()
+                 AS cdf_cur
+      FROM j)
+SELECT CAST(SUM(n_ref) AS BIGINT) AS n_ref,
+       CAST(SUM(n_cur) AS BIGINT) AS n_cur,
+       ROUND(SUM(ABS(cdf_ref - cdf_cur) * run) * 4.9, 6) AS w1,
+       ROUND(SUM(ABS(cdf_ref - cdf_cur) * run) * 4.9 / 49.0, 6) AS w1_norm
+FROM s
+"""
+
+
 QUERIES.update({
     "drift_ks_quantity": q_drift_ks_quantity,
     "drift_chi2_returnflag": q_drift_chi2_returnflag,
     "drift_js_quantity": q_drift_js_quantity,
+    "drift_w1_quantity": q_drift_w1_quantity,
 })
 ORACLES.update({
     "drift_ks_quantity": SQL_DRIFT_KS_QUANTITY,
     "drift_chi2_returnflag": SQL_DRIFT_CHI2_RETURNFLAG,
     "drift_js_quantity": SQL_DRIFT_JS_QUANTITY,
+    "drift_w1_quantity": SQL_DRIFT_W1_QUANTITY,
 })
 
 
@@ -1807,6 +1851,7 @@ _TAIL_QUERIES = [
     "script_profile_docs",     # Unicode script detection (new r6)
     "decontamination_report_docs",  # decontamination accounting (new r6)
     "tfidf_top_terms_docs",    # TF-IDF keywords (new r6)
+    "drift_w1_quantity",       # Wasserstein-1 drift (new r6)
 ]
 
 #: families pulled INTO the window (at the front — in-window order is

@@ -277,3 +277,79 @@ def test_has_stable_distribution_by_missing_group_policy(spark):
             ref, "v", "g", lo=0.0, hi=10.0, on_missing="fail")).run(spark, cur)
     assert not bad.passed
     assert "one snapshot" in [x.message for x in bad.report.issues][0]
+
+
+# ---- Wasserstein-1 (round 6) ----------------------------------------------
+
+def test_w1_known_value_one_bucket_shift(spark):
+    from term_spark.operators.drift import wasserstein_1
+    # every value moves exactly one bucket right: W1 = 1 bucket = width
+    ref = _df(spark, [0.5] * 10)
+    cur = _df(spark, [1.5] * 10)
+    row = wasserstein_1(ref, cur, "v", bins=10, lo=0.0, hi=10.0).collect()[0]
+    assert row["w1"] == pytest.approx(1.0)
+    assert row["w1_norm"] == pytest.approx(0.1)
+
+
+def test_w1_weighs_displacement_where_ks_does_not(spark):
+    from term_spark.operators.drift import (ks_statistic, wasserstein_1)
+    ref = _df(spark, [0.5] * 10)
+    near = _df(spark, [1.5] * 10)   # one bucket away
+    far = _df(spark, [9.5] * 10)    # nine buckets away
+    ks_near = ks_statistic(ref, near, "v", bins=10, lo=0.0,
+                           hi=10.0).collect()[0]["ks"]
+    ks_far = ks_statistic(ref, far, "v", bins=10, lo=0.0,
+                          hi=10.0).collect()[0]["ks"]
+    assert ks_near == ks_far == pytest.approx(1.0)  # KS is blind to distance
+    w_near = wasserstein_1(ref, near, "v", bins=10, lo=0.0,
+                           hi=10.0).collect()[0]["w1"]
+    w_far = wasserstein_1(ref, far, "v", bins=10, lo=0.0,
+                          hi=10.0).collect()[0]["w1"]
+    # the empty buckets between the two spikes carry the persisting
+    # CDF gap (run-length weighting): 9 buckets * width 1
+    assert w_far == pytest.approx(9.0) and w_near == pytest.approx(1.0)
+
+
+def test_w1_identical_is_zero_and_symmetric(spark):
+    from term_spark.operators.drift import wasserstein_1
+    a = _df(spark, [float(i % 10) for i in range(100)])
+    b = _df(spark, [float((i * 3) % 10) + 0.4 for i in range(100)])
+    assert wasserstein_1(a, a, "v", bins=10, lo=0.0, hi=10.0) \
+        .collect()[0]["w1"] == 0.0
+    assert (wasserstein_1(a, b, "v", bins=10, lo=0.0, hi=11.0)
+            .collect()[0]["w1"]
+            == wasserstein_1(b, a, "v", bins=10, lo=0.0, hi=11.0)
+            .collect()[0]["w1"])
+
+
+def test_w1_requires_explicit_domain(spark):
+    from term_spark.operators.drift import wasserstein_1
+    d = _df(spark, [1.0])
+    with pytest.raises(ValueError, match="lo/hi"):
+        wasserstein_1(d, d, "v")
+    with pytest.raises(ValueError, match="must exceed"):
+        wasserstein_1(d, d, "v", lo=2.0, hi=1.0)
+
+
+def test_check_wasserstein_drift_passes_fails_and_errors(spark):
+    from term_spark.core.result import Status
+    ref = _df(spark, [float(i % 10) for i in range(100)])
+    same = _df(spark, [float((i + 3) % 10) for i in range(100)])
+    shifted = _df(spark, [float(i % 10) + 5.0 for i in range(100)])
+    ok = ValidationSuite.builder("w").with_check(
+        Check("w", Level.ERROR).has_low_wasserstein_drift(
+            ref, "v", lo=0.0, hi=15.0)).run(spark, same)
+    assert ok.passed
+    bad = ValidationSuite.builder("w").with_check(
+        Check("w", Level.ERROR).has_low_wasserstein_drift(
+            ref, "v", lo=0.0, hi=15.0)).run(spark, shifted)
+    assert not bad.passed
+    assert "w1_drift" in [x.message for x in bad.report.issues][0]
+    # empty current snapshot -> error outcome, not a bogus failure
+    empty = spark.createDataFrame([], "v double")
+    err = ValidationSuite.builder("w").with_check(
+        Check("w", Level.ERROR).has_low_wasserstein_drift(
+            ref, "v", lo=0.0, hi=15.0)).run(spark, empty)
+    assert not err.passed
+    statuses = [o.result.status for o in err.report.outcomes]
+    assert Status.ERROR in statuses and Status.FAILURE not in statuses
