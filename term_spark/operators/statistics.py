@@ -528,3 +528,57 @@ class RobustOutlierConstraint(Constraint):
             f"[{row['lo']}, {row['hi']}] (median {row['median']}, MAD "
             f"{row['mad']}, k={self.k:g}), exceeding max_ratio "
             f"{self.max_ratio}"))
+
+
+def correlation_matrix(df, columns, min_abs: float = 0.0):
+    """Pairwise Pearson correlations for every pair of ``columns`` in
+    ONE fused scan — the profiling step that finds redundant features
+    and leaking targets before training.  p columns → p·(p−1)/2
+    ``corr`` aggregate expressions computed in a single pass (map-side
+    partial, mergeable 6-moment state each — the same state
+    CorrelationAnalyzer persists), then unpivoted to long form with
+    ``stack`` so downstream filters/joins see (col_a, col_b, corr)
+    rows, never a wide driver-side matrix.
+
+    ``min_abs`` > 0 keeps only pairs with |corr| ≥ min_abs (the
+    "what is redundant?" screen).  Pairs where either side is constant
+    or empty have NULL corr and are always kept (NULL is the finding —
+    a constant feature).  col_a < col_b lexicographically; corr is
+    rounded to 6 so results are engine-portable.
+
+    Scale: one full scan regardless of p; the stack runs on a 1-row
+    frame.  The p² plan-literal growth is bounded by the caller's
+    column list (profile-sized, tens), never by data.
+    """
+    cols = [validate_identifier(c) for c in columns]
+    if len(cols) < 2:
+        raise ValueError(
+            f"correlation_matrix needs >= 2 columns, got {len(cols)}")
+    if len(set(cols)) != len(cols):
+        raise ValueError("correlation_matrix: duplicate columns")
+    if not 0.0 <= min_abs <= 1.0:
+        raise ValueError(f"min_abs must be in [0,1], got {min_abs}")
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+
+    # corr = covar_pop / (σ_pop·σ_pop) — algebraically identical to
+    # F.corr but with the zero-variance division GUARDED, because under
+    # ANSI mode (Spark 4 default) F.corr on a constant column raises
+    # DIVIDE_BY_ZERO instead of returning the NULL the profile wants.
+    # Spark dedupes identical aggregate expressions, so the p stddevs
+    # are each computed once across all their pairs.
+    def corr(a, b):
+        x, y = F.col(a).cast("double"), F.col(b).cast("double")
+        sx, sy = F.stddev_pop(x), F.stddev_pop(y)
+        return F.when((sx > 0) & (sy > 0),
+                      F.round(F.covar_pop(x, y) / (sx * sy), 6))
+
+    one = df.agg(*[corr(a, b).alias(f"c_{i}")
+                   for i, (a, b) in enumerate(pairs)])
+    stack = ", ".join(
+        f"'{a}', '{b}', c_{i}" for i, (a, b) in enumerate(pairs))
+    long = one.selectExpr(
+        f"stack({len(pairs)}, {stack}) as (col_a, col_b, corr)")
+    if min_abs > 0.0:
+        long = long.filter(F.col("corr").isNull()
+                           | (F.abs("corr") >= float(min_abs)))
+    return long.orderBy("col_a", "col_b")

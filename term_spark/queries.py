@@ -1795,6 +1795,50 @@ QUERIES.update({"unigram_surprisal_docs": q_unigram_surprisal_docs})
 ORACLES.update({"unigram_surprisal_docs": SQL_UNIGRAM_SURPRISAL_DOCS})
 
 
+def q_corr_matrix_lineitem(spark, sf_dir) -> DataFrame:
+    """Pairwise Pearson correlations of four lineitem numerics in ONE
+    fused scan (operators.statistics.correlation_matrix): 6 corr
+    aggregates ride a single pass, then stack to long form — the
+    feature-redundancy profile."""
+    from .operators.statistics import correlation_matrix
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return correlation_matrix(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"])
+
+
+SQL_CORR_MATRIX_LINEITEM = """
+WITH src AS (
+    SELECT CAST(l_quantity AS DOUBLE) AS l_quantity,
+           CAST(l_extendedprice AS DOUBLE) AS l_extendedprice,
+           CAST(l_discount AS DOUBLE) AS l_discount,
+           CAST(l_tax AS DOUBLE) AS l_tax
+    FROM lineitem)
+SELECT col_a, col_b, corr FROM (
+    SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+           ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr FROM src
+    UNION ALL
+    SELECT 'l_quantity', 'l_discount',
+           ROUND(CORR(l_quantity, l_discount), 6) FROM src
+    UNION ALL
+    SELECT 'l_quantity', 'l_tax',
+           ROUND(CORR(l_quantity, l_tax), 6) FROM src
+    UNION ALL
+    SELECT 'l_extendedprice', 'l_discount',
+           ROUND(CORR(l_extendedprice, l_discount), 6) FROM src
+    UNION ALL
+    SELECT 'l_extendedprice', 'l_tax',
+           ROUND(CORR(l_extendedprice, l_tax), 6) FROM src
+    UNION ALL
+    SELECT 'l_discount', 'l_tax',
+           ROUND(CORR(l_discount, l_tax), 6) FROM src
+) ORDER BY col_a, col_b
+"""
+
+
+QUERIES.update({"corr_matrix_lineitem": q_corr_matrix_lineitem})
+ORACLES.update({"corr_matrix_lineitem": SQL_CORR_MATRIX_LINEITEM})
+
+
 # ---------------------------------------------------------------------------
 # registry ordering: the driver's correctness gate reads only the FIRST 50
 # entries of this dict.  Every operator *family* must have a representative
@@ -1852,6 +1896,7 @@ _TAIL_QUERIES = [
     "decontamination_report_docs",  # decontamination accounting (new r6)
     "tfidf_top_terms_docs",    # TF-IDF keywords (new r6)
     "drift_w1_quantity",       # Wasserstein-1 drift (new r6)
+    "corr_matrix_lineitem",    # one-scan correlation matrix (new r6)
 ]
 
 #: families pulled INTO the window (at the front — in-window order is

@@ -264,3 +264,49 @@ def test_bucket_distribution_and_psi_state_guards(spark):
     with _pt.raises(ValueError, match="empty snapshot"):
         psi_between_states(AnalyzerState(counts=[0, 0]),
                            AnalyzerState(counts=[1, 1]))
+
+
+def test_correlation_matrix_one_scan_long_form(spark):
+    import pyspark.sql.functions as F
+    from term_spark.operators.statistics import correlation_matrix
+    rows = [(float(i), float(2 * i), float(-i), 7.0) for i in range(50)]
+    df = spark.createDataFrame(rows, "a double, b double, c double, k double")
+    out = correlation_matrix(df, ["a", "b", "c", "k"]).collect()
+    got = {(r["col_a"], r["col_b"]): r["corr"] for r in out}
+    assert len(got) == 6                       # 4 choose 2
+    assert got[("a", "b")] == 1.0              # perfectly linear
+    assert got[("a", "c")] == -1.0
+    assert got[("b", "c")] == -1.0
+    assert got[("a", "k")] is None             # constant -> NULL, kept
+    # min_abs screens weak pairs but never drops the NULL findings
+    flt = correlation_matrix(df, ["a", "b", "k"], min_abs=0.5).collect()
+    assert {(r["col_a"], r["col_b"]) for r in flt} == {("a", "b"), ("a", "k"),
+                                                       ("b", "k")}
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        correlation_matrix(df, ["a"])
+    with _pt.raises(ValueError):
+        correlation_matrix(df, ["a", "a"])
+
+
+def test_correlation_matrix_is_single_fused_scan(spark, tpch):
+    """All p(p-1)/2 corr aggregates must ride ONE physical aggregate
+    over ONE scan (the operator's whole point), with the shared
+    stddevs deduplicated across pairs."""
+    import contextlib, io
+    from term_spark.operators.statistics import correlation_matrix
+    plan = correlation_matrix(
+        tpch["lineitem"], ["l_quantity", "l_extendedprice", "l_discount"])
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        plan.explain("formatted")
+    text = buf.getvalue()
+    import re
+    scans = [ln for ln in text.splitlines()
+             if re.match(r"\(\d+\) Scan", ln)]
+    assert len(scans) == 1, text               # one pass over the data
+    # partial agg carries 3 stddevs + 3 covars, NOT 6 stddevs: Spark
+    # dedupes the identical stddev_pop expressions across pairs
+    partial = [ln for ln in text.splitlines() if "partial_stddev_pop" in ln][0]
+    assert partial.count("partial_stddev_pop") == 3, partial
+    assert partial.count("partial_covar_pop") == 3, partial
