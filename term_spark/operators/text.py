@@ -475,6 +475,59 @@ def unigram_surprisal(df, text_col: str = "text", id_col: str = "doc_id",
                    F.round(F.avg(-F.log2("p")), 6).alias("bits_per_token")))
 
 
+def bigram_surprisal(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Mean conditional surprisal −log₂ P(wᵢ | wᵢ₋₁) per document
+    under the corpus's own bigram MLE — one rung up the LM ladder from
+    ``unigram_surprisal``: it scores FLUENCY (are these words in a
+    plausible ORDER?), where the unigram form only scores vocabulary.
+    Scrambled or templated text keeps its unigram score but jumps in
+    bits/bigram; the pair is the standard cheap perplexity-filter
+    ladder before a real LM.
+
+    P(w₂|w₁) = c(w₁w₂) / c(w₁·), both counted over the corpus's
+    bigram table (c(w₁·) = Σ_w₂ c(w₁w₂), so it derives from the
+    ALREADY-AGGREGATED bigram counts — no second corpus pass).
+    Self-trained, so every observed bigram has mass (no smoothing
+    needed); docs with fewer than two tokens have no bigrams and emit
+    no row.
+
+    Returns (id, n_bigrams, bits_per_bigram).
+
+    Scale: one explode into (doc, w₁, w₂) → bigram hash-agg
+    (partial-aggregated, localCheckpointed at |B| rows — the unigram
+    operator's two-explode lesson) → context counts ride that |B|-row
+    table → token-keyed joins back. The checkpoint caps stored state
+    at bigram-vocabulary size; the corpus explodes exactly twice (once
+    feeding the checkpointed counts, once as the join's probe side).
+    """
+    toks = norm_tokens(text_col)
+    # adjacent pairs JVM-side: zip t[0:n-1] with t[1:n]; slice() length
+    # must be non-negative, so guard the 1-token case to an empty array
+    t = F.col("__t")
+    pairs = F.when(
+        F.size(t) >= 2,
+        F.zip_with(F.slice(t, 1, F.size(t) - 1),
+                   F.slice(t, 2, F.size(t) - 1),
+                   lambda a, b: F.struct(a.alias("w1"), b.alias("w2")))
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    ex = (df.filter(F.col(text_col).isNotNull())
+            .select(F.col(id_col), toks.alias("__t"))
+            .select(id_col, F.explode(pairs).alias("bg"))
+            .select(id_col, F.col("bg.w1").alias("w1"),
+                    F.col("bg.w2").alias("w2")))
+    counts = (ex.groupBy("w1", "w2")
+                .agg(F.count(F.lit(1)).alias("n_bg"))
+                .localCheckpoint(eager=True))  # |B| rows, reused 2x
+    ctx = counts.groupBy("w1").agg(F.sum("n_bg").alias("n_ctx"))
+    p = (counts.join(ctx, "w1")
+               .select("w1", "w2",
+                       (F.col("n_bg") / F.col("n_ctx")).alias("p")))
+    return (ex.join(p, ["w1", "w2"])
+              .groupBy(id_col)
+              .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                   F.round(F.avg(-F.log2("p")), 6).alias("bits_per_bigram")))
+
+
 #: Unicode scripts detected by script_profile, with their Java-regex
 #: property names. Keys are the stable output names (also the DuckDB
 #: oracle's \p{<Name>} RE2 properties — queries_llm mirrors them).

@@ -1795,6 +1795,41 @@ QUERIES.update({"unigram_surprisal_docs": q_unigram_surprisal_docs})
 ORACLES.update({"unigram_surprisal_docs": SQL_UNIGRAM_SURPRISAL_DOCS})
 
 
+def q_bigram_surprisal_docs(spark, sf_dir) -> DataFrame:
+    """Per-document mean bigram surprisal (text.bigram_surprisal) —
+    bits/bigram under the corpus's own bigram MLE, the fluency rung of
+    the cheap perplexity-filter ladder (unigram scores vocabulary,
+    bigram scores word ORDER)."""
+    from .operators.text import bigram_surprisal
+    (d,) = _t(spark, sf_dir, "documents")
+    return bigram_surprisal(d).orderBy("doc_id")
+
+
+SQL_BIGRAM_SURPRISAL_DOCS = r"""
+WITH d AS (
+    SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text),
+               '[^\p{L}\p{N}]+', ' ', 'g')), ' ') AS t
+    FROM documents WHERE text IS NOT NULL
+),
+bg AS (
+    SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+    FROM d, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+    WHERE len(t) >= 2
+),
+cb AS (SELECT w1, w2, COUNT(*) AS n_bg FROM bg GROUP BY w1, w2),
+cw AS (SELECT w1, SUM(n_bg) AS n_ctx FROM cb GROUP BY w1)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(AVG(-LOG2(n_bg * 1.0 / n_ctx)), 6) AS bits_per_bigram
+FROM bg JOIN cb USING (w1, w2) JOIN cw USING (w1)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+QUERIES.update({"bigram_surprisal_docs": q_bigram_surprisal_docs})
+ORACLES.update({"bigram_surprisal_docs": SQL_BIGRAM_SURPRISAL_DOCS})
+
+
 def q_corr_matrix_lineitem(spark, sf_dir) -> DataFrame:
     """Pairwise Pearson correlations of four lineitem numerics in ONE
     fused scan (operators.statistics.correlation_matrix): 6 corr
@@ -1897,6 +1932,7 @@ _TAIL_QUERIES = [
     "tfidf_top_terms_docs",    # TF-IDF keywords (new r6)
     "drift_w1_quantity",       # Wasserstein-1 drift (new r6)
     "corr_matrix_lineitem",    # one-scan correlation matrix (new r6)
+    "bigram_surprisal_docs",   # bigram fluency surprisal (new r6)
 ]
 
 #: families pulled INTO the window (at the front — in-window order is

@@ -972,3 +972,32 @@ def test_has_low_contamination_gate(spark):
         Check("c", Level.ERROR).has_low_contamination(
             eval_df, max_doc_ratio=0.5)).run(spark, dirty)
     assert tol.passed
+
+
+def test_bigram_surprisal_scores_fluency_not_vocabulary(spark):
+    from term_spark.operators.text import (bigram_surprisal,
+                                           unigram_surprisal)
+    # same vocabulary, different order: docs 1-8 share a fixed phrase
+    # order; doc 9 scrambles it. Unigram cannot tell them apart;
+    # bigram must score the scramble as more surprising.
+    phrase = "the quick brown fox jumps over the lazy dog"
+    scrambled = "fox the lazy jumps dog brown the over quick"
+    rows = [(i, phrase) for i in range(1, 9)] + [(9, scrambled)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uni = {r["doc_id"]: r["bits_per_token"]
+           for r in unigram_surprisal(df).collect()}
+    assert uni[1] == uni[9]                       # unigram is order-blind
+    bi = {r["doc_id"]: r["bits_per_bigram"]
+          for r in bigram_surprisal(df).collect()}
+    assert bi[9] > bi[1]                          # bigram sees the scramble
+    assert bi[1] < 1.0  # mostly-deterministic chain ("the" branches 2-way)
+
+
+def test_bigram_surprisal_short_docs_emit_no_row(spark):
+    from term_spark.operators.text import bigram_surprisal
+    df = spark.createDataFrame(
+        [(1, "one"), (2, ""), (3, None), (4, "two words")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in bigram_surprisal(df).collect()}
+    assert set(out) == {4}
+    assert out[4]["n_bigrams"] == 1
