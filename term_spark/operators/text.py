@@ -475,6 +475,51 @@ def unigram_surprisal(df, text_col: str = "text", id_col: str = "doc_id",
                    F.round(F.avg(-F.log2("p")), 6).alias("bits_per_token")))
 
 
+def readability(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Flesch Reading Ease + Flesch–Kincaid grade per document — the
+    classic audience-level screen (keep 30–70 ease for a general
+    training mix; flag < 10 as jargon/garbage, > 100 as trivial or
+    fragmentary).  Pure codegen, map-only: three regexp_count
+    expressions per row, no explode, no shuffle beyond the caller's.
+
+    Heuristics (all engine-portable, ASCII classes only):
+    - words      = whitespace tokens (``token_count``);
+    - sentences  = runs of ``[.!?]`` floored at 1 (a fragment is one
+      sentence);
+    - syllables  = runs of ``[aeiouy]`` in the lowercased text,
+      floored at the word count (every word has ≥1 syllable in
+      aggregate — the per-word max(1, groups) classic without paying
+      an explode for it).
+
+    ease  = 206.835 − 1.015·(words/sentences) − 84.6·(syll/words)
+    grade = 0.39·(words/sentences) + 11.8·(syll/words) − 15.59
+
+    Empty/blank/NULL text → NULL scores with n_words = 0 (the row is
+    kept: "unreadable because empty" is a finding).  Rounded 6.
+    """
+    col = F.col(text_col)
+    words = F.when(F.trim(col) == "", F.lit(0)).otherwise(
+        F.size(F.split(F.trim(col), r"\s+"))).cast("bigint")
+    sents = F.greatest(F.lit(1).cast("bigint"),
+                       F.regexp_count(col, F.lit(r"[.!?]+")).cast("bigint"))
+    vowel_runs = F.regexp_count(F.lower(col), F.lit("[aeiouy]+")).cast("bigint")
+    out = (df.select(
+        F.col(id_col),
+        F.coalesce(words, F.lit(0)).alias("n_words"),
+        F.when(col.isNotNull(), sents).alias("n_sentences"),
+        F.when(col.isNotNull(),
+               F.greatest(words, vowel_runs)).alias("n_syllables")))
+    wps = F.col("n_words") / F.col("n_sentences")
+    spw = F.col("n_syllables") / F.col("n_words")
+    nonempty = F.col("n_words") > 0
+    return out.select(
+        id_col, "n_words", "n_sentences", "n_syllables",
+        F.when(nonempty, F.round(F.lit(206.835) - 1.015 * wps
+                                 - 84.6 * spw, 6)).alias("flesch_ease"),
+        F.when(nonempty, F.round(0.39 * wps + 11.8 * spw
+                                 - F.lit(15.59), 6)).alias("fk_grade"))
+
+
 def bigram_surprisal(df, text_col: str = "text", id_col: str = "doc_id"):
     """Mean conditional surprisal −log₂ P(wᵢ | wᵢ₋₁) per document
     under the corpus's own bigram MLE — one rung up the LM ladder from

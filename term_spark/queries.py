@@ -1933,6 +1933,7 @@ _TAIL_QUERIES = [
     "drift_w1_quantity",       # Wasserstein-1 drift (new r6)
     "corr_matrix_lineitem",    # one-scan correlation matrix (new r6)
     "bigram_surprisal_docs",   # bigram fluency surprisal (new r6)
+    "readability_docs",        # Flesch/FK readability (new r6)
 ]
 
 #: families pulled INTO the window (at the front — in-window order is

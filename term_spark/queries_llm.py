@@ -1148,3 +1148,46 @@ FROM r WHERE rank <= 3 ORDER BY doc_id, rank
 
 LLM_QUERIES.update({"tfidf_top_terms_docs": q_tfidf_top_terms_docs})
 LLM_ORACLES.update({"tfidf_top_terms_docs": SQL_TFIDF_TOP_TERMS_DOCS})
+
+
+def q_readability_docs(spark, sf_dir) -> DataFrame:
+    """Per-doc Flesch Reading Ease + FK grade (text.readability) —
+    map-only codegen audience-level screen; syllables = vowel runs
+    floored at the word count."""
+    return T.readability(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+SQL_READABILITY_DOCS = r"""
+WITH base AS (
+    SELECT doc_id,
+           CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                ELSE len(string_split_regex(trim(text), '\s+')) END
+               AS n_words,
+           CASE WHEN text IS NULL THEN NULL
+                ELSE GREATEST(1, len(regexp_extract_all(text, '[.!?]+')))
+                END AS n_sentences,
+           CASE WHEN text IS NULL THEN NULL ELSE
+                len(regexp_extract_all(lower(text), '[aeiouy]+')) END
+               AS vowel_runs
+    FROM documents),
+s AS (SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+             CAST(n_sentences AS BIGINT) AS n_sentences,
+             CAST(CASE WHEN vowel_runs IS NULL THEN NULL
+                       ELSE GREATEST(n_words, vowel_runs) END AS BIGINT)
+                 AS n_syllables
+      FROM base)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       CASE WHEN n_words > 0 THEN
+            ROUND(206.835 - 1.015 * (n_words * 1.0 / n_sentences)
+                          - 84.6 * (n_syllables * 1.0 / n_words), 6)
+       END AS flesch_ease,
+       CASE WHEN n_words > 0 THEN
+            ROUND(0.39 * (n_words * 1.0 / n_sentences)
+                  + 11.8 * (n_syllables * 1.0 / n_words) - 15.59, 6)
+       END AS fk_grade
+FROM s ORDER BY doc_id
+"""
+
+
+LLM_QUERIES.update({"readability_docs": q_readability_docs})
+LLM_ORACLES.update({"readability_docs": SQL_READABILITY_DOCS})

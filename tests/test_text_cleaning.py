@@ -68,3 +68,30 @@ def test_clean_docs_pipeline_composes(spark):
     out = df.select(
         normalize_text(clean_text("text")).alias("n")).collect()[0]["n"]
     assert out == "hello world and more"
+
+
+def test_readability_separates_simple_from_jargon(spark):
+    from term_spark.operators.text import readability
+    rows = [
+        (1, "The cat sat. The dog ran. We had fun."),
+        (2, "Notwithstanding heterogeneous organizational interdependencies, "
+            "multidimensional stakeholder prioritization methodologies "
+            "necessitate comprehensive infrastructural reconceptualization."),
+        (3, ""),
+        (4, None),
+        (5, "No terminal punctuation here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in readability(df).collect()}
+    assert out[1]["flesch_ease"] > 80          # easy text scores high
+    assert out[2]["flesch_ease"] < 0           # dense jargon goes negative
+    assert out[2]["fk_grade"] > 20
+    assert out[1]["n_sentences"] == 3
+    # empty/NULL keep the row with NULL scores ("empty" is a finding)
+    assert out[3]["n_words"] == 0 and out[3]["flesch_ease"] is None
+    assert out[4]["n_words"] == 0 and out[4]["fk_grade"] is None
+    # fragment floors at one sentence
+    assert out[5]["n_sentences"] == 1
+    # syllables floored at word count (every word >= 1)
+    assert all(r["n_syllables"] >= r["n_words"] for r in out.values()
+               if r["n_syllables"] is not None)
