@@ -298,3 +298,64 @@ def range_join(points, intervals, point_col: str,
     joined = (p.join(i, cond, how)
               .drop(F.col("__p.__b")).drop(F.col("__i.__b")))
     return joined
+
+
+def interval_join(left, right, left_start: str, left_end: str,
+                  right_start: str, right_end: str, bucket_width: float,
+                  keys=None):
+    """Interval-overlap join: match every left interval
+    ``[left_start, left_end)`` with every right interval it overlaps
+    (``max(starts) < min(ends)``), optionally only within matching
+    ``keys`` (e.g. the same user/device/region).
+
+    The interval-interval sibling of ``range_join``: a plain
+    inequality join plans BroadcastNestedLoopJoin; here BOTH sides
+    explode to the buckets they span and the match becomes an
+    EQUI-join on (keys…, bucket) plus the residual overlap predicate.
+    A pair sharing several buckets would surface once per shared
+    bucket, so each match is emitted only in its CANONICAL bucket —
+    the one containing ``greatest(both starts)``, i.e. the overlap's
+    own start — making the join exactly-once WITHOUT a DISTINCT
+    (no Expand, no second shuffle).
+
+    Inner join only: both sides are exploded, so outer semantics would
+    emit unmatched rows once per bucket.  Degenerate intervals
+    (``end <= start``: empty or inverted) are dropped from both sides
+    up front — under half-open semantics an empty interval overlaps
+    nothing, and an inverted one would bucket inconsistently.
+
+    Pick ``bucket_width`` near the typical interval length (each
+    interval then spans ~2 buckets).  Cost is O(n·spread + m·spread)
+    shuffled on (keys…, bucket); the keys bound skew the same way any
+    grouped join does.
+    """
+    if not bucket_width > 0:
+        raise ValueError("bucket_width must be positive")
+    keys = list(keys or [])
+
+    def buckets(df, start, end):
+        return (df.filter(F.col(start) < F.col(end))
+                  .withColumn("__b", F.explode(F.sequence(
+                      F.floor(F.col(start) / F.lit(bucket_width))
+                       .cast("bigint"),
+                      F.floor(F.col(end) / F.lit(bucket_width))
+                       .cast("bigint")))))
+
+    l = buckets(left, left_start, left_end).alias("__l")
+    r = buckets(right, right_start, right_end).alias("__r")
+    ls, le = F.col(f"__l.{left_start}"), F.col(f"__l.{left_end}")
+    rs, re_ = F.col(f"__r.{right_start}"), F.col(f"__r.{right_end}")
+    cond = (F.col("__l.__b") == F.col("__r.__b"))
+    for k in keys:
+        cond = cond & (F.col(f"__l.{k}") == F.col(f"__r.{k}"))
+    # residual overlap + canonical-bucket dedup (emit where the
+    # overlap STARTS, exactly one bucket per matching pair)
+    cond = (cond
+            & (ls < re_) & (rs < le)
+            & (F.col("__l.__b")
+               == F.floor(F.greatest(ls, rs) / F.lit(bucket_width))
+                   .cast("bigint")))
+    out = l.join(r, cond, "inner").drop(F.col("__l.__b")).drop(F.col("__r.__b"))
+    for k in keys:
+        out = out.drop(F.col(f"__r.{k}"))
+    return out

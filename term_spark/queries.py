@@ -1072,6 +1072,52 @@ QUERIES.update({"range_join_events": q_range_join_events})
 ORACLES.update({"range_join_events": SQL_RANGE_JOIN_EVENTS})
 
 
+def q_interval_join_events(spark, sf_dir) -> DataFrame:
+    """Interval-OVERLAP join (operators.temporal.interval_join):
+    per-user 2-hour error windows vs 2-hour click windows, matched
+    where the windows overlap — incident correlation. Both sides
+    bucket-explode and meet on an equi-join (user, bucket); the
+    canonical-bucket rule (emit where the overlap starts) makes each
+    pair exactly-once without DISTINCT."""
+    from .functions import epoch_seconds
+    from .operators.temporal import interval_join
+    (e,) = _t(spark, sf_dir, "events")
+    win = 7200.0
+
+    def side(kind, id_name):
+        return (e.filter(F.col("event_type") == kind)
+                 .select(F.col("event_id").alias(id_name), "user_id",
+                         epoch_seconds("ts").alias(f"{id_name}_s"),
+                         (epoch_seconds("ts") + win).alias(f"{id_name}_t")))
+
+    j = interval_join(side("error", "err"), side("click", "clk"),
+                      "err_s", "err_t", "clk_s", "clk_t",
+                      bucket_width=win, keys=["user_id"])
+    return (j.select("user_id", F.col("err").alias("error_id"),
+                     F.col("clk").alias("click_id"),
+                     r6(F.least("err_t", "clk_t")
+                        - F.greatest("err_s", "clk_s")).alias("overlap_sec"))
+             .orderBy("error_id", "click_id"))
+
+
+SQL_INTERVAL_JOIN_EVENTS = """
+WITH e AS (SELECT event_id, user_id, EXTRACT(EPOCH FROM ts) AS s,
+                  EXTRACT(EPOCH FROM ts) + 7200 AS t
+           FROM events WHERE event_type = 'error'),
+c AS (SELECT event_id, user_id, EXTRACT(EPOCH FROM ts) AS s,
+             EXTRACT(EPOCH FROM ts) + 7200 AS t
+      FROM events WHERE event_type = 'click')
+SELECT e.user_id, e.event_id AS error_id, c.event_id AS click_id,
+       ROUND(LEAST(e.t, c.t) - GREATEST(e.s, c.s), 6) AS overlap_sec
+FROM e JOIN c ON e.user_id = c.user_id AND e.s < c.t AND c.s < e.t
+ORDER BY error_id, click_id
+"""
+
+
+QUERIES.update({"interval_join_events": q_interval_join_events})
+ORACLES.update({"interval_join_events": SQL_INTERVAL_JOIN_EVENTS})
+
+
 def q_rolling_daily_events(spark, sf_dir) -> DataFrame:
     """Daily event counts per type with a 7-day trailing moving average
     — the rolling-window time-series shape (RANGE frame over a day
@@ -1934,6 +1980,7 @@ _TAIL_QUERIES = [
     "corr_matrix_lineitem",    # one-scan correlation matrix (new r6)
     "bigram_surprisal_docs",   # bigram fluency surprisal (new r6)
     "readability_docs",        # Flesch/FK readability (new r6)
+    "interval_join_events",    # interval-overlap join (new r6)
 ]
 
 #: families pulled INTO the window (at the front — in-window order is

@@ -310,3 +310,60 @@ def test_range_join_left_keeps_unmatched_points(spark):
     # exploded-interval side cannot express right/full semantics
     with pytest.raises(ValueError, match="right/full"):
         range_join(points, intervals, "v", "lo", "hi", 10.0, how="full")
+
+
+def test_interval_join_matches_nested_loop_exactly_once(spark):
+    """interval_join must equal the brute-force inequality join —
+    including pairs spanning MANY shared buckets (the canonical-bucket
+    rule must emit each exactly once) — and must not plan an
+    all-pairs strategy."""
+    from term_spark.operators.temporal import interval_join
+    from term_spark.plans.audit import plan_text
+
+    left = spark.createDataFrame(
+        [(0, 0.0, 100.0),     # long: spans 10 buckets
+         (1, 5.0, 7.0),       # short, inside bucket 0
+         (2, 95.0, 105.0),    # straddles
+         (3, 300.0, 301.0),   # isolated
+         (4, 50.0, 50.0),     # empty: dropped
+         (5, 60.0, 40.0)],    # inverted: dropped
+        "lid long, ls double, le double")
+    right = spark.createDataFrame(
+        [(0, 90.0, 200.0),    # overlaps lid 0 and 2 across many buckets
+         (1, 6.0, 6.5),       # inside lid 1
+         (2, 100.0, 100.5),   # touches lid 0's end: half-open, no match
+         (3, 299.0, 300.5)],
+        "rid long, rs double, re double")
+
+    got = sorted((r["lid"], r["rid"]) for r in interval_join(
+        left, right, "ls", "le", "rs", "re", bucket_width=10.0).collect())
+    naive = sorted((r["lid"], r["rid"]) for r in
+                   left.filter("ls < le").join(
+                       right.filter("rs < re"),
+                       (left["ls"] < right["re"]) &
+                       (right["rs"] < left["le"])).collect())
+    assert got == naive and got
+    assert got == sorted(set(got))            # exactly-once, no bucket dups
+    assert (0, 0) in got and (2, 0) in got    # the many-bucket pairs
+    assert (0, 2) not in got                  # half-open boundary
+
+    text = plan_text(interval_join(left, right, "ls", "le", "rs", "re",
+                                   bucket_width=10.0))
+    assert "BroadcastNestedLoopJoin" not in text
+    assert "CartesianProduct" not in text
+
+
+def test_interval_join_keys_scope_the_match(spark):
+    from term_spark.operators.temporal import interval_join
+    left = spark.createDataFrame(
+        [("u1", 0, 0.0, 10.0), ("u2", 1, 0.0, 10.0)],
+        "user string, lid long, ls double, le double")
+    right = spark.createDataFrame(
+        [("u1", 0, 5.0, 15.0), ("u3", 1, 5.0, 15.0)],
+        "user string, rid long, rs double, re double")
+    got = [(r["user"], r["lid"], r["rid"]) for r in interval_join(
+        left, right, "ls", "le", "rs", "re", 10.0, keys=["user"]).collect()]
+    assert got == [("u1", 0, 0)]              # same-key overlap only
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        interval_join(left, right, "ls", "le", "rs", "re", 0.0)
