@@ -1981,6 +1981,7 @@ _TAIL_QUERIES = [
     "bigram_surprisal_docs",   # bigram fluency surprisal (new r6)
     "readability_docs",        # Flesch/FK readability (new r6)
     "interval_join_events",    # interval-overlap join (new r6)
+    "jaccard_prefix_pairs_docs",  # AllPairs prefix-filter jaccard (new r6)
 ]
 
 #: families pulled INTO the window (at the front — in-window order is

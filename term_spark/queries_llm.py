@@ -1191,3 +1191,19 @@ FROM s ORDER BY doc_id
 
 LLM_QUERIES.update({"readability_docs": q_readability_docs})
 LLM_ORACLES.update({"readability_docs": SQL_READABILITY_DOCS})
+
+
+def q_jaccard_prefix_pairs_docs(spark, sf_dir) -> DataFrame:
+    """Exact Jaccard pairs via AllPairs-style PREFIX FILTERING
+    (dedup.jaccard_prefix_pairs): identical result to
+    ngram_jaccard_pairs — same oracle — but the candidate self-join
+    indexes only each doc's n - ceil(tau*n) + 1 rarest shingles, so
+    hot boilerplate shingles never enter the quadratic join."""
+    d = _docs(spark, sf_dir)
+    return (D.jaccard_prefix_pairs(d, "text", "doc_id", JACCARD_K,
+                                   JACCARD_THRESHOLD)
+            .orderBy("id_a", "id_b"))
+
+
+LLM_QUERIES.update({"jaccard_prefix_pairs_docs": q_jaccard_prefix_pairs_docs})
+LLM_ORACLES.update({"jaccard_prefix_pairs_docs": SQL_NGRAM_JACCARD_PAIRS})

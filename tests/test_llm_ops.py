@@ -1001,3 +1001,60 @@ def test_bigram_surprisal_short_docs_emit_no_row(spark):
     out = {r["doc_id"]: r for r in bigram_surprisal(df).collect()}
     assert set(out) == {4}
     assert out[4]["n_bigrams"] == 1
+
+
+def test_jaccard_prefix_pairs_equals_inverted_index(spark):
+    """Prefix filtering is a lossless optimization: output must EQUAL
+    ngram_jaccard_pairs on a corpus with near-dups, exact dups, hot
+    boilerplate shingles, and unrelated docs — across thresholds."""
+    from term_spark.operators.dedup import (jaccard_prefix_pairs,
+                                            ngram_jaccard_pairs)
+    boiler = "subscribe to our newsletter for updates "
+    rows = [
+        (1, boiler + "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, boiler + "alpha beta gamma delta epsilon zeta eta iota"),
+        (3, boiler + "alpha beta gamma delta epsilon zeta eta theta"),
+        (4, boiler + "one two three four five six seven eight nine"),
+        (5, "totally unrelated content about gardening and soil ph"),
+        (6, "short doc"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for tau in (0.5, 0.8):
+        exact = sorted(tuple(r) for r in ngram_jaccard_pairs(
+            df, k=3, threshold=tau).collect())
+        prefix = sorted(tuple(r) for r in jaccard_prefix_pairs(
+            df, k=3, threshold=tau).collect())
+        assert prefix == exact and (tau > 0.5 or exact)
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        jaccard_prefix_pairs(df, threshold=0.0)
+
+
+def test_jaccard_prefix_index_excludes_hot_shingles(spark):
+    """The whole point: a shingle present in EVERY doc (boilerplate)
+    must not appear in any document's prefix when rarer shingles fill
+    it — the quadratic df^2 term moves out of the candidate join."""
+    import pyspark.sql.functions as F
+    from term_spark.operators.dedup import _doc_shingles, spread
+    from pyspark.sql import Window
+    boiler = "the same header line on every page "
+    # body words are ALL doc-specific so each doc has more rare
+    # shingles than its prefix length — the hot boiler shingles must
+    # then be fully displaced from the index
+    rows = [(i, boiler + f"body{i} text{i} number{i} alpha{i} beta{i} "
+                         f"gamma{i} delta{i}")
+            for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = _doc_shingles(spread(df, "doc_id"), "text", "doc_id", 3)
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
+    w = Window.partitionBy("id").orderBy("df_", "shingle")
+    n = Window.partitionBy("id")
+    tau = 0.6
+    prefix = (sh.join(freq, "shingle")
+                .withColumn("__r", F.row_number().over(w))
+                .withColumn("__n", F.count(F.lit(1)).over(n))
+                .filter(F.col("__r") <=
+                        F.col("__n") - F.ceil(F.lit(tau) * F.col("__n")) + 1))
+    hot_in_prefix = (prefix.join(freq.filter(F.col("df_") == 10),
+                                 "shingle", "left_semi").count())
+    assert hot_in_prefix == 0
