@@ -78,43 +78,67 @@ def ks_statistic(ref: DataFrame, cur: DataFrame, column: str,
     else:
         key = col
     counts = _two_sided_counts(ref, cur, column, key)
-    # Cumulative counts WITHOUT Window.orderBy(k)'s single-task funnel:
-    # range-repartition the key-count table, collect per-partition
-    # subtotals (≤ num_partitions rows — bounded at any scale), broadcast
-    # the exclusive offsets back, and finish with a window partitioned BY
-    # partition id — the same distributed prefix-sum Spearman's rank uses
-    # (entropy._rank_map), with both sides riding one pass.
-    # localCheckpoint, not persist: range boundaries are sampled per
-    # execution, and the offsets job and the window job must see the
-    # same partition assignment.
+    cdf, tot_ref, tot_cur = _distributed_cdf(counts)
+    return cdf.agg(
+        F.max(F.lit(tot_ref).cast("bigint")).alias("n_ref"),
+        F.max(F.lit(tot_cur).cast("bigint")).alias("n_cur"),
+        F.round(F.max(F.abs(F.col("cdf_ref") - F.col("cdf_cur"))), 6).alias("ks"))
+
+
+def _distributed_cdf(counts: DataFrame):
+    """Pooled empirical CDFs of a (k, n_ref, n_cur) count table as
+    ``(df(k, cdf_ref, cdf_cur, next_k), tot_ref, tot_cur)``.
+
+    Cumulative counts WITHOUT Window.orderBy(k)'s single-task funnel:
+    range-repartition the key-count table, collect per-partition
+    subtotals (≤ num_partitions rows — bounded at any scale), broadcast
+    the exclusive offsets back, and finish with a window partitioned BY
+    partition id — the same distributed prefix-sum Spearman's rank uses
+    (entropy._rank_map), with both sides riding one pass.
+    localCheckpoint, not persist: range boundaries are sampled per
+    execution, and the offsets job and the window job must see the
+    same partition assignment.
+
+    ``next_k`` is each row's successor key (NULL for the global last):
+    the within-partition LEAD falls back to the next partition's min
+    key, threaded through the same bounded collect — so run-length
+    consumers (``wasserstein_1``) stay free of global ordered windows
+    too.
+    """
+    ktype = counts.schema["k"].dataType.simpleString()
     parts = (counts.repartitionByRange(F.col("k"))
                    .withColumn("pid", F.spark_partition_id())
                    .localCheckpoint(eager=True))
     rows = (parts.groupBy("pid")
                  .agg(F.sum("n_ref").alias("t_ref"),
-                      F.sum("n_cur").alias("t_cur")).collect())
-    totals = {r["pid"]: (r["t_ref"], r["t_cur"]) for r in rows}
+                      F.sum("n_cur").alias("t_cur"),
+                      F.min("k").alias("k_min")).collect())
+    totals = {r["pid"]: (r["t_ref"], r["t_cur"], r["k_min"]) for r in rows}
+    pids = sorted(totals)
     offs, acc_r, acc_c = [], 0, 0
-    for pid in sorted(totals):
-        offs.append((int(pid), int(acc_r), int(acc_c)))
+    for i, pid in enumerate(pids):
+        nxt = totals[pids[i + 1]][2] if i + 1 < len(pids) else None
+        offs.append((int(pid), int(acc_r), int(acc_c), nxt))
         acc_r += totals[pid][0]
         acc_c += totals[pid][1]
     tot_ref, tot_cur = acc_r, acc_c
-    spark = ref.sparkSession
+    spark = counts.sparkSession
     off_df = spark.createDataFrame(
-        offs or [(0, 0, 0)], "pid int, off_ref bigint, off_cur bigint")
+        offs or [(0, 0, 0, None)],
+        f"pid int, off_ref bigint, off_cur bigint, part_next_k {ktype}")
     w = (Window.partitionBy("pid").orderBy("k")
                .rowsBetween(Window.unboundedPreceding, 0))
+    lead_w = Window.partitionBy("pid").orderBy("k")
     cdf = (parts.join(F.broadcast(off_df), "pid")
                 .select(
+        "k",
         ((F.col("off_ref") + F.sum("n_ref").over(w)) /
          F.lit(float(tot_ref) if tot_ref else None)).alias("cdf_ref"),
         ((F.col("off_cur") + F.sum("n_cur").over(w)) /
-         F.lit(float(tot_cur) if tot_cur else None)).alias("cdf_cur")))
-    return cdf.agg(
-        F.max(F.lit(tot_ref).cast("bigint")).alias("n_ref"),
-        F.max(F.lit(tot_cur).cast("bigint")).alias("n_cur"),
-        F.round(F.max(F.abs(F.col("cdf_ref") - F.col("cdf_cur"))), 6).alias("ks"))
+         F.lit(float(tot_cur) if tot_cur else None)).alias("cdf_cur"),
+        F.coalesce(F.lead("k", 1).over(lead_w),
+                   F.col("part_next_k")).alias("next_k")))
+    return cdf, tot_ref, tot_cur
 
 
 def chi_squared_drift(ref: DataFrame, cur: DataFrame, column: str,
@@ -233,26 +257,17 @@ def wasserstein_1(ref: DataFrame, cur: DataFrame, column: str,
     width = (float(hi) - float(lo)) / bins
     key = psi_bucket(F.col(column).cast("double"), float(lo), width, bins)
     counts = _two_sided_counts(ref, cur, column, key)
-    tot = Window.partitionBy()
-    # cumulative shares over the ≤bins-row bucket table; the ordered
-    # windows are bounded by construction (bins, not rows).  Buckets
-    # empty on BOTH sides are absent from the counts table, but the
-    # CDF difference persists across them — weight each present
-    # bucket's |ΔCDF| by its run length (gap to the next present
-    # bucket index).
-    cum = (Window.orderBy("k")
-                 .rowsBetween(Window.unboundedPreceding, 0))
-    shares = counts.select(
-        "k", "n_ref", "n_cur",
-        (F.coalesce(F.lead("k", 1).over(Window.orderBy("k")),
-                    F.lit(bins)) - F.col("k")).alias("run"),
-        (F.sum("n_ref").over(cum) / F.sum("n_ref").over(tot)).alias("cdf_ref"),
-        (F.sum("n_cur").over(cum) / F.sum("n_cur").over(tot)).alias("cdf_cur"))
-    dist = F.sum(F.abs(F.col("cdf_ref") - F.col("cdf_cur"))
-                 * F.col("run")) * width
-    return shares.agg(
-        F.sum("n_ref").alias("n_ref"),
-        F.sum("n_cur").alias("n_cur"),
+    # Buckets empty on BOTH sides are absent from the counts table, but
+    # the CDF difference persists across them — weight each present
+    # bucket's |ΔCDF| by its run length (gap to the next present bucket
+    # index).  The CDFs and the successor key both come from the
+    # distributed prefix-sum (no global ordered window, same as KS).
+    cdf, tot_ref, tot_cur = _distributed_cdf(counts)
+    run = F.coalesce("next_k", F.lit(bins)) - F.col("k")
+    dist = F.sum(F.abs(F.col("cdf_ref") - F.col("cdf_cur")) * run) * width
+    return cdf.agg(
+        F.max(F.lit(tot_ref).cast("bigint")).alias("n_ref"),
+        F.max(F.lit(tot_cur).cast("bigint")).alias("n_cur"),
         F.round(dist, 6).alias("w1"),
         F.round(dist / (float(hi) - float(lo)), 6).alias("w1_norm"))
 
