@@ -145,6 +145,17 @@ def jaccard_prefix_pairs(df: DataFrame, text_col: str = "text",
     per-doc rank window (partitioned BY doc — parallel) → prefix
     self-join (candidates) → candidate-bounded intersection count →
     size join → τ filter.
+
+    WHEN TO USE (measured, local[32]): the win requires the prefix
+    (``(1−τ)·n + 1`` shingles) to FIT inside the doc-specific content
+    — at τ=0.8 on a 4k-doc corpus with 30 % shared boilerplate this
+    runs 5× faster than the inverted index (10 s vs 51 s, identical
+    pairs); at τ=0.6 with 2/3 boilerplate the prefix spills into the
+    hot shingles and both collapse to the same quadratic (prefix adds
+    overhead).  On skew-free corpora (sf0.1 synthetic: 4.1 s vs
+    2.3 s) the extra stages cost more than they save — keep
+    ``ngram_jaccard_pairs`` (+ ``max_shingle_freq``) there and reach
+    for this one on boilerplate-heavy web corpora with high τ.
     """
     from pyspark.sql import Window
     if not 0.0 < threshold <= 1.0:
