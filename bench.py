@@ -240,6 +240,12 @@ def main() -> None:
         # round-6 additions: DSIR importance weighting, winnowing
         # partial-copy detection, Unicode script profiling
         "dsir_weights_docs", "winnow_overlap_docs", "script_profile_docs",
+        # round-6 additions, second wave: decontamination accounting,
+        # TF-IDF keywords, W1 drift, one-scan correlation matrix,
+        # bigram fluency, readability, interval-overlap join
+        "decontamination_report_docs", "tfidf_top_terms_docs",
+        "drift_w1_quantity", "corr_matrix_lineitem",
+        "bigram_surprisal_docs", "readability_docs", "interval_join_events",
     ]
     for name in bench_queries:
         per_query[name] = round(_measure_query(spark, QUERIES[name], SF_DIR), 4)

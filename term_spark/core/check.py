@@ -247,6 +247,17 @@ class Check:
         return self.with_constraint(
             JsDriftConstraint(column, ref_df, max_js, bins, lo, hi))
 
+    def has_readable_text(self, column: str = "text",
+                          min_ease: float = 10.0, max_ease: float = 125.0,
+                          min_ratio: float = 0.9) -> "Check":
+        """Corpus readability gate: the share of non-blank documents
+        with Flesch Reading Ease inside ``[min_ease, max_ease]`` must
+        be at least ``min_ratio``. Rides the fused aggregation (two
+        count expressions, no extra scan)."""
+        from ..operators.text import ReadabilityConstraint
+        return self.with_constraint(ReadabilityConstraint(
+            column, min_ease, max_ease, min_ratio))
+
     def has_low_wasserstein_drift(self, ref_df, column: str,
                                   max_w1_norm: float = 0.05,
                                   bins: int = 10, lo=None, hi=None) -> "Check":

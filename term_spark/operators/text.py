@@ -475,6 +475,23 @@ def unigram_surprisal(df, text_col: str = "text", id_col: str = "doc_id",
                    F.round(F.avg(-F.log2("p")), 6).alias("bits_per_token")))
 
 
+def flesch_ease_col(text_col: str) -> "F.Column":
+    """Row-level Flesch Reading Ease expression (same heuristics as
+    ``readability``; NULL for NULL/blank text) — exposed separately so
+    gates can ride the suite's fused aggregation instead of paying
+    their own scan."""
+    col = F.col(text_col)
+    words = F.when(F.trim(col) == "", F.lit(0)).otherwise(
+        F.size(F.split(F.trim(col), r"\s+"))).cast("bigint")
+    sents = F.greatest(F.lit(1).cast("bigint"),
+                       F.regexp_count(col, F.lit(r"[.!?]+")).cast("bigint"))
+    syll = F.greatest(
+        words, F.regexp_count(F.lower(col), F.lit("[aeiouy]+")).cast("bigint"))
+    return F.when(col.isNotNull() & (words > 0),
+                  F.round(F.lit(206.835) - 1.015 * (words / sents)
+                          - 84.6 * (syll / words), 6))
+
+
 def readability(df, text_col: str = "text", id_col: str = "doc_id"):
     """Flesch Reading Ease + Flesch–Kincaid grade per document — the
     classic audience-level screen (keep 30–70 ease for a general
@@ -719,3 +736,62 @@ def strip_markup(column) -> "F.Column":
         out = F.replace(out, F.lit(ent), F.lit(ch))
     out = F.trim(F.regexp_replace(out, r"[ \t]+", " "))
     return F.regexp_replace(out, r" ?\n ?", "\n")
+
+
+from ..core.constraint import Constraint as _Constraint  # noqa: E402
+
+
+class ReadabilityConstraint(_Constraint):
+    """``has_readable_text``: the share of non-blank documents whose
+    Flesch Reading Ease falls inside ``[min_ease, max_ease]`` must be
+    at least ``min_ratio`` — the audience-band gate on a corpus.  The
+    default band 10..125 is effectively one-sided (the Flesch maximum
+    is ~121.2, simple prose routinely scores 100-115): it screens
+    impenetrable jargon/garbage while accepting everything readable;
+    tighten ``max_ease`` to also screen trivially fragmented text.
+
+    Scalar protocol like PiiConstraint: two aggregate expressions
+    (non-blank doc count + in-band count) ride the suite's shared
+    fused aggregation — no extra scan.
+    """
+
+    name = "readable_text"
+
+    def __init__(self, column: str = "text", min_ease: float = 10.0,
+                 max_ease: float = 125.0, min_ratio: float = 0.9):
+        from ..core.constraint import metric_alias
+        from ..functions.security import validate_identifier
+        if max_ease <= min_ease:
+            raise ValueError(
+                f"max_ease ({max_ease}) must exceed min_ease ({min_ease})")
+        if not 0.0 <= min_ratio <= 1.0:
+            raise ValueError(f"min_ratio must be in [0,1], got {min_ratio}")
+        self.column = validate_identifier(column)
+        self.min_ease = float(min_ease)
+        self.max_ease = float(max_ease)
+        self.min_ratio = float(min_ratio)
+        self._docs = metric_alias("readable_docs", column)
+        self._ok = metric_alias("readable_ok", column, min_ease, max_ease)
+
+    def scalar_metrics(self, df):
+        ease = flesch_ease_col(self.column)
+        return {self._docs: F.count(F.when(ease.isNotNull(), 1)),
+                self._ok: F.count(F.when(
+                    ease.between(self.min_ease, self.max_ease), 1))}
+
+    def result_from_metrics(self, metrics):
+        from ..core.result import ConstraintResult
+        docs = int(metrics[self._docs])
+        if docs == 0:
+            return self._finish(ConstraintResult.skipped(
+                f"readable_text({self.column}): no non-blank documents"))
+        ok = int(metrics[self._ok])
+        ratio = ok / docs
+        if ratio >= self.min_ratio:
+            return self._finish(ConstraintResult.success(ratio))
+        return self._finish(ConstraintResult.failure(
+            ratio,
+            f"readable_text({self.column}): only {ok} of {docs} docs "
+            f"({ratio:.4%}) score Flesch ease in "
+            f"[{self.min_ease:g}, {self.max_ease:g}]; required ratio "
+            f"{self.min_ratio}"))

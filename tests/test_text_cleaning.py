@@ -95,3 +95,55 @@ def test_readability_separates_simple_from_jargon(spark):
     # syllables floored at word count (every word >= 1)
     assert all(r["n_syllables"] >= r["n_words"] for r in out.values()
                if r["n_syllables"] is not None)
+
+
+def test_has_readable_text_gate_rides_fused_agg(spark):
+    from term_spark import Check, Level, ValidationSuite
+    easy = [(i, "The cat sat. The dog ran. We had fun today.")
+            for i in range(9)]
+    jargon = [(100, "Notwithstanding heterogeneous organizational "
+                    "interdependencies multidimensional prioritization "
+                    "methodologies necessitate reconceptualization.")]
+    ok_df = spark.createDataFrame(easy + jargon, "doc_id long, text string")
+    res = ValidationSuite.builder("r").with_check(
+        Check("r", Level.ERROR).has_readable_text(min_ratio=0.9)).run(
+        spark, ok_df)
+    assert res.passed                       # 9/10 in band
+
+    bad = ValidationSuite.builder("r").with_check(
+        Check("r", Level.ERROR).has_readable_text(min_ratio=0.95)).run(
+        spark, ok_df)
+    assert not bad.passed
+    assert "readable_text" in [x.message for x in bad.report.issues][0]
+
+    # blank-only corpus -> skipped, not a bogus pass/fail
+    from term_spark.core.result import Status
+    blank = spark.createDataFrame([(1, ""), (2, None)],
+                                  "doc_id long, text string")
+    sk = ValidationSuite.builder("r").with_check(
+        Check("r", Level.ERROR).has_readable_text()).run(spark, blank)
+    statuses = [o.result.status for o in sk.report.outcomes]
+    assert Status.SKIPPED in statuses
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        Check("r", Level.ERROR).has_readable_text(min_ease=50, max_ease=40)
+
+
+def test_readability_gate_fuses_with_other_constraints(spark):
+    """The gate's two count expressions must ride the SAME fused
+    aggregation as the other scalar constraints — one scan total."""
+    import re
+    from term_spark import Assertion, Check, Level, ValidationSuite
+    df_rows = [(i, f"Plain sentence number {i}. It reads fine.")
+               for i in range(20)]
+    df = spark.createDataFrame(df_rows, "doc_id long, text string")
+    suite = (ValidationSuite.builder("fuse")
+             .with_check(Check("c", Level.ERROR)
+                         .is_complete("text")
+                         .has_readable_text(min_ratio=0.5)
+                         .has_min("doc_id", Assertion.ge(0))))
+    text = suite.explain(spark, df)
+    agg_blocks = re.findall(r"\(\d+\) HashAggregate", text)
+    # partial + final of ONE fused aggregate, no extra scan pair
+    assert len(agg_blocks) <= 2, text
