@@ -464,3 +464,33 @@ def winnow_overlap_pairs(df: DataFrame, text_col: str = "text",
              .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
              .agg(F.count(F.lit(1)).alias("n_common"))
              .filter(F.col("n_common") >= int(min_common)))
+
+
+def ngram_novelty(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", k: int = 3) -> DataFrame:
+    """Per-document n-gram NOVELTY: the share of a doc's distinct
+    k-shingles that occur in NO other document (corpus document
+    frequency 1) — the continuous diagnostic underneath every dedup
+    decision: boilerplate-heavy and templated docs score near 0, fresh
+    content near 1.  Mix curation uses it as a KEEP signal where the
+    near-dup operators make DROP decisions; tracking its corpus mean
+    over snapshots also exposes creeping duplication a pair-level
+    dedup only discovers later (and quadratically).
+
+    Returns (id, n_shingles, n_novel, novelty ∈ [0,1] rounded 6).
+
+    Scale: shingle table (distinct per doc) → shingle-keyed df counts
+    (partial-aggregated; one shuffle) → join back → per-doc agg.  No
+    pairwise work anywhere — this is the O(corpus) profile of what the
+    O(candidates) join operators decide.
+    """
+    sh = _doc_shingles(spread(df, id_col), text_col, id_col, k)
+    sh = sh.localCheckpoint(eager=True)  # reused: df counts + probe side
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
+    return (sh.join(freq, "shingle")
+              .groupBy("id")
+              .agg(F.count(F.lit(1)).alias("n_shingles"),
+                   F.count(F.when(F.col("df_") == 1, 1)).alias("n_novel"))
+              .select("id", "n_shingles", "n_novel",
+                      F.round(F.col("n_novel") / F.col("n_shingles"), 6)
+                       .alias("novelty")))

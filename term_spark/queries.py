@@ -1982,6 +1982,7 @@ _TAIL_QUERIES = [
     "readability_docs",        # Flesch/FK readability (new r6)
     "interval_join_events",    # interval-overlap join (new r6)
     "jaccard_prefix_pairs_docs",  # AllPairs prefix-filter jaccard (new r6)
+    "ngram_novelty_docs",      # per-doc shingle novelty (new r6)
 ]
 
 #: families pulled INTO the window (at the front — in-window order is

@@ -1207,3 +1207,26 @@ def q_jaccard_prefix_pairs_docs(spark, sf_dir) -> DataFrame:
 
 LLM_QUERIES.update({"jaccard_prefix_pairs_docs": q_jaccard_prefix_pairs_docs})
 LLM_ORACLES.update({"jaccard_prefix_pairs_docs": SQL_NGRAM_JACCARD_PAIRS})
+
+
+def q_ngram_novelty_docs(spark, sf_dir) -> DataFrame:
+    """Per-doc shingle novelty (dedup.ngram_novelty): share of the
+    doc's distinct 3-shingles with corpus df=1 — the continuous
+    boilerplate/duplication diagnostic."""
+    return (D.ngram_novelty(_docs(spark, sf_dir))
+            .orderBy("id"))
+
+
+SQL_NGRAM_NOVELTY_DOCS = f"""
+WITH dsh AS ({_SHINGLE_SQL}),
+freq AS (SELECT shingle, COUNT(*) AS df FROM dsh GROUP BY shingle)
+SELECT id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(COUNT(*) FILTER (WHERE df = 1) AS BIGINT) AS n_novel,
+       ROUND(COUNT(*) FILTER (WHERE df = 1) * 1.0 / COUNT(*), 6) AS novelty
+FROM dsh JOIN freq USING (shingle)
+GROUP BY id ORDER BY id
+"""
+
+
+LLM_QUERIES.update({"ngram_novelty_docs": q_ngram_novelty_docs})
+LLM_ORACLES.update({"ngram_novelty_docs": SQL_NGRAM_NOVELTY_DOCS})

@@ -1058,3 +1058,20 @@ def test_jaccard_prefix_index_excludes_hot_shingles(spark):
     hot_in_prefix = (prefix.join(freq.filter(F.col("df_") == 10),
                                  "shingle", "left_semi").count())
     assert hot_in_prefix == 0
+
+
+def test_ngram_novelty_separates_fresh_from_templated(spark):
+    from term_spark.operators.dedup import ngram_novelty
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (3, "completely fresh words about volcanic geology and magma flows"),
+        (4, "alpha beta gamma delta epsilon unique tail of document four"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: r for r in ngram_novelty(df).collect()}
+    assert out[1]["novelty"] == 0.0            # exact dup: nothing novel
+    assert out[2]["novelty"] == 0.0
+    assert out[3]["novelty"] == 1.0            # fully fresh
+    assert 0.0 < out[4]["novelty"] < 1.0       # shared head, unique tail
+    assert out[4]["n_novel"] < out[4]["n_shingles"]
