@@ -209,7 +209,8 @@ def drift_metrics(stream_df, ts_col: str, value_col: str, ref_df,
                   .agg(F.count(F.lit(1)).alias("n")).collect())
     ref_n = sum(r["n"] for r in ref_counts)
     by_bucket = {int(r["bucket"]): r["n"] / ref_n for r in ref_counts}
-    q_shares = [max(by_bucket.get(b, 0.0), eps) for b in range(bins)]
+    q_raw = [by_bucket.get(b, 0.0) for b in range(bins)]  # W1: no smoothing
+    q_shares = [max(q, eps) for q in q_raw]               # PSI: eps-floored
 
     stream_df = _with_event_time(stream_df, ts_col)
     scol = F.col(value_col).cast("double")
@@ -228,7 +229,20 @@ def drift_metrics(stream_df, ts_col: str, value_col: str, ref_df,
     for i in range(bins):
         p = F.greatest(F.col(f"_b{i}") / n, F.lit(eps))
         psi = psi + (p - q_shares[i]) * F.log(p / F.lit(q_shares[i]))
-    return agg.select("window", "n_events", F.round(psi, 6).alias("psi"))
+    # Wasserstein-1 rides the SAME windowed agg as a second row-wise
+    # assembly: cumulative share diffs vs the reference's cumulative
+    # shares (raw, not eps-floored — W1 needs no smoothing), normalized
+    # to the domain. Matches operators.drift.wasserstein_1 on the same
+    # rows (every bucket is materialized here, so no run lengths).
+    w1n = F.lit(0.0)
+    cdf_p, cdf_q = F.lit(0.0), 0.0
+    for i in range(bins):
+        cdf_p = cdf_p + F.col(f"_b{i}") / n
+        cdf_q += q_raw[i]
+        w1n = w1n + F.abs(cdf_p - F.lit(cdf_q))
+    w1n = w1n / bins
+    return agg.select("window", "n_events", F.round(psi, 6).alias("psi"),
+                      F.round(w1n, 6).alias("w1_norm"))
 
 
 def session_metrics(stream_df, ts_col: str, key_col: str,

@@ -248,11 +248,23 @@ def test_drift_metrics_stream_psi_per_window(spark, tmp_path):
     assert got[1]["psi"] < 0.01      # same distribution as reference
     assert got[2]["psi"] > 0.25      # shifted day trips the drifted line
 
+    # W1 rides the same agg: near 0 on the matching day; on the shifted
+    # day mass sits entirely in the top bucket vs a uniform reference,
+    # whose exact binned W1 is sum(0.1..0.9)/10 = 0.45
+    assert got[1]["w1_norm"] < 0.01
+    assert got[2]["w1_norm"] == pytest.approx(0.45, abs=0.01)
+
     # streamed PSI == batch population_stability over the same rows
     day1 = df.filter(F.col("ts") < dt.datetime(2024, 1, 2))
     batch = population_stability(ref, day1, "v",
                                  bins=10, lo=0.0, hi=50.0).collect()[0]
     assert got[1]["psi"] == batch["psi"]
+
+    # streamed W1 == batch wasserstein_1 over the same rows
+    from term_spark.operators.drift import wasserstein_1
+    b1 = wasserstein_1(ref, day1, "v", bins=10, lo=0.0,
+                       hi=50.0).collect()[0]
+    assert got[1]["w1_norm"] == b1["w1_norm"]
 
 
 def test_windowed_pii_metrics_stream(spark, tmp_path):
