@@ -1,6 +1,6 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-entry(spark)  — flagship: run a 35-constraint validation suite over the
+entry(spark)  — flagship: run a 37-constraint validation suite over the
 sf0.001 tables as ONE fused aggregation job per table (the engine's
 scan-sharing design center) — including the corpus PII release gate
 and a PSI drift check against a reference snapshot — and return the
@@ -73,11 +73,14 @@ def entry(spark: SparkSession) -> DataFrame:
         .with_check(
             Check("corpus_release", Level.ERROR, table="documents")
             .has_no_pii("text")
+            .has_readable_text("text", min_ratio=0.5)
             .is_complete("doc_id"))
         .with_check(
             Check("drift", Level.ERROR)
             .has_stable_distribution(lineitem_ref, "l_quantity",
                                      max_psi=0.25, lo=1.0, hi=50.0)
+            .has_low_wasserstein_drift(lineitem_ref, "l_quantity",
+                                       lo=1.0, hi=50.0)
             .has_low_ks_drift(lineitem_ref, "l_quantity", max_stat=0.1)
             .has_stable_categories(
                 lineitem_ref.select("l_returnflag"), "l_returnflag")
