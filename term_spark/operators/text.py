@@ -795,3 +795,58 @@ class ReadabilityConstraint(_Constraint):
             f"({ratio:.4%}) score Flesch ease in "
             f"[{self.min_ease:g}, {self.max_ease:g}]; required ratio "
             f"{self.min_ratio}"))
+
+
+def chunk_documents(df, max_tokens: int = 512, overlap: int = 0,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    min_tokens: int = 1):
+    """Split documents into fixed-size token-window chunks with
+    optional overlap — the context-length stage every training / RAG
+    pipeline runs between cleaning and packing: a 100k-token document
+    becomes ⌈n/stride⌉ rows of ≤ ``max_tokens`` whitespace tokens,
+    consecutive chunks sharing ``overlap`` tokens so no span longer
+    than the window is ever split across an attention boundary unseen.
+
+    Returns (id, chunk_id 0-based, chunk_text, n_tokens).  A trailing
+    chunk of ≤ ``overlap`` tokens is fully contained in its
+    predecessor and is dropped as redundant; chunks shorter than
+    ``min_tokens`` are dropped too — chunk 0 is always kept, so short
+    docs survive whole.
+
+    Scale: pure JVM codegen — tokens materialize once per row, chunk
+    starts come from ``sequence`` with step ``max_tokens − overlap``,
+    each chunk is an ``slice`` + ``concat_ws`` over the SAME token
+    array attribute (no re-split per chunk), then one explode.
+    Map-only: no shuffle, no UDF; the explode multiplies rows by
+    ⌈n/stride⌉, which is the output's own size — nothing is amplified
+    beyond what is returned.
+    """
+    if max_tokens <= 0:
+        raise ValueError(f"max_tokens must be > 0, got {max_tokens}")
+    if not 0 <= overlap < max_tokens:
+        raise ValueError(
+            f"overlap must be in [0, max_tokens), got {overlap}")
+    if min_tokens < 1:
+        raise ValueError(f"min_tokens must be >= 1, got {min_tokens}")
+    stride = max_tokens - overlap
+    col = F.trim(F.col(text_col))
+    toks = F.split(col, r"\s+")
+    base = (df.filter(F.col(text_col).isNotNull() & (col != ""))
+              .select(F.col(id_col).alias("id"), toks.alias("__t")))
+    n = F.size("__t")
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)),
+                        F.lit(stride))
+    chunks = F.transform(
+        starts,
+        lambda s, i: F.struct(
+            i.alias("chunk_id"),
+            F.concat_ws(" ", F.slice(F.col("__t"), s + 1, max_tokens))
+             .alias("chunk_text"),
+            F.least(n - s, F.lit(max_tokens)).alias("n_tokens")))
+    return (base.select("id", F.explode(chunks).alias("c"))
+                .select("id", F.col("c.chunk_id").cast("int").alias("chunk_id"),
+                        F.col("c.chunk_text").alias("chunk_text"),
+                        F.col("c.n_tokens").cast("bigint").alias("n_tokens"))
+                .filter((F.col("chunk_id") == 0)
+                        | ((F.col("n_tokens") >= int(min_tokens))
+                           & (F.col("n_tokens") > int(overlap)))))

@@ -1983,6 +1983,7 @@ _TAIL_QUERIES = [
     "interval_join_events",    # interval-overlap join (new r6)
     "jaccard_prefix_pairs_docs",  # AllPairs prefix-filter jaccard (new r6)
     "ngram_novelty_docs",      # per-doc shingle novelty (new r6)
+    "chunk_documents_docs",    # token-window chunking (new r6)
 ]
 
 #: families pulled INTO the window (at the front — in-window order is

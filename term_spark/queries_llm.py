@@ -1230,3 +1230,35 @@ GROUP BY id ORDER BY id
 
 LLM_QUERIES.update({"ngram_novelty_docs": q_ngram_novelty_docs})
 LLM_ORACLES.update({"ngram_novelty_docs": SQL_NGRAM_NOVELTY_DOCS})
+
+
+def q_chunk_documents_docs(spark, sf_dir) -> DataFrame:
+    """Token-window chunking (text.chunk_documents): 64-token chunks
+    with 8-token overlap — the context-length stage between cleaning
+    and packing; map-only codegen, one explode, no shuffle."""
+    return (T.chunk_documents(_docs(spark, sf_dir), max_tokens=64,
+                              overlap=8)
+            .orderBy("id", "chunk_id"))
+
+
+SQL_CHUNK_DOCUMENTS_DOCS = r"""
+WITH d AS (
+    SELECT doc_id AS id, string_split_regex(trim(text), '\s+') AS t
+    FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+),
+c AS (
+    SELECT id,
+           CAST((s - 1) / 56 AS INT) AS chunk_id,
+           array_to_string(t[s : s + 63], ' ') AS chunk_text,
+           CAST(LEAST(len(t) - s + 1, 64) AS BIGINT) AS n_tokens
+    FROM d, UNNEST(generate_series(1, GREATEST(len(t), 1), 56)) AS u(s)
+)
+SELECT id, chunk_id, chunk_text, n_tokens
+FROM c
+WHERE chunk_id = 0 OR (n_tokens >= 1 AND n_tokens > 8)
+ORDER BY id, chunk_id
+"""
+
+
+LLM_QUERIES.update({"chunk_documents_docs": q_chunk_documents_docs})
+LLM_ORACLES.update({"chunk_documents_docs": SQL_CHUNK_DOCUMENTS_DOCS})

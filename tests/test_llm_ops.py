@@ -1075,3 +1075,45 @@ def test_ngram_novelty_separates_fresh_from_templated(spark):
     assert out[3]["novelty"] == 1.0            # fully fresh
     assert 0.0 < out[4]["novelty"] < 1.0       # shared head, unique tail
     assert out[4]["n_novel"] < out[4]["n_shingles"]
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    from term_spark.operators.text import chunk_documents
+    text10 = " ".join(f"t{i}" for i in range(10))
+    rows = [(1, text10), (2, "short one"), (3, ""), (4, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = [r for r in chunk_documents(df, max_tokens=4, overlap=1)
+           .orderBy("id", "chunk_id").collect()]
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["id"], []).append(r)
+    # doc 1: stride 3 over 10 tokens -> starts 0,3,6,9; last (1 token
+    # <= overlap) is redundant and dropped
+    c1 = by_doc[1]
+    assert [c["chunk_id"] for c in c1] == [0, 1, 2]
+    assert c1[0]["chunk_text"] == "t0 t1 t2 t3"
+    assert c1[1]["chunk_text"] == "t3 t4 t5 t6"    # 1-token overlap
+    assert c1[2]["chunk_text"] == "t6 t7 t8 t9"
+    assert all(c["n_tokens"] == 4 for c in c1)
+    # every token appears in some chunk
+    covered = set(" ".join(c["chunk_text"] for c in c1).split())
+    assert covered == set(text10.split())
+    # short doc survives whole as chunk 0; empty/NULL emit nothing
+    assert [c["chunk_text"] for c in by_doc[2]] == ["short one"]
+    assert set(by_doc) == {1, 2}
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        chunk_documents(df, max_tokens=4, overlap=4)
+    with _pt.raises(ValueError):
+        chunk_documents(df, max_tokens=0)
+
+
+def test_chunk_documents_no_shuffle_map_only(spark, tpch):
+    from term_spark.operators.text import chunk_documents
+    from term_spark.plans.audit import plan_text
+    docs = tpch.get("documents")
+    if docs is None:
+        import pytest as _pt
+        _pt.skip("documents not in tpch fixture")
+    text = plan_text(chunk_documents(docs, max_tokens=64, overlap=8))
+    assert "Exchange" not in text      # map-only: no shuffle anywhere
