@@ -181,3 +181,81 @@ class DominantValueConstraint(Constraint):
             f"covers {share:.2%} of {int(row['total'])} non-null rows "
             f"({int(row['n_distinct'])} distinct), exceeding max_share "
             f"{self.max_share}"))
+
+
+def frequent_items_summary(df, column: str, k: int = 100):
+    """Mergeable heavy-hitter summary of one data slice (a day, a
+    shard, a source): the slice's EXACT top-``k`` items by count plus
+    the two scalars a later merge needs — ``n_slice`` (slice row
+    count) and ``max_dropped`` (the count of the largest item that did
+    NOT make the top-k; 0 when cardinality ≤ k, making the summary
+    exact).
+
+    Returns (item, cnt, rank, n_slice, max_dropped) — k+ rows, the
+    "state in a table" posture of the bucket-distribution analyzer:
+    a summary that persists to the metrics repository and merges
+    across slices WITHOUT rescanning them (``merge_frequent_items``),
+    with the Misra-Gries/SpaceSaving-style guarantee that any item's
+    true total lies within the merged bounds.
+
+    Scale: one two-stage hash aggregate + a bounded top-(k+1)
+    (TakeOrderedAndProject); only k+1 rows leave the executors.
+    NULLs are excluded (they are completeness's finding, not a
+    frequent item).
+    """
+    if k <= 0:
+        raise ValueError(f"k must be > 0, got {k}")
+    validate_identifier(column)
+    counts = (df.filter(F.col(column).isNotNull())
+                .groupBy(F.col(column).cast("string").alias("item"))
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .localCheckpoint(eager=True))  # reused: top-k + total
+    # k+1: the extra row IS the error witness (largest dropped count)
+    top = counts.orderBy(F.desc("cnt"), "item").limit(k + 1).collect()
+    # slice total from the ALREADY-SHUFFLED count table (cardinality
+    # rows), not a second scan of the raw slice
+    n_slice = counts.agg(F.sum("cnt")).collect()[0][0] or 0
+    max_dropped = int(top[k]["cnt"]) if len(top) > k else 0
+    spark = df.sparkSession
+    rows = [(r["item"], int(r["cnt"]), i + 1, int(n_slice), max_dropped)
+            for i, r in enumerate(top[:k])]
+    return spark.createDataFrame(
+        rows or [(None, 0, 0, 0, 0)][:0],
+        "item string, cnt bigint, rank int, n_slice bigint, "
+        "max_dropped bigint")
+
+
+def merge_frequent_items(summaries, k: int = 100):
+    """Merge per-slice ``frequent_items_summary`` tables into the
+    union's top-``k`` WITH count bounds — no rescan of any slice.
+
+    For each item: ``cnt_lower`` = Σ counts where the item made the
+    slice top-k; ``cnt_upper`` = cnt_lower + Σ ``max_dropped`` of the
+    slices where it did NOT appear (it may have been just under the
+    bar there).  True count ∈ [cnt_lower, cnt_upper] always — the
+    standard mergeable-summary guarantee; a caller sees exactly how
+    much the summarization could have cost (``cnt_upper − cnt_lower``
+    = 0 means the merged ranking is provably exact).
+
+    Pure driver arithmetic over k·|slices| rows — the same
+    no-rescan posture as ``psi_between_states``.
+    """
+    if not summaries:
+        raise ValueError("merge_frequent_items: no summaries")
+    slice_info = []   # (max_dropped, items_present)
+    totals = {}
+    for s in summaries:
+        rows = s.collect() if hasattr(s, "collect") else list(s)
+        md = int(rows[0]["max_dropped"]) if rows else 0
+        present = set()
+        for r in rows:
+            totals[r["item"]] = totals.get(r["item"], 0) + int(r["cnt"])
+            present.add(r["item"])
+        slice_info.append((md, present))
+    out = []
+    for item, lower in totals.items():
+        upper = lower + sum(md for md, present in slice_info
+                            if item not in present)
+        out.append((item, lower, upper))
+    out.sort(key=lambda t: (-t[1], t[0]))
+    return out[:k]

@@ -1984,6 +1984,7 @@ _TAIL_QUERIES = [
     "jaccard_prefix_pairs_docs",  # AllPairs prefix-filter jaccard (new r6)
     "ngram_novelty_docs",      # per-doc shingle novelty (new r6)
     "chunk_documents_docs",    # token-window chunking (new r6)
+    "frequent_terms_docs",     # mergeable heavy-hitter summary (new r6)
 ]
 
 #: families pulled INTO the window (at the front — in-window order is

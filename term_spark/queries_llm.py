@@ -1262,3 +1262,37 @@ ORDER BY id, chunk_id
 
 LLM_QUERIES.update({"chunk_documents_docs": q_chunk_documents_docs})
 LLM_ORACLES.update({"chunk_documents_docs": SQL_CHUNK_DOCUMENTS_DOCS})
+
+
+def q_frequent_terms_docs(spark, sf_dir) -> DataFrame:
+    """Corpus top-20 tokens as a mergeable heavy-hitter summary
+    (histogram.frequent_items_summary over the exploded token table):
+    exact counts + the merge scalars (slice total, largest dropped
+    count) that let later slices combine without rescans."""
+    from .operators.histogram import frequent_items_summary
+    toks = (_docs(spark, sf_dir)
+            .filter(F.col("text").isNotNull())
+            .select(F.explode(T.norm_tokens("text")).alias("tok")))
+    return frequent_items_summary(toks, "tok", k=20).orderBy("rank")
+
+
+SQL_FREQUENT_TERMS_DOCS = f"""
+WITH toks AS (
+    SELECT unnest({_TOKS_SQL}) AS item FROM documents
+    WHERE text IS NOT NULL
+),
+counts AS (SELECT item, COUNT(*) AS cnt FROM toks GROUP BY item),
+ranked AS (SELECT item, cnt,
+                  ROW_NUMBER() OVER (ORDER BY cnt DESC, item) AS rank
+           FROM counts),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_slice FROM toks),
+md AS (SELECT CAST(COALESCE(MAX(CASE WHEN rank = 21 THEN cnt END), 0)
+               AS BIGINT) AS max_dropped FROM ranked)
+SELECT item, CAST(cnt AS BIGINT) AS cnt, CAST(rank AS INT) AS rank,
+       n_slice, max_dropped
+FROM ranked, n, md WHERE rank <= 20 ORDER BY rank
+"""
+
+
+LLM_QUERIES.update({"frequent_terms_docs": q_frequent_terms_docs})
+LLM_ORACLES.update({"frequent_terms_docs": SQL_FREQUENT_TERMS_DOCS})

@@ -310,3 +310,45 @@ def test_correlation_matrix_is_single_fused_scan(spark, tpch):
     partial = [ln for ln in text.splitlines() if "partial_stddev_pop" in ln][0]
     assert partial.count("partial_stddev_pop") == 3, partial
     assert partial.count("partial_covar_pop") == 3, partial
+
+
+def test_frequent_items_summary_exact_when_cardinality_fits(spark):
+    from term_spark.operators.histogram import frequent_items_summary
+    rows = [("a",)] * 50 + [("b",)] * 30 + [("c",)] * 20
+    df = spark.createDataFrame(rows, "v string")
+    out = frequent_items_summary(df, "v", k=10).collect()
+    assert [(r["item"], r["cnt"], r["rank"]) for r in out] == \
+        [("a", 50, 1), ("b", 30, 2), ("c", 20, 3)]
+    assert all(r["n_slice"] == 100 and r["max_dropped"] == 0 for r in out)
+
+
+def test_frequent_items_merge_bounds_contain_truth(spark):
+    """The Misra-Gries-style guarantee: merging per-slice top-k
+    summaries (k smaller than slice cardinality) must bracket every
+    item's true union count within [cnt_lower, cnt_upper] — including
+    an item that missed the top-k in one slice (adversarial split)."""
+    from term_spark.operators.histogram import (frequent_items_summary,
+                                                merge_frequent_items)
+    # slice 1: x dominates; y just misses top-2 (k=2)
+    s1_rows = [("x",)] * 50 + [("z",)] * 20 + [("y",)] * 19
+    # slice 2: y dominates
+    s2_rows = [("y",)] * 40 + [("x",)] * 5 + [("w",)] * 4
+    s1 = frequent_items_summary(
+        spark.createDataFrame(s1_rows, "v string"), "v", k=2)
+    s2 = frequent_items_summary(
+        spark.createDataFrame(s2_rows, "v string"), "v", k=2)
+    merged = merge_frequent_items([s1, s2], k=4)
+    got = {item: (lo, hi) for item, lo, hi in merged}
+    truth = {"x": 55, "y": 59, "z": 20, "w": 4}
+    for item, (lo, hi) in got.items():
+        assert lo <= truth[item] <= hi, (item, lo, hi, truth[item])
+    # y missed slice-1's top-2 (count 19 <= max_dropped 19): its lower
+    # bound is the slice-2 count alone, the upper bound recovers it
+    assert got["y"][0] == 40 and got["y"][1] >= 59
+    # x made both slices: provably exact (bounds collapse)
+    assert got["x"] == (55, 55)
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        merge_frequent_items([], k=2)
+    with _pt.raises(ValueError):
+        frequent_items_summary(s1, "item", k=0)
