@@ -100,3 +100,40 @@ def write_bucketed(df: DataFrame, path_or_table: str, bucket_cols: List[str],
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.mode("overwrite").saveAsTable(path_or_table)
+
+
+def write_partitioned(df: DataFrame, path: str, partition_cols: List[str],
+                      files_per_partition: int = 1,
+                      fmt: str = "parquet") -> None:
+    """Persist a table Hive-partitioned by ``partition_cols`` so
+    partition-keyed filters PRUNE at planning time (the scan lists
+    only matching directories — the 100 TB answer to 'every query
+    filters on date/source').
+
+    The pre-write ``repartition`` by the partition key is the
+    small-files guard: a naive ``partitionBy`` write emits one file
+    per (task × partition) — 32 tasks × 365 days = 11,680 files of a
+    few KB each, and at 1000 executors the listing alone dominates
+    query time.  Hashing rows to tasks BY the partition value lands
+    each value's rows in one task → one file per directory, with
+    write parallelism = number of distinct values (not 1 — a
+    ``repartition(1, …)`` would serialize the whole write through a
+    single task).  ``files_per_partition > 1`` adds a salt so huge
+    partitions split across that many tasks/files — the skew valve
+    when one day/source dwarfs the rest.
+    """
+    if files_per_partition < 1:
+        raise ValueError(
+            f"files_per_partition must be >= 1, got {files_per_partition}")
+    cols = [F.col(c) for c in partition_cols]
+    if files_per_partition > 1:
+        salt = F.pmod(F.hash(*cols, F.monotonically_increasing_id()),
+                      F.lit(files_per_partition))
+        df = df.withColumn("__wp_salt", salt)
+        out = df.repartition(*cols, F.col("__wp_salt")).drop("__wp_salt")
+    else:
+        out = df.repartition(*cols)
+    (out.write.format(fmt)
+        .partitionBy(*partition_cols)
+        .mode("overwrite")
+        .save(path))

@@ -253,3 +253,38 @@ def test_bucketed_tables_join_without_shuffle(spark, tpch):
         sorted(map(tuple, plain.collect()))
     spark.sql("DROP TABLE IF EXISTS t_orders_b")
     spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_partitioned_write_prunes_partitions(spark, tpch, tmp_path):
+    """The partition-pruning story must be REAL: a filter on the
+    partition column must reach the scan as a PartitionFilter and the
+    pruned scan must read only the matching directories — and the
+    small-files guard must land ONE file per partition, not one per
+    (task x partition)."""
+    import os
+    from term_spark.plans.skew import write_partitioned
+    from term_spark.sources import read_parquet
+
+    path = str(tmp_path / "events_by_type")
+    ev = read_parquet(spark, "/root/testdata/sf0.001/events.parquet")
+    write_partitioned(ev, path, ["event_type"])
+
+    # small-files guard: exactly one parquet file per partition dir
+    part_dirs = [d for d in os.listdir(path) if d.startswith("event_type=")]
+    assert len(part_dirs) >= 3
+    for d in part_dirs:
+        files = [f for f in os.listdir(os.path.join(path, d))
+                 if f.endswith(".parquet")]
+        assert len(files) == 1, (d, files)
+
+    q = (spark.read.parquet(path)
+         .filter(F.col("event_type") == "error")
+         .groupBy("user_id").count())
+    text = plan_of(q)
+    # the filter must appear as a partition filter on the scan...
+    pf = [ln for ln in text.splitlines() if "PartitionFilters" in ln]
+    assert pf and "event_type" in pf[0], text
+    # ...and planned input must be the one matching partition
+    n_parts = q.withColumn("f", F.input_file_name()) \
+               .select("f").distinct().count()
+    assert n_parts == 1
