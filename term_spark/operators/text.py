@@ -850,3 +850,32 @@ def chunk_documents(df, max_tokens: int = 512, overlap: int = 0,
                 .filter((F.col("chunk_id") == 0)
                         | ((F.col("n_tokens") >= int(min_tokens))
                            & (F.col("n_tokens") > int(overlap)))))
+
+
+def corpus_profile(df, group_col: str = "lang", text_col: str = "text",
+                   id_col: str = "doc_id"):
+    """Per-group corpus dashboard — the one-call profile a mix
+    curator reads before weighting sources: document count, token
+    volume, mean quality score, mean Flesch ease per value of
+    ``group_col`` (language, source, domain).
+
+    Every per-doc metric here is a map-only codegen expression
+    (token_count / quality_score / flesch_ease_col), so the whole
+    profile is ONE scan + one grouped aggregation — the grouped-text
+    sibling of the analyzer suite's fused agg.  Heavier signals that
+    need their own shuffle (novelty, surprisal, dedup rates) stay
+    separate operators; joining their outputs to this frame is the
+    caller's one-line composition.
+    """
+    from ..functions.security import validate_identifier
+    validate_identifier(group_col)
+    return (df.groupBy(F.col(group_col).alias("grp"))
+              .agg(F.count(F.lit(1)).alias("n_docs"),
+                   F.sum(token_count(text_col)).alias("n_tokens"),
+                   F.round(F.avg(token_count(text_col)), 6)
+                    .alias("mean_tokens"),
+                   F.round(F.avg(quality_score(text_col)), 6)
+                    .alias("mean_quality"),
+                   F.round(F.avg(flesch_ease_col(text_col)), 6)
+                    .alias("mean_ease"))
+              .orderBy("grp"))

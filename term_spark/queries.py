@@ -1985,6 +1985,7 @@ _TAIL_QUERIES = [
     "ngram_novelty_docs",      # per-doc shingle novelty (new r6)
     "chunk_documents_docs",    # token-window chunking (new r6)
     "frequent_terms_docs",     # mergeable heavy-hitter summary (new r6)
+    "corpus_profile_by_lang",  # grouped corpus dashboard (new r6)
 ]
 
 #: families pulled INTO the window (at the front — in-window order is

@@ -1296,3 +1296,50 @@ FROM ranked, n, md WHERE rank <= 20 ORDER BY rank
 
 LLM_QUERIES.update({"frequent_terms_docs": q_frequent_terms_docs})
 LLM_ORACLES.update({"frequent_terms_docs": SQL_FREQUENT_TERMS_DOCS})
+
+
+def q_corpus_profile_by_lang(spark, sf_dir) -> DataFrame:
+    """Per-language corpus dashboard (text.corpus_profile): doc/token
+    volume + mean quality + mean Flesch ease in ONE scan + one grouped
+    agg — what a mix curator reads before weighting sources."""
+    return T.corpus_profile(_docs(spark, sf_dir), group_col="lang")
+
+
+SQL_CORPUS_PROFILE_BY_LANG = rf"""
+WITH t AS (
+    SELECT lang AS grp, text,
+           length(text) AS n,
+           CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                ELSE len(string_split_regex(trim(text), '\s+')) END
+               AS n_toks,
+           string_split_regex(lower(trim(text)), '\s+') AS toks,
+           length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS np_narrow
+    FROM documents
+),
+q AS (
+    SELECT grp, n_toks,
+           (LEAST(n / 200.0, 1.0)
+            + (1.0 - LEAST(np_narrow * 10.0 / GREATEST(n, 1), 1.0))
+            + LEAST(len(list_filter(toks, x -> x IN ({_SW}))) / 3.0, 1.0)
+           ) / 3 AS quality,
+           CASE WHEN text IS NOT NULL AND n_toks > 0 THEN
+                ROUND(206.835
+                      - 1.015 * (n_toks * 1.0 /
+                         GREATEST(1, len(regexp_extract_all(text, '[.!?]+'))))
+                      - 84.6 * (GREATEST(n_toks,
+                         len(regexp_extract_all(lower(text), '[aeiouy]+')))
+                         * 1.0 / n_toks), 6)
+           END AS ease
+    FROM t
+)
+SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+       ROUND(AVG(n_toks), 6) AS mean_tokens,
+       ROUND(AVG(quality), 6) AS mean_quality,
+       ROUND(AVG(ease), 6) AS mean_ease
+FROM q GROUP BY grp ORDER BY grp
+"""
+
+
+LLM_QUERIES.update({"corpus_profile_by_lang": q_corpus_profile_by_lang})
+LLM_ORACLES.update({"corpus_profile_by_lang": SQL_CORPUS_PROFILE_BY_LANG})
