@@ -107,6 +107,105 @@ class ZScore(DetectionStrategy):
                              conf if anomaly else 1.0 - conf, f"z-score {z:+.3f}")
 
 
+class EwmaControl(DetectionStrategy):
+    """EWMA control chart (Roberts 1959, the classic drift-sensitive
+    companion to Shewhart/z-score charts): track an exponentially
+    weighted mean and flag the newest point when it leaves
+    mean_ewma ± L·sigma·sqrt(lambda/(2−lambda)) — the steady-state
+    EWMA control limits.  Where z-score needs one big jump, EWMA
+    accumulates evidence and catches SLOW drift (a metric creeping a
+    fraction of a sigma per run) long before any single point is
+    extreme.
+
+    ``lam`` is the EWMA weight (0.2 is the textbook default: ~5-run
+    memory); ``L`` the control-limit width in sigmas.  The mean/sigma
+    baseline comes from the OLDEST half of the history (at least
+    ``min_history`` points) — the in-control reference period of a
+    real control chart.  Estimating them over the full history would
+    let a drift contaminate its own control limits and go unseen
+    (exactly the masking this chart exists to beat).
+    """
+
+    def __init__(self, lam: float = 0.2, L: float = 2.7,
+                 min_history: int = 5):
+        if not 0.0 < lam <= 1.0:
+            raise ValueError(f"lam must be in (0,1], got {lam}")
+        if L <= 0:
+            raise ValueError(f"L must be > 0, got {L}")
+        self.lam = float(lam)
+        self.L = float(L)
+        self.min_history = min_history
+
+    def detect(self, history, newest):
+        base = history[:max(self.min_history, len(history) // 2)]
+        n = len(base)
+        mean = sum(base) / n
+        var = sum((x - mean) ** 2 for x in base) / (n - 1) if n > 1 else 0.0
+        std = math.sqrt(var)
+        # EWMA through the FULL history, then absorb the newest point
+        z = history[0]
+        for x in history[1:]:
+            z = self.lam * x + (1 - self.lam) * z
+        z_new = self.lam * newest + (1 - self.lam) * z
+        half = (self.L * std
+                * math.sqrt(self.lam / (2 - self.lam)))
+        low, high = mean - half, mean + half
+        if std == 0:
+            anomaly = newest != mean
+            return AnomalyResult(anomaly, newest, mean, mean,
+                                 1.0 if anomaly else 0.0,
+                                 "zero variance history")
+        anomaly = not (low <= z_new <= high)
+        dist = abs(z_new - mean) / half if half > 0 else 0.0
+        conf = min(1.0, dist / 2)
+        return AnomalyResult(anomaly, newest, low, high,
+                             conf if anomaly else 1.0 - conf,
+                             f"ewma {z_new:.4f} vs mean {mean:.4f}")
+
+
+class InterquartileRange(DetectionStrategy):
+    """Tukey-fence detector: the newest value must lie within
+    [Q1 − k·IQR, Q3 + k·IQR] of the history (k = 1.5 classic, 3.0
+    "far out").  The robust member of the family — a few historical
+    spikes inflate ZScore's sigma and mask real anomalies, but they
+    barely move the quartiles (same masking argument as the
+    median/MAD row gate, applied to the metric series).
+    """
+
+    def __init__(self, k: float = 1.5, min_history: int = 4):
+        if k <= 0:
+            raise ValueError(f"k must be > 0, got {k}")
+        self.k = float(k)
+        self.min_history = min_history
+
+    @staticmethod
+    def _quantile(sorted_xs, q):
+        # linear interpolation (type-7, numpy default)
+        pos = (len(sorted_xs) - 1) * q
+        lo = int(math.floor(pos))
+        hi = min(lo + 1, len(sorted_xs) - 1)
+        frac = pos - lo
+        return sorted_xs[lo] * (1 - frac) + sorted_xs[hi] * frac
+
+    def detect(self, history, newest):
+        xs = sorted(history)
+        q1 = self._quantile(xs, 0.25)
+        q3 = self._quantile(xs, 0.75)
+        iqr = q3 - q1
+        low, high = q1 - self.k * iqr, q3 + self.k * iqr
+        if iqr == 0:
+            anomaly = not (low <= newest <= high)  # degenerate: == band
+            return AnomalyResult(anomaly, newest, low, high,
+                                 1.0 if anomaly else 0.0,
+                                 "zero IQR history")
+        anomaly = not (low <= newest <= high)
+        overshoot = max(low - newest, newest - high, 0.0) / iqr
+        conf = min(1.0, overshoot / self.k)
+        return AnomalyResult(anomaly, newest, low, high,
+                             conf if anomaly else 1.0 - conf,
+                             f"IQR fence [{low:.4f}, {high:.4f}]")
+
+
 class AnomalyDetector:
     """Runner+builder (detector.rs:840,936): strategy over a repository
     metric series."""

@@ -222,3 +222,61 @@ def test_has_no_anomaly_rides_fused_agg(spark):
         .has_no_anomaly("mean_v", F.avg("v"), ZScore(), repo))
     res = suite.run(spark, df)
     assert res.passed  # shares the one scan; no history -> no alert
+
+
+def test_ewma_catches_slow_drift_zscore_misses():
+    """EWMA's reason to exist: a metric creeping +0.4 sigma per run is
+    never individually extreme (ZScore at 3 sigma stays quiet) but the
+    EWMA accumulates the evidence and trips."""
+    from term_spark.analyzers.anomaly import EwmaControl, ZScore
+    stable = [10.0, 10.2, 9.8, 10.1, 9.9, 10.0, 10.15, 9.85]
+    drift = stable + [10.3, 10.5, 10.7, 10.9, 11.1]
+    assert not ZScore(threshold=3.0).check(drift).is_anomaly
+    assert EwmaControl().check(drift).is_anomaly
+    # and a stable series stays quiet
+    assert not EwmaControl().check(stable + [10.05]).is_anomaly
+
+
+def test_iqr_resists_spike_masking_zscore_suffers():
+    """IQR's reason to exist: two historical spikes inflate sigma so
+    ZScore misses a clear outlier; the quartiles barely move."""
+    from term_spark.analyzers.anomaly import InterquartileRange, ZScore
+    history = [10.0, 10.1, 9.9, 10.05, 9.95, 10.0, 10.02, 9.98,
+               10.03, 9.97, 10.01, 9.99, 10.04, 9.96, 60.0, 58.0]
+    series = history + [14.0]          # far outside the quiet band
+    assert not ZScore(threshold=3.0).check(series).is_anomaly   # masked
+    assert InterquartileRange(k=1.5).check(series).is_anomaly   # caught
+    assert not InterquartileRange(k=1.5).check(
+        history + [10.02]).is_anomaly
+
+
+def test_new_strategies_edge_semantics():
+    import pytest
+    from term_spark.analyzers.anomaly import EwmaControl, InterquartileRange
+    # insufficient history -> not an anomaly, zero confidence
+    r = EwmaControl().check([1.0, 2.0])
+    assert not r.is_anomaly and r.detail == "insufficient history"
+    # constant history: equality passes, deviation flags
+    c = [5.0] * 6
+    assert not EwmaControl().check(c + [5.0]).is_anomaly
+    assert EwmaControl().check(c + [5.1]).is_anomaly
+    assert not InterquartileRange().check(c + [5.0]).is_anomaly
+    assert InterquartileRange().check(c + [5.1]).is_anomaly
+    with pytest.raises(ValueError):
+        EwmaControl(lam=0.0)
+    with pytest.raises(ValueError):
+        InterquartileRange(k=0)
+
+
+def test_new_strategies_through_repository_and_check():
+    """Both strategies plug into the existing AnomalyDetector/
+    has_no_anomaly machinery unchanged."""
+    from term_spark.analyzers.anomaly import AnomalyDetector, EwmaControl
+    from term_spark.repository import InMemoryRepository, ResultKey
+    from term_spark.analyzers.base import MetricValue
+    repo = InMemoryRepository()
+    for i, v in enumerate([100.0, 101, 99, 100.5, 99.5, 100,
+                           103, 106, 109, 112]):
+        repo.save(ResultKey.of(1000.0 + i), {"size": MetricValue.double(v)})
+    res = AnomalyDetector(EwmaControl()).detect_on(repo, "size")
+    assert res.is_anomaly
