@@ -246,6 +246,9 @@ def main() -> None:
         "decontamination_report_docs", "tfidf_top_terms_docs",
         "drift_w1_quantity", "corr_matrix_lineitem",
         "bigram_surprisal_docs", "readability_docs", "interval_join_events",
+        "minhash_oph_candidates_docs", "ngram_novelty_docs",
+        "chunk_documents_docs", "frequent_terms_docs",
+        "corpus_profile_by_lang",
     ]
     for name in bench_queries:
         per_query[name] = round(_measure_query(spark, QUERIES[name], SF_DIR), 4)

@@ -494,3 +494,95 @@ def ngram_novelty(df: DataFrame, text_col: str = "text",
               .select("id", "n_shingles", "n_novel",
                       F.round(F.col("n_novel") / F.col("n_shingles"), 6)
                        .alias("novelty")))
+
+
+#: bounded-rotation width for OPH densification (see
+#: minhash_oph_candidates): neighbors scanned before the global-min
+#: fallback engages
+_OPH_ROT = 8
+
+
+def minhash_oph_candidates(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", k: int = 3,
+                           num_hashes: int = 16, bands: int = 4) -> DataFrame:
+    """Candidate near-dup pairs via ONE-PERMUTATION MinHash (OPH,
+    Li-Owen-Zhang 2012) with rotation densification (Shrivastava-Li
+    style) — the scale path for the most expensive map stage in the
+    dedup family: classic banded MinHash computes ``num_hashes`` md5s
+    PER SHINGLE (the dominant cost at 100 TB); OPH computes ONE md5
+    per shingle, routes it to bin ``hash mod num_hashes``, and takes
+    the min within each bin — the same "min of a random permutation"
+    statistic, 16× less hash work at the default signature width.
+
+    Empty bins (short docs) densify by borrowing the next non-empty
+    bin circularly up to ``_OPH_ROT`` neighbors, then falling back to
+    the document's global min hash — bounded rotation densification.
+    A full k-term rotation would be exact OPH densification but costs
+    a k² expression tree (measured: the 128-wide signature spent more
+    time in the generated coalesce code than classic MinHash spent on
+    its 128 md5s); the fallback only engages on runs of ≥``_OPH_ROT``
+    consecutive empty bins (rare when shingles ≳ bins) and candidates
+    feed an exact verification anyway (``ngram_jaccard_for_pairs``).
+
+    Same output contract as ``minhash_lsh_candidates``:
+    (id_a, id_b, n_bands_matched); same banding S-curve math.  The
+    hash FAMILY differs, so the candidate sets differ on borderline
+    pairs — identical docs still collide on every band by
+    construction.
+
+    Shape: explode → ONE md5 + bin route per shingle (the per-shingle
+    work, where classic pays ``num_hashes`` md5s) → (id, bin)-keyed
+    min agg (map-side combined; the k-way conditional pivot then runs
+    over ≤k rows per doc, not per shingle) → bounded densify →
+    band-hash explode → bucket self-join. min is
+    duplicate-insensitive, so no distinct shuffle (same as classic).
+
+    Measured (20k docs x 200 tokens, local[32]): 1.3x classic at the
+    default 16-hash signature (6.4 s vs 4.9), 2.6x at 128 hashes
+    (26.5 s vs 10.2) — the gap widens with signature width because
+    classic's md5 count scales with it and OPH's does not.
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    from .text import norm_tokens, word_shingles_from
+    toks = spread(df, id_col).select(
+        F.col(id_col).alias("id"),
+        norm_tokens(text_col).alias("__toks"))
+    sh = toks.select("id", F.explode(word_shingles_from(F.col("__toks"), k))
+                     .alias("shingle"))
+    h = F.md5(F.col("shingle"))
+    # bin from the first 16 bits of the SAME hash: contiguous ranges
+    # of the permuted universe, the textbook OPH split
+    binc = (F.conv(F.substring(h, 1, 4), 16, 10).cast("int")
+            % num_hashes)
+    hashed = sh.select("id", h.alias("h"), binc.alias("bin"))
+    # stage 1: per-(doc, bin) minima — O(1) work per shingle row
+    per = hashed.groupBy("id", "bin").agg(F.min("h").alias("mh"))
+    # stage 2: pivot ≤k rows per doc into signature columns + global min
+    sig = per.groupBy("id").agg(
+        F.min("mh").alias("__gmin"),
+        *[F.min(F.when(F.col("bin") == i, F.col("mh"))).alias(f"mh_{i}")
+          for i in range(num_hashes)])
+    rot = min(_OPH_ROT, num_hashes)
+    dens = sig.select("id", *[
+        F.coalesce(*([F.col(f"mh_{(i + j) % num_hashes}")
+                      for j in range(rot)] + [F.col("__gmin")]))
+         .alias(f"d_{i}")
+        for i in range(num_hashes)])
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"d_{i}") for i in range(b * r, (b + 1) * r)]
+        band_cols.append(F.md5(F.concat_ws("|", *parts)).alias(f"band_{b}"))
+    banded = dens.select("id", *band_cols)
+    stacked = banded.select(
+        "id", F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"), F.col(f"band_{b}").alias("h"))
+            for b in range(bands)])).alias("bh")
+    ).select("id", F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
+    a = stacked.alias("a")
+    b_ = stacked.alias("b")
+    return (a.join(b_, (F.col("a.band") == F.col("b.band")) &
+                   (F.col("a.h") == F.col("b.h")) &
+                   (F.col("a.id") < F.col("b.id")))
+            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("n_bands_matched")))

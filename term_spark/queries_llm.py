@@ -1343,3 +1343,73 @@ FROM q GROUP BY grp ORDER BY grp
 
 LLM_QUERIES.update({"corpus_profile_by_lang": q_corpus_profile_by_lang})
 LLM_ORACLES.update({"corpus_profile_by_lang": SQL_CORPUS_PROFILE_BY_LANG})
+
+
+def q_minhash_oph_candidates_docs(spark, sf_dir) -> DataFrame:
+    """OPH banded MinHash candidates (dedup.minhash_oph_candidates):
+    one md5 per shingle routed to hash-mod-k bins with rotation
+    densification — 16x less map-side hash work than the classic
+    signature at the same banding."""
+    d = _docs(spark, sf_dir)
+    return (D.minhash_oph_candidates(d, "text", "doc_id", JACCARD_K,
+                                     NUM_HASHES, BANDS)
+            .orderBy("id_a", "id_b"))
+
+
+def _oph_sql() -> str:
+    from .operators.dedup import _OPH_ROT
+    k, bands = NUM_HASHES, BANDS
+    r = k // bands
+    rot = min(_OPH_ROT, k)
+    mins = ",\n           ".join(
+        ["MIN(h) AS gmin"] +
+        [f"MIN(h) FILTER (WHERE bin = {i}) AS mh_{i}" for i in range(k)])
+    dens = ",\n           ".join(
+        "COALESCE(" + ", ".join([f"mh_{(i + j) % k}" for j in range(rot)]
+                                + ["gmin"])
+        + f") AS d_{i}" for i in range(k))
+    bands_sql = ",\n           ".join(
+        "md5(" + " || '|' || ".join(f"d_{i}"
+                                    for i in range(b * r, (b + 1) * r))
+        + f") AS band_{b}" for b in range(bands))
+    stack = " UNION ALL ".join(
+        f"SELECT id, {b} AS band, band_{b} AS h FROM banded"
+        for b in range(bands))
+    return f"""
+WITH dsh AS ({{shingles}}),
+hashed AS (
+    SELECT id, md5(shingle) AS h,
+           CAST(('0x' || substr(md5(shingle), 1, 4))::UBIGINT % {k} AS INT)
+               AS bin
+    FROM dsh
+),
+sig AS (
+    SELECT id,
+           {mins}
+    FROM hashed GROUP BY id
+),
+dens AS (
+    SELECT id,
+           {dens}
+    FROM sig
+),
+banded AS (
+    SELECT id,
+           {bands_sql}
+    FROM dens
+),
+stacked AS ({stack})
+SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_bands_matched
+FROM stacked a JOIN stacked b
+  ON a.band = b.band AND a.h = b.h AND a.id < b.id
+GROUP BY 1, 2 ORDER BY id_a, id_b
+"""
+
+
+SQL_MINHASH_OPH_CANDIDATES_DOCS = _oph_sql().format(shingles=_SHINGLE_SQL)
+
+
+LLM_QUERIES.update(
+    {"minhash_oph_candidates_docs": q_minhash_oph_candidates_docs})
+LLM_ORACLES.update(
+    {"minhash_oph_candidates_docs": SQL_MINHASH_OPH_CANDIDATES_DOCS})

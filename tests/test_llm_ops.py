@@ -1117,3 +1117,23 @@ def test_chunk_documents_no_shuffle_map_only(spark, tpch):
         _pt.skip("documents not in tpch fixture")
     text = plan_text(chunk_documents(docs, max_tokens=64, overlap=8))
     assert "Exchange" not in text      # map-only: no shuffle anywhere
+
+
+def test_minhash_oph_finds_exact_dups_and_skips_unrelated(spark, docs):
+    cands = D.minhash_oph_candidates(docs, num_hashes=16, bands=4).collect()
+    got = {(r["id_a"], r["id_b"]): r["n_bands_matched"] for r in cands}
+    # identical normalized docs agree on every bin min -> all bands
+    assert got[(1, 2)] == 4 and got[(1, 5)] == 4 and got[(2, 5)] == 4
+    assert (1, 4) not in got
+
+
+def test_minhash_oph_densification_handles_short_docs(spark):
+    """A 1-shingle doc fills one bin; rotation densification must give
+    it a complete non-null signature, and two identical short docs
+    must still collide on every band."""
+    rows = [(1, "tiny doc"), (2, "tiny doc"), (3, "other words")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"]): r["n_bands_matched"]
+           for r in D.minhash_oph_candidates(df).collect()}
+    assert got.get((1, 2)) == 4
+    assert (1, 3) not in got and (2, 3) not in got
