@@ -14,6 +14,7 @@ from .core.fluent import MultiTableCheck, validate_tables
 from .core.level import Level
 from .core.logical import LogicalOperator
 from .core.multi_source import MultiSourceValidator
+from .core.rows import annotate_rows, quarantine_rows
 from .core.result import (ConstraintResult, Status, ValidationReport,
                           ValidationResult)
 from .core.suite import ValidationSuite

@@ -83,6 +83,19 @@ class Constraint(ABC):
     def result_from_metrics(self, metrics: Mapping[str, object]) -> ConstraintResult:
         raise NotImplementedError
 
+    # ---- row-level protocol (optional) ------------------------------
+    def row_predicate(self) -> Optional["Column"]:
+        """Boolean Column that is True exactly for rows satisfying this
+        constraint, or None when the constraint has no row-level form
+        (aggregates like mean/uniqueness judge the COLLECTION, not a
+        row).  Powers ``core.rows.annotate_rows`` / ``quarantine_rows``
+        — the deequ-style row-level results / bad-row routing."""
+        return None
+
+    def row_label(self) -> str:
+        """Short violation tag for annotated rows."""
+        return f"{self.name}({self.column})" if self.column else self.name
+
     # ---- self-executing protocol -----------------------------------
     def evaluate(self, ctx: EngineContext) -> ConstraintResult:
         """Standalone evaluation; default = run the scalar protocol as

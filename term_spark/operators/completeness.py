@@ -38,6 +38,9 @@ class CompletenessConstraint(Constraint):
             self._sz: F.count(F.lit(1)),
         }
 
+    def row_predicate(self):
+        return F.col(self.column).isNotNull()
+
     def result_from_metrics(self, metrics: Mapping[str, object]) -> ConstraintResult:
         total = float(metrics[self._sz])
         ratio = float(metrics[self._nn]) / total

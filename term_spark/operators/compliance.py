@@ -43,6 +43,13 @@ class SatisfiesConstraint(Constraint):
             self._sz: F.count(F.lit(1)),
         }
 
+    def row_predicate(self):
+        # NULL predicate result = non-satisfying, same as the metric
+        return F.coalesce(F.expr(self.predicate), F.lit(False))
+
+    def row_label(self):
+        return f"satisfies({self.description})"
+
     def result_from_metrics(self, metrics: Mapping[str, object]) -> ConstraintResult:
         ratio = float(metrics[self._hit]) / float(metrics[self._sz])
         if self.assertion.evaluate(ratio):
@@ -78,6 +85,15 @@ class ContainmentConstraint(Constraint):
             self._sz: F.count(F.lit(1)),
         }
 
+    def row_predicate(self):
+        col = F.col(self.column)
+        pred = col.isin(self.allowed_values)
+        if self.allow_nulls:
+            pred = pred | col.isNull()
+        # NULL isin → NULL; the metric's count(when) treats it as a
+        # miss, so the row form coalesces to False identically
+        return F.coalesce(pred, F.lit(False))
+
     def result_from_metrics(self, metrics: Mapping[str, object]) -> ConstraintResult:
         ratio = float(metrics[self._hit]) / float(metrics[self._sz])
         if self.assertion.evaluate(ratio):
@@ -106,6 +122,12 @@ class ValueRangeConstraint(Constraint):
             self._hit: F.count(F.when(col.between(self.lo, self.hi), 1)),
             self._nn: F.count(col),
         }
+
+    def row_predicate(self):
+        # NULLs pass: absence is completeness's finding, not a range
+        # violation (the metric likewise counts non-null rows only)
+        col = F.col(self.column)
+        return col.isNull() | col.between(self.lo, self.hi)
 
     def result_from_metrics(self, metrics: Mapping[str, object]) -> ConstraintResult:
         nn = float(metrics[self._nn])

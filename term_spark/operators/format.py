@@ -70,6 +70,9 @@ class FormatConstraint(Constraint):
             pred = pred | F.col(self.column).isNull()
         return pred
 
+    def row_predicate(self):
+        return F.coalesce(self._match_predicate(), F.lit(False))
+
     def scalar_metrics(self, df) -> Dict[str, "F.Column"]:
         return {
             self._hit: F.count(F.when(self._match_predicate(), 1)),

@@ -63,6 +63,9 @@ class LengthConstraint(Constraint):
             self._sz: F.count(F.lit(1)),
         }
 
+    def row_predicate(self):
+        return F.coalesce(self._condition(), F.lit(False))
+
     def result_from_metrics(self, metrics: Mapping[str, object]) -> ConstraintResult:
         ratio = float(metrics[self._hit]) / float(metrics[self._sz])
         if self.ratio_assertion.evaluate(ratio):
