@@ -1987,6 +1987,7 @@ _TAIL_QUERIES = [
     "frequent_terms_docs",     # mergeable heavy-hitter summary (new r6)
     "corpus_profile_by_lang",  # grouped corpus dashboard (new r6)
     "minhash_oph_candidates_docs",  # one-permutation minhash (new r6)
+    "row_violations_docs",     # row-level violation accounting (new r6)
 ]
 
 #: families pulled INTO the window (at the front — in-window order is

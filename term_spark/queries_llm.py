@@ -1413,3 +1413,43 @@ LLM_QUERIES.update(
     {"minhash_oph_candidates_docs": q_minhash_oph_candidates_docs})
 LLM_ORACLES.update(
     {"minhash_oph_candidates_docs": SQL_MINHASH_OPH_CANDIDATES_DOCS})
+
+
+def q_row_violations_docs(spark, sf_dir) -> DataFrame:
+    """Row-level validation accounting (core.rows.annotate_rows): tag
+    every document with the constraints it violates — completeness,
+    a 30-char minimum, a 4000-char maximum — and aggregate violations
+    per constraint label. The quarantine pattern's triage report."""
+    from . import Check, Level
+    from .core.rows import annotate_rows
+    check = (Check("docs", Level.ERROR)
+             .is_complete("text")
+             .satisfies("length(text) >= 30", 1.0,
+                        description="min_30_chars")
+             .satisfies("length(text) <= 4000", 1.0,
+                        description="max_4000_chars"))
+    ann = annotate_rows(_docs(spark, sf_dir), check)
+    return (ann.select(F.explode("__violations").alias("violation"))
+               .groupBy("violation")
+               .agg(F.count(F.lit(1)).alias("n_rows"))
+               .orderBy("violation"))
+
+
+SQL_ROW_VIOLATIONS_DOCS = """
+WITH v AS (
+    SELECT unnest(list_filter([
+        CASE WHEN text IS NULL THEN 'completeness(text)' END,
+        CASE WHEN NOT COALESCE(length(text) >= 30, FALSE)
+             THEN 'satisfies(min_30_chars)' END,
+        CASE WHEN NOT COALESCE(length(text) <= 4000, FALSE)
+             THEN 'satisfies(max_4000_chars)' END
+    ], x -> x IS NOT NULL)) AS violation
+    FROM documents
+)
+SELECT violation, CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM v GROUP BY violation ORDER BY violation
+"""
+
+
+LLM_QUERIES.update({"row_violations_docs": q_row_violations_docs})
+LLM_ORACLES.update({"row_violations_docs": SQL_ROW_VIOLATIONS_DOCS})
