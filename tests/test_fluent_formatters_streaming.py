@@ -300,3 +300,41 @@ def test_windowed_pii_metrics_stream(spark, tmp_path):
            for r in spark.sql("select * from pii_win").collect()}
     assert got[1]["pii_rows"] == 0 and got[1]["n"] == 20
     assert got[2]["pii_rows"] == 5 and got[2]["n"] == 20
+
+
+def test_streaming_quarantine_via_foreachbatch(spark, tmp_path):
+    """The row-level predicates compose unchanged into foreachBatch:
+    per micro-batch, bad rows route to a quarantine sink and good rows
+    continue — no dedicated streaming operator needed."""
+    from term_spark import Check, Level
+    from term_spark.core.rows import quarantine_rows
+
+    src = str(tmp_path / "rows_src")
+    good_out = str(tmp_path / "good")
+    bad_out = str(tmp_path / "bad")
+    spark.createDataFrame(
+        [(1, 5.0), (2, -3.0), (3, 7.0), (4, 99.0)],
+        "id long, v double").write.parquet(src)
+
+    check = Check("q", Level.ERROR).value_range("v", 0.0, 10.0)
+
+    def route(batch_df, batch_id):
+        good, bad = quarantine_rows(batch_df, check)
+        good.write.mode("append").parquet(good_out)
+        bad.withColumn("__violations",
+                       __import__("pyspark.sql.functions",
+                                  fromlist=["F"]).array_join(
+                           "__violations", ";")) \
+           .write.mode("append").parquet(bad_out)
+
+    stream = spark.readStream.schema("id long, v double").parquet(src)
+    q = (stream.writeStream.foreachBatch(route)
+         .trigger(availableNow=True)
+         .option("checkpointLocation", str(tmp_path / "ckpt")).start())
+    q.awaitTermination(120)
+
+    good_ids = sorted(r["id"] for r in spark.read.parquet(good_out).collect())
+    bad_rows = spark.read.parquet(bad_out).collect()
+    assert good_ids == [1, 3]
+    assert sorted(r["id"] for r in bad_rows) == [2, 4]
+    assert all(r["__violations"] == "value_range(v)" for r in bad_rows)
