@@ -247,6 +247,17 @@ class Check:
         return self.with_constraint(
             JsDriftConstraint(column, ref_df, max_js, bins, lo, hi))
 
+    def has_functional_dependency(self, determinant, dependent: str,
+                                  assertion=None) -> "Check":
+        """Functional-dependency audit: ``determinant → dependent``
+        conformance (share of determinant groups mapping to ONE
+        dependent value) must satisfy the assertion (default: holds
+        exactly). The denormalization-consistency check (zip→state,
+        product→category)."""
+        from ..operators.uniqueness import FunctionalDependencyConstraint
+        return self.with_constraint(FunctionalDependencyConstraint(
+            determinant, dependent, assertion))
+
     def has_readable_text(self, column: str = "text",
                           min_ease: float = 10.0, max_ease: float = 125.0,
                           min_ratio: float = 0.9) -> "Check":

@@ -143,3 +143,73 @@ class UniqueValueRatioConstraint(Constraint):
             ratio,
             f"unique_value_ratio {ratio:.3f} does not satisfy "
             f"{self.assertion.describe()} for columns: {self.column}"))
+
+
+def functional_dependency_summary(df, determinant: Sequence[str],
+                                  dependent: str):
+    """Does ``determinant → dependent`` hold?  One row:
+    n_groups (distinct non-null determinant tuples), n_violating
+    (groups with >1 distinct non-null dependent value), conformance
+    = 1 − n_violating/n_groups (rounded 6).
+
+    The classic functional-dependency / denormalization-consistency
+    audit (does zip determine state? does product_id determine
+    category?) — uniqueness's conditional sibling: uniqueness asks
+    "is A a key of the TABLE", FD asks "is A a key OF B".
+
+    Scale: groupBy determinant with count(distinct dependent) — one
+    shuffle on the determinant key (partial aggregation applies to
+    the distinct via Spark's two-phase distinct-agg rewrite), then a
+    1-row reduction. NULL dependents don't count as a second value
+    (absence is completeness's finding); fully-NULL groups conform.
+    """
+    det = validate_identifiers(list(determinant))
+    dep_list = validate_identifiers([dependent])
+    dep = dep_list[0]
+    nn = F.col(det[0]).isNotNull()
+    for c in det[1:]:   # a NULL anywhere in the determinant = unknown group
+        nn = nn & F.col(c).isNotNull()
+    grouped = (df.filter(nn)
+                 .groupBy(*det)
+                 .agg(F.count_distinct(F.col(dep)).alias("nd")))
+    return grouped.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.count(F.when(F.col("nd") > 1, 1)).alias("n_violating"),
+        F.round(1.0 - F.count(F.when(F.col("nd") > 1, 1))
+                / F.greatest(F.count(F.lit(1)), F.lit(1)), 6)
+         .alias("conformance"))
+
+
+class FunctionalDependencyConstraint(Constraint):
+    """``has_functional_dependency``: the conformance ratio of
+    ``determinant → dependent`` must satisfy the assertion (default
+    eq(1.0) — the FD must hold exactly)."""
+
+    name = "functional_dependency"
+
+    def __init__(self, determinant: Sequence[str], dependent: str,
+                 assertion: Assertion = None):
+        self.determinant = validate_identifiers(
+            [determinant] if isinstance(determinant, str)
+            else list(determinant))
+        self.dependent = validate_identifiers([dependent])[0]
+        self.column = f"{','.join(self.determinant)}->{self.dependent}"
+        self.assertion = (Assertion.coerce(assertion)
+                          if assertion is not None else Assertion.eq(1.0))
+
+    def evaluate(self, ctx: EngineContext) -> ConstraintResult:
+        row = functional_dependency_summary(
+            ctx.df(self.table), self.determinant, self.dependent).collect()[0]
+        if int(row["n_groups"]) == 0:
+            return self._finish(ConstraintResult.skipped(
+                f"functional_dependency({self.column}): no non-null "
+                "determinant groups"))
+        ratio = float(row["conformance"])
+        if self.assertion.evaluate(ratio):
+            return self._finish(ConstraintResult.success(ratio))
+        return self._finish(ConstraintResult.failure(
+            ratio,
+            f"functional_dependency({self.column}): "
+            f"{int(row['n_violating'])} of {int(row['n_groups'])} "
+            f"determinant groups map to multiple values (conformance "
+            f"{ratio:.4f} fails {self.assertion.describe()})"))

@@ -1920,6 +1920,34 @@ QUERIES.update({"corr_matrix_lineitem": q_corr_matrix_lineitem})
 ORACLES.update({"corr_matrix_lineitem": SQL_CORR_MATRIX_LINEITEM})
 
 
+def q_fd_custkey_orderstatus(spark, sf_dir) -> DataFrame:
+    """Functional-dependency audit (uniqueness.
+    functional_dependency_summary): does o_custkey determine
+    o_orderstatus? Most customers carry orders in several statuses —
+    the conformance ratio quantifies how far the FD is from holding."""
+    from .operators.uniqueness import functional_dependency_summary
+    (o,) = _t(spark, sf_dir, "orders")
+    return functional_dependency_summary(o, ["o_custkey"], "o_orderstatus")
+
+
+SQL_FD_CUSTKEY_ORDERSTATUS = """
+WITH g AS (
+    SELECT o_custkey, COUNT(DISTINCT o_orderstatus) AS nd
+    FROM orders WHERE o_custkey IS NOT NULL
+    GROUP BY o_custkey
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(COUNT(*) FILTER (WHERE nd > 1) AS BIGINT) AS n_violating,
+       ROUND(1.0 - COUNT(*) FILTER (WHERE nd > 1) * 1.0
+                   / GREATEST(COUNT(*), 1), 6) AS conformance
+FROM g
+"""
+
+
+QUERIES.update({"fd_custkey_orderstatus": q_fd_custkey_orderstatus})
+ORACLES.update({"fd_custkey_orderstatus": SQL_FD_CUSTKEY_ORDERSTATUS})
+
+
 # ---------------------------------------------------------------------------
 # registry ordering: the driver's correctness gate reads only the FIRST 50
 # entries of this dict.  Every operator *family* must have a representative
@@ -1988,6 +2016,7 @@ _TAIL_QUERIES = [
     "corpus_profile_by_lang",  # grouped corpus dashboard (new r6)
     "minhash_oph_candidates_docs",  # one-permutation minhash (new r6)
     "row_violations_docs",     # row-level violation accounting (new r6)
+    "fd_custkey_orderstatus",  # functional-dependency audit (new r6)
 ]
 
 #: families pulled INTO the window (at the front — in-window order is

@@ -367,3 +367,36 @@ def test_interval_join_keys_scope_the_match(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         interval_join(left, right, "ls", "le", "rs", "re", 0.0)
+
+
+def test_functional_dependency_constraint_and_check(spark):
+    from term_spark import Assertion, Check, Level, ValidationSuite
+    from term_spark.operators.uniqueness import functional_dependency_summary
+    rows = [("94110", "CA"), ("94110", "CA"), ("10001", "NY"),
+            ("10001", "NY"), ("60601", "IL"),
+            ("73301", "TX"), ("73301", None),      # NULL dep conforms
+            (None, "WA"),                           # NULL det excluded
+            ("30301", "GA"), ("30301", "FL")]       # genuine violation
+    df = spark.createDataFrame(rows, "zip string, state string")
+    row = functional_dependency_summary(df, ["zip"], "state").collect()[0]
+    assert row["n_groups"] == 5 and row["n_violating"] == 1
+    assert row["conformance"] == 0.8
+
+    ok = ValidationSuite.builder("fd").with_check(
+        Check("fd", Level.ERROR).has_functional_dependency(
+            ["zip"], "state", Assertion.ge(0.8))).run(spark, df)
+    assert ok.passed
+    bad = ValidationSuite.builder("fd").with_check(
+        Check("fd", Level.ERROR).has_functional_dependency(
+            ["zip"], "state")).run(spark, df)   # default: must hold exactly
+    assert not bad.passed
+    assert "1 of 5 determinant groups" in \
+        [x.message for x in bad.report.issues][0]
+
+    # empty determinant set -> skipped, not a crash
+    from term_spark.core.result import Status
+    empty = spark.createDataFrame([(None, "x")], "zip string, state string")
+    sk = ValidationSuite.builder("fd").with_check(
+        Check("fd", Level.ERROR).has_functional_dependency(
+            ["zip"], "state")).run(spark, empty)
+    assert Status.SKIPPED in [o.result.status for o in sk.report.outcomes]
