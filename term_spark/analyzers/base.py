@@ -272,6 +272,66 @@ class StandardDeviationAnalyzer(Analyzer):
         return MetricValue.double(math.sqrt(max(var, 0.0)))
 
 
+class ShapeAnalyzer(Analyzer):
+    """Mergeable skewness/kurtosis state = raw power sums
+    (n, Σx, Σx², Σx³, Σx⁴) — sums add across slices, central moments
+    derive at read time, matching Spark's population ``skewness`` /
+    excess ``kurtosis``.  Same raw-sum convention as
+    StandardDeviationAnalyzer (simple monoid; the numerically fancier
+    Pébay update matters for |x| ≫ σ·1e6 regimes — document, not
+    needed for metric-series scale).
+
+    ``metric`` selects which statistic ``metric_from_state`` reports
+    ('skewness' | 'kurtosis'); both derive from one state.
+    """
+
+    name = "shape"
+
+    def __init__(self, column: str, metric: str = "skewness"):
+        if metric not in ("skewness", "kurtosis"):
+            raise ValueError(
+                f"metric must be skewness|kurtosis, got {metric!r}")
+        self.column = validate_identifier(column)
+        self.metric = metric
+        self.name = metric
+        self._a = [metric_alias(f"an_shape_s{i}", column) for i in range(5)]
+
+    def state_exprs(self):
+        col = F.col(self.column).cast("double")
+        return {self._a[0]: F.count(col),
+                self._a[1]: F.sum(col),
+                self._a[2]: F.sum(col * col),
+                self._a[3]: F.sum(col * col * col),
+                self._a[4]: F.sum(col * col * col * col)}
+
+    def state_from_row(self, row):
+        return AnalyzerState(
+            n=int(row[self._a[0]]),
+            **{f"s{i}": float(row[self._a[i]] or 0.0) for i in range(1, 5)})
+
+    def merge_states(self, states):
+        return AnalyzerState(
+            n=sum(x["n"] for x in states),
+            **{f"s{i}": sum(x[f"s{i}"] for x in states)
+               for i in range(1, 5)})
+
+    def metric_from_state(self, state):
+        n = state["n"]
+        if n < 2:
+            return MetricValue.double(float("nan"))
+        s1, s2, s3, s4 = (state["s1"], state["s2"], state["s3"], state["s4"])
+        m1 = s1 / n
+        m2 = s2 / n - m1 * m1
+        m3 = s3 / n - 3 * m1 * s2 / n + 2 * m1 ** 3
+        m4 = (s4 / n - 4 * m1 * s3 / n + 6 * m1 * m1 * s2 / n
+              - 3 * m1 ** 4)
+        if m2 <= 0:
+            return MetricValue.double(float("nan"))
+        if self.metric == "skewness":
+            return MetricValue.double(m3 / m2 ** 1.5)
+        return MetricValue.double(m4 / (m2 * m2) - 3.0)
+
+
 class CorrelationAnalyzer(Analyzer):
     """State = (n, Σx, Σy, Σx², Σy², Σxy) — advanced/correlation.rs:240-249."""
 

@@ -156,6 +156,12 @@ class Check:
     def has_standard_deviation(self, column: str, assertion) -> "Check":
         return self.statistic(column, "stddev", assertion)
 
+    def has_skewness(self, column: str, assertion) -> "Check":
+        return self.statistic(column, "skewness", assertion)
+
+    def has_kurtosis(self, column: str, assertion) -> "Check":
+        return self.statistic(column, "kurtosis", assertion)
+
     def has_variance(self, column: str, assertion) -> "Check":
         return self.statistic(column, "variance", assertion)
 

@@ -38,6 +38,12 @@ _STATS = {
     "stddev": lambda c: F.stddev_samp(c),      # sample (n−1), property-pinned
     "variance": lambda c: F.var_samp(c),
     "count_non_null": lambda c: F.count(c),
+    # shape statistics (round 6): Spark's skewness/kurtosis are the
+    # POPULATION forms (g1; kurtosis is EXCESS, normal = 0) — the
+    # profiler's tail screens (skew beyond |1| → log-transform
+    # candidate; kurtosis >> 0 → heavy tails will break z-fences)
+    "skewness": lambda c: F.skewness(c),
+    "kurtosis": lambda c: F.kurtosis(c),
 }
 
 

@@ -352,3 +352,42 @@ def test_frequent_items_merge_bounds_contain_truth(spark):
         merge_frequent_items([], k=2)
     with _pt.raises(ValueError):
         frequent_items_summary(s1, "item", k=0)
+
+
+def test_shape_analyzer_merge_matches_spark_builtins(spark):
+    """Partition-wise (n, Σx..Σx⁴) states merged must reproduce
+    Spark's own population skewness / excess kurtosis globally — and
+    the constraint-side stats must agree too."""
+    import pyspark.sql.functions as F
+    from term_spark.analyzers.base import ShapeAnalyzer
+    vals = [float(i) ** 1.5 for i in range(1, 200)]  # right-skewed
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    expect = df.agg(F.skewness("x").alias("s"),
+                    F.kurtosis("x").alias("k")).collect()[0]
+    parts = [df.filter("x <= 300"), df.filter("x > 300 and x <= 1500"),
+             df.filter("x > 1500")]
+    for metric, want in (("skewness", expect["s"]), ("kurtosis", expect["k"])):
+        an = ShapeAnalyzer("x", metric)
+        states = []
+        for p in parts:
+            row = p.agg(*[c.alias(a) for a, c in an.state_exprs().items()]
+                        ).collect()[0]
+            states.append(an.state_from_row(row.asDict()))
+        merged = an.metric_from_state(an.merge_states(states))
+        assert merged.value == pytest.approx(want, rel=1e-6), metric
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        ShapeAnalyzer("x", "mode")
+
+
+def test_skewness_kurtosis_check_methods(spark):
+    from term_spark import Assertion, Check, Level, ValidationSuite
+    import random
+    rng = random.Random(3)
+    df = spark.createDataFrame(
+        [(rng.gauss(0, 1),) for _ in range(2000)], "x double")
+    res = ValidationSuite.builder("shape").with_check(
+        Check("s", Level.ERROR)
+        .has_skewness("x", Assertion.between(-0.3, 0.3))
+        .has_kurtosis("x", Assertion.between(-0.5, 0.5))).run(spark, df)
+    assert res.passed, res.report.to_json(2)
