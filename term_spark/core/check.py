@@ -156,6 +156,15 @@ class Check:
     def has_standard_deviation(self, column: str, assertion) -> "Check":
         return self.statistic(column, "stddev", assertion)
 
+    def has_custom_aggregate(self, expression: str, assertion,
+                             description: str = "") -> "Check":
+        """Escape hatch: gate any (screened) SQL aggregate expression
+        — e.g. ``sum(revenue)/sum(cost)`` — fused into the suite's
+        shared single-pass aggregation."""
+        from ..operators.statistics import CustomAggregateConstraint
+        return self.with_constraint(CustomAggregateConstraint(
+            expression, Assertion.coerce(assertion), description))
+
     def has_skewness(self, column: str, assertion) -> "Check":
         return self.statistic(column, "skewness", assertion)
 

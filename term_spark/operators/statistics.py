@@ -588,3 +588,46 @@ def correlation_matrix(df, columns, min_abs: float = 0.0):
         long = long.filter(F.col("corr").isNull()
                            | (F.abs("corr") >= float(min_abs)))
     return long.orderBy("col_a", "col_b")
+
+
+class CustomAggregateConstraint(Constraint):
+    """``has_custom_aggregate``: gate an arbitrary (screened) SQL
+    AGGREGATE expression — the escape hatch for domain metrics no
+    named builder covers (``sum(revenue)/sum(cost)``,
+    ``avg(a)/nullif(avg(b),0)``, ``count_if(x>0)/count(*)``) while
+    STILL riding the suite's shared fused aggregation: the expression
+    becomes one more alias in the single-pass agg, so a bespoke metric
+    costs no extra scan.
+
+    Same screen as ``satisfies`` (no DML/DDL/subqueries); the
+    expression must be a single aggregate yielding one numeric value.
+    A NULL result (empty input, 0/0 with nullif) → skipped, matching
+    the statistic constraints.
+    """
+
+    name = "custom_aggregate"
+
+    def __init__(self, expression: str, assertion: Assertion,
+                 description: str = ""):
+        from ..functions.security import validate_sql_expression
+        self.expression = validate_sql_expression(expression)
+        self.assertion = Assertion.coerce(assertion)
+        self.description = description or expression
+        self.column = None
+        self._alias = metric_alias("custom_agg", expression)
+
+    def scalar_metrics(self, df) -> Dict[str, "F.Column"]:
+        return {self._alias: F.expr(self.expression)}
+
+    def result_from_metrics(self, metrics: Mapping[str, object]) -> ConstraintResult:
+        raw = metrics[self._alias]
+        if raw is None:
+            return ConstraintResult.skipped(
+                f"custom_aggregate({self.description}) is NULL")
+        value = float(raw)
+        if self.assertion.evaluate(value):
+            return ConstraintResult.success(value)
+        return ConstraintResult.failure(
+            value,
+            f"custom_aggregate({self.description}) = {value} does not "
+            f"satisfy {self.assertion.describe()}")

@@ -347,3 +347,33 @@ def test_psi_oracle_parity_with_out_of_domain_values(spark, tmp_path):
     assert srow["n_ref"] == drow[0] == 20   # nothing dropped on either side
     assert srow["n_cur"] == drow[1] == 20
     assert srow["psi"] == drow[2]
+
+
+def test_custom_aggregate_rides_fused_agg(spark, tpch):
+    from term_spark import Assertion, Check, Level, ValidationSuite
+    suite = (ValidationSuite.builder("custom")
+             .with_check(Check("c", Level.ERROR)
+                         .is_complete("l_quantity")
+                         .has_custom_aggregate(
+                             "sum(l_extendedprice * (1 - l_discount)) / "
+                             "sum(l_extendedprice)",
+                             Assertion.between(0.9, 1.0),
+                             description="avg_discount_factor")))
+    res = suite.run(spark, tpch["lineitem"])
+    assert res.passed, res.report.to_json(2)
+    assert res.report.num_spark_jobs == 1      # fused, no extra scan
+
+    bad = (ValidationSuite.builder("custom")
+           .with_check(Check("c", Level.ERROR)
+                       .has_custom_aggregate("avg(l_tax)",
+                                             Assertion.lt(0.0))))
+    r2 = bad.run(spark, tpch["lineitem"])
+    assert not r2.passed
+    assert "custom_aggregate(avg(l_tax))" in \
+        [x.message for x in r2.report.issues][0]
+
+    import pytest
+    from term_spark.functions.security import SecurityError
+    with pytest.raises(SecurityError):
+        Check("c", Level.ERROR).has_custom_aggregate(
+            "1; DROP TABLE x", Assertion.gt(0))
