@@ -1948,6 +1948,44 @@ QUERIES.update({"fd_custkey_orderstatus": q_fd_custkey_orderstatus})
 ORACLES.update({"fd_custkey_orderstatus": SQL_FD_CUSTKEY_ORDERSTATUS})
 
 
+def q_shape_stats_quantity(spark, sf_dir) -> DataFrame:
+    """Population skewness + excess kurtosis of l_quantity (the
+    round-6 shape statistics) in one fused agg — tail screens for the
+    profiler; oracle derives the same statistics from raw power sums
+    so the engines' estimator conventions cannot diverge."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.round(F.skewness(F.col("l_quantity").cast("double")), 6)
+         .alias("skew_pop"),
+        F.round(F.kurtosis(F.col("l_quantity").cast("double")), 6)
+         .alias("kurt_excess"))
+
+
+SQL_SHAPE_STATS_QUANTITY = """
+WITH s AS (
+    SELECT COUNT(*) AS n,
+           AVG(CAST(l_quantity AS DOUBLE)) AS m1,
+           AVG(POW(CAST(l_quantity AS DOUBLE), 2)) AS r2,
+           AVG(POW(CAST(l_quantity AS DOUBLE), 3)) AS r3,
+           AVG(POW(CAST(l_quantity AS DOUBLE), 4)) AS r4
+    FROM lineitem WHERE l_quantity IS NOT NULL
+),
+m AS (
+    SELECT r2 - m1 * m1 AS m2,
+           r3 - 3 * m1 * r2 + 2 * POW(m1, 3) AS m3,
+           r4 - 4 * m1 * r3 + 6 * m1 * m1 * r2 - 3 * POW(m1, 4) AS m4
+    FROM s
+)
+SELECT ROUND(m3 / POW(m2, 1.5), 6) AS skew_pop,
+       ROUND(m4 / (m2 * m2) - 3.0, 6) AS kurt_excess
+FROM m
+"""
+
+
+QUERIES.update({"shape_stats_quantity": q_shape_stats_quantity})
+ORACLES.update({"shape_stats_quantity": SQL_SHAPE_STATS_QUANTITY})
+
+
 # ---------------------------------------------------------------------------
 # registry ordering: the driver's correctness gate reads only the FIRST 50
 # entries of this dict.  Every operator *family* must have a representative
@@ -2017,6 +2055,7 @@ _TAIL_QUERIES = [
     "minhash_oph_candidates_docs",  # one-permutation minhash (new r6)
     "row_violations_docs",     # row-level violation accounting (new r6)
     "fd_custkey_orderstatus",  # functional-dependency audit (new r6)
+    "shape_stats_quantity",    # skewness/kurtosis (new r6)
 ]
 
 #: families pulled INTO the window (at the front — in-window order is
