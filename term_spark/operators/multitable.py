@@ -355,3 +355,60 @@ class RowCountRatioConstraint(Constraint):
             f"row_count_ratio: {n_cur} rows vs reference {n_ref} "
             f"(ratio {ratio:.4f}) outside [{self.min_ratio}, "
             f"{self.max_ratio}]"))
+
+
+def dataset_diff(left: DataFrame, right: DataFrame, keys,
+                 compare_cols=None) -> DataFrame:
+    """Snapshot-to-snapshot diff accounting — "what changed since
+    yesterday's load?" in one row: n_left, n_right, n_added (keys only
+    in right), n_removed (keys only in left), n_changed (common keys
+    whose compared columns differ), n_identical.
+
+    ``compare_cols`` defaults to every shared non-key column.  Change
+    detection hashes the compared tuple md5(concat_ws-with-null-marker)
+    per side BEFORE the join, so the join carries (keys, hash) only —
+    at 100 TB the wide rows never cross the shuffle, just their
+    fingerprints.  Duplicate keys within a side make per-key pairing
+    ambiguous; rows are first reduced to one hash per key
+    (min — deterministic), and the side row counts still report the
+    raw totals so a duplicate-key drift shows up as
+    n_left/n_right ≠ n_common + added/removed.
+
+    Shape: two map-side hash projections → two key-grouped reductions
+    → one full-outer join on the key → 1-row reduction.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    from ..functions.security import validate_identifiers
+    validate_identifiers(keys)
+    shared = [c for c in left.columns if c in set(right.columns)
+              and c not in keys]
+    cols = list(compare_cols) if compare_cols is not None else shared
+    validate_identifiers(cols) if cols else None
+    if not cols:
+        raise ValueError("dataset_diff: no columns to compare "
+                         "(all shared columns are keys)")
+
+    def side(df, tag):
+        # null-safe tuple fingerprint: a literal marker distinguishes
+        # NULL from empty string / absent
+        h = F.md5(F.concat_ws(
+            "\x01", *[F.coalesce(F.col(c).cast("string"), F.lit("\x02"))
+                      for c in cols]))
+        per = (df.groupBy(*keys)
+                 .agg(F.min(h).alias(f"h_{tag}"),
+                      F.count(F.lit(1)).alias(f"rows_{tag}")))
+        return per
+
+    j = side(left, "l").join(side(right, "r"), keys, "full_outer")
+    return j.agg(
+        F.coalesce(F.sum("rows_l"), F.lit(0)).cast("bigint").alias("n_left"),
+        F.coalesce(F.sum("rows_r"), F.lit(0)).cast("bigint").alias("n_right"),
+        F.count(F.when(F.col("h_l").isNotNull()
+                       & F.col("h_r").isNotNull(), 1)).alias("n_common"),
+        F.count(F.when(F.col("h_l").isNull(), 1)).alias("n_added"),
+        F.count(F.when(F.col("h_r").isNull(), 1)).alias("n_removed"),
+        F.count(F.when(F.col("h_l").isNotNull() & F.col("h_r").isNotNull()
+                       & (F.col("h_l") != F.col("h_r")), 1))
+         .alias("n_changed"),
+        F.count(F.when(F.col("h_l") == F.col("h_r"), 1))
+         .alias("n_identical"))

@@ -1986,6 +1986,70 @@ QUERIES.update({"shape_stats_quantity": q_shape_stats_quantity})
 ORACLES.update({"shape_stats_quantity": SQL_SHAPE_STATS_QUANTITY})
 
 
+def q_dataset_diff_orders(spark, sf_dir) -> DataFrame:
+    """Snapshot diff accounting (multitable.dataset_diff): "today's"
+    orders vs a derived "yesterday" — keys divisible by 97 removed,
+    totalprice bumped where key % 89 == 0, a shifted-key slice added —
+    the what-changed-since-the-last-load report."""
+    from .operators.multitable import dataset_diff
+    (o,) = _t(spark, sf_dir, "orders")
+    yesterday = o
+    today = (o.filter(F.col("o_orderkey") % 97 != 0)
+              .withColumn("o_totalprice",
+                          F.when(F.col("o_orderkey") % 89 == 0,
+                                 F.col("o_totalprice") + 1.0)
+                           .otherwise(F.col("o_totalprice"))))
+    added = (o.filter(F.col("o_orderkey") % 101 == 0)
+              .withColumn("o_orderkey",
+                          F.col("o_orderkey") + F.lit(1000000000)))
+    return dataset_diff(yesterday, today.unionByName(added),
+                        keys=["o_orderkey"],
+                        compare_cols=["o_orderstatus", "o_totalprice"])
+
+
+SQL_DATASET_DIFF_ORDERS = """
+WITH yesterday AS (SELECT * FROM orders),
+today AS (
+    SELECT o_orderkey, o_orderstatus,
+           CASE WHEN o_orderkey % 89 = 0 THEN o_totalprice + 1.0
+                ELSE o_totalprice END AS o_totalprice
+    FROM orders WHERE o_orderkey % 97 <> 0
+    UNION ALL
+    SELECT o_orderkey + 1000000000, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderkey % 101 = 0
+),
+l AS (SELECT o_orderkey,
+             MIN(md5(concat_ws(chr(1),
+                 COALESCE(CAST(o_orderstatus AS VARCHAR), chr(2)),
+                 COALESCE(CAST(o_totalprice AS VARCHAR), chr(2)))))
+                 AS h_l,
+             COUNT(*) AS rows_l
+      FROM yesterday GROUP BY o_orderkey),
+r AS (SELECT o_orderkey,
+             MIN(md5(concat_ws(chr(1),
+                 COALESCE(CAST(o_orderstatus AS VARCHAR), chr(2)),
+                 COALESCE(CAST(o_totalprice AS VARCHAR), chr(2)))))
+                 AS h_r,
+             COUNT(*) AS rows_r
+      FROM today GROUP BY o_orderkey),
+j AS (SELECT * FROM l FULL OUTER JOIN r USING (o_orderkey))
+SELECT CAST(COALESCE(SUM(rows_l), 0) AS BIGINT) AS n_left,
+       CAST(COALESCE(SUM(rows_r), 0) AS BIGINT) AS n_right,
+       CAST(COUNT(*) FILTER (WHERE h_l IS NOT NULL AND h_r IS NOT NULL)
+            AS BIGINT) AS n_common,
+       CAST(COUNT(*) FILTER (WHERE h_l IS NULL) AS BIGINT) AS n_added,
+       CAST(COUNT(*) FILTER (WHERE h_r IS NULL) AS BIGINT) AS n_removed,
+       CAST(COUNT(*) FILTER (WHERE h_l IS NOT NULL AND h_r IS NOT NULL
+                             AND h_l <> h_r) AS BIGINT) AS n_changed,
+       CAST(COUNT(*) FILTER (WHERE h_l = h_r) AS BIGINT) AS n_identical
+FROM j
+"""
+
+
+QUERIES.update({"dataset_diff_orders": q_dataset_diff_orders})
+ORACLES.update({"dataset_diff_orders": SQL_DATASET_DIFF_ORDERS})
+
+
 # ---------------------------------------------------------------------------
 # registry ordering: the driver's correctness gate reads only the FIRST 50
 # entries of this dict.  Every operator *family* must have a representative
@@ -2056,6 +2120,7 @@ _TAIL_QUERIES = [
     "row_violations_docs",     # row-level violation accounting (new r6)
     "fd_custkey_orderstatus",  # functional-dependency audit (new r6)
     "shape_stats_quantity",    # skewness/kurtosis (new r6)
+    "dataset_diff_orders",     # snapshot diff accounting (new r6)
 ]
 
 #: families pulled INTO the window (at the front — in-window order is

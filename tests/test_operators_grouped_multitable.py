@@ -400,3 +400,29 @@ def test_functional_dependency_constraint_and_check(spark):
         Check("fd", Level.ERROR).has_functional_dependency(
             ["zip"], "state")).run(spark, empty)
     assert Status.SKIPPED in [o.result.status for o in sk.report.outcomes]
+
+
+def test_dataset_diff_counts_and_null_safety(spark):
+    from term_spark.operators.multitable import dataset_diff
+    left = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, None, 3.0), (4, "d", 4.0),
+         (4, "d", 4.0)],                         # duplicate key in left
+        "k long, s string, v double")
+    right = spark.createDataFrame(
+        [(1, "a", 1.0),            # identical
+         (2, "b", 99.0),           # changed value
+         (3, "", 3.0),             # NULL -> empty string IS a change
+         (5, "e", 5.0)],           # added; key 4 removed
+        "k long, s string, v double")
+    row = dataset_diff(left, right, "k").collect()[0]
+    assert row["n_left"] == 5 and row["n_right"] == 4
+    assert row["n_common"] == 3
+    assert row["n_added"] == 1 and row["n_removed"] == 1
+    assert row["n_changed"] == 2          # value change + null-vs-empty
+    assert row["n_identical"] == 1
+    # duplicate-key drift is visible: n_left != n_common + n_removed
+    assert row["n_left"] != row["n_common"] + row["n_removed"]
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="no columns"):
+        dataset_diff(left.select("k"), right.select("k"), "k")
