@@ -156,6 +156,18 @@ class Check:
     def has_standard_deviation(self, column: str, assertion) -> "Check":
         return self.statistic(column, "stddev", assertion)
 
+    def has_low_churn(self, ref_df, keys, compare_cols=None,
+                      max_changed_ratio: float = 0.2,
+                      max_added_ratio: float = 0.2,
+                      max_removed_ratio: float = 0.2) -> "Check":
+        """Snapshot churn gate: changed/added/removed shares vs a
+        reference snapshot must each stay within their caps — catches
+        the full-table rewrite a row count alone misses."""
+        from ..operators.multitable import DatasetChurnConstraint
+        return self.with_constraint(DatasetChurnConstraint(
+            ref_df, keys, compare_cols, max_changed_ratio,
+            max_added_ratio, max_removed_ratio))
+
     def has_custom_aggregate(self, expression: str, assertion,
                              description: str = "") -> "Check":
         """Escape hatch: gate any (screened) SQL aggregate expression

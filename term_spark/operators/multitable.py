@@ -412,3 +412,58 @@ def dataset_diff(left: DataFrame, right: DataFrame, keys,
          .alias("n_changed"),
         F.count(F.when(F.col("h_l") == F.col("h_r"), 1))
          .alias("n_identical"))
+
+
+class DatasetChurnConstraint(Constraint):
+    """``has_low_churn``: between a reference snapshot and the current
+    table, the changed-row share (of common keys) and the
+    added/removed shares (of the reference count) must each stay
+    within their caps — the "did the upstream load do something
+    insane?" gate that a row count alone misses (a full-table rewrite
+    keeps the count and changes every row).
+    """
+
+    name = "dataset_churn"
+
+    def __init__(self, ref_df, keys, compare_cols=None,
+                 max_changed_ratio: float = 0.2,
+                 max_added_ratio: float = 0.2,
+                 max_removed_ratio: float = 0.2):
+        for nm, v in (("max_changed_ratio", max_changed_ratio),
+                      ("max_added_ratio", max_added_ratio),
+                      ("max_removed_ratio", max_removed_ratio)):
+            if not 0.0 <= v <= 1.0:
+                raise ValueError(f"{nm} must be in [0,1], got {v}")
+        self.ref_df = ref_df
+        self.keys = [keys] if isinstance(keys, str) else list(keys)
+        self.compare_cols = compare_cols
+        self.max_changed = float(max_changed_ratio)
+        self.max_added = float(max_added_ratio)
+        self.max_removed = float(max_removed_ratio)
+        self.column = ",".join(self.keys)
+
+    def evaluate(self, ctx) -> ConstraintResult:
+        cur = ctx.df(self.table)
+        row = dataset_diff(self.ref_df, cur, self.keys,
+                           self.compare_cols).collect()[0]
+        n_ref = int(row["n_left"])
+        common = int(row["n_common"])
+        if n_ref == 0:
+            return self._finish(ConstraintResult.skipped(
+                "dataset_churn: empty reference snapshot"))
+        changed = int(row["n_changed"]) / common if common else 0.0
+        added = int(row["n_added"]) / n_ref
+        removed = int(row["n_removed"]) / n_ref
+        worst = max(changed, added, removed)
+        fails = []
+        if changed > self.max_changed:
+            fails.append(f"changed {changed:.2%} > {self.max_changed:.0%}")
+        if added > self.max_added:
+            fails.append(f"added {added:.2%} > {self.max_added:.0%}")
+        if removed > self.max_removed:
+            fails.append(f"removed {removed:.2%} > {self.max_removed:.0%}")
+        if not fails:
+            return self._finish(ConstraintResult.success(worst))
+        return self._finish(ConstraintResult.failure(
+            worst, "dataset_churn(" + ",".join(self.keys) + "): "
+                   + "; ".join(fails)))

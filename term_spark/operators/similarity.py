@@ -618,3 +618,60 @@ def ann_recall(approx: DataFrame, exact: DataFrame,
              .withColumn("recall",
                          F.round(F.col("hits") / F.col("k_exact"), 6))
              .orderBy(query_id_col))
+
+
+def embedding_centroid_drift(ref: DataFrame, cur: DataFrame,
+                             vec_col: str = "embedding") -> DataFrame:
+    """Embedding-distribution drift between two snapshots, summarized
+    by their centroids: one row of (n_ref, n_cur, centroid_cosine,
+    norm_ratio, mean_norm_ref, mean_norm_cur, dim).
+
+    The standard cheap monitor for "did the upstream encoder change /
+    did the content distribution move?": a re-trained or re-versioned
+    encoder shifts the mean vector (cosine drops) and often its scale
+    (norm ratio leaves 1); topic drift moves the centroid with norms
+    intact.  Complements the scalar drift family (PSI/KS/W1 act on
+    one numeric column; this acts on the vector column those can't
+    see).  Near-orthogonal centroid_cosine on high-dim corpora is the
+    strong alarm; healthy same-encoder snapshots sit > 0.99.
+
+    Scale: each side reduces to ONE d-length array in a single pass
+    (element-wise sums via posexplode → (pos)-keyed partial agg — the
+    d-row shuffle is the whole exchange) plus a scalar mean-norm agg
+    riding the same explode.  No pairwise anything; rounds to 6 for
+    engine parity.
+    """
+    def centroid(df, tag):
+        ex = (df.filter(F.col(vec_col).isNotNull())
+                .select(F.posexplode(vec_col).alias("pos", "x")))
+        return (ex.groupBy("pos")
+                  .agg(F.sum("x").alias(f"s_{tag}"),
+                       F.count(F.lit(1)).alias(f"n_{tag}")))
+
+    j = (centroid(ref, "r").join(centroid(cur, "c"), "pos", "full_outer")
+         .select("pos",
+                 F.coalesce("s_r", F.lit(0.0)).alias("s_r"),
+                 F.coalesce("s_c", F.lit(0.0)).alias("s_c"),
+                 F.coalesce("n_r", F.lit(0)).alias("n_r"),
+                 F.coalesce("n_c", F.lit(0)).alias("n_c")))
+    # per-dimension means; n_r/n_c are per-dimension row counts (equal
+    # across pos for fixed-dim corpora — max is the row count)
+    agg = j.agg(
+        F.max("n_r").alias("n_ref"),
+        F.max("n_c").alias("n_cur"),
+        F.count(F.lit(1)).alias("dim"),
+        F.sum((F.col("s_r") / F.greatest("n_r", F.lit(1)))
+              * (F.col("s_c") / F.greatest("n_c", F.lit(1)))).alias("dot"),
+        F.sqrt(F.sum(F.pow(F.col("s_r") / F.greatest("n_r", F.lit(1)), 2)))
+         .alias("nr"),
+        F.sqrt(F.sum(F.pow(F.col("s_c") / F.greatest("n_c", F.lit(1)), 2)))
+         .alias("nc"))
+    return agg.select(
+        F.col("n_ref").cast("bigint").alias("n_ref"),
+        F.col("n_cur").cast("bigint").alias("n_cur"),
+        F.col("dim").cast("int").alias("dim"),
+        F.when((F.col("nr") > 0) & (F.col("nc") > 0),
+               F.round(F.col("dot") / (F.col("nr") * F.col("nc")), 6))
+         .alias("centroid_cosine"),
+        F.when(F.col("nr") > 0,
+               F.round(F.col("nc") / F.col("nr"), 6)).alias("norm_ratio"))

@@ -2121,6 +2121,7 @@ _TAIL_QUERIES = [
     "fd_custkey_orderstatus",  # functional-dependency audit (new r6)
     "shape_stats_quantity",    # skewness/kurtosis (new r6)
     "dataset_diff_orders",     # snapshot diff accounting (new r6)
+    "embedding_centroid_drift",  # vector-column drift (new r6)
 ]
 
 #: families pulled INTO the window (at the front — in-window order is

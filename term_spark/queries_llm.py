@@ -1453,3 +1453,52 @@ FROM v GROUP BY violation ORDER BY violation
 
 LLM_QUERIES.update({"row_violations_docs": q_row_violations_docs})
 LLM_ORACLES.update({"row_violations_docs": SQL_ROW_VIOLATIONS_DOCS})
+
+
+def q_embedding_centroid_drift(spark, sf_dir) -> DataFrame:
+    """Embedding centroid drift (similarity.embedding_centroid_drift):
+    even/odd vec_id snapshots of the embeddings table — the vector
+    column's member of the drift family; same-encoder halves should
+    sit near cosine 1 / norm ratio 1."""
+    from .operators.similarity import embedding_centroid_drift
+    emb = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
+    ref = emb.filter(F.col("vec_id") % 2 == 0)
+    cur = emb.filter(F.col("vec_id") % 2 == 1)
+    return embedding_centroid_drift(ref, cur)
+
+
+SQL_EMBEDDING_CENTROID_DRIFT = """
+WITH re AS (
+    SELECT generate_subscripts(embedding, 1) - 1 AS pos,
+           unnest(embedding) AS x
+    FROM embeddings WHERE vec_id % 2 = 0 AND embedding IS NOT NULL
+), ce AS (
+    SELECT generate_subscripts(embedding, 1) - 1 AS pos,
+           unnest(embedding) AS x
+    FROM embeddings WHERE vec_id % 2 = 1 AND embedding IS NOT NULL
+), r AS (
+    SELECT pos, SUM(x) AS s_r, COUNT(*) AS n_r FROM re GROUP BY pos
+), c AS (
+    SELECT pos, SUM(x) AS s_c, COUNT(*) AS n_c FROM ce GROUP BY pos
+), j AS (
+    SELECT COALESCE(s_r, 0) AS s_r, COALESCE(s_c, 0) AS s_c,
+           COALESCE(n_r, 0) AS n_r, COALESCE(n_c, 0) AS n_c
+    FROM r FULL OUTER JOIN c USING (pos)
+), a AS (
+    SELECT MAX(n_r) AS n_ref, MAX(n_c) AS n_cur, COUNT(*) AS dim,
+           SUM((s_r / GREATEST(n_r, 1)) * (s_c / GREATEST(n_c, 1))) AS dot,
+           SQRT(SUM(POW(s_r / GREATEST(n_r, 1), 2))) AS nr,
+           SQRT(SUM(POW(s_c / GREATEST(n_c, 1), 2))) AS nc
+    FROM j
+)
+SELECT CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
+       CAST(dim AS INT) AS dim,
+       CASE WHEN nr > 0 AND nc > 0
+            THEN ROUND(dot / (nr * nc), 6) END AS centroid_cosine,
+       CASE WHEN nr > 0 THEN ROUND(nc / nr, 6) END AS norm_ratio
+FROM a
+"""
+
+
+LLM_QUERIES.update({"embedding_centroid_drift": q_embedding_centroid_drift})
+LLM_ORACLES.update({"embedding_centroid_drift": SQL_EMBEDDING_CENTROID_DRIFT})

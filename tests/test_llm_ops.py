@@ -1137,3 +1137,33 @@ def test_minhash_oph_densification_handles_short_docs(spark):
            for r in D.minhash_oph_candidates(df).collect()}
     assert got.get((1, 2)) == 4
     assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_embedding_centroid_drift_detects_encoder_shift(spark):
+    import random
+    from term_spark.operators.similarity import embedding_centroid_drift
+    rng = random.Random(11)
+    base = [rng.gauss(0, 1) for _ in range(8)]
+    mk = lambda scale, flip: [(i, [scale * (b + rng.gauss(0, 0.05))
+                                   * (-1 if flip else 1)
+                                   for b in base]) for i in range(200)]
+    ref = spark.createDataFrame(mk(1.0, False),
+                                "vec_id long, embedding array<float>")
+    same = spark.createDataFrame(mk(1.0, False),
+                                 "vec_id long, embedding array<float>")
+    rescaled = spark.createDataFrame(mk(3.0, False),
+                                     "vec_id long, embedding array<float>")
+    flipped = spark.createDataFrame(mk(1.0, True),
+                                    "vec_id long, embedding array<float>")
+    ok = embedding_centroid_drift(ref, same).collect()[0]
+    assert ok["centroid_cosine"] > 0.99 and abs(ok["norm_ratio"] - 1) < 0.1
+    assert ok["dim"] == 8 and ok["n_ref"] == 200
+    sc = embedding_centroid_drift(ref, rescaled).collect()[0]
+    assert sc["centroid_cosine"] > 0.99          # direction unchanged
+    assert sc["norm_ratio"] > 2.5                # scale change caught
+    fl = embedding_centroid_drift(ref, flipped).collect()[0]
+    assert fl["centroid_cosine"] < -0.99         # encoder sign flip
+    # empty side -> NULL scores, not a crash
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    e = embedding_centroid_drift(ref, empty).collect()[0]
+    assert e["centroid_cosine"] is None

@@ -426,3 +426,25 @@ def test_dataset_diff_counts_and_null_safety(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="no columns"):
         dataset_diff(left.select("k"), right.select("k"), "k")
+
+
+def test_has_low_churn_gate(spark):
+    import pyspark.sql.functions as F
+    from term_spark import Check, Level, ValidationSuite
+    ref = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(100)], "k long, v string")
+    small_change = ref.withColumn(
+        "v", F.when(F.col("k") < 5, F.lit("changed")).otherwise(F.col("v")))
+    rewrite = ref.withColumn("v", F.concat(F.col("v"), F.lit("_new")))
+    ok = ValidationSuite.builder("c").with_check(
+        Check("c", Level.ERROR).has_low_churn(ref, "k")).run(
+        spark, small_change)
+    assert ok.passed                      # 5% changed, caps at 20%
+    bad = ValidationSuite.builder("c").with_check(
+        Check("c", Level.ERROR).has_low_churn(ref, "k")).run(spark, rewrite)
+    assert not bad.passed                 # same count, 100% changed
+    assert "changed 100.00%" in [x.message for x in bad.report.issues][0]
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        Check("c", Level.ERROR).has_low_churn(ref, "k",
+                                              max_changed_ratio=1.5)
