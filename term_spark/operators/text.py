@@ -879,3 +879,86 @@ def corpus_profile(df, group_col: str = "lang", text_col: str = "text",
                    F.round(F.avg(flesch_ease_col(text_col)), 6)
                     .alias("mean_ease"))
               .orderBy("grp"))
+
+
+#: Gopher quality-rule defaults (Rae et al. 2021, table A1 spirit):
+#: the canonical pretraining document filters. Thresholds are the
+#: published ones where stated; all tunable per call.
+GOPHER_DEFAULTS = dict(
+    min_words=50, max_words=100_000,
+    min_mean_word_len=3.0, max_mean_word_len=10.0,
+    max_symbol_word_ratio=0.1,      # '#' or '…' per word
+    max_bullet_line_ratio=0.9,      # lines starting with a bullet
+    max_ellipsis_line_ratio=0.3,    # lines ending with …/...
+    min_alpha_word_ratio=0.8,       # words containing ≥1 letter
+)
+
+
+def gopher_quality_flags(df, text_col: str = "text",
+                         id_col: str = "doc_id", **overrides):
+    """Gopher-style document quality rules as one map-only projection:
+    per doc, each rule's boolean plus the conjunction ``passes`` — the
+    classic pretraining filter bundle (word-count band, mean word
+    length band, symbol/word ratio, bullet-line and ellipsis-line
+    ratios, alphabetic-word ratio).
+
+    Returns (id, n_words, mean_word_len, symbol_word_ratio,
+    bullet_line_ratio, ellipsis_line_ratio, alpha_word_ratio,
+    r_* booleans, passes).  Every metric is a codegen regexp/array
+    expression over the row — no explode, no shuffle; compose with
+    ``annotate_rows``-style routing or a plain filter.
+
+    NULL/blank text fails ``r_word_count`` (0 words) and therefore
+    ``passes`` — absence is a reject, matching the reference
+    pipelines.  Ratios are rounded 6 for engine parity.
+    """
+    p = dict(GOPHER_DEFAULTS)
+    unknown = set(overrides) - set(p)
+    if unknown:
+        raise ValueError(f"unknown gopher rule params: {sorted(unknown)}")
+    p.update(overrides)
+    col = F.coalesce(F.col(text_col), F.lit(""))
+    words = F.when(F.trim(col) == "", F.array().cast("array<string>")) \
+             .otherwise(F.split(F.trim(col), r"\s+"))
+    nw = F.size(words)
+    nw_safe = F.greatest(nw, F.lit(1))
+    mean_wl = (F.aggregate(words, F.lit(0), lambda a, w: a + F.length(w))
+               / nw_safe)
+    n_symbols = (F.length(F.regexp_replace(col, "[^#…]", ""))
+                 + F.regexp_count(col, F.lit(r"\.\.\.")))
+    lines = F.split(col, "\n", -1)
+    nl_safe = F.greatest(F.size(lines), F.lit(1))
+    bullet = F.size(F.filter(
+        lines, lambda ln: F.trim(ln).rlike(r"^[-*•]")))
+    ellip = F.size(F.filter(
+        lines, lambda ln: F.rtrim(ln).rlike(r"(\.\.\.|…)$")))
+    alpha = F.size(F.filter(words, lambda w: w.rlike(r"\p{L}")))
+    out = (df.select(
+        F.col(id_col).alias("id"),
+        nw.cast("bigint").alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(n_symbols / nw_safe, 6).alias("symbol_word_ratio"),
+        F.round(bullet / nl_safe, 6).alias("bullet_line_ratio"),
+        F.round(ellip / nl_safe, 6).alias("ellipsis_line_ratio"),
+        F.round(alpha / nw_safe, 6).alias("alpha_word_ratio")))
+    rules = {
+        "r_word_count": (F.col("n_words") >= p["min_words"])
+                        & (F.col("n_words") <= p["max_words"]),
+        "r_mean_word_len": F.col("mean_word_len")
+                            .between(p["min_mean_word_len"],
+                                     p["max_mean_word_len"]),
+        "r_symbol_ratio": F.col("symbol_word_ratio")
+                          <= p["max_symbol_word_ratio"],
+        "r_bullet_lines": F.col("bullet_line_ratio")
+                          <= p["max_bullet_line_ratio"],
+        "r_ellipsis_lines": F.col("ellipsis_line_ratio")
+                            <= p["max_ellipsis_line_ratio"],
+        "r_alpha_words": F.col("alpha_word_ratio")
+                         >= p["min_alpha_word_ratio"],
+    }
+    for name, cond in rules.items():
+        out = out.withColumn(name, cond)
+    passes = None
+    for name in rules:
+        passes = F.col(name) if passes is None else passes & F.col(name)
+    return out.withColumn("passes", passes)

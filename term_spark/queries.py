@@ -2122,6 +2122,7 @@ _TAIL_QUERIES = [
     "shape_stats_quantity",    # skewness/kurtosis (new r6)
     "dataset_diff_orders",     # snapshot diff accounting (new r6)
     "embedding_centroid_drift",  # vector-column drift (new r6)
+    "gopher_rules_docs",       # Gopher quality-rule bundle (new r6)
 ]
 
 #: families pulled INTO the window (at the front — in-window order is

@@ -1502,3 +1502,61 @@ FROM a
 
 LLM_QUERIES.update({"embedding_centroid_drift": q_embedding_centroid_drift})
 LLM_ORACLES.update({"embedding_centroid_drift": SQL_EMBEDDING_CENTROID_DRIFT})
+
+
+def q_gopher_rules_docs(spark, sf_dir) -> DataFrame:
+    """Gopher-style quality rule flags per document
+    (text.gopher_quality_flags, min_words lowered to 8 for the
+    synthetic corpus's short docs) — the canonical pretraining filter
+    bundle as one map-only projection."""
+    return (T.gopher_quality_flags(_docs(spark, sf_dir), min_words=8)
+            .orderBy("id"))
+
+
+SQL_GOPHER_RULES_DOCS = r"""
+WITH t AS (
+    SELECT doc_id AS id, COALESCE(text, '') AS tx,
+           CASE WHEN trim(COALESCE(text, '')) = '' THEN []
+                ELSE string_split_regex(trim(COALESCE(text, '')), '\s+')
+           END AS words,
+           string_split(COALESCE(text, ''), chr(10)) AS lines
+    FROM documents
+),
+m AS (
+    SELECT id,
+           CAST(len(words) AS BIGINT) AS n_words,
+           ROUND(list_sum(list_transform(words, w -> length(w))) * 1.0
+                 / GREATEST(len(words), 1), 6) AS mean_word_len,
+           ROUND((length(regexp_replace(tx, '[^#…]', '', 'g'))
+                  + len(regexp_extract_all(tx, '\.\.\.'))) * 1.0
+                 / GREATEST(len(words), 1), 6) AS symbol_word_ratio,
+           ROUND(len(list_filter(lines,
+                     l -> regexp_matches(trim(l), '^[-*•]'))) * 1.0
+                 / GREATEST(len(lines), 1), 6) AS bullet_line_ratio,
+           ROUND(len(list_filter(lines,
+                     l -> regexp_matches(rtrim(l), '(\.\.\.|…)$'))) * 1.0
+                 / GREATEST(len(lines), 1), 6) AS ellipsis_line_ratio,
+           ROUND(len(list_filter(words,
+                     w -> regexp_matches(w, '\p{L}'))) * 1.0
+                 / GREATEST(len(words), 1), 6) AS alpha_word_ratio
+    FROM t
+)
+SELECT id, n_words, mean_word_len, symbol_word_ratio, bullet_line_ratio,
+       ellipsis_line_ratio, alpha_word_ratio,
+       n_words >= 8 AND n_words <= 100000 AS r_word_count,
+       mean_word_len BETWEEN 3.0 AND 10.0 AS r_mean_word_len,
+       symbol_word_ratio <= 0.1 AS r_symbol_ratio,
+       bullet_line_ratio <= 0.9 AS r_bullet_lines,
+       ellipsis_line_ratio <= 0.3 AS r_ellipsis_lines,
+       alpha_word_ratio >= 0.8 AS r_alpha_words,
+       (n_words >= 8 AND n_words <= 100000)
+       AND (mean_word_len BETWEEN 3.0 AND 10.0)
+       AND symbol_word_ratio <= 0.1 AND bullet_line_ratio <= 0.9
+       AND ellipsis_line_ratio <= 0.3 AND alpha_word_ratio >= 0.8
+           AS passes
+FROM m ORDER BY id
+"""
+
+
+LLM_QUERIES.update({"gopher_rules_docs": q_gopher_rules_docs})
+LLM_ORACLES.update({"gopher_rules_docs": SQL_GOPHER_RULES_DOCS})

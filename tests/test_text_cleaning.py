@@ -147,3 +147,32 @@ def test_readability_gate_fuses_with_other_constraints(spark):
     agg_blocks = re.findall(r"\(\d+\) HashAggregate", text)
     # partial + final of ONE fused aggregate, no extra scan pair
     assert len(agg_blocks) <= 2, text
+
+
+def test_gopher_rules_flag_the_right_failures(spark):
+    from term_spark.operators.text import gopher_quality_flags
+    rows = [
+        (1, "This is a perfectly ordinary paragraph of well formed "
+            "prose that keeps going with sensible words and normal "
+            "structure throughout the entire document body here."),
+        (2, "short"),                                    # word count
+        (3, " ".join(["a"] * 60)),                       # mean word len low
+        (4, " ".join(["####"] * 60)),                    # symbols + alpha
+        (5, "- one\n- two\n- three\n- four"),            # bullets
+        (6, "so then...\nand more...\nwait...\nhm..."),  # ellipses
+        (7, None),                                       # NULL fails
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: r for r in
+           gopher_quality_flags(df, min_words=10).collect()}
+    assert out[1]["passes"]
+    assert not out[2]["r_word_count"] and not out[2]["passes"]
+    assert not out[3]["r_mean_word_len"]
+    assert not out[4]["r_symbol_ratio"] and not out[4]["r_alpha_words"]
+    assert not out[5]["r_bullet_lines"] or out[5]["bullet_line_ratio"] == 1.0
+    assert out[5]["bullet_line_ratio"] == 1.0
+    assert not out[6]["r_ellipsis_lines"]
+    assert out[7]["n_words"] == 0 and not out[7]["passes"]
+    import pytest as _pt
+    with _pt.raises(ValueError, match="unknown gopher"):
+        gopher_quality_flags(df, max_typo_ratio=0.1)
