@@ -249,6 +249,11 @@ def main() -> None:
         "minhash_oph_candidates_docs", "ngram_novelty_docs",
         "chunk_documents_docs", "frequent_terms_docs",
         "corpus_profile_by_lang",
+        # round-6, third wave: FD audit, shape stats, snapshot diff,
+        # vector drift, row-level violations, Gopher rules
+        "fd_custkey_orderstatus", "shape_stats_quantity",
+        "dataset_diff_orders", "embedding_centroid_drift",
+        "row_violations_docs", "gopher_rules_docs",
     ]
     for name in bench_queries:
         per_query[name] = round(_measure_query(spark, QUERIES[name], SF_DIR), 4)
