@@ -72,6 +72,48 @@ def _doc_shingles(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFram
                 .distinct())
 
 
+
+def _banded_pairs(sig: DataFrame, cols, bands: int) -> DataFrame:
+    """Shared banding tail for the MinHash variants: hash each band's
+    signature slice, explode to (id, band, hash), self-join within
+    buckets, count matched bands per (id_a < id_b) pair."""
+    r = len(cols) // bands
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(c) for c in cols[b * r:(b + 1) * r]]
+        band_cols.append(F.md5(F.concat_ws("|", *parts)).alias(f"band_{b}"))
+    banded = sig.select("id", *band_cols)
+    stacked = banded.select(
+        "id", F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"), F.col(f"band_{b}").alias("h"))
+            for b in range(bands)])).alias("bh")
+    ).select("id", F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
+    a = stacked.alias("a")
+    b_ = stacked.alias("b")
+    return (a.join(b_, (F.col("a.band") == F.col("b.band")) &
+                   (F.col("a.h") == F.col("b.h")) &
+                   (F.col("a.id") < F.col("b.id")))
+            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("n_bands_matched")))
+
+
+def _jaccard_from_intersections(inter: DataFrame, sizes: DataFrame,
+                                threshold: float) -> DataFrame:
+    """Shared verification tail: join pair intersection counts with
+    per-doc set sizes, compute Jaccard, filter at the threshold."""
+    sa = sizes.select(F.col("id").alias("id_a"),
+                      F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"),
+                      F.col("n_shingles").alias("n_b"))
+    return (inter.join(sa, "id_a").join(sb, "id_b")
+            .withColumn("jaccard",
+                        F.round(F.col("n_common") /
+                                (F.col("n_a") + F.col("n_b")
+                                 - F.col("n_common")), 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "n_common", "n_a", "n_b", "jaccard"))
+
+
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", k: int = 3,
                         threshold: float = 0.5,
@@ -105,14 +147,7 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                     (F.col("a.id") < F.col("b.id")))
              .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
              .agg(F.count(F.lit(1)).alias("n_common")))
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_shingles").alias("n_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_shingles").alias("n_b"))
-    return (inter.join(sa, "id_a").join(sb, "id_b")
-            .withColumn("jaccard",
-                        F.round(F.col("n_common") /
-                                (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6))
-            .filter(F.col("jaccard") >= threshold)
-            .select("id_a", "id_b", "n_common", "n_a", "n_b", "jaccard"))
+    return _jaccard_from_intersections(inter, sizes, threshold)
 
 
 def jaccard_prefix_pairs(df: DataFrame, text_col: str = "text",
@@ -185,17 +220,7 @@ def jaccard_prefix_pairs(df: DataFrame, text_col: str = "text",
                  .join(b, ["id_b", "shingle"])
                  .groupBy("id_a", "id_b")
                  .agg(F.count(F.lit(1)).alias("n_common")))
-    sa = sizes.select(F.col("id").alias("id_a"),
-                      F.col("n_shingles").alias("n_a"))
-    sb = sizes.select(F.col("id").alias("id_b"),
-                      F.col("n_shingles").alias("n_b"))
-    return (inter.join(sa, "id_a").join(sb, "id_b")
-            .withColumn("jaccard",
-                        F.round(F.col("n_common") /
-                                (F.col("n_a") + F.col("n_b")
-                                 - F.col("n_common")), 6))
-            .filter(F.col("jaccard") >= threshold)
-            .select("id_a", "id_b", "n_common", "n_a", "n_b", "jaccard"))
+    return _jaccard_from_intersections(inter, sizes, threshold)
 
 
 def ngram_jaccard_for_pairs(df: DataFrame, pairs: DataFrame,
@@ -219,14 +244,7 @@ def ngram_jaccard_for_pairs(df: DataFrame, pairs: DataFrame,
               .join(b, ["id_b", "shingle"])
               .groupBy("id_a", "id_b")
               .agg(F.count(F.lit(1)).alias("n_common")))
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_shingles").alias("n_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_shingles").alias("n_b"))
-    return (inter.join(sa, "id_a").join(sb, "id_b")
-            .withColumn("jaccard",
-                        F.round(F.col("n_common") /
-                                (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6))
-            .filter(F.col("jaccard") >= threshold)
-            .select("id_a", "id_b", "n_common", "n_a", "n_b", "jaccard"))
+    return _jaccard_from_intersections(inter, sizes, threshold)
 
 
 def minhash_signature_cols(num_hashes: int):
@@ -276,7 +294,6 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
       so the distinct shuffle ngram_jaccard needs is skipped here.
     """
     assert num_hashes % bands == 0
-    r = num_hashes // bands
     from .text import norm_tokens, word_shingles_from
     toks = spread(df, id_col).select(
         F.col(id_col).alias("id"),
@@ -285,23 +302,7 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
                      .alias("shingle"))
     sig = sh.groupBy("id").agg(*minhash_signature_cols(num_hashes)(F.col("shingle")))
     # band hash = md5 of the concatenated row minhashes
-    band_cols = []
-    for b in range(bands):
-        parts = [F.col(f"mh_{i}") for i in range(b * r, (b + 1) * r)]
-        band_cols.append(F.md5(F.concat_ws("|", *parts)).alias(f"band_{b}"))
-    banded = sig.select("id", *band_cols)
-    stacked = banded.select(
-        "id", F.explode(F.array(*[
-            F.struct(F.lit(b).alias("band"), F.col(f"band_{b}").alias("h"))
-            for b in range(bands)])).alias("bh")
-    ).select("id", F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
-    a = stacked.alias("a")
-    b_ = stacked.alias("b")
-    return (a.join(b_, (F.col("a.band") == F.col("b.band")) &
-                   (F.col("a.h") == F.col("b.h")) &
-                   (F.col("a.id") < F.col("b.id")))
-            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-            .agg(F.count(F.lit(1)).alias("n_bands_matched")))
+    return _banded_pairs(sig, [f"mh_{i}" for i in range(num_hashes)], bands)
 
 
 def simhash64(df: DataFrame, text_col: str = "text",
@@ -543,7 +544,6 @@ def minhash_oph_candidates(df: DataFrame, text_col: str = "text",
     classic's md5 count scales with it and OPH's does not.
     """
     assert num_hashes % bands == 0
-    r = num_hashes // bands
     from .text import norm_tokens, word_shingles_from
     toks = spread(df, id_col).select(
         F.col(id_col).alias("id"),
@@ -569,20 +569,4 @@ def minhash_oph_candidates(df: DataFrame, text_col: str = "text",
                       for j in range(rot)] + [F.col("__gmin")]))
          .alias(f"d_{i}")
         for i in range(num_hashes)])
-    band_cols = []
-    for b in range(bands):
-        parts = [F.col(f"d_{i}") for i in range(b * r, (b + 1) * r)]
-        band_cols.append(F.md5(F.concat_ws("|", *parts)).alias(f"band_{b}"))
-    banded = dens.select("id", *band_cols)
-    stacked = banded.select(
-        "id", F.explode(F.array(*[
-            F.struct(F.lit(b).alias("band"), F.col(f"band_{b}").alias("h"))
-            for b in range(bands)])).alias("bh")
-    ).select("id", F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
-    a = stacked.alias("a")
-    b_ = stacked.alias("b")
-    return (a.join(b_, (F.col("a.band") == F.col("b.band")) &
-                   (F.col("a.h") == F.col("b.h")) &
-                   (F.col("a.id") < F.col("b.id")))
-            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-            .agg(F.count(F.lit(1)).alias("n_bands_matched")))
+    return _banded_pairs(dens, [f"d_{i}" for i in range(num_hashes)], bands)
