@@ -213,3 +213,65 @@ class FunctionalDependencyConstraint(Constraint):
             f"{int(row['n_violating'])} of {int(row['n_groups'])} "
             f"determinant groups map to multiple values (conformance "
             f"{ratio:.4f} fails {self.assertion.describe()})"))
+
+
+def key_skew_report(df, key_cols, top_k: int = 10):
+    """Pre-flight skew diagnostic for a prospective join/groupBy key:
+    one row of n_rows, n_keys, max_key_share, top{k}_share,
+    key_entropy_norm, count_cv — "will this key melt an executor?"
+    asked BEFORE the 100 TB shuffle instead of discovered in a 4-hour
+    straggler.
+
+    Readings: ``max_key_share`` ≈ the largest single-task fraction
+    under hash partitioning (0.2 → one task owns 20 % of the data);
+    ``key_entropy_norm`` = key-distribution entropy / log(n_keys)
+    ∈ (0,1], 1 = perfectly even; ``count_cv`` = stddev/mean of key
+    counts (0 = even).  All three are UNORDERED aggregates over the
+    key-count table — no global sort anywhere; the only ordered piece
+    is the bounded top-k (TakeOrderedAndProject).
+
+    Pairs with the remedies in ``plans.skew`` (salted joins,
+    bucketing): this measures, those fix.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    validate_identifiers(keys)
+    if top_k <= 0:
+        raise ValueError(f"top_k must be > 0, got {top_k}")
+    counts = (df.groupBy(*keys)
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .localCheckpoint(eager=True))  # reused: aggs + top-k
+    top = [int(r["cnt"]) for r in
+           counts.orderBy(F.desc("cnt")).limit(top_k).collect()]
+    tot = counts.agg(F.sum("cnt")).collect()[0][0] or 0
+    # entropy with the total as a literal: an unpartitioned share
+    # window here would funnel the WHOLE key-count table (cardinality
+    # rows — billions for user-id keys) through one task; two tiny
+    # aggs over the checkpointed table cost one extra bounded job
+    row = counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("cnt").alias("max_cnt"),
+        F.stddev_pop("cnt").alias("sd"),
+        F.avg("cnt").alias("mean"),
+        (-F.sum((F.col("cnt") / F.lit(float(tot or 1)))
+                * F.log(F.col("cnt") / F.lit(float(tot or 1)))))
+        .alias("ent")).collect()[0]
+    n_rows = int(tot)
+    n_keys = int(row["n_keys"])
+    spark = df.sparkSession
+    if n_rows == 0:
+        return spark.createDataFrame(
+            [(0, 0, None, None, None, None)],
+            "n_rows bigint, n_keys bigint, max_key_share double, "
+            f"top{top_k}_share double, key_entropy_norm double, "
+            "count_cv double")
+    import math as _m
+    ent_norm = (float(row["ent"]) / _m.log(n_keys)) if n_keys > 1 else 1.0
+    return spark.createDataFrame(
+        [(n_rows, n_keys,
+          round(int(row["max_cnt"]) / n_rows, 6),
+          round(sum(top) / n_rows, 6),
+          round(ent_norm, 6),
+          round(float(row["sd"]) / float(row["mean"]), 6))],
+        "n_rows bigint, n_keys bigint, max_key_share double, "
+        f"top{top_k}_share double, key_entropy_norm double, "
+        "count_cv double")

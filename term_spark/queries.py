@@ -2050,6 +2050,41 @@ QUERIES.update({"dataset_diff_orders": q_dataset_diff_orders})
 ORACLES.update({"dataset_diff_orders": SQL_DATASET_DIFF_ORDERS})
 
 
+def q_key_skew_custkey(spark, sf_dir) -> DataFrame:
+    """Join-skew pre-flight (uniqueness.key_skew_report): would a
+    shuffle keyed on orders.o_custkey melt an executor? max/top-10 key
+    shares, normalized key entropy, count CV — all unordered
+    aggregates over the key-count table, no global sort."""
+    from .operators.uniqueness import key_skew_report
+    (o,) = _t(spark, sf_dir, "orders")
+    return key_skew_report(o, "o_custkey")
+
+
+SQL_KEY_SKEW_CUSTKEY = """
+WITH c AS (
+    SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY o_custkey
+),
+t AS (SELECT SUM(cnt) AS tot, COUNT(*) AS n_keys, MAX(cnt) AS max_cnt,
+             STDDEV_POP(cnt) AS sd, AVG(cnt) AS mean,
+             -SUM((cnt * 1.0 / (SELECT SUM(cnt) FROM c))
+                  * LN(cnt * 1.0 / (SELECT SUM(cnt) FROM c))) AS ent
+      FROM c),
+top AS (SELECT SUM(cnt) AS top_sum
+        FROM (SELECT cnt FROM c ORDER BY cnt DESC LIMIT 10))
+SELECT CAST(tot AS BIGINT) AS n_rows, CAST(n_keys AS BIGINT) AS n_keys,
+       ROUND(max_cnt * 1.0 / tot, 6) AS max_key_share,
+       ROUND(top_sum * 1.0 / tot, 6) AS top10_share,
+       ROUND(CASE WHEN n_keys > 1 THEN ent / LN(n_keys) ELSE 1.0 END, 6)
+           AS key_entropy_norm,
+       ROUND(sd / mean, 6) AS count_cv
+FROM t, top
+"""
+
+
+QUERIES.update({"key_skew_custkey": q_key_skew_custkey})
+ORACLES.update({"key_skew_custkey": SQL_KEY_SKEW_CUSTKEY})
+
+
 # ---------------------------------------------------------------------------
 # registry ordering: the driver's correctness gate reads only the FIRST 50
 # entries of this dict.  Every operator *family* must have a representative
@@ -2123,6 +2158,7 @@ _TAIL_QUERIES = [
     "dataset_diff_orders",     # snapshot diff accounting (new r6)
     "embedding_centroid_drift",  # vector-column drift (new r6)
     "gopher_rules_docs",       # Gopher quality-rule bundle (new r6)
+    "key_skew_custkey",        # join-skew pre-flight (new r6)
 ]
 
 #: families pulled INTO the window (at the front — in-window order is

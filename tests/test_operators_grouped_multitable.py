@@ -448,3 +448,29 @@ def test_has_low_churn_gate(spark):
     with _pt.raises(ValueError):
         Check("c", Level.ERROR).has_low_churn(ref, "k",
                                               max_changed_ratio=1.5)
+
+
+def test_key_skew_report_reads_skew_correctly(spark):
+    from term_spark.operators.uniqueness import key_skew_report
+    even = spark.createDataFrame(
+        [(i % 100, i) for i in range(1000)], "k long, v long")
+    skewed = spark.createDataFrame(
+        [(0, i) for i in range(901)] + [(i, 0) for i in range(1, 100)],
+        "k long, v long")
+    e = key_skew_report(even, "k").collect()[0]
+    assert e["n_rows"] == 1000 and e["n_keys"] == 100
+    assert e["max_key_share"] == 0.01
+    assert e["key_entropy_norm"] == 1.0      # perfectly even
+    assert e["count_cv"] == 0.0
+    sk = key_skew_report(skewed, "k").collect()[0]
+    assert sk["max_key_share"] == 0.901      # one task owns 90%
+    assert sk["top10_share"] > 0.9
+    assert sk["key_entropy_norm"] < 0.2
+    assert sk["count_cv"] > 5
+    # empty input -> NULL metrics, not a crash
+    empty = spark.createDataFrame([], "k long, v long")
+    z = key_skew_report(empty, "k").collect()[0]
+    assert z["n_rows"] == 0 and z["max_key_share"] is None
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        key_skew_report(even, "k", top_k=0)
