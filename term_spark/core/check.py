@@ -156,6 +156,16 @@ class Check:
     def has_standard_deviation(self, column: str, assertion) -> "Check":
         return self.statistic(column, "stddev", assertion)
 
+    def has_balanced_keys(self, key_cols,
+                          max_key_share: float = 0.05) -> "Check":
+        """Join-skew gate: the hottest value of a prospective
+        join/groupBy key must own at most ``max_key_share`` of the
+        rows — fail the suite before the straggler, then fix with
+        plans.skew salting/bucketing."""
+        from ..operators.uniqueness import KeySkewConstraint
+        return self.with_constraint(KeySkewConstraint(
+            key_cols, max_key_share))
+
     def has_low_churn(self, ref_df, keys, compare_cols=None,
                       max_changed_ratio: float = 0.2,
                       max_added_ratio: float = 0.2,

@@ -275,3 +275,39 @@ def key_skew_report(df, key_cols, top_k: int = 10):
         "n_rows bigint, n_keys bigint, max_key_share double, "
         f"top{top_k}_share double, key_entropy_norm double, "
         "count_cv double")
+
+
+class KeySkewConstraint(Constraint):
+    """``has_balanced_keys``: the max single-key share of a prospective
+    join/groupBy key must stay under ``max_key_share`` (default 0.05 —
+    no task owns more than 5 % of the shuffle under hash
+    partitioning). The gate form of ``key_skew_report``: fail the
+    suite BEFORE the nightly job discovers the straggler."""
+
+    name = "balanced_keys"
+
+    def __init__(self, key_cols, max_key_share: float = 0.05):
+        if not 0.0 < max_key_share <= 1.0:
+            raise ValueError(
+                f"max_key_share must be in (0,1], got {max_key_share}")
+        self.keys = [key_cols] if isinstance(key_cols, str) \
+            else list(key_cols)
+        validate_identifiers(self.keys)
+        self.max_key_share = float(max_key_share)
+        self.column = ",".join(self.keys)
+
+    def evaluate(self, ctx: EngineContext) -> ConstraintResult:
+        row = key_skew_report(ctx.df(self.table), self.keys).collect()[0]
+        if int(row["n_rows"]) == 0:
+            return self._finish(ConstraintResult.skipped(
+                f"balanced_keys({self.column}): empty table"))
+        share = float(row["max_key_share"])
+        if share <= self.max_key_share:
+            return self._finish(ConstraintResult.success(share))
+        return self._finish(ConstraintResult.failure(
+            share,
+            f"balanced_keys({self.column}): hottest key owns "
+            f"{share:.2%} of rows (> {self.max_key_share:.0%}; "
+            f"entropy_norm {row['key_entropy_norm']}, top10 "
+            f"{row['top10_share']:.2%}) — salt or bucket before "
+            "shuffling on this key"))

@@ -474,3 +474,23 @@ def test_key_skew_report_reads_skew_correctly(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         key_skew_report(even, "k", top_k=0)
+
+
+def test_has_balanced_keys_gate(spark):
+    from term_spark import Check, Level, ValidationSuite
+    even = spark.createDataFrame(
+        [(i % 100, i) for i in range(1000)], "k long, v long")
+    skewed = spark.createDataFrame(
+        [(0, i) for i in range(901)] + [(i, 0) for i in range(1, 100)],
+        "k long, v long")
+    ok = ValidationSuite.builder("s").with_check(
+        Check("s", Level.ERROR).has_balanced_keys("k")).run(spark, even)
+    assert ok.passed
+    bad = ValidationSuite.builder("s").with_check(
+        Check("s", Level.ERROR).has_balanced_keys("k")).run(spark, skewed)
+    assert not bad.passed
+    msg = [x.message for x in bad.report.issues][0]
+    assert "90.10%" in msg and "salt or bucket" in msg
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        Check("s", Level.ERROR).has_balanced_keys("k", max_key_share=0)
