@@ -172,6 +172,59 @@ def main():
               .run(spark, cur))
     print("snapshot gates:", robust.passed)
 
+    # round 6: W1 drift, readability, row-level quarantine, FD audit,
+    # skew pre-flight, snapshot diff, OPH minhash, Gopher rules
+    from term_spark import quarantine_rows
+    from term_spark.operators import dedup as dedup_ops
+    from term_spark.operators.multitable import dataset_diff
+    from term_spark.operators.text import (gopher_quality_flags,
+                                           readability)
+    from term_spark.operators.uniqueness import key_skew_report
+
+    r6 = (ValidationSuite.builder("round6")
+          .with_check(Check("g", Level.ERROR)
+                      .has_low_wasserstein_drift(ref, "l_quantity",
+                                                 lo=1.0, hi=50.0)
+                      .has_balanced_keys("l_orderkey", max_key_share=0.01)
+                      .has_low_churn(ref, ["l_orderkey", "l_linenumber"],
+                                     max_added_ratio=1.0,
+                                     max_removed_ratio=1.0)
+                      .has_custom_aggregate(
+                          "sum(l_extendedprice*(1-l_discount))"
+                          "/sum(l_extendedprice)",
+                          Assertion.between(0.9, 1.0)))
+          .run(spark, cur))
+    print("round-6 gates:", r6.passed)
+
+    good, bad = quarantine_rows(
+        docs, Check("rows", Level.ERROR)
+        .is_complete("text").satisfies("length(text) >= 30", 1.0))
+    print("quarantine:", good.count(), "good /", bad.count(), "bad docs")
+
+    ease = readability(docs).agg({"flesch_ease": "avg"}).collect()[0][0]
+    gq = gopher_quality_flags(docs, min_words=8)
+    print(f"corpus readability avg ease {ease:.1f}; gopher pass rate "
+          f"{gq.filter('passes').count()}/{gq.count()}")
+
+    skew = key_skew_report(tables["orders"], "o_custkey").collect()[0]
+    print("join-skew pre-flight: hottest custkey owns "
+          f"{skew['max_key_share']:.2%} of orders")
+
+    fd = (ValidationSuite.builder("fd")
+          .with_check(Check("fd", Level.ERROR)
+                      .has_functional_dependency("o_orderkey",
+                                                 "o_orderstatus"))
+          .run(spark, tables["orders"]))
+    print("FD audit (o_orderkey -> o_orderstatus):", fd.passed)
+
+    diff = dataset_diff(ref, cur, ["l_orderkey", "l_linenumber"],
+                        compare_cols=["l_quantity"]).collect()[0]
+    print("snapshot diff:", diff["n_added"], "added,",
+          diff["n_removed"], "removed,", diff["n_changed"], "changed")
+
+    oph = dedup_ops.minhash_oph_candidates(docs).count()
+    print("OPH minhash candidates:", oph, "pairs (1 md5/shingle)")
+
 
 if __name__ == "__main__":
     main()
