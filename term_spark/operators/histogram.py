@@ -220,7 +220,7 @@ def frequent_items_summary(df, column: str, k: int = 100):
     rows = [(r["item"], int(r["cnt"]), i + 1, int(n_slice), max_dropped)
             for i, r in enumerate(top[:k])]
     return spark.createDataFrame(
-        rows or [(None, 0, 0, 0, 0)][:0],
+        rows,
         "item string, cnt bigint, rank int, n_slice bigint, "
         "max_dropped bigint")
 
