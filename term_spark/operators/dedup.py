@@ -205,8 +205,15 @@ def jaccard_prefix_pairs(df: DataFrame, text_col: str = "text",
                 .withColumn("__r", F.row_number().over(w))
                 .withColumn("__n", F.count(F.lit(1)).over(n))
                 .filter(F.col("__r") <=
+                        # -1e-9: float(tau)*n can land an ulp ABOVE the
+                        # true product (0.07*100 = 7.000...001) and
+                        # overshoot the ceil, shortening the prefix
+                        # below the lossless bound; biasing down is
+                        # safe (a longer prefix only adds candidates,
+                        # verification stays exact) (review r6)
                         F.col("__n") - F.ceil(F.lit(float(threshold))
-                                              * F.col("__n")) + 1)
+                                              * F.col("__n")
+                                              - F.lit(1e-9)) + 1)
                 .select("id", "shingle"))
     cand = (prefix.alias("a")
             .join(prefix.alias("b"),

@@ -544,7 +544,10 @@ class GroupedPsiDriftConstraint(Constraint):
             return self._finish(ConstraintResult.error(
                 f"grouped_psi({self.column} by {self.group_col}): no "
                 "group present in both snapshots"))
-        worst, worst_group = max(scored)
+        # key on psi alone: tuple-max would fall through to comparing
+        # group values on exact ties, which raises TypeError when the
+        # group column contains NULL (review r6)
+        worst, worst_group = max(scored, key=lambda t: t[0])
         note = f" ({len(missing)} one-sided group(s) skipped)" if missing else ""
         if worst <= self.max_psi:
             return self._finish(ConstraintResult.success(worst))

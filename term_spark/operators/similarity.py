@@ -623,8 +623,10 @@ def ann_recall(approx: DataFrame, exact: DataFrame,
 def embedding_centroid_drift(ref: DataFrame, cur: DataFrame,
                              vec_col: str = "embedding") -> DataFrame:
     """Embedding-distribution drift between two snapshots, summarized
-    by their centroids: one row of (n_ref, n_cur, centroid_cosine,
-    norm_ratio, mean_norm_ref, mean_norm_cur, dim).
+    by their centroids: one row of (n_ref, n_cur, dim,
+    centroid_cosine, norm_ratio) where ``norm_ratio`` is the ratio of
+    the CENTROID norms ‖mean(cur)‖ / ‖mean(ref)‖ (1 for same scale
+    AND same internal alignment; it is not the mean per-vector norm).
 
     The standard cheap monitor for "did the upstream encoder change /
     did the content distribution move?": a re-trained or re-versioned

@@ -566,14 +566,21 @@ def correlation_matrix(df, columns, min_abs: float = 0.0):
         raise ValueError(f"min_abs must be in [0,1], got {min_abs}")
     pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
 
-    # corr = covar_pop / (σ_pop·σ_pop) — algebraically identical to
-    # F.corr but with the zero-variance division GUARDED, because under
-    # ANSI mode (Spark 4 default) F.corr on a constant column raises
-    # DIVIDE_BY_ZERO instead of returning the NULL the profile wants.
-    # Spark dedupes identical aggregate expressions, so the p stddevs
-    # are each computed once across all their pairs.
+    # corr = covar_pop / (σ_pop·σ_pop) over the PAIRWISE-COMPLETE rows
+    # — equivalent to F.corr (which also restricts to rows where both
+    # sides are non-null) but with the zero-variance division GUARDED,
+    # because under ANSI mode (Spark 4 default) F.corr on a constant
+    # column raises DIVIDE_BY_ZERO instead of returning the NULL the
+    # profile wants.  The stddevs MUST be restricted to the same
+    # pairwise-complete population as the covariance (review r6: a
+    # plain stddev_pop(x) normalizes by a different row set when y has
+    # NULLs, skewing the ratio and even leaving [-1, 1]) — so each
+    # pair carries its own conditional stddevs; the p-shared-stddev
+    # dedup only applies on NULL-free data and correctness wins.
     def corr(a, b):
-        x, y = F.col(a).cast("double"), F.col(b).cast("double")
+        xr, yr = F.col(a).cast("double"), F.col(b).cast("double")
+        both = xr.isNotNull() & yr.isNotNull()
+        x, y = F.when(both, xr), F.when(both, yr)
         sx, sy = F.stddev_pop(x), F.stddev_pop(y)
         return F.when((sx > 0) & (sy > 0),
                       F.round(F.covar_pop(x, y) / (sx * sy), 6))
@@ -624,7 +631,15 @@ class CustomAggregateConstraint(Constraint):
         if raw is None:
             return ConstraintResult.skipped(
                 f"custom_aggregate({self.description}) is NULL")
-        value = float(raw)
+        try:
+            value = float(raw)
+        except (TypeError, ValueError):
+            # the screen admits non-numeric aggregates (max of a string
+            # column); map them to the error outcome instead of letting
+            # float() abort the whole suite run (review r6)
+            return ConstraintResult.error(
+                f"custom_aggregate({self.description}) returned "
+                f"non-numeric {raw!r}")
         if self.assertion.evaluate(value):
             return ConstraintResult.success(value)
         return ConstraintResult.failure(

@@ -475,18 +475,28 @@ def unigram_surprisal(df, text_col: str = "text", id_col: str = "doc_id",
                    F.round(F.avg(-F.log2("p")), 6).alias("bits_per_token")))
 
 
-def flesch_ease_col(text_col: str) -> "F.Column":
-    """Row-level Flesch Reading Ease expression (same heuristics as
-    ``readability``; NULL for NULL/blank text) — exposed separately so
-    gates can ride the suite's fused aggregation instead of paying
-    their own scan."""
-    col = F.col(text_col)
+def _text_shape_cols(col: "F.Column"):
+    """(words, sentences, syllables) expressions shared by
+    ``readability`` and ``flesch_ease_col`` — ONE set of heuristics so
+    the per-doc operator and the ``has_readable_text`` gate can never
+    drift apart (review r6): a band tuned on one formula is enforced
+    with the same formula."""
     words = F.when(F.trim(col) == "", F.lit(0)).otherwise(
         F.size(F.split(F.trim(col), r"\s+"))).cast("bigint")
     sents = F.greatest(F.lit(1).cast("bigint"),
                        F.regexp_count(col, F.lit(r"[.!?]+")).cast("bigint"))
     syll = F.greatest(
         words, F.regexp_count(F.lower(col), F.lit("[aeiouy]+")).cast("bigint"))
+    return words, sents, syll
+
+
+def flesch_ease_col(text_col: str) -> "F.Column":
+    """Row-level Flesch Reading Ease expression (same heuristics as
+    ``readability`` — both derive from ``_text_shape_cols``; NULL for
+    NULL/blank text) — exposed separately so gates can ride the
+    suite's fused aggregation instead of paying their own scan."""
+    col = F.col(text_col)
+    words, sents, syll = _text_shape_cols(col)
     return F.when(col.isNotNull() & (words > 0),
                   F.round(F.lit(206.835) - 1.015 * (words / sents)
                           - 84.6 * (syll / words), 6))
@@ -515,17 +525,12 @@ def readability(df, text_col: str = "text", id_col: str = "doc_id"):
     kept: "unreadable because empty" is a finding).  Rounded 6.
     """
     col = F.col(text_col)
-    words = F.when(F.trim(col) == "", F.lit(0)).otherwise(
-        F.size(F.split(F.trim(col), r"\s+"))).cast("bigint")
-    sents = F.greatest(F.lit(1).cast("bigint"),
-                       F.regexp_count(col, F.lit(r"[.!?]+")).cast("bigint"))
-    vowel_runs = F.regexp_count(F.lower(col), F.lit("[aeiouy]+")).cast("bigint")
+    words, sents, syll = _text_shape_cols(col)
     out = (df.select(
         F.col(id_col),
         F.coalesce(words, F.lit(0)).alias("n_words"),
         F.when(col.isNotNull(), sents).alias("n_sentences"),
-        F.when(col.isNotNull(),
-               F.greatest(words, vowel_runs)).alias("n_syllables")))
+        F.when(col.isNotNull(), syll).alias("n_syllables")))
     wps = F.col("n_words") / F.col("n_sentences")
     spw = F.col("n_syllables") / F.col("n_words")
     nonempty = F.col("n_words") > 0
@@ -869,10 +874,15 @@ def corpus_profile(df, group_col: str = "lang", text_col: str = "text",
     """
     from ..functions.security import validate_identifier
     validate_identifier(group_col)
+    # NULL text counts as a 0-token document (review r6: a bare
+    # token_count(NULL) is NULL, which avg/sum would silently SKIP —
+    # n_docs would then disagree with mean_tokens' denominator and
+    # mean_tokens * n_docs != n_tokens)
+    toks0 = F.coalesce(token_count(text_col), F.lit(0))
     return (df.groupBy(F.col(group_col).alias("grp"))
               .agg(F.count(F.lit(1)).alias("n_docs"),
-                   F.sum(token_count(text_col)).alias("n_tokens"),
-                   F.round(F.avg(token_count(text_col)), 6)
+                   F.sum(toks0).alias("n_tokens"),
+                   F.round(F.avg(toks0), 6)
                     .alias("mean_tokens"),
                    F.round(F.avg(quality_score(text_col)), 6)
                     .alias("mean_quality"),

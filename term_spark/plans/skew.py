@@ -127,7 +127,12 @@ def write_partitioned(df: DataFrame, path: str, partition_cols: List[str],
             f"files_per_partition must be >= 1, got {files_per_partition}")
     cols = [F.col(c) for c in partition_cols]
     if files_per_partition > 1:
-        salt = F.pmod(F.hash(*cols, F.monotonically_increasing_id()),
+        # salt must be DETERMINISTIC per row content: a
+        # monotonically_increasing_id-derived salt changes on stage
+        # retry, and repartitioning on a non-deterministic key can
+        # duplicate or drop rows when an executor is lost mid-shuffle
+        # (the SPARK-23207 failure class) (review r6)
+        salt = F.pmod(F.hash(*[F.col(c) for c in df.columns]),
                       F.lit(files_per_partition))
         df = df.withColumn("__wp_salt", salt)
         out = df.repartition(*cols, F.col("__wp_salt")).drop("__wp_salt")

@@ -83,9 +83,15 @@ class DeltaRepository(MetricsRepository):
     def delete(self, key: ResultKey) -> None:
         if not DeltaTable.isDeltaTable(self.spark, self.path):
             return
+        # predicate as a Column, not an interpolated SQL string: Python
+        # !r escaping does not round-trip through Spark's SQL literal
+        # parser for tag values containing backslashes/quote mixes —
+        # the delete would silently match nothing (review r6)
+        import pyspark.sql.functions as F
         tags = json.dumps(key.tag_dict, sort_keys=True)
         (DeltaTable.forPath(self.spark, self.path)
-         .delete(f"timestamp = {key.timestamp!r} AND tags = {tags!r}"))
+         .delete((F.col("timestamp") == F.lit(float(key.timestamp)))
+                 & (F.col("tags") == F.lit(tags))))
 
     def retention(self, before_ts: float, vacuum_hours: Optional[float] = None) -> None:
         """Drop runs older than ``before_ts`` (transactional DELETE),
@@ -93,8 +99,9 @@ class DeltaRepository(MetricsRepository):
         analogue of ParquetRepository.compact(before_ts)."""
         if not DeltaTable.isDeltaTable(self.spark, self.path):
             return
+        import pyspark.sql.functions as F
         dt = DeltaTable.forPath(self.spark, self.path)
-        dt.delete(f"timestamp < {float(before_ts)!r}")
+        dt.delete(F.col("timestamp") < F.lit(float(before_ts)))
         if vacuum_hours is not None:
             dt.vacuum(vacuum_hours)
 

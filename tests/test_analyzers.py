@@ -305,10 +305,12 @@ def test_correlation_matrix_is_single_fused_scan(spark, tpch):
     scans = [ln for ln in text.splitlines()
              if re.match(r"\(\d+\) Scan", ln)]
     assert len(scans) == 1, text               # one pass over the data
-    # partial agg carries 3 stddevs + 3 covars, NOT 6 stddevs: Spark
-    # dedupes the identical stddev_pop expressions across pairs
+    # partial agg carries per-pair conditional stddevs (2 per pair) +
+    # 3 covars: the stddevs must share the covariance's
+    # pairwise-complete population (review r6), so the cross-pair
+    # dedup is deliberately given up for correctness under NULLs
     partial = [ln for ln in text.splitlines() if "partial_stddev_pop" in ln][0]
-    assert partial.count("partial_stddev_pop") == 3, partial
+    assert partial.count("partial_stddev_pop") == 6, partial
     assert partial.count("partial_covar_pop") == 3, partial
 
 
@@ -391,3 +393,16 @@ def test_skewness_kurtosis_check_methods(spark):
         .has_skewness("x", Assertion.between(-0.3, 0.3))
         .has_kurtosis("x", Assertion.between(-0.5, 0.5))).run(spark, df)
     assert res.passed, res.report.to_json(2)
+
+
+def test_correlation_matrix_pairwise_complete_under_nulls(spark):
+    """review r6: with NULLs on one side, the normalization must use
+    the same pairwise-complete rows as the covariance — matching
+    F.corr/DuckDB CORR (here: the non-null pairs are perfectly
+    linear, so corr must be exactly 1.0, not a diluted ratio)."""
+    from term_spark.operators.statistics import correlation_matrix
+    rows = [(0.0, None), (100.0, None), (1.0, 1.0), (2.0, 2.0),
+            (3.0, 3.0)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    got = correlation_matrix(df, ["x", "y"]).collect()[0]
+    assert got["corr"] == 1.0

@@ -1054,7 +1054,8 @@ def test_jaccard_prefix_index_excludes_hot_shingles(spark):
                 .withColumn("__r", F.row_number().over(w))
                 .withColumn("__n", F.count(F.lit(1)).over(n))
                 .filter(F.col("__r") <=
-                        F.col("__n") - F.ceil(F.lit(tau) * F.col("__n")) + 1))
+                        F.col("__n") - F.ceil(F.lit(tau) * F.col("__n")
+                                              - F.lit(1e-9)) + 1))
     hot_in_prefix = (prefix.join(freq.filter(F.col("df_") == 10),
                                  "shingle", "left_semi").count())
     assert hot_in_prefix == 0

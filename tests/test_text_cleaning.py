@@ -176,3 +176,17 @@ def test_gopher_rules_flag_the_right_failures(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="unknown gopher"):
         gopher_quality_flags(df, max_typo_ratio=0.1)
+
+
+def test_corpus_profile_counts_null_text_as_zero_tokens(spark):
+    """review r6: NULL-text docs are 0-token documents — n_docs,
+    n_tokens, and mean_tokens must agree (mean = sum/docs), not
+    silently skip the NULLs in the averages."""
+    from term_spark.operators.text import corpus_profile
+    rows = [("en", "one two three four"), ("en", "five six"),
+            ("en", None), ("de", "eins zwei")]
+    df = spark.createDataFrame(rows, "lang string, text string")
+    out = {r["grp"]: r for r in corpus_profile(df).collect()}
+    en = out["en"]
+    assert en["n_docs"] == 3 and en["n_tokens"] == 6
+    assert en["mean_tokens"] == 2.0          # 6 tokens / 3 docs, not /2
