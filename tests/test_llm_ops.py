@@ -1019,12 +1019,15 @@ def test_jaccard_prefix_pairs_equals_inverted_index(spark):
         (6, "short doc"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
-    for tau in (0.5, 0.8):
+    # 0.07 pins the ceil float-bias fix: float(0.07)*n can land an
+    # ulp above the true product, overshooting ceil and shortening
+    # the prefix below the lossless bound (review r6)
+    for tau in (0.07, 0.5, 0.8):
         exact = sorted(tuple(r) for r in ngram_jaccard_pairs(
             df, k=3, threshold=tau).collect())
         prefix = sorted(tuple(r) for r in jaccard_prefix_pairs(
             df, k=3, threshold=tau).collect())
-        assert prefix == exact and (tau > 0.5 or exact)
+        assert prefix == exact and (tau != 0.5 or exact)
     import pytest as _pt
     with _pt.raises(ValueError):
         jaccard_prefix_pairs(df, threshold=0.0)
