@@ -375,7 +375,11 @@ def dataset_diff(left: DataFrame, right: DataFrame, keys,
     n_left/n_right ≠ n_common + added/removed.
 
     Shape: two map-side hash projections → two key-grouped reductions
-    → one full-outer join on the key → 1-row reduction.
+    → one full-outer join on the key → 1-row reduction.  The join is
+    NULL-SAFE on the keys (``<=>``): a key tuple that is NULL on both
+    sides matches as one common row, instead of double-counting as one
+    added plus one removed the way plain equality / SQL ``USING``
+    would (ADVICE r6).
     """
     keys = [keys] if isinstance(keys, str) else list(keys)
     from ..functions.security import validate_identifiers
@@ -399,7 +403,12 @@ def dataset_diff(left: DataFrame, right: DataFrame, keys,
                       F.count(F.lit(1)).alias(f"rows_{tag}")))
         return per
 
-    j = side(left, "l").join(side(right, "r"), keys, "full_outer")
+    lt, rt = side(left, "l").alias("L"), side(right, "r").alias("R")
+    cond = None
+    for k in keys:
+        c = F.col(f"L.{k}").eqNullSafe(F.col(f"R.{k}"))
+        cond = c if cond is None else (cond & c)
+    j = lt.join(rt, cond, "full_outer")
     return j.agg(
         F.coalesce(F.sum("rows_l"), F.lit(0)).cast("bigint").alias("n_left"),
         F.coalesce(F.sum("rows_r"), F.lit(0)).cast("bigint").alias("n_right"),
