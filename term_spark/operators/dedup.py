@@ -442,7 +442,7 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text",
 def winnow_overlap_pairs(df: DataFrame, text_col: str = "text",
                          id_col: str = "doc_id", k: int = 8,
                          window: int = 4, min_common: int = 2,
-                         max_fp_freq: Optional[int] = None) -> DataFrame:
+                         max_fp_freq: Optional[int] = 1000) -> DataFrame:
     """Partial-copy candidate pairs by shared winnowing fingerprints:
     (id_a < id_b, n_common) for pairs sharing ≥ ``min_common``
     fingerprints. The plagiarism/mirror detector tier between exact
@@ -454,6 +454,10 @@ def winnow_overlap_pairs(df: DataFrame, text_col: str = "text",
     (boilerplate minima — licence headers selected in thousands of
     docs) — the same stop-key skew guard as the shingle index; the
     self-join cost is Σ freq(fp)² so one hot key dominates without it.
+    The default is FINITE (1000: a fingerprint in >1000 docs is
+    boilerplate, not a copied passage, and alone contributes 500k+
+    pairs) so the unconfigured call is skew-safe at corpus scale;
+    pass ``max_fp_freq=None`` to explicitly opt out of the cap.
 
     Scale: fingerprint index (map-only winnow + distinct) →
     localCheckpoint (two self-join consumers; recomputing the winnow
@@ -558,8 +562,11 @@ def minhash_oph_candidates(df: DataFrame, text_col: str = "text",
     sh = toks.select("id", F.explode(word_shingles_from(F.col("__toks"), k))
                      .alias("shingle"))
     h = F.md5(F.col("shingle"))
-    # bin from the first 16 bits of the SAME hash: contiguous ranges
-    # of the permuted universe, the textbook OPH split
+    # bin from the first 16 bits of the SAME hash, mod k — this STRIPES
+    # the permuted universe into residue classes, not the textbook
+    # contiguous equal-width ranges; for a uniform hash both are
+    # equal-measure partitions with identical collision statistics,
+    # and mod k works for any k (a range split needs k | 2^16)
     binc = (F.conv(F.substring(h, 1, 4), 16, 10).cast("int")
             % num_hashes)
     hashed = sh.select("id", h.alias("h"), binc.alias("bin"))

@@ -624,7 +624,16 @@ class CustomAggregateConstraint(Constraint):
         self._alias = metric_alias("custom_agg", expression)
 
     def scalar_metrics(self, df) -> Dict[str, "F.Column"]:
-        return {self._alias: F.expr(self.expression)}
+        col = F.expr(self.expression)
+        # Eager no-row probe: Dataset construction analyzes the plan, so
+        # a ROW-LEVEL expression (``l_quantity + 1``) or a bad column
+        # raises HERE — caught by the executor's per-constraint guard
+        # and mapped to ONE error outcome — instead of poisoning the
+        # suite's shared fused aggregation and aborting every
+        # co-scheduled constraint with it (ADVICE r6/r7).  limit(0)
+        # keeps the probe analysis-only; no job runs.
+        df.limit(0).agg(col.alias(self._alias))
+        return {self._alias: col}
 
     def result_from_metrics(self, metrics: Mapping[str, object]) -> ConstraintResult:
         raw = metrics[self._alias]

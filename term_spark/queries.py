@@ -2032,7 +2032,12 @@ r AS (SELECT o_orderkey,
                  AS h_r,
              COUNT(*) AS rows_r
       FROM today GROUP BY o_orderkey),
-j AS (SELECT * FROM l FULL OUTER JOIN r USING (o_orderkey))
+-- NULL-SAFE key join (IS NOT DISTINCT FROM), mirroring the operator's
+-- eqNullSafe: a key NULL on both sides is ONE common row, not
+-- added+removed the way null-unsafe USING would count it (ADVICE r7)
+j AS (SELECT h_l, rows_l, h_r, rows_r
+      FROM l FULL OUTER JOIN r
+        ON l.o_orderkey IS NOT DISTINCT FROM r.o_orderkey)
 SELECT CAST(COALESCE(SUM(rows_l), 0) AS BIGINT) AS n_left,
        CAST(COALESCE(SUM(rows_r), 0) AS BIGINT) AS n_right,
        CAST(COUNT(*) FILTER (WHERE h_l IS NOT NULL AND h_r IS NOT NULL)
@@ -2086,95 +2091,252 @@ ORACLES.update({"key_skew_custkey": SQL_KEY_SKEW_CUSTKEY})
 
 
 # ---------------------------------------------------------------------------
-# registry ordering: the driver's correctness gate reads only the FIRST 50
-# entries of this dict.  Every operator *family* must have a representative
-# inside that window, so same-family redundant variants are demoted to the
-# tail (each demoted query's family keeps an in-window representative, noted
-# below).  approx_distinct_orderkey is `no_oracle` by design — it can only
-# ever earn a rows-only row, so it yields its window slot to an
-# oracle-checkable family.
+# Driver-window rotation schedule (round 8: data-driven).
 #
-# ROTATION POLICY (round 6): with 73 queries competing for 50 slots, a
-# query that has earned TWO consecutive green driver rows (r04+r05) and
-# whose family keeps another in-window representative rotates to the
-# tail, freeing its slot for a family that has never had a driver row.
-# Every family thus retains at least one driver-green row in the
-# r04–r06 record.  tests/test_registry_window.py pins the membership.
+# The driver's correctness gate reads only the FIRST ``DRIVER_WINDOW_SIZE``
+# entries of this dict.  With ~2x as many registered queries as slots, the
+# window must ROTATE so every query keeps a recent driver-green row
+# (rows+schema+hash vs its DuckDB oracle in CORRECTNESS_r{N}.json).
+#
+# ROTATION POLICY: the window is computed, not hand-picked — the 50
+# STALEST oracle-backed queries, never-driver-proven first, then by
+# oldest last-green round, alphabetical tie-break.  With 95 eligible
+# queries and 50 slots every query re-proves at least every 2 rounds,
+# which subsumes the family-level freshness bound ("no family's newest
+# driver-green row older than 3 rounds") that
+# tests/test_registry_window.py asserts.  A query that FAILS its driver
+# check keeps its stale last-green and therefore stays in the window
+# next round automatically.
+#
+# After each round: run ``python scripts/update_rotation.py --apply`` to
+# fold the new CORRECTNESS_r{N}.json into LAST_GREEN and bump
+# CURRENT_ROUND — the next window then falls out mechanically.
 # ---------------------------------------------------------------------------
 
-_TAIL_QUERIES = [
-    "temporal_ordering_orders_lineitem",  # multitable family keeps three
-                               # in-window reps (fk, join_coverage,
-                               # cross_table_sum)
-    "fingerprint_docs",        # exact-dedup family: dedup_exact_docs
-    "text_tokens",             # text family: text_cleaning/quality_model
-    "lang_id",                 # text family: text_cleaning/quality_model
-    "simhash_docs",            # simhash family (r04+r05 green via
-                               # simhash_near_pairs)
-    "embedding_neardup_pairs", # cosine family: cosine_topk_embeddings
-    "stratified_sample_docs",  # curation family: token_budget_sample_docs
-    "decontaminate_docs",      # curation family: token_budget_sample_docs
-    "dedup_pipeline_docs",     # composition of already-windowed dedup ops
-    "doc_length_buckets",      # packing family: packing_stats_docs
-    "containment_orderstatus", # compliance family: compliance_discount
-    "date_range_orders",       # datetime family: business_hours (r04+r05)
-    "approx_distinct_orderkey",# no_oracle by design (rows-only either way)
-    # -- round-6 rotation: double-green (r04+r05) queries demoted to make
-    #    room for the ten round-5 families that never had a driver row --
-    "text_quality",            # text family: text_cleaning/quality/surprisal
-    "repetition_docs",         # packing family: packing_stats_docs stays
-    "source_mixing_docs",      # curation family: token_budget promoted
-    "split_counts_docs",       # curation family: token_budget promoted
-    "neardup_components",      # dedup family: exact/ngram/minhash stay
-    "simhash_near_pairs",      # simhash family: double-green r04+r05
-    "business_hours_events",   # temporal family: max_time_gap/asof/range/
-                               # rolling stay in-window
-    "spearman_quantity_price", # correlation family: corr_quantity_price
-    "numeric_histogram_quantity",  # histogram family: histogram_returnflag
-    "grouped_stats_mktsegment",    # grouped family: rollup_pricing +
-                                   # grouped_completeness_events stay
-    # -- round-6 NEW families start in the tail (the window is full of
-    #    families still earning their first or second driver row); they
-    #    rotate in at round 7 under the double-green policy --
-    "dsir_weights_docs",       # DSIR importance weighting (new r6)
-    "winnow_overlap_docs",     # winnowing partial-copy pairs (new r6)
-    "script_profile_docs",     # Unicode script detection (new r6)
-    "decontamination_report_docs",  # decontamination accounting (new r6)
-    "tfidf_top_terms_docs",    # TF-IDF keywords (new r6)
-    "drift_w1_quantity",       # Wasserstein-1 drift (new r6)
-    "corr_matrix_lineitem",    # one-scan correlation matrix (new r6)
-    "bigram_surprisal_docs",   # bigram fluency surprisal (new r6)
-    "readability_docs",        # Flesch/FK readability (new r6)
-    "interval_join_events",    # interval-overlap join (new r6)
-    "jaccard_prefix_pairs_docs",  # AllPairs prefix-filter jaccard (new r6)
-    "ngram_novelty_docs",      # per-doc shingle novelty (new r6)
-    "chunk_documents_docs",    # token-window chunking (new r6)
-    "frequent_terms_docs",     # mergeable heavy-hitter summary (new r6)
-    "corpus_profile_by_lang",  # grouped corpus dashboard (new r6)
-    "minhash_oph_candidates_docs",  # one-permutation minhash (new r6)
-    "row_violations_docs",     # row-level violation accounting (new r6)
-    "fd_custkey_orderstatus",  # functional-dependency audit (new r6)
-    "shape_stats_quantity",    # skewness/kurtosis (new r6)
-    "dataset_diff_orders",     # snapshot diff accounting (new r6)
-    "embedding_centroid_drift",  # vector-column drift (new r6)
-    "gopher_rules_docs",       # Gopher quality-rule bundle (new r6)
-    "key_skew_custkey",        # join-skew pre-flight (new r6)
-]
+DRIVER_WINDOW_SIZE = 50
 
-#: families pulled INTO the window (at the front — in-window order is
-#: irrelevant to the driver, membership is what counts).  Round 6 adds
-#: the ten round-5 families that sat at registry positions 50-59.
-_PROMOTED = [
-    "line_dedup_summary_docs",
-    "drift_ks_quantity", "drift_chi2_returnflag", "drift_js_quantity",
-    "drift_psi_by_returnflag", "token_budget_sample_docs",
-    "text_cleaning_docs", "outlier_mad_acctbal",
-    "dominant_value_orderstatus", "quality_model_docs",
-    "unigram_surprisal_docs",
-]
+#: Queries with no DuckDB oracle by design (the driver can only ever
+#: record a weaker rows-only row for them); they never take a window
+#: slot from an oracle-checkable query.
+NO_ORACLE = frozenset({"approx_distinct_orderkey"})
 
-QUERIES = {k: QUERIES[k] for k in _PROMOTED} | {
-    k: v for k, v in QUERIES.items()
-    if k not in _TAIL_QUERIES and k not in _PROMOTED} | {
-    k: QUERIES[k] for k in _TAIL_QUERIES
+#: query -> operator family, for family-level freshness accounting and
+#: the judge's SURVEY §2 cross-check.  Every registered query appears.
+FAMILY = {
+    "size_lineitem": "size",
+    "completeness_customer": "completeness",
+    "grouped_completeness_events": "grouped_completeness",
+    "stats_quantity": "stats",
+    "shape_stats_quantity": "stats",
+    "distinctness_orders": "uniqueness",
+    "unique_value_ratio_custkey": "uniqueness",
+    "compliance_discount": "compliance",
+    "containment_orderstatus": "compliance",
+    "format_orderpriority": "format",
+    "length_customer_name": "length",
+    "datatype_detection": "datatype",
+    "histogram_returnflag": "histogram",
+    "numeric_histogram_quantity": "histogram",
+    "entropy_returnflag": "entropy",
+    "mutual_information_lineitem": "mutual_information",
+    "corr_quantity_price": "correlation",
+    "spearman_quantity_price": "correlation",
+    "corr_matrix_lineitem": "correlation",
+    "quantile_exact_quantity": "quantile",
+    "median_by_returnflag": "quantile",
+    "profile_customer": "profiler",
+    "approx_distinct_orderkey": "approx_distinct",
+    "fk_orders_customer": "multitable",
+    "join_coverage_lineitem_orders": "multitable",
+    "cross_table_sum_orders_lineitem": "multitable",
+    "temporal_ordering_orders_lineitem": "multitable",
+    "dataset_diff_orders": "dataset_diff",
+    "max_time_gap_events": "temporal",
+    "business_hours_events": "temporal",
+    "date_range_orders": "temporal",
+    "sessionize_events": "sessionize",
+    "asof_click_error": "asof_join",
+    "range_join_events": "range_join",
+    "interval_join_events": "range_join",
+    "rolling_daily_events": "rolling_window",
+    "top_customers_revenue": "topk",
+    "top3_customers_per_segment": "topk",
+    "pivot_returnflag_linestatus": "reshape",
+    "unpivot_pricing": "reshape",
+    "rollup_pricing": "grouped_stats",
+    "grouped_stats_mktsegment": "grouped_stats",
+    "pricing_summary": "tpch_suite",
+    "benford_acctbal": "benford",
+    "drift_psi_quantity": "drift",
+    "drift_ks_quantity": "drift",
+    "drift_chi2_returnflag": "drift",
+    "drift_js_quantity": "drift",
+    "drift_psi_by_returnflag": "drift",
+    "drift_w1_quantity": "drift",
+    "outlier_mad_acctbal": "robust_outliers",
+    "dominant_value_orderstatus": "snapshot_gates",
+    "dedup_exact_docs": "dedup_exact",
+    "fingerprint_docs": "dedup_exact",
+    "dedup_pipeline_docs": "dedup_exact",
+    "ngram_jaccard_pairs": "ngram_jaccard",
+    "jaccard_prefix_pairs_docs": "ngram_jaccard",
+    "ngram_novelty_docs": "ngram_novelty",
+    "minhash_lsh_candidates": "minhash",
+    "minhash_oph_candidates_docs": "minhash",
+    "simhash_docs": "simhash",
+    "simhash_near_pairs": "simhash",
+    "winnow_overlap_docs": "winnowing",
+    "neardup_components": "neardup_graph",
+    "cosine_topk_embeddings": "embedding_cosine",
+    "embedding_neardup_pairs": "embedding_cosine",
+    "semantic_dedup_embeddings": "semantic_dedup",
+    "embedding_centroid_drift": "embedding_drift",
+    "stratified_sample_docs": "curation",
+    "decontaminate_docs": "curation",
+    "source_mixing_docs": "curation",
+    "split_counts_docs": "curation",
+    "token_budget_sample_docs": "curation",
+    "dsir_weights_docs": "dsir",
+    "decontamination_report_docs": "decontamination_report",
+    "line_dedup_summary_docs": "line_dedup",
+    "text_tokens": "text",
+    "lang_id": "text",
+    "text_quality": "text",
+    "text_cleaning_docs": "text",
+    "quality_model_docs": "quality_model",
+    "unigram_surprisal_docs": "surprisal",
+    "bigram_surprisal_docs": "surprisal",
+    "readability_docs": "readability",
+    "gopher_rules_docs": "gopher_rules",
+    "script_profile_docs": "script_profile",
+    "tfidf_top_terms_docs": "tfidf",
+    "frequent_terms_docs": "heavy_hitters",
+    "chunk_documents_docs": "chunking",
+    "packing_stats_docs": "chunking",
+    "doc_length_buckets": "chunking",
+    "repetition_docs": "repetition",
+    "corpus_profile_by_lang": "corpus_profile",
+    "row_violations_docs": "row_level",
+    "fd_custkey_orderstatus": "functional_dependency",
+    "key_skew_custkey": "key_skew",
 }
+
+# BEGIN GENERATED ROTATION DATA (scripts/update_rotation.py)
+#: Most recent round whose CORRECTNESS_r{N}.json holds a green
+#: (rows_match + schema_match + hash_match) driver row for each query;
+#: None = never driver-proven.  Source artifacts: r01..r07.
+CURRENT_ROUND = 8
+LAST_GREEN = {
+    "line_dedup_summary_docs": 7,
+    "drift_ks_quantity": 7,
+    "drift_chi2_returnflag": 7,
+    "drift_js_quantity": 7,
+    "drift_psi_by_returnflag": 7,
+    "token_budget_sample_docs": 7,
+    "text_cleaning_docs": 7,
+    "outlier_mad_acctbal": 7,
+    "dominant_value_orderstatus": 7,
+    "quality_model_docs": 7,
+    "unigram_surprisal_docs": 7,
+    "size_lineitem": 7,
+    "completeness_customer": 7,
+    "stats_quantity": 7,
+    "distinctness_orders": 7,
+    "unique_value_ratio_custkey": 7,
+    "compliance_discount": 7,
+    "format_orderpriority": 7,
+    "length_customer_name": 7,
+    "datatype_detection": 7,
+    "histogram_returnflag": 7,
+    "entropy_returnflag": 7,
+    "grouped_completeness_events": 7,
+    "mutual_information_lineitem": 7,
+    "corr_quantity_price": 7,
+    "fk_orders_customer": 7,
+    "join_coverage_lineitem_orders": 7,
+    "cross_table_sum_orders_lineitem": 7,
+    "max_time_gap_events": 7,
+    "pricing_summary": 7,
+    "dedup_exact_docs": 7,
+    "ngram_jaccard_pairs": 7,
+    "minhash_lsh_candidates": 7,
+    "cosine_topk_embeddings": 7,
+    "packing_stats_docs": 7,
+    "semantic_dedup_embeddings": 7,
+    "quantile_exact_quantity": 7,
+    "profile_customer": 7,
+    "rollup_pricing": 7,
+    "sessionize_events": 7,
+    "top_customers_revenue": 7,
+    "asof_click_error": 7,
+    "median_by_returnflag": 7,
+    "range_join_events": 7,
+    "rolling_daily_events": 7,
+    "pivot_returnflag_linestatus": 7,
+    "top3_customers_per_segment": 7,
+    "unpivot_pricing": 7,
+    "benford_acctbal": 7,
+    "drift_psi_quantity": 7,
+    "temporal_ordering_orders_lineitem": 4,
+    "fingerprint_docs": 4,
+    "text_tokens": 4,
+    "lang_id": 4,
+    "simhash_docs": 4,
+    "embedding_neardup_pairs": 4,
+    "stratified_sample_docs": 4,
+    "decontaminate_docs": 4,
+    "dedup_pipeline_docs": 4,
+    "doc_length_buckets": 4,
+    "containment_orderstatus": 4,
+    "date_range_orders": 4,
+    "approx_distinct_orderkey": None,
+    "text_quality": 5,
+    "repetition_docs": 5,
+    "source_mixing_docs": 5,
+    "split_counts_docs": 5,
+    "neardup_components": 5,
+    "simhash_near_pairs": 5,
+    "business_hours_events": 5,
+    "spearman_quantity_price": 5,
+    "numeric_histogram_quantity": 5,
+    "grouped_stats_mktsegment": 5,
+    "dsir_weights_docs": None,
+    "winnow_overlap_docs": None,
+    "script_profile_docs": None,
+    "decontamination_report_docs": None,
+    "tfidf_top_terms_docs": None,
+    "drift_w1_quantity": None,
+    "corr_matrix_lineitem": None,
+    "bigram_surprisal_docs": None,
+    "readability_docs": None,
+    "interval_join_events": None,
+    "jaccard_prefix_pairs_docs": None,
+    "ngram_novelty_docs": None,
+    "chunk_documents_docs": None,
+    "frequent_terms_docs": None,
+    "corpus_profile_by_lang": None,
+    "minhash_oph_candidates_docs": None,
+    "row_violations_docs": None,
+    "fd_custkey_orderstatus": None,
+    "shape_stats_quantity": None,
+    "dataset_diff_orders": None,
+    "embedding_centroid_drift": None,
+    "gopher_rules_docs": None,
+    "key_skew_custkey": None,
+}
+# END GENERATED ROTATION DATA
+
+
+def driver_window(size: int = DRIVER_WINDOW_SIZE) -> list:
+    """The ``size`` stalest oracle-backed queries: never-driver-proven
+    first, then oldest last-green round, alphabetical tie-break."""
+    eligible = [q for q in QUERIES if q not in NO_ORACLE]
+    return sorted(
+        eligible,
+        key=lambda q: (LAST_GREEN.get(q) is not None, LAST_GREEN.get(q) or 0, q),
+    )[:size]
+
+
+_WINDOW = driver_window()
+QUERIES = {k: QUERIES[k] for k in _WINDOW} | {
+    k: v for k, v in QUERIES.items() if k not in _WINDOW}

@@ -855,6 +855,40 @@ def test_winnow_stop_fingerprint_cap_bounds_join(spark):
     assert all(a >= 100 for a, _ in ids), ids  # boilerplate pairs gone
 
 
+def test_winnow_default_cap_is_finite_and_none_opts_out(spark):
+    """The UNCONFIGURED call is skew-safe (round-8 fix): max_fp_freq
+    defaults to 1000, so a fingerprint shared by >1000 docs (licence
+    headers, templates) is dropped before the Σfreq² self-join;
+    ``max_fp_freq=None`` is the explicit opt-out."""
+    from term_spark.operators.dedup import winnow_overlap_pairs
+    import hashlib
+    boiler = "all rights reserved redistribution permitted under licence"
+    # per-doc hex filler: no two docs share any 8-gram outside the
+    # boilerplate, so surviving pairs can only ride boiler fingerprints
+    rows = [(i, f"{boiler} {hashlib.md5(str(i).encode()).hexdigest()}")
+            for i in range(1100)]
+    rows += [(9000, "a very specific shared story about default winnow caps"),
+             (9001, "a very specific shared story about default winnow caps!")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    ids = {(r["id_a"], r["id_b"])
+           for r in winnow_overlap_pairs(df, min_common=2).collect()}
+    assert (9000, 9001) in ids                  # true near-dup survives
+    # The 29 boilerplate fingerprints sit in all 1100 docs (>1000) and
+    # are dropped by the DEFAULT cap: without it every one of the
+    # C(1100,2) = 604,450 doc pairs shares them all.  What survives is
+    # only the boiler->filler boundary grams (freq below the cap),
+    # <1% of the uncapped clique.
+    boiler_pairs = {p for p in ids if p[0] < 9000}
+    assert len(boiler_pairs) < 6000, len(boiler_pairs)
+
+    # None = explicit opt-out: on a small corpus the boilerplate pairs
+    # come back
+    small = spark.createDataFrame(rows[:30], "doc_id long, text string")
+    uncapped = {(r["id_a"], r["id_b"]) for r in winnow_overlap_pairs(
+        small, min_common=2, max_fp_freq=None).collect()}
+    assert len(uncapped) > 100                  # every boilerplate pair
+
+
 def test_script_profile_detects_scripts_and_mixed_text(spark):
     from term_spark.operators.text import script_profile
     df = spark.createDataFrame(

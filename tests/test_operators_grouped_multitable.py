@@ -428,6 +428,48 @@ def test_dataset_diff_counts_and_null_safety(spark):
         dataset_diff(left.select("k"), right.select("k"), "k")
 
 
+def test_dataset_diff_null_key_is_common_not_added_plus_removed(spark):
+    """The key join is NULL-SAFE (eqNullSafe, r7 fix): a key that is
+    NULL on both sides pairs up as ONE common row — identical or
+    changed by its compared columns — never as one added plus one
+    removed the way plain equality / SQL USING would count it."""
+    from term_spark.operators.multitable import dataset_diff
+
+    left = spark.createDataFrame(
+        [(None, "a", 1.0), (1, "b", 2.0)], "k long, s string, v double")
+
+    # NULL key, same compared tuple -> common + identical
+    right_same = spark.createDataFrame(
+        [(None, "a", 1.0), (1, "b", 2.0)], "k long, s string, v double")
+    row = dataset_diff(left, right_same, "k").collect()[0]
+    assert row["n_common"] == 2 and row["n_added"] == 0 == row["n_removed"]
+    assert row["n_identical"] == 2 and row["n_changed"] == 0
+
+    # NULL key, different compared tuple -> common + changed
+    right_diff = spark.createDataFrame(
+        [(None, "a", 9.0), (1, "b", 2.0)], "k long, s string, v double")
+    row = dataset_diff(left, right_diff, "k").collect()[0]
+    assert row["n_common"] == 2 and row["n_added"] == 0 == row["n_removed"]
+    assert row["n_changed"] == 1 and row["n_identical"] == 1
+
+    # NULL key on one side only -> added/removed as usual
+    row = dataset_diff(
+        left, spark.createDataFrame([(1, "b", 2.0)],
+                                    "k long, s string, v double"),
+        "k").collect()[0]
+    assert row["n_removed"] == 1 and row["n_added"] == 0
+    assert row["n_common"] == 1
+
+    # composite keys: NULL in one component still pairs null-safely
+    l2 = spark.createDataFrame(
+        [(1, None, "x"), (1, 2, "y")], "a long, b long, s string")
+    r2 = spark.createDataFrame(
+        [(1, None, "x2"), (1, 2, "y")], "a long, b long, s string")
+    row = dataset_diff(l2, r2, ["a", "b"]).collect()[0]
+    assert row["n_common"] == 2 and row["n_added"] == 0 == row["n_removed"]
+    assert row["n_changed"] == 1 and row["n_identical"] == 1
+
+
 def test_has_low_churn_gate(spark):
     import pyspark.sql.functions as F
     from term_spark import Check, Level, ValidationSuite

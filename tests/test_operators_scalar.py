@@ -377,3 +377,25 @@ def test_custom_aggregate_rides_fused_agg(spark, tpch):
     with pytest.raises(SecurityError):
         Check("c", Level.ERROR).has_custom_aggregate(
             "1; DROP TABLE x", Assertion.gt(0))
+
+
+def test_custom_aggregate_row_expression_is_one_error_outcome(spark, tpch):
+    """A screened-but-NON-AGGREGATE expression must yield ONE error
+    outcome for its own constraint — not abort the suite's shared fused
+    aggregation and take every co-scheduled constraint down with it
+    (ADVICE r6/r7: the eager limit(0) analysis probe in
+    CustomAggregateConstraint.scalar_metrics)."""
+    from term_spark import Assertion, Check, Level, ValidationSuite
+    from term_spark.core.result import Status
+
+    suite = (ValidationSuite.builder("custom")
+             .with_check(Check("c", Level.ERROR)
+                         .is_complete("l_quantity")
+                         .has_custom_aggregate("l_quantity + 1",
+                                               Assertion.gt(0))))
+    res = suite.run(spark, tpch["lineitem"])
+    by_name = {o.result.name: o.result.status for o in res.report.outcomes}
+    assert by_name["custom_aggregate"] is Status.ERROR
+    # the fused job survived: the sibling constraint still evaluated
+    assert by_name["completeness"] is Status.SUCCESS
+    assert not res.passed

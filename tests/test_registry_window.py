@@ -1,111 +1,119 @@
 """Registry-ordering invariants for the driver's correctness gate.
 
 The driver checks only the FIRST 50 entries of ``queries()`` against the
-DuckDB oracles.  Round 4 shipped 12 operator families outside that window
-(local parity only); round 5 added ten new families that landed at
-registry positions 50-59 (again outside).  Round 6 institutes a
-ROTATION POLICY, which this test pins:
+DuckDB oracles.  Round 8 replaced the hand-picked window with a
+DATA-DRIVEN rotation (term_spark/queries.py, generated block maintained
+by scripts/update_rotation.py):
 
-* a query with TWO consecutive green driver rows (r04+r05 in
-  CORRECTNESS_r0{4,5}.json) whose family keeps another in-window
-  representative rotates to the tail;
-* its freed slot goes to a family that has never had a driver row;
-* every family retains at least one driver-green row in the rolling
-  r04–r06 record (either it stays in-window, or it rotated out with a
-  double-green history AND a same-family query remains in-window).
+* ``LAST_GREEN`` records, per query, the newest round whose
+  CORRECTNESS_r{N}.json holds a green rows+schema+hash driver row;
+* the window is the 50 STALEST oracle-backed queries (never-proven
+  first, then oldest green, alphabetical tie-break) — so with ~95
+  eligible queries every query re-proves at least every 2 rounds and no
+  operator family's newest driver-green row can age past 3 rounds;
+* ``NO_ORACLE`` queries (rows-only by design) never take a window slot.
 
-Extend ``FAMILY_REPRESENTATIVES`` when a new family lands; demote only
-double-green queries when the registry outgrows the window.
+These tests pin (a) the window really is the computed one, (b) the
+recorded history matches the committed artifacts, and (c) the freshness
+bound holds for every family.
 """
 
-from term_spark.queries import ORACLES, QUERIES
+import glob
+import json
+import os
+import re
 
-WINDOW = 50
+from term_spark.queries import (CURRENT_ROUND, DRIVER_WINDOW_SIZE, FAMILY,
+                                LAST_GREEN, NO_ORACLE, ORACLES, QUERIES,
+                                driver_window)
 
-# One representative query per operator family that MUST sit inside the
-# driver's correctness window.  Extend this list when a new family lands.
-FAMILY_REPRESENTATIVES = {
-    # core analyzers
-    "size_lineitem", "completeness_customer", "stats_quantity",
-    "distinctness_orders", "unique_value_ratio_custkey",
-    "compliance_discount", "format_orderpriority", "length_customer_name",
-    "datatype_detection", "histogram_returnflag", "entropy_returnflag",
-    "grouped_completeness_events", "mutual_information_lineitem",
-    "corr_quantity_price", "quantile_exact_quantity", "profile_customer",
-    # multi-table
-    "fk_orders_customer", "join_coverage_lineitem_orders",
-    "cross_table_sum_orders_lineitem",
-    # temporal / windows / reshape
-    "max_time_gap_events", "sessionize_events",
-    "asof_click_error", "range_join_events", "rolling_daily_events",
-    "top_customers_revenue", "top3_customers_per_segment",
-    "pivot_returnflag_linestatus", "unpivot_pricing", "rollup_pricing",
-    "median_by_returnflag", "pricing_summary",
-    # drift / distribution (round-5 drift companions promoted round 6)
-    "benford_acctbal", "drift_psi_quantity", "drift_ks_quantity",
-    "drift_chi2_returnflag", "drift_js_quantity", "drift_psi_by_returnflag",
-    # robust outliers / snapshot gates (round-5, promoted round 6)
-    "outlier_mad_acctbal", "dominant_value_orderstatus",
-    # LLM data pipeline
-    "dedup_exact_docs", "ngram_jaccard_pairs", "minhash_lsh_candidates",
-    "cosine_topk_embeddings", "semantic_dedup_embeddings",
-    "line_dedup_summary_docs", "packing_stats_docs",
-    # round-5 curation/text stages promoted round 6
-    "token_budget_sample_docs", "text_cleaning_docs", "quality_model_docs",
-    "unigram_surprisal_docs",
-}
-
-# Rotated out in round 6 under the double-green policy: each had green
-# rows in BOTH CORRECTNESS_r04 and r05, and each family keeps an
-# in-window representative (or gained round-5 members that are now in).
-ROTATED_OUT_R6 = {
-    "text_quality", "repetition_docs", "source_mixing_docs",
-    "split_counts_docs", "neardup_components", "simhash_near_pairs",
-    "business_hours_events", "spearman_quantity_price",
-    "numeric_histogram_quantity", "grouped_stats_mktsegment",
-}
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def test_every_family_inside_driver_window():
-    window = set(list(QUERIES)[:WINDOW])
-    missing = FAMILY_REPRESENTATIVES - window
-    assert not missing, f"operator families outside driver window: {sorted(missing)}"
+def test_window_is_the_computed_rotation():
+    assert list(QUERIES)[:DRIVER_WINDOW_SIZE] == driver_window()
 
 
-def test_round5_families_promoted():
-    # The ten round-5 families that had no driver row through r05 must
-    # now be inside the window (VERDICT r05 next-round item #2).
-    window = set(list(QUERIES)[:WINDOW])
-    promoted = {
-        "drift_ks_quantity", "drift_chi2_returnflag", "drift_js_quantity",
-        "drift_psi_by_returnflag", "token_budget_sample_docs",
-        "text_cleaning_docs", "outlier_mad_acctbal",
-        "dominant_value_orderstatus", "quality_model_docs",
-        "unigram_surprisal_docs",
-    }
-    assert promoted <= window, f"missing: {sorted(promoted - window)}"
+def test_rotation_data_covers_registry():
+    assert set(LAST_GREEN) == set(QUERIES)
+    assert set(FAMILY) == set(QUERIES)
 
 
-def test_rotated_out_queries_left_the_window():
-    window = set(list(QUERIES)[:WINDOW])
-    still_in = ROTATED_OUT_R6 & window
-    assert not still_in, f"rotated-out queries still in window: {sorted(still_in)}"
+def test_last_green_matches_committed_artifacts():
+    """LAST_GREEN must equal what the CORRECTNESS artifacts of rounds
+    BEFORE CURRENT_ROUND actually recorded — the r{N} rotation is a
+    mechanical regeneration, not an editorial choice.  Artifacts from
+    CURRENT_ROUND onward (the driver writes this round's mid-round) are
+    ignored; skipped entirely outside the build checkout."""
+    paths = sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")))
+    if not paths:
+        import pytest
+        pytest.skip("no CORRECTNESS artifacts in this checkout")
+    expected = {}
+    newest = 0
+    for path in paths:
+        rnd = int(re.search(r"CORRECTNESS_r(\d+)\.json$", path).group(1))
+        if rnd >= CURRENT_ROUND:
+            continue
+        newest = max(newest, rnd)
+        with open(path) as fh:
+            data = json.load(fh)
+        for name, row in data.items():
+            if not isinstance(row, dict) or name not in QUERIES:
+                continue
+            if (row.get("rows_match") and row.get("schema_match")
+                    and row.get("hash_match") in (True, None)):
+                expected[name] = max(rnd, expected.get(name) or 0)
+    assert CURRENT_ROUND == newest + 1, (
+        f"CURRENT_ROUND={CURRENT_ROUND} but newest prior artifact is "
+        f"r{newest:02d} — run scripts/update_rotation.py --apply")
+    mismatch = {q: (LAST_GREEN[q], expected.get(q)) for q in QUERIES
+                if LAST_GREEN[q] != expected.get(q)}
+    assert not mismatch, (
+        f"LAST_GREEN stale — run scripts/update_rotation.py --apply: {mismatch}")
+
+
+def test_never_proven_queries_get_priority():
+    window = set(list(QUERIES)[:DRIVER_WINDOW_SIZE])
+    never = {q for q in QUERIES
+             if LAST_GREEN[q] is None and q not in NO_ORACLE}
+    outside = never - window
+    assert len(never) > DRIVER_WINDOW_SIZE or not outside, (
+        f"never-driver-proven queries left outside the window: {sorted(outside)}")
+
+
+def test_no_family_older_than_three_rounds():
+    """After this round's driver run, every family's newest green row is
+    at most 3 rounds old: either a member is in-window (proven this
+    round) or a member went green within the last two rounds."""
+    window = set(list(QUERIES)[:DRIVER_WINDOW_SIZE])
+    stale = {}
+    for fam in set(FAMILY.values()):
+        members = [q for q in QUERIES if FAMILY[q] == fam]
+        if all(q in NO_ORACLE for q in members):
+            continue  # rows-only by design — driver-ineligible
+        newest = max((LAST_GREEN[q] or 0) for q in members)
+        if members and any(q in window for q in members):
+            newest = CURRENT_ROUND
+        if newest < CURRENT_ROUND - 2:
+            stale[fam] = newest
+    assert not stale, f"families aging out of the driver record: {stale}"
 
 
 def test_window_is_fully_oracle_backed():
     # Every in-window query must have a DuckDB oracle so the driver records
     # a full rows+schema+hash row (not a weaker rows-only check).
-    window = list(QUERIES)[:WINDOW]
+    window = list(QUERIES)[:DRIVER_WINDOW_SIZE]
     unbacked = [k for k in window if k not in ORACLES]
     assert not unbacked, f"in-window queries without oracles: {unbacked}"
 
 
 def test_tail_queries_still_registered():
     # Demoted ≠ dropped: tail variants stay runnable and oracle-backed
-    # (except approx_distinct_orderkey, rows-only by design).
-    tail = list(QUERIES)[WINDOW:]
-    assert len(QUERIES) >= 70
+    # (except the NO_ORACLE set, rows-only by design).
+    tail = list(QUERIES)[DRIVER_WINDOW_SIZE:]
+    assert len(QUERIES) >= 90
     for k in tail:
         assert callable(QUERIES[k])
-        if k != "approx_distinct_orderkey":
+        if k not in NO_ORACLE:
             assert k in ORACLES, k
