@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-entry(spark)  — flagship: run a 37-constraint validation suite over the
+entry(spark)  — flagship: run a 39-constraint validation suite over the
 sf0.001 tables as ONE fused aggregation job per table (the engine's
-scan-sharing design center) — including the corpus PII release gate
-and a PSI drift check against a reference snapshot — and return the
-outcome report as a DataFrame.
+scan-sharing design center) — including the corpus PII + Gopher-bundle
+release gates, a PSI drift check against a reference snapshot, and the
+join-skew pre-flight on the orders fact key — and return the outcome
+report as a DataFrame.
 
 queries() / oracle_sql() — one entry per implemented operator family
 from SURVEY.md §2; definitions live in term_spark/queries.py.
@@ -56,7 +57,10 @@ def entry(spark: SparkSession) -> DataFrame:
             .is_complete("o_orderkey")
             .validates_distinctness("o_custkey", Assertion.gt(0.0))
             .is_contained_in("o_orderstatus", ["O", "F", "P"])
-            .within_date_range("o_orderdate", "1990-01-01", "2005-12-31"))
+            .within_date_range("o_orderdate", "1990-01-01", "2005-12-31")
+            # join-skew pre-flight: no customer owns >5% of orders —
+            # the straggler gate BEFORE o_custkey reaches a shuffle
+            .has_balanced_keys("o_custkey"))
         .with_check(
             Check("referential", Level.ERROR)
             .foreign_key("orders", "o_custkey", "customer", "c_custkey")
@@ -74,6 +78,7 @@ def entry(spark: SparkSession) -> DataFrame:
             Check("corpus_release", Level.ERROR, table="documents")
             .has_no_pii("text")
             .has_readable_text("text", min_ratio=0.5)
+            .passes_gopher_rules("text", min_pass_ratio=0.3)
             .is_complete("doc_id"))
         .with_check(
             Check("drift", Level.ERROR)

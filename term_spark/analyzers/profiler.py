@@ -43,6 +43,10 @@ class ColumnProfile:
     mean: Optional[float] = None
     stddev: Optional[float] = None
     quantiles: Optional[Dict[str, float]] = None  # p25/p50/p75
+    # string columns only, from the pass-1b sample: prose-detection
+    # signals for the text-gate suggestion rules (round 8)
+    avg_length: Optional[float] = None
+    avg_tokens: Optional[float] = None
 
 
 @dataclass
@@ -90,6 +94,11 @@ class ColumnProfiler:
                 t, conf = infer_column_type(values)
                 profile.columns[c].inferred_type = t
                 profile.columns[c].inferred_confidence = conf
+                if values:
+                    profile.columns[c].avg_length = round(
+                        sum(len(v) for v in values) / len(values), 2)
+                    profile.columns[c].avg_tokens = round(
+                        sum(len(v.split()) for v in values) / len(values), 2)
 
         # ---- pass 2: exact histograms for low-cardinality columns ----
         for c in cols:

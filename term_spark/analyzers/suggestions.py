@@ -7,6 +7,7 @@ suggested constraints with confidence + rationale. Pure Python.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 from typing import List, Optional
 
@@ -173,9 +174,123 @@ class RobustOutlierRule(SuggestionRule):
                            "loose MAD fence flags gross corruption only")]
 
 
+def _looks_like_prose(p: ColumnProfile, min_tokens: float = 20.0) -> bool:
+    """Free-text detection from the profile: a string column whose
+    sampled values average ≥ ``min_tokens`` whitespace tokens and whose
+    sampled-type inference says "text" (not numeric/date/categorical).
+    Short identifier-ish strings (names, codes, addresses) miss the
+    token bar; low-cardinality enums miss the inference."""
+    return (p.spark_type == "string"
+            and p.inferred_type == "text"
+            and not p.is_low_cardinality
+            and (p.avg_tokens or 0.0) >= min_tokens)
+
+
+class ReadableTextRule(SuggestionRule):
+    """Round-8 rule: document-shaped string columns get a loose
+    has_readable_text gate — most docs must score a plausible Flesch
+    ease, screening mojibake/garbage floods without pinning style.
+    The 0.5 ratio is deliberately 'gross corruption only', the text
+    sibling of RobustOutlierRule's loose MAD fence."""
+
+    name = "readable_text"
+
+    def evaluate(self, p, table):
+        if not _looks_like_prose(p):
+            return []
+        return [Suggestion(p.column, "has_readable_text",
+                           {"column": p.column, "min_ratio": 0.5},
+                           0.7,
+                           f"prose-like column (~{p.avg_tokens:.0f} tokens/"
+                           "value sampled); loose readability floor flags "
+                           "an encoding/garbage flood")]
+
+
+class GopherQualityRule(SuggestionRule):
+    """Round-8 rule: document-shaped string columns get a loose
+    passes_gopher_rules gate (pretraining filter bundle) — a corpus
+    where under 30% of docs clear the canonical word-count/symbol/
+    bullet screens has a pipeline problem, whatever its domain."""
+
+    name = "gopher_quality"
+
+    def evaluate(self, p, table):
+        if not _looks_like_prose(p):
+            return []
+        return [Suggestion(p.column, "passes_gopher_rules",
+                           {"column": p.column, "min_pass_ratio": 0.3},
+                           0.7,
+                           f"prose-like column (~{p.avg_tokens:.0f} tokens/"
+                           "value sampled); loose Gopher-bundle floor "
+                           "catches boilerplate/fragment floods")]
+
+
+class BalancedKeysRule(SuggestionRule):
+    """Round-8 rule: a key-named high-cardinality column that is NOT
+    unique (the foreign-key side of a join) gets a has_balanced_keys
+    skew gate at the default 5% cap — the profile-derived pre-flight
+    for the straggler that only shows up at shuffle time.  Unique
+    columns are skipped (UniquenessRule pins them as primary keys;
+    their max share is 1/n by construction)."""
+
+    name = "balanced_keys"
+
+    # suffix match: l_orderkey, o_custkey, doc_id, user_ids ...
+    _KEY_NAME = re.compile(r"(?:id|key)s?$", re.IGNORECASE)
+
+    def evaluate(self, p, table):
+        if (table.num_rows == 0 or p.non_null == 0
+                or p.is_low_cardinality
+                or not self._KEY_NAME.search(p.column)):
+            return []
+        distinct_ratio = p.approx_distinct / table.num_rows
+        if distinct_ratio >= 0.9:      # unique — primary-key territory
+            return []
+        return [Suggestion(p.column, "has_balanced_keys",
+                           {"key_cols": [p.column]}, 0.7,
+                           f"key-named column with ~{p.approx_distinct} "
+                           f"distinct of {table.num_rows} rows — join-skew "
+                           "gate before this key reaches a 100 TB shuffle")]
+
+
+class LowContaminationRule(SuggestionRule):
+    """Round-8 rule, opt-in: given an eval/benchmark table, suggest a
+    has_low_contamination release gate on every document-shaped
+    column.  NOT in DEFAULT_RULES — the eval set cannot be derived
+    from a profile; construct the rule with it and append:
+    ``SuggestionEngine(DEFAULT_RULES + [LowContaminationRule(eval_df)])``.
+    """
+
+    name = "low_contamination"
+
+    def __init__(self, eval_df, id_col: str = "doc_id", k: int = 8,
+                 per_doc_threshold: float = 0.1,
+                 max_doc_ratio: float = 0.0):
+        self.eval_df = eval_df
+        self.id_col = id_col
+        self.k = k
+        self.per_doc_threshold = per_doc_threshold
+        self.max_doc_ratio = max_doc_ratio
+
+    def evaluate(self, p, table):
+        if not _looks_like_prose(p):
+            return []
+        return [Suggestion(p.column, "has_low_contamination",
+                           {"eval_df": self.eval_df, "text_col": p.column,
+                            "id_col": self.id_col, "k": self.k,
+                            "per_doc_threshold": self.per_doc_threshold,
+                            "max_doc_ratio": self.max_doc_ratio},
+                           0.8,
+                           "an eval set was provided; no training doc "
+                           f"may overlap it above {self.per_doc_threshold:,g}"
+                           " k-gram share")]
+
+
 DEFAULT_RULES = [CompletenessRule(), UniquenessRule(), ContainmentRule(),
                  ValueRangeRule(), TypeConsistencyRule(),
-                 DominantValueRule(), RobustOutlierRule()]
+                 DominantValueRule(), RobustOutlierRule(),
+                 ReadableTextRule(), GopherQualityRule(),
+                 BalancedKeysRule()]
 
 
 class SuggestionEngine:

@@ -306,6 +306,20 @@ class Check:
         return self.with_constraint(ReadabilityConstraint(
             column, min_ease, max_ease, min_ratio))
 
+    def passes_gopher_rules(self, column: str = "text",
+                            min_pass_ratio: float = 0.5,
+                            **rule_overrides) -> "Check":
+        """Gopher pretraining-filter gate (Rae et al. 2021 bundle:
+        word-count band, mean-word-length band, symbol/bullet/ellipsis
+        ratios, alphabetic-word ratio): the share of documents passing
+        the rule conjunction must be at least ``min_pass_ratio``.
+        Rides the fused aggregation (two count expressions, no extra
+        scan); thresholds tunable via ``rule_overrides``
+        (see text.GOPHER_DEFAULTS)."""
+        from ..operators.text import GopherQualityConstraint
+        return self.with_constraint(GopherQualityConstraint(
+            column, min_pass_ratio, **rule_overrides))
+
     def has_low_wasserstein_drift(self, ref_df, column: str,
                                   max_w1_norm: float = 0.05,
                                   bins: int = 10, lo=None, hi=None) -> "Check":

@@ -7,16 +7,22 @@ frame-sample run as pandas-batch functions so the Python boundary is
 Arrow-vectorized, one batch at a time, memory-bounded by
 ``spark.sql.execution.arrow.maxRecordsPerBatch``.
 
-The actual codec calls are STUBBED (no image/audio libs in this
-container): ``decoder=`` defaults to a deterministic fake that derives
-"pixels" from the payload bytes, keeping schema, batching, partitioning
-and UDF signatures real and testable. Swap ``decoder`` for a Pillow/
-ffmpeg-backed callable in production.
+Codec surface (round 8): HEADER decoding is REAL and stdlib-only —
+``parse_image_header`` reads PNG IHDR, JPEG SOF and GIF logical-screen
+headers with ``struct`` (no imaging libs needed), and ``probe_media``
+runs it Arrow-batched over the payload column to validate claimed
+metadata against the actual bytes.  Only PIXEL work stays injectable:
+``extract_features``'s default feature is a deterministic md5 fake and
+``resize_images`` requires a ``resizer=`` callable (a real resample
+genuinely needs Pillow/ffmpeg, absent in this container) — schema,
+batching, partitioning and UDF signatures are real and tested either
+way.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from typing import Callable, Iterator, Optional
 
 import pyspark.sql.functions as F
@@ -41,6 +47,111 @@ FEATURE_SCHEMA = StructType([
     StructField("sha", StringType()),
     StructField("feature", ArrayType(DoubleType())),
 ])
+
+
+def parse_image_header(payload) -> Optional[dict]:
+    """Decode image container headers with the stdlib only: PNG (IHDR),
+    JPEG (first SOFn frame header, skipping APPn/DQT/DHT segments and
+    stand-alone markers) and GIF (logical screen descriptor).
+
+    Returns ``{"mime", "width", "height", "depth"}`` or None when the
+    payload matches no known signature.  A truncated-but-recognized
+    payload returns its mime with NULL dimensions rather than raising —
+    at corpus scale corrupt bytes are data to report, not exceptions.
+    """
+    if not payload:
+        return None
+    b = bytes(payload)
+    if b[:8] == b"\x89PNG\r\n\x1a\n":
+        if len(b) >= 26 and b[12:16] == b"IHDR":
+            w, h = struct.unpack(">II", b[16:24])
+            return {"mime": "image/png", "width": w, "height": h,
+                    "depth": int(b[24])}
+        return {"mime": "image/png", "width": None, "height": None,
+                "depth": None}
+    if b[:2] == b"\xff\xd8":  # JPEG SOI
+        i = 2
+        while i + 4 <= len(b):
+            if b[i] != 0xFF:
+                break
+            marker = b[i + 1]
+            if marker == 0xFF:          # fill byte
+                i += 1
+                continue
+            if marker in (0x01,) or 0xD0 <= marker <= 0xD9:
+                i += 2                  # stand-alone marker, no segment
+                continue
+            seg_len = struct.unpack(">H", b[i + 2:i + 4])[0]
+            # SOF0..SOF15 carry the frame header; C4/C8/CC are
+            # DHT/JPG/DAC, not frame headers
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                if i + 9 <= len(b):
+                    h, w = struct.unpack(">HH", b[i + 5:i + 9])
+                    return {"mime": "image/jpeg", "width": w, "height": h,
+                            "depth": int(b[i + 4])}
+                break
+            i += 2 + seg_len
+        return {"mime": "image/jpeg", "width": None, "height": None,
+                "depth": None}
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        if len(b) >= 10:
+            w, h = struct.unpack("<HH", b[6:10])
+            return {"mime": "image/gif", "width": w, "height": h,
+                    "depth": None}
+        return {"mime": "image/gif", "width": None, "height": None,
+                "depth": None}
+    return None
+
+
+PROBE_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("kind", StringType()),
+    StructField("mime", StringType()),           # claimed
+    StructField("detected_mime", StringType()),  # from the bytes
+    StructField("detected_width", LongType()),
+    StructField("detected_height", LongType()),
+    StructField("bit_depth", LongType()),
+    StructField("n_bytes", LongType()),
+    # "ok" (parsed, dims present) | "truncated" (signature matched,
+    # header incomplete) | "unknown" (no recognized signature) |
+    # "empty" (NULL / zero-byte payload)
+    StructField("header_ok", StringType()),
+])
+
+
+def probe_media(df: DataFrame) -> DataFrame:
+    """Validate claimed media metadata against the actual payload bytes
+    — the corpus-scale "is this column really images?" report.
+    Arrow-batched ``mapInPandas``; header parse touches only the first
+    few hundred bytes of each payload, so the batch cost is bounded by
+    payload I/O, not pixels."""
+
+    def status_of(payload, hdr):
+        if payload is None or len(payload) == 0:
+            return "empty"
+        if hdr is None:
+            return "unknown"
+        return "truncated" if hdr["width"] is None else "ok"
+
+    def process(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:
+        import pandas as pd
+        for pdf in batches:
+            hdrs = pdf["payload"].map(parse_image_header)
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "mime": pdf["mime"],
+                "detected_mime": hdrs.map(lambda h: h["mime"] if h else None),
+                "detected_width": hdrs.map(lambda h: h["width"] if h else None),
+                "detected_height": hdrs.map(lambda h: h["height"] if h else None),
+                "bit_depth": hdrs.map(lambda h: h["depth"] if h else None),
+                "n_bytes": pdf["payload"].map(
+                    lambda p: len(p) if p is not None else 0),
+                "header_ok": [status_of(p, h) for p, h in
+                              zip(pdf["payload"], hdrs)],
+            })
+
+    return df.mapInPandas(process, PROBE_SCHEMA)
 
 
 def fake_decode(payload: bytes, dim: int = 8):
@@ -83,8 +194,11 @@ def extract_features(df: DataFrame, decoder: Optional[Callable] = None,
 def resize_images(df: DataFrame, width: int, height: int,
                   resizer: Optional[Callable] = None) -> DataFrame:
     """Image resize plumbing; the real pixel work is the ``resizer``
-    callable (bytes, w, h) -> bytes. STUB default raises
-    NotImplementedError per the build brief (no imaging libs here)."""
+    callable (bytes, w, h) -> bytes.  Pixel resampling is the one
+    remaining injectable (it genuinely needs Pillow/ffmpeg, absent in
+    this container) — header decode is real, see ``probe_media``.  The
+    default raises NotImplementedError so a missing resizer fails loud,
+    not with silently-unresized payloads."""
     if resizer is None:
         def resizer(payload, w, h):  # pragma: no cover - stub
             raise NotImplementedError(

@@ -904,6 +904,77 @@ GOPHER_DEFAULTS = dict(
 )
 
 
+def _gopher_params(overrides) -> dict:
+    p = dict(GOPHER_DEFAULTS)
+    unknown = set(overrides) - set(p)
+    if unknown:
+        raise ValueError(f"unknown gopher rule params: {sorted(unknown)}")
+    p.update(overrides)
+    return p
+
+
+def _gopher_metric_exprs(text_col: str) -> dict:
+    """The six per-doc Gopher metrics as (name -> rounded codegen
+    Column) over the raw text column — shared by the per-doc flags
+    projection and the suite gate's fused-agg expressions."""
+    col = F.coalesce(F.col(text_col), F.lit(""))
+    words = F.when(F.trim(col) == "", F.array().cast("array<string>")) \
+             .otherwise(F.split(F.trim(col), r"\s+"))
+    nw = F.size(words)
+    nw_safe = F.greatest(nw, F.lit(1))
+    mean_wl = (F.aggregate(words, F.lit(0), lambda a, w: a + F.length(w))
+               / nw_safe)
+    n_symbols = (F.length(F.regexp_replace(col, "[^#…]", ""))
+                 + F.regexp_count(col, F.lit(r"\.\.\.")))
+    lines = F.split(col, "\n", -1)
+    nl_safe = F.greatest(F.size(lines), F.lit(1))
+    bullet = F.size(F.filter(
+        lines, lambda ln: F.trim(ln).rlike(r"^[-*•]")))
+    ellip = F.size(F.filter(
+        lines, lambda ln: F.rtrim(ln).rlike(r"(\.\.\.|…)$")))
+    alpha = F.size(F.filter(words, lambda w: w.rlike(r"\p{L}")))
+    return {
+        "n_words": nw.cast("bigint"),
+        "mean_word_len": F.round(mean_wl, 6),
+        "symbol_word_ratio": F.round(n_symbols / nw_safe, 6),
+        "bullet_line_ratio": F.round(bullet / nl_safe, 6),
+        "ellipsis_line_ratio": F.round(ellip / nl_safe, 6),
+        "alpha_word_ratio": F.round(alpha / nw_safe, 6),
+    }
+
+
+def _gopher_rule_conds(m, p) -> dict:
+    """rule name -> boolean Column, over a metric mapping ``m`` (either
+    the raw expressions or ``F.col`` references to projected ones)."""
+    return {
+        "r_word_count": (m["n_words"] >= p["min_words"])
+                        & (m["n_words"] <= p["max_words"]),
+        "r_mean_word_len": m["mean_word_len"]
+                            .between(p["min_mean_word_len"],
+                                     p["max_mean_word_len"]),
+        "r_symbol_ratio": m["symbol_word_ratio"]
+                          <= p["max_symbol_word_ratio"],
+        "r_bullet_lines": m["bullet_line_ratio"]
+                          <= p["max_bullet_line_ratio"],
+        "r_ellipsis_lines": m["ellipsis_line_ratio"]
+                            <= p["max_ellipsis_line_ratio"],
+        "r_alpha_words": m["alpha_word_ratio"]
+                         >= p["min_alpha_word_ratio"],
+    }
+
+
+def gopher_passes_col(text_col: str = "text", **overrides) -> "F.Column":
+    """The Gopher rule conjunction as ONE boolean codegen Column over
+    the raw text — lets the suite gate ride the shared fused
+    aggregation as a pair of conditional counts."""
+    conds = _gopher_rule_conds(_gopher_metric_exprs(text_col),
+                               _gopher_params(overrides))
+    passes = None
+    for cond in conds.values():
+        passes = cond if passes is None else passes & cond
+    return passes
+
+
 def gopher_quality_flags(df, text_col: str = "text",
                          id_col: str = "doc_id", **overrides):
     """Gopher-style document quality rules as one map-only projection:
@@ -922,53 +993,60 @@ def gopher_quality_flags(df, text_col: str = "text",
     ``passes`` — absence is a reject, matching the reference
     pipelines.  Ratios are rounded 6 for engine parity.
     """
-    p = dict(GOPHER_DEFAULTS)
-    unknown = set(overrides) - set(p)
-    if unknown:
-        raise ValueError(f"unknown gopher rule params: {sorted(unknown)}")
-    p.update(overrides)
-    col = F.coalesce(F.col(text_col), F.lit(""))
-    words = F.when(F.trim(col) == "", F.array().cast("array<string>")) \
-             .otherwise(F.split(F.trim(col), r"\s+"))
-    nw = F.size(words)
-    nw_safe = F.greatest(nw, F.lit(1))
-    mean_wl = (F.aggregate(words, F.lit(0), lambda a, w: a + F.length(w))
-               / nw_safe)
-    n_symbols = (F.length(F.regexp_replace(col, "[^#…]", ""))
-                 + F.regexp_count(col, F.lit(r"\.\.\.")))
-    lines = F.split(col, "\n", -1)
-    nl_safe = F.greatest(F.size(lines), F.lit(1))
-    bullet = F.size(F.filter(
-        lines, lambda ln: F.trim(ln).rlike(r"^[-*•]")))
-    ellip = F.size(F.filter(
-        lines, lambda ln: F.rtrim(ln).rlike(r"(\.\.\.|…)$")))
-    alpha = F.size(F.filter(words, lambda w: w.rlike(r"\p{L}")))
-    out = (df.select(
-        F.col(id_col).alias("id"),
-        nw.cast("bigint").alias("n_words"),
-        F.round(mean_wl, 6).alias("mean_word_len"),
-        F.round(n_symbols / nw_safe, 6).alias("symbol_word_ratio"),
-        F.round(bullet / nl_safe, 6).alias("bullet_line_ratio"),
-        F.round(ellip / nl_safe, 6).alias("ellipsis_line_ratio"),
-        F.round(alpha / nw_safe, 6).alias("alpha_word_ratio")))
-    rules = {
-        "r_word_count": (F.col("n_words") >= p["min_words"])
-                        & (F.col("n_words") <= p["max_words"]),
-        "r_mean_word_len": F.col("mean_word_len")
-                            .between(p["min_mean_word_len"],
-                                     p["max_mean_word_len"]),
-        "r_symbol_ratio": F.col("symbol_word_ratio")
-                          <= p["max_symbol_word_ratio"],
-        "r_bullet_lines": F.col("bullet_line_ratio")
-                          <= p["max_bullet_line_ratio"],
-        "r_ellipsis_lines": F.col("ellipsis_line_ratio")
-                            <= p["max_ellipsis_line_ratio"],
-        "r_alpha_words": F.col("alpha_word_ratio")
-                         >= p["min_alpha_word_ratio"],
-    }
+    p = _gopher_params(overrides)
+    metrics = _gopher_metric_exprs(text_col)
+    out = df.select(F.col(id_col).alias("id"),
+                    *[c.alias(name) for name, c in metrics.items()])
+    rules = _gopher_rule_conds({name: F.col(name) for name in metrics}, p)
     for name, cond in rules.items():
         out = out.withColumn(name, cond)
     passes = None
     for name in rules:
         passes = F.col(name) if passes is None else passes & F.col(name)
     return out.withColumn("passes", passes)
+
+
+class GopherQualityConstraint(_Constraint):
+    """``passes_gopher_rules``: the share of documents passing the
+    Gopher rule conjunction must be at least ``min_pass_ratio``.
+    Denominator is ALL rows — NULL/blank text fails the word-count
+    rule, matching ``gopher_quality_flags``.  Rides the suite's shared
+    fused aggregation as two count expressions — no extra scan.
+    """
+
+    name = "gopher_quality"
+
+    def __init__(self, column: str = "text", min_pass_ratio: float = 0.5,
+                 **overrides):
+        from ..core.constraint import metric_alias
+        from ..functions.security import validate_identifier
+        if not 0.0 <= min_pass_ratio <= 1.0:
+            raise ValueError(
+                f"min_pass_ratio must be in [0,1], got {min_pass_ratio}")
+        self.column = validate_identifier(column)
+        self.min_pass_ratio = float(min_pass_ratio)
+        self.overrides = _gopher_params(overrides)  # validate keys now
+        self._rows = metric_alias("gopher_rows", column)
+        self._ok = metric_alias("gopher_ok", column,
+                                *sorted(self.overrides.items()))
+
+    def scalar_metrics(self, df):
+        passes = gopher_passes_col(self.column, **self.overrides)
+        return {self._rows: F.count(F.lit(1)),
+                self._ok: F.count(F.when(passes, 1))}
+
+    def result_from_metrics(self, metrics):
+        from ..core.result import ConstraintResult
+        rows = int(metrics[self._rows])
+        if rows == 0:
+            return self._finish(ConstraintResult.skipped(
+                f"gopher_quality({self.column}): empty table"))
+        ok = int(metrics[self._ok])
+        ratio = ok / rows
+        if ratio >= self.min_pass_ratio:
+            return self._finish(ConstraintResult.success(ratio))
+        return self._finish(ConstraintResult.failure(
+            ratio,
+            f"gopher_quality({self.column}): only {ok} of {rows} docs "
+            f"({ratio:.4%}) pass the Gopher rule bundle; required "
+            f"ratio {self.min_pass_ratio}"))

@@ -209,6 +209,67 @@ def test_multimodal_resize_stub_raises(spark):
         M.resize_images(media, 32, 32).collect()
 
 
+def _png_bytes(w, h, depth=8):
+    import struct as st
+    import zlib
+    ihdr = st.pack(">II", w, h) + bytes([depth, 6, 0, 0, 0])
+    chunk = st.pack(">I", 13) + b"IHDR" + ihdr + st.pack(
+        ">I", zlib.crc32(b"IHDR" + ihdr))
+    return b"\x89PNG\r\n\x1a\n" + chunk
+
+
+def _jpeg_bytes(w, h, precision=8):
+    import struct as st
+    soi = b"\xff\xd8"
+    app0 = b"\xff\xe0" + st.pack(">H", 16) + b"JFIF\x00" + bytes(9)
+    dqt = b"\xff\xdb" + st.pack(">H", 67) + bytes(65)      # skipped segment
+    sof0 = (b"\xff\xc0" + st.pack(">H", 17) + bytes([precision])
+            + st.pack(">HH", h, w) + bytes([3]) + bytes(9))
+    return soi + app0 + dqt + sof0
+
+
+def test_multimodal_header_codec_decodes_png_jpeg_gif_by_default(spark):
+    """Round-8 de-stub: the default codec REALLY parses PNG/JPEG/GIF
+    container headers (stdlib struct, no imaging libs) — planted
+    fixtures for both mandated formats, plus GIF, truncation, and
+    unrecognized bytes, through the Arrow-batched probe_media frame."""
+    import struct as st
+    gif = b"GIF89a" + st.pack("<HH", 320, 200) + bytes(3)
+    rows = [
+        (1, "image", bytearray(_png_bytes(640, 480)), "image/png", None, None, None),
+        (2, "image", bytearray(_jpeg_bytes(1024, 768)), "image/jpeg", None, None, None),
+        (3, "image", bytearray(gif), "image/gif", None, None, None),
+        (4, "image", bytearray(b"\x89PNG\r\n\x1a\n" + b"\x00" * 4), "image/png",
+         None, None, None),                                   # truncated PNG
+        (5, "image", bytearray(b"not an image at all"), "text/plain",
+         None, None, None),
+        (6, "image", bytearray(b""), "image/png", None, None, None),
+    ]
+    media = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in M.probe_media(media).collect()}
+
+    assert got[1]["detected_mime"] == "image/png"
+    assert (got[1]["detected_width"], got[1]["detected_height"]) == (640, 480)
+    assert got[1]["bit_depth"] == 8 and got[1]["header_ok"] == "ok"
+    assert got[2]["detected_mime"] == "image/jpeg"
+    assert (got[2]["detected_width"], got[2]["detected_height"]) == (1024, 768)
+    assert got[2]["header_ok"] == "ok"
+    assert got[3]["detected_mime"] == "image/gif"
+    assert (got[3]["detected_width"], got[3]["detected_height"]) == (320, 200)
+    assert got[4]["header_ok"] == "truncated"
+    assert got[4]["detected_mime"] == "image/png"
+    assert got[4]["detected_width"] is None
+    assert got[5]["header_ok"] == "unknown"
+    assert got[5]["detected_mime"] is None
+    assert got[6]["header_ok"] == "empty"
+
+    # the parser itself is pure stdlib and payload-order robust:
+    # SOF found even after skipped DQT segment; corrupt marker stream
+    # degrades to truncated, never raises
+    assert M.parse_image_header(_jpeg_bytes(1, 65535))["height"] == 65535
+    assert M.parse_image_header(b"\xff\xd8\xff\xfe\x00\x04ab")["width"] is None
+
+
 def test_cosine_topk_pandas_matches_exact(spark, tpch):
     """Arrow-vectorized GEMM path must equal the JVM fold path."""
     emb = tpch["embeddings"]

@@ -149,6 +149,62 @@ def test_readability_gate_fuses_with_other_constraints(spark):
     assert len(agg_blocks) <= 2, text
 
 
+def test_passes_gopher_rules_gate_rides_fused_agg(spark):
+    """Round-8 suite form of the Gopher bundle: pass/fail thresholds,
+    NULL-as-fail denominator, empty-table skip, and the two count
+    expressions fusing into the suite's single shared aggregation."""
+    import re
+    from term_spark import Assertion, Check, Level, ValidationSuite
+    from term_spark.core.result import Status
+
+    good = [(i, "This is a perfectly ordinary paragraph of well formed "
+                "prose that keeps going with sensible words and normal "
+                "structure throughout the entire document body here again "
+                "and then some more ordinary filler words to pass the "
+                "fifty word minimum rule of the bundle easily by now "
+                "with room to spare for every single threshold check")
+            for i in range(8)]
+    junk = [(100, "short"), (101, None)]
+    df = spark.createDataFrame(good + junk, "doc_id long, text string")
+
+    ok = ValidationSuite.builder("g").with_check(
+        Check("g", Level.ERROR).passes_gopher_rules(min_pass_ratio=0.8)).run(
+        spark, df)
+    assert ok.passed                        # 8/10 pass, NULL counts as fail
+
+    bad = ValidationSuite.builder("g").with_check(
+        Check("g", Level.ERROR).passes_gopher_rules(min_pass_ratio=0.9)).run(
+        spark, df)
+    assert not bad.passed
+    assert "gopher_quality" in [x.message for x in bad.report.issues][0]
+
+    # tunable thresholds reach the fused expression
+    tuned = ValidationSuite.builder("g").with_check(
+        Check("g", Level.ERROR).passes_gopher_rules(
+            min_pass_ratio=0.9, min_words=1)).run(spark, df)
+    assert tuned.passed                     # "short" now passes too (9/10)
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    sk = ValidationSuite.builder("g").with_check(
+        Check("g", Level.ERROR).passes_gopher_rules()).run(spark, empty)
+    assert Status.SKIPPED in [o.result.status for o in sk.report.outcomes]
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="unknown gopher"):
+        Check("g", Level.ERROR).passes_gopher_rules(max_typo_ratio=0.1)
+    with _pt.raises(ValueError, match="min_pass_ratio"):
+        Check("g", Level.ERROR).passes_gopher_rules(min_pass_ratio=1.5)
+
+    suite = (ValidationSuite.builder("fuse")
+             .with_check(Check("c", Level.ERROR)
+                         .is_complete("text")
+                         .passes_gopher_rules(min_pass_ratio=0.5)
+                         .has_min("doc_id", Assertion.ge(0))))
+    text = suite.explain(spark, df)
+    agg_blocks = re.findall(r"\(\d+\) HashAggregate", text)
+    assert len(agg_blocks) <= 2, text       # one fused agg pair, one scan
+
+
 def test_gopher_rules_flag_the_right_failures(spark):
     from term_spark.operators.text import gopher_quality_flags
     rows = [
