@@ -374,12 +374,18 @@ def dataset_diff(left: DataFrame, right: DataFrame, keys,
     raw totals so a duplicate-key drift shows up as
     n_left/n_right ≠ n_common + added/removed.
 
-    Shape: two map-side hash projections → two key-grouped reductions
-    → one full-outer join on the key → 1-row reduction.  The join is
-    NULL-SAFE on the keys (``<=>``): a key tuple that is NULL on both
-    sides matches as one common row, instead of double-counting as one
-    added plus one removed the way plain equality / SQL ``USING``
-    would (ADVICE r6).
+    Shape: two map-side hash projections → two fingerprint-grouped
+    reductions → one full-outer equi-join on the key FINGERPRINT →
+    1-row reduction.  Key matching is NULL-SAFE: each side groups by
+    the md5 of the null-marker-encoded key tuple, so a key NULL on
+    both sides lands in one common row instead of double-counting as
+    added+removed (ADVICE r6).  Round 8 moved the null safety from an
+    ``eqNullSafe`` join condition INTO the fingerprint: Spark would
+    not reuse the groupBy's hash partitioning under ``<=>`` (plan
+    audit showed +4 Exchanges), while the equi-join on the grouping
+    key itself keeps the join shuffle-free after the two groupBys —
+    the difference between 2 and 6 shuffles of the key table at
+    100 TB.  (Same md5-collision assumption as the value hashes.)
     """
     keys = [keys] if isinstance(keys, str) else list(keys)
     from ..functions.security import validate_identifiers
@@ -392,23 +398,19 @@ def dataset_diff(left: DataFrame, right: DataFrame, keys,
         raise ValueError("dataset_diff: no columns to compare "
                          "(all shared columns are keys)")
 
-    def side(df, tag):
+    def tuple_fp(columns):
         # null-safe tuple fingerprint: a literal marker distinguishes
         # NULL from empty string / absent
-        h = F.md5(F.concat_ws(
+        return F.md5(F.concat_ws(
             "\x01", *[F.coalesce(F.col(c).cast("string"), F.lit("\x02"))
-                      for c in cols]))
-        per = (df.groupBy(*keys)
-                 .agg(F.min(h).alias(f"h_{tag}"),
-                      F.count(F.lit(1)).alias(f"rows_{tag}")))
-        return per
+                      for c in columns]))
 
-    lt, rt = side(left, "l").alias("L"), side(right, "r").alias("R")
-    cond = None
-    for k in keys:
-        c = F.col(f"L.{k}").eqNullSafe(F.col(f"R.{k}"))
-        cond = c if cond is None else (cond & c)
-    j = lt.join(rt, cond, "full_outer")
+    def side(df, tag):
+        return (df.groupBy(tuple_fp(keys).alias("__k"))
+                  .agg(F.min(tuple_fp(cols)).alias(f"h_{tag}"),
+                       F.count(F.lit(1)).alias(f"rows_{tag}")))
+
+    j = side(left, "l").join(side(right, "r"), "__k", "full_outer")
     return j.agg(
         F.coalesce(F.sum("rows_l"), F.lit(0)).cast("bigint").alias("n_left"),
         F.coalesce(F.sum("rows_r"), F.lit(0)).cast("bigint").alias("n_right"),
