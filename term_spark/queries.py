@@ -2090,6 +2090,66 @@ QUERIES.update({"key_skew_custkey": q_key_skew_custkey})
 ORACLES.update({"key_skew_custkey": SQL_KEY_SKEW_CUSTKEY})
 
 
+def q_brand_profile_part(spark, sf_dir) -> DataFrame:
+    """Catalog-dimension profile (round 8 — first query over the PART
+    table): per-brand part count, share of catalog, distinct type
+    count, mean retail price and mean size.  One grouped aggregation;
+    the share denominator is an unpartitioned-window sum over the
+    ≤|brands| aggregated rows (bounded — never the raw table)."""
+    (p,) = _t(spark, sf_dir, "part")
+    from pyspark.sql import Window
+    g = (p.groupBy(F.col("p_brand").alias("brand"))
+          .agg(F.count(F.lit(1)).alias("n_parts"),
+               F.countDistinct("p_type").alias("n_types"),
+               r6(F.avg("p_retailprice")).alias("avg_price"),
+               r6(F.avg(F.col("p_size").cast("double"))).alias("avg_size")))
+    return (g.withColumn("share", r6(F.col("n_parts") /
+                                     F.sum("n_parts").over(Window.partitionBy())))
+             .orderBy(F.desc("n_parts"), F.asc("brand")))
+
+
+SQL_BRAND_PROFILE_PART = """
+SELECT p_brand AS brand, COUNT(*) AS n_parts,
+       COUNT(DISTINCT p_type) AS n_types,
+       ROUND(AVG(p_retailprice), 6) AS avg_price,
+       ROUND(AVG(CAST(p_size AS DOUBLE)), 6) AS avg_size,
+       ROUND(COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (), 6) AS share
+FROM part GROUP BY p_brand ORDER BY n_parts DESC, brand ASC
+"""
+
+
+def q_supplier_stats_by_nation(spark, sf_dir) -> DataFrame:
+    """Grouped statistics over a broadcast dimension join (round 8 —
+    first query over the SUPPLIER table): per-nation supplier count and
+    account-balance stats.  The nation dimension (25 rows at any SF)
+    is broadcast, so the only shuffle is the final group on n_name."""
+    s, n = _t(spark, sf_dir, "supplier", "nation")
+    return (s.join(F.broadcast(n),
+                   s["s_nationkey"] == n["n_nationkey"], "left")
+             .groupBy(F.col("n_name").alias("nation"))
+             .agg(F.count(F.lit(1)).alias("n_suppliers"),
+                  r6(F.avg("s_acctbal")).alias("avg_acctbal"),
+                  r6(F.min("s_acctbal")).alias("min_acctbal"),
+                  r6(F.max("s_acctbal")).alias("max_acctbal"))
+             .orderBy("nation"))
+
+
+SQL_SUPPLIER_STATS_BY_NATION = """
+SELECT n_name AS nation, COUNT(*) AS n_suppliers,
+       ROUND(AVG(s_acctbal), 6) AS avg_acctbal,
+       ROUND(MIN(s_acctbal), 6) AS min_acctbal,
+       ROUND(MAX(s_acctbal), 6) AS max_acctbal
+FROM supplier LEFT JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name ORDER BY nation
+"""
+
+
+QUERIES.update({"brand_profile_part": q_brand_profile_part,
+                "supplier_stats_by_nation": q_supplier_stats_by_nation})
+ORACLES.update({"brand_profile_part": SQL_BRAND_PROFILE_PART,
+                "supplier_stats_by_nation": SQL_SUPPLIER_STATS_BY_NATION})
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation schedule (round 8: data-driven).
 #
@@ -2219,6 +2279,8 @@ FAMILY = {
     "row_violations_docs": "row_level",
     "fd_custkey_orderstatus": "functional_dependency",
     "key_skew_custkey": "key_skew",
+    "brand_profile_part": "histogram",
+    "supplier_stats_by_nation": "grouped_stats",
 }
 
 # BEGIN GENERATED ROTATION DATA (scripts/update_rotation.py)
@@ -2323,6 +2385,8 @@ LAST_GREEN = {
     "embedding_centroid_drift": None,
     "gopher_rules_docs": None,
     "key_skew_custkey": None,
+    "brand_profile_part": None,
+    "supplier_stats_by_nation": None,
 }
 # END GENERATED ROTATION DATA
 
