@@ -292,3 +292,35 @@ def test_token_budget_matches_python(spark, budget, sizes):
     got = {r["doc_id"] for r in
            token_budget_sample(df, budget, by="source").collect()}
     assert got == kept
+
+
+@given(payload=st.binary(max_size=256))
+@settings(max_examples=300, deadline=None)
+def test_parse_image_header_total_on_arbitrary_bytes(payload):
+    """The stdlib header codec is TOTAL: any byte string — empty,
+    truncated signatures, corrupt JPEG marker streams, random noise —
+    returns None or a well-formed dict, never raises (at corpus scale
+    corrupt payloads are data, not exceptions)."""
+    from term_spark.operators.multimodal import parse_image_header
+    out = parse_image_header(payload)
+    if out is not None:
+        assert set(out) == {"mime", "width", "height", "depth"}
+        assert out["mime"] in ("image/png", "image/jpeg", "image/gif")
+        for k in ("width", "height"):
+            assert out[k] is None or 0 <= out[k] <= 0xFFFFFFFF
+
+
+@given(prefix=st.sampled_from([b"\xff\xd8", b"\x89PNG\r\n\x1a\n",
+                               b"GIF89a", b"GIF87a"]),
+       tail=st.binary(max_size=64))
+@settings(max_examples=200, deadline=None)
+def test_parse_image_header_recognized_signatures_keep_mime(prefix, tail):
+    """A recognized signature always yields its mime, however corrupt
+    the rest of the stream — degradation is 'truncated' (NULL dims),
+    never a crash or a misdetected format."""
+    from term_spark.operators.multimodal import parse_image_header
+    out = parse_image_header(prefix + tail)
+    assert out is not None
+    expected = {b"\xff\xd8": "image/jpeg", b"\x89PNG\r\n\x1a\n": "image/png",
+                b"GIF89a": "image/gif", b"GIF87a": "image/gif"}[prefix]
+    assert out["mime"] == expected
