@@ -225,6 +225,30 @@ def main():
     oph = dedup_ops.minhash_oph_candidates(docs).count()
     print("OPH minhash candidates:", oph, "pairs (1 md5/shingle)")
 
+    # round 8: suite-level Gopher gate (fused — no extra scan) and the
+    # stdlib multimodal header codec over a mixed-payload media table
+    g8 = (ValidationSuite.builder("gopher")
+          .with_check(Check("gopher", Level.ERROR)
+                      .passes_gopher_rules("text", min_pass_ratio=0.3,
+                                           min_words=8))
+          .run(spark, docs))
+    print("gopher release gate:", g8.passed)
+
+    import struct as _st
+    import zlib as _zl
+    from term_spark.operators.multimodal import MEDIA_SCHEMA, probe_media
+    ihdr = _st.pack(">II", 640, 480) + bytes([8, 6, 0, 0, 0])
+    png = (b"\x89PNG\r\n\x1a\n" + _st.pack(">I", 13) + b"IHDR" + ihdr
+           + _st.pack(">I", _zl.crc32(b"IHDR" + ihdr)))
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(png), "image/png", None, None, None),
+         (2, "image", bytearray(b"junk"), "image/png", None, None, None)],
+        MEDIA_SCHEMA)
+    for r in probe_media(media).collect():
+        print(f"media {r['media_id']}: claimed {r['mime']}, detected "
+              f"{r['detected_mime']} {r['detected_width']}x"
+              f"{r['detected_height']} [{r['header_ok']}]")
+
 
 if __name__ == "__main__":
     main()
