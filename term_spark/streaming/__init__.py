@@ -85,6 +85,43 @@ def windowed_metrics(stream_df, ts_col: str, metric_exprs: Dict[str, "F.Column"]
             .agg(*[c.alias(a) for a, c in metric_exprs.items()]))
 
 
+def text_quality_metrics(stream_df, ts_col: str, text_col: str = "text",
+                         window: str = "1 minute",
+                         slide: Optional[str] = None,
+                         watermark: str = "10 minutes",
+                         min_ease: float = 10.0, max_ease: float = 125.0,
+                         **gopher_overrides):
+    """Per-window corpus text-quality dashboard (round 8): document
+    count, readable share (Flesch ease in ``[min_ease, max_ease]``
+    over non-blank docs — NULL when a window has none), Gopher-bundle
+    pass share (NULL/blank text = fail, denominator all rows) and mean
+    token count.
+
+    Every ratio reuses the SAME codegen expressions as the batch gates
+    (``has_readable_text`` / ``passes_gopher_rules``), so streamed and
+    batch readings agree exactly on identical rows — one watermarked
+    windowed aggregation, no UDFs, state bounded by windows in flight.
+    """
+    from ..operators.text import (flesch_ease_col, gopher_passes_col,
+                                  token_count)
+    ease = flesch_ease_col(text_col)
+    passes = gopher_passes_col(text_col, **gopher_overrides)
+    nonblank = F.count(F.when(ease.isNotNull(), 1))
+    exprs = {
+        "n_docs": F.count(F.lit(1)),
+        "readable_ratio": F.when(
+            nonblank > 0,
+            F.round(F.count(F.when(ease.between(min_ease, max_ease), 1))
+                    / nonblank, 6)),
+        "gopher_pass_ratio": F.round(
+            F.count(F.when(passes, 1)) / F.count(F.lit(1)), 6),
+        "mean_tokens": F.round(
+            F.avg(F.coalesce(token_count(text_col), F.lit(0))), 6),
+    }
+    return windowed_metrics(stream_df, ts_col, exprs, window, slide,
+                            watermark)
+
+
 def freshness_check(stream_df, ts_col: str, watermark: str = "10 minutes",
                     window: str = "1 minute"):
     """Per-window max event-time lag vs processing time — a freshness

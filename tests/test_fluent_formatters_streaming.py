@@ -338,3 +338,58 @@ def test_streaming_quarantine_via_foreachbatch(spark, tmp_path):
     assert good_ids == [1, 3]
     assert sorted(r["id"] for r in bad_rows) == [2, 4]
     assert all(r["__violations"] == "value_range(v)" for r in bad_rows)
+
+
+def test_text_quality_metrics_stream_batch_parity(spark, tmp_path):
+    """Round 8: per-window readable/Gopher shares from the stream equal
+    the batch gates' expressions over the same rows — window 1 holds
+    readable prose, window 2 junk; a blank-only window reports NULL
+    readable_ratio rather than a fake 0."""
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+    from term_spark.operators.text import flesch_ease_col, gopher_passes_col
+    from term_spark.streaming import text_quality_metrics
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    prose = ("This is a perfectly ordinary paragraph of well formed prose "
+             "that keeps going with sensible words and normal structure "
+             "throughout the entire document body here again and then some "
+             "more ordinary filler words to pass the fifty word minimum "
+             "rule of the bundle easily by now with room to spare for "
+             "every single threshold check")
+    rows = [(base + dt.timedelta(seconds=i), prose) for i in range(8)]
+    rows += [(base + dt.timedelta(seconds=8), "short")]
+    rows += [(base + dt.timedelta(minutes=1, seconds=i), "#### " * 40)
+             for i in range(4)]
+    rows += [(base + dt.timedelta(minutes=2), ""),
+             (base + dt.timedelta(minutes=2, seconds=1), None)]
+    df = spark.createDataFrame(rows, "ts timestamp, text string")
+    src = str(tmp_path / "text_stream")
+    df.write.parquet(src)
+
+    stream = spark.readStream.schema("ts timestamp, text string").parquet(src)
+    agg = text_quality_metrics(stream, "ts", window="1 minute")
+    q = (agg.writeStream.format("memory").queryName("tq_win")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["window"]["start"].minute: r for r in
+           spark.sql("select * from tq_win").collect()}
+
+    assert set(got) == {0, 1, 2}
+    assert got[0]["n_docs"] == 9
+    assert got[0]["gopher_pass_ratio"] == round(8 / 9, 6)
+    assert got[1]["gopher_pass_ratio"] == 0.0      # symbol-flood junk
+    assert got[2]["readable_ratio"] is None        # blank-only window
+    assert got[2]["mean_tokens"] == 0.0
+
+    # exact batch parity on window 0's rows, via the same expressions
+    w0 = df.filter(F.col("ts") < base + dt.timedelta(minutes=1))
+    ease = flesch_ease_col("text")
+    batch = w0.agg(
+        F.round(F.count(F.when(ease.between(10.0, 125.0), 1))
+                / F.count(F.when(ease.isNotNull(), 1)), 6).alias("rr"),
+        F.round(F.count(F.when(gopher_passes_col("text"), 1))
+                / F.count(F.lit(1)), 6).alias("gp")).collect()[0]
+    assert got[0]["readable_ratio"] == batch["rr"]
+    assert got[0]["gopher_pass_ratio"] == batch["gp"]
