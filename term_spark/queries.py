@@ -2286,22 +2286,60 @@ FAMILY = {
 # BEGIN GENERATED ROTATION DATA (scripts/update_rotation.py)
 #: Most recent round whose CORRECTNESS_r{N}.json holds a green
 #: (rows_match + schema_match + hash_match) driver row for each query;
-#: None = never driver-proven.  Source artifacts: r01..r07.
+#: None = never driver-proven.  Source artifacts: r01, r02, r03, r04, r05, r06, r07.
 CURRENT_ROUND = 8
 LAST_GREEN = {
-    "line_dedup_summary_docs": 7,
-    "drift_ks_quantity": 7,
-    "drift_chi2_returnflag": 7,
-    "drift_js_quantity": 7,
-    "drift_psi_by_returnflag": 7,
-    "token_budget_sample_docs": 7,
-    "text_cleaning_docs": 7,
-    "outlier_mad_acctbal": 7,
-    "dominant_value_orderstatus": 7,
-    "quality_model_docs": 7,
-    "unigram_surprisal_docs": 7,
-    "size_lineitem": 7,
+    "bigram_surprisal_docs": None,
+    "brand_profile_part": None,
+    "chunk_documents_docs": None,
+    "corpus_profile_by_lang": None,
+    "corr_matrix_lineitem": None,
+    "dataset_diff_orders": None,
+    "decontamination_report_docs": None,
+    "drift_w1_quantity": None,
+    "dsir_weights_docs": None,
+    "embedding_centroid_drift": None,
+    "fd_custkey_orderstatus": None,
+    "frequent_terms_docs": None,
+    "gopher_rules_docs": None,
+    "interval_join_events": None,
+    "jaccard_prefix_pairs_docs": None,
+    "key_skew_custkey": None,
+    "minhash_oph_candidates_docs": None,
+    "ngram_novelty_docs": None,
+    "readability_docs": None,
+    "row_violations_docs": None,
+    "script_profile_docs": None,
+    "shape_stats_quantity": None,
+    "supplier_stats_by_nation": None,
+    "tfidf_top_terms_docs": None,
+    "winnow_overlap_docs": None,
+    "containment_orderstatus": 4,
+    "date_range_orders": 4,
+    "decontaminate_docs": 4,
+    "dedup_pipeline_docs": 4,
+    "doc_length_buckets": 4,
+    "embedding_neardup_pairs": 4,
+    "fingerprint_docs": 4,
+    "lang_id": 4,
+    "simhash_docs": 4,
+    "stratified_sample_docs": 4,
+    "temporal_ordering_orders_lineitem": 4,
+    "text_tokens": 4,
+    "business_hours_events": 5,
+    "grouped_stats_mktsegment": 5,
+    "neardup_components": 5,
+    "numeric_histogram_quantity": 5,
+    "repetition_docs": 5,
+    "simhash_near_pairs": 5,
+    "source_mixing_docs": 5,
+    "spearman_quantity_price": 5,
+    "split_counts_docs": 5,
+    "text_quality": 5,
+    "asof_click_error": 7,
+    "benford_acctbal": 7,
     "completeness_customer": 7,
+    "size_lineitem": 7,
     "stats_quantity": 7,
     "distinctness_orders": 7,
     "unique_value_ratio_custkey": 7,
@@ -2327,66 +2365,28 @@ LAST_GREEN = {
     "semantic_dedup_embeddings": 7,
     "quantile_exact_quantity": 7,
     "profile_customer": 7,
+    "approx_distinct_orderkey": None,
     "rollup_pricing": 7,
     "sessionize_events": 7,
     "top_customers_revenue": 7,
-    "asof_click_error": 7,
     "median_by_returnflag": 7,
     "range_join_events": 7,
     "rolling_daily_events": 7,
     "pivot_returnflag_linestatus": 7,
     "top3_customers_per_segment": 7,
     "unpivot_pricing": 7,
-    "benford_acctbal": 7,
     "drift_psi_quantity": 7,
-    "temporal_ordering_orders_lineitem": 4,
-    "fingerprint_docs": 4,
-    "text_tokens": 4,
-    "lang_id": 4,
-    "simhash_docs": 4,
-    "embedding_neardup_pairs": 4,
-    "stratified_sample_docs": 4,
-    "decontaminate_docs": 4,
-    "dedup_pipeline_docs": 4,
-    "doc_length_buckets": 4,
-    "containment_orderstatus": 4,
-    "date_range_orders": 4,
-    "approx_distinct_orderkey": None,
-    "text_quality": 5,
-    "repetition_docs": 5,
-    "source_mixing_docs": 5,
-    "split_counts_docs": 5,
-    "neardup_components": 5,
-    "simhash_near_pairs": 5,
-    "business_hours_events": 5,
-    "spearman_quantity_price": 5,
-    "numeric_histogram_quantity": 5,
-    "grouped_stats_mktsegment": 5,
-    "dsir_weights_docs": None,
-    "winnow_overlap_docs": None,
-    "script_profile_docs": None,
-    "decontamination_report_docs": None,
-    "tfidf_top_terms_docs": None,
-    "drift_w1_quantity": None,
-    "corr_matrix_lineitem": None,
-    "bigram_surprisal_docs": None,
-    "readability_docs": None,
-    "interval_join_events": None,
-    "jaccard_prefix_pairs_docs": None,
-    "ngram_novelty_docs": None,
-    "chunk_documents_docs": None,
-    "frequent_terms_docs": None,
-    "corpus_profile_by_lang": None,
-    "minhash_oph_candidates_docs": None,
-    "row_violations_docs": None,
-    "fd_custkey_orderstatus": None,
-    "shape_stats_quantity": None,
-    "dataset_diff_orders": None,
-    "embedding_centroid_drift": None,
-    "gopher_rules_docs": None,
-    "key_skew_custkey": None,
-    "brand_profile_part": None,
-    "supplier_stats_by_nation": None,
+    "drift_ks_quantity": 7,
+    "drift_chi2_returnflag": 7,
+    "drift_js_quantity": 7,
+    "line_dedup_summary_docs": 7,
+    "token_budget_sample_docs": 7,
+    "outlier_mad_acctbal": 7,
+    "text_cleaning_docs": 7,
+    "dominant_value_orderstatus": 7,
+    "drift_psi_by_returnflag": 7,
+    "quality_model_docs": 7,
+    "unigram_surprisal_docs": 7,
 }
 # END GENERATED ROTATION DATA
 
