@@ -29,11 +29,11 @@ BEGIN = "# BEGIN GENERATED ROTATION DATA (scripts/update_rotation.py)"
 END = "# END GENERATED ROTATION DATA"
 
 
-def load_green_history() -> tuple[dict, int]:
+def load_green_history(repo: str = REPO) -> tuple[dict, int]:
     """(query -> last green round, newest artifact round) from disk."""
     last: dict[str, int | None] = {}
     rounds = []
-    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         if not m:
             continue

@@ -117,3 +117,37 @@ def test_tail_queries_still_registered():
         assert callable(QUERIES[k])
         if k not in NO_ORACLE:
             assert k in ORACLES, k
+
+
+def test_update_rotation_script_parses_artifacts_and_advances_round(tmp_path):
+    """The round-9 forcing function end-to-end in miniature: given a
+    directory of CORRECTNESS artifacts, load_green_history keeps the
+    NEWEST green per query (a later red does not revoke an earlier
+    green, but also does not advance it), treats hash_match: null as
+    green when rows+schema match (the rows-only contract), and reports
+    the newest artifact round — so CURRENT_ROUND advances to newest+1."""
+    import importlib.util
+    import json as _json
+
+    spec = importlib.util.spec_from_file_location(
+        "update_rotation", os.path.join(REPO, "scripts", "update_rotation.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    def art(n, data):
+        (tmp_path / f"CORRECTNESS_r{n:02d}.json").write_text(
+            _json.dumps(data))
+
+    g = {"rows_match": True, "schema_match": True, "hash_match": True}
+    red = {"rows_match": True, "schema_match": True, "hash_match": False}
+    rows_only = {"rows_match": True, "schema_match": True,
+                 "hash_match": None}
+    art(7, {"a": g, "b": g, "c": rows_only})
+    art(8, {"a": g, "b": red, "d": g})
+
+    greens, newest = mod.load_green_history(str(tmp_path))
+    assert newest == 8
+    assert greens["a"] == 8          # advanced by the new green
+    assert greens["b"] == 7          # r8 red does NOT revoke the r7 green
+    assert greens["c"] == 7          # rows-only (hash None) counts
+    assert greens["d"] == 8
