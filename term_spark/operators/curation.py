@@ -544,6 +544,60 @@ def decontamination_report(df: DataFrame, eval_df: DataFrame,
                      .alias("overlap_fraction")))
 
 
+def source_overlap_report(df: DataFrame, source_col: str = "source",
+                          text_col: str = "text", k: int = 8) -> DataFrame:
+    """Pairwise cross-source content overlap — "how much of source B is
+    already in source A?", the question a mix curator answers before
+    weighting corpora (CC vs C4, dump N vs dump N-1): per source pair
+    (source_a < source_b), distinct ``k``-gram shingle counts n_a/n_b,
+    shared count n_common, ``jaccard`` and ``containment``
+    (n_common / min(n_a, n_b) — the asymmetric "smaller corpus is X%
+    contained" reading).  Pairs sharing nothing are omitted.
+
+    Scale: the corpus explodes ONCE into a distinct (source, shingle)
+    table (localCheckpointed — three consumers), and the pair join is
+    keyed on the shingle, where a group is at most |sources| rows — so
+    the join is bounded by the source count, never by how many
+    DOCUMENTS repeat a shingle (a billion-doc boilerplate shingle
+    still contributes ≤ |sources|² pair rows).  Per-source totals come
+    back as a broadcast |sources|-row dimension.
+    """
+    from ..functions.security import validate_identifier
+    validate_identifier(source_col)
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    sh = (df.select(F.col(source_col).alias("source"),
+                    T.norm_tokens(text_col).alias("__toks"))
+            .select("source",
+                    F.explode(T.word_shingles_from(F.col("__toks"), k))
+                     .alias("shingle"))
+            .distinct()
+            .localCheckpoint(eager=True))  # counts + both join sides
+    counts = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (a.join(b, "shingle")
+              .filter(F.col("a.source") < F.col("b.source"))
+              .groupBy(F.col("a.source").alias("source_a"),
+                       F.col("b.source").alias("source_b"))
+              .agg(F.count(F.lit(1)).alias("n_common")))
+    ca = F.broadcast(counts.select(F.col("source").alias("source_a"),
+                                   F.col("n").alias("n_a")))
+    cb = F.broadcast(counts.select(F.col("source").alias("source_b"),
+                                   F.col("n").alias("n_b")))
+    return (pairs.join(ca, "source_a").join(cb, "source_b")
+                 .select("source_a", "source_b",
+                         F.col("n_a").cast("bigint").alias("n_a"),
+                         F.col("n_b").cast("bigint").alias("n_b"),
+                         F.col("n_common").cast("bigint").alias("n_common"),
+                         F.round(F.col("n_common") /
+                                 (F.col("n_a") + F.col("n_b")
+                                  - F.col("n_common")), 6).alias("jaccard"),
+                         F.round(F.col("n_common") /
+                                 F.least("n_a", "n_b"), 6)
+                          .alias("containment"))
+                 .orderBy(F.desc("n_common"), "source_a", "source_b"))
+
+
 class ContaminationConstraint(Constraint):
     """``has_low_contamination``: the fraction of documents whose
     eval-set k-gram overlap exceeds ``per_doc_threshold`` must stay

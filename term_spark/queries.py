@@ -2281,6 +2281,7 @@ FAMILY = {
     "key_skew_custkey": "key_skew",
     "brand_profile_part": "histogram",
     "supplier_stats_by_nation": "grouped_stats",
+    "source_overlap_docs": "curation",
 }
 
 # BEGIN GENERATED ROTATION DATA (scripts/update_rotation.py)
@@ -2312,6 +2313,7 @@ LAST_GREEN = {
     "script_profile_docs": None,
     "shape_stats_quantity": None,
     "supplier_stats_by_nation": None,
+    "source_overlap_docs": None,
     "tfidf_top_terms_docs": None,
     "winnow_overlap_docs": None,
     "containment_orderstatus": 4,

@@ -1560,3 +1560,48 @@ FROM m ORDER BY id
 
 LLM_QUERIES.update({"gopher_rules_docs": q_gopher_rules_docs})
 LLM_ORACLES.update({"gopher_rules_docs": SQL_GOPHER_RULES_DOCS})
+
+
+def q_source_overlap_docs(spark, sf_dir) -> DataFrame:
+    """Cross-source content overlap (curation.source_overlap_report):
+    per source pair, distinct 8-gram shingle counts, shared count,
+    jaccard and containment — the "how much of B is already in A"
+    report a mix curator reads before weighting corpora."""
+    from .operators.curation import source_overlap_report
+    return source_overlap_report(_docs(spark, sf_dir), k=8)
+
+
+def _shingle_sql_by_source(k: int) -> str:
+    return f"""
+    SELECT DISTINCT source,
+           unnest(CASE WHEN len(toks) >= {k}
+                  THEN list_transform(generate_series(1, len(toks) - {k - 1}),
+                                      i -> array_to_string(toks[i:i+{k - 1}], ' '))
+                  ELSE [array_to_string(toks, ' ')] END) AS shingle
+    FROM (SELECT source, {_TOKS_SQL} AS toks
+          FROM documents)
+"""
+
+
+SQL_SOURCE_OVERLAP_DOCS = f"""
+WITH sh AS ({_shingle_sql_by_source(8)}),
+cnt AS (SELECT source, COUNT(*) AS n FROM sh GROUP BY source),
+p AS (SELECT a.source AS source_a, b.source AS source_b,
+             COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle
+      WHERE a.source < b.source
+      GROUP BY 1, 2)
+SELECT source_a, source_b,
+       CAST(ca.n AS BIGINT) AS n_a, CAST(cb.n AS BIGINT) AS n_b,
+       CAST(n_common AS BIGINT) AS n_common,
+       ROUND(n_common * 1.0 / (ca.n + cb.n - n_common), 6) AS jaccard,
+       ROUND(n_common * 1.0 / LEAST(ca.n, cb.n), 6) AS containment
+FROM p
+JOIN cnt ca ON ca.source = p.source_a
+JOIN cnt cb ON cb.source = p.source_b
+ORDER BY n_common DESC, source_a, source_b
+"""
+
+
+LLM_QUERIES.update({"source_overlap_docs": q_source_overlap_docs})
+LLM_ORACLES.update({"source_overlap_docs": SQL_SOURCE_OVERLAP_DOCS})

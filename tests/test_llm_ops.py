@@ -1266,3 +1266,40 @@ def test_embedding_centroid_drift_detects_encoder_shift(spark):
     empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
     e = embedding_centroid_drift(ref, empty).collect()[0]
     assert e["centroid_cosine"] is None
+
+
+def test_source_overlap_report_jaccard_and_containment(spark):
+    """Planted three-source corpus: A and B share a long passage (high
+    containment of the smaller side), C is disjoint and therefore
+    absent from the report; zero-overlap pairs are omitted."""
+    from term_spark.operators.curation import source_overlap_report
+
+    shared = ("the quick brown fox jumps over the lazy dog while the "
+              "rain keeps falling on the quiet gray town all night")
+    rows = [
+        ("A", f"{shared} plus a long unique continuation about alpha "
+              "things that go on and on with many distinct words here"),
+        ("A", "another alpha document with its own entirely separate "
+              "content stream talking about completely different topics"),
+        ("B", f"intro for beta then {shared}"),
+        ("C", "gamma text shares nothing with anyone else at all in "
+              "this synthetic corpus of ours truly and certainly"),
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    out = source_overlap_report(df, k=8).collect()
+    assert [(r["source_a"], r["source_b"]) for r in out] == [("A", "B")]
+    r = out[0]
+    assert r["n_common"] > 0 and r["n_a"] > r["n_b"]
+    # the shared passage dominates B (the smaller side): containment
+    # is high while jaccard stays moderate — the asymmetry the report
+    # exists to expose
+    assert r["containment"] > 0.5
+    assert r["jaccard"] < r["containment"]
+    # definitions hold exactly
+    assert r["jaccard"] == round(
+        r["n_common"] / (r["n_a"] + r["n_b"] - r["n_common"]), 6)
+    assert r["containment"] == round(r["n_common"] / min(r["n_a"], r["n_b"]), 6)
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="k must be"):
+        source_overlap_report(df, k=0)
