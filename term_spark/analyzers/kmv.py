@@ -1,0 +1,142 @@
+"""KMV (k-minimum-values) distinct sketch — mergeable, and unlike the
+HLL role it supports SET OPERATIONS between sketches: Jaccard,
+intersection and union estimates across sources/snapshots without a
+join ("how many documents do these two 100 TB dumps share?" from two
+k-row summaries).
+
+Reference role: the reference's approx-distinct analyzer family
+(term-guard/src/analyzers/approx_distinct.rs) is union-only (HLL);
+KMV is the classical alternative (Bar-Yossef et al. 2002;
+Beyer et al. SIGMOD'07 "distinct-value synopses") whose sketches
+intersect.  Public-theory implementation, Spark-first.
+
+Spark-first realization: the sketch of a column is the k smallest
+md5 hashes of its DISTINCT values.  That is exactly
+``distinct -> orderBy(hash) -> limit(k)`` — Spark executes it as
+TakeOrderedAndProject: each partition keeps its own k smallest, the
+driver merges k-row slices — bounded memory everywhere, no
+collect_set-style unbounded aggregation state.  The per-group variant
+uses the engine's standard bounded window top-k.
+
+Estimators (h = md5/2^128 ∈ [0,1), uniform):
+- distinct:  exact ``len(hashes)`` while < k are held; else (k-1)/h_k
+  (the k-th minimum of n uniforms sits at ≈ k/n).  Relative error
+  ≈ 1/√(k-2) (Beyer et al.) — k=1024 → ~3%.
+- union(A,B): distinct estimate of min-k(A ∪ B) — EXACTLY the sketch
+  the union's raw data would have produced (min-k is a monoid).
+- jaccard(A,B): among the union sketch's k values, the fraction
+  present in BOTH input sketches (each union minimum is a uniform
+  sample of A ∪ B; membership in both ⇔ the value is in A ∩ B).
+- intersection: jaccard × union.
+
+The merge law is EXACT, not approximate: min-k(A ∪ B) ==
+min-k(min-k(A) ∪ min-k(B)) — pinned by tests, which makes shard-wise
+sketching safe at any fan-in.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from ..functions.security import validate_identifier
+
+_MD5_SPAN = float(2 ** 128)
+
+
+@dataclass(frozen=True)
+class KMVSketch:
+    k: int
+    hashes: tuple  # sorted ascending md5 hex strings, len <= k
+
+    @property
+    def saturated(self) -> bool:
+        return len(self.hashes) >= self.k
+
+
+def _frac(h: str) -> float:
+    return int(h, 16) / _MD5_SPAN
+
+
+def kmv_sketch(df: DataFrame, column: str, k: int = 1024) -> KMVSketch:
+    """Sketch a column's distinct values: one bounded Spark job
+    (distinct → TakeOrderedAndProject k) — every partition retains at
+    most k hashes, the driver merges k-row slices."""
+    validate_identifier(column)
+    if k < 8:
+        raise ValueError(f"k must be >= 8, got {k}")
+    rows = (df.filter(F.col(column).isNotNull())
+              .select(F.md5(F.col(column).cast("string")).alias("h"))
+              .distinct()
+              .orderBy("h")
+              .limit(k)
+              .collect())
+    return KMVSketch(k=k, hashes=tuple(r["h"] for r in rows))
+
+
+def kmv_sketch_by(df: DataFrame, group_col: str, column: str,
+                  k: int = 1024) -> DataFrame:
+    """Per-group sketches as (group, hashes array<string>) — the
+    engine's standard bounded window top-k (sort-based, spillable);
+    each output row is at most k hashes.  Feed rows to
+    ``sketch_from_row`` and combine with ``kmv_merge``/``kmv_jaccard``
+    driver-side — no cross-group join ever runs."""
+    validate_identifier(group_col)
+    validate_identifier(column)
+    if k < 8:
+        raise ValueError(f"k must be >= 8, got {k}")
+    from pyspark.sql import Window
+    base = (df.filter(F.col(column).isNotNull())
+              .select(F.col(group_col).alias("grp"),
+                      F.md5(F.col(column).cast("string")).alias("h"))
+              .distinct())
+    w = Window.partitionBy("grp").orderBy("h")
+    return (base.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") <= k)
+                .groupBy("grp")
+                .agg(F.sort_array(F.collect_list("h")).alias("hashes")))
+
+
+def sketch_from_row(row, k: int) -> KMVSketch:
+    """Adapt a ``kmv_sketch_by`` output row to a KMVSketch."""
+    return KMVSketch(k=k, hashes=tuple(row["hashes"]))
+
+
+def kmv_merge(sketches: List[KMVSketch]) -> KMVSketch:
+    """Exact monoid merge: min-k of the union of the input sketches —
+    identical to sketching the concatenated raw data."""
+    if not sketches:
+        raise ValueError("kmv_merge: no sketches")
+    k = min(s.k for s in sketches)
+    merged = sorted(set().union(*[s.hashes for s in sketches]))[:k]
+    return KMVSketch(k=k, hashes=tuple(merged))
+
+
+def kmv_distinct(sketch: KMVSketch) -> float:
+    """Distinct-count estimate: exact while the sketch is unsaturated,
+    else the (k-1)/h_k order-statistic estimator."""
+    if not sketch.saturated:
+        return float(len(sketch.hashes))
+    return (sketch.k - 1) / _frac(sketch.hashes[-1])
+
+
+def kmv_union(a: KMVSketch, b: KMVSketch) -> float:
+    return kmv_distinct(kmv_merge([a, b]))
+
+
+def kmv_jaccard(a: KMVSketch, b: KMVSketch) -> float:
+    """J(A,B) estimate: among the union sketch's values (a uniform
+    sample of A ∪ B), the fraction present in both input sketches."""
+    u = kmv_merge([a, b])
+    if not u.hashes:
+        return 0.0
+    sa, sb = set(a.hashes), set(b.hashes)
+    both = sum(1 for h in u.hashes if h in sa and h in sb)
+    return both / len(u.hashes)
+
+
+def kmv_intersection(a: KMVSketch, b: KMVSketch) -> float:
+    return kmv_jaccard(a, b) * kmv_union(a, b)
