@@ -598,6 +598,49 @@ def source_overlap_report(df: DataFrame, source_col: str = "source",
                  .orderBy(F.desc("n_common"), "source_a", "source_b"))
 
 
+def source_overlap_kmv(df: DataFrame, source_col: str = "source",
+                       text_col: str = "text", k: int = 8,
+                       sketch_k: int = 1024) -> DataFrame:
+    """The SCALE PATH of ``source_overlap_report``: estimated pairwise
+    overlap from per-source KMV sketches instead of a shingle pair
+    join.  With many sources the exact join touches every co-occurring
+    shingle; here each source compresses to ``sketch_k`` hashes (one
+    bounded window top-k job), and ALL pairwise jaccard/containment
+    estimates come from driver-side sketch algebra — |sources|² work
+    over k-row summaries, zero additional Spark jobs.  Distinct counts
+    carry ~1/√(sketch_k−2) relative error; every pair is reported
+    (including zero-overlap ones, unlike the exact report).
+    """
+    from ..analyzers.kmv import (kmv_distinct, kmv_intersection,
+                                 kmv_jaccard, kmv_sketch_by,
+                                 sketch_from_row)
+    from ..functions.security import validate_identifier
+    validate_identifier(source_col)
+    sh = (df.select(F.col(source_col).alias("source"),
+                    T.norm_tokens(text_col).alias("__toks"))
+            .select("source",
+                    F.explode(T.word_shingles_from(F.col("__toks"), k))
+                     .alias("shingle")))
+    sketches = {r["grp"]: sketch_from_row(r, sketch_k) for r in
+                kmv_sketch_by(sh, "source", "shingle", sketch_k).collect()}
+    rows = []
+    for sa in sorted(sketches):
+        for sb in sorted(sketches):
+            if sa >= sb:
+                continue
+            A, B = sketches[sa], sketches[sb]
+            na, nb = kmv_distinct(A), kmv_distinct(B)
+            rows.append((sa, sb, round(na, 1), round(nb, 1),
+                         round(kmv_intersection(A, B), 1),
+                         round(kmv_jaccard(A, B), 6),
+                         round(kmv_intersection(A, B) / min(na, nb), 6)
+                         if min(na, nb) > 0 else 0.0))
+    return df.sparkSession.createDataFrame(
+        rows, "source_a string, source_b string, est_n_a double, "
+              "est_n_b double, est_common double, est_jaccard double, "
+              "est_containment double")
+
+
 class ContaminationConstraint(Constraint):
     """``has_low_contamination``: the fraction of documents whose
     eval-set k-gram overlap exceeds ``per_doc_threshold`` must stay

@@ -72,3 +72,29 @@ def test_kmv_validation():
         kmv_merge([])
     s = KMVSketch(k=8, hashes=())
     assert kmv_distinct(s) == 0.0 and kmv_jaccard(s, s) == 0.0
+
+
+def test_source_overlap_kmv_tracks_exact_report(spark, tpch):
+    """The sketch-based scale path agrees with the exact pair-join
+    report on the real documents corpus: same top pair, jaccard within
+    sketch error, containment in the right regime."""
+    from term_spark.operators.curation import (source_overlap_kmv,
+                                               source_overlap_report)
+    docs = tpch["documents"]
+    exact = {(r["source_a"], r["source_b"]): r
+             for r in source_overlap_report(docs, k=8).collect()}
+    est = {(r["source_a"], r["source_b"]): r
+           for r in source_overlap_kmv(docs, k=8, sketch_k=2048).collect()}
+    assert exact, "fixture corpus has no cross-source overlap"
+    # every exact pair is present in the estimate (est covers ALL pairs)
+    assert set(exact) <= set(est)
+    for pair, ex in exact.items():
+        e = est[pair]
+        # per-source shingle counts are well under sketch_k here, so
+        # the sketches are unsaturated and counts are EXACT
+        assert e["est_n_a"] == ex["n_a"] and e["est_n_b"] == ex["n_b"]
+        assert e["est_common"] == pytest.approx(ex["n_common"], rel=0.35, abs=3)
+        assert e["est_jaccard"] == pytest.approx(ex["jaccard"], abs=0.05)
+    # pairs absent from the exact report truly estimate (near) zero
+    for pair in set(est) - set(exact):
+        assert est[pair]["est_jaccard"] <= 0.02
