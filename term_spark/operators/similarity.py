@@ -677,3 +677,113 @@ def embedding_centroid_drift(ref: DataFrame, cur: DataFrame,
          .alias("centroid_cosine"),
         F.when(F.col("nr") > 0,
                F.round(F.col("nc") / F.col("nr"), 6)).alias("norm_ratio"))
+
+
+def embedding_pca(df: DataFrame, vec_col: str = "embedding"):
+    """Distributed PCA fit over an embedding column (round 8): one
+    Arrow-batched pass accumulates per-batch Gram summaries
+    (n, Σx, XᵀX flattened) — each batch emits a SINGLE d+d²-length
+    row, so the driver reduces #batches small rows into one d×d
+    covariance (d = embedding width, e.g. 64/768/1536 — always tiny
+    next to n) and runs the eigendecomposition locally.
+
+    Returns a plain-dict model: ``mean`` (d), ``components`` (rows =
+    principal axes, descending eigenvalue, sign-fixed so each row's
+    largest-|x| entry is positive — deterministic), ``explained_variance``
+    and ``explained_variance_ratio``.  NULL vectors are ignored.
+
+    This is the classical scale shape for PCA (covariance method): the
+    corpus is touched once, nothing wider than d² crosses the wire,
+    and no iterative solver runs on the cluster.  Pairs with
+    ``pca_project`` for dimensionality reduction / whitening ahead of
+    the cosine dedup and ANN stages (a 1536-dim corpus projected to
+    64 dims cuts every downstream pair/probe dot by 24×).
+    """
+    import numpy as np
+    from pyspark.sql.types import (ArrayType, DoubleType, LongType,
+                                   StructField, StructType)
+
+    schema = StructType([
+        StructField("n", LongType()),
+        StructField("s", ArrayType(DoubleType())),
+        StructField("g", ArrayType(DoubleType())),
+    ])
+
+    def partial(batches):
+        import pandas as pd
+        for pdf in batches:
+            vecs = pdf[vec_col].dropna()
+            if vecs.empty:
+                continue
+            x = np.array(vecs.tolist(), dtype=np.float64)
+            yield pd.DataFrame({
+                "n": [x.shape[0]],
+                "s": [x.sum(axis=0).tolist()],
+                "g": [(x.T @ x).ravel().tolist()],
+            })
+
+    parts = df.select(vec_col).mapInPandas(partial, schema).collect()
+    if not parts:
+        raise ValueError(f"embedding_pca: no non-null vectors in {vec_col}")
+    n = sum(r["n"] for r in parts)
+    s = np.sum([np.array(r["s"]) for r in parts], axis=0)
+    d = s.shape[0]
+    g = np.sum([np.array(r["g"]).reshape(d, d) for r in parts], axis=0)
+    mean = s / n
+    cov = g / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)          # ascending
+    order = np.argsort(evals)[::-1]
+    evals, evecs = np.maximum(evals[order], 0.0), evecs[:, order]
+    comps = evecs.T                             # rows = components
+    # deterministic sign: the largest-|x| entry of each row positive
+    for i in range(comps.shape[0]):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    total = float(evals.sum()) or 1.0
+    return {
+        "n": int(n),
+        "mean": mean.tolist(),
+        "components": comps.tolist(),
+        "explained_variance": evals.tolist(),
+        "explained_variance_ratio": (evals / total).tolist(),
+    }
+
+
+def pca_project(df: DataFrame, model, n_components: int,
+                vec_col: str = "embedding", out_col: str = "pca",
+                whiten: bool = False) -> DataFrame:
+    """Project the embedding column onto the model's top
+    ``n_components`` axes — pure JVM codegen (the centered vector
+    materializes ONCE as a projected attribute; each output component
+    is one zip_with/aggregate dot against a literal axis), no Python
+    on the hot path.  ``whiten=True`` scales each component by
+    1/√eigenvalue (unit variance — the input cosine-dedup/ANN stages
+    prefer); a zero-variance axis whitens to 0, not inf.  NULL vectors
+    project to NULL.
+    """
+    comps = model["components"][:n_components]
+    if len(comps) < n_components:
+        raise ValueError(
+            f"model has {len(comps)} components, asked for {n_components}")
+    mean = model["mean"]
+    centered = F.zip_with(
+        F.col(vec_col).cast("array<double>"),
+        F.array(*[F.lit(float(m)) for m in mean]),
+        lambda x, m: x - m)
+    tmp = "__pca_centered"
+    out = df.withColumn(tmp, centered)
+    dots = []
+    for i, comp in enumerate(comps):
+        dot = F.aggregate(
+            F.zip_with(F.col(tmp),
+                       F.array(*[F.lit(float(c)) for c in comp]),
+                       lambda a, b: a * b),
+            F.lit(0.0), lambda acc, x: acc + x)
+        if whiten:
+            ev = float(model["explained_variance"][i])
+            dot = dot * F.lit(1.0 / (ev ** 0.5) if ev > 0 else 0.0)
+        dots.append(dot)
+    return out.withColumn(
+        out_col,
+        F.when(F.col(vec_col).isNotNull(), F.array(*dots))).drop(tmp)

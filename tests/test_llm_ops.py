@@ -1303,3 +1303,62 @@ def test_source_overlap_report_jaccard_and_containment(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="k must be"):
         source_overlap_report(df, k=0)
+
+
+def test_embedding_pca_matches_numpy_and_projects_jvm_side(spark, tpch):
+    """Distributed PCA fit == numpy covariance PCA on the same vectors
+    (eigenvalues + sign-fixed components to 1e-8); JVM-side projection
+    == numpy (X-mean)@compsT; whitened components have unit variance;
+    NULL vectors drop from the fit and project to NULL."""
+    import numpy as np
+    from term_spark.operators.similarity import embedding_pca, pca_project
+
+    emb = tpch["embeddings"]
+    model = embedding_pca(emb, "embedding")
+
+    x = np.array([list(r["embedding"]) for r in
+                  emb.select("embedding").collect()], dtype=np.float64)
+    assert model["n"] == x.shape[0]
+    cov = np.cov(x, rowvar=False, bias=True)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1]
+    evals, comps = np.maximum(evals[order], 0.0), evecs[:, order].T
+    for i in range(comps.shape[0]):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    assert np.allclose(model["explained_variance"], evals, atol=1e-8)
+    assert np.allclose(model["components"], comps, atol=1e-6)
+    assert np.allclose(np.array(model["mean"]), x.mean(axis=0), atol=1e-10)
+    r = model["explained_variance_ratio"]
+    assert abs(sum(r) - 1.0) < 1e-9 and r == sorted(r, reverse=True)
+
+    k = 8
+    got = {r["vec_id"]: np.array(r["pca"]) for r in
+           pca_project(emb, model, k).select("vec_id", "pca").collect()}
+    expect = (x - x.mean(axis=0)) @ comps[:k].T
+    ids = [r["vec_id"] for r in emb.select("vec_id").collect()]
+    for row_i, vid in enumerate(ids):
+        assert np.allclose(got[vid], expect[row_i], atol=1e-8), vid
+
+    # whitened: each retained component has ~unit variance
+    w = np.array([r["pca"] for r in
+                  pca_project(emb, model, k, whiten=True)
+                  .select("pca").collect()])
+    assert np.allclose(w.var(axis=0), 1.0, atol=1e-6)
+
+    # NULL vector: dropped from fit, projects to NULL
+    with_null = emb.select("vec_id", "embedding").unionByName(
+        spark.createDataFrame([(10**6, None)],
+                              emb.select("vec_id", "embedding").schema))
+    m2 = embedding_pca(with_null, "embedding")
+    assert m2["n"] == x.shape[0]
+    nul = (pca_project(with_null, m2, 4)
+           .filter(F.col("vec_id") == 10**6).collect()[0])
+    assert nul["pca"] is None
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="components"):
+        pca_project(emb, model, len(model["components"]) + 1)
+    with _pt.raises(ValueError, match="no non-null"):
+        embedding_pca(emb.filter("vec_id < 0"), "embedding")
