@@ -1362,3 +1362,74 @@ def test_embedding_pca_matches_numpy_and_projects_jvm_side(spark, tpch):
         pca_project(emb, model, len(model["components"]) + 1)
     with _pt.raises(ValueError, match="no non-null"):
         embedding_pca(emb.filter("vec_id < 0"), "embedding")
+
+
+def test_pca_reduced_ann_recall_against_exact(spark, tpch):
+    """The PCA scale path measured with the engine's own recall
+    harness.  On a planted LOW-RANK corpus (signal in 6 axes, noise in
+    58) projecting to 8 dims keeps recall@10 near 1 — the regime PCA
+    reduction exists for.  On the near-isotropic synthetic embeddings
+    table (top-16 axes hold ~38% of variance) recall instead GROWS
+    with retained dimension — the harness is exactly how a user picks
+    the cut."""
+    import numpy as np
+    import pyspark.sql.functions as F
+    from term_spark.operators.similarity import (ann_recall, cosine_topk,
+                                                 embedding_pca, pca_project)
+
+    rng = np.random.default_rng(7)
+    n, d, r = 300, 64, 6
+    basis = np.linalg.qr(rng.normal(size=(d, r)))[0]         # d x r
+    x = rng.normal(size=(n, r)) @ basis.T * 5.0 \
+        + rng.normal(size=(n, d)) * 0.05                      # low-rank + noise
+    low = spark.createDataFrame(
+        [(i, [float(v) for v in x[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>")
+    queries = (low.filter("vec_id < 5")
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("query_vec")))
+    corpus = low.filter("vec_id >= 5")
+    exact = cosine_topk(corpus, queries, k=10)
+
+    model = embedding_pca(low, "embedding")
+    assert sum(model["explained_variance_ratio"][:r]) > 0.99  # rank found
+
+    def recall_at(dims):
+        rc = (pca_project(corpus, model, dims)
+              .select("vec_id", F.col("pca").alias("embedding")))
+        rq = (pca_project(
+            queries.select(F.col("query_id").alias("vec_id"),
+                           F.col("query_vec").alias("embedding")),
+            model, dims)
+            .select(F.col("vec_id").alias("query_id"),
+                    F.col("pca").alias("query_vec")))
+        approx = cosine_topk(rc, rq, k=10)
+        return ann_recall(approx, exact).agg(
+            F.avg("recall")).collect()[0][0]
+
+    assert recall_at(8) >= 0.9                  # 8 dims carry the 6-dim signal
+
+    # near-isotropic real table: recall grows with retained dimension
+    emb = tpch["embeddings"]
+    queries = (emb.filter("vec_id < 5")
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("query_vec")))
+    corpus = emb.filter("vec_id >= 5")
+    exact = cosine_topk(corpus, queries, k=10)
+    model = embedding_pca(emb, "embedding")
+    iso = {}
+    for dims in (8, 48):
+        rc = (pca_project(corpus, model, dims)
+              .select("vec_id", F.col("pca").alias("embedding")))
+        rq = (pca_project(
+            queries.select(F.col("query_id").alias("vec_id"),
+                           F.col("query_vec").alias("embedding")),
+            model, dims)
+            .select(F.col("vec_id").alias("query_id"),
+                    F.col("pca").alias("query_vec")))
+        iso[dims] = ann_recall(cosine_topk(rc, rq, k=10), exact).agg(
+            F.avg("recall")).collect()[0][0]
+    assert iso[48] > iso[8]
+    assert iso[48] >= 0.7                       # 86% of variance retained
+    # and the fit is deterministic
+    assert embedding_pca(emb, "embedding")["components"] == model["components"]
