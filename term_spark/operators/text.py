@@ -613,6 +613,52 @@ SCRIPTS = {
 }
 
 
+def lexical_diversity(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-document lexical-diversity metrics (round 8): the classic
+    repetitiveness/templated-ness signals quality filters read —
+    ``ttr`` (type-token ratio: distinct/total normalized tokens),
+    ``rttr`` (root TTR, Guiraud's index: types/√tokens — far less
+    length-sensitive than raw TTR), and ``hapax_ratio`` (share of
+    tokens occurring exactly once in the doc; spam and keyword-stuffed
+    pages sit low, natural prose high).
+
+    Map-only codegen: the normalized token array materializes once per
+    row, its SORTED copy once more (both plain attributes — the
+    shingling lesson: a lambda body must reference attributes, never
+    expression trees, or Spark re-evaluates them per element); types
+    come from ``array_distinct`` and the hapax count from a
+    neighbor-comparison filter over the sorted array (an element is a
+    hapax iff it differs from both sorted neighbors) — O(n log n) per
+    row, never the O(n²) of counting each token's occurrences.  No
+    explode, no shuffle, no UDF.  NULL/blank text keeps its row with
+    0 tokens and NULL ratios (absence is a finding, matching
+    readability).
+    """
+    toks = norm_tokens(F.coalesce(F.col(text_col), F.lit("")))
+    base = (df.select(F.col(id_col).alias("id"), toks.alias("__t"))
+              .withColumn("__s", F.array_sort("__t")))
+    blank = (F.size("__t") == 0) | ((F.size("__t") == 1)
+                                    & (F.element_at("__t", 1) == ""))
+    n = F.when(blank, F.lit(0)).otherwise(F.size("__t"))
+    types = F.when(blank, F.lit(0)).otherwise(
+        F.size(F.array_distinct("__t")))
+    sz = F.size("__s")
+    # element i (0-based) of the sorted array is a hapax iff it differs
+    # from both neighbors; element_at is 1-based, so neighbors of the
+    # two-arg-lambda index i are element_at(i) and element_at(i+2)
+    hapax = F.when(blank, F.lit(0)).otherwise(F.size(F.filter(
+        F.col("__s"),
+        lambda w, i: ((i == 0) | (F.element_at(F.col("__s"), i) != w))
+        & ((i == sz - 1) | (F.element_at(F.col("__s"), i + 2) != w)))))
+    return base.select(
+        F.col("id").alias(id_col),
+        n.cast("bigint").alias("n_tokens"),
+        types.cast("bigint").alias("n_types"),
+        F.when(n > 0, F.round(types / n, 6)).alias("ttr"),
+        F.when(n > 0, F.round(types / F.sqrt(n), 6)).alias("rttr"),
+        F.when(n > 0, F.round(hapax / n, 6)).alias("hapax_ratio"))
+
+
 def script_profile(df, text_col: str = "text", id_col: str = "doc_id",
                    scripts=None):
     """Per-document Unicode script detection — the writing-system

@@ -2282,6 +2282,7 @@ FAMILY = {
     "brand_profile_part": "histogram",
     "supplier_stats_by_nation": "grouped_stats",
     "source_overlap_docs": "curation",
+    "lexical_diversity_docs": "text",
 }
 
 # BEGIN GENERATED ROTATION DATA (scripts/update_rotation.py)
@@ -2306,14 +2307,15 @@ LAST_GREEN = {
     "interval_join_events": None,
     "jaccard_prefix_pairs_docs": None,
     "key_skew_custkey": None,
+    "lexical_diversity_docs": None,
     "minhash_oph_candidates_docs": None,
     "ngram_novelty_docs": None,
     "readability_docs": None,
     "row_violations_docs": None,
     "script_profile_docs": None,
     "shape_stats_quantity": None,
-    "supplier_stats_by_nation": None,
     "source_overlap_docs": None,
+    "supplier_stats_by_nation": None,
     "tfidf_top_terms_docs": None,
     "winnow_overlap_docs": None,
     "containment_orderstatus": 4,
@@ -2339,9 +2341,8 @@ LAST_GREEN = {
     "split_counts_docs": 5,
     "text_quality": 5,
     "asof_click_error": 7,
-    "benford_acctbal": 7,
-    "completeness_customer": 7,
     "size_lineitem": 7,
+    "completeness_customer": 7,
     "stats_quantity": 7,
     "distinctness_orders": 7,
     "unique_value_ratio_custkey": 7,
@@ -2377,6 +2378,7 @@ LAST_GREEN = {
     "pivot_returnflag_linestatus": 7,
     "top3_customers_per_segment": 7,
     "unpivot_pricing": 7,
+    "benford_acctbal": 7,
     "drift_psi_quantity": 7,
     "drift_ks_quantity": 7,
     "drift_chi2_returnflag": 7,

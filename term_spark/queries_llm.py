@@ -1605,3 +1605,46 @@ ORDER BY n_common DESC, source_a, source_b
 
 LLM_QUERIES.update({"source_overlap_docs": q_source_overlap_docs})
 LLM_ORACLES.update({"source_overlap_docs": SQL_SOURCE_OVERLAP_DOCS})
+
+
+def q_lexical_diversity_docs(spark, sf_dir) -> DataFrame:
+    """Per-doc lexical diversity (text.lexical_diversity): type-token
+    ratio, root TTR (Guiraud) and hapax share — the repetitiveness
+    signals quality filters read; map-only sorted-neighbor codegen."""
+    from .operators.text import lexical_diversity
+    return lexical_diversity(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+SQL_LEXICAL_DIVERSITY_DOCS = f"""
+WITH t AS (
+    SELECT doc_id, {_TOKS_SQL} AS toks,
+           list_sort({_TOKS_SQL}) AS s
+    FROM documents
+),
+m AS (
+    SELECT doc_id,
+           CASE WHEN len(toks) = 0 OR (len(toks) = 1 AND toks[1] = '')
+                THEN 0 ELSE len(toks) END AS n_tokens,
+           CASE WHEN len(toks) = 0 OR (len(toks) = 1 AND toks[1] = '')
+                THEN 0 ELSE len(list_distinct(toks)) END AS n_types,
+           CASE WHEN len(toks) = 0 OR (len(toks) = 1 AND toks[1] = '')
+                THEN 0
+                ELSE len(list_filter(s, (x, i) ->
+                     (i = 1 OR s[i-1] <> x)
+                     AND (i = len(s) OR s[i+1] <> x))) END AS n_hapax
+    FROM t
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_types AS BIGINT) AS n_types,
+       CASE WHEN n_tokens > 0
+            THEN ROUND(n_types * 1.0 / n_tokens, 6) END AS ttr,
+       CASE WHEN n_tokens > 0
+            THEN ROUND(n_types / SQRT(n_tokens), 6) END AS rttr,
+       CASE WHEN n_tokens > 0
+            THEN ROUND(n_hapax * 1.0 / n_tokens, 6) END AS hapax_ratio
+FROM m ORDER BY doc_id
+"""
+
+
+LLM_QUERIES.update({"lexical_diversity_docs": q_lexical_diversity_docs})
+LLM_ORACLES.update({"lexical_diversity_docs": SQL_LEXICAL_DIVERSITY_DOCS})

@@ -246,3 +246,30 @@ def test_corpus_profile_counts_null_text_as_zero_tokens(spark):
     en = out["en"]
     assert en["n_docs"] == 3 and en["n_tokens"] == 6
     assert en["mean_tokens"] == 2.0          # 6 tokens / 3 docs, not /2
+
+
+def test_lexical_diversity_metrics(spark):
+    """Planted fixtures: repeated text scores low TTR/hapax, all-unique
+    text scores 1.0/1.0; rttr = types/sqrt(tokens); blank and NULL keep
+    their rows with 0 tokens and NULL ratios; normalization folds case
+    and punctuation before counting."""
+    from term_spark.operators.text import lexical_diversity
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog and the bird"),
+         (2, "unique words only here now"),
+         (3, ""), (4, None),
+         (5, "Repeat repeat REPEAT!")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in lexical_diversity(df).collect()}
+    assert (out[1]["n_tokens"], out[1]["n_types"]) == (8, 5)
+    assert out[1]["ttr"] == 0.625
+    # hapax in doc 1: cat, dog, bird (the/and repeat) -> 3/8
+    assert out[1]["hapax_ratio"] == 0.375
+    assert out[1]["rttr"] == round(5 / 8 ** 0.5, 6)
+    assert out[2]["ttr"] == 1.0 and out[2]["hapax_ratio"] == 1.0
+    for d in (3, 4):
+        assert out[d]["n_tokens"] == 0
+        assert out[d]["ttr"] is None and out[d]["hapax_ratio"] is None
+    # case/punct fold: three tokens, one type, zero hapax
+    assert (out[5]["n_tokens"], out[5]["n_types"]) == (3, 1)
+    assert out[5]["hapax_ratio"] == 0.0
