@@ -584,3 +584,45 @@ def minhash_oph_candidates(df: DataFrame, text_col: str = "text",
          .alias(f"d_{i}")
         for i in range(num_hashes)])
     return _banded_pairs(dens, [f"d_{i}" for i in range(num_hashes)], bands)
+
+
+def dedup_pair_eval(predicted: DataFrame, truth: DataFrame,
+                    id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
+    """Precision/recall/F1 of a candidate-pair stage against labeled
+    truth pairs — the number a user tuning MinHash bands, a Jaccard
+    τ, a SimHash radius or a winnow ``min_common`` actually optimizes
+    (the pair-generation analogue of ``similarity.ann_recall``).
+
+    Both inputs are (id_a, id_b) frames; pairs are canonicalized to
+    (min, max) and de-duplicated first, so orientation and repeats
+    cannot skew the counts.  Returns ONE row: n_predicted, n_truth,
+    true_positives, precision, recall, f1 (precision NULL when nothing
+    was predicted, recall NULL when truth is empty).
+
+    Scale: both sides reduce to distinct canonical pairs, then one
+    inner join keyed on the pair — |pairs| work, no corpus access.
+    """
+    def canon(df, tag):
+        a, b = F.col(id_a), F.col(id_b)
+        return (df.select(F.least(a, b).alias("__a"),
+                          F.greatest(a, b).alias("__b"))
+                  .filter(F.col("__a") != F.col("__b"))
+                  .distinct()
+                  .localCheckpoint(eager=True))  # counted + joined
+
+    p, t = canon(predicted, "p"), canon(truth, "t")
+    n_p, n_t = p.count(), t.count()
+    tp = p.join(t, ["__a", "__b"]).count()
+    prec = tp / n_p if n_p else None
+    rec = tp / n_t if n_t else None
+    f1 = (2 * prec * rec / (prec + rec)
+          if prec is not None and rec is not None and (prec + rec) > 0
+          else (0.0 if prec is not None and rec is not None else None))
+    spark = predicted.sparkSession
+    return spark.createDataFrame(
+        [(n_p, n_t, tp,
+          round(prec, 6) if prec is not None else None,
+          round(rec, 6) if rec is not None else None,
+          round(f1, 6) if f1 is not None else None)],
+        "n_predicted bigint, n_truth bigint, true_positives bigint, "
+        "precision double, recall double, f1 double")

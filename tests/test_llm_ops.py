@@ -1433,3 +1433,46 @@ def test_pca_reduced_ann_recall_against_exact(spark, tpch):
     assert iso[48] >= 0.7                       # 86% of variance retained
     # and the fit is deterministic
     assert embedding_pca(emb, "embedding")["components"] == model["components"]
+
+
+def test_dedup_pair_eval_precision_recall(spark):
+    """The pair-stage tuning harness: canonicalization (orientation,
+    repeats, self-pairs) cannot skew counts; precision/recall/F1 match
+    hand computation; empty sides yield NULL not division errors."""
+    from term_spark.operators.dedup import dedup_pair_eval
+
+    truth = spark.createDataFrame(
+        [(1, 2), (3, 4), (5, 6)], "id_a long, id_b long")
+    pred = spark.createDataFrame(
+        [(2, 1),            # reversed orientation of a true pair
+         (1, 2),            # repeat of the same pair
+         (3, 4),            # true
+         (7, 8),            # false positive
+         (9, 9)],           # self-pair, dropped
+        "id_a long, id_b long")
+    row = dedup_pair_eval(pred, truth).collect()[0]
+    assert (row["n_predicted"], row["n_truth"]) == (3, 3)
+    assert row["true_positives"] == 2
+    assert row["precision"] == round(2 / 3, 6)
+    assert row["recall"] == round(2 / 3, 6)
+    assert row["f1"] == round(2 / 3, 6)
+
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    r2 = dedup_pair_eval(empty, truth).collect()[0]
+    assert r2["precision"] is None and r2["recall"] == 0.0
+    r3 = dedup_pair_eval(pred, empty).collect()[0]
+    assert r3["recall"] is None
+
+    # end-to-end: minhash candidates on planted clones score perfect
+    # recall of the planted pair and finite precision
+    from term_spark.operators.dedup import minhash_lsh_candidates
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+         (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa!"),
+         (3, "totally different content about other things entirely here")],
+        "doc_id long, text string")
+    cands = minhash_lsh_candidates(docs).select(
+        F.col("id_a"), F.col("id_b"))
+    truth2 = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    r4 = dedup_pair_eval(cands, truth2).collect()[0]
+    assert r4["recall"] == 1.0
