@@ -1,8 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 entry(spark)  — flagship: run a 39-constraint validation suite over the
-sf0.001 tables as ONE fused aggregation job per table (the engine's
-scan-sharing design center) — including the corpus PII + Gopher-bundle
+sf0.001 tables as class-pure fused aggregation jobs per table (the
+engine's scan-sharing design center: plain metrics in one concurrent
+job, DISTINCT and sketch aggregates each in their own, so no metric
+rides a shuffle path it doesn't need) — incl. the corpus PII + Gopher-bundle
 release gates, a PSI drift check against a reference snapshot, and the
 join-skew pre-flight on the orders fact key — and return the outcome
 report as a DataFrame.

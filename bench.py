@@ -1,7 +1,8 @@
 """Benchmark harness: headline = a 20-constraint validation suite over
 lineitem at $SPARK_GRAFT_SF_DIR (default sf0.1, ~600k rows), executed as
-the engine's fused scan-sharing plan (1 Spark job for all scalar
-metrics). Mirrors BASELINE.md's "1M rows x 20 constraints" workload.
+the engine's fused scan-sharing plan (3 concurrent class-pure
+aggregation jobs: plain / DISTINCT / sketches — round 8 split).
+Mirrors BASELINE.md's "1M rows x 20 constraints" workload.
 
 Output contract (round-6 fix — the driver records only the last ~2,000
 characters of stdout, and round 5's full-detail payload outgrew that

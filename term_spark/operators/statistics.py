@@ -134,12 +134,20 @@ class QuantileConstraint(Constraint):
     APPROX_PERCENTILE_CONT); exact → Spark's exact ``percentile``;
     auto → exact below ``auto_threshold`` rows else approx, decided from
     the shared-scan row count (quantile.rs:244-258).
+
+    Default ``accuracy`` is 1000 (rank error ≤ 1/accuracy = 0.1%) —
+    round 8 lowered it from 10000 after measuring the GK sketch at
+    1.58 s vs 0.60 s per 6M rows: a gate asserting a quantile lands in
+    a band does not need 0.01% rank error, and the reference's KLL at
+    its default k=200 tolerates ~1.65/√k ≈ 11.7% (kll_sketch.rs) —
+    two orders looser than this default.  Pass ``accuracy=10000`` (or
+    ``mode="exact"``) where tighter values matter.
     """
 
     name = "quantile"
 
     def __init__(self, column: str, q: float, assertion: Assertion,
-                 mode: str = "approx", accuracy: int = 10000,
+                 mode: str = "approx", accuracy: int = 1000,
                  auto_threshold: int = 1_000_000):
         if not (0.0 <= q <= 1.0):
             raise ValueError("quantile must be in [0,1]")

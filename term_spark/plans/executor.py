@@ -169,21 +169,37 @@ class SuiteRunner:
     # sketch aggregate (percentile_approx / approx_count_distinct /
     # hll_sketch_agg): every expanded row drags the sketch buffer
     # through a sort — 2 orders of magnitude slower than two separate
-    # hash aggregations (measured: 62 s vs 2×0.1 s on 600k rows). So we
-    # fuse into at most TWO jobs: {plain + distinct} and {sketches}.
-    # Classification comes from the alias tag (metric_alias tag=):
-    # 'md_' = distinct, 'mk_' = sketch, 'ms_' = plain.
+    # hash aggregations (measured: 62 s vs 2×0.1 s on 600k rows).
+    #
+    # Round 8 splits further: DISTINCT also leaves the plain group.
+    # plain+distinct fuse without an Expand, but every plain metric
+    # then rides the distinct's two-phase shuffle path — measured on
+    # sf1 lineitem (6M rows): the mixed 20-metric agg takes 1.88 s
+    # where the 19 plain metrics alone take 0.39 s and the distinct
+    # alone 1.39 s.  The split removes that ~0.1-0.5 s of duplicated
+    # carry work; the jobs are CPU-bound on local[32], so the
+    # concurrent wall tracks TOTAL work (the distinct job is the
+    # critical path), not max(group) — on a real cluster with
+    # I/O-bound scans the concurrency upside grows.  So: up to THREE
+    # class-pure groups — {plain}, {distinct}, {sketches} — each
+    # aggregation shuffles only its own class's state, and no metric
+    # rides a shuffle or sketch buffer it doesn't need.  The extra job
+    # costs ~50 ms of scheduling on tiny inputs.  Classification comes
+    # from the alias tag (metric_alias tag=): 'md_' = distinct,
+    # 'mk_' = sketch, 'ms_' = plain.
     @staticmethod
     def _fusion_groups(merged: Dict[str, "F.Column"]) -> List[Dict[str, "F.Column"]]:
-        has_distinct = any(a.startswith("md_") for a in merged)
         plain: Dict[str, "F.Column"] = {}
+        distinct: Dict[str, "F.Column"] = {}
         sketch: Dict[str, "F.Column"] = {}
         for alias, col in merged.items():
-            if has_distinct and alias.startswith("mk_"):
+            if alias.startswith("md_"):
+                distinct[alias] = col
+            elif alias.startswith("mk_"):
                 sketch[alias] = col
             else:
                 plain[alias] = col
-        return [g for g in (plain, sketch) if g]
+        return [g for g in (plain, distinct, sketch) if g]
 
     def _per_constraint_fallback(self, df: "DataFrame", pairs,
                                  report: ValidationReport) -> None:

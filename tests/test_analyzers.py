@@ -28,10 +28,12 @@ def test_analysis_runner_single_pass(spark, nulls_df):
 
 
 def test_runner_fusion_splits_distinct_from_sketch(spark, nulls_df):
-    """Two distinct-column analyzers + sketch analyzers must split into
-    exactly two agg jobs (plain+distinct / sketches) — fusing them in
-    one df.agg plans an Expand that drags sketch buffers through a sort
-    (the ~100x trap the suite executor already avoids)."""
+    """Distinct-column analyzers + sketch analyzers must split into
+    class-pure agg jobs (round 8: {plain}, {DISTINCT}, {sketches}) —
+    DISTINCT+sketch in one df.agg plans an Expand that drags sketch
+    buffers through a sort (the ~100x trap), and plain+DISTINCT fused
+    drags every plain metric through the distinct's two-phase shuffle
+    (measured 1.35x at sf1)."""
     from term_spark.analyzers.base import DistinctnessAnalyzer
     from term_spark.plans.executor import SuiteRunner
 
@@ -44,9 +46,11 @@ def test_runner_fusion_splits_distinct_from_sketch(spark, nulls_df):
         for a, c in an.state_exprs().items():
             merged.setdefault(a, c)
     groups = SuiteRunner._fusion_groups(merged)
-    assert len(groups) == 2
-    assert all(a.startswith("mk_") for a in groups[1]), groups[1].keys()
-    assert not any(a.startswith("mk_") for a in groups[0])
+    assert len(groups) == 3
+    plain, distinct, sketch = groups
+    assert all(a.startswith("md_") for a in distinct), distinct.keys()
+    assert all(a.startswith("mk_") for a in sketch), sketch.keys()
+    assert not any(a.startswith(("md_", "mk_")) for a in plain)
     # and the split runner still produces correct metrics
     ctx = runner.run(nulls_df, spark=spark)
     assert not ctx.errors, ctx.errors

@@ -45,9 +45,10 @@ def _run_timed(spark, df):
 
 def test_suite_stays_fused(spark, tpch):
     """The job-count budget IS the performance contract: 13 constraints
-    → ≤2 Spark jobs regardless of constraint count."""
+    → ≤3 class-pure Spark jobs (plain / DISTINCT / sketch, concurrent)
+    regardless of constraint count."""
     _, result = _run_timed(spark, tpch["lineitem"])
-    assert result.report.num_spark_jobs <= 2
+    assert result.report.num_spark_jobs <= 3
 
 
 def test_absolute_budget_small(spark, tpch):
@@ -78,7 +79,7 @@ def test_bench_suite_budget_sf001(spark):
     suite = ValidationSuite.builder("perf20").with_check(bench.build_suite())
     result = suite.run(spark, lineitem)  # warm (codegen, JIT)
     assert result.passed, result.report.to_json()
-    assert result.report.num_spark_jobs <= 2  # 20 constraints stay fused
+    assert result.report.num_spark_jobs <= 3  # 20 constraints stay fused
 
     jvm_gc = spark.sparkContext._jvm.System.gc
     dt = float("inf")

@@ -66,8 +66,8 @@ def test_comprehensive_tpch_suite(spark, tpch):
     counts = result.report.counts()
     assert counts["success"] >= 25
     assert counts["failure"] == 0 and counts["error"] == 0
-    # scan sharing: 6 tables of scalar constraints + 7 join jobs
-    assert result.report.num_spark_jobs <= 6 + 7 + 2
+    # scan sharing: 6 tables × ≤3 class-pure fused jobs + 7 join jobs
+    assert result.report.num_spark_jobs <= 6 * 3 + 7 + 2
 
 
 def test_comprehensive_suite_detects_injected_corruption(spark, tpch):
