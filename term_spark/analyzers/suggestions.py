@@ -235,13 +235,20 @@ class BalancedKeysRule(SuggestionRule):
 
     name = "balanced_keys"
 
-    # suffix match: l_orderkey, o_custkey, doc_id, user_ids ...
-    _KEY_NAME = re.compile(r"(?:id|key)s?$", re.IGNORECASE)
+    # key-name heuristic (round-8 review hardened): 'key' as a SUFFIX
+    # is safe modulo a small English stoplist (l_orderkey, o_custkey,
+    # partition_key — vs monkey/turkey), while 'id' as a bare suffix
+    # is not (paid, valid, grid, rapid), so 'id(s)' requires a ^ or _
+    # boundary (doc_id, user_ids, id).
+    _KEY_NAME = re.compile(r"(?:keys?|(?:^|_)ids?)$", re.IGNORECASE)
+    _KEY_STOPLIST = re.compile(
+        r"(?:mon|don|tur|whis|joc|hoc|lac)keys?$", re.IGNORECASE)
 
     def evaluate(self, p, table):
         if (table.num_rows == 0 or p.non_null == 0
                 or p.is_low_cardinality
-                or not self._KEY_NAME.search(p.column)):
+                or not self._KEY_NAME.search(p.column)
+                or self._KEY_STOPLIST.search(p.column)):
             return []
         distinct_ratio = p.approx_distinct / table.num_rows
         if distinct_ratio >= 0.9:      # unique — primary-key territory

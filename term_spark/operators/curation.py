@@ -611,11 +611,12 @@ def source_overlap_kmv(df: DataFrame, source_col: str = "source",
     carry ~1/√(sketch_k−2) relative error; every pair is reported
     (including zero-overlap ones, unlike the exact report).
     """
-    from ..analyzers.kmv import (kmv_distinct, kmv_intersection,
-                                 kmv_jaccard, kmv_sketch_by,
+    from ..analyzers.kmv import (kmv_distinct, kmv_merge, kmv_sketch_by,
                                  sketch_from_row)
     from ..functions.security import validate_identifier
     validate_identifier(source_col)
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
     sh = (df.select(F.col(source_col).alias("source"),
                     T.norm_tokens(text_col).alias("__toks"))
             .select("source",
@@ -630,11 +631,19 @@ def source_overlap_kmv(df: DataFrame, source_col: str = "source",
                 continue
             A, B = sketches[sa], sketches[sb]
             na, nb = kmv_distinct(A), kmv_distinct(B)
+            # one union-sketch merge per pair; jaccard, union and
+            # intersection all derive from it (round-8 review — the
+            # estimator helpers each re-merged internally)
+            u = kmv_merge([A, B])
+            set_a, set_b = set(A.hashes), set(B.hashes)
+            both = sum(1 for h in u.hashes if h in set_a and h in set_b)
+            jac = both / len(u.hashes) if u.hashes else 0.0
+            inter = jac * kmv_distinct(u)
+            # containment is a ratio <= 1 by definition; the sketch
+            # estimate can only exceed it through noise — clamp
+            cont = min(1.0, inter / min(na, nb)) if min(na, nb) > 0 else 0.0
             rows.append((sa, sb, round(na, 1), round(nb, 1),
-                         round(kmv_intersection(A, B), 1),
-                         round(kmv_jaccard(A, B), 6),
-                         round(kmv_intersection(A, B) / min(na, nb), 6)
-                         if min(na, nb) > 0 else 0.0))
+                         round(inter, 1), round(jac, 6), round(cont, 6)))
     return df.sparkSession.createDataFrame(
         rows, "source_a string, source_b string, est_n_a double, "
               "est_n_b double, est_common double, est_jaccard double, "

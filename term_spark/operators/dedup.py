@@ -595,22 +595,26 @@ def dedup_pair_eval(predicted: DataFrame, truth: DataFrame,
 
     Both inputs are (id_a, id_b) frames; pairs are canonicalized to
     (min, max) and de-duplicated first, so orientation and repeats
-    cannot skew the counts.  Returns ONE row: n_predicted, n_truth,
-    true_positives, precision, recall, f1 (precision NULL when nothing
-    was predicted, recall NULL when truth is empty).
+    cannot skew the counts.  Rows with a NULL id or a self-pair
+    (id_a == id_b) are dropped explicitly on BOTH sides — they are not
+    pairs, and dropping them identically cannot bias precision against
+    recall.  Returns ONE row: n_predicted, n_truth, true_positives,
+    precision, recall, f1 (precision NULL when nothing was predicted,
+    recall NULL when truth is empty).
 
     Scale: both sides reduce to distinct canonical pairs, then one
     inner join keyed on the pair — |pairs| work, no corpus access.
     """
-    def canon(df, tag):
+    def canon(df):
         a, b = F.col(id_a), F.col(id_b)
-        return (df.select(F.least(a, b).alias("__a"),
+        return (df.filter(a.isNotNull() & b.isNotNull())
+                  .select(F.least(a, b).alias("__a"),
                           F.greatest(a, b).alias("__b"))
                   .filter(F.col("__a") != F.col("__b"))
                   .distinct()
                   .localCheckpoint(eager=True))  # counted + joined
 
-    p, t = canon(predicted, "p"), canon(truth, "t")
+    p, t = canon(predicted), canon(truth)
     n_p, n_t = p.count(), t.count()
     tp = p.join(t, ["__a", "__b"]).count()
     prec = tp / n_p if n_p else None

@@ -377,7 +377,8 @@ def dataset_diff(left: DataFrame, right: DataFrame, keys,
     Shape: two map-side hash projections → two fingerprint-grouped
     reductions → one full-outer equi-join on the key FINGERPRINT →
     1-row reduction.  Key matching is NULL-SAFE: each side groups by
-    the md5 of the null-marker-encoded key tuple, so a key NULL on
+    the md5 of the JSON-encoded key tuple (injective — escaping means
+    no key value can alias another tuple or a NULL), so a key NULL on
     both sides lands in one common row instead of double-counting as
     added+removed (ADVICE r6).  Round 8 moved the null safety from an
     ``eqNullSafe`` join condition INTO the fingerprint: Spark would
@@ -398,16 +399,26 @@ def dataset_diff(left: DataFrame, right: DataFrame, keys,
         raise ValueError("dataset_diff: no columns to compare "
                          "(all shared columns are keys)")
 
-    def tuple_fp(columns):
-        # null-safe tuple fingerprint: a literal marker distinguishes
-        # NULL from empty string / absent
+    def value_fp(columns):
+        # null-safe compared-tuple fingerprint: a literal marker
+        # distinguishes NULL from empty string / absent (the DuckDB
+        # oracle mirrors this exact expression)
         return F.md5(F.concat_ws(
             "\x01", *[F.coalesce(F.col(c).cast("string"), F.lit("\x02"))
                       for c in columns]))
 
+    def key_fp(columns):
+        # null-safe KEY fingerprint via JSON: escaping makes the
+        # encoding INJECTIVE — a key value containing the \x01/\x02
+        # marker bytes (or literally "\x02") cannot alias another key
+        # tuple or a NULL the way a raw concat_ws scheme could
+        # (round-8 review); ignoreNullFields=false keeps NULL ≠ "".
+        return F.md5(F.to_json(F.struct(*[F.col(c) for c in columns]),
+                               {"ignoreNullFields": "false"}))
+
     def side(df, tag):
-        return (df.groupBy(tuple_fp(keys).alias("__k"))
-                  .agg(F.min(tuple_fp(cols)).alias(f"h_{tag}"),
+        return (df.groupBy(key_fp(keys).alias("__k"))
+                  .agg(F.min(value_fp(cols)).alias(f"h_{tag}"),
                        F.count(F.lit(1)).alias(f"rows_{tag}")))
 
     j = side(left, "l").join(side(right, "r"), "__k", "full_outer")

@@ -234,14 +234,14 @@ class SuiteRunner:
                 merged_by_table[(table, check.where)].update(exprs)
         out = []
         for (table, where), merged in merged_by_table.items():
-            has_distinct = any(a.startswith("md_") for a in merged)
-            groups = {"scalar+distinct": {a: c for a, c in merged.items()
-                                          if not (has_distinct and a.startswith("mk_"))},
-                      "sketch": {a: c for a, c in merged.items()
-                                 if has_distinct and a.startswith("mk_")}}
-            for label, group in groups.items():
-                if not group:
-                    continue
+            # the SAME grouping run() executes — explain must never
+            # render a fusion the runner wouldn't use (round-8 review)
+            groups = self._fusion_groups(merged)
+            for group in groups:
+                first = next(iter(group))
+                label = ("distinct" if first.startswith("md_")
+                         else "sketch" if first.startswith("mk_")
+                         else "plain")
                 base = ctx.df(table)
                 if where:
                     base = base.filter(where)

@@ -2033,8 +2033,10 @@ r AS (SELECT o_orderkey,
              COUNT(*) AS rows_r
       FROM today GROUP BY o_orderkey),
 -- NULL-SAFE key join (IS NOT DISTINCT FROM), mirroring the operator's
--- eqNullSafe: a key NULL on both sides is ONE common row, not
--- added+removed the way null-unsafe USING would count it (ADVICE r7)
+-- null-safe key-fingerprint grouping: a key NULL on both sides is ONE
+-- common row, not added+removed the way null-unsafe USING would count
+-- it (ADVICE r7; the operator groups by an injective JSON-encoded md5
+-- of the key tuple, which classifies pairs identically)
 j AS (SELECT h_l, rows_l, h_r, rows_r
       FROM l FULL OUTER JOIN r
         ON l.o_orderkey IS NOT DISTINCT FROM r.o_orderkey)
@@ -2160,8 +2162,10 @@ ORACLES.update({"brand_profile_part": SQL_BRAND_PROFILE_PART,
 #
 # ROTATION POLICY: the window is computed, not hand-picked — the 50
 # STALEST oracle-backed queries, never-driver-proven first, then by
-# oldest last-green round, alphabetical tie-break.  With 95 eligible
-# queries and 50 slots every query re-proves at least every 2 rounds,
+# oldest last-green round, alphabetical tie-break.  With ~2x as many
+# oracle-eligible queries as slots (99 vs 50 as of round 8; the exact
+# count lives in len(QUERIES) - len(NO_ORACLE)) every query re-proves
+# at least every ~2 rounds,
 # which subsumes the family-level freshness bound ("no family's newest
 # driver-green row older than 3 rounds") that
 # tests/test_registry_window.py asserts.  A query that FAILS its driver

@@ -429,10 +429,12 @@ def test_dataset_diff_counts_and_null_safety(spark):
 
 
 def test_dataset_diff_null_key_is_common_not_added_plus_removed(spark):
-    """The key join is NULL-SAFE (eqNullSafe, r7 fix): a key that is
-    NULL on both sides pairs up as ONE common row — identical or
-    changed by its compared columns — never as one added plus one
-    removed the way plain equality / SQL USING would count it."""
+    """Key matching is NULL-SAFE (r7 fix; since r8 implemented as a
+    null-safe injective key-tuple fingerprint that the sides group and
+    equi-join on): a key NULL on both sides pairs up as ONE common row
+    — identical or changed by its compared columns — never as one
+    added plus one removed the way plain equality / SQL USING would
+    count it."""
     from term_spark.operators.multitable import dataset_diff
 
     left = spark.createDataFrame(
@@ -468,6 +470,22 @@ def test_dataset_diff_null_key_is_common_not_added_plus_removed(spark):
     row = dataset_diff(l2, r2, ["a", "b"]).collect()[0]
     assert row["n_common"] == 2 and row["n_added"] == 0 == row["n_removed"]
     assert row["n_changed"] == 1 and row["n_identical"] == 1
+
+    # the key fingerprint is INJECTIVE (JSON-escaped): composite key
+    # components containing the legacy marker bytes cannot alias
+    # across boundaries, and a literal "\x02" value is not a NULL
+    l3 = spark.createDataFrame(
+        [("x\x01y", "z", 1.0)], "a string, b string, v double")
+    r3 = spark.createDataFrame(
+        [("x", "y\x01z", 1.0)], "a string, b string, v double")
+    row = dataset_diff(l3, r3, ["a", "b"], compare_cols=["v"]).collect()[0]
+    assert row["n_common"] == 0
+    assert row["n_added"] == 1 and row["n_removed"] == 1
+    l4 = spark.createDataFrame([("\x02", 1.0)], "k string, v double")
+    r4 = spark.createDataFrame([(None, 1.0)], "k string, v double")
+    row = dataset_diff(l4, r4, "k").collect()[0]
+    assert row["n_common"] == 0
+    assert row["n_added"] == 1 and row["n_removed"] == 1
 
 
 def test_has_low_churn_gate(spark):

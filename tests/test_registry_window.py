@@ -8,8 +8,9 @@ by scripts/update_rotation.py):
 * ``LAST_GREEN`` records, per query, the newest round whose
   CORRECTNESS_r{N}.json holds a green rows+schema+hash driver row;
 * the window is the 50 STALEST oracle-backed queries (never-proven
-  first, then oldest green, alphabetical tie-break) — so with ~95
-  eligible queries every query re-proves at least every 2 rounds and no
+  first, then oldest green, alphabetical tie-break) — so with ~2x as
+  many eligible queries as slots every query re-proves at least every
+  ~2 rounds and no
   operator family's newest driver-green row can age past 3 rounds;
 * ``NO_ORACLE`` queries (rows-only by design) never take a window slot.
 
