@@ -2292,59 +2292,59 @@ FAMILY = {
 # BEGIN GENERATED ROTATION DATA (scripts/update_rotation.py)
 #: Most recent round whose CORRECTNESS_r{N}.json holds a green
 #: (rows_match + schema_match + hash_match) driver row for each query;
-#: None = never driver-proven.  Source artifacts: r01, r02, r03, r04, r05, r06, r07.
-CURRENT_ROUND = 8
+#: None = never driver-proven.  Source artifacts: r01, r02, r03, r04, r05, r06, r07, r08.
+CURRENT_ROUND = 9
 LAST_GREEN = {
-    "bigram_surprisal_docs": None,
-    "brand_profile_part": None,
-    "chunk_documents_docs": None,
-    "corpus_profile_by_lang": None,
-    "corr_matrix_lineitem": None,
-    "dataset_diff_orders": None,
-    "decontamination_report_docs": None,
-    "drift_w1_quantity": None,
-    "dsir_weights_docs": None,
-    "embedding_centroid_drift": None,
-    "fd_custkey_orderstatus": None,
-    "frequent_terms_docs": None,
-    "gopher_rules_docs": None,
-    "interval_join_events": None,
-    "jaccard_prefix_pairs_docs": None,
-    "key_skew_custkey": None,
-    "lexical_diversity_docs": None,
-    "minhash_oph_candidates_docs": None,
-    "ngram_novelty_docs": None,
-    "readability_docs": None,
-    "row_violations_docs": None,
-    "script_profile_docs": None,
-    "shape_stats_quantity": None,
-    "source_overlap_docs": None,
-    "supplier_stats_by_nation": None,
-    "tfidf_top_terms_docs": None,
-    "winnow_overlap_docs": None,
-    "containment_orderstatus": 4,
-    "date_range_orders": 4,
-    "decontaminate_docs": 4,
-    "dedup_pipeline_docs": 4,
-    "doc_length_buckets": 4,
-    "embedding_neardup_pairs": 4,
-    "fingerprint_docs": 4,
-    "lang_id": 4,
-    "simhash_docs": 4,
-    "stratified_sample_docs": 4,
-    "temporal_ordering_orders_lineitem": 4,
-    "text_tokens": 4,
-    "business_hours_events": 5,
-    "grouped_stats_mktsegment": 5,
-    "neardup_components": 5,
-    "numeric_histogram_quantity": 5,
-    "repetition_docs": 5,
-    "simhash_near_pairs": 5,
-    "source_mixing_docs": 5,
-    "spearman_quantity_price": 5,
-    "split_counts_docs": 5,
-    "text_quality": 5,
-    "asof_click_error": 7,
+    "bigram_surprisal_docs": 8,
+    "brand_profile_part": 8,
+    "chunk_documents_docs": 8,
+    "corpus_profile_by_lang": 8,
+    "corr_matrix_lineitem": 8,
+    "dataset_diff_orders": 8,
+    "decontamination_report_docs": 8,
+    "drift_w1_quantity": 8,
+    "dsir_weights_docs": 8,
+    "embedding_centroid_drift": 8,
+    "fd_custkey_orderstatus": 8,
+    "frequent_terms_docs": 8,
+    "gopher_rules_docs": 8,
+    "interval_join_events": 8,
+    "jaccard_prefix_pairs_docs": 8,
+    "key_skew_custkey": 8,
+    "lexical_diversity_docs": 8,
+    "minhash_oph_candidates_docs": 8,
+    "ngram_novelty_docs": 8,
+    "readability_docs": 8,
+    "row_violations_docs": 8,
+    "script_profile_docs": 8,
+    "shape_stats_quantity": 8,
+    "source_overlap_docs": 8,
+    "supplier_stats_by_nation": 8,
+    "tfidf_top_terms_docs": 8,
+    "winnow_overlap_docs": 8,
+    "containment_orderstatus": 8,
+    "date_range_orders": 8,
+    "decontaminate_docs": 8,
+    "dedup_pipeline_docs": 8,
+    "doc_length_buckets": 8,
+    "embedding_neardup_pairs": 8,
+    "fingerprint_docs": 8,
+    "lang_id": 8,
+    "simhash_docs": 8,
+    "stratified_sample_docs": 8,
+    "temporal_ordering_orders_lineitem": 8,
+    "text_tokens": 8,
+    "business_hours_events": 8,
+    "grouped_stats_mktsegment": 8,
+    "neardup_components": 8,
+    "numeric_histogram_quantity": 8,
+    "repetition_docs": 8,
+    "simhash_near_pairs": 8,
+    "source_mixing_docs": 8,
+    "spearman_quantity_price": 8,
+    "split_counts_docs": 8,
+    "text_quality": 8,
+    "asof_click_error": 8,
     "size_lineitem": 7,
     "completeness_customer": 7,
     "stats_quantity": 7,
