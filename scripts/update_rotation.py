@@ -29,8 +29,18 @@ BEGIN = "# BEGIN GENERATED ROTATION DATA (scripts/update_rotation.py)"
 END = "# END GENERATED ROTATION DATA"
 
 
-def load_green_history(repo: str = REPO) -> tuple[dict, int]:
-    """(query -> last green round, newest artifact round) from disk."""
+def load_green_history(repo: str = REPO,
+                       no_oracle=None) -> tuple[dict, int]:
+    """(query -> last green round, newest artifact round) from disk.
+
+    ``hash_match: None`` (a rows-only driver row) counts as green ONLY
+    for queries in NO_ORACLE — an oracle-backed query whose artifact row
+    lacks a hash (e.g. a driver that skipped hashing) must NOT silently
+    earn a full green and rotate out of the window; it is warned about
+    instead (round-8 advice)."""
+    if no_oracle is None:
+        sys.path.insert(0, REPO)
+        from term_spark.queries import NO_ORACLE as no_oracle
     last: dict[str, int | None] = {}
     rounds = []
     for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
@@ -44,10 +54,15 @@ def load_green_history(repo: str = REPO) -> tuple[dict, int]:
         for name, row in data.items():
             if not isinstance(row, dict):
                 continue
-            green = (row.get("rows_match") and row.get("schema_match")
-                     and row.get("hash_match") in (True, None))
-            if green:
+            if not (row.get("rows_match") and row.get("schema_match")):
+                continue
+            hm = row.get("hash_match")
+            if hm is True or (hm is None and name in no_oracle):
                 last[name] = max(rnd, last.get(name) or 0)
+            elif hm is None:
+                print(f"warn: {os.path.basename(path)}:{name} has "
+                      "rows/schema green but no hash_match on an "
+                      "oracle-backed query — not counted as green")
     return last, (max(rounds) if rounds else 0)
 
 

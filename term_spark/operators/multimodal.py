@@ -82,6 +82,11 @@ def parse_image_header(payload) -> Optional[dict]:
                 i += 2                  # stand-alone marker, no segment
                 continue
             seg_len = struct.unpack(">H", b[i + 2:i + 4])[0]
+            if seg_len < 2:
+                # A segment length includes its own two bytes; 0/1 is
+                # corrupt — continuing would re-read payload bytes and
+                # could surface a bogus SOF as a plausible frame header.
+                break
             # SOF0..SOF15 carry the frame header; C4/C8/CC are
             # DHT/JPG/DAC, not frame headers
             if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):

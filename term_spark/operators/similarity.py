@@ -680,12 +680,21 @@ def embedding_centroid_drift(ref: DataFrame, cur: DataFrame,
 
 
 def embedding_pca(df: DataFrame, vec_col: str = "embedding"):
-    """Distributed PCA fit over an embedding column (round 8): one
-    Arrow-batched pass accumulates per-batch Gram summaries
-    (n, Σx, XᵀX flattened) — each batch emits a SINGLE d+d²-length
-    row, so the driver reduces #batches small rows into one d×d
-    covariance (d = embedding width, e.g. 64/768/1536 — always tiny
-    next to n) and runs the eigendecomposition locally.
+    """Distributed PCA fit over an embedding column: TWO Arrow-batched
+    passes.  Pass 1 accumulates (n, Σx) per batch to get the global
+    mean; pass 2 accumulates the CENTERED Gram Σ(x−µ)ᵀ(x−µ) per batch —
+    each batch emits a single d- or d²-length row, so the driver
+    reduces #batches small rows into one d×d covariance (d = embedding
+    width, e.g. 64/768/1536 — always tiny next to n) and runs the
+    eigendecomposition locally.
+
+    Why two passes: the one-pass identity E[xxᵀ] − µµᵀ cancels
+    catastrophically when embedding means are large relative to the
+    variance (common for un-normalized encoder outputs) and silently
+    degrades components behind the eigenvalue clamp; centering before
+    the Gram accumulation keeps every partial at variance magnitude
+    (round-8 advice).  The extra corpus scan is the textbook price of a
+    stable covariance — still nothing wider than d² crosses the wire.
 
     Returns a plain-dict model: ``mean`` (d), ``components`` (rows =
     principal axes, descending eigenvalue, sign-fixed so each row's
@@ -703,13 +712,15 @@ def embedding_pca(df: DataFrame, vec_col: str = "embedding"):
     from pyspark.sql.types import (ArrayType, DoubleType, LongType,
                                    StructField, StructType)
 
-    schema = StructType([
+    mean_schema = StructType([
         StructField("n", LongType()),
         StructField("s", ArrayType(DoubleType())),
+    ])
+    gram_schema = StructType([
         StructField("g", ArrayType(DoubleType())),
     ])
 
-    def partial(batches):
+    def partial_mean(batches):
         import pandas as pd
         for pdf in batches:
             vecs = pdf[vec_col].dropna()
@@ -719,18 +730,29 @@ def embedding_pca(df: DataFrame, vec_col: str = "embedding"):
             yield pd.DataFrame({
                 "n": [x.shape[0]],
                 "s": [x.sum(axis=0).tolist()],
-                "g": [(x.T @ x).ravel().tolist()],
             })
 
-    parts = df.select(vec_col).mapInPandas(partial, schema).collect()
+    src = df.select(vec_col)
+    parts = src.mapInPandas(partial_mean, mean_schema).collect()
     if not parts:
         raise ValueError(f"embedding_pca: no non-null vectors in {vec_col}")
     n = sum(r["n"] for r in parts)
     s = np.sum([np.array(r["s"]) for r in parts], axis=0)
     d = s.shape[0]
-    g = np.sum([np.array(r["g"]).reshape(d, d) for r in parts], axis=0)
     mean = s / n
-    cov = g / n - np.outer(mean, mean)
+
+    def partial_gram(batches):
+        import pandas as pd
+        for pdf in batches:
+            vecs = pdf[vec_col].dropna()
+            if vecs.empty:
+                continue
+            x = np.array(vecs.tolist(), dtype=np.float64) - mean
+            yield pd.DataFrame({"g": [(x.T @ x).ravel().tolist()]})
+
+    gparts = src.mapInPandas(partial_gram, gram_schema).collect()
+    g = np.sum([np.array(r["g"]).reshape(d, d) for r in gparts], axis=0)
+    cov = g / n
     evals, evecs = np.linalg.eigh(cov)          # ascending
     order = np.argsort(evals)[::-1]
     evals, evecs = np.maximum(evals[order], 0.0), evecs[:, order]

@@ -62,8 +62,9 @@ def test_last_green_matches_committed_artifacts():
         for name, row in data.items():
             if not isinstance(row, dict) or name not in QUERIES:
                 continue
+            hm = row.get("hash_match")
             if (row.get("rows_match") and row.get("schema_match")
-                    and row.get("hash_match") in (True, None)):
+                    and (hm is True or (hm is None and name in NO_ORACLE))):
                 expected[name] = max(rnd, expected.get(name) or 0)
     assert CURRENT_ROUND == newest + 1, (
         f"CURRENT_ROUND={CURRENT_ROUND} but newest prior artifact is "
@@ -125,8 +126,10 @@ def test_update_rotation_script_parses_artifacts_and_advances_round(tmp_path):
     directory of CORRECTNESS artifacts, load_green_history keeps the
     NEWEST green per query (a later red does not revoke an earlier
     green, but also does not advance it), treats hash_match: null as
-    green when rows+schema match (the rows-only contract), and reports
-    the newest artifact round — so CURRENT_ROUND advances to newest+1."""
+    green ONLY for NO_ORACLE queries (the rows-only contract — an
+    oracle-backed query missing its hash must not be promoted), and
+    reports the newest artifact round — so CURRENT_ROUND advances to
+    newest+1."""
     import importlib.util
     import json as _json
 
@@ -143,12 +146,15 @@ def test_update_rotation_script_parses_artifacts_and_advances_round(tmp_path):
     red = {"rows_match": True, "schema_match": True, "hash_match": False}
     rows_only = {"rows_match": True, "schema_match": True,
                  "hash_match": None}
-    art(7, {"a": g, "b": g, "c": rows_only})
+    art(7, {"a": g, "b": g, "c": rows_only, "e": rows_only})
     art(8, {"a": g, "b": red, "d": g})
 
-    greens, newest = mod.load_green_history(str(tmp_path))
+    greens, newest = mod.load_green_history(str(tmp_path),
+                                            no_oracle=frozenset({"c"}))
     assert newest == 8
     assert greens["a"] == 8          # advanced by the new green
     assert greens["b"] == 7          # r8 red does NOT revoke the r7 green
-    assert greens["c"] == 7          # rows-only (hash None) counts
+    assert greens["c"] == 7          # rows-only counts for NO_ORACLE
     assert greens["d"] == 8
+    assert "e" not in greens         # rows-only on an oracle-backed query
+    #                                  is warned about, never promoted
