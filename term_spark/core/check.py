@@ -107,17 +107,27 @@ class Check:
             column, group_by, Assertion.coerce(assertion), config))
 
     # ---- uniqueness family -------------------------------------------
-    def uniqueness(self, columns, threshold: float = 1.0) -> "Check":
-        return self.with_constraint(UniquenessConstraint(columns, "full", threshold=threshold))
+    def uniqueness(self, columns, threshold: float = 1.0,
+                   strategy: str = "exact", approx_rsd: float = 0.02) -> "Check":
+        """``strategy='approx'`` rides HLL++ (±``approx_rsd``, default
+        2%) instead of an exact distinct shuffle — opt in when the
+        table is large and the threshold tolerates the error."""
+        return self.with_constraint(UniquenessConstraint(
+            columns, "full", threshold=threshold,
+            strategy=strategy, approx_rsd=approx_rsd))
 
     validates_uniqueness = uniqueness
 
     def is_unique(self, column: str) -> "Check":
         return self.uniqueness([column] if isinstance(column, str) else column, 1.0)
 
-    def validates_distinctness(self, columns, assertion) -> "Check":
+    def validates_distinctness(self, columns, assertion,
+                               strategy: str = "exact",
+                               approx_rsd: float = 0.02) -> "Check":
         return self.with_constraint(
-            UniquenessConstraint(columns, "distinctness", Assertion.coerce(assertion)))
+            UniquenessConstraint(columns, "distinctness",
+                                 Assertion.coerce(assertion),
+                                 strategy=strategy, approx_rsd=approx_rsd))
 
     def validates_unique_value_ratio(self, columns, assertion) -> "Check":
         return self.with_constraint(

@@ -29,11 +29,12 @@ def test_analysis_runner_single_pass(spark, nulls_df):
 
 def test_runner_fusion_splits_distinct_from_sketch(spark, nulls_df):
     """Distinct-column analyzers + sketch analyzers must split into
-    class-pure agg jobs (round 8: {plain}, {DISTINCT}, {sketches}) —
-    DISTINCT+sketch in one df.agg plans an Expand that drags sketch
-    buffers through a sort (the ~100x trap), and plain+DISTINCT fused
-    drags every plain metric through the distinct's two-phase shuffle
-    (measured 1.35x at sf1)."""
+    class-pure agg jobs — DISTINCT+sketch in one df.agg plans an Expand
+    that drags sketch buffers through a sort (the ~100x trap), and
+    plain+DISTINCT fused drags every plain metric through the
+    distinct's two-phase shuffle (measured 1.35x at sf1).  Round 9:
+    each DISTINCT alias gets its OWN singleton group — two different
+    COUNT(DISTINCT) in one agg would themselves force the Expand plan."""
     from term_spark.analyzers.base import DistinctnessAnalyzer
     from term_spark.plans.executor import SuiteRunner
 
@@ -46,9 +47,10 @@ def test_runner_fusion_splits_distinct_from_sketch(spark, nulls_df):
         for a, c in an.state_exprs().items():
             merged.setdefault(a, c)
     groups = SuiteRunner._fusion_groups(merged)
-    assert len(groups) == 3
-    plain, distinct, sketch = groups
-    assert all(a.startswith("md_") for a in distinct), distinct.keys()
+    assert len(groups) == 4  # {plain}, {distinct name}, {distinct score}, {sketches}
+    plain, d1, d2, sketch = groups
+    for d in (d1, d2):
+        assert len(d) == 1 and all(a.startswith("md_") for a in d), d.keys()
     assert all(a.startswith("mk_") for a in sketch), sketch.keys()
     assert not any(a.startswith(("md_", "mk_")) for a in plain)
     # and the split runner still produces correct metrics

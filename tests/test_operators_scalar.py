@@ -86,6 +86,60 @@ def test_multicolumn_uniqueness_tuple_semantics(spark):
     assert outcome(r).metric == pytest.approx(2 / 3)
 
 
+def test_uniqueness_approx_strategy(spark):
+    """Opt-in approx distinct (HLL++, rsd 2%): same verdict on small
+    exact-representable cardinalities (HLL++ is exact below its sparse
+    threshold), classified into the sketch fusion group so it can never
+    drag an Expand plan, and refused for primary_key."""
+    from term_spark.operators.uniqueness import UniquenessConstraint
+
+    df = spark.createDataFrame([(i % 50,) for i in range(200)], "x long")
+    r = run_one(spark, df, Check("a", Level.ERROR)
+                .uniqueness("x", 0.25, strategy="approx"))
+    assert outcome(r).metric == pytest.approx(50 / 200)
+    r = run_one(spark, df, Check("d", Level.ERROR)
+                .validates_distinctness("x", Assertion.between(0.2, 0.3),
+                                        strategy="approx"))
+    assert r.passed
+    con = UniquenessConstraint("x", "full", strategy="approx")
+    assert con._uq.startswith("mk_")          # sketch class, not DISTINCT
+    con = UniquenessConstraint("x", "full", strategy="exact")
+    assert con._uq.startswith("md_")
+    assert con.distinct_groupings()           # exact exposes its key
+    with pytest.raises(ValueError):
+        UniquenessConstraint("x", "primary_key", strategy="approx")
+    with pytest.raises(ValueError):
+        UniquenessConstraint("x", "full", strategy="bogus")
+
+
+def test_distinct_metrics_run_as_separate_two_stage_jobs(spark):
+    """Round 9: each exact-DISTINCT metric is its own singleton fusion
+    group executed as an explicit groupBy two-stage (never the
+    DISTINCT-agg rewrite, never an Expand with a sibling DISTINCT).
+    Two uniqueness constraints on different columns → plain job + two
+    distinct jobs; values stay exact."""
+    import io
+    from contextlib import redirect_stdout
+
+    from term_spark import ValidationSuite
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "b"), (None, "b")], "x long, y string")
+    check = (Check("u2", Level.ERROR)
+             .uniqueness("x", 0.1)     # distinct non-null x = 2 → 2/4
+             .uniqueness("y", 0.1))    # distinct y = 2 → 2/4
+    suite = ValidationSuite.builder("t").with_check(check)
+    result = suite.run(spark, df)
+    assert result.report.num_spark_jobs == 3
+    for o in result.report.outcomes:
+        assert o.result.metric == pytest.approx(2 / 4)
+    # the rendered plan for the distinct jobs is the two-stage groupBy:
+    # no Expand anywhere, and a plain HashAggregate pair per job
+    plan = suite.explain(spark, df)
+    assert "Expand" not in plan
+    assert plan.count("[distinct, 1 metrics]") == 2
+
+
 def test_satisfies_and_containment(spark, dupes_df):
     r = run_one(spark, dupes_df, Check("s", Level.ERROR)
                 .satisfies("amount > 15", Assertion.eq(5 / 6))
