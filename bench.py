@@ -262,6 +262,13 @@ def main() -> None:
         "fd_custkey_orderstatus", "shape_stats_quantity",
         "dataset_diff_orders", "embedding_centroid_drift",
         "row_violations_docs", "gopher_rules_docs",
+        # round-8 newcomers (verdict r8 ask #7) + round-9 paragraph tier
+        "lexical_diversity_docs", "source_overlap_docs",
+        "brand_profile_part", "supplier_stats_by_nation",
+        "paragraph_dedup_summary_docs",
+        # round-9 TPC-H-shaped join plans (Q3/Q5/Q10 analogues)
+        "shipping_priority_orders", "regional_supplier_volume",
+        "returned_item_customers",
     ]
     for name in bench_queries:
         per_query[name] = round(_measure_query(spark, QUERIES[name], SF_DIR), 4)

@@ -108,6 +108,113 @@ def parse_image_header(payload) -> Optional[dict]:
     return None
 
 
+def _parse_wav(b: bytes) -> Optional[dict]:
+    """WAV/RIFF: fmt chunk → channels / sample rate / bit depth;
+    data chunk's DECLARED size ÷ byte rate → duration.  The declared
+    size works from a header-only prefix — the sample bytes themselves
+    need not be present."""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    out = {"mime": "audio/wav", "duration_ms": None,
+           "sample_rate": None, "channels": None, "depth": None}
+    byte_rate = data_size = None
+    i = 12
+    while i + 8 <= len(b):
+        cid = b[i:i + 4]
+        size = struct.unpack("<I", b[i + 4:i + 8])[0]
+        if cid == b"fmt " and i + 24 <= len(b):
+            _fmt, ch, sr, br, _align, bits = struct.unpack(
+                "<HHIIHH", b[i + 8:i + 24])
+            out.update(channels=int(ch), sample_rate=int(sr),
+                       depth=int(bits))
+            byte_rate = br
+        elif cid == b"data":
+            data_size = size
+        i += 8 + size + (size & 1)      # RIFF chunks are word-aligned
+    if byte_rate and data_size is not None:
+        out["duration_ms"] = int(round(data_size * 1000 / byte_rate))
+    return out
+
+
+def _parse_mp4(b: bytes) -> Optional[dict]:
+    """MP4 / ISO-BMFF: signature is a leading ftyp box; duration comes
+    from moov→mvhd (version 0 or 1 layout).  Encoders commonly write
+    moov at EOF ('faststart' moves it up front) — a byte prefix without
+    moov honestly reports duration NULL (status 'truncated')."""
+    if len(b) < 12 or b[4:8] != b"ftyp":
+        return None
+    out = {"mime": "video/mp4", "duration_ms": None,
+           "sample_rate": None, "channels": None, "depth": None}
+
+    def box(buf, i, end):
+        """(payload_start, box_end) or None on a corrupt header."""
+        if i + 8 > end:
+            return None
+        size = struct.unpack(">I", buf[i:i + 4])[0]
+        hdr = 8
+        if size == 1:                   # 64-bit largesize
+            if i + 16 > end:
+                return None
+            size = struct.unpack(">Q", buf[i + 8:i + 16])[0]
+            hdr = 16
+        elif size == 0:                 # box extends to end of input
+            size = end - i
+        if size < hdr:
+            return None
+        return i + hdr, min(i + size, end)
+
+    i = 0
+    while (top := box(b, i, len(b))) is not None:
+        start, end = top
+        if b[i + 4:i + 8] == b"moov":
+            j = start
+            while (child := box(b, j, end)) is not None:
+                cstart, cend = child
+                if b[j + 4:j + 8] == b"mvhd" and cstart + 4 <= len(b):
+                    ver = b[cstart]
+                    if ver == 1 and cstart + 32 <= len(b):
+                        ts = struct.unpack(">I", b[cstart + 20:cstart + 24])[0]
+                        dur = struct.unpack(">Q", b[cstart + 24:cstart + 32])[0]
+                    elif ver == 0 and cstart + 20 <= len(b):
+                        ts = struct.unpack(">I", b[cstart + 12:cstart + 16])[0]
+                        dur = struct.unpack(">I", b[cstart + 16:cstart + 20])[0]
+                    else:
+                        break
+                    if ts:
+                        out["duration_ms"] = int(round(dur * 1000 / ts))
+                    break
+                j = cend
+        i = end
+    return out
+
+
+def parse_media_header(payload) -> Optional[dict]:
+    """Unified stdlib header decode: the image formats of
+    ``parse_image_header`` plus WAV/RIFF and MP4/ISO-BMFF.  Returns
+    ``{"mime", "width", "height", "depth", "duration_ms",
+    "sample_rate", "channels"}`` (absent facets NULL) or None when no
+    signature matches.  Like the image path, only the first bytes of
+    the payload are touched — no codec, no pixel/sample decode."""
+    if not payload:
+        return None
+    b = bytes(payload)
+    img = parse_image_header(b)
+    if img is not None:
+        img.setdefault("duration_ms", None)
+        img.setdefault("sample_rate", None)
+        img.setdefault("channels", None)
+        img.setdefault("width", None)
+        img.setdefault("height", None)
+        return img
+    for parser in (_parse_wav, _parse_mp4):
+        hit = parser(b)
+        if hit is not None:
+            hit.setdefault("width", None)
+            hit.setdefault("height", None)
+            return hit
+    return None
+
+
 PROBE_SCHEMA = StructType([
     StructField("media_id", LongType()),
     StructField("kind", StringType()),
@@ -116,9 +223,13 @@ PROBE_SCHEMA = StructType([
     StructField("detected_width", LongType()),
     StructField("detected_height", LongType()),
     StructField("bit_depth", LongType()),
+    StructField("detected_duration_ms", LongType()),   # WAV/MP4
+    StructField("sample_rate", LongType()),            # WAV
+    StructField("channels", LongType()),               # WAV
     StructField("n_bytes", LongType()),
-    # "ok" (parsed, dims present) | "truncated" (signature matched,
-    # header incomplete) | "unknown" (no recognized signature) |
+    # "ok" (parsed; dims for images, duration for audio/video) |
+    # "truncated" (signature matched, header incomplete) |
+    # "unknown" (no recognized signature) |
     # "empty" (NULL / zero-byte payload)
     StructField("header_ok", StringType()),
 ])
@@ -126,30 +237,39 @@ PROBE_SCHEMA = StructType([
 
 def probe_media(df: DataFrame) -> DataFrame:
     """Validate claimed media metadata against the actual payload bytes
-    — the corpus-scale "is this column really images?" report.
-    Arrow-batched ``mapInPandas``; header parse touches only the first
-    few hundred bytes of each payload, so the batch cost is bounded by
-    payload I/O, not pixels."""
+    — the corpus-scale "is this column really images/audio/video?"
+    report.  Arrow-batched ``mapInPandas``; header parse touches only
+    the first few hundred bytes of each payload, so the batch cost is
+    bounded by payload I/O, not pixels/samples."""
 
     def status_of(payload, hdr):
         if payload is None or len(payload) == 0:
             return "empty"
         if hdr is None:
             return "unknown"
-        return "truncated" if hdr["width"] is None else "ok"
+        complete = (hdr["width"] is not None
+                    or hdr["duration_ms"] is not None)
+        return "ok" if complete else "truncated"
 
     def process(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:
         import pandas as pd
         for pdf in batches:
-            hdrs = pdf["payload"].map(parse_image_header)
+            hdrs = pdf["payload"].map(parse_media_header)
+
+            def facet(name):
+                return hdrs.map(lambda h: h[name] if h else None)
+
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "kind": pdf["kind"],
                 "mime": pdf["mime"],
-                "detected_mime": hdrs.map(lambda h: h["mime"] if h else None),
-                "detected_width": hdrs.map(lambda h: h["width"] if h else None),
-                "detected_height": hdrs.map(lambda h: h["height"] if h else None),
-                "bit_depth": hdrs.map(lambda h: h["depth"] if h else None),
+                "detected_mime": facet("mime"),
+                "detected_width": facet("width"),
+                "detected_height": facet("height"),
+                "bit_depth": facet("depth"),
+                "detected_duration_ms": facet("duration_ms"),
+                "sample_rate": facet("sample_rate"),
+                "channels": facet("channels"),
                 "n_bytes": pdf["payload"].map(
                     lambda p: len(p) if p is not None else 0),
                 "header_ok": [status_of(p, h) for p, h in

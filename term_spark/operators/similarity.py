@@ -471,7 +471,8 @@ def semantic_dedup_pairs(df: DataFrame, id_col: str = "vec_id",
                          n_clusters: Optional[int] = None,
                          seed: int = 42,
                          train_iterations: int = 0,
-                         max_cluster_size: Optional[int] = None) -> DataFrame:
+                         max_cluster_size: Optional[int] = None,
+                         pca_components: Optional[int] = None) -> DataFrame:
     """SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embedding space, then compute exact
     pairwise cosine ONLY within each cluster — the all-pairs join is
@@ -496,6 +497,17 @@ def semantic_dedup_pairs(df: DataFrame, id_col: str = "vec_id",
     whole operator is oracle-checkable); ``>0`` runs distributed
     Lloyd's k-means first (kmeans_centroids).
 
+    ``pca_components`` (round-9 composition of the round-8 PCA pair):
+    fit ``embedding_pca`` on the corpus and run the WHOLE operator —
+    clustering, assignment, pair cosine — in the reduced space.  Every
+    within-pair dot drops from O(d) to O(pca_components) (a 1536→64
+    projection is a 24× saving on the dominant pair stage); the cosine
+    is then the reduced-space cosine, an approximation whose quality is
+    exactly what ``ann_recall`` measures — on a low-rank corpus
+    (signal ≪ d axes) recall stays ≈1, on isotropic noise you pay for
+    what you drop.  Opt-in, defaults off; the fit itself is two O(n·d)
+    passes.
+
     Returns (id_a, id_b, cid, cosine) with id_a < id_b, cosine ≥ τ.
     """
     import math
@@ -503,6 +515,11 @@ def semantic_dedup_pairs(df: DataFrame, id_col: str = "vec_id",
     from pyspark.sql import Window
 
     spark = df.sparkSession
+    if pca_components is not None:
+        model = embedding_pca(df, vec_col)
+        df = pca_project(df, model, pca_components,
+                         vec_col=vec_col, out_col="__pca_reduced")
+        vec_col = "__pca_reduced"
     v = df.select(F.col(id_col).alias("id"),
                   F.transform(F.col(vec_col),
                               lambda x: x.cast("double")).alias("v"))
@@ -578,16 +595,19 @@ def semantic_dedup(df: DataFrame, id_col: str = "vec_id",
                    vec_col: str = "embedding", threshold: float = 0.95,
                    n_clusters: Optional[int] = None, seed: int = 42,
                    train_iterations: int = 0,
-                   max_cluster_size: Optional[int] = None) -> DataFrame:
+                   max_cluster_size: Optional[int] = None,
+                   pca_components: Optional[int] = None) -> DataFrame:
     """Keep-one semantic dedup: cluster-bounded near-pairs →
     connected components → keep the min id per component
     (curation.dedup_by_components). Returns the surviving rows of
-    ``df`` (all columns). Scale defaults as semantic_dedup_pairs."""
+    ``df`` (all columns, ORIGINAL vectors — ``pca_components`` only
+    accelerates the pair stage, see semantic_dedup_pairs). Scale
+    defaults as semantic_dedup_pairs."""
     from .curation import dedup_by_components
 
     pairs = semantic_dedup_pairs(df, id_col, vec_col, threshold,
                                  n_clusters, seed, train_iterations,
-                                 max_cluster_size)
+                                 max_cluster_size, pca_components)
     return dedup_by_components(df, pairs, id_col=id_col)
 
 
@@ -809,3 +829,179 @@ def pca_project(df: DataFrame, model, n_components: int,
     return out.withColumn(
         out_col,
         F.when(F.col(vec_col).isNotNull(), F.array(*dots))).drop(tmp)
+
+
+def pq_train(df: DataFrame, vec_col: str = "embedding", m: int = 8,
+             k: int = 256, sample_size: int = 10000, iters: int = 10,
+             seed: int = 42):
+    """Product-quantization codebooks (Jégou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search"): split each d-dim vector
+    into ``m`` contiguous sub-vectors and learn a ``k``-word codebook
+    per subspace — a vector then stores as m small codes (m bytes at
+    k=256) instead of d floats: 64× compression for d=64 float64, the
+    difference between an embedding corpus that fits in executor memory
+    and one that doesn't.
+
+    Training follows the FAISS convention: Lloyd's k-means per subspace
+    on a DETERMINISTIC md5-sampled subset collected to the driver
+    (codebooks need ~k·40 samples, never the corpus — the corpus-scale
+    passes are encode and search, not fit).  Deterministic for a given
+    (seed, corpus): the sample is md5-ordered and the init is seeded.
+
+    Returns a plain-dict model: m, k, d, sub_dim,
+    ``codebooks`` (m × k × sub_dim nested lists).
+    """
+    import numpy as np
+
+    sample_rows = (df.select(vec_col)
+                     .filter(F.col(vec_col).isNotNull())
+                     .orderBy(F.md5(F.concat(
+                         F.lit(f"{seed}:"),
+                         F.col(vec_col).cast("string"))))
+                     .limit(sample_size).collect())
+    if not sample_rows:
+        raise ValueError(f"pq_train: no non-null vectors in {vec_col}")
+    x = np.array([list(r[vec_col]) for r in sample_rows], dtype=np.float64)
+    n, d = x.shape
+    if d % m != 0:
+        raise ValueError(f"pq_train: dim {d} not divisible by m={m}")
+    if k > n:
+        raise ValueError(
+            f"pq_train: k={k} exceeds the {n}-vector training sample — "
+            f"lower k or raise sample_size")
+    sub = d // m
+    rng = np.random.default_rng(seed)
+    codebooks = []
+    for j in range(m):
+        xs = x[:, j * sub:(j + 1) * sub]
+        cents = xs[rng.choice(n, size=k, replace=False)].copy()
+        for _ in range(iters):
+            # (n, k) squared distances via the expansion trick
+            d2 = ((xs ** 2).sum(1)[:, None] - 2.0 * xs @ cents.T
+                  + (cents ** 2).sum(1)[None, :])
+            assign = d2.argmin(1)
+            for c in range(k):
+                mask = assign == c
+                if mask.any():
+                    cents[c] = xs[mask].mean(0)
+                else:                     # empty cluster: reseed
+                    cents[c] = xs[rng.integers(0, n)]
+        codebooks.append(cents.tolist())
+    return {"m": m, "k": k, "d": d, "sub_dim": sub,
+            "codebooks": codebooks}
+
+
+def pq_encode(df: DataFrame, model, id_col: str = "vec_id",
+              vec_col: str = "embedding",
+              out_col: str = "pq_code") -> DataFrame:
+    """Encode every non-null vector to its m nearest-codeword indices —
+    the corpus-scale pass, Arrow-batched with the argmin vectorized in
+    numpy over the whole batch (one (batch, k) distance matrix per
+    subspace; no per-row Python).  Output is (id, pq_code array<int>);
+    the original vectors are no longer needed downstream, which is the
+    point."""
+    import numpy as np
+    from pyspark.sql.types import (ArrayType, IntegerType, LongType,
+                                   StructField, StructType)
+
+    books = [None]  # lazily materialized numpy codebooks per executor
+    m, sub = model["m"], model["sub_dim"]
+    schema = StructType([
+        StructField(id_col, LongType()),
+        StructField(out_col, ArrayType(IntegerType())),
+    ])
+
+    def encode(batches):
+        import pandas as pd
+        if books[0] is None:
+            books[0] = [np.array(cb, dtype=np.float64)
+                        for cb in model["codebooks"]]
+        for pdf in batches:
+            pdf = pdf[pdf[vec_col].notna()]
+            if pdf.empty:
+                continue
+            x = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            codes = np.empty((x.shape[0], m), dtype=np.int32)
+            for j in range(m):
+                xs = x[:, j * sub:(j + 1) * sub]
+                cb = books[0][j]
+                d2 = ((xs ** 2).sum(1)[:, None] - 2.0 * xs @ cb.T
+                      + (cb ** 2).sum(1)[None, :])
+                codes[:, j] = d2.argmin(1)
+            yield pd.DataFrame({id_col: pdf[id_col].values,
+                                out_col: list(codes.tolist())})
+
+    return df.select(id_col, vec_col).mapInPandas(encode, schema)
+
+
+def pq_topk(codes: DataFrame, queries: DataFrame, model, k: int = 5,
+            id_col: str = "vec_id", code_col: str = "pq_code",
+            query_id_col: str = "query_id",
+            query_vec_col: str = "query_vec") -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: each query
+    precomputes an (m × k) lookup table of sub-dot-products against the
+    codebooks, so scoring a corpus vector is m table reads + adds —
+    never a d-wide dot.  Approximate cosine: the numerator is
+    dot(query, reconstruction) and the denominator uses the
+    reconstruction's norm (from per-code sub-norms), both exact w.r.t.
+    the quantized vector; quality is what ``ann_recall`` measures
+    against ``cosine_topk``.
+
+    Scale shape: the bounded query set collects driver-side (same
+    contract as cosine_topk's broadcast side), LUTs ship in the Arrow
+    closure, each batch emits only its own per-query top-k (k rows per
+    query per batch — the shuffle is |queries|·k·#batches rows, never
+    the corpus), and a partitioned window takes the global top-k.
+    Returns (query_id, nbr_id, score), score descending per query.
+    """
+    import numpy as np
+    from pyspark.sql import Window
+    from pyspark.sql.types import (DoubleType, LongType, StructField,
+                                   StructType)
+
+    q_rows = queries.select(query_id_col, query_vec_col).collect()
+    if not q_rows:
+        raise ValueError("pq_topk: empty query set")
+    m, sub = model["m"], model["sub_dim"]
+    books = [np.array(cb, dtype=np.float64) for cb in model["codebooks"]]
+    sn2 = np.stack([(cb ** 2).sum(1) for cb in books])      # (m, k) ‖code‖²
+    q_ids, luts, q_norms = [], [], []
+    for r in q_rows:
+        q = np.array(list(r[query_vec_col]), dtype=np.float64)
+        q_ids.append(r[query_id_col])
+        luts.append(np.stack([
+            books[j] @ q[j * sub:(j + 1) * sub] for j in range(m)]))
+        q_norms.append(float(np.sqrt((q * q).sum())))
+
+    schema = StructType([
+        StructField(query_id_col, LongType()),
+        StructField("nbr_id", LongType()),
+        StructField("score", DoubleType()),
+    ])
+
+    def score(batches):
+        import pandas as pd
+        cols = np.arange(m)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].values
+            c = np.array(pdf[code_col].tolist(), dtype=np.int64)  # (n, m)
+            rn = np.sqrt(sn2[cols, c].sum(1))                     # (n,)
+            out = []
+            for qi, lut, qn in zip(q_ids, luts, q_norms):
+                dots = lut[cols, c].sum(1)                        # (n,)
+                denom = qn * rn
+                s = np.where(denom > 0, dots / denom, 0.0)
+                top = np.argsort(-s)[:k]                # batch-local top-k
+                out.append(pd.DataFrame({query_id_col: qi,
+                                         "nbr_id": ids[top],
+                                         "score": s[top]}))
+            yield pd.concat(out, ignore_index=True)
+
+    cand = codes.select(id_col, code_col).mapInPandas(score, schema)
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"),
+                                                 F.asc("nbr_id"))
+    return (cand.withColumn("__r", F.row_number().over(w))
+                .filter(F.col("__r") <= k).drop("__r")
+                .orderBy(query_id_col, F.desc("score"), "nbr_id"))

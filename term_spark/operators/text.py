@@ -338,6 +338,81 @@ def line_dedup_summary(df, text_col: str = "text", id_col: str = "doc_id",
         "dup_line_instances", "chars_removed")
 
 
+def dedup_paragraphs(df, text_col: str = "text", id_col: str = "doc_id",
+                     min_count: int = 2, boundary: str = r"\n{2,}"):
+    """Paragraph-level exact dedup — the middle tier of the standard
+    LLM-pipeline dedup stack (document-level ``dedup_exact`` above,
+    line-level ``dedup_lines`` below): drop every paragraph whose exact
+    text occurs ``min_count``+ times across the corpus (boilerplate
+    intros, footers, templated sections), then reassemble each document
+    from its surviving paragraphs in original order, joined by a blank
+    line.  ``boundary`` is the split regex (default: 2+ newlines).
+
+    Returns (cleaned_df, paragraphs_df) like dedup_lines: cleaned_df
+    is (id, text) for documents with >= 1 surviving paragraph;
+    paragraphs_df is (id, pos, para, fp, n_corpus) for caller policy.
+
+    Scale shape: one explode, one count keyed on the md5 FINGERPRINT
+    (paragraphs are long — shuffling 16-byte keys instead of full text
+    cuts the frequency shuffle by the mean paragraph length), one join
+    back on the fingerprint, one per-doc regroup.  Collision risk at
+    128 bits is negligible below ~2^64 distinct paragraphs.
+    """
+    if min_count < 2:
+        raise ValueError(
+            f"min_count must be >= 2 (got {min_count}): every paragraph "
+            "occurs at least once, so min_count=1 would drop the whole "
+            "corpus")
+    paras = df.select(
+        F.col(id_col), F.posexplode(
+            F.split(F.col(text_col), boundary, -1)).alias("pos", "para"))
+    paras = paras.withColumn("fp", F.md5(F.col("para")))
+    freq = paras.groupBy("fp").agg(F.count(F.lit(1)).alias("n_corpus"))
+    tagged = paras.join(freq, "fp").select(id_col, "pos", "para", "fp",
+                                           "n_corpus")
+    kept = tagged.filter(F.col("n_corpus") < min_count)
+    cleaned = (kept.groupBy(id_col)
+                   .agg(F.array_join(
+                       F.transform(
+                           F.array_sort(F.collect_list(
+                               F.struct("pos", "para"))),
+                           lambda s: s["para"]),
+                       "\n\n").alias(text_col)))
+    return cleaned, tagged
+
+
+def paragraph_dedup_summary(df, text_col: str = "text",
+                            id_col: str = "doc_id", min_count: int = 2,
+                            boundary: str = r"\n{2,}"):
+    """One-row accounting for dedup_paragraphs at the same
+    ``min_count`` — the release-gate form, same pattern as
+    line_dedup_summary: n_docs, total_paras, distinct_paras,
+    dup_para_instances (instances the rewrite would drop) and
+    chars_removed.  All counts derive from the fingerprint-keyed
+    frequency table (two plain hash aggs + a 1×1 broadcast join; no
+    DISTINCT aggregates, no Expand); the paragraph length rides the
+    group as MAX(length) — every member of an md5 group is the same
+    text, so MAX is exact, and the full text never re-shuffles."""
+    paras = df.select(F.explode(
+        F.split(F.col(text_col), boundary, -1)).alias("para"))
+    freq = (paras.groupBy(F.md5(F.col("para")).alias("fp"))
+                 .agg(F.count(F.lit(1)).alias("n"),
+                      F.max(F.length("para")).alias("plen")))
+    dup = F.col("n") >= min_count
+    stats = freq.agg(
+        F.sum("n").alias("total_paras"),
+        F.count(F.lit(1)).alias("distinct_paras"),
+        F.coalesce(F.sum(F.when(dup, F.col("n"))), F.lit(0))
+         .cast("bigint").alias("dup_para_instances"),
+        F.coalesce(F.sum(F.when(dup, F.col("n") * F.col("plen"))),
+                   F.lit(0)).cast("bigint").alias("chars_removed"))
+    n_docs = (df.filter(F.col(text_col).isNotNull())
+                .agg(F.count(F.lit(1)).alias("n_docs")))
+    return n_docs.crossJoin(stats).select(
+        "n_docs", "total_paras", "distinct_paras",
+        "dup_para_instances", "chars_removed")
+
+
 #: characters stripped outright by clean_text: C0 controls except \t\n,
 #: DEL, zero-widths and BOM.  Same escapes parse in Java regex (Spark)
 #: and RE2 (DuckDB oracles).

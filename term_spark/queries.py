@@ -1578,6 +1578,46 @@ FROM d, s
 """
 
 
+def q_paragraph_dedup_summary_docs(spark, sf_dir) -> DataFrame:
+    """Paragraph-level exact-dedup accounting over the documents corpus
+    (text.paragraph_dedup_summary, round 9): paragraphs (split on 2+
+    newlines) occurring 2+ times corpus-wide are what dedup_paragraphs
+    would strip.  The synthetic corpus has no blank-line structure, so
+    each document is one paragraph and the duplicate counts surface the
+    corpus's exact DOC-level clones — the parity check still exercises
+    the full explode → md5-fingerprint count → summary pipeline on both
+    engines; planted multi-paragraph fixtures prove the removal and
+    reassembly behavior (tests/test_text_cleaning.py)."""
+    from .operators.text import paragraph_dedup_summary
+    (d,) = _t(spark, sf_dir, "documents")
+    return paragraph_dedup_summary(d)
+
+
+SQL_PARAGRAPH_DEDUP_SUMMARY_DOCS = r"""
+WITH paras AS (
+    SELECT unnest(string_split_regex(text, '\n{2,}')) AS para
+    FROM documents
+),
+freq AS (
+    SELECT md5(para) AS fp, COUNT(*) AS n, MAX(LENGTH(para)) AS plen
+    FROM paras GROUP BY md5(para)
+),
+s AS (
+    SELECT CAST(SUM(n) AS BIGINT) AS total_paras,
+           CAST(COUNT(*) AS BIGINT) AS distinct_paras,
+           CAST(COALESCE(SUM(CASE WHEN n >= 2 THEN n END), 0) AS BIGINT)
+               AS dup_para_instances,
+           CAST(COALESCE(SUM(CASE WHEN n >= 2 THEN n * plen END), 0)
+                AS BIGINT) AS chars_removed
+    FROM freq
+),
+d AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents WHERE text IS NOT NULL)
+SELECT n_docs, total_paras, distinct_paras, dup_para_instances, chars_removed
+FROM d, s
+"""
+
+
 def q_token_budget_sample_docs(spark, sf_dir) -> DataFrame:
     """Greedy per-source token-budget selection
     (curation.token_budget_sample, budget 500 tokens/source): docs
@@ -1614,10 +1654,12 @@ FROM c WHERE cum <= 500 GROUP BY source ORDER BY source
 
 QUERIES.update({
     "line_dedup_summary_docs": q_line_dedup_summary_docs,
+    "paragraph_dedup_summary_docs": q_paragraph_dedup_summary_docs,
     "token_budget_sample_docs": q_token_budget_sample_docs,
 })
 ORACLES.update({
     "line_dedup_summary_docs": SQL_LINE_DEDUP_SUMMARY_DOCS,
+    "paragraph_dedup_summary_docs": SQL_PARAGRAPH_DEDUP_SUMMARY_DOCS,
     "token_budget_sample_docs": SQL_TOKEN_BUDGET_SAMPLE_DOCS,
 })
 
@@ -2172,6 +2214,178 @@ ORACLES.update({"brand_profile_part": SQL_BRAND_PROFILE_PART,
                 "supplier_stats_by_nation": SQL_SUPPLIER_STATS_BY_NATION})
 
 
+def q_shipping_priority_orders(spark, sf_dir) -> DataFrame:
+    """TPC-H Q3 analogue (round 9 — the selective 3-way fact join):
+    top-10 undelivered-revenue orders for one market segment.  The
+    filtered customer key set joins into orders UNHINTED (a single
+    pruned column — Catalyst auto-broadcasts it at any realistic SF,
+    and AQE shuffles it rather than OOM when it outgrows the
+    threshold), lineitem pre-aggregates per order AFTER its ship-date
+    filter, and the top-k is a bounded TakeOrderedAndProject — never a
+    global sort."""
+    c, o, li = _t(spark, sf_dir, "customer", "orders", "lineitem")
+    cutoff = F.lit("1998-07-01").cast("timestamp")
+    cust = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    rev = (li.filter(F.col("l_shipdate") > cutoff)
+             .groupBy("l_orderkey")
+             .agg(F.sum((F.col("l_extendedprice") *
+                         (F.lit(1.0) - F.col("l_discount")))
+                        .cast("decimal(25,4)"))
+                  .cast("double").alias("revenue")))
+    return (o.filter(F.col("o_orderdate") < cutoff)
+             .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+             .join(rev, F.col("o_orderkey") == F.col("l_orderkey"))
+             .select(F.col("o_orderkey").alias("orderkey"),
+                     r6(F.col("revenue")).alias("revenue"),
+                     r6(epoch_seconds("o_orderdate")).alias("order_epoch"),
+                     F.col("o_orderpriority").alias("priority"))
+             .orderBy(F.desc("revenue"), "orderkey")
+             .limit(10))
+
+
+SQL_SHIPPING_PRIORITY_ORDERS = """
+WITH rev AS (
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                         AS DECIMAL(25,4))) AS DOUBLE) AS revenue
+    FROM lineitem WHERE l_shipdate > TIMESTAMP '1998-07-01'
+    GROUP BY l_orderkey
+)
+SELECT o_orderkey AS orderkey, ROUND(revenue, 6) AS revenue,
+       ROUND(EPOCH(o_orderdate), 6) AS order_epoch,
+       o_orderpriority AS priority
+FROM orders
+JOIN customer ON o_custkey = c_custkey AND c_mktsegment = 'BUILDING'
+JOIN rev ON o_orderkey = l_orderkey
+WHERE o_orderdate < TIMESTAMP '1998-07-01'
+ORDER BY revenue DESC, orderkey LIMIT 10
+"""
+
+
+def q_regional_supplier_volume(spark, sf_dir) -> DataFrame:
+    """TPC-H Q5 analogue (round 9 — the snowflake join): yearly
+    lineitem revenue attributed through supplier → nation → region.
+    The two tiny dimensions broadcast explicitly (nation 25 rows,
+    region 5 at any SF); the supplier-sized dim join is deliberately
+    left UNHINTED — Catalyst auto-broadcasts it below the threshold
+    (true through sf1 here) and AQE falls back to a shuffled join when
+    supplier outgrows it, which a forced hint would turn into an OOM
+    at 100 TB."""
+    o, li, s, n, r = _t(spark, sf_dir, "orders", "lineitem", "supplier",
+                        "nation", "region")
+    y0 = F.lit("1997-01-01").cast("timestamp")
+    y1 = F.lit("1998-01-01").cast("timestamp")
+    dim = (s.join(F.broadcast(n),
+                  s["s_nationkey"] == n["n_nationkey"])
+            .join(F.broadcast(r),
+                  F.col("n_regionkey") == F.col("r_regionkey"))
+            .select("s_suppkey", "n_name", "r_name"))
+    ord_keys = (o.filter((F.col("o_orderdate") >= y0) &
+                         (F.col("o_orderdate") < y1))
+                 .select("o_orderkey"))
+    return (li.join(ord_keys, li["l_orderkey"] == F.col("o_orderkey"))
+              .join(dim, li["l_suppkey"] == F.col("s_suppkey"))
+              .groupBy(F.col("r_name").alias("region"),
+                       F.col("n_name").alias("nation"))
+              .agg(F.sum((F.col("l_extendedprice") *
+                          (F.lit(1.0) - F.col("l_discount")))
+                         .cast("decimal(25,4)"))
+                    .cast("double").alias("rev"),
+                   F.count(F.lit(1)).alias("n_items"))
+              .select("region", "nation", r6(F.col("rev")).alias("revenue"),
+                      "n_items")
+              .orderBy("region", F.desc("revenue"), "nation"))
+
+
+SQL_REGIONAL_SUPPLIER_VOLUME = """
+SELECT r_name AS region, n_name AS nation,
+       ROUND(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                           AS DECIMAL(25,4))) AS DOUBLE), 6) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+           AND o_orderdate >= TIMESTAMP '1997-01-01'
+           AND o_orderdate <  TIMESTAMP '1998-01-01'
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+ORDER BY region, revenue DESC, nation
+"""
+
+
+def q_returned_item_customers(spark, sf_dir) -> DataFrame:
+    """TPC-H Q10 analogue (round 9): top-20 customers by revenue lost
+    to returned items in a quarter — returned lineitems pre-aggregate
+    per order BEFORE joining orders (the fact join carries one row per
+    order, not per item), the tiny nation dim broadcasts explicitly
+    while customer stays unhinted (auto-broadcast under the threshold,
+    AQE-shuffled above it), and the top-k is bounded."""
+    c, o, li, n = _t(spark, sf_dir, "customer", "orders", "lineitem",
+                     "nation")
+    q0 = F.lit("1998-01-01").cast("timestamp")
+    q1 = F.lit("1998-07-01").cast("timestamp")
+    lost = (li.filter(F.col("l_returnflag") == "R")
+              .groupBy("l_orderkey")
+              .agg(F.sum((F.col("l_extendedprice") *
+                          (F.lit(1.0) - F.col("l_discount")))
+                         .cast("decimal(25,4)"))
+                   .cast("double").alias("lost")))
+    per_cust = (o.filter((F.col("o_orderdate") >= q0) &
+                         (F.col("o_orderdate") < q1))
+                 .join(lost, F.col("o_orderkey") == F.col("l_orderkey"))
+                 .groupBy("o_custkey")
+                 .agg(F.sum(F.col("lost").cast("decimal(25,4)"))
+                      .cast("double").alias("lost_revenue"),
+                      F.count(F.lit(1)).alias("n_orders")))
+    return (per_cust.join(c, F.col("o_custkey") == c["c_custkey"])
+                    .join(F.broadcast(n),
+                          c["c_nationkey"] == n["n_nationkey"])
+                    .select(F.col("c_custkey").alias("custkey"), "c_name",
+                            F.col("n_name").alias("nation"),
+                            r6(F.col("lost_revenue")).alias("lost_revenue"),
+                            "n_orders")
+                    .orderBy(F.desc("lost_revenue"), "custkey")
+                    .limit(20))
+
+
+SQL_RETURNED_ITEM_CUSTOMERS = """
+WITH lost AS (
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                         AS DECIMAL(25,4))) AS DOUBLE) AS lost
+    FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_orderkey
+),
+per_cust AS (
+    SELECT o_custkey,
+           CAST(SUM(CAST(lost AS DECIMAL(25,4))) AS DOUBLE) AS lost_revenue,
+           COUNT(*) AS n_orders
+    FROM orders JOIN lost ON o_orderkey = l_orderkey
+    WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-07-01'
+    GROUP BY o_custkey
+)
+SELECT c_custkey AS custkey, c_name, n_name AS nation,
+       ROUND(lost_revenue, 6) AS lost_revenue, n_orders
+FROM per_cust
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+ORDER BY lost_revenue DESC, custkey LIMIT 20
+"""
+
+
+QUERIES.update({
+    "shipping_priority_orders": q_shipping_priority_orders,
+    "regional_supplier_volume": q_regional_supplier_volume,
+    "returned_item_customers": q_returned_item_customers,
+})
+ORACLES.update({
+    "shipping_priority_orders": SQL_SHIPPING_PRIORITY_ORDERS,
+    "regional_supplier_volume": SQL_REGIONAL_SUPPLIER_VOLUME,
+    "returned_item_customers": SQL_RETURNED_ITEM_CUSTOMERS,
+})
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation schedule (round 8: data-driven).
 #
@@ -2252,6 +2466,9 @@ FAMILY = {
     "rollup_pricing": "grouped_stats",
     "grouped_stats_mktsegment": "grouped_stats",
     "pricing_summary": "tpch_suite",
+    "shipping_priority_orders": "tpch_suite",
+    "regional_supplier_volume": "tpch_suite",
+    "returned_item_customers": "tpch_suite",
     "benford_acctbal": "benford",
     "drift_psi_quantity": "drift",
     "drift_ks_quantity": "drift",
@@ -2285,6 +2502,7 @@ FAMILY = {
     "dsir_weights_docs": "dsir",
     "decontamination_report_docs": "decontamination_report",
     "line_dedup_summary_docs": "line_dedup",
+    "paragraph_dedup_summary_docs": "paragraph_dedup",
     "text_tokens": "text",
     "lang_id": "text",
     "text_quality": "text",
@@ -2317,106 +2535,110 @@ FAMILY = {
 #: None = never driver-proven.  Source artifacts: r01, r02, r03, r04, r05, r06, r07, r08.
 CURRENT_ROUND = 9
 LAST_GREEN = {
-    "bigram_surprisal_docs": 8,
-    "brand_profile_part": 8,
-    "chunk_documents_docs": 8,
-    "corpus_profile_by_lang": 8,
-    "corr_matrix_lineitem": 8,
-    "dataset_diff_orders": 8,
-    "decontamination_report_docs": 8,
-    "drift_w1_quantity": 8,
-    "dsir_weights_docs": 8,
-    "embedding_centroid_drift": 8,
-    "fd_custkey_orderstatus": 8,
-    "frequent_terms_docs": 8,
-    "gopher_rules_docs": 8,
-    "interval_join_events": 8,
-    "jaccard_prefix_pairs_docs": 8,
-    "key_skew_custkey": 8,
-    "lexical_diversity_docs": 8,
-    "minhash_oph_candidates_docs": 8,
-    "ngram_novelty_docs": 8,
-    "readability_docs": 8,
-    "row_violations_docs": 8,
-    "script_profile_docs": 8,
-    "shape_stats_quantity": 8,
-    "source_overlap_docs": 8,
-    "supplier_stats_by_nation": 8,
-    "tfidf_top_terms_docs": 8,
-    "winnow_overlap_docs": 8,
-    "containment_orderstatus": 8,
-    "date_range_orders": 8,
-    "decontaminate_docs": 8,
-    "dedup_pipeline_docs": 8,
-    "doc_length_buckets": 8,
-    "embedding_neardup_pairs": 8,
-    "fingerprint_docs": 8,
-    "lang_id": 8,
-    "simhash_docs": 8,
-    "stratified_sample_docs": 8,
-    "temporal_ordering_orders_lineitem": 8,
-    "text_tokens": 8,
-    "business_hours_events": 8,
-    "grouped_stats_mktsegment": 8,
-    "neardup_components": 8,
-    "numeric_histogram_quantity": 8,
-    "repetition_docs": 8,
-    "simhash_near_pairs": 8,
-    "source_mixing_docs": 8,
-    "spearman_quantity_price": 8,
-    "split_counts_docs": 8,
-    "text_quality": 8,
-    "asof_click_error": 8,
-    "size_lineitem": 7,
-    "completeness_customer": 7,
-    "stats_quantity": 7,
-    "distinctness_orders": 7,
-    "unique_value_ratio_custkey": 7,
-    "compliance_discount": 7,
-    "format_orderpriority": 7,
-    "length_customer_name": 7,
-    "datatype_detection": 7,
-    "histogram_returnflag": 7,
-    "entropy_returnflag": 7,
-    "grouped_completeness_events": 7,
-    "mutual_information_lineitem": 7,
-    "corr_quantity_price": 7,
-    "fk_orders_customer": 7,
-    "join_coverage_lineitem_orders": 7,
-    "cross_table_sum_orders_lineitem": 7,
-    "max_time_gap_events": 7,
-    "pricing_summary": 7,
-    "dedup_exact_docs": 7,
-    "ngram_jaccard_pairs": 7,
-    "minhash_lsh_candidates": 7,
-    "cosine_topk_embeddings": 7,
-    "packing_stats_docs": 7,
-    "semantic_dedup_embeddings": 7,
-    "quantile_exact_quantity": 7,
-    "profile_customer": 7,
     "approx_distinct_orderkey": None,
-    "rollup_pricing": 7,
-    "sessionize_events": 7,
-    "top_customers_revenue": 7,
-    "median_by_returnflag": 7,
-    "range_join_events": 7,
-    "rolling_daily_events": 7,
-    "pivot_returnflag_linestatus": 7,
-    "top3_customers_per_segment": 7,
-    "unpivot_pricing": 7,
+    "paragraph_dedup_summary_docs": None,
+    "regional_supplier_volume": None,
+    "returned_item_customers": None,
+    "shipping_priority_orders": None,
     "benford_acctbal": 7,
-    "drift_psi_quantity": 7,
-    "drift_ks_quantity": 7,
+    "completeness_customer": 7,
+    "compliance_discount": 7,
+    "corr_quantity_price": 7,
+    "cosine_topk_embeddings": 7,
+    "cross_table_sum_orders_lineitem": 7,
+    "datatype_detection": 7,
+    "dedup_exact_docs": 7,
+    "distinctness_orders": 7,
+    "dominant_value_orderstatus": 7,
     "drift_chi2_returnflag": 7,
     "drift_js_quantity": 7,
-    "line_dedup_summary_docs": 7,
-    "token_budget_sample_docs": 7,
-    "outlier_mad_acctbal": 7,
-    "text_cleaning_docs": 7,
-    "dominant_value_orderstatus": 7,
+    "drift_ks_quantity": 7,
     "drift_psi_by_returnflag": 7,
+    "drift_psi_quantity": 7,
+    "entropy_returnflag": 7,
+    "fk_orders_customer": 7,
+    "format_orderpriority": 7,
+    "grouped_completeness_events": 7,
+    "histogram_returnflag": 7,
+    "join_coverage_lineitem_orders": 7,
+    "length_customer_name": 7,
+    "line_dedup_summary_docs": 7,
+    "max_time_gap_events": 7,
+    "median_by_returnflag": 7,
+    "minhash_lsh_candidates": 7,
+    "mutual_information_lineitem": 7,
+    "ngram_jaccard_pairs": 7,
+    "outlier_mad_acctbal": 7,
+    "packing_stats_docs": 7,
+    "pivot_returnflag_linestatus": 7,
+    "pricing_summary": 7,
+    "profile_customer": 7,
     "quality_model_docs": 7,
+    "quantile_exact_quantity": 7,
+    "range_join_events": 7,
+    "rolling_daily_events": 7,
+    "rollup_pricing": 7,
+    "semantic_dedup_embeddings": 7,
+    "sessionize_events": 7,
+    "size_lineitem": 7,
+    "stats_quantity": 7,
+    "text_cleaning_docs": 7,
+    "token_budget_sample_docs": 7,
+    "top3_customers_per_segment": 7,
+    "unique_value_ratio_custkey": 7,
+    "containment_orderstatus": 8,
+    "spearman_quantity_price": 8,
+    "temporal_ordering_orders_lineitem": 8,
+    "business_hours_events": 8,
+    "date_range_orders": 8,
+    "fingerprint_docs": 8,
+    "text_tokens": 8,
+    "text_quality": 8,
+    "lang_id": 8,
+    "simhash_docs": 8,
+    "simhash_near_pairs": 8,
+    "embedding_neardup_pairs": 8,
+    "neardup_components": 8,
+    "split_counts_docs": 8,
+    "decontaminate_docs": 8,
+    "stratified_sample_docs": 8,
+    "repetition_docs": 8,
+    "dedup_pipeline_docs": 8,
+    "source_mixing_docs": 8,
+    "doc_length_buckets": 8,
+    "dsir_weights_docs": 8,
+    "winnow_overlap_docs": 8,
+    "script_profile_docs": 8,
+    "decontamination_report_docs": 8,
+    "tfidf_top_terms_docs": 8,
+    "readability_docs": 8,
+    "jaccard_prefix_pairs_docs": 8,
+    "ngram_novelty_docs": 8,
+    "chunk_documents_docs": 8,
+    "frequent_terms_docs": 8,
+    "corpus_profile_by_lang": 8,
+    "minhash_oph_candidates_docs": 8,
+    "row_violations_docs": 8,
+    "embedding_centroid_drift": 8,
+    "gopher_rules_docs": 8,
+    "source_overlap_docs": 8,
+    "lexical_diversity_docs": 8,
+    "numeric_histogram_quantity": 8,
+    "grouped_stats_mktsegment": 8,
+    "top_customers_revenue": 7,
+    "asof_click_error": 8,
+    "interval_join_events": 8,
+    "unpivot_pricing": 7,
+    "drift_w1_quantity": 8,
     "unigram_surprisal_docs": 7,
+    "bigram_surprisal_docs": 8,
+    "corr_matrix_lineitem": 8,
+    "fd_custkey_orderstatus": 8,
+    "shape_stats_quantity": 8,
+    "dataset_diff_orders": 8,
+    "key_skew_custkey": 8,
+    "brand_profile_part": 8,
+    "supplier_stats_by_nation": 8,
 }
 # END GENERATED ROTATION DATA
 

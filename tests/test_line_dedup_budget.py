@@ -158,3 +158,46 @@ def test_dedup_lines_regex_special_separator_round_trips(spark):
     row = line_dedup_summary(df, min_count=2, sep="|").collect()[0]
     assert row["total_lines"] == 5 and row["distinct_lines"] == 4
     assert row["dup_line_instances"] == 2
+
+
+def test_dedup_paragraphs_strips_corpus_duplicates(spark):
+    """Paragraph tier (round 9): a boilerplate paragraph repeated
+    across documents is dropped everywhere; unique paragraphs survive
+    in original order, reassembled with a blank line; a document that
+    was ALL boilerplate disappears from cleaned output."""
+    from term_spark.operators.text import (dedup_paragraphs,
+                                           paragraph_dedup_summary)
+
+    boiler = "subscribe to our newsletter\nfor more updates"
+    rows = [
+        (1, f"intro one\n\n{boiler}\n\nbody one"),
+        (2, f"{boiler}\n\nbody two"),
+        (3, boiler),                       # all boilerplate
+        (4, "unique document\n\nwith two paragraphs"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cleaned, tagged = dedup_paragraphs(df, min_count=2)
+    got = {r["doc_id"]: r["text"] for r in cleaned.collect()}
+    assert got == {1: "intro one\n\nbody one",
+                   2: "body two",
+                   4: "unique document\n\nwith two paragraphs"}
+    assert 3 not in got
+    # the per-instance table carries fingerprints and corpus counts
+    hot = {r["para"] for r in tagged.collect() if r["n_corpus"] >= 2}
+    assert hot == {boiler}
+
+    row = paragraph_dedup_summary(df, min_count=2).collect()[0]
+    assert row["n_docs"] == 4
+    assert row["total_paras"] == 8
+    assert row["distinct_paras"] == 6          # boiler counted once
+    assert row["dup_para_instances"] == 3
+    assert row["chars_removed"] == 3 * len(boiler)
+
+
+def test_dedup_paragraphs_rejects_min_count_below_two(spark):
+    import pytest
+    from term_spark.operators.text import dedup_paragraphs
+
+    df = spark.createDataFrame([(1, "a\n\nb")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="min_count"):
+        dedup_paragraphs(df, min_count=1)

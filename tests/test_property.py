@@ -324,3 +324,36 @@ def test_parse_image_header_recognized_signatures_keep_mime(prefix, tail):
     expected = {b"\xff\xd8": "image/jpeg", b"\x89PNG\r\n\x1a\n": "image/png",
                 b"GIF89a": "image/gif", b"GIF87a": "image/gif"}[prefix]
     assert out["mime"] == expected
+
+
+@given(payload=st.binary(max_size=256))
+@settings(max_examples=300, deadline=None)
+def test_parse_media_header_total_on_arbitrary_bytes(payload):
+    """The unified media codec (images + WAV + MP4) is TOTAL like the
+    image one: any byte string returns None or a well-formed facet
+    dict, never raises."""
+    from term_spark.operators.multimodal import parse_media_header
+    out = parse_media_header(payload)
+    if out is not None:
+        assert set(out) == {"mime", "width", "height", "depth",
+                            "duration_ms", "sample_rate", "channels"}
+        assert out["mime"] in ("image/png", "image/jpeg", "image/gif",
+                               "audio/wav", "video/mp4")
+        for k in ("width", "height", "duration_ms", "sample_rate",
+                  "channels"):
+            assert out[k] is None or out[k] >= 0
+
+
+@given(sig=st.sampled_from([b"RIFF\x00\x00\x00\x00WAVE",
+                            b"\x00\x00\x00\x10ftypisom"]),
+       tail=st.binary(max_size=96))
+@settings(max_examples=200, deadline=None)
+def test_parse_media_header_av_signatures_keep_mime(sig, tail):
+    """Recognized WAV/MP4 signatures always yield their mime; corrupt
+    chunk/box streams degrade to NULL facets, never crash or switch
+    format."""
+    from term_spark.operators.multimodal import parse_media_header
+    out = parse_media_header(sig + tail)
+    assert out is not None
+    expected = "audio/wav" if sig.startswith(b"RIFF") else "video/mp4"
+    assert out["mime"] == expected

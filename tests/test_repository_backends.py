@@ -14,7 +14,7 @@ from term_spark.repository import (InMemoryRepository, MetricsRepository,
                                    ParquetRepository, ResultKey)
 from term_spark.repository.delta import DeltaRepository, delta_available
 
-BACKENDS = ["memory", "parquet",
+BACKENDS = ["memory", "parquet", "delta-stub",
             pytest.param("delta", marks=pytest.mark.skipif(
                 not delta_available(),
                 reason="delta-spark not installed (sandbox); "
@@ -22,12 +22,101 @@ BACKENDS = ["memory", "parquet",
 
 
 @pytest.fixture()
-def make_repo(spark, tmp_path):
+def delta_stub(spark, monkeypatch):
+    """Round-9 (verdict ask #8): execute DeltaRepository's REAL logic —
+    append rows, Column delete predicates, retention sequence, the
+    isDeltaTable guard, JSON round-trips — against a stub DeltaTable
+    double backed by an in-memory row store, evaluating every delete
+    predicate through the real Spark engine.  Only the Delta commit
+    protocol itself is faked; the 4 real-IO tests stay skip-gated on
+    delta-spark."""
+    from term_spark.repository import delta as D
+
+    store: dict = {}
+
+    class FakeWriter:
+        def __init__(self, df):
+            self._df, self._fmt, self._mode = df, None, None
+
+        def format(self, fmt):
+            self._fmt = fmt
+            return self
+
+        def mode(self, mode):
+            self._mode = mode
+            return self
+
+        def save(self, path):
+            # pin the exact call sequence the backend promises: a
+            # single delta-format APPEND transaction per save
+            assert self._fmt == "delta" and self._mode == "append"
+            store.setdefault(path, []).extend(
+                tuple(r) for r in self._df.collect())
+
+    class FakeDF:
+        def __init__(self, df):
+            self._df = df
+
+        @property
+        def write(self):
+            return FakeWriter(self._df)
+
+    class FakeRead:
+        def format(self, fmt):
+            assert fmt == "delta"
+            return self
+
+        def load(self, path):
+            if path not in store:
+                raise Exception(f"{path} is not a Delta table")
+            return spark.createDataFrame(store[path], D._SCHEMA)
+
+    class FakeSpark:
+        def createDataFrame(self, rows, schema):
+            return FakeDF(spark.createDataFrame(rows, schema))
+
+        @property
+        def read(self):
+            return FakeRead()
+
+    class FakeDeltaTable:
+        vacuumed: list = []
+
+        def __init__(self, path):
+            self.path = path
+
+        @staticmethod
+        def isDeltaTable(_spark, path):
+            return path in store
+
+        @classmethod
+        def forPath(cls, _spark, path):
+            return cls(path)
+
+        def delete(self, predicate):
+            # evaluate the backend's real Column predicate via Spark
+            df = spark.createDataFrame(store[self.path], D._SCHEMA)
+            store[self.path] = [tuple(r)
+                                for r in df.filter(~predicate).collect()]
+
+        def vacuum(self, hours):
+            FakeDeltaTable.vacuumed.append((self.path, hours))
+
+    monkeypatch.setattr(D, "DeltaTable", FakeDeltaTable)
+    monkeypatch.setattr(D, "_HAVE_DELTA", True)
+    return FakeSpark()
+
+
+@pytest.fixture()
+def make_repo(spark, tmp_path, request):
     def _make(kind) -> MetricsRepository:
         if kind == "memory":
             return InMemoryRepository()
         if kind == "parquet":
             return ParquetRepository(str(tmp_path / "pq"))
+        if kind == "delta-stub":
+            fake_spark = request.getfixturevalue("delta_stub")
+            return DeltaRepository(fake_spark, str(tmp_path / "delta"))
         return DeltaRepository(spark, str(tmp_path / "delta"))
     return _make
 
@@ -77,7 +166,7 @@ def test_contract_delete(make_repo, kind):
 
 
 @pytest.mark.parametrize("kind", [
-    "parquet",
+    "parquet", "delta-stub",
     pytest.param("delta", marks=pytest.mark.skipif(
         not delta_available(), reason="delta-spark not installed"))])
 def test_contract_retention(make_repo, kind):
@@ -88,8 +177,23 @@ def test_contract_retention(make_repo, kind):
         dropped = repo.compact(before_ts=1003.0)
         assert dropped == 3
     else:
-        repo.retention(before_ts=1003.0)
+        repo.retention(before_ts=1003.0, vacuum_hours=0.0)
     assert [k.timestamp for k in repo.keys()] == [1003.0, 1004.0]
+
+
+def test_delta_stub_guards_and_vacuum(make_repo):
+    """Stub-only edges: delete/retention on a never-created table are
+    no-ops (the isDeltaTable guard), and vacuum is invoked with the
+    requested horizon after a retention delete."""
+    from term_spark.repository import delta as D
+
+    repo = make_repo("delta-stub")
+    repo.delete(ResultKey.of(1.0))          # no table yet — must not raise
+    repo.retention(before_ts=5.0)
+    assert repo.keys() == []                # read path on missing table
+    repo.save(ResultKey.of(1000.0), {"m": MetricValue.double(1)})
+    repo.retention(before_ts=999.0, vacuum_hours=24.0)
+    assert D.DeltaTable.vacuumed[-1][1] == 24.0
 
 
 def test_delta_repository_import_gate(spark, tmp_path):
