@@ -249,6 +249,49 @@ def main():
               f"{r['detected_mime']} {r['detected_width']}x"
               f"{r['detected_height']} [{r['header_ok']}]")
 
+    # round 9: audio headers, the paragraph dedup tier, and PQ-coded ANN
+    wav = (b"RIFF" + _st.pack("<I", 36) + b"WAVE"
+           + b"fmt " + _st.pack("<I", 16)
+           + _st.pack("<HHIIHH", 1, 1, 16000, 32000, 2, 16)
+           + b"data" + _st.pack("<I", 64000))
+    av = spark.createDataFrame(
+        [(3, "audio", bytearray(wav), "audio/wav", None, None, None)],
+        MEDIA_SCHEMA)
+    r = probe_media(av).collect()[0]
+    print(f"media 3: {r['detected_mime']} {r['sample_rate']} Hz, "
+          f"{r['detected_duration_ms']} ms [{r['header_ok']}]")
+
+    from term_spark.operators.text import paragraph_dedup_summary
+    pdocs = spark.createDataFrame(
+        [(1, "intro\n\nshared footer"), (2, "body\n\nshared footer")],
+        "doc_id long, text string")
+    ps = paragraph_dedup_summary(pdocs).collect()[0]
+    print(f"paragraph dedup: {ps['dup_para_instances']} boilerplate "
+          f"instances / {ps['total_paras']} paragraphs")
+
+    from term_spark.operators.similarity import (ann_recall, cosine_topk,
+                                                 pq_encode, pq_topk,
+                                                 pq_train)
+    # PQ serves cluster-granular neighbor structure (real embedding
+    # corpora); a clustered demo corpus shows the regime
+    import random as _rnd
+    _r = _rnd.Random(9)
+    cents = [[_r.gauss(0, 4) for _ in range(64)] for _ in range(30)]
+    cvecs = [(i, [v + _r.gauss(0, 0.05) for v in cents[i % 30]])
+             for i in range(180)]
+    clustered = spark.createDataFrame(
+        cvecs, "vec_id long, embedding array<double>")
+    pq_model = pq_train(clustered, m=8, k=32, sample_size=180, iters=5)
+    q = (clustered.filter("vec_id < 3")
+                  .select(F.col("vec_id").alias("query_id"),
+                          F.col("embedding").alias("query_vec")))
+    corpus = clustered.filter("vec_id >= 3")
+    rec = (ann_recall(pq_topk(pq_encode(corpus, pq_model), q, pq_model, k=5),
+                      cosine_topk(corpus, q, k=5))
+           .agg(F.avg("recall")).collect()[0][0])
+    print(f"PQ ANN: 8 codes/vector (vs 64 doubles), recall@5 {rec:.2f} "
+          "vs exact on a clustered corpus")
+
 
 if __name__ == "__main__":
     main()
