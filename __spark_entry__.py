@@ -1,6 +1,6 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-entry(spark)  — flagship: run a 39-constraint validation suite over the
+entry(spark)  — flagship: run a 40-constraint validation suite over the
 sf0.001 tables as class-pure fused aggregation jobs per table (the
 engine's scan-sharing design center: plain metrics in one concurrent
 job, DISTINCT and sketch aggregates each in their own, so no metric
@@ -81,6 +81,9 @@ def entry(spark: SparkSession) -> DataFrame:
             .has_no_pii("text")
             .has_readable_text("text", min_ratio=0.5)
             .passes_gopher_rules("text", min_pass_ratio=0.3)
+            # exact-dup share of normalized text ≤5% — the release gate
+            # form of dedup_exact (round 9)
+            .has_low_duplication("text", max_ratio=0.05)
             .is_complete("doc_id"))
         .with_check(
             Check("drift", Level.ERROR)

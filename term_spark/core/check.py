@@ -411,6 +411,18 @@ class Check:
         return self.with_constraint(ContaminationConstraint(
             eval_df, text_col, id_col, k, per_doc_threshold, max_doc_ratio))
 
+    def has_low_duplication(self, column: str = "text",
+                            max_ratio: float = 0.0,
+                            assertion=None) -> "Check":
+        """Corpus-duplication release gate: the share of rows whose
+        NORMALIZED text fingerprint occurs 2+ times must stay within
+        ``max_ratio`` (default 0 — no exact duplicates ship).  The
+        suite-level form of dedup_exact; runs as its own
+        fingerprint-groupBy job."""
+        from ..operators.dedup import DuplicationConstraint
+        return self.with_constraint(
+            DuplicationConstraint(column, max_ratio, assertion))
+
     def has_stable_distribution_by(self, ref_df, column: str, group_col: str,
                                    max_psi: float = 0.25, bins: int = 10,
                                    lo=None, hi=None,

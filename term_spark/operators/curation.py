@@ -247,6 +247,84 @@ def decontaminate_exact(df: DataFrame, eval_df: DataFrame,
             .drop("__fp"))
 
 
+def decontaminate_bloom(df: DataFrame, eval_df: DataFrame,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        eval_text_col: str = "text", fpp: float = 0.001,
+                        expected_items: Optional[int] = None) -> DataFrame:
+    """Bloom-filter decontamination — the shuffle-free 100 TB tier of
+    the exact pass.  ``decontaminate_exact``'s anti-join either ships
+    corpus fingerprints through a shuffle or broadcasts the eval side
+    as a full hash relation; here the eval set compresses into a Bloom
+    BITMAP of ~1.44·log2(1/fpp) bits per doc (~1.8 MB for a
+    million-doc eval suite at the 0.1% default) and the corpus pass is
+    map-only: the training corpus never shuffles.
+
+    Spark shape (built from first principles — this Spark exposes no
+    SQL bloom functions): the k probe positions are JVM-side codegen
+    (``pmod(xxhash64(seed, fingerprint), n_bits)``), the build is a
+    distributed ``bit_or`` over ≤ n_bits/64 word rows (only that small
+    word table reaches the driver), and the probe is an Arrow-batched
+    bitmap test — numpy reads k precomputed position columns per row
+    and ANDs bits; no hashing happens in Python.
+
+    Asymmetry note: Bloom false POSITIVES (rate ≈ ``fpp``) over-drop
+    clean training docs — the conservative direction for
+    decontamination; false negatives cannot occur, so every truly
+    contaminated doc is dropped, the exact tier's guarantee.  NULL /
+    unfingerprintable text is always kept, matching the anti-join's
+    NULL-key semantics.  Sizing: ``expected_items`` defaults to one
+    distinct-count job over the (small) eval side; pass it explicitly
+    to skip that job."""
+    import math
+
+    import numpy as np
+
+    if not 0.0 < fpp < 1.0:
+        raise ValueError(f"fpp must be in (0, 1), got {fpp}")
+    eval_keys = (eval_df.select(T.fingerprint(eval_text_col))
+                 .withColumnRenamed("fingerprint", "__fp")
+                 .filter(F.col("__fp").isNotNull()).distinct())
+    n_items = expected_items
+    if n_items is None:
+        n_items = max(eval_keys.count(), 1)
+    n_bits = max(64, int(-n_items * math.log(fpp) / (math.log(2) ** 2)) + 1)
+    n_bits = ((n_bits + 63) // 64) * 64
+    k = max(1, round(math.log(2) * n_bits / n_items))
+
+    def positions(fp_col):
+        return [F.pmod(F.xxhash64(F.lit(s), fp_col), F.lit(n_bits))
+                for s in range(k)]
+
+    pos = eval_keys.select(
+        F.explode(F.array(*positions(F.col("__fp")))).alias("p"))
+    words = (pos.groupBy(F.expr("CAST(p DIV 64 AS BIGINT)").alias("w"))
+                .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), "
+                            "CAST(p % 64 AS INT)))").alias("bits")))
+    bitmap = np.zeros(n_bits // 64, dtype=np.int64)
+    for r in words.collect():
+        bitmap[int(r["w"])] = r["bits"]
+    bitmap = bitmap.view(np.uint64)
+
+    fp = T.fingerprint(text_col)
+    pos_cols = [c.alias(f"__p{i}") for i, c in enumerate(positions(fp))]
+    probe = df.select("*", F.isnull(fp).alias("__fpnull"), *pos_cols)
+    out_schema = df.schema
+    out_cols = list(df.columns)
+
+    def bloom_probe(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            p = np.stack([pdf[f"__p{i}"].to_numpy(dtype=np.int64)
+                          for i in range(k)], axis=1).astype(np.uint64)
+            hit = (bitmap[p >> np.uint64(6)]
+                   >> (p & np.uint64(63))) & np.uint64(1)
+            contaminated = hit.all(axis=1) & ~pdf["__fpnull"].to_numpy()
+            yield pdf.loc[~contaminated, out_cols]
+
+    return probe.mapInPandas(bloom_probe, out_schema)
+
+
 def decontaminate_ngram(df: DataFrame, eval_df: DataFrame,
                         text_col: str = "text", id_col: str = "doc_id",
                         eval_text_col: str = "text", k: int = 8,

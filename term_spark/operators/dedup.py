@@ -31,6 +31,7 @@ from typing import Optional
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+from ..core.constraint import Constraint
 from .text import fingerprint, word_shingles
 
 
@@ -630,3 +631,54 @@ def dedup_pair_eval(predicted: DataFrame, truth: DataFrame,
           round(f1, 6) if f1 is not None else None)],
         "n_predicted bigint, n_truth bigint, true_positives bigint, "
         "precision double, recall double, f1 double")
+
+
+class DuplicationConstraint(Constraint):
+    """Corpus-duplication release gate (round 9): the share of rows
+    whose NORMALIZED text fingerprint occurs 2+ times must satisfy the
+    assertion (default <= max_ratio) — the suite-level form of
+    ``exact_duplicates``/``dedup_exact``, the gate a training-data
+    release runs before shipping a crawl snapshot.
+
+    GroupBy-shaped (needs per-fingerprint counts), so it runs as its
+    own job like UniqueValueRatio — two hash aggregations, a 2-number
+    summary to the driver, no DISTINCT aggregates.  NULL text rows are
+    excluded from both numerator and denominator (they carry no
+    fingerprint to collide on).
+    """
+
+    name = "low_duplication"
+
+    def __init__(self, column: str = "text", max_ratio: float = 0.0,
+                 assertion=None):
+        from ..core.assertion import Assertion
+        from ..functions.security import validate_identifier
+
+        self.column = validate_identifier(column)
+        self.max_ratio = float(max_ratio)
+        self.assertion = (Assertion.coerce(assertion) if assertion is not None
+                          else Assertion.le(self.max_ratio))
+
+    def evaluate(self, ctx):
+        from ..core.result import ConstraintResult
+
+        df = ctx.df(self.table)
+        counts = (df.select(fingerprint(self.column))
+                    .filter(F.col("fingerprint").isNotNull())
+                    .groupBy("fingerprint")
+                    .agg(F.count(F.lit(1)).alias("n")))
+        row = counts.agg(
+            F.coalesce(F.sum("n"), F.lit(0)).alias("total"),
+            F.coalesce(F.sum(F.when(F.col("n") >= 2, F.col("n"))),
+                       F.lit(0)).alias("dup")).collect()[0]
+        total = float(row["total"])
+        if total == 0:
+            return self._finish(ConstraintResult.skipped())
+        ratio = float(row["dup"]) / total
+        if self.assertion.evaluate(ratio):
+            return self._finish(ConstraintResult.success(ratio))
+        return self._finish(ConstraintResult.failure(
+            ratio,
+            f"duplication ratio {ratio:.4f} does not satisfy "
+            f"{self.assertion.describe()} for column {self.column} "
+            f"(share of rows whose normalized text occurs 2+ times)"))

@@ -1657,3 +1657,85 @@ def test_pq_topk_recall_on_clustered_corpus(spark):
     avg = (ann_recall(approx, exact)
            .agg(F.avg("recall")).collect()[0][0])
     assert avg >= 0.9, avg
+
+
+def test_decontaminate_bloom_drops_all_contaminated(spark):
+    """The Bloom tier (round 9) keeps the exact tier's guarantee — no
+    false negatives: every doc whose normalized fingerprint matches an
+    eval doc is dropped.  False positives over-drop at ~fpp (the
+    conservative direction); at fpp=1e-3 over 180 clean docs the
+    expected FP count is ~0.2, so kept ⊆ exact-kept with at most a
+    couple docs' slack.  Deterministic for a fixed corpus, and probe
+    normalization matches the exact tier (case/punct variants hit)."""
+    from term_spark.operators.curation import (decontaminate_bloom,
+                                               decontaminate_exact)
+
+    rows = [(i, f"unique training document number {i} with content")
+            for i in range(180)]
+    rows += [(1000 + i, f"benchmark item {i} held out for eval")
+             for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # eval set = the 20 planted docs, one as a case/punct variant that
+    # must still match through fingerprint normalization
+    eval_rows = [(i, f"benchmark item {i} held out for eval")
+                 for i in range(1, 20)]
+    eval_rows.append((0, "Benchmark ITEM 0  held out, for eval!"))
+    ev = spark.createDataFrame(eval_rows, "eid long, text string")
+
+    kept_bloom = {r["doc_id"] for r in
+                  decontaminate_bloom(df, ev).select("doc_id").collect()}
+    kept_exact = {r["doc_id"] for r in
+                  decontaminate_exact(df, ev).select("doc_id").collect()}
+    contaminated = {1000 + i for i in range(20)}
+    assert kept_bloom.isdisjoint(contaminated)       # no false negatives
+    assert kept_bloom <= kept_exact                  # only over-drops
+    assert len(kept_exact - kept_bloom) <= 2         # fp budget at 1e-3
+    # deterministic
+    again = {r["doc_id"] for r in
+             decontaminate_bloom(df, ev).select("doc_id").collect()}
+    assert again == kept_bloom
+    # sizing can be pinned to skip the eval count job
+    pinned = {r["doc_id"] for r in
+              decontaminate_bloom(df, ev, expected_items=20)
+              .select("doc_id").collect()}
+    assert pinned.isdisjoint(contaminated)
+    # NULL text is always kept (anti-join NULL-key parity)
+    with_null = df.union(spark.createDataFrame(
+        [(5000, None)], "doc_id long, text string"))
+    kept_null = {r["doc_id"] for r in
+                 decontaminate_bloom(with_null, ev).select("doc_id").collect()}
+    assert 5000 in kept_null
+    import pytest as _pt
+    with _pt.raises(ValueError, match="fpp"):
+        decontaminate_bloom(df, ev, fpp=1.5)
+
+
+def test_has_low_duplication_gate(spark):
+    """Round-9 release gate: share of rows whose NORMALIZED fingerprint
+    occurs 2+ times — catches case/whitespace-variant clones raw
+    equality misses; NULL rows excluded; default max_ratio=0 means no
+    duplicates ship."""
+    from term_spark import Check, Level, ValidationSuite
+
+    rows = [(1, "The quick brown fox"),
+            (2, "the  quick BROWN fox!"),      # normalized clone of 1
+            (3, "a different document"),
+            (4, "yet another document"),
+            (5, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    r = (ValidationSuite.builder("d")
+         .with_check(Check("dup", Level.ERROR)
+                     .has_low_duplication("text", max_ratio=0.5))
+         .run(spark, df))
+    # 2 of 4 non-null rows are in a dup group -> ratio 0.5, passes at <=0.5
+    assert r.passed
+    assert r.report.outcomes[0].result.metric == 0.5
+    r2 = (ValidationSuite.builder("d2")
+          .with_check(Check("dup", Level.ERROR).has_low_duplication("text"))
+          .run(spark, df))
+    assert not r2.passed                      # default: zero tolerance
+    clean = df.filter("doc_id >= 3")
+    r3 = (ValidationSuite.builder("d3")
+          .with_check(Check("dup", Level.ERROR).has_low_duplication("text"))
+          .run(spark, clean))
+    assert r3.passed
