@@ -14,6 +14,11 @@
   LIFECYCLE — train + assign once, persist as parquet with the
   assignments partitioned by centroid id, then serve many query
   batches with partition-pruned scans (no re-training/re-assignment).
+- pq_train / pq_encode / pq_topk: product quantization — m-subspace
+  codebooks, vectors stored as m small codes, ADC lookup-table search.
+- ivfpq_build / ivfpq_topk: the production composition (FAISS
+  IndexIVFPQ shape) — coarse cells + residual PQ codes; probe nprobe
+  cells, ADC-score only their rows.
 """
 
 from __future__ import annotations
@@ -892,24 +897,26 @@ def pq_train(df: DataFrame, vec_col: str = "embedding", m: int = 8,
 
 
 def pq_encode(df: DataFrame, model, id_col: str = "vec_id",
-              vec_col: str = "embedding",
-              out_col: str = "pq_code") -> DataFrame:
+              vec_col: str = "embedding", out_col: str = "pq_code",
+              carry_cols: tuple = ()) -> DataFrame:
     """Encode every non-null vector to its m nearest-codeword indices —
     the corpus-scale pass, Arrow-batched with the argmin vectorized in
     numpy over the whole batch (one (batch, k) distance matrix per
-    subspace; no per-row Python).  Output is (id, pq_code array<int>);
-    the original vectors are no longer needed downstream, which is the
-    point."""
+    subspace; no per-row Python).  Output is (id, *carry_cols,
+    pq_code array<int>); the original vectors are no longer needed
+    downstream, which is the point.  ``carry_cols`` pass through
+    untouched (IVF-PQ carries the coarse cell id this way)."""
     import numpy as np
     from pyspark.sql.types import (ArrayType, IntegerType, LongType,
                                    StructField, StructType)
 
     books = [None]  # lazily materialized numpy codebooks per executor
     m, sub = model["m"], model["sub_dim"]
-    schema = StructType([
-        StructField(id_col, LongType()),
-        StructField(out_col, ArrayType(IntegerType())),
-    ])
+    in_fields = {f.name: f for f in df.schema.fields}
+    schema = StructType(
+        [StructField(id_col, LongType())]
+        + [in_fields[c] for c in carry_cols]
+        + [StructField(out_col, ArrayType(IntegerType()))])
 
     def encode(batches):
         import pandas as pd
@@ -928,10 +935,13 @@ def pq_encode(df: DataFrame, model, id_col: str = "vec_id",
                 d2 = ((xs ** 2).sum(1)[:, None] - 2.0 * xs @ cb.T
                       + (cb ** 2).sum(1)[None, :])
                 codes[:, j] = d2.argmin(1)
-            yield pd.DataFrame({id_col: pdf[id_col].values,
-                                out_col: list(codes.tolist())})
+            out = {id_col: pdf[id_col].values}
+            for c in carry_cols:
+                out[c] = pdf[c].values
+            out[out_col] = list(codes.tolist())
+            yield pd.DataFrame(out)
 
-    return df.select(id_col, vec_col).mapInPandas(encode, schema)
+    return df.select(id_col, *carry_cols, vec_col).mapInPandas(encode, schema)
 
 
 def pq_topk(codes: DataFrame, queries: DataFrame, model, k: int = 5,
@@ -1000,6 +1010,134 @@ def pq_topk(codes: DataFrame, queries: DataFrame, model, k: int = 5,
             yield pd.concat(out, ignore_index=True)
 
     cand = codes.select(id_col, code_col).mapInPandas(score, schema)
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"),
+                                                 F.asc("nbr_id"))
+    return (cand.withColumn("__r", F.row_number().over(w))
+                .filter(F.col("__r") <= k).drop("__r")
+                .orderBy(query_id_col, F.desc("score"), "nbr_id"))
+
+
+def ivfpq_build(df: DataFrame, id_col: str = "vec_id",
+                vec_col: str = "embedding", n_centroids: int = 16,
+                m: int = 8, pq_k: int = 256, train_iterations: int = 4,
+                sample_size: int = 10000, iters: int = 10,
+                seed: int = 42):
+    """IVF-PQ index build (the FAISS production architecture, Jégou et
+    al. 2011 §IV): distributed Lloyd's coarse centroids partition the
+    corpus into cells, and a PQ codebook is trained on the RESIDUALS
+    (x − centroid) — residuals concentrate near the origin, so the same
+    codebook budget quantizes them far more finely than raw vectors.
+
+    Returns ``(codes_df, model)``: codes_df is (id, cid, pq_code) — m
+    small ints + a cell id per vector, the entire serving state; model
+    is {"centroids", "pq"}.  Scale shape: centroids train without
+    collecting vectors (kmeans_centroids), the residual projection is
+    JVM zip_with against the broadcast centroid table, and the PQ fit
+    samples ≤ sample_size residuals to the driver (FAISS convention).
+    """
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    cents = kmeans_centroids(df, id_col, vec_col, n_centroids,
+                             train_iterations, seed)
+    cdf = F.broadcast(spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)],
+        "cid long, cvec array<double>"))
+    v = df.select(F.col(id_col).alias("id"),
+                  F.transform(F.col(vec_col),
+                              lambda x: x.cast("double")).alias("v"))
+    scored = with_cosine(v.crossJoin(cdf), "v", "cvec", "csim")
+    w = Window.partitionBy("id").orderBy(F.desc("csim"), F.asc("cid"))
+    resid = (scored.withColumn("r", F.row_number().over(w))
+             .filter(F.col("r") == 1)
+             .select("id", "cid",
+                     F.zip_with("v", "cvec",
+                                lambda x, c: x - c).alias("__resid")))
+    pq = pq_train(resid, vec_col="__resid", m=m, k=pq_k,
+                  sample_size=sample_size, iters=iters, seed=seed)
+    codes = pq_encode(resid, pq, id_col="id", vec_col="__resid",
+                      carry_cols=("cid",))
+    return codes, {"centroids": cents, "pq": pq}
+
+
+def ivfpq_topk(codes: DataFrame, queries: DataFrame, model, k: int = 5,
+               nprobe: int = 4, id_col: str = "id",
+               code_col: str = "pq_code",
+               query_id_col: str = "query_id",
+               query_vec_col: str = "query_vec") -> DataFrame:
+    """IVF-PQ ADC search: probe each query's ``nprobe`` nearest coarse
+    cells; within a probed cell, score = dot(q, centroid) + the
+    residual lookup-table sum — m table reads + adds per candidate,
+    never a d-wide dot, over only the probed cells' rows.
+
+    Scores are INNER PRODUCTS (the FAISS IndexIVFPQ/IP convention):
+    L2-normalize vectors upstream when cosine ranking is wanted.
+    Returns (query_id, nbr_id, score); quality is what ``ann_recall``
+    measures, tuned by nprobe exactly like ``ivf_topk``.
+
+    Scale shape: the bounded query set and its per-cell LUTs ship in
+    the Arrow closure; the probe is a partition-pruning filter on cid
+    (with a cid-partitioned codes table — build_ivf_index's layout —
+    only probed directories are read), and each batch emits per-query
+    top-k so the final shuffle is |queries|·k·#batches rows."""
+    import numpy as np
+    from pyspark.sql import Window
+    from pyspark.sql.types import (DoubleType, LongType, StructField,
+                                   StructType)
+
+    q_rows = queries.select(query_id_col, query_vec_col).collect()
+    if not q_rows:
+        raise ValueError("ivfpq_topk: empty query set")
+    pq = model["pq"]
+    m, sub = pq["m"], pq["sub_dim"]
+    cents = np.array(model["centroids"], dtype=np.float64)
+    books = [np.array(cb, dtype=np.float64) for cb in pq["codebooks"]]
+
+    q_ids, probes, luts, base = [], [], [], []
+    for r in q_rows:
+        q = np.array(list(r[query_vec_col]), dtype=np.float64)
+        cd = cents @ q                                  # (n_centroids,)
+        order = np.argsort(-cd)[:nprobe]
+        q_ids.append(r[query_id_col])
+        probes.append(set(int(c) for c in order))
+        luts.append(np.stack([books[j] @ q[j * sub:(j + 1) * sub]
+                              for j in range(m)]))
+        base.append({int(c): float(cd[c]) for c in order})
+
+    probed_all = sorted(set().union(*probes))
+    schema = StructType([
+        StructField(query_id_col, LongType()),
+        StructField("nbr_id", LongType()),
+        StructField("score", DoubleType()),
+    ])
+
+    def score(batches):
+        import pandas as pd
+        cols = np.arange(m)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].values
+            cid = pdf["cid"].to_numpy(dtype=np.int64)
+            c = np.array(pdf[code_col].tolist(), dtype=np.int64)
+            out = []
+            for qi, pset, lut, b in zip(q_ids, probes, luts, base):
+                mask = np.isin(cid, list(pset))
+                if not mask.any():
+                    continue
+                resid_dot = lut[cols, c[mask]].sum(1)
+                cent_dot = np.array([b[int(x)] for x in cid[mask]])
+                s = cent_dot + resid_dot
+                top = np.argsort(-s)[:k]
+                out.append(pd.DataFrame({query_id_col: qi,
+                                         "nbr_id": ids[mask][top],
+                                         "score": s[top]}))
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    cand = (codes.filter(F.col("cid").isin(probed_all))
+                 .select(id_col, "cid", code_col)
+                 .mapInPandas(score, schema))
     w = Window.partitionBy(query_id_col).orderBy(F.desc("score"),
                                                  F.asc("nbr_id"))
     return (cand.withColumn("__r", F.row_number().over(w))

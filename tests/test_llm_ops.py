@@ -1739,3 +1739,54 @@ def test_has_low_duplication_gate(spark):
           .with_check(Check("dup", Level.ERROR).has_low_duplication("text"))
           .run(spark, clean))
     assert r3.passed
+
+
+def test_ivfpq_build_and_search_recall(spark):
+    """IVF-PQ (round 9): coarse cells + residual PQ codes.  On a
+    unit-normalized cluster-granular corpus (cosine ≡ inner product),
+    probing ALL cells matches PQ-only quality and probing just 2 cells
+    keeps recall@5 ≥ 0.9 — each query's neighbors live in its own
+    cell, which is the economics of the architecture: m ints + a cell
+    id per vector, and only nprobe cells' rows are scored."""
+    import numpy as np
+    import pyspark.sql.functions as F
+    from term_spark.operators.similarity import (ann_recall, cosine_topk,
+                                                 ivfpq_build, ivfpq_topk)
+
+    rng = np.random.default_rng(29)
+    # 6 members per cluster: a query's 5 mates are exactly the exact
+    # top-5, so quantization ties among mates cannot cost recall (the
+    # same cluster-granular design as the PQ-only test)
+    n_clusters, per = 20, 6
+    centers = rng.normal(size=(n_clusters, 64)) * 4.0
+    rows = []
+    for i in range(n_clusters * per):
+        v = centers[i % n_clusters] + rng.normal(size=64) * 0.05
+        v = v / np.linalg.norm(v)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = (df.filter("vec_id < 4")
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("query_vec")))
+    corpus = df.filter("vec_id >= 4")
+    exact = cosine_topk(corpus, queries, k=5)
+
+    codes, model = ivfpq_build(corpus, n_centroids=n_clusters, m=8,
+                               pq_k=32, train_iterations=3,
+                               sample_size=200, iters=8)
+    assert codes.columns == ["id", "cid", "pq_code"]
+    row = codes.first()
+    assert len(row["pq_code"]) == 8 and 0 <= row["cid"] < n_clusters
+
+    full = ivfpq_topk(codes, queries, model, k=5, nprobe=n_clusters)
+    rec_full = (ann_recall(full, exact)
+                .agg(F.avg("recall")).collect()[0][0])
+    assert rec_full >= 0.9, rec_full
+    two = ivfpq_topk(codes, queries, model, k=5, nprobe=2)
+    rec_two = (ann_recall(two, exact)
+               .agg(F.avg("recall")).collect()[0][0])
+    assert rec_two >= 0.9, rec_two
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="empty query set"):
+        ivfpq_topk(codes, queries.filter("query_id < 0"), model)
