@@ -1143,3 +1143,56 @@ def ivfpq_topk(codes: DataFrame, queries: DataFrame, model, k: int = 5,
     return (cand.withColumn("__r", F.row_number().over(w))
                 .filter(F.col("__r") <= k).drop("__r")
                 .orderBy(query_id_col, F.desc("score"), "nbr_id"))
+
+
+def build_ivfpq_index(df: DataFrame, path: str, id_col: str = "vec_id",
+                      vec_col: str = "embedding", n_centroids: int = 16,
+                      m: int = 8, pq_k: int = 256,
+                      train_iterations: int = 4, sample_size: int = 10000,
+                      iters: int = 10, seed: int = 42) -> None:
+    """Persist an IVF-PQ index (the compressed sibling of
+    ``build_ivf_index``) under ``path``:
+
+    - ``{path}/model`` — one JSON row: coarse centroids + residual PQ
+      codebooks (k·d + m·pq_k·(d/m) floats — always tiny)
+    - ``{path}/codes`` — (id, pq_code), PARTITIONED BY cid
+
+    Same serving economics as the IVF index's partition pruning, but
+    each row stores m small ints instead of d floats + a norm — the
+    index for the corpus whose raw vectors don't fit the cluster.
+    Build once, serve many query batches (``ivfpq_topk_from_index``).
+    """
+    import json
+
+    spark = df.sparkSession
+    codes, model = ivfpq_build(df, id_col, vec_col, n_centroids, m, pq_k,
+                               train_iterations, sample_size, iters, seed)
+    (spark.createDataFrame([(json.dumps(model),)], "model string")
+     .coalesce(1).write.mode("overwrite").json(f"{path}/model"))
+    (codes.write.mode("overwrite").partitionBy("cid")
+     .parquet(f"{path}/codes"))
+
+
+def load_ivfpq_index(spark, path: str):
+    """(codes_df, model) of a ``build_ivfpq_index`` output.  Codes keep
+    their cid partitioning — filters on cid prune at the scan."""
+    import json
+
+    model = json.loads(
+        spark.read.json(f"{path}/model").collect()[0]["model"])
+    return spark.read.parquet(f"{path}/codes"), model
+
+
+def ivfpq_topk_from_index(spark, path: str, queries: DataFrame, k: int = 5,
+                          nprobe: int = 4, query_id_col: str = "query_id",
+                          query_vec_col: str = "query_vec") -> DataFrame:
+    """Serve ADC top-k from a persisted IVF-PQ index: the probed cid
+    set is known driver-side before any scan (centroid scoring happens
+    against the model JSON), so the ``cid IN (...)`` filter inside
+    ``ivfpq_topk`` lands on the partitioned codes layout as parquet
+    PARTITION PRUNING — only nprobe/k of the code files are read, and
+    each of those rows is m ints, not d floats."""
+    codes, model = load_ivfpq_index(spark, path)
+    return ivfpq_topk(codes, queries, model, k=k, nprobe=nprobe,
+                      query_id_col=query_id_col,
+                      query_vec_col=query_vec_col)

@@ -1790,3 +1790,50 @@ def test_ivfpq_build_and_search_recall(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="empty query set"):
         ivfpq_topk(codes, queries.filter("query_id < 0"), model)
+
+
+def test_ivfpq_index_persist_roundtrip(spark, tmp_path):
+    """build_ivfpq_index → load/serve: served results equal the
+    in-memory ivfpq_topk on the same build (model JSON round-trips the
+    codebooks exactly), codes keep their hive-style cid partitioning,
+    and the probed-cid filter prunes code partitions at the scan."""
+    import os
+
+    import numpy as np
+    import pyspark.sql.functions as F
+    from term_spark.operators.similarity import (ivfpq_build, ivfpq_topk,
+                                                 ivfpq_topk_from_index,
+                                                 load_ivfpq_index)
+    from term_spark.operators.similarity import build_ivfpq_index
+
+    rng = np.random.default_rng(31)
+    centers = rng.normal(size=(8, 32)) * 4.0
+    rows = []
+    for i in range(96):
+        v = centers[i % 8] + rng.normal(size=32) * 0.05
+        v = v / np.linalg.norm(v)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    path = str(tmp_path / "ivfpq_index")
+    build_ivfpq_index(df, path, n_centroids=8, m=4, pq_k=16,
+                      train_iterations=3, sample_size=96, iters=6)
+
+    codes, model = load_ivfpq_index(spark, path)
+    assert codes.count() == 96
+    assert len(model["centroids"]) == 8 and model["pq"]["m"] == 4
+
+    queries = (df.filter("vec_id < 3")
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("query_vec")))
+    served = sorted(map(tuple, ivfpq_topk_from_index(
+        spark, path, queries, k=4, nprobe=3).collect()))
+    in_mem = sorted(map(tuple, ivfpq_topk(
+        codes, queries, model, k=4, nprobe=3).collect()))
+    assert served == in_mem
+
+    subdirs = [d for d in os.listdir(f"{path}/codes")
+               if d.startswith("cid=")]
+    assert 2 <= len(subdirs) <= 8
+    plan = (codes.filter(F.col("cid").isin([0, 1]))
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "PartitionFilters" in plan and "cid" in plan
