@@ -2532,59 +2532,59 @@ FAMILY = {
 # BEGIN GENERATED ROTATION DATA (scripts/update_rotation.py)
 #: Most recent round whose CORRECTNESS_r{N}.json holds a green
 #: (rows_match + schema_match + hash_match) driver row for each query;
-#: None = never driver-proven.  Source artifacts: r01, r02, r03, r04, r05, r06, r07, r08.
-CURRENT_ROUND = 9
+#: None = never driver-proven.  Source artifacts: r01, r02, r03, r04, r05, r06, r07, r08, r09.
+CURRENT_ROUND = 10
 LAST_GREEN = {
-    "approx_distinct_orderkey": None,
-    "paragraph_dedup_summary_docs": None,
-    "regional_supplier_volume": None,
-    "returned_item_customers": None,
-    "shipping_priority_orders": None,
-    "benford_acctbal": 7,
-    "completeness_customer": 7,
-    "compliance_discount": 7,
-    "corr_quantity_price": 7,
-    "cosine_topk_embeddings": 7,
-    "cross_table_sum_orders_lineitem": 7,
-    "datatype_detection": 7,
-    "dedup_exact_docs": 7,
-    "distinctness_orders": 7,
-    "dominant_value_orderstatus": 7,
-    "drift_chi2_returnflag": 7,
-    "drift_js_quantity": 7,
-    "drift_ks_quantity": 7,
-    "drift_psi_by_returnflag": 7,
-    "drift_psi_quantity": 7,
-    "entropy_returnflag": 7,
-    "fk_orders_customer": 7,
-    "format_orderpriority": 7,
-    "grouped_completeness_events": 7,
-    "histogram_returnflag": 7,
-    "join_coverage_lineitem_orders": 7,
-    "length_customer_name": 7,
-    "line_dedup_summary_docs": 7,
-    "max_time_gap_events": 7,
-    "median_by_returnflag": 7,
-    "minhash_lsh_candidates": 7,
-    "mutual_information_lineitem": 7,
-    "ngram_jaccard_pairs": 7,
-    "outlier_mad_acctbal": 7,
-    "packing_stats_docs": 7,
-    "pivot_returnflag_linestatus": 7,
-    "pricing_summary": 7,
-    "profile_customer": 7,
-    "quality_model_docs": 7,
-    "quantile_exact_quantity": 7,
-    "range_join_events": 7,
-    "rolling_daily_events": 7,
-    "rollup_pricing": 7,
-    "semantic_dedup_embeddings": 7,
-    "sessionize_events": 7,
-    "size_lineitem": 7,
-    "stats_quantity": 7,
-    "text_cleaning_docs": 7,
-    "token_budget_sample_docs": 7,
-    "top3_customers_per_segment": 7,
+    "approx_distinct_orderkey": 9,
+    "paragraph_dedup_summary_docs": 9,
+    "regional_supplier_volume": 9,
+    "returned_item_customers": 9,
+    "shipping_priority_orders": 9,
+    "benford_acctbal": 9,
+    "completeness_customer": 9,
+    "compliance_discount": 9,
+    "corr_quantity_price": 9,
+    "cosine_topk_embeddings": 9,
+    "cross_table_sum_orders_lineitem": 9,
+    "datatype_detection": 9,
+    "dedup_exact_docs": 9,
+    "distinctness_orders": 9,
+    "dominant_value_orderstatus": 9,
+    "drift_chi2_returnflag": 9,
+    "drift_js_quantity": 9,
+    "drift_ks_quantity": 9,
+    "drift_psi_by_returnflag": 9,
+    "drift_psi_quantity": 9,
+    "entropy_returnflag": 9,
+    "fk_orders_customer": 9,
+    "format_orderpriority": 9,
+    "grouped_completeness_events": 9,
+    "histogram_returnflag": 9,
+    "join_coverage_lineitem_orders": 9,
+    "length_customer_name": 9,
+    "line_dedup_summary_docs": 9,
+    "max_time_gap_events": 9,
+    "median_by_returnflag": 9,
+    "minhash_lsh_candidates": 9,
+    "mutual_information_lineitem": 9,
+    "ngram_jaccard_pairs": 9,
+    "outlier_mad_acctbal": 9,
+    "packing_stats_docs": 9,
+    "pivot_returnflag_linestatus": 9,
+    "pricing_summary": 9,
+    "profile_customer": 9,
+    "quality_model_docs": 9,
+    "quantile_exact_quantity": 9,
+    "range_join_events": 9,
+    "rolling_daily_events": 9,
+    "rollup_pricing": 9,
+    "semantic_dedup_embeddings": 9,
+    "sessionize_events": 9,
+    "size_lineitem": 9,
+    "stats_quantity": 9,
+    "text_cleaning_docs": 9,
+    "token_budget_sample_docs": 9,
+    "top3_customers_per_segment": 9,
     "unique_value_ratio_custkey": 7,
     "containment_orderstatus": 8,
     "spearman_quantity_price": 8,
