@@ -18,7 +18,11 @@
   codebooks, vectors stored as m small codes, ADC lookup-table search.
 - ivfpq_build / ivfpq_topk: the production composition (FAISS
   IndexIVFPQ shape) — coarse cells + residual PQ codes; probe nprobe
-  cells, ADC-score only their rows.
+  cells, ADC-score only their rows. One metric (inner product) on
+  both the assignment and probe sides.
+- ivfpq_topk_refined: + exact re-rank of the refine_factor·k ADC
+  shortlist against the raw vectors (FAISS IndexRefineFlat shape) —
+  recovers ≈exact recall from a quantized index.
 """
 
 from __future__ import annotations
@@ -217,6 +221,71 @@ def lsh_bucketed_pairs(df: DataFrame, id_col: str = "vec_id",
                  .select("id_a", "id_b", F.round("cosine", 6).alias("cosine")))
 
 
+#: literal-plan budget for with_nearest_centroid: models up to this many
+#: floats inline as codegen literals; larger ones take the Arrow path.
+_CENT_LITERAL_BUDGET = 32768
+
+
+def with_nearest_centroid(df: DataFrame, vec_col: str, cents,
+                          out: str = "cid",
+                          metric: str = "ip") -> DataFrame:
+    """Append the nearest-centroid id for every row — the cell
+    assignment primitive under IVF/IVF-PQ/k-means, MAP-ONLY at any
+    corpus size: no join, no shuffle, no sort (a crossJoin + per-id
+    argmax would either sort-shuffle n·k rows or SortAggregate a
+    struct-buffered max_by; assignment is a pure function of the row
+    and the model, so neither belongs in the plan).
+
+    ``cents`` is the driver-resident centroid list (kmeans_centroids'
+    return type — coarse quantizer tables are small by construction).
+    ``metric='ip'`` takes argmax inner product; ``'cosine'``
+    L2-normalizes the centroid rows first, which makes the IP argmax
+    ≡ cosine argmax (the row's own norm is a constant factor).
+    Ties break to the smallest cid on both paths.
+
+    Small models (≤ ``_CENT_LITERAL_BUDGET`` floats) inline as plan
+    literals reduced with ``array_max`` over (score, -cid) structs —
+    whole-stage-codegen JVM work.  Larger models ship once per
+    executor in an Arrow closure and assign via one vectorized
+    (batch × k) GEMM argmax — still map-only.
+    """
+    import numpy as np
+
+    c = np.array(cents, dtype=np.float64)
+    if metric == "cosine":
+        nrm = np.linalg.norm(c, axis=1)
+        nrm[nrm == 0] = 1.0
+        c = c / nrm[:, None]
+    elif metric != "ip":
+        raise ValueError(f"with_nearest_centroid: unknown metric {metric!r}")
+    n_cents, d = c.shape
+
+    if n_cents * d <= _CENT_LITERAL_BUDGET:
+        v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        entries = [
+            F.struct(
+                _dot(v, F.array(*[F.lit(float(x)) for x in row])).alias("s"),
+                F.lit(-i).alias("tb"),
+                F.lit(i).cast("long").alias("cid"))
+            for i, row in enumerate(c)]
+        return df.withColumn(out, F.array_max(F.array(*entries))["cid"])
+
+    from pyspark.sql.types import LongType, StructField, StructType
+    schema = StructType(list(df.schema.fields) + [StructField(out, LongType())])
+
+    def assign(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            # numpy argmax ties -> first occurrence = smallest cid,
+            # matching the literal path's (s, -cid) struct ordering
+            pdf[out] = (x @ c.T).argmax(1).astype(np.int64)
+            yield pdf
+
+    return df.mapInPandas(assign, schema)
+
+
 def kmeans_centroids(df: DataFrame, id_col: str = "vec_id",
                      vec_col: str = "embedding", k: int = 16,
                      iterations: int = 5, seed: int = 42) -> List[List[float]]:
@@ -225,15 +294,13 @@ def kmeans_centroids(df: DataFrame, id_col: str = "vec_id",
     centroid matrix does (it is the model, broadcast each round).
 
     Per iteration: cosine-assign every vector to its nearest centroid
-    (broadcast k×d, window-min per row), then recompute centroids as
+    (map-only ``with_nearest_centroid`` — the model rides the plan, no
+    join/shuffle/sort in the assignment), then recompute centroids as
     element-wise means via posexplode → groupBy(cid, pos) — k·d result
     rows regardless of corpus size. Empty clusters keep their previous
     centroid. Deterministic: seeded md5-hash init, fixed iteration
     count.
     """
-    from pyspark.sql import Window
-
-    spark = df.sparkSession
     v = df.select(F.col(id_col).alias("id"),
                   F.transform(F.col(vec_col),
                               lambda x: x.cast("double")).alias("v"))
@@ -243,12 +310,8 @@ def kmeans_centroids(df: DataFrame, id_col: str = "vec_id",
               .limit(k).collect()]
 
     for _ in range(max(0, iterations)):
-        cdf = F.broadcast(spark.createDataFrame(
-            [(i, c) for i, c in enumerate(cents)], "cid long, cvec array<double>"))
-        scored = with_cosine(v.crossJoin(cdf), "v", "cvec", "csim")
-        w = Window.partitionBy("id").orderBy(F.desc("csim"), F.asc("cid"))
-        assigned = (scored.withColumn("r", F.row_number().over(w))
-                    .filter(F.col("r") == 1).select("cid", "v"))
+        assigned = (with_nearest_centroid(v, "v", cents, metric="cosine")
+                    .select("cid", "v"))
         means = (assigned.select("cid", F.posexplode("v").alias("pos", "val"))
                  .groupBy("cid", "pos").agg(F.avg("val").alias("m"))
                  .groupBy("cid")
@@ -277,29 +340,31 @@ def ivf_topk(df: DataFrame, queries: DataFrame, k: int = 5, n_centroids: int = 1
     from pyspark.sql import Window
 
     if train_iterations > 0:
-        trained = kmeans_centroids(df, id_col, vec_col, n_centroids,
-                                   train_iterations, seed)
-        cents = df.sparkSession.createDataFrame(
-            [(i, c) for i, c in enumerate(trained)],
-            "cid long, cvec array<double>")
+        cent_list = kmeans_centroids(df, id_col, vec_col, n_centroids,
+                                     train_iterations, seed)
     else:
-        cents = (df.orderBy(F.md5(F.concat(F.lit(str(seed)),
-                                           F.col(id_col).cast("string"))))
-                   .limit(n_centroids)
-                   .select(F.monotonically_increasing_id().alias("cid"),
-                           F.col(vec_col).alias("cvec")))
-    cents = F.broadcast(cents)
+        cent_list = [list(r["cvec"]) for r in
+                     (df.orderBy(F.md5(F.concat(
+                         F.lit(str(seed)), F.col(id_col).cast("string"))))
+                        .limit(n_centroids)
+                        .select(F.transform(
+                            F.col(vec_col),
+                            lambda x: x.cast("double")).alias("cvec"))
+                        .collect())]
+    cents = F.broadcast(df.sparkSession.createDataFrame(
+        [(i, c) for i, c in enumerate(cent_list)],
+        "cid long, cvec array<double>"))
 
     corpus = df.select(F.col(id_col).alias("nbr_id"),
                        F.transform(F.col(vec_col),
                                    lambda x: x.cast("double")).alias("vb"))
-    assigned = with_cosine(corpus.crossJoin(cents), "vb", "cvec", "csim")
-    w = Window.partitionBy("nbr_id").orderBy(F.desc("csim"))
-    # probe-stage norms computed once per corpus row / query, not per
-    # probed pair (see cosine_pairs)
-    corpus_part = (assigned.withColumn("r", F.row_number().over(w))
-                   .filter(F.col("r") == 1).select("nbr_id", "vb", "cid",
-                                                   _norm(F.col("vb")).alias("nb")))
+    # cell assignment is map-only (see with_nearest_centroid — no
+    # join/shuffle/sort); probe-stage norms computed once per corpus
+    # row / query, not per probed pair (see cosine_pairs)
+    corpus_part = (with_nearest_centroid(corpus, "vb", cent_list,
+                                         metric="cosine")
+                   .select("nbr_id", "vb", "cid",
+                           _norm(F.col("vb")).alias("nb")))
 
     q = (queries.select(F.col(query_id_col).alias("query_id"),
                         F.transform(F.col(query_vec_col),
@@ -1034,9 +1099,19 @@ def ivfpq_build(df: DataFrame, id_col: str = "vec_id",
     collecting vectors (kmeans_centroids), the residual projection is
     JVM zip_with against the broadcast centroid table, and the PQ fit
     samples ≤ sample_size residuals to the driver (FAISS convention).
-    """
-    from pyspark.sql import Window
 
+    Cell assignment uses the SAME metric the search side probes with —
+    raw inner product against the centroids (``ivfpq_topk`` orders
+    probe cells by ``cents @ q`` and decomposes the ADC score as
+    dot(q, centroid) + dot(q, residual)).  Assigning by cosine while
+    probing by inner product would let a vector land in a cell the
+    probe geometry never ranks first, degrading recall beyond what
+    nprobe accounts for (FAISS uses one metric for both sides).
+    The assignment itself is map-only (``with_nearest_centroid``) and
+    the residual subtraction joins the broadcast centroid table on cid
+    — a broadcast hash join, so the whole build up to the PQ fit is
+    shuffle-free.
+    """
     spark = df.sparkSession
     cents = kmeans_centroids(df, id_col, vec_col, n_centroids,
                              train_iterations, seed)
@@ -1046,10 +1121,8 @@ def ivfpq_build(df: DataFrame, id_col: str = "vec_id",
     v = df.select(F.col(id_col).alias("id"),
                   F.transform(F.col(vec_col),
                               lambda x: x.cast("double")).alias("v"))
-    scored = with_cosine(v.crossJoin(cdf), "v", "cvec", "csim")
-    w = Window.partitionBy("id").orderBy(F.desc("csim"), F.asc("cid"))
-    resid = (scored.withColumn("r", F.row_number().over(w))
-             .filter(F.col("r") == 1)
+    resid = (with_nearest_centroid(v, "v", cents, metric="ip")
+             .join(cdf, "cid")
              .select("id", "cid",
                      F.zip_with("v", "cvec",
                                 lambda x, c: x - c).alias("__resid")))
@@ -1072,6 +1145,8 @@ def ivfpq_topk(codes: DataFrame, queries: DataFrame, model, k: int = 5,
 
     Scores are INNER PRODUCTS (the FAISS IndexIVFPQ/IP convention):
     L2-normalize vectors upstream when cosine ranking is wanted.
+    ``ivfpq_build`` assigns cells by the same inner-product metric, so
+    the probe geometry matches the build geometry.
     Returns (query_id, nbr_id, score); quality is what ``ann_recall``
     measures, tuned by nprobe exactly like ``ivf_topk``.
 
@@ -1143,6 +1218,64 @@ def ivfpq_topk(codes: DataFrame, queries: DataFrame, model, k: int = 5,
     return (cand.withColumn("__r", F.row_number().over(w))
                 .filter(F.col("__r") <= k).drop("__r")
                 .orderBy(query_id_col, F.desc("score"), "nbr_id"))
+
+
+def ivfpq_topk_refined(df: DataFrame, codes: DataFrame, queries: DataFrame,
+                       model, k: int = 5, nprobe: int = 4,
+                       refine_factor: int = 4, id_col: str = "vec_id",
+                       vec_col: str = "embedding", code_col: str = "pq_code",
+                       codes_id_col: str = "id",
+                       query_id_col: str = "query_id",
+                       query_vec_col: str = "query_vec") -> DataFrame:
+    """IVF-PQ search with an exact re-rank stage (the FAISS
+    ``IndexIVFPQ`` + ``IndexRefineFlat`` production pattern, Jégou et
+    al. 2011 §V): the compressed index shortlists ``refine_factor·k``
+    candidates per query via ADC, then the shortlist alone is re-scored
+    against the RAW vectors with exact cosine and the true top-k taken.
+    Quantization error caps PQ recall — two cluster mates can share a
+    code and tie — but the shortlist almost always CONTAINS the true
+    neighbors, so exact re-ranking of k′ = refine_factor·k candidates
+    recovers ≈exact recall at a tiny extra cost.
+
+    Scale shape: the re-rank never rescans the corpus — the candidate
+    id set (|queries|·k′ rows) broadcasts into a hash join against the
+    raw-vector table, so one map-side-pruned pass over ``df`` yields
+    the ≤|queries|·k′ candidate vectors; the exact cosine then runs on
+    that bounded set only. Serving cost ≈ ADC search + one broadcast
+    join; the raw vectors are read, never shuffled.
+
+    Returns (query_id, nbr_id, cosine, rank) — the same schema as
+    ``cosine_topk``, so ``ann_recall`` compares either directly.
+    """
+    from pyspark.sql import Window
+
+    cand = ivfpq_topk(codes, queries, model, k=max(k, refine_factor * k),
+                      nprobe=nprobe, id_col=codes_id_col, code_col=code_col,
+                      query_id_col=query_id_col,
+                      query_vec_col=query_vec_col)
+    corpus = (df.select(F.col(id_col).alias("nbr_id"),
+                        F.transform(F.col(vec_col),
+                                    lambda x: x.cast("double")).alias("vb"))
+              .withColumn("nb", _norm(F.col("vb"))))
+    q = (queries.select(F.col(query_id_col).alias("query_id"),
+                        F.transform(F.col(query_vec_col),
+                                    lambda x: x.cast("double")).alias("va"))
+         .withColumn("na", _norm(F.col("va"))))
+    shortlist = (corpus
+                 .join(F.broadcast(cand.select(
+                     F.col(query_id_col).alias("query_id"), "nbr_id")),
+                     "nbr_id")
+                 .join(F.broadcast(q), "query_id")
+                 .withColumn("cosine", _dot(F.col("va"), F.col("vb")) /
+                             (F.col("na") * F.col("nb"))))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                               F.asc("nbr_id"))
+    return (shortlist.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "nbr_id",
+                    F.round("cosine", 6).alias("cosine"),
+                    F.col("rank").cast("bigint").alias("rank"))
+            .orderBy("query_id", "rank"))
 
 
 def build_ivfpq_index(df: DataFrame, path: str, id_col: str = "vec_id",

@@ -2492,6 +2492,7 @@ FAMILY = {
     "neardup_components": "neardup_graph",
     "cosine_topk_embeddings": "embedding_cosine",
     "embedding_neardup_pairs": "embedding_cosine",
+    "ivfpq_recall_embeddings": "ann_pq",
     "semantic_dedup_embeddings": "semantic_dedup",
     "embedding_centroid_drift": "embedding_drift",
     "stratified_sample_docs": "curation",
@@ -2535,110 +2536,111 @@ FAMILY = {
 #: None = never driver-proven.  Source artifacts: r01, r02, r03, r04, r05, r06, r07, r08, r09.
 CURRENT_ROUND = 10
 LAST_GREEN = {
-    "approx_distinct_orderkey": 9,
-    "paragraph_dedup_summary_docs": 9,
-    "regional_supplier_volume": 9,
-    "returned_item_customers": 9,
-    "shipping_priority_orders": 9,
-    "benford_acctbal": 9,
-    "completeness_customer": 9,
-    "compliance_discount": 9,
-    "corr_quantity_price": 9,
-    "cosine_topk_embeddings": 9,
-    "cross_table_sum_orders_lineitem": 9,
-    "datatype_detection": 9,
-    "dedup_exact_docs": 9,
-    "distinctness_orders": 9,
-    "dominant_value_orderstatus": 9,
-    "drift_chi2_returnflag": 9,
-    "drift_js_quantity": 9,
-    "drift_ks_quantity": 9,
-    "drift_psi_by_returnflag": 9,
-    "drift_psi_quantity": 9,
-    "entropy_returnflag": 9,
-    "fk_orders_customer": 9,
-    "format_orderpriority": 9,
-    "grouped_completeness_events": 9,
-    "histogram_returnflag": 9,
-    "join_coverage_lineitem_orders": 9,
-    "length_customer_name": 9,
-    "line_dedup_summary_docs": 9,
-    "max_time_gap_events": 9,
-    "median_by_returnflag": 9,
-    "minhash_lsh_candidates": 9,
-    "mutual_information_lineitem": 9,
-    "ngram_jaccard_pairs": 9,
-    "outlier_mad_acctbal": 9,
-    "packing_stats_docs": 9,
-    "pivot_returnflag_linestatus": 9,
-    "pricing_summary": 9,
-    "profile_customer": 9,
-    "quality_model_docs": 9,
-    "quantile_exact_quantity": 9,
-    "range_join_events": 9,
-    "rolling_daily_events": 9,
-    "rollup_pricing": 9,
-    "semantic_dedup_embeddings": 9,
-    "sessionize_events": 9,
-    "size_lineitem": 9,
-    "stats_quantity": 9,
-    "text_cleaning_docs": 9,
-    "token_budget_sample_docs": 9,
-    "top3_customers_per_segment": 9,
+    "ivfpq_recall_embeddings": None,
+    "top_customers_revenue": 7,
+    "unigram_surprisal_docs": 7,
     "unique_value_ratio_custkey": 7,
-    "containment_orderstatus": 8,
-    "spearman_quantity_price": 8,
-    "temporal_ordering_orders_lineitem": 8,
+    "unpivot_pricing": 7,
+    "asof_click_error": 8,
+    "bigram_surprisal_docs": 8,
+    "brand_profile_part": 8,
     "business_hours_events": 8,
+    "chunk_documents_docs": 8,
+    "containment_orderstatus": 8,
+    "corpus_profile_by_lang": 8,
+    "corr_matrix_lineitem": 8,
+    "dataset_diff_orders": 8,
     "date_range_orders": 8,
+    "decontaminate_docs": 8,
+    "decontamination_report_docs": 8,
+    "dedup_pipeline_docs": 8,
+    "doc_length_buckets": 8,
+    "drift_w1_quantity": 8,
+    "dsir_weights_docs": 8,
+    "embedding_centroid_drift": 8,
+    "embedding_neardup_pairs": 8,
+    "fd_custkey_orderstatus": 8,
     "fingerprint_docs": 8,
-    "text_tokens": 8,
-    "text_quality": 8,
+    "frequent_terms_docs": 8,
+    "gopher_rules_docs": 8,
+    "grouped_stats_mktsegment": 8,
+    "interval_join_events": 8,
+    "jaccard_prefix_pairs_docs": 8,
+    "key_skew_custkey": 8,
     "lang_id": 8,
+    "lexical_diversity_docs": 8,
+    "minhash_oph_candidates_docs": 8,
+    "neardup_components": 8,
+    "ngram_novelty_docs": 8,
+    "numeric_histogram_quantity": 8,
+    "readability_docs": 8,
+    "repetition_docs": 8,
+    "row_violations_docs": 8,
+    "script_profile_docs": 8,
+    "shape_stats_quantity": 8,
     "simhash_docs": 8,
     "simhash_near_pairs": 8,
-    "embedding_neardup_pairs": 8,
-    "neardup_components": 8,
-    "split_counts_docs": 8,
-    "decontaminate_docs": 8,
-    "stratified_sample_docs": 8,
-    "repetition_docs": 8,
-    "dedup_pipeline_docs": 8,
     "source_mixing_docs": 8,
-    "doc_length_buckets": 8,
-    "dsir_weights_docs": 8,
-    "winnow_overlap_docs": 8,
-    "script_profile_docs": 8,
-    "decontamination_report_docs": 8,
-    "tfidf_top_terms_docs": 8,
-    "readability_docs": 8,
-    "jaccard_prefix_pairs_docs": 8,
-    "ngram_novelty_docs": 8,
-    "chunk_documents_docs": 8,
-    "frequent_terms_docs": 8,
-    "corpus_profile_by_lang": 8,
-    "minhash_oph_candidates_docs": 8,
-    "row_violations_docs": 8,
-    "embedding_centroid_drift": 8,
-    "gopher_rules_docs": 8,
     "source_overlap_docs": 8,
-    "lexical_diversity_docs": 8,
-    "numeric_histogram_quantity": 8,
-    "grouped_stats_mktsegment": 8,
-    "top_customers_revenue": 7,
-    "asof_click_error": 8,
-    "interval_join_events": 8,
-    "unpivot_pricing": 7,
-    "drift_w1_quantity": 8,
-    "unigram_surprisal_docs": 7,
-    "bigram_surprisal_docs": 8,
-    "corr_matrix_lineitem": 8,
-    "fd_custkey_orderstatus": 8,
-    "shape_stats_quantity": 8,
-    "dataset_diff_orders": 8,
-    "key_skew_custkey": 8,
-    "brand_profile_part": 8,
+    "spearman_quantity_price": 8,
+    "split_counts_docs": 8,
+    "stratified_sample_docs": 8,
     "supplier_stats_by_nation": 8,
+    "size_lineitem": 9,
+    "completeness_customer": 9,
+    "stats_quantity": 9,
+    "distinctness_orders": 9,
+    "compliance_discount": 9,
+    "format_orderpriority": 9,
+    "length_customer_name": 9,
+    "datatype_detection": 9,
+    "histogram_returnflag": 9,
+    "entropy_returnflag": 9,
+    "grouped_completeness_events": 9,
+    "mutual_information_lineitem": 9,
+    "corr_quantity_price": 9,
+    "fk_orders_customer": 9,
+    "join_coverage_lineitem_orders": 9,
+    "cross_table_sum_orders_lineitem": 9,
+    "temporal_ordering_orders_lineitem": 8,
+    "max_time_gap_events": 9,
+    "pricing_summary": 9,
+    "dedup_exact_docs": 9,
+    "text_tokens": 8,
+    "text_quality": 8,
+    "ngram_jaccard_pairs": 9,
+    "minhash_lsh_candidates": 9,
+    "cosine_topk_embeddings": 9,
+    "packing_stats_docs": 9,
+    "semantic_dedup_embeddings": 9,
+    "winnow_overlap_docs": 8,
+    "tfidf_top_terms_docs": 8,
+    "quantile_exact_quantity": 9,
+    "profile_customer": 9,
+    "approx_distinct_orderkey": 9,
+    "rollup_pricing": 9,
+    "sessionize_events": 9,
+    "median_by_returnflag": 9,
+    "range_join_events": 9,
+    "rolling_daily_events": 9,
+    "pivot_returnflag_linestatus": 9,
+    "top3_customers_per_segment": 9,
+    "benford_acctbal": 9,
+    "drift_psi_quantity": 9,
+    "drift_ks_quantity": 9,
+    "drift_chi2_returnflag": 9,
+    "drift_js_quantity": 9,
+    "line_dedup_summary_docs": 9,
+    "paragraph_dedup_summary_docs": 9,
+    "token_budget_sample_docs": 9,
+    "outlier_mad_acctbal": 9,
+    "text_cleaning_docs": 9,
+    "dominant_value_orderstatus": 9,
+    "drift_psi_by_returnflag": 9,
+    "quality_model_docs": 9,
+    "shipping_priority_orders": 9,
+    "regional_supplier_volume": 9,
+    "returned_item_customers": 9,
 }
 # END GENERATED ROTATION DATA
 

@@ -342,6 +342,65 @@ FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
 """
 
 
+def q_ivfpq_recall_embeddings(spark, sf_dir) -> DataFrame:
+    """IVF-PQ ANN with exact re-rank, made driver-oracle-checkable (the
+    ``q_approx_distinct_orderkey`` pattern): the returned ROWS are the
+    exact brute-force cosine top-5 per query — engine-portable, DuckDB
+    recomputes them bit-for-bit — and the ``refined_recall_ok`` column
+    is a Spark-computed attestation that the compressed index actually
+    found them: ``ivfpq_build`` (coarse cells + residual PQ codes) →
+    ``ivfpq_topk_refined`` (ADC shortlist of refine_factor·k, exact
+    cosine re-rank — FAISS IndexIVFPQ+RefineFlat) must recover ≥ 0.8
+    of the exact neighbor set.  Measured recall: 1.0 at sf0.001 and
+    sf0.01, 0.88 at sf0.1 — the floor has margin everywhere.
+
+    Deterministic end to end: md5-seeded k-means init, md5-sampled PQ
+    training set, seeded numpy, smallest-cid/nbr_id tie-breaks.
+    """
+    e = _emb(spark, sf_dir)
+    corpus = e.filter(F.col("vec_id") >= 5)
+    queries = (e.filter(F.col("vec_id") < 5)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("query_vec")))
+    exact = S.cosine_topk(corpus, queries, k=5)
+    codes, model = S.ivfpq_build(corpus, n_centroids=8, m=8, pq_k=128,
+                                 train_iterations=2, sample_size=2000,
+                                 iters=8, seed=42)
+    refined = S.ivfpq_topk_refined(corpus, codes, queries, model, k=5,
+                                   nprobe=8, refine_factor=16)
+    tot = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    hits = (exact.join(refined.select("query_id", "nbr_id"),
+                       ["query_id", "nbr_id"], "left_semi")
+            .agg(F.count(F.lit(1)).alias("n_hit")))
+    att = (tot.crossJoin(hits)
+           .select((F.col("n_hit").cast("double") >=
+                    F.lit(0.8) * F.col("n_exact").cast("double"))
+                   .alias("refined_recall_ok")))
+    return (exact.crossJoin(F.broadcast(att))
+            .orderBy("query_id", "rank"))
+
+
+SQL_IVFPQ_RECALL_EMBEDDINGS = """
+WITH v AS (
+    SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings
+), scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+           list_dot_product(q.e, c.e) /
+           (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e)))
+               AS cos_raw
+    FROM v q JOIN v c ON q.vec_id < 5 AND c.vec_id >= 5
+), ranked AS (
+    SELECT query_id, nbr_id, cos_raw,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cos_raw DESC, nbr_id ASC) AS rank
+    FROM scored
+)
+SELECT query_id, nbr_id, ROUND(cos_raw, 6) AS cosine, rank,
+       TRUE AS refined_recall_ok
+FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
 def q_embedding_neardup_pairs(spark, sf_dir) -> DataFrame:
     e = _emb(spark, sf_dir)
     return (S.cosine_pairs(e, threshold=0.45)
@@ -379,6 +438,7 @@ LLM_QUERIES = {
     "simhash_near_pairs": q_simhash_near_pairs,
     "cosine_topk_embeddings": q_cosine_topk_embeddings,
     "embedding_neardup_pairs": q_embedding_neardup_pairs,
+    "ivfpq_recall_embeddings": q_ivfpq_recall_embeddings,
 }
 
 LLM_ORACLES = {
@@ -393,6 +453,7 @@ LLM_ORACLES = {
     "simhash_near_pairs": SQL_SIMHASH_NEAR_PAIRS,
     "cosine_topk_embeddings": SQL_COSINE_TOPK_EMBEDDINGS,
     "embedding_neardup_pairs": SQL_EMBEDDING_NEARDUP_PAIRS,
+    "ivfpq_recall_embeddings": SQL_IVFPQ_RECALL_EMBEDDINGS,
 }
 
 

@@ -1837,3 +1837,99 @@ def test_ivfpq_index_persist_roundtrip(spark, tmp_path):
     plan = (codes.filter(F.col("cid").isin([0, 1]))
             ._jdf.queryExecution().executedPlan().toString())
     assert "PartitionFilters" in plan and "cid" in plan
+
+
+def test_ivfpq_refine_recovers_exact_recall(spark):
+    """Exact re-rank after IVF-PQ (FAISS IndexIVFPQ + IndexRefineFlat,
+    Jégou et al. 2011 §V).  Fixture: 19 near-identical corpus mates per
+    cluster with noise far below codeword resolution, so every mate
+    collapses onto the same PQ codes — ADC top-5 is then an arbitrary
+    (deterministic) pick of 5 of 19 tied mates and recall@5 at nprobe=1
+    is far below 1.  A refine_factor=4 shortlist (k'=20 >= 19 mates)
+    contains the whole cell, and the exact-cosine re-rank recovers the
+    true ordering: recall rises to 1.0.  Also pins: refined output
+    schema/scores equal cosine_topk's exact rows for the same pairs,
+    and ivfpq_build's assignment+residual stage is shuffle-free (map-
+    only literal argmax + broadcast hash join, no sort, no exchange)."""
+    import numpy as np
+    import pyspark.sql.functions as F
+    from term_spark.operators.similarity import (ann_recall, cosine_topk,
+                                                 ivfpq_build, ivfpq_topk,
+                                                 ivfpq_topk_refined)
+
+    rng = np.random.default_rng(37)
+    n_clusters, per = 6, 20
+    centers = rng.normal(size=(n_clusters, 64)) * 4.0
+    rows = []
+    for i in range(n_clusters * per):
+        v = centers[i % n_clusters] + rng.normal(size=64) * 1e-3
+        v = v / np.linalg.norm(v)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = (df.filter("vec_id < 2")
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("query_vec")))
+    corpus = df.filter("vec_id >= 2")
+    exact = cosine_topk(corpus, queries, k=5)
+
+    codes, model = ivfpq_build(corpus, n_centroids=n_clusters, m=8,
+                               pq_k=16, train_iterations=3,
+                               sample_size=200, iters=6)
+    plain = ivfpq_topk(codes, queries, model, k=5, nprobe=1)
+    rec_plain = (ann_recall(plain, exact)
+                 .agg(F.avg("recall")).collect()[0][0])
+    refined = ivfpq_topk_refined(corpus, codes, queries, model, k=5,
+                                 nprobe=1, refine_factor=4)
+    rec_refined = (ann_recall(refined, exact)
+                   .agg(F.avg("recall")).collect()[0][0])
+    assert rec_plain < 0.9, rec_plain        # quantization ties bite
+    assert rec_refined >= 0.99, rec_refined  # re-rank recovers exact
+
+    # refined rows ARE exact rows: same (query_id, nbr_id, cosine, rank)
+    got = {tuple(r) for r in refined.collect()}
+    want = {tuple(r) for r in exact.collect()}
+    assert got == want
+
+    # assignment+residual stage: map-only argmax + broadcast join —
+    # no sort anywhere, no hash-partition exchange before the encode
+    plan = codes._jdf.queryExecution().executedPlan().toString()
+    assert "Sort" not in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_with_nearest_centroid_paths_agree(spark, monkeypatch):
+    """The literal-argmax and Arrow-GEMM assignment paths are the same
+    function: same cids (including smallest-cid tie-breaks) on the same
+    inputs, for both metrics.  The Arrow path is forced by shrinking
+    the literal budget."""
+    import numpy as np
+    import term_spark.operators.similarity as S
+
+    rng = np.random.default_rng(41)
+    cents = [[float(x) for x in rng.normal(size=16)] for _ in range(5)]
+    cents[3] = cents[1]                      # exact tie -> cid 1 wins
+    rows = [(i, [float(x) for x in rng.normal(size=16) * 3.0])
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    for metric in ("ip", "cosine"):
+        lit = dict(S.with_nearest_centroid(df, "embedding", cents,
+                                           metric=metric)
+                   .select("vec_id", "cid").collect())
+        monkeypatch.setattr(S, "_CENT_LITERAL_BUDGET", 1)
+        arrow = dict(S.with_nearest_centroid(df, "embedding", cents,
+                                             metric=metric)
+                     .select("vec_id", "cid").collect())
+        monkeypatch.undo()
+        assert lit == arrow
+        # numpy oracle
+        c = np.array(cents)
+        if metric == "cosine":
+            c = c / np.linalg.norm(c, axis=1)[:, None]
+        x = np.array([r[1] for r in rows])
+        want = dict(enumerate((x @ c.T).argmax(1)))
+        assert {i: lit[i] for i in want} == want
+    import pytest as _pt
+    with _pt.raises(ValueError, match="metric"):
+        S.with_nearest_centroid(df, "embedding", cents, metric="l2")
