@@ -274,13 +274,24 @@ def decontaminate_bloom(df: DataFrame, eval_df: DataFrame,
     unfingerprintable text is always kept, matching the anti-join's
     NULL-key semantics.  Sizing: ``expected_items`` defaults to one
     distinct-count job over the (small) eval side; pass it explicitly
-    to skip that job."""
+    to skip that job — but note UNDERSTATING it raises the effective
+    false-positive rate past ``fpp`` (fewer bits than the true
+    cardinality needs), so only pin it to a trusted count.
+
+    The bitmap ships to executors via ``sc.broadcast`` (fetched once
+    per executor, torrent-style), not closure capture — at the default
+    sizing that is ~1.8 MB per million eval docs, so even a 100M-doc
+    eval suite (~180 MB) rides the broadcast path rather than being
+    re-pickled into every task."""
     import math
 
     import numpy as np
 
     if not 0.0 < fpp < 1.0:
         raise ValueError(f"fpp must be in (0, 1), got {fpp}")
+    if expected_items is not None and expected_items < 1:
+        raise ValueError(
+            f"expected_items must be >= 1, got {expected_items}")
     eval_keys = (eval_df.select(T.fingerprint(eval_text_col))
                  .withColumnRenamed("fingerprint", "__fp")
                  .filter(F.col("__fp").isNotNull()).distinct())
@@ -303,7 +314,8 @@ def decontaminate_bloom(df: DataFrame, eval_df: DataFrame,
     bitmap = np.zeros(n_bits // 64, dtype=np.int64)
     for r in words.collect():
         bitmap[int(r["w"])] = r["bits"]
-    bitmap = bitmap.view(np.uint64)
+    bc_bitmap = df.sparkSession.sparkContext.broadcast(
+        bitmap.view(np.uint64))
 
     fp = T.fingerprint(text_col)
     pos_cols = [c.alias(f"__p{i}") for i, c in enumerate(positions(fp))]
@@ -312,12 +324,13 @@ def decontaminate_bloom(df: DataFrame, eval_df: DataFrame,
     out_cols = list(df.columns)
 
     def bloom_probe(batches):
+        bm = bc_bitmap.value
         for pdf in batches:
             if pdf.empty:
                 continue
             p = np.stack([pdf[f"__p{i}"].to_numpy(dtype=np.int64)
                           for i in range(k)], axis=1).astype(np.uint64)
-            hit = (bitmap[p >> np.uint64(6)]
+            hit = (bm[p >> np.uint64(6)]
                    >> (p & np.uint64(63))) & np.uint64(1)
             contaminated = hit.all(axis=1) & ~pdf["__fpnull"].to_numpy()
             yield pdf.loc[~contaminated, out_cols]

@@ -122,7 +122,11 @@ def _parse_wav(b: bytes) -> Optional[dict]:
     while i + 8 <= len(b):
         cid = b[i:i + 4]
         size = struct.unpack("<I", b[i + 4:i + 8])[0]
-        if cid == b"fmt " and i + 24 <= len(b):
+        # a fmt chunk must DECLARE >= 16 payload bytes before the
+        # 16-byte unpack — a corrupt size < 16 would otherwise read
+        # into the next chunk and surface garbage as a plausible
+        # header (mirrors the JPEG scanner's seg_len < 2 guard)
+        if cid == b"fmt " and size >= 16 and i + 24 <= len(b):
             _fmt, ch, sr, br, _align, bits = struct.unpack(
                 "<HHIIHH", b[i + 8:i + 24])
             out.update(channels=int(ch), sample_rate=int(sr),

@@ -86,7 +86,14 @@ class UniquenessConstraint(Constraint):
         self.assertion = Assertion.coerce(assertion) if assertion is not None \
             else Assertion.ge(self.threshold)
         self._sz = metric_alias("size")
-        self._uq = metric_alias("uniq", self.column, mode, strategy,
+        # approx aliases carry the rsd: two approx constraints on the
+        # same columns at different precisions must NOT merge into one
+        # metric (the executor dedups by alias, and the second would
+        # silently read the first's estimate)
+        uq_parts = [self.column, mode, strategy]
+        if strategy == "approx":
+            uq_parts.append(f"rsd{self.approx_rsd}")
+        self._uq = metric_alias("uniq", *uq_parts,
                                 tag="d" if strategy == "exact" else "k")
         self._nn = metric_alias("non_null_all", self.column)
 

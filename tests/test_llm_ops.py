@@ -1708,6 +1708,12 @@ def test_decontaminate_bloom_drops_all_contaminated(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="fpp"):
         decontaminate_bloom(df, ev, fpp=1.5)
+    # expected_items=0 would divide by zero in the k computation, and
+    # negative values yield nonsense n_bits — both rejected up front
+    with _pt.raises(ValueError, match="expected_items"):
+        decontaminate_bloom(df, ev, expected_items=0)
+    with _pt.raises(ValueError, match="expected_items"):
+        decontaminate_bloom(df, ev, expected_items=-5)
 
 
 def test_has_low_duplication_gate(spark):

@@ -110,6 +110,20 @@ def test_uniqueness_approx_strategy(spark):
         UniquenessConstraint("x", "primary_key", strategy="approx")
     with pytest.raises(ValueError):
         UniquenessConstraint("x", "full", strategy="bogus")
+    # two approx constraints on the same columns at different rsd must
+    # NOT collide on one metric alias (the executor dedups by alias —
+    # a collision would silently serve one constraint the other's
+    # estimate); exact aliases stay rsd-free
+    a = UniquenessConstraint("x", "full", strategy="approx",
+                             approx_rsd=0.02)
+    b = UniquenessConstraint("x", "full", strategy="approx",
+                             approx_rsd=0.05)
+    assert a._uq != b._uq
+    e1 = UniquenessConstraint("x", "full", strategy="exact",
+                              approx_rsd=0.02)
+    e2 = UniquenessConstraint("x", "full", strategy="exact",
+                              approx_rsd=0.05)
+    assert e1._uq == e2._uq
 
 
 def test_distinct_metrics_run_as_separate_two_stage_jobs(spark):

@@ -357,3 +357,33 @@ def test_parse_media_header_av_signatures_keep_mime(sig, tail):
     assert out is not None
     expected = "audio/wav" if sig.startswith(b"RIFF") else "video/mp4"
     assert out["mime"] == expected
+
+
+def test_parse_wav_rejects_undersized_fmt_chunk():
+    """A corrupt fmt chunk DECLARING size < 16 must not have its
+    16-byte field block unpacked — the bytes after the short payload
+    belong to the NEXT chunk, and reading them would surface garbage
+    sample_rate/channels as a plausible header (the WAV sibling of the
+    JPEG seg_len < 2 guard)."""
+    import struct
+
+    from term_spark.operators.multimodal import _parse_wav
+
+    # fmt declares 4 payload bytes, then a data chunk whose header
+    # bytes would be misread as fmt fields if the guard were missing
+    fmt_short = b"fmt " + struct.pack("<I", 4) + b"\x01\x00\x02\x00"
+    data = b"data" + struct.pack("<I", 64000)
+    b = b"RIFF" + struct.pack("<I", 36) + b"WAVE" + fmt_short + data
+    out = _parse_wav(b)
+    assert out is not None and out["mime"] == "audio/wav"
+    assert out["sample_rate"] is None
+    assert out["channels"] is None
+    assert out["depth"] is None
+
+    # a WELL-formed fmt (size 16) still parses
+    fmt_ok = b"fmt " + struct.pack("<I", 16) + struct.pack(
+        "<HHIIHH", 1, 2, 16000, 64000, 4, 16)
+    good = b"RIFF" + struct.pack("<I", 48) + b"WAVE" + fmt_ok + data
+    ok = _parse_wav(good)
+    assert ok["channels"] == 2 and ok["sample_rate"] == 16000
+    assert ok["duration_ms"] == 1000
