@@ -158,6 +158,36 @@ def _measure_query(spark, fn, sf_dir: str, samples: int = 2) -> float:
     return best
 
 
+def _sf10_dir() -> str:
+    return os.environ.get(
+        "SPARK_GRAFT_SF10_DIR", os.path.join(REPO_DIR, "benchdata", "sf10"))
+
+
+def sf10_fresh_main() -> None:
+    """Child-process entry: the sf10 scale point (60M-row lineitem —
+    the third decade of the crossover slope) in a JVM that has run
+    NOTHING else.  Headline suite + three join/dedup queries; best-of-2
+    (each sample is already a full 60M-row pass — the JIT is hot after
+    the warm-up count + first sample).  Prints one JSON line."""
+    from term_spark import ValidationSuite
+    from term_spark.queries import QUERIES
+    from term_spark.session import get_spark
+    from term_spark.sources import read_parquet
+
+    sf10_dir = _sf10_dir()
+    spark = get_spark("term_spark_bench_sf10")
+    spark.sparkContext.setLogLevel("ERROR")
+    li = read_parquet(spark, f"{sf10_dir}/lineitem.parquet")
+    li.count()  # warm: file listing, footer reads, JIT
+    suite = ValidationSuite.builder("bench_suite").with_check(build_suite())
+    out = {"suite_20_constraints": round(_measure_suite(spark, suite, li, 2), 4)}
+    for name in ("fk_orders_customer", "cross_table_sum_orders_lineitem",
+                 "dedup_exact_docs"):
+        out[name] = round(
+            _measure_query(spark, QUERIES[name], sf10_dir, samples=2), 4)
+    print(json.dumps(out))
+
+
 def sf1_fresh_main() -> None:
     """Child-process entry: measure the sf1 headline suite and the
     minhash sf1 stress point in a JVM that has run NOTHING else.
@@ -192,8 +222,8 @@ def main() -> None:
     # stages dominate loadavg, so this is the only honest sample point
     quiet = _wait_for_quiet()
 
-    # sf1 headline in a FRESH subprocess JVM, before this process
-    # starts its own (never two JVMs at once)
+    # sf1 / sf10 headlines in FRESH subprocess JVMs, before this
+    # process starts its own (never two JVMs at once)
     sf1 = {}
     if os.path.isdir(_sf1_dir()):
         child = subprocess.run(
@@ -203,6 +233,16 @@ def main() -> None:
             sf1.update(json.loads(child.stdout.strip().splitlines()[-1]))
         else:
             print(f"bench: WARNING sf1 fresh-JVM child failed: "
+                  f"{child.stderr[-500:]}", file=sys.stderr)
+    sf10 = {}
+    if os.path.isdir(_sf10_dir()):
+        child = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--sf10-fresh"],
+            capture_output=True, text=True, cwd=REPO_DIR)
+        if child.returncode == 0 and child.stdout.strip():
+            sf10.update(json.loads(child.stdout.strip().splitlines()[-1]))
+        else:
+            print(f"bench: WARNING sf10 fresh-JVM child failed: "
                   f"{child.stderr[-500:]}", file=sys.stderr)
 
     spark = get_spark("term_spark_bench")
@@ -310,6 +350,8 @@ def main() -> None:
     }
     if sf1:
         detail["sf1"] = sf1
+    if sf10:
+        detail["sf10"] = sf10
 
     # full detail → file + stderr (the driver's stdout tail is ~2,000
     # chars; the detail line alone outgrew it in round 5)
@@ -338,6 +380,8 @@ def main() -> None:
         compact["sf1"] = {k: round(sf1[k], 2) for k in
                           ("suite_20_constraints", "minhash_lsh_candidates")
                           if k in sf1}
+    if sf10:
+        compact["sf10"] = {k: round(v, 2) for k, v in sf10.items()}
     line = json.dumps(compact)
     assert len(line) < 1500, f"compact bench line too long: {len(line)}"
     print(line)
@@ -346,5 +390,7 @@ def main() -> None:
 if __name__ == "__main__":
     if "--sf1-fresh" in sys.argv:
         sf1_fresh_main()
+    elif "--sf10-fresh" in sys.argv:
+        sf10_fresh_main()
     else:
         main()
