@@ -413,6 +413,167 @@ def paragraph_dedup_summary(df, text_col: str = "text",
         "dup_para_instances", "chars_removed")
 
 
+def _dup_gram_positions(df, text_col: str, id_col: str, k: int,
+                        min_count: int):
+    """(id, pos) of every k-gram start whose NORMALIZED k-token gram
+    occurs ``min_count``+ times corpus-wide, plus the full gram table
+    — the shared front half of the substring-dedup operators."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2 (got {k}): 1-grams make every "
+                         "repeated word a duplicated span")
+    if min_count < 2:
+        raise ValueError(
+            f"min_count must be >= 2 (got {min_count}): every gram occurs "
+            "at least once, so min_count=1 would mark the whole corpus")
+    toks = df.select(F.col(id_col), norm_tokens(text_col).alias("toks"))
+    n = F.size(F.col("toks"))
+    # k-gram md5 per start position; docs shorter than k tokens have no
+    # k-gram (empty array, not the whole-doc fallback shingling uses —
+    # a 3-token doc has no duplicated 10-token run by definition).
+    # The lambda reads the projected `toks` attribute, never the split
+    # expression (the word_shingles_from O(tokens^2) lesson).
+    grams = (toks.withColumn(
+                 "g", F.when(n >= k, F.transform(
+                     F.sequence(F.lit(0), n - k),
+                     lambda i: F.md5(F.concat_ws(
+                         " ", F.slice(F.col("toks"), i + 1, k)))))
+                  .otherwise(F.array().cast("array<string>")))
+             .select(F.col(id_col), F.posexplode("g").alias("pos", "h")))
+    freq = grams.groupBy("h").agg(F.count(F.lit(1)).alias("n_corpus"))
+    dup_pos = (grams.join(freq.filter(F.col("n_corpus") >= min_count)
+                              .select("h"), "h", "left_semi")
+                    .select(id_col, "pos"))
+    return dup_pos, grams
+
+
+def duplicated_spans(df, text_col: str = "text", id_col: str = "doc_id",
+                     k: int = 10, min_count: int = 2):
+    """Exact-substring duplicate spans — the finest tier of the dedup
+    stack (document ``dedup_exact`` > paragraph > line > THIS), after
+    Lee et al. 2021 ("Deduplicating Training Data Makes Language
+    Models Better", ExactSubstr): find every maximal token span that is
+    part of a verbatim repeat of at least ``k`` normalized tokens
+    occurring ``min_count``+ times corpus-wide (within- or cross-
+    document).  Returns one row per maximal span:
+    (id, span_start, span_end, span_tokens) with token-index bounds
+    [span_start, span_end) over the NORMALIZED token array.
+
+    Equivalence to the paper's suffix-array method: a token position
+    lies inside a maximal repeated substring of length >= k iff some
+    duplicated k-gram covers it, so marking k-gram cover and merging
+    overlapping/adjacent intervals yields EXACTLY the positions the
+    suffix array marks at threshold k — but as data-parallel Spark
+    primitives instead of a single-node suffix array over the corpus:
+    one posexplode (|tokens| rows of a 16-byte md5 + int, never the
+    gram text), one map-side-combined frequency agg, one semi-join
+    back (hot boilerplate grams -> AQE skew-join), one per-doc window
+    (partition-parallel — partitioned by id).  No pair generation at
+    any stage, so unlike MinHash/Jaccard verification there is no
+    quadratic regime to cap.
+
+    Repeated grams inside ONE document count toward ``min_count``
+    (same as the paper — self-repetition is duplication too); use
+    ``repetition_metrics`` for a pure within-doc view.
+    """
+    from pyspark.sql import Window
+
+    dup_pos, _ = _dup_gram_positions(df, text_col, id_col, k, min_count)
+    w = Window.partitionBy(id_col).orderBy("pos")
+    # all intervals are the same length k and sorted by start, so two
+    # consecutive covered starts merge iff the gap is <= k (overlap or
+    # exact adjacency — the covered-token set is identical either way)
+    brk = (F.when(F.col("pos") - F.lag("pos").over(w) <= k, F.lit(0))
+            .otherwise(F.lit(1)))
+    spans = (dup_pos.withColumn("brk", brk)
+             .withColumn("span_id", F.sum("brk").over(
+                 w.rowsBetween(Window.unboundedPreceding, 0)))
+             .groupBy(id_col, "span_id")
+             .agg(F.min("pos").alias("span_start"),
+                  (F.max("pos") + k).alias("span_end"))
+             .select(id_col, "span_start", "span_end",
+                     (F.col("span_end") - F.col("span_start"))
+                     .alias("span_tokens")))
+    return spans
+
+
+def substring_dedup_summary(df, text_col: str = "text",
+                            id_col: str = "doc_id", k: int = 10,
+                            min_count: int = 2):
+    """One-row release-gate accounting for ``duplicated_spans`` /
+    ``remove_duplicated_spans`` at the same (k, min_count): n_docs,
+    total_grams, distinct_grams, dup_gram_instances (from the
+    frequency table — two plain hash aggs, no DISTINCT/Expand), plus
+    docs_with_dups, dup_spans and dup_tokens (tokens the rewrite would
+    strip) from the merged-span table."""
+    dup_pos, grams = _dup_gram_positions(df, text_col, id_col, k, min_count)
+    freq = grams.groupBy("h").agg(F.count(F.lit(1)).alias("n"))
+    dup = F.col("n") >= min_count
+    gstats = freq.agg(
+        F.coalesce(F.sum("n"), F.lit(0)).cast("bigint").alias("total_grams"),
+        F.count(F.lit(1)).alias("distinct_grams"),
+        F.coalesce(F.sum(F.when(dup, F.col("n"))), F.lit(0))
+         .cast("bigint").alias("dup_gram_instances"))
+    spans = duplicated_spans(df, text_col, id_col, k=k, min_count=min_count)
+    sstats = spans.agg(
+        F.count_distinct(F.col(id_col)).alias("docs_with_dups"),
+        F.count(F.lit(1)).alias("dup_spans"),
+        F.coalesce(F.sum("span_tokens"), F.lit(0))
+         .cast("bigint").alias("dup_tokens"))
+    n_docs = (df.filter(F.col(text_col).isNotNull())
+                .agg(F.count(F.lit(1)).alias("n_docs")))
+    return n_docs.crossJoin(gstats).crossJoin(sstats).select(
+        "n_docs", "total_grams", "distinct_grams", "dup_gram_instances",
+        "docs_with_dups", "dup_spans", "dup_tokens")
+
+
+def remove_duplicated_spans(df, text_col: str = "text",
+                            id_col: str = "doc_id", k: int = 10,
+                            min_count: int = 2):
+    """Rewrite each document with every duplicated span stripped —
+    ALL occurrences, including the first, following Lee et al. 2021's
+    ExactSubstr simplification (removing every copy of a duplicated
+    substring rather than electing a canonical keeper; the paper found
+    the difference immaterial and it keeps the operator join-free
+    past the span table — a keeper election would add a global
+    first-occurrence window per gram).
+
+    Returns (cleaned_df, spans_df): cleaned_df is (id, text) over the
+    NORMALIZED token stream (substring identity is defined on
+    normalized tokens, so the rewrite is too — same contract as the
+    fingerprint/shingle operators; documents whose every token was
+    duplicated disappear), spans_df is ``duplicated_spans`` output for
+    caller policy/accounting.
+
+    Scale shape: the span table groups to one (id -> array<struct>)
+    row per affected doc — bounded by tokens/k entries — and joins
+    LEFT onto the corpus, so unaffected documents stream through
+    without shuffling text; the per-token cover test is
+    O(tokens x spans_in_doc) inside whole-stage codegen, no UDF.
+    """
+    spans = duplicated_spans(df, text_col, id_col, k=k, min_count=min_count)
+    per_doc = (spans.groupBy(id_col)
+               .agg(F.collect_list(F.struct("span_start", "span_end"))
+                     .alias("__spans")))
+    toks = df.select(F.col(id_col), norm_tokens(text_col).alias("toks"))
+    joined = toks.join(per_doc, id_col, "left")
+    kept = F.filter(
+        F.transform(F.col("toks"),
+                    lambda t, i: F.struct(t.alias("t"), i.alias("i"))),
+        lambda s: ~F.exists(
+            F.col("__spans"),
+            lambda sp: (s["i"] >= sp["span_start"])
+            & (s["i"] < sp["span_end"])))
+    cleaned = (joined.withColumn(
+                   text_col,
+                   F.when(F.col("__spans").isNull(),
+                          F.array_join(F.col("toks"), " "))
+                    .otherwise(F.array_join(
+                        F.transform(kept, lambda s: s["t"]), " ")))
+               .filter(F.col(text_col) != "")
+               .select(id_col, text_col))
+    return cleaned, spans
+
+
 #: characters stripped outright by clean_text: C0 controls except \t\n,
 #: DEL, zero-widths and BOM.  Same escapes parse in Java regex (Spark)
 #: and RE2 (DuckDB oracles).

@@ -1618,6 +1618,77 @@ FROM d, s
 """
 
 
+def q_substring_dedup_docs(spark, sf_dir) -> DataFrame:
+    """Exact-substring duplicate spans per document (round 10;
+    text.duplicated_spans, the Lee et al. 2021 ExactSubstr tier at
+    k=10 normalized tokens, min_count=2): every maximal token span
+    inside a verbatim >= 10-token repeat, merged per doc, with the
+    token count it would cost to strip them.  The oracle replays the
+    identical gram-md5 → corpus-frequency → cover-position →
+    interval-merge pipeline in DuckDB windows; an independent pure-
+    Python check pins the same numbers in tests/test_substring_dedup.py.
+    At sf0.01 the synthetic corpus's planted clones surface as 47
+    docs with duplicated spans, several at dup_fraction 1.0."""
+    from .operators.text import duplicated_spans, norm_tokens
+    (d,) = _t(spark, sf_dir, "documents")
+    spans = duplicated_spans(d, k=10, min_count=2)
+    ntok = d.select("doc_id", F.size(norm_tokens("text"))
+                    .cast("bigint").alias("n_tokens"))
+    per = (spans.groupBy("doc_id")
+           .agg(F.count(F.lit(1)).alias("n_spans"),
+                F.sum("span_tokens").cast("bigint").alias("dup_tokens")))
+    return (per.join(ntok, "doc_id")
+            .select("doc_id", "n_spans", "dup_tokens", "n_tokens",
+                    F.round(F.col("dup_tokens") / F.col("n_tokens"), 6)
+                    .alias("dup_fraction"))
+            .orderBy("doc_id"))
+
+
+SQL_SUBSTRING_DEDUP_DOCS = r"""
+WITH n AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text),
+                      '[^\p{L}\p{N}]+', ' ', 'g')), ' ') AS toks
+  FROM documents
+), g0 AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(len(toks) - 10 + 1, 0) + 1),
+                        i -> {'pos': i - 1,
+                              'h': md5(array_to_string(toks[i:i+9], ' '))})
+             AS gl,
+         len(toks) AS n_tokens
+  FROM n
+), gu AS (
+  SELECT doc_id, n_tokens, unnest(gl) AS s FROM g0
+), g AS (
+  SELECT doc_id, n_tokens, s.pos AS pos, s.h AS h FROM gu
+), dup AS (
+  SELECT h FROM g GROUP BY h HAVING COUNT(*) >= 2
+), p AS (
+  SELECT doc_id, n_tokens, pos FROM g WHERE h IN (SELECT h FROM dup)
+), b AS (
+  SELECT doc_id, n_tokens, pos,
+         CASE WHEN pos - lag(pos) OVER w <= 10 THEN 0 ELSE 1 END AS brk
+  FROM p WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), sp AS (
+  SELECT doc_id, n_tokens, pos,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS span_id
+  FROM b
+), spans AS (
+  SELECT doc_id, ANY_VALUE(n_tokens) AS n_tokens, span_id,
+         MIN(pos) AS span_start, MAX(pos) + 10 AS span_end
+  FROM sp GROUP BY doc_id, span_id
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(SUM(span_end - span_start) AS BIGINT) AS dup_tokens,
+       CAST(ANY_VALUE(n_tokens) AS BIGINT) AS n_tokens,
+       ROUND(CAST(SUM(span_end - span_start) AS DOUBLE)
+             / ANY_VALUE(n_tokens), 6) AS dup_fraction
+FROM spans GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def q_token_budget_sample_docs(spark, sf_dir) -> DataFrame:
     """Greedy per-source token-budget selection
     (curation.token_budget_sample, budget 500 tokens/source): docs
@@ -1655,11 +1726,13 @@ FROM c WHERE cum <= 500 GROUP BY source ORDER BY source
 QUERIES.update({
     "line_dedup_summary_docs": q_line_dedup_summary_docs,
     "paragraph_dedup_summary_docs": q_paragraph_dedup_summary_docs,
+    "substring_dedup_docs": q_substring_dedup_docs,
     "token_budget_sample_docs": q_token_budget_sample_docs,
 })
 ORACLES.update({
     "line_dedup_summary_docs": SQL_LINE_DEDUP_SUMMARY_DOCS,
     "paragraph_dedup_summary_docs": SQL_PARAGRAPH_DEDUP_SUMMARY_DOCS,
+    "substring_dedup_docs": SQL_SUBSTRING_DEDUP_DOCS,
     "token_budget_sample_docs": SQL_TOKEN_BUDGET_SAMPLE_DOCS,
 })
 
@@ -2504,6 +2577,7 @@ FAMILY = {
     "decontamination_report_docs": "decontamination_report",
     "line_dedup_summary_docs": "line_dedup",
     "paragraph_dedup_summary_docs": "paragraph_dedup",
+    "substring_dedup_docs": "substring_dedup",
     "text_tokens": "text",
     "lang_id": "text",
     "text_quality": "text",
@@ -2537,6 +2611,7 @@ FAMILY = {
 CURRENT_ROUND = 10
 LAST_GREEN = {
     "ivfpq_recall_embeddings": None,
+    "substring_dedup_docs": None,
     "top_customers_revenue": 7,
     "unigram_surprisal_docs": 7,
     "unique_value_ratio_custkey": 7,
@@ -2585,7 +2660,6 @@ LAST_GREEN = {
     "spearman_quantity_price": 8,
     "split_counts_docs": 8,
     "stratified_sample_docs": 8,
-    "supplier_stats_by_nation": 8,
     "size_lineitem": 9,
     "completeness_customer": 9,
     "stats_quantity": 9,
@@ -2638,6 +2712,7 @@ LAST_GREEN = {
     "dominant_value_orderstatus": 9,
     "drift_psi_by_returnflag": 9,
     "quality_model_docs": 9,
+    "supplier_stats_by_nation": 8,
     "shipping_priority_orders": 9,
     "regional_supplier_volume": 9,
     "returned_item_customers": 9,

@@ -1,0 +1,171 @@
+"""Planted-fixture + independent-oracle tests for the exact-substring
+dedup tier (text.duplicated_spans / substring_dedup_summary /
+remove_duplicated_spans — Lee et al. 2021 ExactSubstr, round 10).
+The contract query's DuckDB parity runs in test_oracle_parity; here a
+pure-Python reimplementation pins the span arithmetic on planted and
+randomized corpora, and fixtures prove the removal semantics."""
+
+import random
+import re
+
+import pytest
+
+from term_spark.operators.text import (
+    duplicated_spans,
+    remove_duplicated_spans,
+    substring_dedup_summary,
+)
+
+K = 4  # small k so fixtures stay readable
+
+RUN = "alpha beta gamma delta epsilon"          # 5 tokens, >= K
+UNIQ1 = "one two three four five six seven"
+UNIQ2 = "red green blue yellow purple orange"
+
+
+def _py_spans(texts, k, min_count=2):
+    """Independent oracle: dict id -> [(start, end)] merged spans."""
+    toks = {i: re.sub(r"[^a-z0-9]+", " ", t.lower()).strip().split(" ")
+            for i, t in texts.items()}
+    freq = {}
+    grams = {}
+    for i, ts in toks.items():
+        gs = [" ".join(ts[p:p + k]) for p in range(len(ts) - k + 1)]
+        grams[i] = gs
+        for g in gs:
+            freq[g] = freq.get(g, 0) + 1
+    out = {}
+    for i, gs in grams.items():
+        pos = [p for p, g in enumerate(gs) if freq[g] >= min_count]
+        merged = []
+        for p in pos:
+            if merged and p - merged[-1][1] <= k:
+                merged[-1][1] = p
+            else:
+                merged.append([p, p])
+        if merged:
+            out[i] = [(s, e + k) for s, e in merged]
+    return out
+
+
+UNIQ3 = "cold warm damp dry bright dim hazy"
+
+
+@pytest.fixture()
+def span_docs(spark):
+    rows = [
+        (1, f"{UNIQ1} {RUN} tail one"),       # RUN at tokens 7..11
+        (2, f"{RUN} {UNIQ2}"),                # RUN at tokens 0..4
+        (3, UNIQ3 + " extra trailing words"),  # no duplicated run
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_duplicated_spans_finds_planted_run(spark, span_docs):
+    spans = duplicated_spans(span_docs, k=K).collect()
+    got = {(r["doc_id"], r["span_start"], r["span_end"], r["span_tokens"])
+           for r in spans}
+    # RUN is 5 tokens = two overlapping 4-grams -> one merged 5-token span
+    assert got == {(1, 7, 12, 5), (2, 0, 5, 5)}
+
+
+def test_spans_match_python_oracle_on_fixture(spark, span_docs):
+    texts = {r["doc_id"]: r["text"] for r in span_docs.collect()}
+    want = _py_spans(texts, K)
+    got = {}
+    for r in duplicated_spans(span_docs, k=K).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"]))
+    assert {i: sorted(v) for i, v in got.items()} == want
+
+
+def test_spans_match_python_oracle_randomized(spark):
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(30)]
+    base = [" ".join(rng.choice(vocab) for _ in range(rng.randint(5, 40)))
+            for _ in range(12)]
+    # plant clones and partial copies so long shared runs exist
+    texts = {i: t for i, t in enumerate(base)}
+    texts[100] = base[0]                                   # full clone
+    texts[101] = base[1] + " " + base[2]                   # concat copy
+    texts[102] = " ".join(base[3].split()[:10])            # prefix copy
+    rows = [(i, t) for i, t in texts.items()]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    want = _py_spans(texts, 6)
+    got = {}
+    for r in duplicated_spans(df, k=6).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"]))
+    assert {i: sorted(v) for i, v in got.items()} == want
+
+
+def test_within_document_repetition_counts(spark):
+    # the duplicated run occurs twice INSIDE one doc -> still flagged
+    df = spark.createDataFrame(
+        [(1, f"{RUN} {UNIQ1} {RUN}")], "doc_id long, text string")
+    spans = duplicated_spans(df, k=K).collect()
+    got = sorted((r["span_start"], r["span_end"]) for r in spans)
+    assert got == [(0, 5), (12, 17)]
+
+
+def test_overlapping_runs_merge_into_one_span(spark):
+    # doc 1 shares tokens 0..5 with doc 2 and tokens 3..8 with doc 3:
+    # covers merge into a single 0..9 span for doc 1
+    t = "a1 a2 a3 a4 a5 a6 a7 a8 a9"
+    toks = t.split()
+    df = spark.createDataFrame(
+        [(1, t),
+         (2, " ".join(toks[0:6]) + " zz1 zz2"),
+         (3, "yy1 yy2 " + " ".join(toks[3:9]))],
+        "doc_id long, text string")
+    spans = {r["doc_id"]: (r["span_start"], r["span_end"])
+             for r in duplicated_spans(df, k=K).collect()}
+    assert spans[1] == (0, 9)
+
+
+def test_remove_duplicated_spans_strips_all_occurrences(spark, span_docs):
+    cleaned, _ = remove_duplicated_spans(span_docs, k=K)
+    got = {r["doc_id"]: r["text"] for r in cleaned.collect()}
+    # Lee et al. simplification: EVERY copy of the run goes
+    assert got == {
+        1: "one two three four five six seven tail one",
+        2: "red green blue yellow purple orange",
+        3: "cold warm damp dry bright dim hazy extra trailing words",
+    }
+
+
+def test_remove_fully_duplicated_doc_disappears(spark):
+    df = spark.createDataFrame(
+        [(1, RUN), (2, RUN), (3, UNIQ1)], "doc_id long, text string")
+    cleaned, _ = remove_duplicated_spans(df, k=K)
+    got = {r["doc_id"]: r["text"] for r in cleaned.collect()}
+    assert got == {3: UNIQ1.lower()}
+
+
+def test_summary_accounting(spark, span_docs):
+    row = substring_dedup_summary(span_docs, k=K).collect()[0]
+    assert row["n_docs"] == 3
+    # doc1: 14 tokens -> 11 grams; doc2: 11 -> 8; doc3: 10 -> 7
+    assert row["total_grams"] == 26
+    # RUN's two fully-interior 4-grams each occur twice (docs 1 and 2)
+    assert row["dup_gram_instances"] == 4
+    assert row["distinct_grams"] == 26 - 2
+    assert row["docs_with_dups"] == 2
+    assert row["dup_spans"] == 2
+    assert row["dup_tokens"] == 10
+
+
+def test_parameter_validation(spark, span_docs):
+    with pytest.raises(ValueError, match="k must be >= 2"):
+        duplicated_spans(span_docs, k=1)
+    with pytest.raises(ValueError, match="min_count must be >= 2"):
+        duplicated_spans(span_docs, min_count=1)
+
+
+def test_short_docs_have_no_grams(spark):
+    df = spark.createDataFrame(
+        [(1, "too short"), (2, "too short"), (3, "")],
+        "doc_id long, text string")
+    assert duplicated_spans(df, k=K).count() == 0
+    row = substring_dedup_summary(df, k=K).collect()[0]
+    assert row["total_grams"] == 0 and row["dup_tokens"] == 0
