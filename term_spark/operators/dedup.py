@@ -300,6 +300,15 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
       lambda bodies are interpreted, 16 min-aggs are codegen'd.
     - shingles are NOT deduped first: a min is duplicate-insensitive,
       so the distinct shuffle ngram_jaccard needs is skipped here.
+    - classic stays the DEFAULT over the OPH variant (measured round
+      10, sf1 documents = 50k docs x ~200 tokens, best-of-3 fresh-GC):
+      4.54 s classic vs 4.36 s OPH end-to-end at the default
+      (16, 4) — the bucket self-join + banding agg dominates at this
+      width, so OPH's 16x-fewer md5s buys only ~4%, not worth
+      changing the hash family under the pinned oracle.  At wide
+      signatures the ordering flips (13.7 vs 10.5 s at 128 hashes)
+      and ``minhash_oph_candidates`` is the documented scale path —
+      but see its densification caveat before also widening bands.
     """
     assert num_hashes % bands == 0
     from .text import norm_tokens, word_shingles_from
@@ -554,6 +563,19 @@ def minhash_oph_candidates(df: DataFrame, text_col: str = "text",
     default 16-hash signature (6.4 s vs 4.9), 2.6x at 128 hashes
     (26.5 s vs 10.2) — the gap widens with signature width because
     classic's md5 count scales with it and OPH's does not.
+
+    CAVEAT — bands vs document length (measured round 10, sf1
+    documents): when num_hashes approaches the per-doc shingle count,
+    many bins are empty and rotation densification fills them from
+    NEIGHBORING bins, so adjacent signature slots become correlated.
+    With narrow bands that correlation lands inside a band and
+    inflates band collisions: at (128 hashes, 32 bands, r=4) on
+    ~200-token docs OPH emitted 2.90M candidate pairs where classic
+    emitted 0.25M — an 11x blow-up that erases the hash savings
+    downstream.  Keep r (=num_hashes//bands) at or above _OPH_ROT, or
+    keep num_hashes well under the typical shingle count; the
+    (128, 4, r=32) configuration the 2.6x number comes from is safe
+    because a band then spans multiple rotation windows.
     """
     assert num_hashes % bands == 0
     from .text import norm_tokens, word_shingles_from
