@@ -2566,6 +2566,8 @@ FAMILY = {
     "cosine_topk_embeddings": "embedding_cosine",
     "embedding_neardup_pairs": "embedding_cosine",
     "ivfpq_recall_embeddings": "ann_pq",
+    "ivf_index_recall_embeddings": "ann_ivf_index",
+    "lsh_neardup_recall_embeddings": "ann_lsh",
     "semantic_dedup_embeddings": "semantic_dedup",
     "embedding_centroid_drift": "embedding_drift",
     "stratified_sample_docs": "curation",
@@ -2610,7 +2612,9 @@ FAMILY = {
 #: None = never driver-proven.  Source artifacts: r01, r02, r03, r04, r05, r06, r07, r08, r09.
 CURRENT_ROUND = 10
 LAST_GREEN = {
+    "ivf_index_recall_embeddings": None,
     "ivfpq_recall_embeddings": None,
+    "lsh_neardup_recall_embeddings": None,
     "substring_dedup_docs": None,
     "top_customers_revenue": 7,
     "unigram_surprisal_docs": 7,
@@ -2658,8 +2662,6 @@ LAST_GREEN = {
     "source_mixing_docs": 8,
     "source_overlap_docs": 8,
     "spearman_quantity_price": 8,
-    "split_counts_docs": 8,
-    "stratified_sample_docs": 8,
     "size_lineitem": 9,
     "completeness_customer": 9,
     "stats_quantity": 9,
@@ -2685,6 +2687,8 @@ LAST_GREEN = {
     "ngram_jaccard_pairs": 9,
     "minhash_lsh_candidates": 9,
     "cosine_topk_embeddings": 9,
+    "split_counts_docs": 8,
+    "stratified_sample_docs": 8,
     "packing_stats_docs": 9,
     "semantic_dedup_embeddings": 9,
     "winnow_overlap_docs": 8,
