@@ -1689,6 +1689,98 @@ FROM spans GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def q_substring_rewrite_docs(spark, sf_dir) -> DataFrame:
+    """The REWRITE side of the ExactSubstr tier
+    (text.remove_duplicated_spans, k=10, min_count=2): for every
+    document with at least one duplicated span, the normalized token
+    count before, the count after stripping every duplicated span
+    (0 when the whole document was duplicated text), and the md5
+    fingerprint of the rewritten text (NULL when the document
+    disappeared).  The oracle rebuilds the cleaned text independently
+    in DuckDB — token rows minus span-covered positions, re-joined in
+    order — so the fingerprint match proves the rewrite byte-for-byte,
+    not just the accounting."""
+    from .operators.text import norm_tokens, remove_duplicated_spans
+    (d,) = _t(spark, sf_dir, "documents")
+    cleaned, spans = remove_duplicated_spans(d, k=10, min_count=2)
+    affected = spans.select("doc_id").distinct()
+    before = d.select("doc_id",
+                      F.size(norm_tokens("text")).cast("bigint")
+                      .alias("n_before"))
+    after = cleaned.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_after"),
+        F.md5("text").alias("cleaned_fp"))
+    return (affected.join(before, "doc_id").join(after, "doc_id", "left")
+            .select("doc_id", "n_before",
+                    F.coalesce(F.col("n_after"), F.lit(0).cast("bigint"))
+                    .alias("n_after"), "cleaned_fp")
+            .orderBy("doc_id"))
+
+
+SQL_SUBSTRING_REWRITE_DOCS = r"""
+WITH n AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text),
+                      '[^\p{L}\p{N}]+', ' ', 'g')), ' ') AS toks
+  FROM documents
+), g0 AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(len(toks) - 10 + 1, 0) + 1),
+                        i -> {'pos': i - 1,
+                              'h': md5(array_to_string(toks[i:i+9], ' '))})
+             AS gl
+  FROM n
+), gu AS (
+  SELECT doc_id, unnest(gl) AS s FROM g0
+), g AS (
+  SELECT doc_id, s.pos AS pos, s.h AS h FROM gu
+), dup AS (
+  SELECT h FROM g GROUP BY h HAVING COUNT(*) >= 2
+), p AS (
+  SELECT doc_id, pos FROM g WHERE h IN (SELECT h FROM dup)
+), b AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER w <= 10 THEN 0 ELSE 1 END AS brk
+  FROM p WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), sp AS (
+  SELECT doc_id, pos,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS span_id
+  FROM b
+), spans AS (
+  SELECT doc_id, span_id, MIN(pos) AS span_start, MAX(pos) + 10 AS span_end
+  FROM sp GROUP BY doc_id, span_id
+), affected AS (
+  SELECT DISTINCT doc_id FROM spans
+), tok0 AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks) + 1),
+                               i -> {'idx': i - 1, 'tok': toks[i]})) AS s
+  FROM n JOIN affected USING (doc_id)
+), tok AS (
+  SELECT doc_id, s.idx AS idx, s.tok AS tok FROM tok0
+), kept AS (
+  SELECT t.doc_id, t.idx, t.tok FROM tok t
+  WHERE NOT EXISTS (SELECT 1 FROM spans s
+                    WHERE s.doc_id = t.doc_id
+                      AND t.idx >= s.span_start AND t.idx < s.span_end)
+), rebuilt AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_after,
+         md5(string_agg(tok, ' ' ORDER BY idx)) AS cleaned_fp
+  FROM kept GROUP BY doc_id
+)
+SELECT a.doc_id,
+       CAST(len(n.toks) AS BIGINT) AS n_before,
+       COALESCE(r.n_after, 0) AS n_after,
+       r.cleaned_fp
+FROM affected a
+JOIN n USING (doc_id)
+LEFT JOIN rebuilt r USING (doc_id)
+ORDER BY a.doc_id
+"""
+
+
 def q_token_budget_sample_docs(spark, sf_dir) -> DataFrame:
     """Greedy per-source token-budget selection
     (curation.token_budget_sample, budget 500 tokens/source): docs
@@ -1727,12 +1819,14 @@ QUERIES.update({
     "line_dedup_summary_docs": q_line_dedup_summary_docs,
     "paragraph_dedup_summary_docs": q_paragraph_dedup_summary_docs,
     "substring_dedup_docs": q_substring_dedup_docs,
+    "substring_rewrite_docs": q_substring_rewrite_docs,
     "token_budget_sample_docs": q_token_budget_sample_docs,
 })
 ORACLES.update({
     "line_dedup_summary_docs": SQL_LINE_DEDUP_SUMMARY_DOCS,
     "paragraph_dedup_summary_docs": SQL_PARAGRAPH_DEDUP_SUMMARY_DOCS,
     "substring_dedup_docs": SQL_SUBSTRING_DEDUP_DOCS,
+    "substring_rewrite_docs": SQL_SUBSTRING_REWRITE_DOCS,
     "token_budget_sample_docs": SQL_TOKEN_BUDGET_SAMPLE_DOCS,
 })
 
@@ -2580,6 +2674,7 @@ FAMILY = {
     "line_dedup_summary_docs": "line_dedup",
     "paragraph_dedup_summary_docs": "paragraph_dedup",
     "substring_dedup_docs": "substring_dedup",
+    "substring_rewrite_docs": "substring_dedup",
     "text_tokens": "text",
     "lang_id": "text",
     "text_quality": "text",
@@ -2616,6 +2711,7 @@ LAST_GREEN = {
     "ivfpq_recall_embeddings": None,
     "lsh_neardup_recall_embeddings": None,
     "substring_dedup_docs": None,
+    "substring_rewrite_docs": None,
     "top_customers_revenue": 7,
     "unigram_surprisal_docs": 7,
     "unique_value_ratio_custkey": 7,
@@ -2661,7 +2757,6 @@ LAST_GREEN = {
     "simhash_near_pairs": 8,
     "source_mixing_docs": 8,
     "source_overlap_docs": 8,
-    "spearman_quantity_price": 8,
     "size_lineitem": 9,
     "completeness_customer": 9,
     "stats_quantity": 9,
@@ -2674,6 +2769,7 @@ LAST_GREEN = {
     "entropy_returnflag": 9,
     "grouped_completeness_events": 9,
     "mutual_information_lineitem": 9,
+    "spearman_quantity_price": 8,
     "corr_quantity_price": 9,
     "fk_orders_customer": 9,
     "join_coverage_lineitem_orders": 9,
