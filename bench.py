@@ -309,8 +309,8 @@ def main() -> None:
         # round-9 TPC-H-shaped join plans (Q3/Q5/Q10 analogues)
         "shipping_priority_orders", "regional_supplier_volume",
         "returned_item_customers",
-        # round-10 ExactSubstr tier (Lee et al. 2021)
-        "substring_dedup_docs",
+        # round-10 ExactSubstr tier (Lee et al. 2021) + BM25 retrieval
+        "substring_dedup_docs", "bm25_topk_docs",
     ]
     for name in bench_queries:
         per_query[name] = round(_measure_query(spark, QUERIES[name], SF_DIR), 4)

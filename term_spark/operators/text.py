@@ -985,6 +985,78 @@ def tfidf_top_terms(df, text_col: str = "text", id_col: str = "doc_id",
                   .filter(F.col("rank") <= int(k)))
 
 
+def bm25_topk(df, queries, text_col: str = "text", id_col: str = "doc_id",
+              query_id_col: str = "query_id", query_col: str = "query",
+              k: int = 10, k1: float = 1.2, b: float = 0.75):
+    """Okapi BM25 top-``k`` document retrieval per query (Robertson et
+    al., TREC-3) — the lexical-retrieval workhorse a training-data
+    stack uses for quality probes, retrieval-based decontamination
+    checks, and targeted corpus slicing where embedding ANN is
+    overkill.
+
+    Per (query, doc): sum over query terms of
+    ``qtf · idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))`` with the
+    Robertson–Spärck Jones idf ``ln(1 + (N−df+0.5)/(df+0.5))``
+    (always positive — the Lucene form).  Repeated query terms weight
+    linearly via ``qtf`` (the k₃→∞ limit of the full formula).  Both
+    text and queries normalize through ``norm_tokens`` — retrieval
+    identity matches every other text operator.  idf is rounded to 6
+    decimals before the multiply and the final score after the sum,
+    so ranking is engine-portable (the ``tfidf_top_terms``
+    discipline); ties break on ascending doc id.
+
+    Returns (query_id, doc_id (as ``id_col``), score, rank ≤ k).
+
+    Scale shape: corpus side is the same (doc, term) hash-agg postings
+    table TF-IDF builds (one explode + one combine-heavy groupBy —
+    term-keyed, shuffles like any key at 100 TB); the QUERY side is
+    small by contract and broadcast, so the postings join prunes to
+    matching-term rows at the probe (no full-corpus pass per query);
+    per-(query, doc) scores hash-agg on a bounded key set; the final
+    top-k window partitions by query_id over only the matched docs.
+    N and avgdl ride a broadcast 1-row aggregate — no driver collect,
+    no UDF anywhere.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be > 0, got {k}")
+    if k1 < 0 or not 0 <= b <= 1:
+        raise ValueError(f"need k1 >= 0 and 0 <= b <= 1, got {k1}, {b}")
+    from pyspark.sql import Window
+    base = df.filter(F.col(text_col).isNotNull())
+    ex = base.select(F.col(id_col), F.explode(norm_tokens(text_col))
+                     .alias("term"))
+    tf = ex.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    dl = base.select(F.col(id_col),
+                     F.size(norm_tokens(text_col)).cast("double")
+                     .alias("dl"))
+    stats = base.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.avg(F.size(norm_tokens(text_col))).alias("__avgdl"))
+    qt = (queries.select(F.col(query_id_col).alias("query_id"),
+                         F.explode(norm_tokens(query_col)).alias("term"))
+          .groupBy("query_id", "term")
+          .agg(F.count(F.lit(1)).alias("qtf")))
+    idf = F.round(F.log(
+        1.0 + (F.col("__n") - F.col("df") + 0.5) / (F.col("df") + 0.5)), 6)
+    contrib = (F.col("qtf") * F.col("__idf") *
+               F.col("tf") * (k1 + 1.0) /
+               (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") /
+                                    F.col("__avgdl"))))
+    scored = (tf.join(F.broadcast(qt), "term")
+                .join(docfreq, "term")
+                .join(dl, id_col)
+                .crossJoin(F.broadcast(stats))
+                .withColumn("__idf", idf)
+                .groupBy("query_id", id_col)
+                .agg(F.round(F.sum(contrib), 6).alias("score")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"),
+                                               F.asc(id_col))
+    return (scored.withColumn("rank",
+                              F.row_number().over(w).cast("bigint"))
+                  .filter(F.col("rank") <= int(k)))
+
+
 #: markup removal stages for strip_markup — each is a (pattern,
 #: replacement) applied in order; all parse identically in Java regex
 #: and RE2 ((?is) flags, non-greedy spans).

@@ -2686,6 +2686,7 @@ FAMILY = {
     "gopher_rules_docs": "gopher_rules",
     "script_profile_docs": "script_profile",
     "tfidf_top_terms_docs": "tfidf",
+    "bm25_topk_docs": "retrieval",
     "frequent_terms_docs": "heavy_hitters",
     "chunk_documents_docs": "chunking",
     "packing_stats_docs": "chunking",
@@ -2707,6 +2708,7 @@ FAMILY = {
 #: None = never driver-proven.  Source artifacts: r01, r02, r03, r04, r05, r06, r07, r08, r09.
 CURRENT_ROUND = 10
 LAST_GREEN = {
+    "bm25_topk_docs": None,
     "ivf_index_recall_embeddings": None,
     "ivfpq_recall_embeddings": None,
     "lsh_neardup_recall_embeddings": None,
@@ -2756,7 +2758,6 @@ LAST_GREEN = {
     "simhash_docs": 8,
     "simhash_near_pairs": 8,
     "source_mixing_docs": 8,
-    "source_overlap_docs": 8,
     "size_lineitem": 9,
     "completeness_customer": 9,
     "stats_quantity": 9,
@@ -2789,6 +2790,7 @@ LAST_GREEN = {
     "semantic_dedup_embeddings": 9,
     "winnow_overlap_docs": 8,
     "tfidf_top_terms_docs": 8,
+    "source_overlap_docs": 8,
     "quantile_exact_quantity": 9,
     "profile_customer": 9,
     "approx_distinct_orderkey": 9,

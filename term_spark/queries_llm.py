@@ -1343,6 +1343,66 @@ LLM_QUERIES.update({"tfidf_top_terms_docs": q_tfidf_top_terms_docs})
 LLM_ORACLES.update({"tfidf_top_terms_docs": SQL_TFIDF_TOP_TERMS_DOCS})
 
 
+#: fixed retrieval probes for q_bm25_topk_docs — drawn from the
+#: synthetic corpus vocabulary; 'dup' is the one rare term (df ≈ 29 at
+#: sf0.001 vs ≈ 900 for the rest) so idf contrast is exercised, and
+#: the repeated 'scan' in probe 0 exercises the qtf weight.
+_BM25_PROBES = [(0, "dup scan scan"), (1, "spark hash join"),
+                (2, "window sort order")]
+
+
+def q_bm25_topk_docs(spark, sf_dir) -> DataFrame:
+    """Okapi BM25 top-10 retrieval (text.bm25_topk, k1=1.2, b=0.75)
+    for three fixed probes over the documents corpus — the lexical
+    search path for quality probes and retrieval-style contamination
+    checks.  idf is the always-positive Lucene form rounded to 6
+    decimals before the multiply; the oracle replays the identical
+    postings→idf→length-normalized sum pipeline in SQL."""
+    from .operators.text import bm25_topk
+    q = spark.createDataFrame(_BM25_PROBES, "query_id long, query string")
+    return (bm25_topk(_docs(spark, sf_dir), q, k=10)
+            .orderBy("query_id", "rank"))
+
+
+SQL_BM25_TOPK_DOCS = f"""
+WITH q(query_id, query) AS (VALUES {", ".join(
+    f"(CAST({i} AS BIGINT), '{s}')" for i, s in _BM25_PROBES)}),
+n AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+      WHERE text IS NOT NULL),
+ex AS (SELECT doc_id, unnest(toks) AS term FROM n),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM ex GROUP BY 1, 2),
+dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+dl AS (SELECT doc_id, len(toks)::DOUBLE AS dl FROM n),
+stats AS (SELECT COUNT(*) AS n, AVG(len(toks)) AS avgdl FROM n),
+qt AS (SELECT query_id,
+              unnest(string_split(trim(regexp_replace(lower(query),
+                     '[^\\p{{L}}\\p{{N}}]+', ' ', 'g')), ' ')) AS term
+       FROM q),
+qtf AS (SELECT query_id, term, COUNT(*) AS qtf FROM qt GROUP BY 1, 2),
+scored AS (
+    SELECT qtf.query_id, tf.doc_id,
+           ROUND(SUM(qtf.qtf
+                     * ROUND(LN(1.0 + (s.n - dfq.df + 0.5)
+                                / (dfq.df + 0.5)), 6)
+                     * tf.tf * (1.2 + 1.0)
+                     / (tf.tf + 1.2 * (1.0 - 0.75
+                                       + 0.75 * dl.dl / s.avgdl))), 6)
+               AS score
+    FROM tf JOIN qtf USING (term) JOIN dfq USING (term)
+         JOIN dl USING (doc_id) CROSS JOIN stats s
+    GROUP BY 1, 2),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, doc_id) AS rank
+      FROM scored)
+SELECT query_id, doc_id, score, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 10 ORDER BY query_id, rank
+"""
+
+
+LLM_QUERIES.update({"bm25_topk_docs": q_bm25_topk_docs})
+LLM_ORACLES.update({"bm25_topk_docs": SQL_BM25_TOPK_DOCS})
+
+
 def q_readability_docs(spark, sf_dir) -> DataFrame:
     """Per-doc Flesch Reading Ease + FK grade (text.readability) —
     map-only codegen audience-level screen; syllables = vowel runs
