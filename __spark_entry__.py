@@ -84,6 +84,9 @@ def entry(spark: SparkSession) -> DataFrame:
             # exact-dup share of normalized text ≤5% — the release gate
             # form of dedup_exact (round 9)
             .has_low_duplication("text", max_ratio=0.05)
+            # ExactSubstr tier: ≤15% of tokens inside a duplicated
+            # ≥10-token span (corpus measures ~9.7% at sf0.001)
+            .has_low_substring_duplication("text", max_ratio=0.15)
             .is_complete("doc_id"))
         .with_check(
             Check("drift", Level.ERROR)

@@ -423,6 +423,22 @@ class Check:
         return self.with_constraint(
             DuplicationConstraint(column, max_ratio, assertion))
 
+    def has_low_substring_duplication(self, column: str = "text",
+                                      id_column: str = "doc_id",
+                                      k: int = 10, min_count: int = 2,
+                                      max_ratio: float = 0.0,
+                                      assertion=None) -> "Check":
+        """Exact-substring duplication release gate: the share of
+        corpus tokens inside a duplicated >=``k``-token span (Lee et
+        al. 2021 ExactSubstr semantics) must stay within
+        ``max_ratio``.  The finest tier of the duplication-gate
+        family — catches boilerplate/template repetition the
+        fingerprint gate averages away; runs as its own
+        gram-frequency job."""
+        from ..operators.text import SubstringDuplicationConstraint
+        return self.with_constraint(SubstringDuplicationConstraint(
+            column, id_column, k, min_count, max_ratio, assertion))
+
     def has_stable_distribution_by(self, ref_df, column: str, group_col: str,
                                    max_psi: float = 0.25, bins: int = 10,
                                    lo=None, hi=None,

@@ -17,6 +17,8 @@ from typing import Dict, List, Optional, Sequence
 
 import pyspark.sql.functions as F
 
+from ..core.constraint import Constraint
+
 # Marker stopwords per language for the n-gram/marker heuristic
 # language-ID. Chosen to be disjoint across languages.
 LANG_MARKERS: Dict[str, List[str]] = {
@@ -572,6 +574,62 @@ def remove_duplicated_spans(df, text_col: str = "text",
                .filter(F.col(text_col) != "")
                .select(id_col, text_col))
     return cleaned, spans
+
+
+class SubstringDuplicationConstraint(Constraint):
+    """Exact-substring duplication release gate (round 10): the share
+    of corpus TOKENS that sit inside a duplicated >=``k``-token span
+    (``duplicated_spans`` semantics — the Lee et al. 2021 ExactSubstr
+    tier) must satisfy the assertion (default <= ``max_ratio``).  The
+    finest-grained member of the duplication-gate family: catches the
+    boilerplate and template repetition that the document- and
+    paragraph-level fingerprint gates (``has_low_duplication``) are
+    blind to.
+
+    GroupBy-shaped like DuplicationConstraint — runs as its own job:
+    the span pipeline's gram/frequency shuffles plus one 1-row token
+    total; a 2-number summary reaches the driver.  Needs a stable
+    per-document id column (span merging is per-document).
+    """
+
+    name = "low_substring_duplication"
+
+    def __init__(self, column: str = "text", id_column: str = "doc_id",
+                 k: int = 10, min_count: int = 2, max_ratio: float = 0.0,
+                 assertion=None):
+        from ..core.assertion import Assertion
+        from ..functions.security import validate_identifier
+
+        self.column = validate_identifier(column)
+        self.id_column = validate_identifier(id_column)
+        self.k = int(k)
+        self.min_count = int(min_count)
+        self.max_ratio = float(max_ratio)
+        self.assertion = (Assertion.coerce(assertion) if assertion is not None
+                          else Assertion.le(self.max_ratio))
+
+    def evaluate(self, ctx):
+        from ..core.result import ConstraintResult
+
+        df = ctx.df(self.table).filter(F.col(self.column).isNotNull())
+        total = df.agg(F.coalesce(
+            F.sum(F.size(norm_tokens(self.column))),
+            F.lit(0)).alias("t")).collect()[0]["t"]
+        if not total:
+            return self._finish(ConstraintResult.skipped())
+        spans = duplicated_spans(df, self.column, self.id_column,
+                                 k=self.k, min_count=self.min_count)
+        dup = spans.agg(F.coalesce(F.sum("span_tokens"), F.lit(0))
+                        .alias("d")).collect()[0]["d"]
+        ratio = float(dup) / float(total)
+        if self.assertion.evaluate(ratio):
+            return self._finish(ConstraintResult.success(ratio))
+        return self._finish(ConstraintResult.failure(
+            ratio,
+            f"substring-duplication ratio {ratio:.4f} does not satisfy "
+            f"{self.assertion.describe()} for column {self.column} "
+            f"(share of tokens inside a duplicated >={self.k}-token "
+            f"span, min_count={self.min_count})"))
 
 
 #: characters stripped outright by clean_text: C0 controls except \t\n,

@@ -169,3 +169,37 @@ def test_short_docs_have_no_grams(spark):
     assert duplicated_spans(df, k=K).count() == 0
     row = substring_dedup_summary(df, k=K).collect()[0]
     assert row["total_grams"] == 0 and row["dup_tokens"] == 0
+
+
+def test_has_low_substring_duplication_gate(spark):
+    """Round-10 release gate: share of corpus TOKENS inside a
+    duplicated >=k-token span.  Docs 1 and 2 share RUN (5 tokens each
+    side at k=4); total tokens 14+11+10=35 -> ratio 10/35."""
+    from term_spark import Check, Level, ValidationSuite
+
+    rows = [(1, f"{UNIQ1} {RUN} tail one"),
+            (2, f"{RUN} {UNIQ2}"),
+            (3, UNIQ3 + " extra trailing words"),
+            (4, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    r = (ValidationSuite.builder("s")
+         .with_check(Check("sub", Level.ERROR)
+                     .has_low_substring_duplication(
+                         "text", k=K, max_ratio=0.3))
+         .run(spark, df))
+    assert r.passed
+    assert r.report.outcomes[0].result.metric == pytest.approx(10 / 35)
+    # default zero tolerance fails on the same corpus
+    r2 = (ValidationSuite.builder("s2")
+          .with_check(Check("sub", Level.ERROR)
+                      .has_low_substring_duplication("text", k=K))
+          .run(spark, df))
+    assert not r2.passed
+    assert "substring-duplication" in r2.report.outcomes[0].result.message
+    # span-free corpus passes even at zero tolerance
+    clean = df.filter("doc_id = 3")
+    r3 = (ValidationSuite.builder("s3")
+          .with_check(Check("sub", Level.ERROR)
+                      .has_low_substring_duplication("text", k=K))
+          .run(spark, clean))
+    assert r3.passed
