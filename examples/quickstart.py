@@ -292,6 +292,28 @@ def main():
     print(f"PQ ANN: 8 codes/vector (vs 64 doubles), recall@5 {rec:.2f} "
           "vs exact on a clustered corpus")
 
+    # round 10: the ExactSubstr dedup tier and BM25 retrieval
+    from term_spark.operators.text import (bm25_topk,
+                                           remove_duplicated_spans,
+                                           substring_dedup_summary)
+    sdocs = spark.createDataFrame(
+        [(1, "intro text the quick brown fox jumps over the lazy dog end"),
+         (2, "the quick brown fox jumps over the lazy dog other tail"),
+         (3, "completely original body with no repeated run at all")],
+        "doc_id long, text string")
+    ss = substring_dedup_summary(sdocs, k=5).collect()[0]
+    cleaned, _ = remove_duplicated_spans(sdocs, k=5)
+    print(f"ExactSubstr: {ss['dup_tokens']} tokens in duplicated "
+          f">=5-token spans across {ss['docs_with_dups']} docs; "
+          f"doc 2 rewrites to: "
+          f"{cleaned.filter('doc_id = 2').collect()[0]['text']!r}")
+
+    bq = spark.createDataFrame([(0, "lazy dog")],
+                               "query_id long, query string")
+    hits = bm25_topk(sdocs, bq, k=2).collect()
+    print("BM25 'lazy dog' top docs: "
+          + ", ".join(f"{r['doc_id']} ({r['score']:.3f})" for r in hits))
+
 
 if __name__ == "__main__":
     main()
