@@ -703,6 +703,108 @@ FROM lineitem
 """
 
 
+def q_quantile_sketch_merge_quantity(spark, sf_dir) -> DataFrame:
+    """Mergeable quantile sketch, made driver-oracle-checkable (the
+    ``q_approx_distinct_orderkey`` pattern): the returned p25/p50/p75
+    are the EXACT type-7 percentiles of l_quantity (``F.percentile``
+    ≡ DuckDB ``quantile_cont`` — engine-portable), and
+    ``merged_within_bound`` is a Spark-computed attestation of the
+    incremental path: QuantileSketchAnalyzer states built on the two
+    l_orderkey-parity shards, merged DRIVER-SIDE (the shard-wise
+    scan-once contract), must place each read-off quantile within the
+    documented normalized rank-error bound 2/k + 1/accuracy.  Ties
+    (l_quantity has 50 distinct values) are handled the only sound
+    way: the estimate's rank INTERVAL [frac(< v), frac(≤ v)], widened
+    by the bound, must contain q."""
+    from .analyzers.quantile_sketch import QuantileSketchAnalyzer
+
+    (li,) = _t(spark, sf_dir, "lineitem")
+    qcol = F.col("l_quantity")
+    an = QuantileSketchAnalyzer("l_quantity", k=200, accuracy=10000)
+    states = []
+    for parity in (0, 1):
+        shard = li.filter(F.col("l_orderkey") % 2 == parity)
+        row = shard.agg(*[e.alias(a) for a, e in an.state_exprs().items()]
+                        ).collect()[0]
+        states.append(an.state_from_row(row))
+    merged = an.merge_states(states)
+    eps = an.merge_error_bound()
+    probs = (0.25, 0.5, 0.75)
+    ests = [an.quantile_from_state(merged, p) for p in probs]
+    ranks = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.count(F.when(qcol < e, 1)).alias(f"lt_{i}")
+          for i, e in enumerate(ests)],
+        *[F.count(F.when(qcol <= e, 1)).alias(f"le_{i}")
+          for i, e in enumerate(ests)]).collect()[0]
+    n = float(ranks["n"])
+    ok = all(
+        ranks[f"lt_{i}"] / n - eps <= p <= ranks[f"le_{i}"] / n + eps
+        for i, p in enumerate(probs))
+    return li.agg(
+        r6(F.percentile(qcol, 0.25)).alias("p25"),
+        r6(F.percentile(qcol, 0.5)).alias("p50"),
+        r6(F.percentile(qcol, 0.75)).alias("p75"),
+        F.lit(bool(ok)).alias("merged_within_bound"))
+
+
+SQL_QUANTILE_SKETCH_MERGE_QUANTITY = """
+SELECT ROUND(quantile_cont(l_quantity, 0.25), 6) AS p25,
+       ROUND(quantile_cont(l_quantity, 0.5), 6) AS p50,
+       ROUND(quantile_cont(l_quantity, 0.75), 6) AS p75,
+       TRUE AS merged_within_bound
+FROM lineitem
+"""
+
+
+def q_fk_violation_examples(spark, sf_dir) -> DataFrame:
+    """Bounded violation sampling, made deterministic and
+    driver-oracle-checkable: restrict customer to c_custkey % 7 != 0
+    (planting orphans the real corpus lacks), then report the FIRST
+    10 distinct orphan o_custkey values IN KEY ORDER plus the full
+    orphan row/key counts — the ordered form of
+    ForeignKeyConstraint.violation_examples' DISTINCT…LIMIT scan
+    (bounded example surfaces must be deterministic to be
+    hash-attestable; production keeps the cheaper unordered LIMIT)."""
+    o, c = _t(spark, sf_dir, "orders", "customer")
+    parents = (c.filter(F.col("c_custkey") % 7 != 0)
+               .select(F.col("c_custkey").alias("__pk")))
+    orphans = (o.join(F.broadcast(parents),
+                      o["o_custkey"] == parents["__pk"], "left_anti"))
+    counts = orphans.agg(
+        F.count(F.lit(1)).alias("orphan_rows"),
+        F.count_distinct(F.col("o_custkey")).alias("orphan_keys"))
+    examples = (orphans.select("o_custkey").distinct()
+                .orderBy("o_custkey").limit(10)
+                .agg(F.sort_array(F.collect_list("o_custkey"))
+                     .alias("example_keys")))
+    return counts.crossJoin(examples).select(
+        "orphan_rows", "orphan_keys",
+        F.concat_ws(",", F.col("example_keys").cast("array<string>"))
+         .alias("example_keys"))
+
+
+SQL_FK_VIOLATION_EXAMPLES = """
+WITH parents AS (
+  SELECT c_custkey FROM customer WHERE c_custkey % 7 <> 0
+), orphans AS (
+  SELECT o_custkey FROM orders o
+  WHERE NOT EXISTS (SELECT 1 FROM parents p
+                    WHERE p.c_custkey = o.o_custkey)
+), ex AS (
+  SELECT string_agg(CAST(o_custkey AS VARCHAR), ','
+                    ORDER BY o_custkey) AS example_keys
+  FROM (SELECT DISTINCT o_custkey FROM orphans
+        ORDER BY o_custkey LIMIT 10)
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM orphans) AS orphan_rows,
+       (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT)
+        FROM orphans) AS orphan_keys,
+       ex.example_keys
+FROM ex
+"""
+
+
 def q_numeric_histogram_quantity(spark, sf_dir) -> DataFrame:
     """Equi-width numeric histogram (analyzers/advanced/histogram.rs:
     185-291): min/max pass then FLOOR((x-min)/width) buckets."""
@@ -804,12 +906,16 @@ QUERIES.update({
     "numeric_histogram_quantity": q_numeric_histogram_quantity,
     "profile_customer": q_profile_customer,
     "approx_distinct_orderkey": q_approx_distinct_orderkey,
+    "quantile_sketch_merge_quantity": q_quantile_sketch_merge_quantity,
+    "fk_violation_examples": q_fk_violation_examples,
 })
 ORACLES.update({
     "quantile_exact_quantity": SQL_QUANTILE_EXACT_QUANTITY,
     "numeric_histogram_quantity": SQL_NUMERIC_HISTOGRAM_QUANTITY,
     "profile_customer": SQL_PROFILE_CUSTOMER,
     "approx_distinct_orderkey": SQL_APPROX_DISTINCT_ORDERKEY,
+    "quantile_sketch_merge_quantity": SQL_QUANTILE_SKETCH_MERGE_QUANTITY,
+    "fk_violation_examples": SQL_FK_VIOLATION_EXAMPLES,
 })
 
 
@@ -2610,10 +2716,12 @@ FAMILY = {
     "spearman_quantity_price": "correlation",
     "corr_matrix_lineitem": "correlation",
     "quantile_exact_quantity": "quantile",
+    "quantile_sketch_merge_quantity": "quantile_sketch",
     "median_by_returnflag": "quantile",
     "profile_customer": "profiler",
     "approx_distinct_orderkey": "approx_distinct",
     "fk_orders_customer": "multitable",
+    "fk_violation_examples": "violation_sampling",
     "join_coverage_lineitem_orders": "multitable",
     "cross_table_sum_orders_lineitem": "multitable",
     "temporal_ordering_orders_lineitem": "multitable",
@@ -2709,9 +2817,11 @@ FAMILY = {
 CURRENT_ROUND = 10
 LAST_GREEN = {
     "bm25_topk_docs": None,
+    "fk_violation_examples": None,
     "ivf_index_recall_embeddings": None,
     "ivfpq_recall_embeddings": None,
     "lsh_neardup_recall_embeddings": None,
+    "quantile_sketch_merge_quantity": None,
     "substring_dedup_docs": None,
     "substring_rewrite_docs": None,
     "top_customers_revenue": 7,
@@ -2756,8 +2866,6 @@ LAST_GREEN = {
     "script_profile_docs": 8,
     "shape_stats_quantity": 8,
     "simhash_docs": 8,
-    "simhash_near_pairs": 8,
-    "source_mixing_docs": 8,
     "size_lineitem": 9,
     "completeness_customer": 9,
     "stats_quantity": 9,
@@ -2783,11 +2891,13 @@ LAST_GREEN = {
     "text_quality": 8,
     "ngram_jaccard_pairs": 9,
     "minhash_lsh_candidates": 9,
+    "simhash_near_pairs": 8,
     "cosine_topk_embeddings": 9,
     "split_counts_docs": 8,
     "stratified_sample_docs": 8,
     "packing_stats_docs": 9,
     "semantic_dedup_embeddings": 9,
+    "source_mixing_docs": 8,
     "winnow_overlap_docs": 8,
     "tfidf_top_terms_docs": 8,
     "source_overlap_docs": 8,
