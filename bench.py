@@ -339,7 +339,7 @@ def main() -> None:
                      "pivot_returnflag_linestatus", "drift_psi_quantity",
                      "top3_customers_per_segment",
                      "drift_ks_quantity", "line_dedup_summary_docs",
-                     "outlier_mad_acctbal"):
+                     "outlier_mad_acctbal", "substring_dedup_docs"):
             sf1[name] = round(_measure_query(spark, QUERIES[name], sf1_dir), 4)
 
     detail = {
