@@ -180,7 +180,11 @@ def sf10_fresh_main() -> None:
     li = read_parquet(spark, f"{sf10_dir}/lineitem.parquet")
     li.count()  # warm: file listing, footer reads, JIT
     suite = ValidationSuite.builder("bench_suite").with_check(build_suite())
-    out = {"suite_20_constraints": round(_measure_suite(spark, suite, li, 2), 4)}
+    # 3 samples (round 10): two back-to-back artifact runs read 10.8 vs
+    # 16.5 s at 2 samples — a 60M-row pass carries enough GC/JIT noise
+    # that best-of-2 is a coin flip; the third sample (~12 s) buys a
+    # stable floor
+    out = {"suite_20_constraints": round(_measure_suite(spark, suite, li, 3), 4)}
     for name in ("fk_orders_customer", "cross_table_sum_orders_lineitem",
                  "dedup_exact_docs"):
         out[name] = round(
@@ -257,7 +261,11 @@ def main() -> None:
     # SAME discipline as every per-query number below.  A single un-GC'd
     # sample in a long-lived 32-thread JVM can carry 2x GC debt from the
     # warm-up and misrepresent the engine (round-2 lesson).
-    suite_sec = _measure_suite(spark, suite, lineitem, 3)
+    # 5 samples: measured on a noisy round-10 box, the suite decays
+    # monotonically through ~5 runs (codegen/JIT settling) — best-of-3
+    # after one warm run can catch a pre-settled 0.9-1.2 s sample where
+    # the settled wall is 0.65 s; two extra samples cost ~1.5 s total
+    suite_sec = _measure_suite(spark, suite, lineitem, 5)
     per_query = {"suite_20_constraints": round(suite_sec, 4)}
 
     bench_queries = [
