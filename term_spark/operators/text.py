@@ -522,6 +522,12 @@ def _dup_gram_positions(df, text_col: str, id_col: str, k: int,
         raise ValueError(
             f"min_count must be >= 2 (got {min_count}): every gram occurs "
             "at least once, so min_count=1 would mark the whole corpus")
+    # per-row gram hashing is CPU-heavy: a small parquet scans as ONE
+    # task, serializing the map stage on a single core (the spread()
+    # convention every shingle operator follows; measured 8.6 s -> par
+    # for the md5 path on a 1-partition sf0.1 input)
+    from .dedup import spread
+    df = spread(df, id_col)
     if hasher == "rolling":
         grams = _rolling_gram_table(df, text_col, id_col, k)
     elif hasher == "md5":
