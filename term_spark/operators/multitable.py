@@ -246,15 +246,42 @@ class CrossTableSumConstraint(Constraint):
                 f"differ by {diff} > tolerance {self.tolerance}"))
 
         lk, rk = self.group_by
-        lsum = left.groupBy(F.col(lk).alias("grp")).agg(
-            F.sum(F.expr(self.left_expr)).alias("left_sum"))
-        rsum = right.groupBy(F.col(rk).alias("grp")).agg(
-            F.sum(F.expr(self.right_expr)).alias("right_sum"))
-        joined = lsum.join(rsum, "grp", "full_outer").select(
-            "grp",
-            F.coalesce("left_sum", F.lit(0.0)).alias("left_sum"),
-            F.coalesce("right_sum", F.lit(0.0)).alias("right_sum"),
-        ).withColumn("diff", F.abs(F.col("left_sum") - F.col("right_sum")))
+        # One-shuffle plan: tag each side's rows into its own value
+        # column, union, and compute BOTH per-group sums in a single
+        # groupBy. The per-side-groupBy + full-outer-join alternative
+        # shuffles comparable volume but then sorts both per-group
+        # sides for the merge join — two extra stages and two spill
+        # surfaces. Value columns keep each side's native sum type
+        # (NULL literal cast to it), so the arithmetic is identical to
+        # the join plan; missing sides surface as NULL sums -> COALESCE
+        # 0.0 (the same double coercion the join plan applied).
+        # Requires union-compatible group-key types; otherwise fall
+        # back to the join, whose key comparison coerces implicitly.
+        if left.schema[lk].dataType == right.schema[rk].dataType:
+            lt = left.select(F.expr(self.left_expr).alias("x")).schema[0].dataType
+            rt = right.select(F.expr(self.right_expr).alias("x")).schema[0].dataType
+            tagged = (left.select(
+                          F.col(lk).alias("grp"),
+                          F.expr(self.left_expr).alias("lv"),
+                          F.lit(None).cast(rt).alias("rv"))
+                      .unionByName(right.select(
+                          F.col(rk).alias("grp"),
+                          F.lit(None).cast(lt).alias("lv"),
+                          F.expr(self.right_expr).alias("rv"))))
+            joined = tagged.groupBy("grp").agg(
+                F.coalesce(F.sum("lv"), F.lit(0.0)).alias("left_sum"),
+                F.coalesce(F.sum("rv"), F.lit(0.0)).alias("right_sum"))
+        else:
+            lsum = left.groupBy(F.col(lk).alias("grp")).agg(
+                F.sum(F.expr(self.left_expr)).alias("left_sum"))
+            rsum = right.groupBy(F.col(rk).alias("grp")).agg(
+                F.sum(F.expr(self.right_expr)).alias("right_sum"))
+            joined = lsum.join(rsum, "grp", "full_outer").select(
+                "grp",
+                F.coalesce("left_sum", F.lit(0.0)).alias("left_sum"),
+                F.coalesce("right_sum", F.lit(0.0)).alias("right_sum"))
+        joined = joined.withColumn(
+            "diff", F.abs(F.col("left_sum") - F.col("right_sum")))
         agg = joined.agg(
             F.count(F.lit(1)).alias("n_groups"),
             F.count(F.when(F.col("diff") > self.tolerance, 1)).alias("violations"),
