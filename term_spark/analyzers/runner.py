@@ -65,17 +65,33 @@ class AnalysisRunner:
     def run(self, df, spark=None) -> AnalyzerContext:
         ctx = AnalyzerContext()
         merged = {}
+        fused, direct = [], []
         for an in self.analyzers:
             if spark is not None and hasattr(an, "bind_spark"):
                 an.bind_spark(spark)
+            # direct-state analyzers (MG frequency sketch) can't express
+            # their data-dependent state as agg Columns — they run their
+            # own job (the reference's compute_state_from_data path)
+            if hasattr(an, "compute_state_from_df"):
+                direct.append(an)
+                continue
+            fused.append(an)
             for alias, col in an.state_exprs().items():
                 merged.setdefault(alias, col)
-        if not merged:
+        if not merged and not direct:
             return ctx
-        values = _collect_fused(df, merged)
-        for an in self.analyzers:
+        values = _collect_fused(df, merged) if merged else {}
+        for an in fused:
             try:
                 state = an.state_from_row(values)
+                ctx.store_metric(an.metric_key(), an.metric_from_state(state))
+            except Exception as exc:
+                if not self.continue_on_error:
+                    raise
+                ctx.errors[an.metric_key()] = str(exc)
+        for an in direct:
+            try:
+                state = an.compute_state_from_df(df)
                 ctx.store_metric(an.metric_key(), an.metric_from_state(state))
             except Exception as exc:
                 if not self.continue_on_error:
@@ -158,14 +174,21 @@ class IncrementalAnalysisRunner:
 
     def analyze_partition(self, df, partition: str, spark=None) -> None:
         merged = {}
+        fused, direct = [], []
         for an in self.analyzers:
             if spark is not None and hasattr(an, "bind_spark"):
                 an.bind_spark(spark)
+            if hasattr(an, "compute_state_from_df"):
+                direct.append(an)
+                continue
+            fused.append(an)
             for alias, col in an.state_exprs().items():
                 merged.setdefault(alias, col)
-        values = _collect_fused(df, merged)
+        values = _collect_fused(df, merged) if merged else {}
         states = {an.metric_key(): an.state_from_row(values).to_json()
-                  for an in self.analyzers}
+                  for an in fused}
+        states.update({an.metric_key(): an.compute_state_from_df(df).to_json()
+                       for an in direct})
         self.store.save(partition, states)
 
     def aggregate_partitions(self, partitions: Optional[List[str]] = None,

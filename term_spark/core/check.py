@@ -176,6 +176,19 @@ class Check:
         return self.with_constraint(KeySkewConstraint(
             key_cols, max_key_share))
 
+    def has_no_heavy_hitters(self, column: str, max_ratio: float = 0.5,
+                             k=None) -> "Check":
+        """Sketch tier of ``has_balanced_keys`` for columns whose
+        distinct count makes the exact groupBy the dominant cost
+        (100 TB token/id streams): a k-counter Misra-Gries pass
+        (map-only, <= (k+1) rows per partition cross the wire) fails
+        the suite when any single value PROVABLY exceeds ``max_ratio``
+        of rows. One-sided: no false positives; detection guaranteed
+        above max_ratio + 1/(k+1)."""
+        from ..analyzers.heavy_hitters import HeavyHitterConstraint
+        return self.with_constraint(HeavyHitterConstraint(
+            column, max_ratio, k))
+
     def has_low_churn(self, ref_df, keys, compare_cols=None,
                       max_changed_ratio: float = 0.2,
                       max_added_ratio: float = 0.2,

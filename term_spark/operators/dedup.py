@@ -704,3 +704,105 @@ class DuplicationConstraint(Constraint):
             f"duplication ratio {ratio:.4f} does not satisfy "
             f"{self.assertion.describe()} for column {self.column} "
             f"(share of rows whose normalized text occurs 2+ times)"))
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (CDC) — the insertion-resilient chunk tier
+# ---------------------------------------------------------------------------
+
+def cdc_chunks(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id", k: int = 8,
+               divisor: int = 64) -> DataFrame:
+    """Content-defined chunking — the insertion-resilient chunk-level
+    dedup tier (Muthitacharoen et al. SOSP'01 LBFS; gear/Rabin CDC as
+    surveyed by FastCDC, Xia et al. USENIX ATC'16).
+
+    Fixed-size chunking breaks under a single insertion: every later
+    chunk shifts, so nothing downstream dedups. CDC cuts where the
+    CONTENT says so — after any k-gram whose hash ≡ 0 (mod divisor) —
+    so an edit disturbs only the chunks it touches; everything past
+    the next content boundary realigns byte-for-byte. Expected chunk
+    length ≈ ``divisor`` characters.
+
+    Engine-portable hash (the registry-oracle md5 trick shared with
+    the OPH/DSIR/Bloom operators): gram hash = first 60 bits of
+    md5(gram), cut after position i+k whenever hash % divisor == 0.
+    No min/max clamps — the pure content-defined rule keeps every cut
+    decision local to its gram (and the DuckDB replay exact);
+    production CDC adds clamps only to bound pathological chunk-length
+    tails, not to change the semantics.
+
+    Entirely JVM-side higher-order functions over each row — map-only,
+    ZERO shuffle, no Python. Output: one row per chunk
+    ``(id, chunk_idx, start, length, chunk_hash)`` with ``start``
+    0-based and ``chunk_hash = md5(chunk text)``. NULL/empty text
+    yields no rows (consistent with the shingle operators); text
+    shorter than k is one whole-document chunk.
+    """
+    from ..functions.security import validate_identifier
+    validate_identifier(text_col)
+    validate_identifier(id_col)
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    if divisor < 2:
+        raise ValueError(f"divisor must be >= 2, got {divisor}")
+    base = (df.select(F.col(id_col).alias("id"),
+                      F.col(text_col).alias("__t"))
+              .filter(F.col("__t").isNotNull() & (F.length("__t") > 0)))
+    # candidate cut positions: i + k <= len guard lives INSIDE the
+    # lambda so the sequence() bound never goes descending on short
+    # docs (sequence(0, -1) counts DOWN in Spark)
+    cuts = (
+        "array_distinct(concat("
+        "  array(0),"
+        "  transform("
+        f"    filter(sequence(0, greatest(length(__t) - {k}, 0)),"
+        f"           i -> i + {k} <= length(__t) AND"
+        f"                conv(substring(md5(substring(__t, i + 1, {k})),"
+        f"                     1, 15), 16, 10) % {divisor} = 0),"
+        f"    i -> i + {k}),"
+        "  array(length(__t))))")
+    chunks = (
+        "transform(sequence(1, size(__cuts) - 1),"
+        " j -> struct(j - 1 AS chunk_idx,"
+        "             element_at(__cuts, j) AS start,"
+        "             element_at(__cuts, j + 1) - element_at(__cuts, j)"
+        "               AS length))")
+    return (base.withColumn("__cuts", F.expr(cuts))
+            .select("id", "__t", F.explode(F.expr(chunks)).alias("c"))
+            .select("id",
+                    F.col("c.chunk_idx").alias("chunk_idx"),
+                    F.col("c.start").cast("bigint").alias("start"),
+                    F.col("c.length").cast("bigint").alias("length"),
+                    F.md5(F.expr("substring(__t, c.start + 1, c.length)"))
+                     .alias("chunk_hash")))
+
+
+def cdc_dedup_summary(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", k: int = 8,
+                      divisor: int = 64) -> DataFrame:
+    """Corpus-level CDC dedup report: how much storage/compute does
+    chunk-level dedup reclaim? One row: total vs distinct chunk counts
+    and character volumes, the duplicate-chunk ratio, and the dedup
+    factor (chars_total / chars_distinct — the LBFS "storage saved"
+    number). Identical chunk_hash ⇒ identical content ⇒ identical
+    length, so distinct volume sums one length per hash. One shuffle
+    on the 16-byte chunk hash — scale shape identical to exact dedup.
+    """
+    ch = cdc_chunks(df, text_col, id_col, k=k, divisor=divisor)
+    per = ch.groupBy("chunk_hash").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.max("length").alias("len"))
+    return per.agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).cast("bigint").alias("n_chunks"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct_chunks"),
+        F.coalesce(F.sum(F.col("cnt") * F.col("len")), F.lit(0))
+         .cast("bigint").alias("chars_total"),
+        F.coalesce(F.sum("len"), F.lit(0)).cast("bigint")
+         .alias("chars_distinct"),
+        F.round(F.when(F.sum("cnt") > 0,
+                       1.0 - F.count(F.lit(1)) / F.sum("cnt")), 6)
+         .alias("dup_chunk_ratio"),
+        F.round(F.when(F.sum("len") > 0,
+                       F.sum(F.col("cnt") * F.col("len")) / F.sum("len")), 6)
+         .alias("dedup_factor"))

@@ -1,0 +1,208 @@
+"""Misra-Gries heavy-hitter sketch: the three theorems (underestimate,
+n/(k+1) error bound, no false negatives above the bound) against exact
+counts, the Agarwal et al. merge law under arbitrary sharding
+(hypothesis), the map-only Spark pass, and the has_no_heavy_hitters
+gate. Deterministic data throughout — MG itself is deterministic given
+an input order, but every assertion here is ORDER-INVARIANT (the
+theorems hold for any order), so partition scheduling can't flake."""
+
+from collections import Counter
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from term_spark.analyzers.heavy_hitters import (HeavyHitterConstraint,
+                                                MGSummary, _absorb,
+                                                heavy_hitters, mg_merge,
+                                                mg_sketch)
+
+
+def _summary_of(items, k):
+    counters = {}
+    _absorb(counters, Counter(items).items(), k)
+    return MGSummary(k=k, n=len(items), counters=counters)
+
+
+def _assert_theorems(summary, exact: Counter):
+    n = sum(exact.values())
+    assert summary.n == n
+    bound = n // (summary.k + 1)
+    assert summary.error_bound == bound
+    assert len(summary.counters) <= summary.k
+    for item, est in summary.counters.items():
+        true = exact[item]
+        assert est <= true, f"{item}: est {est} > true {true}"
+        assert true - est <= bound, f"{item}: undercount > {bound}"
+    for item, true in exact.items():
+        if true > bound:
+            assert item in summary.counters, \
+                f"heavy hitter {item} (count {true} > {bound}) missing"
+
+
+def test_exact_when_k_exceeds_distincts():
+    items = ["a"] * 50 + ["b"] * 30 + ["c"] * 20
+    s = _summary_of(items, k=8)
+    assert s.counters == {"a": 50, "b": 30, "c": 20}
+    assert s.estimate("a") == 50 and s.estimate("zzz") == 0
+    assert s.top(2) == [("a", 50), ("b", 30)]
+
+
+def test_theorems_on_skewed_stream():
+    # one dominant value + a long tail wider than k
+    items = ["hot"] * 400 + [f"t{i}" for i in range(300)] * 2
+    s = _summary_of(items, k=16)
+    _assert_theorems(s, Counter(items))
+    assert "hot" in s.counters  # 400 > 1000/17
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=40), min_size=1,
+                max_size=400),
+       st.integers(min_value=2, max_value=12),
+       st.integers(min_value=1, max_value=5))
+def test_merge_law_any_sharding(values, k, n_shards):
+    """Sharding a stream arbitrarily, sketching each shard, and merging
+    must satisfy the SAME theorems on the TOTAL stream — Agarwal et al.
+    PODS'12 Thm. 1, the property that makes shard-wise sketching safe
+    at any fan-in."""
+    items = [str(v) for v in values]
+    shards = [items[i::n_shards] for i in range(n_shards)]
+    merged = mg_merge([_summary_of(sh, k) for sh in shards if True])
+    _assert_theorems(merged, Counter(items))
+
+
+def test_merge_rejects_mixed_k():
+    with pytest.raises(ValueError):
+        mg_merge([_summary_of(["a"], 4), _summary_of(["a"], 8)])
+
+
+def test_mg_sketch_spark_matches_theorems(spark):
+    items = (["the"] * 500 + ["of"] * 250 + ["and"] * 125
+             + [f"rare{i}" for i in range(400)])
+    df = spark.createDataFrame([(v,) for v in items], "v string") \
+              .repartition(7)
+    s = mg_sketch(df, "v", k=32)
+    _assert_theorems(s, Counter(items))
+    # the three genuine heavy hitters must surface at the top
+    assert [t for t, _ in s.top(3)] == ["the", "of", "and"]
+
+
+def test_mg_sketch_excludes_nulls_and_counts_n(spark):
+    df = spark.createDataFrame([("a",), (None,), ("a",), ("b",)],
+                               "v string")
+    s = mg_sketch(df, "v", k=8)
+    assert s.n == 3 and s.counters == {"a": 2, "b": 1}
+
+
+def test_mg_sketch_empty_input(spark):
+    df = spark.createDataFrame([], "v string")
+    s = mg_sketch(df, "v", k=8)
+    assert s.n == 0 and s.counters == {} and s.error_bound == 0
+
+
+def test_heavy_hitters_no_false_negatives(spark):
+    items = ["dominant"] * 600 + [f"t{i}" for i in range(200)] * 2
+    df = spark.createDataFrame([(v,) for v in items], "v string") \
+              .repartition(5)
+    hits = heavy_hitters(df, "v", min_ratio=0.3)
+    assert "dominant" in [h[0] for h in hits]
+    for item, est, bound in hits:
+        assert est <= items.count(item) <= est + bound
+
+
+def test_constraint_gate(spark):
+    from term_spark import Check, Level, ValidationSuite
+
+    def run(spark_, tables, check):
+        return (ValidationSuite.builder("t").with_check(check)
+                .run(spark_, tables))
+
+    skewed = spark.createDataFrame(
+        [("x",)] * 80 + [(f"v{i}",) for i in range(20)], "k string")
+    balanced = spark.createDataFrame(
+        [(f"v{i % 50}",) for i in range(200)], "k string")
+
+    r = run(spark, {"data": skewed},
+            Check("hh", Level.ERROR).has_no_heavy_hitters("k", 0.5))
+    o = r.report.outcomes[0].result
+    assert not r.passed and o.metric == pytest.approx(0.8, abs=0.02)
+    assert "'k'" in o.message
+
+    r = run(spark, {"data": balanced},
+            Check("hh", Level.ERROR).has_no_heavy_hitters("k", 0.5))
+    assert r.passed
+
+    empty = spark.createDataFrame([], "k string")
+    res = HeavyHitterConstraint("k", 0.5).evaluate(
+        __import__("term_spark.core.constraint",
+                   fromlist=["EngineContext"]).EngineContext(
+            spark, {"data": empty}, "data"))
+    assert res.status.name == "SKIPPED"
+
+
+def test_constraint_validates_args():
+    with pytest.raises(ValueError):
+        HeavyHitterConstraint("c", max_ratio=1.5)
+    with pytest.raises(ValueError):
+        heavy_hitters(None, "c", min_ratio=0.0)
+
+
+def test_registry_query_attestations(spark):
+    """The driver-contract query returns exact top-5 counts with both
+    theorem attestations TRUE (what the DuckDB oracle pins)."""
+    from term_spark.queries import ORACLES, QUERIES
+    import tests.conftest as C
+
+    assert "mg_heavy_hitters_docs" in ORACLES
+    rows = QUERIES["mg_heavy_hitters_docs"](spark, C.SF_DIR).collect()
+    assert 0 < len(rows) <= 5
+    assert all(r["present_ok"] and r["bound_ok"] for r in rows)
+    cnts = [r["cnt"] for r in rows]
+    assert cnts == sorted(cnts, reverse=True)
+
+
+def test_incremental_analyzer_integration(spark, tmp_path):
+    """MG state rides the engine's incremental algebra: sketch two
+    daily partitions, persist JSON states, and the merged metric obeys
+    the theorems on the COMBINED stream — no rescan. A fused analyzer
+    shares the same run to prove the two state paths coexist."""
+    from term_spark.analyzers.base import SizeAnalyzer
+    from term_spark.analyzers.heavy_hitters import MGFrequencyAnalyzer
+    from term_spark.analyzers.runner import (AnalysisRunner,
+                                             FilesystemStateStore,
+                                             IncrementalAnalysisRunner)
+
+    day1 = ["the"] * 60 + [f"a{i}" for i in range(30)]
+    day2 = ["the"] * 40 + ["of"] * 50 + [f"b{i}" for i in range(20)]
+    df1 = spark.createDataFrame([(v,) for v in day1], "tok string")
+    df2 = spark.createDataFrame([(v,) for v in day2], "tok string")
+
+    an = MGFrequencyAnalyzer("tok", k=16)
+    inc = (IncrementalAnalysisRunner(FilesystemStateStore(str(tmp_path)))
+           .add(an).add(SizeAnalyzer()))
+    inc.analyze_partition(df1, "2026-08-14")
+    inc.analyze_partition(df2, "2026-08-15")
+    ctx = inc.aggregate_partitions()
+
+    exact = Counter(day1 + day2)
+    merged = MGFrequencyAnalyzer.summary_from_state(
+        an.merge_states([
+            __import__("term_spark.analyzers.base",
+                       fromlist=["AnalyzerState"]).AnalyzerState.from_json(
+                inc.store.load(p)["mg_frequency.tok"])
+            for p in inc.store.partitions()]))
+    _assert_theorems(merged, exact)
+    assert merged.top(1)[0][0] == "the"
+
+    # metric = top share; "the" holds 100/200 with bound 200//17
+    assert ctx.metric("mg_frequency.tok").value == pytest.approx(
+        0.5, abs=200 // 17 / 200 + 1e-9)
+    assert ctx.metric("size").value == 200
+
+    # single-shot runner drives the direct-state path alongside fused
+    one = AnalysisRunner().add(MGFrequencyAnalyzer("tok", k=16)) \
+                          .add(SizeAnalyzer()).run(df2)
+    assert one.metric("size").value == len(day2)
+    assert one.metric("mg_frequency.tok").value == pytest.approx(
+        50 / 110, abs=110 // 17 / 110 + 1e-9)
