@@ -424,15 +424,29 @@ def q_cross_table_sum_orders_lineitem(spark, sf_dir) -> DataFrame:
     up to 6 decimal digits, so the cast never rounds) keeps violation
     counts deterministic."""
     o, li = _t(spark, sf_dir, "orders", "lineitem")
-    left = o.groupBy(F.col("o_orderkey").alias("grp")).agg(
-        F.sum(F.col("o_totalprice").cast("decimal(25,6)")).alias("left_sum"))
+    # One shuffle, no join: tag each side's rows with its value in its
+    # own column, union, and let ONE groupBy(grp) produce both sums.
+    # The previous shape (groupBy each side, full-outer join the two
+    # per-group aggregates) shuffles comparable volume but then SORTS
+    # both 15M-group sides for the merge join — two extra stages and
+    # two spill surfaces that this plan simply doesn't have. Local
+    # sf10 A/B (scripts/ab_cross_table_sum.py) reads parity-to-modest
+    # -gain (both exchange-bound on one node); the win is structural:
+    # fewest stages, zero sorts, one failure/skew domain. Missing
+    # sides fall out as NULL sums -> COALESCE 0, preserving full-outer
+    # semantics exactly.
+    dec = "decimal(25,6)"
     charge = (F.col("l_extendedprice") * (1 - F.col("l_discount")) *
-              (1 + F.col("l_tax"))).cast("decimal(25,6)")
-    right = li.groupBy(F.col("l_orderkey").alias("grp")).agg(
-        F.sum(charge).alias("right_sum"))
-    joined = (left.join(right, "grp", "full_outer")
-              .select(F.coalesce("left_sum", F.lit(0).cast("decimal(25,6)")).alias("l"),
-                      F.coalesce("right_sum", F.lit(0).cast("decimal(25,6)")).alias("r")))
+              (1 + F.col("l_tax"))).cast(dec)
+    tagged = (o.select(F.col("o_orderkey").alias("grp"),
+                       F.col("o_totalprice").cast(dec).alias("lv"),
+                       F.lit(None).cast(dec).alias("rv"))
+              .unionByName(li.select(F.col("l_orderkey").alias("grp"),
+                                     F.lit(None).cast(dec).alias("lv"),
+                                     charge.alias("rv"))))
+    joined = tagged.groupBy("grp").agg(
+        F.coalesce(F.sum("lv"), F.lit(0).cast(dec)).alias("l"),
+        F.coalesce(F.sum("rv"), F.lit(0).cast(dec)).alias("r"))
     diff = F.abs(F.col("l") - F.col("r"))
     return joined.agg(
         F.count(F.lit(1)).alias("n_groups"),
@@ -2796,6 +2810,8 @@ FAMILY = {
     "tfidf_top_terms_docs": "tfidf",
     "bm25_topk_docs": "retrieval",
     "frequent_terms_docs": "heavy_hitters",
+    "mg_heavy_hitters_docs": "heavy_hitters",
+    "cdc_dedup_docs": "cdc",
     "chunk_documents_docs": "chunking",
     "packing_stats_docs": "chunking",
     "doc_length_buckets": "chunking",
@@ -2817,10 +2833,12 @@ FAMILY = {
 CURRENT_ROUND = 10
 LAST_GREEN = {
     "bm25_topk_docs": None,
+    "cdc_dedup_docs": None,
     "fk_violation_examples": None,
     "ivf_index_recall_embeddings": None,
     "ivfpq_recall_embeddings": None,
     "lsh_neardup_recall_embeddings": None,
+    "mg_heavy_hitters_docs": None,
     "quantile_sketch_merge_quantity": None,
     "substring_dedup_docs": None,
     "substring_rewrite_docs": None,
@@ -2864,8 +2882,6 @@ LAST_GREEN = {
     "repetition_docs": 8,
     "row_violations_docs": 8,
     "script_profile_docs": 8,
-    "shape_stats_quantity": 8,
-    "simhash_docs": 8,
     "size_lineitem": 9,
     "completeness_customer": 9,
     "stats_quantity": 9,
@@ -2891,6 +2907,7 @@ LAST_GREEN = {
     "text_quality": 8,
     "ngram_jaccard_pairs": 9,
     "minhash_lsh_candidates": 9,
+    "simhash_docs": 8,
     "simhash_near_pairs": 8,
     "cosine_topk_embeddings": 9,
     "split_counts_docs": 8,
@@ -2924,6 +2941,7 @@ LAST_GREEN = {
     "dominant_value_orderstatus": 9,
     "drift_psi_by_returnflag": 9,
     "quality_model_docs": 9,
+    "shape_stats_quantity": 8,
     "supplier_stats_by_nation": 8,
     "shipping_priority_orders": 9,
     "regional_supplier_volume": 9,

@@ -1901,3 +1901,122 @@ FROM m ORDER BY doc_id
 
 LLM_QUERIES.update({"lexical_diversity_docs": q_lexical_diversity_docs})
 LLM_ORACLES.update({"lexical_diversity_docs": SQL_LEXICAL_DIVERSITY_DOCS})
+
+
+def q_mg_heavy_hitters_docs(spark, sf_dir) -> DataFrame:
+    """Misra-Gries heavy-hitter sketch, made driver-oracle-checkable
+    (the ``q_approx_distinct_orderkey`` pattern): the returned rows are
+    the EXACT corpus top-5 tokens (engine-portable order: count desc,
+    token asc), and the two attestation columns are Spark-computed
+    checks of the sketch THEOREMS (Misra-Gries 1982; Agarwal et al.
+    PODS'12 mergeable summaries) against those exact counts —
+    ``present_ok``: a token missing a counter must have true count
+    <= floor(n/(k+1)) (no false negatives above the bound);
+    ``bound_ok``: a held counter underestimates by at most that bound.
+    The DuckDB oracle replays the exact top-5 and pins both TRUE.
+
+    Relation to ``frequent_terms_docs``: that query is the EXACT tier
+    (groupBy top-k + slice-merge scalars — one shuffle row per distinct
+    token); the sketch pass here is map-only — every partition emits
+    <= k+1 rows and NOTHING shuffles — the 100 TB-stream tier of the
+    same question (the Bloom-vs-exact-decontamination relationship).
+    spread() first: map-only CPU work on a single-file parquet corpus
+    would otherwise run as one task (the script_profile lesson)."""
+    from .analyzers.heavy_hitters import mg_sketch
+    from .operators.dedup import spread
+    k = 512
+    toks = (spread(_docs(spark, sf_dir), "doc_id")
+            .filter(F.col("text").isNotNull())
+            .select(F.explode(T.norm_tokens("text")).alias("tok"))
+            .filter(F.col("tok") != ""))
+    s = mg_sketch(toks, "tok", k=k)
+    bound = s.error_bound
+    est_rows = [(item, int(cnt)) for item, cnt in s.counters.items()]
+    est_df = spark.createDataFrame(est_rows, "tok string, mg_est long")
+    top5 = (toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("tok")).limit(5))
+    return (top5.join(F.broadcast(est_df), "tok", "left")
+            .select(
+                "tok", "cnt",
+                (F.col("mg_est").isNotNull()
+                 | (F.col("cnt") <= F.lit(bound))).alias("present_ok"),
+                (F.col("mg_est").isNull()
+                 | ((F.col("mg_est") <= F.col("cnt"))
+                    & (F.col("cnt") - F.col("mg_est") <= F.lit(bound))))
+                .alias("bound_ok"))
+            .orderBy(F.desc("cnt"), F.asc("tok")))
+
+
+SQL_MG_HEAVY_HITTERS_DOCS = f"""
+WITH toks AS (
+    SELECT unnest({_TOKS_SQL}) AS tok FROM documents
+    WHERE text IS NOT NULL
+)
+SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt,
+       TRUE AS present_ok, TRUE AS bound_ok
+FROM toks WHERE tok <> ''
+GROUP BY tok ORDER BY cnt DESC, tok LIMIT 5
+"""
+
+
+LLM_QUERIES.update({"mg_heavy_hitters_docs": q_mg_heavy_hitters_docs})
+LLM_ORACLES.update({"mg_heavy_hitters_docs": SQL_MG_HEAVY_HITTERS_DOCS})
+
+
+def q_cdc_dedup_docs(spark, sf_dir) -> DataFrame:
+    """Content-defined chunking dedup report (LBFS SOSP'01 / FastCDC
+    ATC'16): chunk every document at content-defined boundaries
+    (cut after any 8-gram whose 60-bit md5 value ≡ 0 mod 64 — the
+    engine-portable md5 trick, so DuckDB replays the exact same cuts),
+    then report total vs distinct chunk counts/volumes, the duplicate
+    -chunk ratio, and the dedup factor. The chunking itself is
+    map-only JVM higher-order functions (zero shuffle, zero Python);
+    the summary is one shuffle on the 16-byte chunk hash. spread()
+    first: one md5 per gram is CPU-heavy map work, and a single-file
+    parquet corpus would run it as ONE task (the script_profile
+    lesson; measured 6.5 s -> parallel at sf0.1)."""
+    from .operators.dedup import spread
+    return D.cdc_dedup_summary(spread(_docs(spark, sf_dir), "doc_id"),
+                               "text", "doc_id", k=8, divisor=64)
+
+
+SQL_CDC_DEDUP_DOCS = """
+WITH d AS (
+    SELECT text FROM documents WHERE text IS NOT NULL AND len(text) > 0
+),
+c AS (
+    SELECT text,
+           list_sort(list_distinct(
+             [0] || list_transform(
+                      list_filter(range(0, greatest(len(text) - 8, 0) + 1),
+                                  i -> i + 8 <= len(text) AND
+                                       ('0x' || substr(md5(substr(text,
+                                         CAST(i AS INT) + 1, 8)), 1, 15)
+                                       )::UBIGINT % 64 = 0),
+                      i -> i + 8)
+             || [len(text)])) AS cuts
+    FROM d
+),
+ch AS (
+    SELECT unnest(list_transform(range(1, len(cuts)),
+             j -> substr(text, CAST(cuts[CAST(j AS INT)] AS INT) + 1,
+                         CAST(cuts[CAST(j AS INT) + 1]
+                              - cuts[CAST(j AS INT)] AS INT)))) AS chunk
+    FROM c
+),
+per AS (
+    SELECT md5(chunk) AS h, COUNT(*) AS cnt, MAX(len(chunk)) AS len
+    FROM ch GROUP BY 1
+)
+SELECT CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS n_chunks,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_chunks,
+       CAST(COALESCE(SUM(cnt * len), 0) AS BIGINT) AS chars_total,
+       CAST(COALESCE(SUM(len), 0) AS BIGINT) AS chars_distinct,
+       ROUND(1.0 - COUNT(*) * 1.0 / SUM(cnt), 6) AS dup_chunk_ratio,
+       ROUND(SUM(cnt * len) * 1.0 / SUM(len), 6) AS dedup_factor
+FROM per
+"""
+
+
+LLM_QUERIES.update({"cdc_dedup_docs": q_cdc_dedup_docs})
+LLM_ORACLES.update({"cdc_dedup_docs": SQL_CDC_DEDUP_DOCS})
