@@ -87,6 +87,10 @@ def entry(spark: SparkSession) -> DataFrame:
             # ExactSubstr tier: ≤15% of tokens inside a duplicated
             # ≥10-token span (corpus measures ~9.7% at sf0.001)
             .has_low_substring_duplication("text", max_ratio=0.15)
+            # language-mix gate, sketch tier: no single lang may
+            # PROVABLY own >50% of docs (en measures ~39%; the MG
+            # estimate is one-sided, so a pass can't false-alarm)
+            .has_no_heavy_hitters("lang", max_ratio=0.5)
             .is_complete("doc_id"))
         .with_check(
             Check("drift", Level.ERROR)

@@ -386,3 +386,62 @@ class StreamingAnomalyMonitor:
     def attach(self, stream_writer):
         """writer.foreachBatch hookup: monitor.attach(df.writeStream)"""
         return stream_writer.foreachBatch(self.foreach_batch)
+
+
+class StreamingHeavyHitterMonitor:
+    """Streaming frequency dominance via the mergeable Misra-Gries
+    sketch: each micro-batch is sketched in one map-only pass
+    (``analyzers.heavy_hitters.mg_sketch``) and folded into the
+    running summary with the Agarwal et al. PODS'12 merge, so monitor
+    state is k counters — kilobytes — no matter how long the stream
+    runs, and the MG theorems (underestimate, floor(n/(k+1)) error
+    bound, no false negatives above the bound) hold over the WHOLE
+    stream: micro-batch boundaries are just shards, and the merge law
+    is shard-order-invariant (pinned by the batch-parity test).
+
+    The streaming form of ``Check.has_no_heavy_hitters``: with
+    ``max_ratio`` set, ``on_alert`` fires (batch_id, value, share)
+    whenever a value's estimated share of ALL streamed rows exceeds
+    the cap. The share uses the underestimate, so an alert is a
+    PROOF of dominance (no false positives); detection is guaranteed
+    once the true share exceeds max_ratio + 1/(k+1). ``top(n)`` reads
+    the current trending values at any point; ``summary`` is the raw
+    mergeable state (combinable across queries with ``mg_merge``).
+    """
+
+    def __init__(self, column: str, k: int = 256,
+                 max_ratio: Optional[float] = None,
+                 on_alert: Optional[Callable] = None):
+        from ..analyzers.heavy_hitters import MGSummary
+        if max_ratio is not None and not 0.0 < max_ratio < 1.0:
+            raise ValueError(
+                f"max_ratio must be in (0, 1), got {max_ratio}")
+        self.column = column
+        self.k = int(k)
+        self.max_ratio = max_ratio
+        self.on_alert = on_alert
+        self.summary = MGSummary(k=self.k, n=0, counters={})
+        self.alerts: List = []
+
+    def foreach_batch(self, batch_df, batch_id: int) -> None:
+        from ..analyzers.heavy_hitters import mg_merge, mg_sketch
+        batch = mg_sketch(batch_df, self.column, k=self.k)
+        self.summary = mg_merge([self.summary, batch])
+        if self.max_ratio is None or self.summary.n == 0:
+            return
+        for item, est in self.summary.top():
+            share = est / self.summary.n
+            if share <= self.max_ratio:
+                break  # top() is sorted desc — nothing further exceeds
+            self.alerts.append((batch_id, item, share))
+            del self.alerts[:-100]
+            if self.on_alert is not None:
+                self.on_alert(batch_id, item, share)
+
+    def top(self, limit: int = 10):
+        """(value, estimated count) — current stream-wide leaders."""
+        return self.summary.top(limit)
+
+    def attach(self, stream_writer):
+        """writer.foreachBatch hookup: monitor.attach(df.writeStream)"""
+        return stream_writer.foreachBatch(self.foreach_batch)

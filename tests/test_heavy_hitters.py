@@ -206,3 +206,44 @@ def test_incremental_analyzer_integration(spark, tmp_path):
     assert one.metric("size").value == len(day2)
     assert one.metric("mg_frequency.tok").value == pytest.approx(
         50 / 110, abs=110 // 17 / 110 + 1e-9)
+
+
+def test_streaming_monitor_batch_parity(spark, tmp_path):
+    """Micro-batch boundaries are shards: streaming the corpus in 3
+    batches must satisfy the MG theorems on the WHOLE stream, alert on
+    the provably dominant value, and (k > distincts) match the exact
+    counts a single batch would give."""
+    import os
+
+    from term_spark.streaming import StreamingHeavyHitterMonitor
+
+    src = str(tmp_path / "hh_src")
+    os.makedirs(src)
+    batches = [["the"] * 30 + ["of"] * 10,
+               ["the"] * 40 + [f"t{i}" for i in range(10)],
+               ["the"] * 30 + ["of"] * 20]
+    for i, items in enumerate(batches):
+        spark.createDataFrame([(v,) for v in items], "tok string") \
+            .coalesce(1).write.parquet(f"{src}/b{i}.parquet")
+
+    monitor = StreamingHeavyHitterMonitor("tok", k=64, max_ratio=0.6)
+    stream = (spark.readStream.schema("tok string")
+              .option("maxFilesPerTrigger", 1).parquet(src + "/*.parquet"))
+    q = monitor.attach(stream.writeStream).trigger(availableNow=True).start()
+    q.awaitTermination(180)
+
+    exact = Counter(v for b in batches for v in b)
+    _assert_theorems(monitor.summary, exact)
+    # k=64 > 12 distincts: counters are EXACT regardless of batch order
+    assert monitor.summary.counters == dict(exact)
+    assert monitor.top(1) == [("the", 100)]
+    # "the" holds 100/140 > 0.6 — a proof-of-dominance alert fired
+    assert any(item == "the" and share > 0.6
+               for _, item, share in monitor.alerts)
+    assert all(item == "the" for _, item, share in monitor.alerts)
+
+
+def test_streaming_monitor_validates_ratio():
+    from term_spark.streaming import StreamingHeavyHitterMonitor
+    with pytest.raises(ValueError):
+        StreamingHeavyHitterMonitor("c", max_ratio=1.0)
