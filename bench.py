@@ -319,8 +319,10 @@ def main() -> None:
         "returned_item_customers",
         # round-10 ExactSubstr tier (Lee et al. 2021) + BM25 retrieval
         "substring_dedup_docs", "bm25_topk_docs",
-        # round-10 sketch + chunk tiers: MG heavy hitters, CDC dedup
+        # round-10 sketch + chunk tiers: MG heavy hitters, CDC dedup,
+        # join-cardinality pre-flight
         "mg_heavy_hitters_docs", "cdc_dedup_docs",
+        "join_cardinality_orders_lineitem",
     ]
     for name in bench_queries:
         per_query[name] = round(_measure_query(spark, QUERIES[name], SF_DIR), 4)

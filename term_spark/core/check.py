@@ -176,6 +176,17 @@ class Check:
         return self.with_constraint(KeySkewConstraint(
             key_cols, max_key_share))
 
+    def has_bounded_join_cardinality(self, left_table: str, left_key: str,
+                                     right_table: str, right_key: str,
+                                     max_rows: float, k: int = 256) -> "Check":
+        """Join-explosion pre-flight: sketch both key columns (MG + KMV,
+        4 bounded jobs, no join executed) and fail when |left ⋈ right|
+        is PROVABLY above ``max_rows`` — the lower bound is one-sided,
+        so a failure is a proof and names the keys to salt."""
+        from ..operators.multitable import JoinCardinalityConstraint
+        return self.with_constraint(JoinCardinalityConstraint(
+            left_table, left_key, right_table, right_key, max_rows, k))
+
     def has_no_heavy_hitters(self, column: str, max_ratio: float = 0.5,
                              k=None) -> "Check":
         """Sketch tier of ``has_balanced_keys`` for columns whose

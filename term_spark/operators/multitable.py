@@ -516,3 +516,121 @@ class DatasetChurnConstraint(Constraint):
         return self._finish(ConstraintResult.failure(
             worst, "dataset_churn(" + ",".join(self.keys) + "): "
                    + "; ".join(fails)))
+
+
+# ---------------------------------------------------------------------------
+# join-cardinality pre-flight (sketch-based)
+# ---------------------------------------------------------------------------
+
+def estimate_join_cardinality(left, right, left_key: str, right_key: str,
+                              k: int = 256, kmv_k: int = 1024) -> dict:
+    """Predict |left ⋈ right| BEFORE running the join, from one
+    bounded-cost sketch pass per side — the pre-flight for the
+    100 TB failure mode where a skewed or low-cardinality key turns
+    an "innocent" equi-join into a row explosion that no amount of
+    partitioning survives. (The reference validates joins after the
+    fact — FK orphans, coverage; this is the gate you run FIRST.)
+
+    |A ⋈ B| = Σ_x f_A(x)·f_B(x). The sketches split that sum:
+
+    - hot term (THEOREM lower bound): Misra-Gries estimates
+      underestimate per key, so Σ over keys held in BOTH sketches of
+      est_A(x)·est_B(x) <= the true sum — a join provably AT LEAST
+      this large. All skew-driven explosions live here: a key pair
+      (10^6, 10^6) contributes 10^12 to the lower bound at any
+      reasonable k.
+    - tail term (heuristic): rows not covered by the hot product are
+      spread uniformly over the unseen keys of the larger side —
+      rest_A·rest_B / max(d_tail) with d_tail from KMV distinct
+      estimates. Uniform+containment assumptions; stated, not proven.
+
+    Returns {lower_bound, estimate, hot_keys, n_left, n_right,
+    d_left, d_right}: ``lower_bound`` is the one-sided number the
+    constraint gates on; ``estimate`` = lower_bound + tail;
+    ``hot_keys`` = [(key, est_l, est_r), ...] sorted by product desc —
+    the keys to salt (plans/skew) if the gate trips. Cost: 4 bounded
+    jobs (2 map-only MG passes, 2 TakeOrdered KMV passes), driver
+    state O(k + kmv_k) per side.
+    """
+    from ..analyzers.heavy_hitters import mg_sketch
+    from ..analyzers.kmv import kmv_distinct, kmv_sketch
+
+    mg_l = mg_sketch(left, left_key, k=k)
+    mg_r = mg_sketch(right, right_key, k=k)
+    d_l = kmv_distinct(kmv_sketch(left, left_key, k=kmv_k))
+    d_r = kmv_distinct(kmv_sketch(right, right_key, k=kmv_k))
+
+    common = set(mg_l.counters) & set(mg_r.counters)
+    hot_keys = sorted(
+        ((x, mg_l.counters[x], mg_r.counters[x]) for x in common),
+        key=lambda t: (-t[1] * t[2], t[0]))
+    lower = sum(el * er for _, el, er in hot_keys)
+
+    # a summary whose counters sum to n never trimmed: it is the EXACT,
+    # COMPLETE frequency table. Both sides complete -> every key pair is
+    # known, the tail is zero, and the "estimate" is the exact join size.
+    complete = (sum(mg_l.counters.values()) == mg_l.n
+                and sum(mg_r.counters.values()) == mg_r.n)
+    if complete:
+        estimate = float(lower)
+    else:
+        rest_l = mg_l.n - sum(mg_l.counters[x] for x in common)
+        rest_r = mg_r.n - sum(mg_r.counters[x] for x in common)
+        d_tail = max(d_l - len(common), d_r - len(common), 1.0)
+        estimate = lower + (rest_l * rest_r) / d_tail
+
+    return {"lower_bound": int(lower), "estimate": float(estimate),
+            "hot_keys": hot_keys,
+            "n_left": mg_l.n, "n_right": mg_r.n,
+            "d_left": d_l, "d_right": d_r}
+
+
+class JoinCardinalityConstraint(Constraint):
+    """``has_bounded_join_cardinality``: fail when a prospective
+    equi-join is PROVABLY larger than ``max_rows`` — the sketch lower
+    bound is one-sided (MG underestimates), so a failure is a proof of
+    explosion and a pass is never a false alarm. An actual size in
+    (lower_bound, true] can slip through when the mass hides below the
+    n/(k+1) counter floor on both sides at once; raise k to shrink
+    that blind spot. The failure message names the worst key pairs —
+    exactly the salting targets for plans/skew. Metric = lower bound
+    as a multiple of max_rows."""
+
+    name = "join_cardinality"
+
+    def __init__(self, left_table: str, left_key: str, right_table: str,
+                 right_key: str, max_rows: float, k: int = 256):
+        validate_identifier(left_key)
+        validate_identifier(right_key)
+        if max_rows <= 0:
+            raise ValueError(f"max_rows must be > 0, got {max_rows}")
+        self.left_table = left_table
+        self.left_key = left_key
+        self.right_table = right_table
+        self.right_key = right_key
+        self.max_rows = float(max_rows)
+        self.k = int(k)
+        self.column = left_key
+        self.table = left_table
+        self.report: Optional[dict] = None
+
+    def evaluate(self, ctx: EngineContext) -> ConstraintResult:
+        left = ctx.df(self.left_table)
+        right = ctx.df(self.right_table)
+        rep = estimate_join_cardinality(
+            left, right, self.left_key, self.right_key, k=self.k)
+        self.report = rep
+        if rep["n_left"] == 0 and rep["n_right"] == 0:
+            return self._finish(ConstraintResult.skipped())
+        ratio = rep["lower_bound"] / self.max_rows
+        if rep["lower_bound"] <= self.max_rows:
+            return self._finish(ConstraintResult.success(ratio))
+        worst = ", ".join(
+            f"{x!r} ({el}x{er})" for x, el, er in rep["hot_keys"][:3])
+        return self._finish(ConstraintResult.failure(
+            ratio,
+            f"join {self.left_table}.{self.left_key} = "
+            f"{self.right_table}.{self.right_key} is provably >= "
+            f"{rep['lower_bound']} rows (> max_rows {self.max_rows:g}; "
+            f"estimate {rep['estimate']:.3g}); worst keys: {worst} — "
+            f"salt or pre-aggregate these before joining"))

@@ -2673,6 +2673,45 @@ ORACLES.update({
 })
 
 
+def q_join_cardinality_orders_lineitem(spark, sf_dir) -> DataFrame:
+    """Join-cardinality pre-flight, made driver-oracle-checkable (the
+    ``q_approx_distinct_orderkey`` attestation pattern): the returned
+    row is the EXACT |orders ⋈ lineitem| on orderkey, plus a
+    Spark-computed attestation of the estimator's one theorem — the
+    sketch lower bound (sum over co-hot keys of the two MG
+    underestimates' product) can never exceed the true join size.
+    The DuckDB oracle replays the exact count and pins TRUE. The
+    estimator itself (multitable.estimate_join_cardinality) is the
+    100 TB pre-flight: 4 bounded sketch jobs instead of running the
+    join to discover it explodes."""
+    from .operators.multitable import estimate_join_cardinality
+
+    o, li = _t(spark, sf_dir, "orders", "lineitem")
+    rep = estimate_join_cardinality(o, li, "o_orderkey", "l_orderkey",
+                                    k=256)
+    joined = o.select(F.col("o_orderkey").alias("k")).join(
+        li.select(F.col("l_orderkey").alias("k")), "k")
+    exact = F.count(F.lit(1))
+    return joined.agg(
+        exact.alias("exact_join_rows"),
+        (F.lit(int(rep["lower_bound"])).cast("bigint") <= exact)
+        .alias("lower_bound_ok"))
+
+
+SQL_JOIN_CARDINALITY_ORDERS_LINEITEM = """
+SELECT COUNT(*) AS exact_join_rows, TRUE AS lower_bound_ok
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+"""
+
+
+QUERIES.update({
+    "join_cardinality_orders_lineitem": q_join_cardinality_orders_lineitem,
+})
+ORACLES.update({
+    "join_cardinality_orders_lineitem": SQL_JOIN_CARDINALITY_ORDERS_LINEITEM,
+})
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation schedule (round 8: data-driven).
 #
@@ -2738,6 +2777,7 @@ FAMILY = {
     "fk_violation_examples": "violation_sampling",
     "join_coverage_lineitem_orders": "multitable",
     "cross_table_sum_orders_lineitem": "multitable",
+    "join_cardinality_orders_lineitem": "join_cardinality",
     "temporal_ordering_orders_lineitem": "multitable",
     "dataset_diff_orders": "dataset_diff",
     "max_time_gap_events": "temporal",
@@ -2837,6 +2877,7 @@ LAST_GREEN = {
     "fk_violation_examples": None,
     "ivf_index_recall_embeddings": None,
     "ivfpq_recall_embeddings": None,
+    "join_cardinality_orders_lineitem": None,
     "lsh_neardup_recall_embeddings": None,
     "mg_heavy_hitters_docs": None,
     "quantile_sketch_merge_quantity": None,
@@ -2881,7 +2922,6 @@ LAST_GREEN = {
     "readability_docs": 8,
     "repetition_docs": 8,
     "row_violations_docs": 8,
-    "script_profile_docs": 8,
     "size_lineitem": 9,
     "completeness_customer": 9,
     "stats_quantity": 9,
@@ -2916,6 +2956,7 @@ LAST_GREEN = {
     "semantic_dedup_embeddings": 9,
     "source_mixing_docs": 8,
     "winnow_overlap_docs": 8,
+    "script_profile_docs": 8,
     "tfidf_top_terms_docs": 8,
     "source_overlap_docs": 8,
     "quantile_exact_quantity": 9,

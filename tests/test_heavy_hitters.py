@@ -247,3 +247,71 @@ def test_streaming_monitor_validates_ratio():
     from term_spark.streaming import StreamingHeavyHitterMonitor
     with pytest.raises(ValueError):
         StreamingHeavyHitterMonitor("c", max_ratio=1.0)
+
+
+def test_join_cardinality_exact_when_sketches_saturate(spark):
+    """k above both distinct counts: the hot term covers every key, the
+    tail is zero, and the estimate IS the exact join size."""
+    from term_spark.operators.multitable import estimate_join_cardinality
+
+    left = spark.createDataFrame(
+        [("a",)] * 3 + [("b",)] * 2 + [("c",)] * 1, "k string")
+    right = spark.createDataFrame(
+        [("a",)] * 4 + [("b",)] * 1 + [("d",)] * 5, "k string")
+    rep = estimate_join_cardinality(left, right, "k", "k", k=64)
+    assert rep["lower_bound"] == 3 * 4 + 2 * 1  # a:12 + b:2
+    assert rep["estimate"] == pytest.approx(14.0)
+    assert rep["hot_keys"][0] == ("a", 3, 4)
+
+
+def test_join_cardinality_lower_bound_theorem(spark):
+    """Small k on a wide key set: the bound must stay at or below the
+    true join size (MG underestimates per key)."""
+    from term_spark.operators.multitable import estimate_join_cardinality
+
+    lrows = [(f"k{i % 40}",) for i in range(400)] + [("hot",)] * 100
+    rrows = [(f"k{i % 40}",) for i in range(200)] + [("hot",)] * 80
+    left = spark.createDataFrame(lrows, "k string").repartition(4)
+    right = spark.createDataFrame(rrows, "k string").repartition(3)
+    true_size = left.join(right, "k").count()
+    rep = estimate_join_cardinality(left, right, "k", "k", k=8)
+    assert rep["lower_bound"] <= true_size
+    assert rep["hot_keys"][0][0] == "hot"  # 100x80 dominates any k=8 cut
+
+
+def test_join_cardinality_gate(spark):
+    """A provably exploding join fails the suite with salting targets
+    named; a modest join passes; empty sides skip."""
+    from term_spark import Check, Level, ValidationSuite
+    from term_spark.core.constraint import EngineContext
+    from term_spark.operators.multitable import JoinCardinalityConstraint
+
+    boom_l = spark.createDataFrame([("x",)] * 1000, "k string")
+    boom_r = spark.createDataFrame([("x",)] * 1000, "k string")
+    small = spark.createDataFrame([(f"v{i}",) for i in range(50)], "k string")
+    tables = {"bl": boom_l, "br": boom_r, "s": small}
+
+    r = (ValidationSuite.builder("t")
+         .with_check(Check("jc", Level.ERROR, table="bl")
+                     .has_bounded_join_cardinality("bl", "k", "br", "k",
+                                                   max_rows=10_000))
+         .run(spark, tables))
+    o = r.report.outcomes[0].result
+    assert not r.passed
+    assert "provably >= 1000000" in o.message and "'x' (1000x1000)" in o.message
+    assert o.metric == pytest.approx(100.0)  # 1e6 / 1e4
+
+    r = (ValidationSuite.builder("t")
+         .with_check(Check("jc", Level.ERROR, table="s")
+                     .has_bounded_join_cardinality("s", "k", "br", "k",
+                                                   max_rows=10_000))
+         .run(spark, tables))
+    assert r.passed
+
+    empty = spark.createDataFrame([], "k string")
+    res = JoinCardinalityConstraint("e", "k", "e", "k", 10).evaluate(
+        EngineContext(spark, {"e": empty}, "e"))
+    assert res.status.name == "SKIPPED"
+
+    with pytest.raises(ValueError):
+        JoinCardinalityConstraint("a", "k", "b", "k", max_rows=0)
