@@ -52,6 +52,17 @@ class MultiTableCheck:
                                   self._on[1], Assertion.ge(threshold), direction)
         return self
 
+    def expect_bounded_join_size(self, max_rows: float,
+                                 k: int = 256) -> "MultiTableCheck":
+        """Sketch pre-flight on the declared join: fail when
+        |child ⋈ parent| is PROVABLY above ``max_rows`` (one-sided MG
+        lower bound — a failure names the keys to salt), without ever
+        running the join."""
+        self._require_join()
+        self._check.has_bounded_join_cardinality(
+            self._left, self._on[0], self._right, self._on[1], max_rows, k)
+        return self
+
     def and_validate_tables(self, child: str, parent: str) -> "MultiTableCheck":
         return self.validate_tables(child, parent)
 

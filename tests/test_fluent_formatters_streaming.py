@@ -15,6 +15,7 @@ def test_fluent_multi_table_dsl(spark, tpch):
              .join_on("o_custkey", "c_custkey")
              .ensure_referential_integrity()
              .expect_join_coverage(1.0)
+             .expect_bounded_join_size(10_000_000)
              .and_validate_tables("orders", "lineitem")
              .ensure_sum_consistency("o_totalprice", "l_extendedprice")
              .group_by("o_orderkey", "l_orderkey")
@@ -22,7 +23,7 @@ def test_fluent_multi_table_dsl(spark, tpch):
              .and_validate_temporal("events")
              .within_business_hours("ts", 0, 24, weekdays_only=False)
              .build())
-    assert len(check.constraints) == 4
+    assert len(check.constraints) == 5
     result = (ValidationSuite.builder("fluent").with_check(check)
               .run(spark, tpch))
     assert result.passed, result.report.to_json(2)
