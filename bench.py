@@ -322,7 +322,7 @@ def main() -> None:
         # round-10 sketch + chunk tiers: MG heavy hitters, CDC dedup,
         # join-cardinality pre-flight
         "mg_heavy_hitters_docs", "cdc_dedup_docs",
-        "join_cardinality_orders_lineitem",
+        "join_cardinality_orders_lineitem", "incremental_neardup_docs",
     ]
     for name in bench_queries:
         per_query[name] = round(_measure_query(spark, QUERIES[name], SF_DIR), 4)

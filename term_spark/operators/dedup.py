@@ -74,21 +74,28 @@ def _doc_shingles(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFram
 
 
 
-def _banded_pairs(sig: DataFrame, cols, bands: int) -> DataFrame:
-    """Shared banding tail for the MinHash variants: hash each band's
-    signature slice, explode to (id, band, hash), self-join within
-    buckets, count matched bands per (id_a < id_b) pair."""
+def _band_stack(sig: DataFrame, cols, bands: int) -> DataFrame:
+    """(id, band, h) bucket rows: md5 of each band's signature slice,
+    exploded one row per band — the unit both the in-memory self-join
+    and the persisted index share."""
     r = len(cols) // bands
     band_cols = []
     for b in range(bands):
         parts = [F.col(c) for c in cols[b * r:(b + 1) * r]]
         band_cols.append(F.md5(F.concat_ws("|", *parts)).alias(f"band_{b}"))
     banded = sig.select("id", *band_cols)
-    stacked = banded.select(
+    return banded.select(
         "id", F.explode(F.array(*[
             F.struct(F.lit(b).alias("band"), F.col(f"band_{b}").alias("h"))
             for b in range(bands)])).alias("bh")
     ).select("id", F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
+
+
+def _banded_pairs(sig: DataFrame, cols, bands: int) -> DataFrame:
+    """Shared banding tail for the MinHash variants: hash each band's
+    signature slice, explode to (id, band, hash), self-join within
+    buckets, count matched bands per (id_a < id_b) pair."""
+    stacked = _band_stack(sig, cols, bands)
     a = stacked.alias("a")
     b_ = stacked.alias("b")
     return (a.join(b_, (F.col("a.band") == F.col("b.band")) &
@@ -283,6 +290,24 @@ def spread(df: DataFrame, key: str, min_parts: Optional[int] = None) -> DataFram
     return df.repartition(target, key)
 
 
+def minhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", k: int = 3,
+                       num_hashes: int = 16) -> DataFrame:
+    """(id, mh_0..mh_{n-1}) MinHash signature table — the shared front
+    half of the in-memory LSH pass and the persisted index build.
+    Shingle explode -> groupBy(id) with num_hashes codegen'd min-aggs
+    (see minhash_lsh_candidates' shape notes for why this beats the
+    shuffle-free higher-order-function fold)."""
+    from .text import norm_tokens, word_shingles_from
+    toks = spread(df, id_col).select(
+        F.col(id_col).alias("id"),
+        norm_tokens(text_col).alias("__toks"))
+    sh = toks.select("id", F.explode(word_shingles_from(F.col("__toks"), k))
+                     .alias("shingle"))
+    return sh.groupBy("id").agg(
+        *minhash_signature_cols(num_hashes)(F.col("shingle")))
+
+
 def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id", k: int = 3,
                            num_hashes: int = 16, bands: int = 4) -> DataFrame:
@@ -311,13 +336,7 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
       but see its densification caveat before also widening bands.
     """
     assert num_hashes % bands == 0
-    from .text import norm_tokens, word_shingles_from
-    toks = spread(df, id_col).select(
-        F.col(id_col).alias("id"),
-        norm_tokens(text_col).alias("__toks"))
-    sh = toks.select("id", F.explode(word_shingles_from(F.col("__toks"), k))
-                     .alias("shingle"))
-    sig = sh.groupBy("id").agg(*minhash_signature_cols(num_hashes)(F.col("shingle")))
+    sig = minhash_signatures(df, text_col, id_col, k, num_hashes)
     # band hash = md5 of the concatenated row minhashes
     return _banded_pairs(sig, [f"mh_{i}" for i in range(num_hashes)], bands)
 
@@ -806,3 +825,86 @@ def cdc_dedup_summary(df: DataFrame, text_col: str = "text",
         F.round(F.when(F.sum("len") > 0,
                        F.sum(F.col("cnt") * F.col("len")) / F.sum("len")), 6)
          .alias("dedup_factor"))
+
+
+# ---------------------------------------------------------------------------
+# Persisted MinHash-LSH index — incremental-ingestion near-dup
+# ---------------------------------------------------------------------------
+
+def build_minhash_index(df: DataFrame, index_path: str,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        k: int = 3, num_hashes: int = 16,
+                        bands: int = 4, mode: str = "overwrite") -> None:
+    """Persist a banded-MinHash near-dup index so future batches dedup
+    against the corpus WITHOUT re-sketching it — the incremental
+    -ingestion workflow (each crawl/dump sketches only itself; the
+    100 TB history is k·|corpus| hex strings on disk, touched only by
+    a bucket join). The text-retrieval analogue of the persisted IVF
+    index in operators/similarity.
+
+    Layout under ``index_path``:
+    - ``meta``        1 row (k, num_hashes, bands) — probe params are
+                      pinned at build time; a mismatched probe is a
+                      different hash family and would silently miss.
+    - ``signatures``  (id, mh_0..mh_{n-1}) for the est-Jaccard verify.
+    - ``buckets``     (id, band, h) — the LSH join side.
+
+    Bucket rows are derived from the WRITTEN signatures, so the two
+    tables can never diverge. Appending a new shard with mode='append'
+    (same params) is sound: min-per-shingle signatures are row-local
+    and bucket membership is per-document.
+    """
+    assert num_hashes % bands == 0
+    spark = df.sparkSession
+    sig = minhash_signatures(df, text_col, id_col, k, num_hashes)
+    sig.write.mode(mode).parquet(f"{index_path}/signatures")
+    persisted = spark.read.parquet(f"{index_path}/signatures")
+    cols = [f"mh_{i}" for i in range(num_hashes)]
+    _band_stack(persisted, cols, bands).write.mode(mode) \
+        .parquet(f"{index_path}/buckets")
+    spark.createDataFrame([(k, num_hashes, bands)],
+                          "k int, num_hashes int, bands int") \
+        .write.mode("overwrite").parquet(f"{index_path}/meta")
+
+
+def neardup_against_index(spark, index_path: str, new_df: DataFrame,
+                          text_col: str = "text", id_col: str = "doc_id",
+                          min_est_jaccard: float = 0.0) -> DataFrame:
+    """Near-dup candidates between a NEW batch and a persisted index:
+    sketch only the batch (params read from the index meta), join its
+    band hashes against the stored buckets, and score every candidate
+    with the standard signature estimate of Jaccard — the fraction of
+    the num_hashes minhashes that agree (each agrees with probability
+    exactly J). Returns (new_id, index_id, n_bands_matched,
+    est_jaccard), filtered to est >= ``min_est_jaccard``.
+
+    Scale shape: the bucket join is the only corpus-sized touch and it
+    shuffles on the 32-hex band hash; the batch side is typically the
+    small one, so AQE broadcasts it. The est-Jaccard verify joins the
+    TWO bounded signature tables (candidates only), never the texts.
+    """
+    meta = spark.read.parquet(f"{index_path}/meta").collect()[0]
+    k, num_hashes, bands = meta["k"], meta["num_hashes"], meta["bands"]
+    cols = [f"mh_{i}" for i in range(num_hashes)]
+
+    new_sig = minhash_signatures(new_df, text_col, id_col, k, num_hashes) \
+        .localCheckpoint()  # used twice: band stack + est verify
+    new_stack = _band_stack(new_sig, cols, bands) \
+        .select(F.col("id").alias("new_id"), "band", "h")
+    buckets = spark.read.parquet(f"{index_path}/buckets") \
+        .select(F.col("id").alias("index_id"), "band", "h")
+    pairs = (new_stack.join(buckets, ["band", "h"])
+             .groupBy("new_id", "index_id")
+             .agg(F.count(F.lit(1)).alias("n_bands_matched")))
+
+    nsig = new_sig.select(F.col("id").alias("new_id"),
+                          *[F.col(c).alias(f"n_{c}") for c in cols])
+    isig = (spark.read.parquet(f"{index_path}/signatures")
+            .select(F.col("id").alias("index_id"),
+                    *[F.col(c).alias(f"i_{c}") for c in cols]))
+    agree = sum(F.when(F.col(f"n_{c}") == F.col(f"i_{c}"), 1).otherwise(0)
+                for c in cols)
+    return (pairs.join(nsig, "new_id").join(isig, "index_id")
+            .select("new_id", "index_id", "n_bands_matched",
+                    (agree / F.lit(num_hashes)).alias("est_jaccard"))
+            .filter(F.col("est_jaccard") >= min_est_jaccard))

@@ -2852,6 +2852,7 @@ FAMILY = {
     "frequent_terms_docs": "heavy_hitters",
     "mg_heavy_hitters_docs": "heavy_hitters",
     "cdc_dedup_docs": "cdc",
+    "incremental_neardup_docs": "minhash",
     "chunk_documents_docs": "chunking",
     "packing_stats_docs": "chunking",
     "doc_length_buckets": "chunking",
@@ -2875,6 +2876,7 @@ LAST_GREEN = {
     "bm25_topk_docs": None,
     "cdc_dedup_docs": None,
     "fk_violation_examples": None,
+    "incremental_neardup_docs": None,
     "ivf_index_recall_embeddings": None,
     "ivfpq_recall_embeddings": None,
     "join_cardinality_orders_lineitem": None,
@@ -2921,7 +2923,6 @@ LAST_GREEN = {
     "numeric_histogram_quantity": 8,
     "readability_docs": 8,
     "repetition_docs": 8,
-    "row_violations_docs": 8,
     "size_lineitem": 9,
     "completeness_customer": 9,
     "stats_quantity": 9,
@@ -2958,6 +2959,7 @@ LAST_GREEN = {
     "winnow_overlap_docs": 8,
     "script_profile_docs": 8,
     "tfidf_top_terms_docs": 8,
+    "row_violations_docs": 8,
     "source_overlap_docs": 8,
     "quantile_exact_quantity": 9,
     "profile_customer": 9,

@@ -2020,3 +2020,83 @@ FROM per
 
 LLM_QUERIES.update({"cdc_dedup_docs": q_cdc_dedup_docs})
 LLM_ORACLES.update({"cdc_dedup_docs": SQL_CDC_DEDUP_DOCS})
+
+
+def q_incremental_neardup_docs(spark, sf_dir) -> DataFrame:
+    """Persisted MinHash-LSH index lifecycle, made driver-oracle
+    -checkable: the corpus slice (doc_id % 4 != 0) is sketched ONCE
+    into a scratch index (``build_minhash_index`` — signatures +
+    band buckets + pinned params on disk), then the new batch
+    (doc_id % 4 == 0) dedups against it WITHOUT the corpus being
+    re-sketched (``neardup_against_index``), the incremental
+    -ingestion workflow. Returned pairs carry the banded match count
+    and the signature-estimated Jaccard (fraction of agreeing
+    minhashes — agrees with probability exactly J per hash). Every
+    hash is the engine-portable md5 family, so the DuckDB oracle
+    replays the ENTIRE lifecycle — signatures, buckets, bucket join,
+    estimate — value-for-value.
+
+    Eagerly materialized so the scratch index is deleted before
+    returning (the ``q_ivf_index_recall_embeddings`` pattern)."""
+    import shutil
+    import tempfile
+
+    d = _docs(spark, sf_dir)
+    corpus = d.filter(F.col("doc_id") % 4 != 0)
+    batch = d.filter(F.col("doc_id") % 4 == 0)
+    tmp = tempfile.mkdtemp(prefix="term_spark_mhidx_")
+    try:
+        D.build_minhash_index(corpus, tmp, k=JACCARD_K,
+                              num_hashes=NUM_HASHES, bands=BANDS)
+        res = (D.neardup_against_index(spark, tmp, batch)
+               .select("new_id", "index_id", "n_bands_matched",
+                       F.round("est_jaccard", 6).alias("est_jaccard"))
+               .orderBy("new_id", "index_id"))
+        rows = res.collect()
+        schema = res.schema
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+def _incremental_neardup_sql() -> str:
+    r = NUM_HASHES // BANDS
+    mh = ", ".join(
+        f"MIN(md5('{i}:' || shingle)) AS mh_{i}" for i in range(NUM_HASHES))
+    band_exprs = []
+    for b in range(BANDS):
+        parts = " || '|' || ".join(
+            f"mh_{i}" for i in range(b * r, (b + 1) * r))
+        band_exprs.append(f"md5({parts}) AS band_{b}")
+    bands_sql = ", ".join(band_exprs)
+    stack = " UNION ALL ".join(
+        f"SELECT id, {b} AS band, band_{b} AS h FROM banded"
+        for b in range(BANDS))
+    agree = " + ".join(
+        f"CASE WHEN n.mh_{i} = c.mh_{i} THEN 1 ELSE 0 END"
+        for i in range(NUM_HASHES))
+    return f"""
+WITH dsh AS ({_SHINGLE_SQL}),
+sig AS (SELECT id, {mh} FROM dsh GROUP BY id),
+banded AS (SELECT id, {bands_sql} FROM sig),
+stacked AS ({stack}),
+pairs AS (
+    SELECT n.id AS new_id, c.id AS index_id, COUNT(*) AS n_bands_matched
+    FROM stacked n JOIN stacked c ON n.band = c.band AND n.h = c.h
+    WHERE n.id % 4 = 0 AND c.id % 4 <> 0
+    GROUP BY 1, 2
+)
+SELECT p.new_id, p.index_id, p.n_bands_matched,
+       ROUND(({agree}) * 1.0 / {NUM_HASHES}, 6) AS est_jaccard
+FROM pairs p
+JOIN sig n ON n.id = p.new_id
+JOIN sig c ON c.id = p.index_id
+ORDER BY new_id, index_id
+"""
+
+
+SQL_INCREMENTAL_NEARDUP_DOCS = _incremental_neardup_sql()
+
+
+LLM_QUERIES.update({"incremental_neardup_docs": q_incremental_neardup_docs})
+LLM_ORACLES.update({"incremental_neardup_docs": SQL_INCREMENTAL_NEARDUP_DOCS})
