@@ -314,6 +314,42 @@ def main():
     print("BM25 'lazy dog' top docs: "
           + ", ".join(f"{r['doc_id']} ({r['score']:.3f})" for r in hits))
 
+    # round 10: bounded-cost sketch tiers — MG heavy hitters (map-only
+    # frequency summary), join-explosion pre-flight, and a persisted
+    # MinHash index for incremental ingestion
+    import shutil
+    import tempfile
+
+    from term_spark.analyzers.heavy_hitters import mg_sketch
+    from term_spark.operators.dedup import (build_minhash_index,
+                                            neardup_against_index)
+    from term_spark.operators.multitable import estimate_join_cardinality
+
+    toks = sdocs.select(F.explode(F.split(F.lower("text"), " "))
+                        .alias("tok"))
+    hh = mg_sketch(toks, "tok", k=16)
+    print("MG heavy hitters (map-only, <=17 rows/partition shuffled): "
+          + ", ".join(f"{t}>={c}" for t, c in hh.top(3))
+          + f" of n={hh.n} (undercount <= {hh.error_bound})")
+
+    jc = estimate_join_cardinality(sdocs, sdocs, "doc_id", "doc_id", k=16)
+    print(f"join pre-flight: |self-join on doc_id| provably >= "
+          f"{jc['lower_bound']} rows (estimate {jc['estimate']:.0f}) "
+          "from 4 sketch jobs, no join executed")
+
+    idx = tempfile.mkdtemp(prefix="term_spark_quickstart_mhidx_")
+    try:
+        build_minhash_index(sdocs, idx)
+        batch = spark.createDataFrame(
+            [(10, "the quick brown fox jumps over the lazy dog other tail")],
+            "doc_id long, text string")
+        cand = neardup_against_index(spark, idx, batch).collect()
+        print("incremental dedup vs persisted index: batch doc 10 matches "
+              + ", ".join(f"corpus {r['index_id']} "
+                          f"(est J={r['est_jaccard']:.2f})" for r in cand))
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
 
 if __name__ == "__main__":
     main()
