@@ -2870,59 +2870,59 @@ FAMILY = {
 # BEGIN GENERATED ROTATION DATA (scripts/update_rotation.py)
 #: Most recent round whose CORRECTNESS_r{N}.json holds a green
 #: (rows_match + schema_match + hash_match) driver row for each query;
-#: None = never driver-proven.  Source artifacts: r01, r02, r03, r04, r05, r06, r07, r08, r09.
-CURRENT_ROUND = 10
+#: None = never driver-proven.  Source artifacts: r01, r02, r03, r04, r05, r06, r07, r08, r09, r10.
+CURRENT_ROUND = 11
 LAST_GREEN = {
-    "bm25_topk_docs": None,
-    "cdc_dedup_docs": None,
-    "fk_violation_examples": None,
-    "incremental_neardup_docs": None,
-    "ivf_index_recall_embeddings": None,
-    "ivfpq_recall_embeddings": None,
-    "join_cardinality_orders_lineitem": None,
-    "lsh_neardup_recall_embeddings": None,
-    "mg_heavy_hitters_docs": None,
-    "quantile_sketch_merge_quantity": None,
-    "substring_dedup_docs": None,
-    "substring_rewrite_docs": None,
-    "top_customers_revenue": 7,
-    "unigram_surprisal_docs": 7,
-    "unique_value_ratio_custkey": 7,
-    "unpivot_pricing": 7,
-    "asof_click_error": 8,
-    "bigram_surprisal_docs": 8,
-    "brand_profile_part": 8,
-    "business_hours_events": 8,
-    "chunk_documents_docs": 8,
-    "containment_orderstatus": 8,
-    "corpus_profile_by_lang": 8,
-    "corr_matrix_lineitem": 8,
-    "dataset_diff_orders": 8,
-    "date_range_orders": 8,
-    "decontaminate_docs": 8,
-    "decontamination_report_docs": 8,
-    "dedup_pipeline_docs": 8,
-    "doc_length_buckets": 8,
-    "drift_w1_quantity": 8,
-    "dsir_weights_docs": 8,
-    "embedding_centroid_drift": 8,
-    "embedding_neardup_pairs": 8,
-    "fd_custkey_orderstatus": 8,
-    "fingerprint_docs": 8,
-    "frequent_terms_docs": 8,
-    "gopher_rules_docs": 8,
-    "grouped_stats_mktsegment": 8,
-    "interval_join_events": 8,
-    "jaccard_prefix_pairs_docs": 8,
-    "key_skew_custkey": 8,
-    "lang_id": 8,
-    "lexical_diversity_docs": 8,
-    "minhash_oph_candidates_docs": 8,
-    "neardup_components": 8,
-    "ngram_novelty_docs": 8,
-    "numeric_histogram_quantity": 8,
-    "readability_docs": 8,
-    "repetition_docs": 8,
+    "bm25_topk_docs": 10,
+    "cdc_dedup_docs": 10,
+    "fk_violation_examples": 10,
+    "incremental_neardup_docs": 10,
+    "ivf_index_recall_embeddings": 10,
+    "ivfpq_recall_embeddings": 10,
+    "join_cardinality_orders_lineitem": 10,
+    "lsh_neardup_recall_embeddings": 10,
+    "mg_heavy_hitters_docs": 10,
+    "quantile_sketch_merge_quantity": 10,
+    "substring_dedup_docs": 10,
+    "substring_rewrite_docs": 10,
+    "top_customers_revenue": 10,
+    "unigram_surprisal_docs": 10,
+    "unique_value_ratio_custkey": 10,
+    "unpivot_pricing": 10,
+    "asof_click_error": 10,
+    "bigram_surprisal_docs": 10,
+    "brand_profile_part": 10,
+    "business_hours_events": 10,
+    "chunk_documents_docs": 10,
+    "containment_orderstatus": 10,
+    "corpus_profile_by_lang": 10,
+    "corr_matrix_lineitem": 10,
+    "dataset_diff_orders": 10,
+    "date_range_orders": 10,
+    "decontaminate_docs": 10,
+    "decontamination_report_docs": 10,
+    "dedup_pipeline_docs": 10,
+    "doc_length_buckets": 10,
+    "drift_w1_quantity": 10,
+    "dsir_weights_docs": 10,
+    "embedding_centroid_drift": 10,
+    "embedding_neardup_pairs": 10,
+    "fd_custkey_orderstatus": 10,
+    "fingerprint_docs": 10,
+    "frequent_terms_docs": 10,
+    "gopher_rules_docs": 10,
+    "grouped_stats_mktsegment": 10,
+    "interval_join_events": 10,
+    "jaccard_prefix_pairs_docs": 10,
+    "key_skew_custkey": 10,
+    "lang_id": 10,
+    "lexical_diversity_docs": 10,
+    "minhash_oph_candidates_docs": 10,
+    "neardup_components": 10,
+    "ngram_novelty_docs": 10,
+    "numeric_histogram_quantity": 10,
+    "readability_docs": 10,
+    "repetition_docs": 10,
     "size_lineitem": 9,
     "completeness_customer": 9,
     "stats_quantity": 9,
