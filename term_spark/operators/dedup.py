@@ -849,18 +849,24 @@ def build_minhash_index(df: DataFrame, index_path: str,
     - ``signatures``  (id, mh_0..mh_{n-1}) for the est-Jaccard verify.
     - ``buckets``     (id, band, h) — the LSH join side.
 
-    Bucket rows are derived from the WRITTEN signatures, so the two
-    tables can never diverge. Appending a new shard with mode='append'
-    (same params) is sound: min-per-shingle signatures are row-local
-    and bucket membership is per-document.
+    Bucket rows are derived from THIS shard's signatures only — the
+    same pinned rows that were just written (localCheckpoint fixes the
+    data before both writes, so the tables cannot diverge). That makes
+    mode='append' sound AND linear: each shard contributes exactly
+    ``bands`` bucket rows per document, once; re-deriving from the
+    whole persisted signatures table would re-append every earlier
+    shard's bucket rows on every append (quadratic bucket growth and
+    inflated n_bands_matched — the bug this shard-local derivation
+    prevents). Min-per-shingle signatures are row-local and bucket
+    membership is per-document, so shard-wise union == batch build.
     """
     assert num_hashes % bands == 0
     spark = df.sparkSession
-    sig = minhash_signatures(df, text_col, id_col, k, num_hashes)
+    sig = minhash_signatures(df, text_col, id_col, k, num_hashes) \
+        .localCheckpoint()  # pin: the written shard IS the banded shard
     sig.write.mode(mode).parquet(f"{index_path}/signatures")
-    persisted = spark.read.parquet(f"{index_path}/signatures")
     cols = [f"mh_{i}" for i in range(num_hashes)]
-    _band_stack(persisted, cols, bands).write.mode(mode) \
+    _band_stack(sig, cols, bands).write.mode(mode) \
         .parquet(f"{index_path}/buckets")
     spark.createDataFrame([(k, num_hashes, bands)],
                           "k int, num_hashes int, bands int") \

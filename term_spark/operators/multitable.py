@@ -257,6 +257,11 @@ class CrossTableSumConstraint(Constraint):
         # 0.0 (the same double coercion the join plan applied).
         # Requires union-compatible group-key types; otherwise fall
         # back to the join, whose key comparison coerces implicitly.
+        # NULL-key semantic (both paths, pinned): NULL is ONE group,
+        # SQL GROUP BY style — the union plan gets this from groupBy
+        # naturally; the fallback join is null-safe (eqNullSafe) so the
+        # two sides' NULL groups compare against each other, never
+        # against 0.
         if left.schema[lk].dataType == right.schema[rk].dataType:
             lt = left.select(F.expr(self.left_expr).alias("x")).schema[0].dataType
             rt = right.select(F.expr(self.right_expr).alias("x")).schema[0].dataType
@@ -274,10 +279,12 @@ class CrossTableSumConstraint(Constraint):
         else:
             lsum = left.groupBy(F.col(lk).alias("grp")).agg(
                 F.sum(F.expr(self.left_expr)).alias("left_sum"))
-            rsum = right.groupBy(F.col(rk).alias("grp")).agg(
+            rsum = right.groupBy(F.col(rk).alias("rgrp")).agg(
                 F.sum(F.expr(self.right_expr)).alias("right_sum"))
-            joined = lsum.join(rsum, "grp", "full_outer").select(
-                "grp",
+            joined = lsum.join(
+                rsum, lsum["grp"].eqNullSafe(rsum["rgrp"]), "full_outer"
+            ).select(
+                F.coalesce(lsum["grp"], rsum["rgrp"]).alias("grp"),
                 F.coalesce("left_sum", F.lit(0.0)).alias("left_sum"),
                 F.coalesce("right_sum", F.lit(0.0)).alias("right_sum"))
         joined = joined.withColumn(

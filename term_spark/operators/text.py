@@ -416,10 +416,19 @@ def paragraph_dedup_summary(df, text_col: str = "text",
 
 
 #: rolling-hash bases for the O(tokens) gram path — odd (hence
-#: invertible mod 2^64); two independent bases give 128 bits of gram
-#: identity, matching the md5 path's collision posture.
+#: invertible mod 2^64).  Each base rolls over its OWN token-hash
+#: stream (xxhash64 of the token vs xxhash64 of the token + a salt
+#: byte), so gram identity is a genuine ~128-bit pair: a collision
+#: needs two distinct grams to collide under BOTH independent hashes
+#: of the raw token text simultaneously.  (Rolling both bases over one
+#: shared token hash would bound gram identity by 64-bit token
+#: identity — any xxhash64 token collision collides both bases.)
 _ROLL_B1 = 0x9E3779B97F4A7C15
 _ROLL_B2 = 0xC2B2AE3D27D4EB4F
+#: salt appended to tokens for the second hash stream — \x01 cannot
+#: appear in norm_tokens output (whitespace-split printable text), so
+#: salted streams never alias unsalted ones.
+_ROLL_SALT = "\x01"
 
 
 def _rolling_gram_table(df, text_col: str, id_col: str, k: int):
@@ -431,17 +440,23 @@ def _rolling_gram_table(df, text_col: str, id_col: str, k: int):
     polynomial hash in O(tokens) numpy:  with prefix sums
     P_j = Σ_{t<j} h_t·B^t (mod 2^64, native uint64 wrap),
     H(i, k) = (P_{i+k} − P_i) · B^{−i} — B is odd so B^{−1} exists
-    mod 2^64 and the inverse-power array is one cumprod.  Two
-    independent bases make gram identity a 128-bit pair, so the
-    collision posture matches md5 (a single 64-bit hash would expect
-    ~C(n,2)/2^64 false gram equalities — ~10^6 at 10^13 corpus
-    positions; the pair pushes that below 10^-12)."""
+    mod 2^64 and the inverse-power array is one cumprod.  Each base
+    rolls over its OWN token-hash stream — xxhash64(token) for B1 and
+    xxhash64(token + _ROLL_SALT) for B2 — so gram identity is a
+    genuine ~128-bit pair of the raw token text: a false gram equality
+    requires a simultaneous collision under both independently-salted
+    hashes (expected ~C(n,2)/2^128 — below 10^-12 even at 10^13
+    corpus positions), matching the md5 path's posture.  Rolling both
+    bases over ONE shared token hash would cap identity at 64 bits
+    (any xxhash64 token collision collides both bases at once)."""
     import numpy as np
 
     id_field = df.schema[id_col]
     th = (df.select(F.col(id_col), norm_tokens(text_col).alias("toks"))
           .select(F.col(id_col),
-                  F.transform("toks", lambda t: F.xxhash64(t)).alias("th")))
+                  F.transform("toks", lambda t: F.xxhash64(t)).alias("ta"),
+                  F.transform("toks", lambda t: F.xxhash64(
+                      F.concat(t, F.lit(_ROLL_SALT)))).alias("tb")))
     out_schema = (f"{id_col} {id_field.dataType.simpleString()}, "
                   "pos int, h1 bigint, h2 bigint")
     binv1 = pow(_ROLL_B1, -1, 2 ** 64)
@@ -452,38 +467,39 @@ def _rolling_gram_table(df, text_col: str, id_col: str, k: int):
 
         bases = ((np.uint64(_ROLL_B1), np.uint64(binv1)),
                  (np.uint64(_ROLL_B2), np.uint64(binv2)))
+
+        def poly(h, b, binv, n):
+            pw = np.concatenate((
+                [np.uint64(1)],
+                np.cumprod(np.full(n - 1, b, dtype=np.uint64),
+                           dtype=np.uint64)))
+            pref = np.concatenate((
+                [np.uint64(0)],
+                np.cumsum(h * pw, dtype=np.uint64)))
+            ipw = np.concatenate((
+                [np.uint64(1)],
+                np.cumprod(np.full(n - k, binv, dtype=np.uint64),
+                           dtype=np.uint64)))
+            return ((pref[k:] - pref[:-k]) * ipw).view(np.int64)
+
         old = np.seterr(over="ignore")  # uint64 wrap IS the modulus
         try:
             for pdf in batches:
                 ids, poss, h1s, h2s = [], [], [], []
-                for rid, arr in zip(pdf[id_col], pdf["th"]):
-                    if arr is None:
+                for rid, arr_a, arr_b in zip(pdf[id_col], pdf["ta"],
+                                             pdf["tb"]):
+                    if arr_a is None:
                         continue
-                    h = np.asarray(arr, dtype=np.int64).view(np.uint64)
-                    n = h.size
+                    ha = np.asarray(arr_a, dtype=np.int64).view(np.uint64)
+                    hb = np.asarray(arr_b, dtype=np.int64).view(np.uint64)
+                    n = ha.size
                     if n < k:
                         continue
-                    outs = []
-                    for b, binv in bases:
-                        pw = np.concatenate((
-                            [np.uint64(1)],
-                            np.cumprod(np.full(n - 1, b, dtype=np.uint64),
-                                       dtype=np.uint64)))
-                        pref = np.concatenate((
-                            [np.uint64(0)],
-                            np.cumsum(h * pw, dtype=np.uint64)))
-                        ipw = np.concatenate((
-                            [np.uint64(1)],
-                            np.cumprod(np.full(n - k, binv,
-                                               dtype=np.uint64),
-                                       dtype=np.uint64)))
-                        outs.append(((pref[k:] - pref[:-k]) * ipw)
-                                    .view(np.int64))
                     m = n - k + 1
                     ids.extend([rid] * m)
                     poss.extend(range(m))
-                    h1s.append(outs[0])
-                    h2s.append(outs[1])
+                    h1s.append(poly(ha, *bases[0], n))
+                    h2s.append(poly(hb, *bases[1], n))
                 if ids:
                     yield pd.DataFrame({
                         id_col: ids,

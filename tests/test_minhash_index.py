@@ -85,6 +85,40 @@ def test_append_shard(spark, tmp_path):
     assert (102, 50) in out     # shard 2
 
 
+def test_append_is_linear_not_quadratic(spark, tmp_path):
+    """Each append adds exactly bands rows per NEW document to the
+    buckets table — earlier shards' bucket rows are never re-appended
+    (the quadratic-growth bug: deriving the band stack from the whole
+    persisted signatures table duplicates every prior shard on every
+    append, inflating n_bands_matched past `bands`)."""
+    idx = str(tmp_path / "mhidx_lin")
+    bands = 4
+    build_minhash_index(_df(spark, _CORPUS[:1]), idx)
+    build_minhash_index(_df(spark, _CORPUS[1:2]), idx, mode="append")
+    build_minhash_index(_df(spark, _CORPUS[2:3]), idx, mode="append")
+
+    buckets = spark.read.parquet(f"{idx}/buckets")
+    # 3 docs x 4 bands, no duplicated rows from repeated appends
+    assert buckets.count() == 3 * bands
+    per_doc = {r["id"]: r["n"] for r in
+               buckets.groupBy("id").count().withColumnRenamed("count", "n")
+               .collect()}
+    assert per_doc == {1: bands, 2: bands, 3: bands}
+
+    # probe of an exact copy: n_bands_matched == bands exactly, and the
+    # three-append index behaves identically to a one-shot batch build
+    out = {(r["new_id"], r["index_id"]): r["n_bands_matched"] for r in
+           neardup_against_index(spark, idx, _df(spark, _BATCH)).collect()}
+    assert out[(100, 1)] == bands
+
+    batch_idx = str(tmp_path / "mhidx_batch")
+    build_minhash_index(_df(spark, _CORPUS), batch_idx)
+    batch_out = {(r["new_id"], r["index_id"]): r["n_bands_matched"] for r in
+                 neardup_against_index(spark, batch_idx,
+                                       _df(spark, _BATCH)).collect()}
+    assert out == batch_out
+
+
 def test_min_est_jaccard_filter(spark, tmp_path):
     idx = str(tmp_path / "mhidx4")
     build_minhash_index(_df(spark, _CORPUS), idx)

@@ -140,6 +140,45 @@ def test_cross_table_sum(spark):
     assert o.status == Status.FAILURE and o.metric == 1.0
 
 
+def test_cross_table_sum_null_keys_one_group_both_plans(spark):
+    """NULL-key semantic is pinned to SQL GROUP BY (NULL is ONE group)
+    on BOTH plans: the union-tag fast path (matching key types) and the
+    null-safe full-outer-join fallback (mismatched key types) must
+    return the same verdict on the same data — NULL sums compare
+    against each other, never against 0."""
+    from term_spark.core.constraint import EngineContext
+    from term_spark.operators.multitable import CrossTableSumConstraint
+
+    rows_a = [(1, 10.0), (None, 5.0), (None, 3.0)]
+    rows_b = [(1, 10.0), (None, 8.0)]
+    # same key types -> union-tag fast path
+    a = spark.createDataFrame(rows_a, "k long, v double")
+    b = spark.createDataFrame(rows_b, "k long, v double")
+    fast = CrossTableSumConstraint("a", "v", "b", "v", tolerance=0.1,
+                                   group_by=("k", "k")).evaluate(
+        EngineContext(spark, {"a": a, "b": b}, "a"))
+    # mismatched key types (long vs int) -> join fallback
+    b_int = spark.createDataFrame(rows_b, "k int, v double")
+    slow = CrossTableSumConstraint("a", "v", "b", "v", tolerance=0.1,
+                                   group_by=("k", "k")).evaluate(
+        EngineContext(spark, {"a": a, "b": b_int}, "a"))
+    # NULL group: 5+3=8 vs 8 -> match; group 1: 10 vs 10 -> match
+    assert fast.status == Status.SUCCESS
+    assert slow.status == fast.status and slow.metric == fast.metric
+
+    # and when the NULL groups DISAGREE, both plans flag exactly one
+    # violating group (the NULL one), not two phantom vs-zero rows
+    b2 = [(1, 10.0), (None, 99.0)]
+    for schema in ("k long, v double", "k int, v double"):
+        c = CrossTableSumConstraint("a", "v", "b", "v", tolerance=0.1,
+                                    group_by=("k", "k"))
+        res = c.evaluate(EngineContext(
+            spark, {"a": a, "b": spark.createDataFrame(b2, schema)}, "a"))
+        assert res.status == Status.FAILURE and res.metric == 1.0
+        assert len(c.violating_groups) == 1
+        assert c.violating_groups[0]["grp"] is None
+
+
 def test_cross_table_sum_and_bidirectional_coverage_single_action(
         spark, monkeypatch):
     """Success path = ONE driver action (the reference computes both
