@@ -514,6 +514,49 @@ def _rolling_gram_table(df, text_col: str, id_col: str, k: int):
                     F.struct("h1", "h2").alias("h")))
 
 
+def _gram_table(df, text_col: str, id_col: str, k: int,
+                hasher: str = "rolling"):
+    """(id, pos, h) for every k-token gram start over the NORMALIZED
+    token stream — the shared hashing front of the in-memory
+    substring-dedup operators AND the persisted gram index (build and
+    probe hash through THIS one function, so index params stay
+    comparable by construction).
+
+    ``hasher="rolling"``: double Rabin–Karp over independently-salted
+    xxhash64 token streams, O(tokens) (``_rolling_gram_table``); h is
+    struct<h1,h2>.  ``hasher="md5"``: md5 of the gram text, O(tokens·k)
+    bytes, pure JVM; h is a 32-hex string (the engine-portable family
+    DuckDB oracles replay)."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2 (got {k}): 1-grams make every "
+                         "repeated word a duplicated span")
+    # per-row gram hashing is CPU-heavy: a small parquet scans as ONE
+    # task, serializing the map stage on a single core (the spread()
+    # convention every shingle operator follows; measured 8.6 s -> par
+    # for the md5 path on a 1-partition sf0.1 input)
+    from .dedup import spread
+    df = spread(df, id_col)
+    if hasher == "rolling":
+        return _rolling_gram_table(df, text_col, id_col, k)
+    if hasher == "md5":
+        toks = df.select(F.col(id_col), norm_tokens(text_col).alias("toks"))
+        n = F.size(F.col("toks"))
+        # k-gram md5 per start position; docs shorter than k tokens have
+        # no k-gram (empty array, not the whole-doc fallback shingling
+        # uses — a 3-token doc has no duplicated 10-token run by
+        # definition).  The lambda reads the projected `toks` attribute,
+        # never the split expression (the word_shingles_from O(tokens^2)
+        # lesson).
+        return (toks.withColumn(
+                    "g", F.when(n >= k, F.transform(
+                        F.sequence(F.lit(0), n - k),
+                        lambda i: F.md5(F.concat_ws(
+                            " ", F.slice(F.col("toks"), i + 1, k)))))
+                     .otherwise(F.array().cast("array<string>")))
+                .select(F.col(id_col), F.posexplode("g").alias("pos", "h")))
+    raise ValueError(f"hasher must be 'md5' or 'rolling', got {hasher!r}")
+
+
 def _dup_gram_positions(df, text_col: str, id_col: str, k: int,
                         min_count: int, hasher: str = "md5"):
     """(id, pos) of every k-gram start whose NORMALIZED k-token gram
@@ -531,40 +574,11 @@ def _dup_gram_positions(df, text_col: str, id_col: str, k: int,
     measured at sf1 (50k docs, best-of-3 fresh-GC), rolling wins
     3.4× at k=10 (12.3 → 3.6 s) and 2.2× at k=50 (5.3 → 2.5 s) with
     identical span counts."""
-    if k < 2:
-        raise ValueError(f"k must be >= 2 (got {k}): 1-grams make every "
-                         "repeated word a duplicated span")
     if min_count < 2:
         raise ValueError(
             f"min_count must be >= 2 (got {min_count}): every gram occurs "
             "at least once, so min_count=1 would mark the whole corpus")
-    # per-row gram hashing is CPU-heavy: a small parquet scans as ONE
-    # task, serializing the map stage on a single core (the spread()
-    # convention every shingle operator follows; measured 8.6 s -> par
-    # for the md5 path on a 1-partition sf0.1 input)
-    from .dedup import spread
-    df = spread(df, id_col)
-    if hasher == "rolling":
-        grams = _rolling_gram_table(df, text_col, id_col, k)
-    elif hasher == "md5":
-        toks = df.select(F.col(id_col), norm_tokens(text_col).alias("toks"))
-        n = F.size(F.col("toks"))
-        # k-gram md5 per start position; docs shorter than k tokens have
-        # no k-gram (empty array, not the whole-doc fallback shingling
-        # uses — a 3-token doc has no duplicated 10-token run by
-        # definition).  The lambda reads the projected `toks` attribute,
-        # never the split expression (the word_shingles_from O(tokens^2)
-        # lesson).
-        grams = (toks.withColumn(
-                     "g", F.when(n >= k, F.transform(
-                         F.sequence(F.lit(0), n - k),
-                         lambda i: F.md5(F.concat_ws(
-                             " ", F.slice(F.col("toks"), i + 1, k)))))
-                      .otherwise(F.array().cast("array<string>")))
-                 .select(F.col(id_col), F.posexplode("g").alias("pos", "h")))
-    else:
-        raise ValueError(f"hasher must be 'md5' or 'rolling', got "
-                         f"{hasher!r}")
+    grams = _gram_table(df, text_col, id_col, k, hasher)
     freq = grams.groupBy("h").agg(F.count(F.lit(1)).alias("n_corpus"))
     dup_pos = (grams.join(freq.filter(F.col("n_corpus") >= min_count)
                               .select("h"), "h", "left_semi")
@@ -602,26 +616,33 @@ def duplicated_spans(df, text_col: str = "text", id_col: str = "doc_id",
     (same as the paper — self-repetition is duplication too); use
     ``repetition_metrics`` for a pure within-doc view.
     """
-    from pyspark.sql import Window
-
     dup_pos, _ = _dup_gram_positions(df, text_col, id_col, k, min_count,
                                      hasher=hasher)
+    return _merge_spans(dup_pos, id_col, k)
+
+
+def _merge_spans(dup_pos, id_col: str, k: int):
+    """Merge duplicated k-gram start positions (id, pos) into maximal
+    spans (id, span_start, span_end, span_tokens) — the interval-merge
+    back half shared by ``duplicated_spans`` and the persisted-index
+    probe.  Partition-parallel: one per-doc window, no global sort."""
+    from pyspark.sql import Window
+
     w = Window.partitionBy(id_col).orderBy("pos")
     # all intervals are the same length k and sorted by start, so two
     # consecutive covered starts merge iff the gap is <= k (overlap or
     # exact adjacency — the covered-token set is identical either way)
     brk = (F.when(F.col("pos") - F.lag("pos").over(w) <= k, F.lit(0))
             .otherwise(F.lit(1)))
-    spans = (dup_pos.withColumn("brk", brk)
-             .withColumn("span_id", F.sum("brk").over(
-                 w.rowsBetween(Window.unboundedPreceding, 0)))
-             .groupBy(id_col, "span_id")
-             .agg(F.min("pos").alias("span_start"),
-                  (F.max("pos") + k).alias("span_end"))
-             .select(id_col, "span_start", "span_end",
-                     (F.col("span_end") - F.col("span_start"))
-                     .alias("span_tokens")))
-    return spans
+    return (dup_pos.withColumn("brk", brk)
+            .withColumn("span_id", F.sum("brk").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)))
+            .groupBy(id_col, "span_id")
+            .agg(F.min("pos").alias("span_start"),
+                 (F.max("pos") + k).alias("span_end"))
+            .select(id_col, "span_start", "span_end",
+                    (F.col("span_end") - F.col("span_start"))
+                    .alias("span_tokens")))
 
 
 def substring_dedup_summary(df, text_col: str = "text",
@@ -703,6 +724,109 @@ def remove_duplicated_spans(df, text_col: str = "text",
                .filter(F.col(text_col) != "")
                .select(id_col, text_col))
     return cleaned, spans
+
+
+# ---------------------------------------------------------------------------
+# Persisted ExactSubstr gram-frequency index — incremental-ingestion
+# substring dedup (round 11; the text-span analogue of the persisted
+# MinHash-LSH index in operators/dedup.py)
+# ---------------------------------------------------------------------------
+
+def build_substring_index(df, index_path: str, text_col: str = "text",
+                          id_col: str = "doc_id", k: int = 10,
+                          hasher: str = "rolling",
+                          mode: str = "overwrite") -> None:
+    """Persist the corpus's k-gram frequency table so future batches
+    run ExactSubstr dedup against history WITHOUT re-hashing it — the
+    incremental-ingestion tier for substring dedup (each crawl/dump
+    hashes only itself; the 100 TB history is one (hash, count) row
+    per distinct gram on disk, touched only by a semi-join against the
+    batch's gram set).
+
+    Layout under ``index_path``:
+    - ``meta``   1 row (k, hasher) — gram params are pinned at build
+                 time; a probe under different params is a different
+                 gram family and would silently miss.
+    - ``grams``  (h, n) per-shard PARTIAL counts (h is the rolling
+                 struct<h1,h2> pair or the md5 hex string per
+                 ``hasher``); ``min_count`` stays a PROBE parameter.
+
+    Append-shard soundness (the ``build_minhash_index`` argument, one
+    step simpler): gram counts ADD across shards — each ``mode=
+    'append'`` call writes only the new shard's partials and the probe
+    sums per hash — and the ``n >= min_count`` test is monotone in the
+    summed count, so shard-wise appends are equivalent to a batch
+    build over the union (test_substring_index proves it probe-output
+    -for-probe-output).  Unlike the MinHash index nothing per-document
+    is stored, so there is no bucket table to keep in lockstep.
+    ``compact_substring_index`` folds shard partials into one row per
+    hash when the shard count grows.
+    """
+    spark = df.sparkSession
+    per_shard = (_gram_table(df, text_col, id_col, k, hasher)
+                 .groupBy("h").agg(F.count(F.lit(1)).alias("n")))
+    per_shard.write.mode(mode).parquet(f"{index_path}/grams")
+    spark.createDataFrame([(k, hasher)], "k int, hasher string") \
+        .write.mode("overwrite").parquet(f"{index_path}/meta")
+
+
+def compact_substring_index(spark, index_path: str) -> None:
+    """Fold per-shard partial counts into one (h, n) row per distinct
+    gram — run occasionally after many appends; probes are correct
+    either way (they sum), compaction just bounds the index size at
+    |distinct grams| rows."""
+    grams = (spark.read.parquet(f"{index_path}/grams")
+             .groupBy("h").agg(F.sum("n").alias("n")).localCheckpoint())
+    grams.write.mode("overwrite").parquet(f"{index_path}/grams")
+
+
+def duplicated_spans_against_index(spark, index_path: str, new_df,
+                                   text_col: str = "text",
+                                   id_col: str = "doc_id",
+                                   min_count: int = 2,
+                                   include_batch: bool = True):
+    """Maximal duplicated spans in a NEW batch against a persisted
+    gram index — ``duplicated_spans`` semantics where the corpus is
+    (history ∪ batch) but only the batch is hashed and only its spans
+    are reported (history documents are already ingested; rewriting
+    them is a separate compaction decision).  With ``include_batch=
+    True`` (default) a gram's count is stored + in-batch occurrences,
+    so the output EQUALS ``duplicated_spans(history ∪ batch)``
+    restricted to batch docs — the batch-build equivalence the tests
+    pin.  ``include_batch=False`` scores each position as stored
+    occurrences + 1 (itself), ignoring batch-internal repetition —
+    the "dedup against history only" mode for batches that were
+    already self-deduped.
+
+    Scale shape: the batch is hashed once (O(batch tokens)); the
+    corpus-sized grams table is touched by ONE semi-join against the
+    batch's distinct gram hashes (broadcast when the batch is small —
+    the common ingestion case) and aggregated only over the matched
+    rows, bounded by |batch distinct grams| x shards; the span merge
+    is the shared per-doc window.  History text is never read, never
+    re-hashed, never shuffled.
+    """
+    meta = spark.read.parquet(f"{index_path}/meta").collect()[0]
+    k, hasher = meta["k"], meta["hasher"]
+    if min_count < 2:
+        raise ValueError(
+            f"min_count must be >= 2 (got {min_count}): every position "
+            "counts itself at least once")
+
+    grams = _gram_table(new_df, text_col, id_col, k, hasher) \
+        .localCheckpoint()  # used twice: freq + position semi-join
+    batch_freq = grams.groupBy("h").agg(F.count(F.lit(1)).alias("n_batch"))
+    stored = (spark.read.parquet(f"{index_path}/grams")
+              .join(batch_freq.select("h"), "h", "left_semi")
+              .groupBy("h").agg(F.sum("n").alias("n_stored")))
+    self_n = F.col("n_batch") if include_batch else F.lit(1)
+    dup_h = (batch_freq.join(stored, "h", "left")
+             .filter(F.coalesce(F.col("n_stored"), F.lit(0)) + self_n
+                     >= min_count)
+             .select("h"))
+    dup_pos = (grams.join(dup_h, "h", "left_semi")
+               .select(id_col, "pos"))
+    return _merge_spans(dup_pos, id_col, k)
 
 
 class SubstringDuplicationConstraint(Constraint):

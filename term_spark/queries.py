@@ -2837,6 +2837,7 @@ FAMILY = {
     "paragraph_dedup_summary_docs": "paragraph_dedup",
     "substring_dedup_docs": "substring_dedup",
     "substring_rewrite_docs": "substring_dedup",
+    "incremental_substring_docs": "substring_dedup",
     "text_tokens": "text",
     "lang_id": "text",
     "text_quality": "text",

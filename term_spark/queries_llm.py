@@ -2100,3 +2100,84 @@ SQL_INCREMENTAL_NEARDUP_DOCS = _incremental_neardup_sql()
 
 LLM_QUERIES.update({"incremental_neardup_docs": q_incremental_neardup_docs})
 LLM_ORACLES.update({"incremental_neardup_docs": SQL_INCREMENTAL_NEARDUP_DOCS})
+
+
+def q_incremental_substring_docs(spark, sf_dir) -> DataFrame:
+    """Persisted ExactSubstr gram-index lifecycle, driver-oracle
+    -checkable (round 11): the corpus slice (doc_id % 4 != 0) is
+    hashed ONCE into a scratch gram-frequency index
+    (``build_substring_index`` — per-gram counts + pinned (k, hasher)
+    on disk), then the new batch (doc_id % 4 == 0) finds its
+    duplicated >=10-token spans against history + itself WITHOUT the
+    corpus being re-hashed (``duplicated_spans_against_index``) — the
+    incremental-ingestion tier of substring dedup.  By the batch-build
+    equivalence (test_substring_index.py), the returned spans are
+    EXACTLY ``duplicated_spans(history ∪ batch)`` restricted to batch
+    docs, and spans are gram-hash-invariant, so the DuckDB oracle
+    replays the whole lifecycle with md5 text grams: corpus-wide
+    frequency, batch-position cover, per-doc interval merge.
+
+    Eagerly materialized so the scratch index is deleted before
+    returning (the ``q_incremental_neardup_docs`` pattern)."""
+    import shutil
+    import tempfile
+
+    d = _docs(spark, sf_dir)
+    history = d.filter(F.col("doc_id") % 4 != 0)
+    batch = d.filter(F.col("doc_id") % 4 == 0)
+    tmp = tempfile.mkdtemp(prefix="term_spark_ssidx_")
+    try:
+        T.build_substring_index(history, tmp, k=10)
+        res = (T.duplicated_spans_against_index(spark, tmp, batch)
+               .select("doc_id",
+                       F.col("span_start").cast("bigint").alias("span_start"),
+                       F.col("span_end").cast("bigint").alias("span_end"),
+                       F.col("span_tokens").cast("bigint")
+                       .alias("span_tokens"))
+               .orderBy("doc_id", "span_start"))
+        rows = res.collect()
+        schema = res.schema
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+SQL_INCREMENTAL_SUBSTRING_DOCS = f"""
+WITH n AS (
+  SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+), g0 AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(len(toks) - 10 + 1, 0) + 1),
+                        i -> {{'pos': i - 1,
+                              'h': md5(array_to_string(toks[i:i+9], ' '))}})
+             AS gl
+  FROM n
+), gu AS (
+  SELECT doc_id, unnest(gl) AS s FROM g0
+), g AS (
+  SELECT doc_id, s.pos AS pos, s.h AS h FROM gu
+), dup AS (
+  SELECT h FROM g GROUP BY h HAVING COUNT(*) >= 2
+), p AS (
+  SELECT doc_id, pos FROM g
+  WHERE doc_id % 4 = 0 AND h IN (SELECT h FROM dup)
+), b AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER w <= 10 THEN 0 ELSE 1 END AS brk
+  FROM p WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), sp AS (
+  SELECT doc_id, pos,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS span_id
+  FROM b
+)
+SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 10 AS span_end,
+       MAX(pos) + 10 - MIN(pos) AS span_tokens
+FROM sp GROUP BY doc_id, span_id ORDER BY doc_id, span_start
+"""
+
+
+LLM_QUERIES.update(
+    {"incremental_substring_docs": q_incremental_substring_docs})
+LLM_ORACLES.update(
+    {"incremental_substring_docs": SQL_INCREMENTAL_SUBSTRING_DOCS})
