@@ -157,6 +157,72 @@ def mg_sketch(df: DataFrame, column: str, k: int = 256) -> MGSummary:
     return MGSummary(k=k, n=total, counters=counters)
 
 
+def mg_sketch_by(df: DataFrame, group_col: str, column: str,
+                 k: int = 256) -> Dict[str, MGSummary]:
+    """Per-group MG sketches in ONE map-only pass — the
+    per-language/per-source dashboard form of ``mg_sketch`` (round 11;
+    "what dominates this column WITHIN each source?").
+
+    Each partition keeps an independent k-counter summary per group
+    value it sees and emits <= (k+1) rows per (partition, group) —
+    k counters plus one sentinel carrying that group's partition item
+    count — so the collect is bounded by (k+1) * P * |groups| tiny
+    rows and the driver state by O(k * |groups|): kilobytes for the
+    dashboard cardinalities (languages, sources, shards) this exists
+    for, at any corpus size.  The per-group merge is the SAME Agarwal
+    et al. merge as the global sketch — groups never interact, so
+    Thm. 1 applies group-wise and every ``MGSummary`` in the result
+    carries the n/(k+1) bound on ITS OWN group's item count (proven
+    under arbitrary sharding in tests/test_heavy_hitters.py).
+
+    Groups are the group column's string cast; NULL groups and NULL
+    values are excluded (consistent with ``mg_sketch`` / the grouped
+    exact analyzers).  For unbounded group cardinality use the exact
+    grouped runner instead — a sketch per group only helps when the
+    group count is dashboard-sized.
+    """
+    validate_identifier(group_col)
+    validate_identifier(column)
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    src = (df.select(F.col(group_col).cast("string").alias("g"),
+                     F.col(column).cast("string").alias("v"))
+             .filter(F.col("g").isNotNull() & F.col("v").isNotNull()))
+
+    def sketch_partition(batches):
+        import pandas as pd
+        state: Dict[str, list] = {}  # g -> [counters, n]
+        for pdf in batches:
+            for g, vals in pdf.groupby("g", sort=False)["v"]:
+                st = state.setdefault(g, [{}, 0])
+                st[1] += len(vals)
+                _absorb(st[0], vals.value_counts().items(), k)
+        gs, items, counts, ns = [], [], [], []
+        for g, (counters, n) in state.items():
+            for item, c in counters.items():
+                gs.append(g); items.append(item)
+                counts.append(c); ns.append(0)
+            gs.append(g); items.append(None); counts.append(0); ns.append(n)
+        yield pd.DataFrame({"g": gs, "item": items, "count": counts,
+                            "n": ns})
+
+    rows = src.mapInPandas(
+        sketch_partition, "g string, item string, count long, n long"
+    ).collect()
+    merged: Dict[str, list] = {}
+    for r in rows:
+        st = merged.setdefault(r["g"], [{}, 0])
+        if r["item"] is None:
+            st[1] += r["n"]
+        else:
+            st[0][r["item"]] = st[0].get(r["item"], 0) + r["count"]
+    out: Dict[str, MGSummary] = {}
+    for g, (counters, n) in merged.items():
+        _absorb(counters, (), k)  # final trim completes the merge
+        out[g] = MGSummary(k=k, n=n, counters=counters)
+    return out
+
+
 def heavy_hitters(df: DataFrame, column: str, min_ratio: float,
                   k: Optional[int] = None) -> List[Tuple[str, int, int]]:
     """Values GUARANTEED (no false negatives) to include every item

@@ -827,6 +827,55 @@ def cdc_dedup_summary(df: DataFrame, text_col: str = "text",
          .alias("dedup_factor"))
 
 
+def remove_duplicate_chunks(df: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id", k: int = 8,
+                            divisor: int = 64):
+    """CDC rewrite tier (round 11): ``cdc_dedup_summary`` reports what
+    chunk dedup WOULD reclaim; this reclaims it.  Keep the FIRST
+    occurrence of every distinct chunk — global election order
+    (id, chunk_idx), so the earliest document keeps its text — drop
+    every later occurrence, and reassemble each document from its
+    kept chunks in chunk order (the ``remove_duplicated_spans``
+    keep-policy pattern, elected rather than strip-all because chunks
+    are storage units: SOMEONE must retain the canonical copy).
+
+    Returns ``(cleaned_df, dropped_df)``: cleaned_df is (id, text)
+    containing every document that kept at least one chunk (documents
+    whose every chunk was a later duplicate disappear, as do NULL/
+    empty-text documents, which have no chunks — same contract as the
+    span rewrite); dropped_df is the dropped chunk instances
+    (id, chunk_idx, start, length, chunk_hash) for caller accounting.
+
+    Scale shape: the election is one per-hash window over the chunk
+    table — a single shuffle on the 16-byte chunk hash, identical to
+    the summary's — then kept instances regroup per doc (one shuffle
+    on id) into a bounded (chunk_idx, start, length) array and the
+    reassembly is a JVM transform+substr over the original text: the
+    text itself never shuffles, and a document with nothing dropped
+    rebuilds to its exact original bytes (the cuts partition the
+    text), so the rewrite is byte-identical a no-op where dedup is.
+    """
+    from pyspark.sql import Window
+
+    ch = cdc_chunks(df, text_col, id_col, k=k, divisor=divisor)
+    w = Window.partitionBy("chunk_hash").orderBy("id", "chunk_idx")
+    ranked = ch.withColumn("__rn", F.row_number().over(w))
+    dropped = ranked.filter(F.col("__rn") > 1).drop("__rn")
+    kept = (ranked.filter(F.col("__rn") == 1)
+            .groupBy("id")
+            .agg(F.sort_array(F.collect_list(
+                F.struct("chunk_idx", "start", "length"))).alias("__ks")))
+    rebuilt = F.array_join(
+        F.transform(F.col("__ks"),
+                    lambda s: F.col(text_col).substr(
+                        s["start"].cast("int") + 1,
+                        s["length"].cast("int"))), "")
+    cleaned = (df.join(kept.withColumnRenamed("id", id_col), id_col)
+               .withColumn(text_col, rebuilt)
+               .select(id_col, text_col))
+    return cleaned, dropped
+
+
 # ---------------------------------------------------------------------------
 # Persisted MinHash-LSH index — incremental-ingestion near-dup
 # ---------------------------------------------------------------------------

@@ -555,7 +555,8 @@ def estimate_join_cardinality(left, right, left_key: str, right_key: str,
     d_left, d_right}: ``lower_bound`` is the one-sided number the
     constraint gates on; ``estimate`` = lower_bound + tail;
     ``hot_keys`` = [(key, est_l, est_r), ...] sorted by product desc —
-    the keys to salt (plans/skew) if the gate trips. Cost: 4 bounded
+    the keys to salt if the gate trips; feed the whole report to
+    ``plans.skew.salted_join_on_hot_keys`` for the one-call remedy. Cost: 4 bounded
     jobs (2 map-only MG passes, 2 TakeOrdered KMV passes), driver
     state O(k + kmv_k) per side.
     """
@@ -640,4 +641,4 @@ class JoinCardinalityConstraint(Constraint):
             f"{self.right_table}.{self.right_key} is provably >= "
             f"{rep['lower_bound']} rows (> max_rows {self.max_rows:g}; "
             f"estimate {rep['estimate']:.3g}); worst keys: {worst} — "
-            f"salt or pre-aggregate these before joining"))
+            f"salt or pre-aggregate these before joining (plans.skew.salted_join_on_hot_keys(left, right, lk, rk, report) salts exactly these keys)"))

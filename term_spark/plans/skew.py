@@ -85,6 +85,56 @@ def salted_join(big: DataFrame, small: DataFrame, big_key: str,
             .drop(small_replicated[SALT_COL]).drop(big_salted[SALT_COL]))
 
 
+def salted_join_on_hot_keys(left: DataFrame, right: DataFrame,
+                            left_key: str, right_key: str, report: dict,
+                            salts: int = 8,
+                            max_hot_keys: Optional[int] = None) -> DataFrame:
+    """The one-call remedy for a tripped join-cardinality pre-flight
+    (round 11): ``operators.multitable.estimate_join_cardinality``
+    NAMES the keys whose frequency product drives a provable join
+    explosion; this routes EXACTLY those keys through ``salted_join``
+    and every other key through the plain equi-join, where
+    Catalyst/AQE keep their usual freedom (broadcast a small rest
+    side, sort-merge otherwise, AQE skew-split as backstop).
+
+    ``report`` is the pre-flight's dict (or
+    ``JoinCardinalityConstraint.report`` after the gate fires): its
+    ``hot_keys`` [(key, est_l, est_r), ...] are string casts of the
+    join key, product-desc — ``max_hot_keys`` limits salting to the
+    top offenders (None = all named).  The split is lossless for the
+    inner equi-join: a hot-key row can only match a hot-key row and a
+    rest row only a rest row, so
+    hot ⋈ hot ∪ rest ⋈ rest == left ⋈ right (row multiset equality is
+    pinned in tests/test_skew_plans.py on a planted-explosion
+    fixture, along with the spread: each hot key's pairs land in
+    ``salts`` shuffle partitions instead of one).
+
+    Column names must be disjoint across the two sides (the usual
+    analytic-join convention, o_custkey vs c_custkey) so the union
+    after the two paths is unambiguous.
+    """
+    overlap = set(left.columns) & set(right.columns)
+    if overlap:
+        raise ValueError("left/right column names must be disjoint; both "
+                         f"sides have {sorted(overlap)}")
+    hot = [x for x, _, _ in report.get("hot_keys", [])]
+    if max_hot_keys is not None:
+        hot = hot[:max_hot_keys]
+    if not hot:
+        return left.join(right, F.col(left_key) == F.col(right_key), "inner")
+    lk_s = F.col(left_key).cast("string")
+    rk_s = F.col(right_key).cast("string")
+    # NULL keys never match an inner equi-join; ~isin is NULL for them,
+    # so the rest filter drops them too — both paths stay NULL-free
+    hot_joined = salted_join(left.filter(lk_s.isin(hot)),
+                             right.filter(rk_s.isin(hot)),
+                             left_key, right_key, salts=salts, how="inner")
+    rest_joined = (left.filter(~lk_s.isin(hot))
+                   .join(right.filter(~rk_s.isin(hot)),
+                         F.col(left_key) == F.col(right_key), "inner"))
+    return hot_joined.unionByName(rest_joined)
+
+
 def write_bucketed(df: DataFrame, path_or_table: str, bucket_cols: List[str],
                    num_buckets: int = 64, sort_cols: Optional[List[str]] = None,
                    fmt: str = "parquet") -> None:

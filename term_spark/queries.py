@@ -2852,7 +2852,9 @@ FAMILY = {
     "bm25_topk_docs": "retrieval",
     "frequent_terms_docs": "heavy_hitters",
     "mg_heavy_hitters_docs": "heavy_hitters",
+    "mg_grouped_heavy_hitters_docs": "heavy_hitters",
     "cdc_dedup_docs": "cdc",
+    "cdc_rewrite_docs": "cdc",
     "incremental_neardup_docs": "minhash",
     "chunk_documents_docs": "chunking",
     "packing_stats_docs": "chunking",

@@ -2181,3 +2181,172 @@ LLM_QUERIES.update(
     {"incremental_substring_docs": q_incremental_substring_docs})
 LLM_ORACLES.update(
     {"incremental_substring_docs": SQL_INCREMENTAL_SUBSTRING_DOCS})
+
+
+def q_mg_grouped_heavy_hitters_docs(spark, sf_dir) -> DataFrame:
+    """Grouped Misra-Gries heavy hitters, driver-oracle-checkable
+    (round 11; the ``q_mg_heavy_hitters_docs`` pattern, group-wise):
+    one map-only pass sketches every source's token frequencies
+    independently (``mg_sketch_by`` — <= k+1 rows per (partition,
+    group) ever move; groups never interact, so Agarwal et al. Thm. 1
+    applies per group with each group's OWN n/(k+1) bound), then the
+    returned rows are the EXACT per-source top-3 tokens (count desc,
+    token asc) with two Spark-computed attestations of the sketch
+    theorems against those exact counts — ``present_ok``: a token
+    missing its group's counter set must have true count <= that
+    group's bound; ``bound_ok``: a held counter underestimates by at
+    most the bound.  The DuckDB oracle replays the exact per-source
+    top-3 and pins both TRUE.
+
+    This is the dashboard tier the grouped EXACT analyzer
+    (frequent_terms' grouped runner) answers at modest distinct
+    counts: per-source dominance at 100 TB token streams, kilobytes
+    of driver state per source."""
+    from pyspark.sql import Window
+
+    from .analyzers.heavy_hitters import mg_sketch_by
+    from .operators.dedup import spread
+
+    k = 256
+    toks = (spread(_docs(spark, sf_dir), "doc_id")
+            .filter(F.col("text").isNotNull())
+            .select("source", F.explode(T.norm_tokens("text")).alias("tok"))
+            .filter(F.col("tok") != ""))
+    sketches = mg_sketch_by(toks, "source", "tok", k=k)
+    est_rows = [(g, item, int(c)) for g, s in sketches.items()
+                for item, c in s.counters.items()]
+    bound_rows = [(g, int(s.error_bound)) for g, s in sketches.items()]
+    est_df = spark.createDataFrame(est_rows,
+                                   "source string, tok string, mg_est long")
+    bound_df = spark.createDataFrame(bound_rows,
+                                     "source string, bound long")
+    w = Window.partitionBy("source").orderBy(F.desc("cnt"), F.asc("tok"))
+    top3 = (toks.groupBy("source", "tok")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 3).drop("rn"))
+    return (top3.join(F.broadcast(est_df), ["source", "tok"], "left")
+            .join(F.broadcast(bound_df), "source")
+            .select(
+                "source", "tok", "cnt",
+                (F.col("mg_est").isNotNull()
+                 | (F.col("cnt") <= F.col("bound"))).alias("present_ok"),
+                (F.col("mg_est").isNull()
+                 | ((F.col("mg_est") <= F.col("cnt"))
+                    & (F.col("cnt") - F.col("mg_est") <= F.col("bound"))))
+                .alias("bound_ok"))
+            .orderBy("source", F.desc("cnt"), F.asc("tok")))
+
+
+SQL_MG_GROUPED_HEAVY_HITTERS_DOCS = f"""
+WITH toks AS (
+    SELECT source, unnest({_TOKS_SQL}) AS tok FROM documents
+    WHERE text IS NOT NULL
+), cnts AS (
+    SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM toks WHERE tok <> ''
+    GROUP BY source, tok
+), ranked AS (
+    SELECT source, tok, cnt,
+           ROW_NUMBER() OVER (PARTITION BY source
+                              ORDER BY cnt DESC, tok) AS rn
+    FROM cnts
+)
+SELECT source, tok, cnt, TRUE AS present_ok, TRUE AS bound_ok
+FROM ranked WHERE rn <= 3
+ORDER BY source, cnt DESC, tok
+"""
+
+
+LLM_QUERIES.update(
+    {"mg_grouped_heavy_hitters_docs": q_mg_grouped_heavy_hitters_docs})
+LLM_ORACLES.update(
+    {"mg_grouped_heavy_hitters_docs": SQL_MG_GROUPED_HEAVY_HITTERS_DOCS})
+
+
+def q_cdc_rewrite_docs(spark, sf_dir) -> DataFrame:
+    """The REWRITE side of the CDC tier (round 11;
+    dedup.remove_duplicate_chunks, k=8, divisor=64): for every
+    document that lost at least one chunk to first-occurrence
+    election ((doc_id, chunk_idx) order — the earliest copy is
+    canonical), the chunk count before, after, and the md5
+    fingerprint of the text reassembled from its kept chunks in order
+    (NULL when every chunk was a later duplicate and the document
+    disappeared).  The DuckDB oracle replays the exact cuts, the
+    election window, and the reassembly independently — the
+    fingerprint match proves the rewrite byte-for-byte (the
+    ``substring_rewrite_docs`` standard applied to the chunk tier)."""
+    from .operators.dedup import (cdc_chunks, remove_duplicate_chunks,
+                                  spread)
+
+    d = spread(_docs(spark, sf_dir), "doc_id")
+    cleaned, dropped = remove_duplicate_chunks(d, "text", "doc_id",
+                                               k=8, divisor=64)
+    before = (cdc_chunks(d, "text", "doc_id", k=8, divisor=64)
+              .groupBy("id").agg(F.count(F.lit(1)).alias("n_before")))
+    ndrop = dropped.groupBy("id").agg(F.count(F.lit(1)).alias("n_dropped"))
+    after = cleaned.select(F.col("doc_id").alias("id"),
+                           F.md5("text").alias("cleaned_fp"))
+    return (ndrop.join(before, "id").join(after, "id", "left")
+            .select(F.col("id").alias("doc_id"),
+                    F.col("n_before").cast("bigint").alias("n_before"),
+                    (F.col("n_before") - F.col("n_dropped"))
+                    .cast("bigint").alias("n_after"),
+                    "cleaned_fp")
+            .orderBy("doc_id"))
+
+
+SQL_CDC_REWRITE_DOCS = """
+WITH d AS (
+    SELECT doc_id, text FROM documents
+    WHERE text IS NOT NULL AND len(text) > 0
+),
+c AS (
+    SELECT doc_id, text,
+           list_sort(list_distinct(
+             [0] || list_transform(
+                      list_filter(range(0, greatest(len(text) - 8, 0) + 1),
+                                  i -> i + 8 <= len(text) AND
+                                       ('0x' || substr(md5(substr(text,
+                                         CAST(i AS INT) + 1, 8)), 1, 15)
+                                       )::UBIGINT % 64 = 0),
+                      i -> i + 8)
+             || [len(text)])) AS cuts
+    FROM d
+),
+ch0 AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(cuts)),
+             j -> {'idx': j - 1,
+                   'chunk': substr(text, CAST(cuts[CAST(j AS INT)] AS INT) + 1,
+                                   CAST(cuts[CAST(j AS INT) + 1]
+                                        - cuts[CAST(j AS INT)] AS INT))}))
+               AS s
+    FROM c
+),
+ch AS (SELECT doc_id, s.idx AS chunk_idx, s.chunk AS chunk FROM ch0),
+r AS (
+    SELECT doc_id, chunk_idx, chunk,
+           ROW_NUMBER() OVER (PARTITION BY md5(chunk)
+                              ORDER BY doc_id, chunk_idx) AS rn
+    FROM ch
+),
+before AS (SELECT doc_id, COUNT(*) AS n_before FROM ch GROUP BY doc_id),
+dropped AS (SELECT doc_id, COUNT(*) AS n_dropped FROM r
+            WHERE rn > 1 GROUP BY doc_id),
+rebuilt AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_after,
+           md5(string_agg(chunk, '' ORDER BY chunk_idx)) AS cleaned_fp
+    FROM r WHERE rn = 1 GROUP BY doc_id
+)
+SELECT dr.doc_id, CAST(b.n_before AS BIGINT) AS n_before,
+       COALESCE(rb.n_after, 0) AS n_after, rb.cleaned_fp
+FROM dropped dr
+JOIN before b USING (doc_id)
+LEFT JOIN rebuilt rb USING (doc_id)
+ORDER BY dr.doc_id
+"""
+
+
+LLM_QUERIES.update({"cdc_rewrite_docs": q_cdc_rewrite_docs})
+LLM_ORACLES.update({"cdc_rewrite_docs": SQL_CDC_REWRITE_DOCS})

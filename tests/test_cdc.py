@@ -94,3 +94,60 @@ def test_registry_query_shape(spark):
     assert row["n_chunks"] >= row["n_distinct_chunks"] > 0
     assert row["chars_total"] >= row["chars_distinct"] > 0
     assert row["dedup_factor"] >= 1.0
+
+
+def test_remove_duplicate_chunks_rewrite(spark):
+    """The rewrite tier: first occurrence (by (id, chunk_idx)) keeps
+    the canonical copy; later occurrences drop; untouched documents
+    rebuild byte-for-byte; a document that is entirely a re-chunk of
+    earlier content disappears."""
+    from term_spark.operators.dedup import remove_duplicate_chunks
+
+    docs = [("a", _BASE),
+            ("b", _BASE),                       # exact re-chunk of a
+            ("c", "totally novel content that shares no chunk with "
+                  "the base document stream at all")]
+    cleaned, dropped = remove_duplicate_chunks(_df(spark, docs),
+                                               divisor=16)
+    out = {r["doc_id"]: r["text"] for r in cleaned.collect()}
+    # a keeps its exact original bytes; c is untouched; b vanishes
+    assert out["a"] == _BASE
+    assert out["c"] == docs[2][1]
+    assert "b" not in out
+    # every dropped instance belongs to b and mirrors a's chunk set
+    d = dropped.collect()
+    assert d and all(r["id"] == "b" for r in d)
+    n_chunks_a = cdc_chunks(_df(spark, docs[:1]), divisor=16).count()
+    assert len(d) == n_chunks_a
+
+
+def test_remove_duplicate_chunks_partial_overlap(spark):
+    """A document sharing SOME chunks keeps its novel ones: the
+    rebuilt text is exactly the concatenation of its kept chunks in
+    order (verified against a pure-Python replay of the election)."""
+    from term_spark.operators.dedup import remove_duplicate_chunks
+
+    edited = _BASE[:120] + " INSERTED NOVELTY SPAN " + _BASE[120:]
+    docs = [("a_orig", _BASE), ("b_edit", edited)]
+    cleaned, dropped = remove_duplicate_chunks(_df(spark, docs),
+                                               divisor=16)
+    out = {r["doc_id"]: r["text"] for r in cleaned.collect()}
+    assert out["a_orig"] == _BASE
+
+    # python replay: chunk both docs, elect first occurrence in
+    # (id, chunk_idx) order ("a_orig" < "b_edit", so the original
+    # wins all shared chunks), rebuild the edit from kept chunks
+    rows = sorted(
+        cdc_chunks(_df(spark, docs), divisor=16).collect(),
+        key=lambda r: (r["id"], r["chunk_idx"]))
+    seen, keep = set(), []
+    for r in rows:
+        if r["chunk_hash"] not in seen:
+            seen.add(r["chunk_hash"])
+            keep.append(r)
+    texts = {"a_orig": _BASE, "b_edit": edited}
+    expect_edit = "".join(
+        texts[r["id"]][r["start"]:r["start"] + r["length"]]
+        for r in keep if r["id"] == "b_edit")
+    assert out.get("b_edit", "") == expect_edit
+    assert dropped.filter("id = 'b_edit'").count() > 0

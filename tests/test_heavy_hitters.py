@@ -15,7 +15,7 @@ from hypothesis import strategies as st
 from term_spark.analyzers.heavy_hitters import (HeavyHitterConstraint,
                                                 MGSummary, _absorb,
                                                 heavy_hitters, mg_merge,
-                                                mg_sketch)
+                                                mg_sketch, mg_sketch_by)
 
 
 def _summary_of(items, k):
@@ -70,6 +70,72 @@ def test_merge_law_any_sharding(values, k, n_shards):
     shards = [items[i::n_shards] for i in range(n_shards)]
     merged = mg_merge([_summary_of(sh, k) for sh in shards if True])
     _assert_theorems(merged, Counter(items))
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.tuples(st.integers(min_value=0, max_value=3),
+                          st.integers(min_value=0, max_value=40)),
+                min_size=1, max_size=400),
+       st.integers(min_value=2, max_value=12),
+       st.integers(min_value=1, max_value=5))
+def test_grouped_merge_law_any_sharding(pairs, k, n_shards):
+    """The grouped sketch's merge discipline — per-shard per-group
+    summaries, merged group-wise — satisfies the theorems on each
+    group's TOTAL stream under arbitrary sharding: groups never
+    interact, so Agarwal et al. Thm. 1 applies group-wise and each
+    group's n/(k+1) bound is on ITS OWN item count (the exact driver
+    merge ``mg_sketch_by`` performs)."""
+    from collections import defaultdict
+
+    shards = [pairs[i::n_shards] for i in range(n_shards)]
+    per_group = defaultdict(list)
+    for sh in shards:
+        by_g = defaultdict(list)
+        for g, v in sh:
+            by_g[str(g)].append(str(v))
+        for g, items in by_g.items():
+            per_group[g].append(_summary_of(items, k))
+    exact = defaultdict(Counter)
+    for g, v in pairs:
+        exact[str(g)][str(v)] += 1
+    assert set(per_group) == set(exact)
+    for g, summaries in per_group.items():
+        _assert_theorems(mg_merge(summaries), exact[g])
+
+
+def test_mg_sketch_by_spark_theorems_per_group(spark):
+    """The one-pass grouped Spark sketch: each group's summary
+    satisfies the theorems against that group's exact counts, with
+    groups spread across partitions; NULL groups and NULL values are
+    excluded; the group key is its string cast."""
+    rows = ([("en", "the")] * 300 + [("en", f"r{i}") for i in range(150)]
+            + [("de", "der")] * 200 + [("de", f"q{i}") for i in range(100)]
+            + [(None, "ghost"), ("en", None)])
+    df = spark.createDataFrame(rows, "g string, v string").repartition(7)
+    out = mg_sketch_by(df, "g", "v", k=16)
+    assert set(out) == {"en", "de"}
+    exact_en = Counter(["the"] * 300 + [f"r{i}" for i in range(150)])
+    exact_de = Counter(["der"] * 200 + [f"q{i}" for i in range(100)])
+    _assert_theorems(out["en"], exact_en)
+    _assert_theorems(out["de"], exact_de)
+    assert out["en"].top(1)[0][0] == "the"
+    assert out["de"].top(1)[0][0] == "der"
+    # per-group n excludes the other group, NULL group, NULL value rows
+    assert out["en"].n == 450 and out["de"].n == 300
+
+
+def test_mg_sketch_by_casts_group_key(spark):
+    df = spark.createDataFrame([(1, "a"), (1, "a"), (2, "b")],
+                               "g long, v string")
+    out = mg_sketch_by(df, "g", "v", k=4)
+    assert set(out) == {"1", "2"}
+    assert out["1"].counters == {"a": 2}
+
+
+def test_mg_sketch_by_empty(spark):
+    out = mg_sketch_by(spark.createDataFrame([], "g string, v string"),
+                       "g", "v", k=4)
+    assert out == {}
 
 
 def test_merge_rejects_mixed_k():

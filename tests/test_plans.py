@@ -116,6 +116,74 @@ def test_salted_join_matches_plain(spark, tpch):
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
 
 
+def test_salted_join_on_hot_keys_fixes_planted_explosion(spark):
+    """The pre-flight -> remedy composition: estimate_join_cardinality
+    NAMES the planted hot keys, salted_join_on_hot_keys salts exactly
+    those keys, the result equals the naive join row-for-row, AND the
+    hot key's pairs spread across ~salts shuffle partitions where the
+    naive plan funnels them into ONE (AQE disabled for the measurement
+    so its skew-split can't mask the difference)."""
+    from term_spark.operators.multitable import estimate_join_cardinality
+    from term_spark.plans.skew import salted_join_on_hot_keys
+
+    # planted explosion: one key with 300x200 = 60k pairs; uniform tail
+    left = spark.createDataFrame(
+        [(0, i) for i in range(300)] + [(j, 0) for j in range(1, 101)],
+        "lk long, lv long").repartition(8)
+    right = spark.createDataFrame(
+        [(0, i) for i in range(200)] + [(j, 0) for j in range(1, 101)],
+        "rk long, rv long").repartition(8)
+
+    report = estimate_join_cardinality(left, right, "lk", "rk", k=128)
+    assert report["hot_keys"][0][0] == "0"          # the gate names it
+    assert report["lower_bound"] >= 300 * 200       # provable explosion
+
+    salted = salted_join_on_hot_keys(left, right, "lk", "rk", report,
+                                     salts=8)
+    naive = left.join(right, F.col("lk") == F.col("rk"), "inner")
+    assert sorted(map(tuple, salted.collect())) == \
+        sorted(map(tuple, naive.collect()))
+
+    # spread proof on the hot path itself: the naive join lands every
+    # hot pair in ONE shuffle partition (one key, one hash target); the
+    # salted path spreads them over the (key, salt) pairs.  AQE off so
+    # its skew-split can't mask the difference; measured pre-union so
+    # partition ids aren't renumbered by the union.
+    from term_spark.plans.skew import salted_join
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        def max_partition_rows(df):
+            return max(r["c"] for r in df
+                       .groupBy(F.spark_partition_id().alias("p"))
+                       .agg(F.count(F.lit(1)).alias("c")).collect())
+        hot_l = left.filter(F.col("lk") == 0)
+        hot_r = right.filter(F.col("rk") == 0)
+        naive_max = max_partition_rows(
+            hot_l.join(hot_r, F.col("lk") == F.col("rk"), "inner"))
+        salted_max = max_partition_rows(
+            salted_join(hot_l, hot_r, "lk", "rk", salts=8))
+        assert naive_max == 60000          # one reducer eats the hot key
+        # the test session runs 4 shuffle partitions, so 8 salts can
+        # only spread across 4 reducers (hash collisions included) —
+        # the property is "no longer one reducer", with a real margin
+        assert salted_max <= naive_max * 0.7
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_salted_join_on_hot_keys_guards(spark):
+    from term_spark.plans.skew import salted_join_on_hot_keys
+
+    a = spark.createDataFrame([(1, 2)], "k long, v long")
+    b = spark.createDataFrame([(1, 3)], "k long, w long")
+    with pytest.raises(ValueError, match="disjoint"):
+        salted_join_on_hot_keys(a, b, "k", "k", {"hot_keys": []})
+    # empty hot set degenerates to the plain join
+    b2 = b.withColumnRenamed("k", "rk")
+    out = salted_join_on_hot_keys(a, b2, "k", "rk", {"hot_keys": []})
+    assert out.collect() == [(1, 2, 1, 3)]
+
+
 def test_spearman_rank_has_no_global_sort(spark, tpch):
     """The distributed rank map must never funnel all rows through a
     single task: no `Exchange SinglePartition` (and hence no global
