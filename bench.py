@@ -39,8 +39,8 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 REPO_DIR = os.path.dirname(os.path.abspath(__file__))
 
 
-def _wait_for_quiet(threshold: float = 2.0, threshold_5m: float = 1.5,
-                    cap_sec: float = 420.0) -> dict:
+def _wait_for_quiet(threshold: float = 1.5, threshold_5m: float = 1.0,
+                    cap_sec: float = 600.0) -> dict:
     """Block until BOTH the 1-minute loadavg drops below ``threshold``
     and the 5-minute loadavg below ``threshold_5m`` (cap ``cap_sec``),
     so the headline numbers are taken on a quiet machine.
@@ -52,18 +52,21 @@ def _wait_for_quiet(threshold: float = 2.0, threshold_5m: float = 1.5,
     near 3 (a 32-thread Spark job had JUST exited), every CPU-heavy
     query read 2-3x slow (minhash 5.13 s vs 1.44 s clean) — the
     1-minute average decays past the gate while real contention is
-    still draining.  Round 6 gated load5 at 1.5 (the regime round-5
-    measurements showed is actually clean).  Round 8 raises the cap
-    240 → 420 s: the driver runs bench right after its own full-suite
-    work, load5 starts near 2.3, and decaying 2.3 → 1.5 takes
-    ~300*ln(2.3/1.5) ≈ 128 s ON TOP of whatever load1 needs — rounds
-    5-7 all expired the 240 s cap and shipped `contended: true`
-    artifacts three rounds running.  420 s covers decay from load5≈3.9
-    and costs at most 3 idle minutes more, once per round.
+    still draining.  Round 6 gated load5 at 1.5.  Round 8 raised the
+    cap 240 → 420 s (decay time from the driver's own full-suite
+    load).  Round 11 tightens to load5 < 1.0 / load1 < 1.5, cap 600 s:
+    round 10 shipped an artifact that passed the 1.5 gate AT THE
+    MARGIN (load5 1.49, quiet_wait 298 s) and every doc-heavy query
+    read a uniform 10-35% over its quiet-window level with zero code
+    change — the regime the builder's spot checks measured clean is
+    load5 < 1.0, and decaying 1.5 → 1.0 costs ~300·ln(1.5) ≈ 120 s
+    more at worst, once per round.
 
     Returns the quiet-gate outcome: the loadavgs the measurement
     actually started under, how long we waited, and ``contended`` when
     the cap expired first — a self-identifying artifact either way.
+    ``_load_stamp`` re-samples loadavg at every section boundary so a
+    mid-run load spike is visible next to the numbers it taints.
     """
     t0 = time.monotonic()
     load1, load5, _ = os.getloadavg()
@@ -79,6 +82,16 @@ def _wait_for_quiet(threshold: float = 2.0, threshold_5m: float = 1.5,
               "numbers marked contended", file=sys.stderr)
     return {"loadavg_1m": round(load1, 2), "loadavg_5m": round(load5, 2),
             "quiet_wait_sec": round(waited, 1), "contended": contended}
+
+
+def _load_stamp() -> dict:
+    """Instantaneous loadavg snapshot — stamped at every section
+    boundary (sf1 child, sf10 child, sf0.1 loop start/mid/end) so the
+    artifact shows the load EACH section ran under, not one number for
+    a multi-minute run (round-11 fix: round 10's single stamp couldn't
+    localize a mid-run contention spike)."""
+    l1, l5, _ = os.getloadavg()
+    return {"load1": round(l1, 2), "load5": round(l5, 2)}
 
 
 def _count_java_procs() -> int:
@@ -158,6 +171,85 @@ def _measure_query(spark, fn, sf_dir: str, samples: int = 2) -> float:
     return best
 
 
+def _bench_index_lifecycles(spark, sf_dir: str, ivf_centroids: int = 16,
+                            which: tuple = ("minhash", "substring",
+                                            "ivf")) -> dict:
+    """Separate BUILD vs PROBE timings for the persisted indexes
+    (round-11 ask #5: `incremental_neardup_docs` bench readings
+    conflated writing the index — parquet x3 — with probing it, and
+    the IVF serving row conflated train+assign+write with the probe;
+    the steady-state serving cost was invisible).
+
+    Build is timed once — it is the one-time ingestion cost, a write.
+    Probe is warm + best-of-2 — the steady-state serving number.
+    Returns {minhash_index_build, minhash_index_probe,
+    substring_index_build, substring_index_probe, ivf_index_build,
+    ivf_index_probe}.
+    """
+    import shutil
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from term_spark.operators import dedup as D
+    from term_spark.operators import similarity as S
+    from term_spark.operators import text as T
+    from term_spark.sources import read_parquet
+
+    out = {}
+    tmp = tempfile.mkdtemp(prefix="term_spark_bench_idx_")
+    try:
+        if "minhash" in which or "substring" in which:
+            docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+            corpus = docs.filter(F.col("doc_id") % 4 != 0)
+            batch = docs.filter(F.col("doc_id") % 4 == 0)
+
+        if "minhash" in which:
+            t0 = time.perf_counter()
+            D.build_minhash_index(corpus, f"{tmp}/mh")
+            out["minhash_index_build"] = round(time.perf_counter() - t0, 4)
+            probe = lambda: D.neardup_against_index(  # noqa: E731
+                spark, f"{tmp}/mh", batch).collect()
+            probe()  # warm
+            out["minhash_index_probe"] = round(min(
+                _timed(probe) for _ in range(2)), 4)
+
+        if "substring" in which:
+            t0 = time.perf_counter()
+            T.build_substring_index(corpus, f"{tmp}/ss", k=10)
+            out["substring_index_build"] = round(time.perf_counter() - t0, 4)
+            sprobe = lambda: T.duplicated_spans_against_index(  # noqa: E731
+                spark, f"{tmp}/ss", batch).collect()
+            sprobe()
+            out["substring_index_probe"] = round(min(
+                _timed(sprobe) for _ in range(2)), 4)
+
+        if "ivf" not in which:
+            return out
+        emb = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
+        t0 = time.perf_counter()
+        S.build_ivf_index(emb, f"{tmp}/ivf", n_centroids=ivf_centroids)
+        out["ivf_index_build"] = round(time.perf_counter() - t0, 4)
+        queries = (emb.limit(64)
+                   .select(F.col("vec_id").alias("query_id"),
+                           F.col("embedding").alias("query_vec"))
+                   .localCheckpoint())
+        iprobe = lambda: S.ivf_topk_from_index(  # noqa: E731
+            spark, f"{tmp}/ivf", queries, k=5, nprobe=4).collect()
+        iprobe()
+        out["ivf_index_probe"] = round(min(
+            _timed(iprobe) for _ in range(2)), 4)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def _timed(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
 def _sf10_dir() -> str:
     return os.environ.get(
         "SPARK_GRAFT_SF10_DIR", os.path.join(REPO_DIR, "benchdata", "sf10"))
@@ -184,11 +276,30 @@ def sf10_fresh_main() -> None:
     # 16.5 s at 2 samples — a 60M-row pass carries enough GC/JIT noise
     # that best-of-2 is a coin flip; the third sample (~12 s) buys a
     # stable floor
-    out = {"suite_20_constraints": round(_measure_suite(spark, suite, li, 3), 4)}
+    out = {"load_at_start": _load_stamp(),
+           "suite_20_constraints": round(_measure_suite(spark, suite, li, 3), 4)}
     for name in ("fk_orders_customer", "cross_table_sum_orders_lineitem",
                  "dedup_exact_docs"):
         out[name] = round(
             _measure_query(spark, QUERIES[name], sf10_dir, samples=2), 4)
+    # round-11 (verdict ask #3): the LLM-pipeline flagships at the
+    # third decade — 500k docs.  These run 30-120 s each, so they are
+    # single timed runs (JIT/codegen amortizes to <5% at this length;
+    # a warm + best-of-2 discipline would triple a multi-minute
+    # section for noise smaller than the load jitter the per-section
+    # stamps expose anyway).  line_dedup is short enough to warm.
+    for name in ("minhash_lsh_candidates", "substring_dedup_docs"):
+        out[name] = round(_timed(
+            lambda: QUERIES[name](spark, sf10_dir).collect()), 4)
+    out["line_dedup_summary_docs"] = round(
+        _measure_query(spark, QUERIES["line_dedup_summary_docs"],
+                       sf10_dir, samples=1), 4)
+    # one ANN serving point at sf10 (200k vectors): persisted-IVF
+    # build once + steady-state probe, split (ask #5); the doc-index
+    # lifecycles run at sf0.1 where their registry row is benched
+    out.update(_bench_index_lifecycles(spark, sf10_dir, ivf_centroids=32,
+                                       which=("ivf",)))
+    out["load_at_end"] = _load_stamp()
     print(json.dumps(out))
 
 
@@ -225,6 +336,7 @@ def main() -> None:
     # quiet-gate BEFORE any JVM exists: from here on our own 32-thread
     # stages dominate loadavg, so this is the only honest sample point
     quiet = _wait_for_quiet()
+    sections = {"gate": _load_stamp()}
 
     # sf1 / sf10 headlines in FRESH subprocess JVMs, before this
     # process starts its own (never two JVMs at once)
@@ -238,6 +350,7 @@ def main() -> None:
         else:
             print(f"bench: WARNING sf1 fresh-JVM child failed: "
                   f"{child.stderr[-500:]}", file=sys.stderr)
+    sections["after_sf1_child"] = _load_stamp()
     sf10 = {}
     if os.path.isdir(_sf10_dir()):
         child = subprocess.run(
@@ -248,6 +361,7 @@ def main() -> None:
         else:
             print(f"bench: WARNING sf10 fresh-JVM child failed: "
                   f"{child.stderr[-500:]}", file=sys.stderr)
+    sections["after_sf10_child"] = _load_stamp()
 
     spark = get_spark("term_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -324,8 +438,17 @@ def main() -> None:
         "mg_heavy_hitters_docs", "cdc_dedup_docs",
         "join_cardinality_orders_lineitem", "incremental_neardup_docs",
     ]
+    sections["sf01_queries_start"] = _load_stamp()
     for name in bench_queries:
         per_query[name] = round(_measure_query(spark, QUERIES[name], SF_DIR), 4)
+    sections["sf01_queries_end"] = _load_stamp()
+
+    # persisted-index lifecycles at sf0.1, build vs probe SPLIT (round
+    # 11 ask #5: the registry rows incremental_neardup_docs /
+    # ivf_index_recall_embeddings necessarily time the whole lifecycle;
+    # the steady-state serving cost is the probe number)
+    per_query.update(_bench_index_lifecycles(spark, SF_DIR))
+    sections["after_index_lifecycles"] = _load_stamp()
 
     sf = 0.1
     if "sf" in SF_DIR:
@@ -353,6 +476,7 @@ def main() -> None:
                      "drift_ks_quantity", "line_dedup_summary_docs",
                      "outlier_mad_acctbal", "substring_dedup_docs"):
             sf1[name] = round(_measure_query(spark, QUERIES[name], sf1_dir), 4)
+        sections["after_sf1_aged"] = _load_stamp()
 
     detail = {
         "metric": "suite_20_constraints_wall_sec",
@@ -361,6 +485,7 @@ def main() -> None:
         "queries": per_query,
         "sf": sf,
         "env": {**quiet, "other_jvms": other_jvms},
+        "env_sections": sections,
     }
     if sf1:
         detail["sf1"] = sf1
@@ -387,7 +512,11 @@ def main() -> None:
         "unit": "sec",
         "sf": sf,
         "queries": {"suite_20_constraints": round(suite_sec, 2), **slowest},
-        "env": {**quiet, "other_jvms": other_jvms},
+        # load5_max spans env_sections and INCLUDES our own JVM's load
+        # (a 32-thread run keeps load5 near 3 by itself); compare it
+        # against the same key in earlier rounds, not against the gate
+        "env": {**quiet, "other_jvms": other_jvms,
+                "load5_max": max(st["load5"] for st in sections.values())},
         "detail": "BENCH_DETAIL.json",
     }
     if sf1:
