@@ -350,6 +350,45 @@ def main():
     finally:
         shutil.rmtree(idx, ignore_errors=True)
 
+    # round 11: the incremental tier completed — a persisted gram index
+    # rewrites new batches against history (ExactSubstr), grouped MG
+    # answers per-source dominance in one map-only pass, and CDC gains
+    # its rewrite
+    from term_spark.analyzers.heavy_hitters import mg_sketch_by
+    from term_spark.operators.dedup import remove_duplicate_chunks
+    from term_spark.operators.text import (
+        build_substring_index, remove_duplicated_spans_against_index)
+
+    ssidx = tempfile.mkdtemp(prefix="term_spark_quickstart_ssidx_")
+    try:
+        build_substring_index(sdocs, ssidx, k=5)
+        batch = spark.createDataFrame(
+            [(20, "fresh crawl where the quick brown fox jumps over the "
+                  "lazy dog again plus genuinely new material")],
+            "doc_id long, text string")
+        cleaned2, spans2 = remove_duplicated_spans_against_index(
+            spark, ssidx, batch)
+        print("incremental ExactSubstr vs persisted gram index: batch "
+              f"doc 20 had {spans2.count()} duplicated span(s) vs history "
+              f"and rewrites to: "
+              f"{cleaned2.collect()[0]['text']!r}")
+    finally:
+        shutil.rmtree(ssidx, ignore_errors=True)
+
+    gdocs = sdocs.withColumn(
+        "source", F.when(F.col("doc_id") < 3, "crawlA").otherwise("crawlB"))
+    gtoks = gdocs.select("source",
+                         F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+    per_src = mg_sketch_by(gtoks, "source", "tok", k=24)
+    print("grouped MG (one map-only pass, <=25 rows per partition x group): "
+          + "; ".join(f"{g}: {s.top(1)[0][0]} x{s.top(1)[0][1]} of n={s.n}"
+                      for g, s in sorted(per_src.items())))
+
+    cdc_cleaned, cdc_dropped = remove_duplicate_chunks(sdocs, divisor=16)
+    print(f"CDC rewrite: dropped {cdc_dropped.count()} duplicate chunk "
+          f"instance(s); {cdc_cleaned.count()} of {sdocs.count()} docs "
+          "survive with first-occurrence chunks reassembled in order")
+
 
 if __name__ == "__main__":
     main()

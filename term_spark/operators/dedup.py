@@ -911,6 +911,21 @@ def build_minhash_index(df: DataFrame, index_path: str,
     """
     assert num_hashes % bands == 0
     spark = df.sparkSession
+    if mode == "append":
+        # a shard sketched under different (k, num_hashes, bands) is a
+        # different hash family — appending it would silently poison
+        # both the bucket join and the signature Jaccard estimate
+        try:
+            meta = spark.read.parquet(f"{index_path}/meta").collect()[0]
+        except Exception:
+            meta = None
+        if meta is not None and ((meta["k"], meta["num_hashes"],
+                                  meta["bands"]) != (k, num_hashes, bands)):
+            raise ValueError(
+                f"append with (k={k}, num_hashes={num_hashes}, "
+                f"bands={bands}) onto an index built with (k={meta['k']}, "
+                f"num_hashes={meta['num_hashes']}, bands={meta['bands']}) "
+                "— params are pinned at build time")
     sig = minhash_signatures(df, text_col, id_col, k, num_hashes) \
         .localCheckpoint()  # pin: the written shard IS the banded shard
     sig.write.mode(mode).parquet(f"{index_path}/signatures")

@@ -703,6 +703,17 @@ def remove_duplicated_spans(df, text_col: str = "text",
     """
     spans = duplicated_spans(df, text_col, id_col, k=k, min_count=min_count,
                              hasher=hasher)
+    return _strip_spans(df, spans, text_col, id_col), spans
+
+
+def _strip_spans(df, spans, text_col: str, id_col: str):
+    """Rewrite each document with the given spans' tokens removed —
+    the shared back half of ``remove_duplicated_spans`` and the
+    persisted-index rewrite.  Spans group to one bounded row per
+    affected doc and join LEFT onto the corpus, so unaffected
+    documents stream through without shuffling text; the per-token
+    cover test runs inside whole-stage codegen, no UDF.  Documents
+    whose every token was covered disappear."""
     per_doc = (spans.groupBy(id_col)
                .agg(F.collect_list(F.struct("span_start", "span_end"))
                      .alias("__spans")))
@@ -715,15 +726,14 @@ def remove_duplicated_spans(df, text_col: str = "text",
             F.col("__spans"),
             lambda sp: (s["i"] >= sp["span_start"])
             & (s["i"] < sp["span_end"])))
-    cleaned = (joined.withColumn(
-                   text_col,
-                   F.when(F.col("__spans").isNull(),
-                          F.array_join(F.col("toks"), " "))
-                    .otherwise(F.array_join(
-                        F.transform(kept, lambda s: s["t"]), " ")))
-               .filter(F.col(text_col) != "")
-               .select(id_col, text_col))
-    return cleaned, spans
+    return (joined.withColumn(
+                text_col,
+                F.when(F.col("__spans").isNull(),
+                       F.array_join(F.col("toks"), " "))
+                 .otherwise(F.array_join(
+                     F.transform(kept, lambda s: s["t"]), " ")))
+            .filter(F.col(text_col) != "")
+            .select(id_col, text_col))
 
 
 # ---------------------------------------------------------------------------
@@ -763,6 +773,19 @@ def build_substring_index(df, index_path: str, text_col: str = "text",
     hash when the shard count grows.
     """
     spark = df.sparkSession
+    if mode == "append":
+        # appending under different gram params would mix two
+        # incompatible hash families into one table — fail loudly
+        # instead of silently corrupting every future probe
+        try:
+            meta = spark.read.parquet(f"{index_path}/meta").collect()[0]
+        except Exception:
+            meta = None
+        if meta is not None and (meta["k"], meta["hasher"]) != (k, hasher):
+            raise ValueError(
+                f"append with (k={k}, hasher={hasher!r}) onto an index "
+                f"built with (k={meta['k']}, hasher={meta['hasher']!r}) — "
+                "params are pinned at build time")
     per_shard = (_gram_table(df, text_col, id_col, k, hasher)
                  .groupBy("h").agg(F.count(F.lit(1)).alias("n")))
     per_shard.write.mode(mode).parquet(f"{index_path}/grams")
@@ -827,6 +850,31 @@ def duplicated_spans_against_index(spark, index_path: str, new_df,
     dup_pos = (grams.join(dup_h, "h", "left_semi")
                .select(id_col, "pos"))
     return _merge_spans(dup_pos, id_col, k)
+
+
+def remove_duplicated_spans_against_index(spark, index_path: str, new_df,
+                                          text_col: str = "text",
+                                          id_col: str = "doc_id",
+                                          min_count: int = 2,
+                                          include_batch: bool = True):
+    """The REWRITE form of the index probe: strip every duplicated
+    span from the NEW batch before it lands — the complete
+    incremental-ingestion ExactSubstr workflow (probe → rewrite in one
+    call, the ``remove_duplicated_spans`` contract against a persisted
+    corpus).  Returns ``(cleaned_df, spans_df)`` exactly like the
+    in-memory rewrite: cleaned text is over the normalized token
+    stream, documents whose every token sat in a duplicated span
+    disappear, and by the probe's batch-build equivalence the output
+    EQUALS ``remove_duplicated_spans(history ∪ batch)`` restricted to
+    batch docs (pinned in test_substring_index.py).  Only the batch is
+    hashed and only the batch's text is rewritten — history documents
+    are already ingested; cleaning them retroactively is a compaction
+    decision this operator deliberately does not make.
+    """
+    spans = duplicated_spans_against_index(
+        spark, index_path, new_df, text_col, id_col,
+        min_count=min_count, include_batch=include_batch)
+    return _strip_spans(new_df, spans, text_col, id_col), spans
 
 
 class SubstringDuplicationConstraint(Constraint):

@@ -2876,122 +2876,125 @@ FAMILY = {
 #: None = never driver-proven.  Source artifacts: r01, r02, r03, r04, r05, r06, r07, r08, r09, r10.
 CURRENT_ROUND = 11
 LAST_GREEN = {
-    "bm25_topk_docs": 10,
-    "cdc_dedup_docs": 10,
-    "fk_violation_examples": 10,
-    "incremental_neardup_docs": 10,
-    "ivf_index_recall_embeddings": 10,
-    "ivfpq_recall_embeddings": 10,
-    "join_cardinality_orders_lineitem": 10,
-    "lsh_neardup_recall_embeddings": 10,
-    "mg_heavy_hitters_docs": 10,
-    "quantile_sketch_merge_quantity": 10,
-    "substring_dedup_docs": 10,
-    "substring_rewrite_docs": 10,
-    "top_customers_revenue": 10,
-    "unigram_surprisal_docs": 10,
-    "unique_value_ratio_custkey": 10,
-    "unpivot_pricing": 10,
-    "asof_click_error": 10,
-    "bigram_surprisal_docs": 10,
-    "brand_profile_part": 10,
-    "business_hours_events": 10,
-    "chunk_documents_docs": 10,
-    "containment_orderstatus": 10,
-    "corpus_profile_by_lang": 10,
-    "corr_matrix_lineitem": 10,
-    "dataset_diff_orders": 10,
-    "date_range_orders": 10,
-    "decontaminate_docs": 10,
-    "decontamination_report_docs": 10,
-    "dedup_pipeline_docs": 10,
-    "doc_length_buckets": 10,
-    "drift_w1_quantity": 10,
-    "dsir_weights_docs": 10,
-    "embedding_centroid_drift": 10,
-    "embedding_neardup_pairs": 10,
-    "fd_custkey_orderstatus": 10,
-    "fingerprint_docs": 10,
-    "frequent_terms_docs": 10,
-    "gopher_rules_docs": 10,
-    "grouped_stats_mktsegment": 10,
-    "interval_join_events": 10,
-    "jaccard_prefix_pairs_docs": 10,
-    "key_skew_custkey": 10,
-    "lang_id": 10,
-    "lexical_diversity_docs": 10,
-    "minhash_oph_candidates_docs": 10,
-    "neardup_components": 10,
-    "ngram_novelty_docs": 10,
-    "numeric_histogram_quantity": 10,
-    "readability_docs": 10,
-    "repetition_docs": 10,
-    "size_lineitem": 9,
-    "completeness_customer": 9,
-    "stats_quantity": 9,
-    "distinctness_orders": 9,
-    "compliance_discount": 9,
-    "format_orderpriority": 9,
-    "length_customer_name": 9,
-    "datatype_detection": 9,
-    "histogram_returnflag": 9,
-    "entropy_returnflag": 9,
-    "grouped_completeness_events": 9,
-    "mutual_information_lineitem": 9,
-    "spearman_quantity_price": 8,
-    "corr_quantity_price": 9,
-    "fk_orders_customer": 9,
-    "join_coverage_lineitem_orders": 9,
-    "cross_table_sum_orders_lineitem": 9,
-    "temporal_ordering_orders_lineitem": 8,
-    "max_time_gap_events": 9,
-    "pricing_summary": 9,
-    "dedup_exact_docs": 9,
-    "text_tokens": 8,
-    "text_quality": 8,
-    "ngram_jaccard_pairs": 9,
-    "minhash_lsh_candidates": 9,
+    "cdc_rewrite_docs": None,
+    "incremental_substring_docs": None,
+    "mg_grouped_heavy_hitters_docs": None,
+    "row_violations_docs": 8,
+    "script_profile_docs": 8,
+    "shape_stats_quantity": 8,
     "simhash_docs": 8,
     "simhash_near_pairs": 8,
-    "cosine_topk_embeddings": 9,
+    "source_mixing_docs": 8,
+    "source_overlap_docs": 8,
+    "spearman_quantity_price": 8,
     "split_counts_docs": 8,
     "stratified_sample_docs": 8,
-    "packing_stats_docs": 9,
-    "semantic_dedup_embeddings": 9,
-    "source_mixing_docs": 8,
-    "winnow_overlap_docs": 8,
-    "script_profile_docs": 8,
+    "supplier_stats_by_nation": 8,
+    "temporal_ordering_orders_lineitem": 8,
+    "text_quality": 8,
+    "text_tokens": 8,
     "tfidf_top_terms_docs": 8,
-    "row_violations_docs": 8,
-    "source_overlap_docs": 8,
-    "quantile_exact_quantity": 9,
-    "profile_customer": 9,
+    "winnow_overlap_docs": 8,
     "approx_distinct_orderkey": 9,
+    "benford_acctbal": 9,
+    "completeness_customer": 9,
+    "compliance_discount": 9,
+    "corr_quantity_price": 9,
+    "cosine_topk_embeddings": 9,
+    "cross_table_sum_orders_lineitem": 9,
+    "datatype_detection": 9,
+    "dedup_exact_docs": 9,
+    "distinctness_orders": 9,
+    "dominant_value_orderstatus": 9,
+    "drift_chi2_returnflag": 9,
+    "drift_js_quantity": 9,
+    "drift_ks_quantity": 9,
+    "drift_psi_by_returnflag": 9,
+    "drift_psi_quantity": 9,
+    "entropy_returnflag": 9,
+    "fk_orders_customer": 9,
+    "format_orderpriority": 9,
+    "grouped_completeness_events": 9,
+    "histogram_returnflag": 9,
+    "join_coverage_lineitem_orders": 9,
+    "length_customer_name": 9,
+    "line_dedup_summary_docs": 9,
+    "max_time_gap_events": 9,
+    "median_by_returnflag": 9,
+    "minhash_lsh_candidates": 9,
+    "mutual_information_lineitem": 9,
+    "ngram_jaccard_pairs": 9,
+    "outlier_mad_acctbal": 9,
+    "packing_stats_docs": 9,
+    "size_lineitem": 9,
+    "stats_quantity": 9,
+    "unique_value_ratio_custkey": 10,
+    "containment_orderstatus": 10,
+    "business_hours_events": 10,
+    "date_range_orders": 10,
+    "pricing_summary": 9,
+    "fingerprint_docs": 10,
+    "lang_id": 10,
+    "embedding_neardup_pairs": 10,
+    "ivfpq_recall_embeddings": 10,
+    "ivf_index_recall_embeddings": 10,
+    "lsh_neardup_recall_embeddings": 10,
+    "neardup_components": 10,
+    "decontaminate_docs": 10,
+    "repetition_docs": 10,
+    "dedup_pipeline_docs": 10,
+    "semantic_dedup_embeddings": 9,
+    "doc_length_buckets": 10,
+    "dsir_weights_docs": 10,
+    "decontamination_report_docs": 10,
+    "bm25_topk_docs": 10,
+    "readability_docs": 10,
+    "jaccard_prefix_pairs_docs": 10,
+    "ngram_novelty_docs": 10,
+    "chunk_documents_docs": 10,
+    "frequent_terms_docs": 10,
+    "corpus_profile_by_lang": 10,
+    "minhash_oph_candidates_docs": 10,
+    "embedding_centroid_drift": 10,
+    "gopher_rules_docs": 10,
+    "lexical_diversity_docs": 10,
+    "mg_heavy_hitters_docs": 10,
+    "cdc_dedup_docs": 10,
+    "incremental_neardup_docs": 10,
+    "quantile_exact_quantity": 9,
+    "numeric_histogram_quantity": 10,
+    "profile_customer": 9,
+    "quantile_sketch_merge_quantity": 10,
+    "fk_violation_examples": 10,
+    "grouped_stats_mktsegment": 10,
     "rollup_pricing": 9,
     "sessionize_events": 9,
-    "median_by_returnflag": 9,
+    "top_customers_revenue": 10,
+    "asof_click_error": 10,
     "range_join_events": 9,
+    "interval_join_events": 10,
     "rolling_daily_events": 9,
     "pivot_returnflag_linestatus": 9,
     "top3_customers_per_segment": 9,
-    "benford_acctbal": 9,
-    "drift_psi_quantity": 9,
-    "drift_ks_quantity": 9,
-    "drift_chi2_returnflag": 9,
-    "drift_js_quantity": 9,
-    "line_dedup_summary_docs": 9,
+    "unpivot_pricing": 10,
+    "drift_w1_quantity": 10,
     "paragraph_dedup_summary_docs": 9,
+    "substring_dedup_docs": 10,
+    "substring_rewrite_docs": 10,
     "token_budget_sample_docs": 9,
-    "outlier_mad_acctbal": 9,
     "text_cleaning_docs": 9,
-    "dominant_value_orderstatus": 9,
-    "drift_psi_by_returnflag": 9,
     "quality_model_docs": 9,
-    "shape_stats_quantity": 8,
-    "supplier_stats_by_nation": 8,
+    "unigram_surprisal_docs": 10,
+    "bigram_surprisal_docs": 10,
+    "corr_matrix_lineitem": 10,
+    "fd_custkey_orderstatus": 10,
+    "dataset_diff_orders": 10,
+    "key_skew_custkey": 10,
+    "brand_profile_part": 10,
     "shipping_priority_orders": 9,
     "regional_supplier_volume": 9,
     "returned_item_customers": 9,
+    "join_cardinality_orders_lineitem": 10,
 }
 # END GENERATED ROTATION DATA
 

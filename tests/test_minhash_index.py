@@ -131,3 +131,11 @@ def test_signatures_shape(spark):
     sig = minhash_signatures(_df(spark, _CORPUS))
     assert sig.columns == ["id"] + [f"mh_{i}" for i in range(16)]
     assert sig.count() == 3
+
+
+def test_append_param_mismatch_fails_loudly(spark, tmp_path):
+    idx = str(tmp_path / "mhidx_pm")
+    build_minhash_index(_df(spark, _CORPUS), idx)
+    with pytest.raises(ValueError, match="pinned at build time"):
+        build_minhash_index(_df(spark, _BATCH), idx, num_hashes=32,
+                            bands=4, mode="append")

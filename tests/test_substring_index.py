@@ -120,3 +120,38 @@ def test_probe_reads_params_from_meta(spark, tmp_path):
               duplicated_spans(union, k=7, min_count=2).collect()
               if r["doc_id"] >= 100}
     assert _probe(spark, idx, _df(spark, _BATCH)) == expect
+
+
+def test_rewrite_against_index_equals_batch_rewrite(spark, tmp_path):
+    """The index-backed rewrite == remove_duplicated_spans over
+    history ∪ batch, restricted to batch docs — text for text; the
+    all-duplicate batch doc disappears in both."""
+    from term_spark.operators.text import (
+        remove_duplicated_spans, remove_duplicated_spans_against_index)
+
+    idx = str(tmp_path / "ssidx_rw")
+    build_substring_index(_df(spark, _HISTORY), idx, k=K)
+    got, spans = remove_duplicated_spans_against_index(
+        spark, idx, _df(spark, _BATCH))
+    got_map = {r["doc_id"]: r["text"] for r in got.collect()}
+
+    union = _df(spark, _HISTORY + _BATCH)
+    ref, _ = remove_duplicated_spans(union, k=K, min_count=2)
+    ref_map = {r["doc_id"]: r["text"] for r in ref.collect()
+               if r["doc_id"] >= 100}
+    assert got_map == ref_map
+    # the shared-phrase doc lost its span but kept its novel tokens
+    assert 100 in got_map and _PHRASE.split()[1] not in got_map[100]
+    # spans_df is the probe output (caller accounting)
+    assert {r["doc_id"] for r in spans.collect()} == {100, 102}
+
+
+def test_append_param_mismatch_fails_loudly(spark, tmp_path):
+    idx = str(tmp_path / "ssidx_pm")
+    build_substring_index(_df(spark, _HISTORY), idx, k=K)
+    with pytest.raises(ValueError, match="pinned at build time"):
+        build_substring_index(_df(spark, _BATCH), idx, k=K + 2,
+                              mode="append")
+    with pytest.raises(ValueError, match="pinned at build time"):
+        build_substring_index(_df(spark, _BATCH), idx, k=K, hasher="md5",
+                              mode="append")
