@@ -283,7 +283,13 @@ def sf10_fresh_main() -> None:
         out[name] = round(
             _measure_query(spark, QUERIES[name], sf10_dir, samples=2), 4)
     # round-11 (verdict ask #3): the LLM-pipeline flagships at the
-    # third decade — 500k docs.  These run 30-120 s each, so they are
+    # third decade — 500k docs.  Read the minhash number against the
+    # OUTPUT size, not the input: benchdata replicates sf0.1 100x with
+    # key offsets, so every document gains ~100 exact clones and the
+    # true near-dup PAIR count grows ~quadratically in the replication
+    # factor (~25M candidate pairs at sf10 vs ~0.2M at sf1, 110x the
+    # pairs for 10x the docs) — wall scales with pairs emitted, and
+    # per-pair cost stays flat.  These run 30-120 s each, so they are
     # single timed runs (JIT/codegen amortizes to <5% at this length;
     # a warm + best-of-2 discipline would triple a multi-minute
     # section for noise smaller than the load jitter the per-section
@@ -443,13 +449,6 @@ def main() -> None:
         per_query[name] = round(_measure_query(spark, QUERIES[name], SF_DIR), 4)
     sections["sf01_queries_end"] = _load_stamp()
 
-    # persisted-index lifecycles at sf0.1, build vs probe SPLIT (round
-    # 11 ask #5: the registry rows incremental_neardup_docs /
-    # ivf_index_recall_embeddings necessarily time the whole lifecycle;
-    # the steady-state serving cost is the probe number)
-    per_query.update(_bench_index_lifecycles(spark, SF_DIR))
-    sections["after_index_lifecycles"] = _load_stamp()
-
     sf = 0.1
     if "sf" in SF_DIR:
         try:
@@ -477,6 +476,15 @@ def main() -> None:
                      "outlier_mad_acctbal", "substring_dedup_docs"):
             sf1[name] = round(_measure_query(spark, QUERIES[name], sf1_dir), 4)
         sections["after_sf1_aged"] = _load_stamp()
+
+    # persisted-index lifecycles at sf0.1, build vs probe SPLIT (round
+    # 11 ask #5: the registry rows incremental_neardup_docs /
+    # ivf_index_recall_embeddings necessarily time the whole lifecycle;
+    # the steady-state serving cost is the probe number).  LAST section
+    # so the aged-JVM sf1 numbers keep their historical position in the
+    # run (round-over-round comparability).
+    per_query.update(_bench_index_lifecycles(spark, SF_DIR))
+    sections["after_index_lifecycles"] = _load_stamp()
 
     detail = {
         "metric": "suite_20_constraints_wall_sec",
@@ -524,7 +532,8 @@ def main() -> None:
                           ("suite_20_constraints", "minhash_lsh_candidates")
                           if k in sf1}
     if sf10:
-        compact["sf10"] = {k: round(v, 2) for k, v in sf10.items()}
+        compact["sf10"] = {k: round(v, 2) for k, v in sf10.items()
+                           if not isinstance(v, dict)}
     line = json.dumps(compact)
     assert len(line) < 1500, f"compact bench line too long: {len(line)}"
     print(line)

@@ -292,6 +292,65 @@ class HeavyHitterConstraint(Constraint):
             f"n={s.n})"))
 
 
+class GroupedHeavyHitterConstraint(Constraint):
+    """``has_no_heavy_hitters_by``: the grouped form of the sketch
+    gate — fail when any GROUP's single value provably exceeds
+    ``max_ratio`` of that group's rows (round 11; per-source/
+    per-language dominance screens over streams whose distinct count
+    rules out the exact grouped runner).  One map-only ``mg_sketch_by``
+    pass; every per-group estimate is an underestimate against that
+    group's own n, so the gate stays one-sided (a failure is a proof,
+    detection guaranteed above max_ratio + 1/(k+1) per group).
+    Metric = the worst group's estimate ratio; the failure message
+    names the offending (group, value) pairs.
+    """
+
+    name = "grouped_heavy_hitters"
+
+    def __init__(self, group_column: str, column: str,
+                 max_ratio: float = 0.5, k: Optional[int] = None,
+                 max_examples: int = 5):
+        validate_identifier(group_column)
+        validate_identifier(column)
+        if not 0.0 < max_ratio < 1.0:
+            raise ValueError(f"max_ratio must be in (0, 1), got {max_ratio}")
+        self.group_column = group_column
+        self.column = column
+        self.max_ratio = float(max_ratio)
+        self.k = k if k is not None else max(8, int(10.0 / max_ratio))
+        self.max_examples = max_examples
+        self.table = None
+
+    def evaluate(self, ctx: EngineContext) -> ConstraintResult:
+        df = ctx.df(self.table)
+        sketches = mg_sketch_by(df, self.group_column, self.column, k=self.k)
+        if not sketches:
+            return self._finish(ConstraintResult.skipped())
+        worst_ratio, offenders = 0.0, []
+        for g, s in sorted(sketches.items()):
+            if s.n == 0:
+                continue
+            top = s.top(limit=1)
+            if not top:
+                continue
+            item, est = top[0]
+            ratio = est / s.n
+            worst_ratio = max(worst_ratio, ratio)
+            if ratio > self.max_ratio:
+                offenders.append((g, item, ratio, s.error_bound, s.n))
+        if not offenders:
+            return self._finish(ConstraintResult.success(worst_ratio))
+        offenders.sort(key=lambda t: -t[2])
+        shown = "; ".join(
+            f"{self.group_column}={g!r}: {item!r} >= {ratio:.4f} "
+            f"(undercount <= {bound} of n={n})"
+            for g, item, ratio, bound, n in offenders[:self.max_examples])
+        return self._finish(ConstraintResult.failure(
+            worst_ratio,
+            f"{len(offenders)} group(s) hold a value above max_ratio "
+            f"{self.max_ratio} in column '{self.column}': {shown}"))
+
+
 class MGFrequencyAnalyzer:
     """Analyzer-protocol wrapper for the MG sketch, so heavy-hitter
     state joins the engine's incremental-analysis algebra (the

@@ -200,6 +200,19 @@ class Check:
         return self.with_constraint(HeavyHitterConstraint(
             column, max_ratio, k))
 
+    def has_no_heavy_hitters_by(self, group_column: str, column: str,
+                                max_ratio: float = 0.5, k=None) -> "Check":
+        """Grouped form of ``has_no_heavy_hitters`` (round 11): one
+        map-only ``mg_sketch_by`` pass fails the suite when any
+        GROUP's single value provably exceeds ``max_ratio`` of that
+        group's rows — the per-source/per-language dominance screen
+        for streams whose distinct count rules out the exact grouped
+        runner. One-sided per group; the message names the offending
+        (group, value) pairs."""
+        from ..analyzers.heavy_hitters import GroupedHeavyHitterConstraint
+        return self.with_constraint(GroupedHeavyHitterConstraint(
+            group_column, column, max_ratio, k))
+
     def has_low_churn(self, ref_df, keys, compare_cols=None,
                       max_changed_ratio: float = 0.2,
                       max_added_ratio: float = 0.2,

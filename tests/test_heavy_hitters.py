@@ -381,3 +381,36 @@ def test_join_cardinality_gate(spark):
 
     with pytest.raises(ValueError):
         JoinCardinalityConstraint("a", "k", "b", "k", max_rows=0)
+
+
+def test_grouped_gate(spark):
+    """has_no_heavy_hitters_by: a group dominated by one value fails
+    the suite and is named; balanced groups pass; the metric is the
+    worst group's (underestimated) ratio."""
+    from term_spark import Check, Level, ValidationSuite
+    from term_spark.core.result import Status
+
+    rows = ([("skewed", "dominant")] * 80
+            + [("skewed", f"t{i}") for i in range(20)]
+            + [("balanced", f"v{i % 10}") for i in range(100)])
+    df = spark.createDataFrame(rows, "src string, v string").repartition(5)
+
+    ok = ValidationSuite.builder("g1").with_check(
+        Check("c", Level.ERROR)
+        .has_no_heavy_hitters_by("src", "v", max_ratio=0.85)).run(spark, df)
+    assert ok.passed
+
+    bad = ValidationSuite.builder("g2").with_check(
+        Check("c", Level.ERROR)
+        .has_no_heavy_hitters_by("src", "v", max_ratio=0.5)).run(spark, df)
+    assert not bad.passed
+    msg = bad.report.outcomes[0].result.message
+    assert "skewed" in msg and "dominant" in msg
+    assert "balanced" not in msg
+
+
+def test_grouped_gate_validates_args():
+    from term_spark.analyzers.heavy_hitters import GroupedHeavyHitterConstraint
+
+    with pytest.raises(ValueError, match="max_ratio"):
+        GroupedHeavyHitterConstraint("g", "v", max_ratio=1.5)
