@@ -2737,6 +2737,54 @@ ORACLES.update({
 # CURRENT_ROUND — the next window then falls out mechanically.
 # ---------------------------------------------------------------------------
 
+def q_salted_join_sum_orders_customer(spark, sf_dir) -> DataFrame:
+    """Pre-flight -> remedy composition, driver-oracle-checkable
+    (round 11): ``estimate_join_cardinality`` sketches orders.o_custkey
+    vs customer.c_custkey (4 bounded jobs, no join executed), then
+    ``plans.skew.salted_join_on_hot_keys`` routes EXACTLY the keys the
+    report names through the salted (key, salt) path and every other
+    key through the plain equi-join.  The returned per-mktsegment
+    order counts and exact DECIMAL price sums are computed from the
+    REMEDY's plan, so the DuckDB oracle — a plain JOIN .. GROUP BY —
+    proves the hot/rest split + union is lossless through an exact
+    aggregate, for whatever hot-key set the sketches name on this
+    partitioning (the equality holds for ANY split, which is the
+    point).  Companion to the planted-explosion plan test in
+    tests/test_plans.py, which additionally pins the spread."""
+    from .operators.multitable import estimate_join_cardinality
+    from .plans.skew import salted_join_on_hot_keys
+
+    o, c = _t(spark, sf_dir, "orders", "customer")
+    report = estimate_join_cardinality(o, c, "o_custkey", "c_custkey",
+                                       k=64)
+    joined = salted_join_on_hot_keys(
+        o.select("o_custkey", "o_totalprice"),
+        c.select("c_custkey", "c_mktsegment"),
+        "o_custkey", "c_custkey", report, salts=4)
+    return (joined.groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+                 F.round(F.sum(F.col("o_totalprice")
+                               .cast("decimal(25,6)")).cast("double"), 2)
+                  .alias("total_price"))
+            .orderBy("c_mktsegment"))
+
+
+SQL_SALTED_JOIN_SUM_ORDERS_CUSTOMER = """
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6)))
+                  AS DOUBLE), 2) AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+QUERIES.update(
+    {"salted_join_sum_orders_customer": q_salted_join_sum_orders_customer})
+ORACLES.update(
+    {"salted_join_sum_orders_customer": SQL_SALTED_JOIN_SUM_ORDERS_CUSTOMER})
+
+
 DRIVER_WINDOW_SIZE = 50
 
 #: Queries with no DuckDB oracle by design (the driver can only ever
@@ -2778,6 +2826,7 @@ FAMILY = {
     "join_coverage_lineitem_orders": "multitable",
     "cross_table_sum_orders_lineitem": "multitable",
     "join_cardinality_orders_lineitem": "join_cardinality",
+    "salted_join_sum_orders_customer": "join_cardinality",
     "temporal_ordering_orders_lineitem": "multitable",
     "dataset_diff_orders": "dataset_diff",
     "max_time_gap_events": "temporal",
@@ -2879,6 +2928,7 @@ LAST_GREEN = {
     "cdc_rewrite_docs": None,
     "incremental_substring_docs": None,
     "mg_grouped_heavy_hitters_docs": None,
+    "salted_join_sum_orders_customer": None,
     "row_violations_docs": 8,
     "script_profile_docs": 8,
     "shape_stats_quantity": 8,
@@ -2925,7 +2975,6 @@ LAST_GREEN = {
     "mutual_information_lineitem": 9,
     "ngram_jaccard_pairs": 9,
     "outlier_mad_acctbal": 9,
-    "packing_stats_docs": 9,
     "size_lineitem": 9,
     "stats_quantity": 9,
     "unique_value_ratio_custkey": 10,
@@ -2942,6 +2991,7 @@ LAST_GREEN = {
     "neardup_components": 10,
     "decontaminate_docs": 10,
     "repetition_docs": 10,
+    "packing_stats_docs": 9,
     "dedup_pipeline_docs": 10,
     "semantic_dedup_embeddings": 9,
     "doc_length_buckets": 10,
