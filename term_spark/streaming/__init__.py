@@ -445,3 +445,68 @@ class StreamingHeavyHitterMonitor:
     def attach(self, stream_writer):
         """writer.foreachBatch hookup: monitor.attach(df.writeStream)"""
         return stream_writer.foreachBatch(self.foreach_batch)
+
+
+class StreamingGroupedHeavyHitterMonitor:
+    """Per-group streaming dominance (round 11) — the streaming form
+    of ``Check.has_no_heavy_hitters_by``: each micro-batch runs ONE
+    map-only ``mg_sketch_by`` pass and every group's summary folds
+    into its own running MG state with the same Agarwal merge, so the
+    monitor holds k counters PER GROUP SEEN — kilobytes per source/
+    language, stream-length-independent — and the MG theorems hold
+    per group over the whole stream (micro-batches are shards; groups
+    never interact, so the merge law applies group-wise, same
+    batch-parity argument as the global monitor).
+
+    With ``max_ratio`` set, ``on_alert`` fires (batch_id, group,
+    value, share-of-that-group's-rows) on proven per-group dominance.
+    ``top(group, n)`` reads one group's leaders; ``groups()`` lists
+    groups seen so far.
+    """
+
+    def __init__(self, group_column: str, column: str, k: int = 256,
+                 max_ratio: Optional[float] = None,
+                 on_alert: Optional[Callable] = None):
+        if max_ratio is not None and not 0.0 < max_ratio < 1.0:
+            raise ValueError(
+                f"max_ratio must be in (0, 1), got {max_ratio}")
+        self.group_column = group_column
+        self.column = column
+        self.k = int(k)
+        self.max_ratio = max_ratio
+        self.on_alert = on_alert
+        self.summaries: dict = {}  # group -> MGSummary
+        self.alerts: List = []
+
+    def foreach_batch(self, batch_df, batch_id: int) -> None:
+        from ..analyzers.heavy_hitters import mg_merge, mg_sketch_by
+        for g, s in mg_sketch_by(batch_df, self.group_column,
+                                 self.column, k=self.k).items():
+            prev = self.summaries.get(g)
+            self.summaries[g] = s if prev is None else mg_merge([prev, s])
+        if self.max_ratio is None:
+            return
+        for g in sorted(self.summaries):
+            summ = self.summaries[g]
+            if summ.n == 0:
+                continue
+            for item, est in summ.top():
+                share = est / summ.n
+                if share <= self.max_ratio:
+                    break  # sorted desc — nothing further exceeds
+                self.alerts.append((batch_id, g, item, share))
+                del self.alerts[:-100]
+                if self.on_alert is not None:
+                    self.on_alert(batch_id, g, item, share)
+
+    def groups(self):
+        return sorted(self.summaries)
+
+    def top(self, group: str, limit: int = 10):
+        """(value, estimated count) for one group's current leaders."""
+        s = self.summaries.get(group)
+        return [] if s is None else s.top(limit)
+
+    def attach(self, stream_writer):
+        """writer.foreachBatch hookup: monitor.attach(df.writeStream)"""
+        return stream_writer.foreachBatch(self.foreach_batch)

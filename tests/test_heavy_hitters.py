@@ -414,3 +414,51 @@ def test_grouped_gate_validates_args():
 
     with pytest.raises(ValueError, match="max_ratio"):
         GroupedHeavyHitterConstraint("g", "v", max_ratio=1.5)
+
+
+def test_streaming_grouped_monitor_batch_parity(spark, tmp_path):
+    """Grouped streaming monitor: per-group theorems over the whole
+    stream, per-group alert on the provably dominant value only in the
+    dominated group, exact counters when k > per-group distincts."""
+    import os
+
+    from term_spark.streaming import StreamingGroupedHeavyHitterMonitor
+
+    src = str(tmp_path / "ghh_src")
+    os.makedirs(src)
+    batches = [[("en", "the")] * 30 + [("de", "der")] * 5 + [("de", "x")] * 5,
+               [("en", "the")] * 20 + [("en", "of")] * 10
+               + [("de", f"q{i}") for i in range(10)],
+               [("en", "the")] * 30 + [("de", "x")] * 10]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, "src string, tok string") \
+            .coalesce(1).write.parquet(f"{src}/b{i}.parquet")
+
+    monitor = StreamingGroupedHeavyHitterMonitor("src", "tok", k=64,
+                                                 max_ratio=0.6)
+    stream = (spark.readStream.schema("src string, tok string")
+              .option("maxFilesPerTrigger", 1).parquet(src + "/*.parquet"))
+    q = monitor.attach(stream.writeStream).trigger(availableNow=True).start()
+    q.awaitTermination(180)
+
+    flat = [r for b in batches for r in b]
+    exact_en = Counter(t for g, t in flat if g == "en")
+    exact_de = Counter(t for g, t in flat if g == "de")
+    assert monitor.groups() == ["de", "en"]
+    _assert_theorems(monitor.summaries["en"], exact_en)
+    _assert_theorems(monitor.summaries["de"], exact_de)
+    # k=64 > per-group distincts: exact regardless of batch order
+    assert monitor.summaries["en"].counters == dict(exact_en)
+    assert monitor.summaries["de"].counters == dict(exact_de)
+    assert monitor.top("en", 1) == [("the", 80)]
+    # "the" dominates en (80/90); nothing dominates de (x: 15/30 = 0.5)
+    assert any(g == "en" and item == "the" and share > 0.6
+               for _, g, item, share in monitor.alerts)
+    assert all(g == "en" for _, g, item, share in monitor.alerts)
+
+
+def test_streaming_grouped_monitor_validates_ratio():
+    from term_spark.streaming import StreamingGroupedHeavyHitterMonitor
+
+    with pytest.raises(ValueError, match="max_ratio"):
+        StreamingGroupedHeavyHitterMonitor("g", "v", max_ratio=2.0)
