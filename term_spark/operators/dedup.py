@@ -877,6 +877,103 @@ def remove_duplicate_chunks(df: DataFrame, text_col: str = "text",
 
 
 # ---------------------------------------------------------------------------
+# Persisted CDC chunk index — incremental-ingestion chunk dedup
+# ---------------------------------------------------------------------------
+
+def build_cdc_index(df: DataFrame, index_path: str, text_col: str = "text",
+                    id_col: str = "doc_id", k: int = 8, divisor: int = 64,
+                    mode: str = "overwrite") -> None:
+    """Persist the corpus's content-defined chunk hashes so future
+    batches run chunk dedup against history WITHOUT re-chunking it —
+    the third incremental-ingestion tier (near-dup has the MinHash
+    index, substring dedup the gram index; this is the storage-unit
+    tier).  Layout under ``index_path``: ``meta`` pins (k, divisor) —
+    a probe under different cut params is a different chunking and
+    would silently miss — and ``chunks`` holds (h, n) per-shard
+    PARTIAL counts of the 16-byte chunk hashes.
+
+    Append soundness is the gram-index argument verbatim: counts ADD
+    across shards, and the probe's test is pure membership (stored
+    means "history already holds this chunk"), monotone under
+    addition — so shard-wise appends == batch build.  Appending under
+    different pinned params raises.
+    """
+    spark = df.sparkSession
+    if mode == "append":
+        try:
+            meta = spark.read.parquet(f"{index_path}/meta").collect()[0]
+        except Exception:
+            meta = None
+        if meta is not None and (meta["k"], meta["divisor"]) != (k, divisor):
+            raise ValueError(
+                f"append with (k={k}, divisor={divisor}) onto an index "
+                f"built with (k={meta['k']}, divisor={meta['divisor']}) — "
+                "params are pinned at build time")
+    per_shard = (cdc_chunks(df, text_col, id_col, k=k, divisor=divisor)
+                 .groupBy(F.col("chunk_hash").alias("h"))
+                 .agg(F.count(F.lit(1)).alias("n")))
+    per_shard.write.mode(mode).parquet(f"{index_path}/chunks")
+    spark.createDataFrame([(k, divisor)], "k int, divisor int") \
+        .write.mode("overwrite").parquet(f"{index_path}/meta")
+
+
+def remove_duplicate_chunks_against_index(spark, index_path: str, new_df,
+                                          text_col: str = "text",
+                                          id_col: str = "doc_id"):
+    """Chunk-dedup a NEW batch against a persisted CDC index: chunk
+    only the batch (cut params read from meta), drop every batch
+    chunk whose content already lives in HISTORY (stored hash — the
+    history copy is canonical) or earlier in the batch itself (the
+    (id, chunk_idx) first-occurrence election
+    ``remove_duplicate_chunks`` uses), and reassemble each document
+    from its kept chunks in order.  Returns ``(cleaned_df,
+    dropped_df)`` with the in-memory rewrite's exact contract —
+    equivalently: this IS ``remove_duplicate_chunks(history ∪ batch)``
+    restricted to batch docs whenever history ids sort before batch
+    ids (pinned in test_cdc_index.py), because a stored hash beats
+    any batch occurrence and batch-internal election is unchanged.
+
+    Scale shape: the batch is chunked once (map-only JVM HOFs); the
+    corpus-sized chunk table is touched by ONE semi-join against the
+    batch's distinct hashes; the election window and per-doc
+    reassembly run on batch rows only.  History text is never read,
+    never re-chunked, never shuffled.
+    """
+    from pyspark.sql import Window
+
+    meta = spark.read.parquet(f"{index_path}/meta").collect()[0]
+    k, divisor = meta["k"], meta["divisor"]
+    ch = cdc_chunks(new_df, text_col, id_col, k=k, divisor=divisor) \
+        .localCheckpoint()  # used twice: stored-hit join + election
+    stored_hits = (spark.read.parquet(f"{index_path}/chunks")
+                   .select(F.col("h").alias("chunk_hash"))
+                   .join(ch.select("chunk_hash").distinct(),
+                         "chunk_hash", "left_semi")
+                   .distinct()
+                   .withColumn("__stored", F.lit(True)))
+    w = Window.partitionBy("chunk_hash").orderBy("id", "chunk_idx")
+    ranked = (ch.join(stored_hits, "chunk_hash", "left")
+              .withColumn("__rn", F.row_number().over(w))
+              .withColumn("__drop", F.col("__stored").isNotNull()
+                          | (F.col("__rn") > 1)))
+    dropped = (ranked.filter(F.col("__drop"))
+               .select("id", "chunk_idx", "start", "length", "chunk_hash"))
+    kept = (ranked.filter(~F.col("__drop"))
+            .groupBy("id")
+            .agg(F.sort_array(F.collect_list(
+                F.struct("chunk_idx", "start", "length"))).alias("__ks")))
+    rebuilt = F.array_join(
+        F.transform(F.col("__ks"),
+                    lambda s: F.col(text_col).substr(
+                        s["start"].cast("int") + 1,
+                        s["length"].cast("int"))), "")
+    cleaned = (new_df.join(kept.withColumnRenamed("id", id_col), id_col)
+               .withColumn(text_col, rebuilt)
+               .select(id_col, text_col))
+    return cleaned, dropped
+
+
+# ---------------------------------------------------------------------------
 # Persisted MinHash-LSH index — incremental-ingestion near-dup
 # ---------------------------------------------------------------------------
 

@@ -2904,6 +2904,7 @@ FAMILY = {
     "mg_grouped_heavy_hitters_docs": "heavy_hitters",
     "cdc_dedup_docs": "cdc",
     "cdc_rewrite_docs": "cdc",
+    "incremental_cdc_docs": "cdc",
     "incremental_neardup_docs": "minhash",
     "chunk_documents_docs": "chunking",
     "packing_stats_docs": "chunking",
@@ -2926,6 +2927,7 @@ FAMILY = {
 CURRENT_ROUND = 11
 LAST_GREEN = {
     "cdc_rewrite_docs": None,
+    "incremental_cdc_docs": None,
     "incremental_substring_docs": None,
     "mg_grouped_heavy_hitters_docs": None,
     "salted_join_sum_orders_customer": None,
@@ -2974,7 +2976,6 @@ LAST_GREEN = {
     "minhash_lsh_candidates": 9,
     "mutual_information_lineitem": 9,
     "ngram_jaccard_pairs": 9,
-    "outlier_mad_acctbal": 9,
     "size_lineitem": 9,
     "stats_quantity": 9,
     "unique_value_ratio_custkey": 10,
@@ -3032,6 +3033,7 @@ LAST_GREEN = {
     "substring_dedup_docs": 10,
     "substring_rewrite_docs": 10,
     "token_budget_sample_docs": 9,
+    "outlier_mad_acctbal": 9,
     "text_cleaning_docs": 9,
     "quality_model_docs": 9,
     "unigram_surprisal_docs": 10,

@@ -2350,3 +2350,116 @@ ORDER BY dr.doc_id
 
 LLM_QUERIES.update({"cdc_rewrite_docs": q_cdc_rewrite_docs})
 LLM_ORACLES.update({"cdc_rewrite_docs": SQL_CDC_REWRITE_DOCS})
+
+
+def q_incremental_cdc_docs(spark, sf_dir) -> DataFrame:
+    """Persisted CDC chunk-index lifecycle, driver-oracle-checkable
+    (round 11; the third incremental-ingestion tier after the MinHash
+    and gram indexes): the corpus slice (doc_id % 4 != 0) is chunked
+    ONCE into a scratch index (``build_cdc_index`` — per-chunk-hash
+    counts + pinned (k, divisor) on disk), then the new batch
+    (doc_id % 4 == 0) is chunk-deduped against history + itself
+    WITHOUT the corpus being re-chunked
+    (``remove_duplicate_chunks_against_index``): a batch chunk drops
+    when its content already lives in history (the stored copy is
+    canonical) or earlier in the batch ((doc_id, chunk_idx)
+    election).  For every affected batch document the row carries the
+    chunk counts before/after and the md5 of the text reassembled
+    from its kept chunks (NULL when every chunk was already known and
+    the document disappeared).  The DuckDB oracle replays the exact
+    cuts, the stored-hash membership, the batch-internal election,
+    and the reassembly — fingerprint match proves the rewrite
+    byte-for-byte (the ``cdc_rewrite_docs`` standard, incremental
+    form)."""
+    import shutil
+    import tempfile
+
+    d = _docs(spark, sf_dir)
+    history = d.filter(F.col("doc_id") % 4 != 0)
+    batch = d.filter(F.col("doc_id") % 4 == 0)
+    tmp = tempfile.mkdtemp(prefix="term_spark_cdcidx_")
+    try:
+        D.build_cdc_index(history, tmp, k=8, divisor=64)
+        cleaned, dropped = D.remove_duplicate_chunks_against_index(
+            spark, tmp, batch)
+        before = (D.cdc_chunks(batch, "text", "doc_id", k=8, divisor=64)
+                  .groupBy("id").agg(F.count(F.lit(1)).alias("n_before")))
+        ndrop = dropped.groupBy("id").agg(
+            F.count(F.lit(1)).alias("n_dropped"))
+        after = cleaned.select(F.col("doc_id").alias("id"),
+                               F.md5("text").alias("cleaned_fp"))
+        res = (ndrop.join(before, "id").join(after, "id", "left")
+               .select(F.col("id").alias("doc_id"),
+                       F.col("n_before").cast("bigint").alias("n_before"),
+                       (F.col("n_before") - F.col("n_dropped"))
+                       .cast("bigint").alias("n_after"),
+                       "cleaned_fp")
+               .orderBy("doc_id"))
+        rows = res.collect()
+        schema = res.schema
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+SQL_INCREMENTAL_CDC_DOCS = """
+WITH d AS (
+    SELECT doc_id, text FROM documents
+    WHERE text IS NOT NULL AND len(text) > 0
+),
+c AS (
+    SELECT doc_id, text,
+           list_sort(list_distinct(
+             [0] || list_transform(
+                      list_filter(range(0, greatest(len(text) - 8, 0) + 1),
+                                  i -> i + 8 <= len(text) AND
+                                       ('0x' || substr(md5(substr(text,
+                                         CAST(i AS INT) + 1, 8)), 1, 15)
+                                       )::UBIGINT % 64 = 0),
+                      i -> i + 8)
+             || [len(text)])) AS cuts
+    FROM d
+),
+ch0 AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(cuts)),
+             j -> {'idx': j - 1,
+                   'chunk': substr(text, CAST(cuts[CAST(j AS INT)] AS INT) + 1,
+                                   CAST(cuts[CAST(j AS INT) + 1]
+                                        - cuts[CAST(j AS INT)] AS INT))}))
+               AS s
+    FROM c
+),
+ch AS (SELECT doc_id, s.idx AS chunk_idx, s.chunk AS chunk FROM ch0),
+hist AS (SELECT DISTINCT md5(chunk) AS h FROM ch WHERE doc_id % 4 <> 0),
+b AS (
+    SELECT doc_id, chunk_idx, chunk, md5(chunk) AS h,
+           ROW_NUMBER() OVER (PARTITION BY md5(chunk)
+                              ORDER BY doc_id, chunk_idx) AS rn
+    FROM ch WHERE doc_id % 4 = 0
+),
+flagged AS (
+    SELECT doc_id, chunk_idx, chunk,
+           (h IN (SELECT h FROM hist) OR rn > 1) AS dropped
+    FROM b
+),
+before AS (SELECT doc_id, COUNT(*) AS n_before FROM flagged
+           GROUP BY doc_id),
+drp AS (SELECT doc_id, COUNT(*) AS n_dropped FROM flagged
+        WHERE dropped GROUP BY doc_id),
+rebuilt AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_after,
+           md5(string_agg(chunk, '' ORDER BY chunk_idx)) AS cleaned_fp
+    FROM flagged WHERE NOT dropped GROUP BY doc_id
+)
+SELECT dr.doc_id, CAST(bf.n_before AS BIGINT) AS n_before,
+       COALESCE(rb.n_after, 0) AS n_after, rb.cleaned_fp
+FROM drp dr
+JOIN before bf USING (doc_id)
+LEFT JOIN rebuilt rb USING (doc_id)
+ORDER BY dr.doc_id
+"""
+
+
+LLM_QUERIES.update({"incremental_cdc_docs": q_incremental_cdc_docs})
+LLM_ORACLES.update({"incremental_cdc_docs": SQL_INCREMENTAL_CDC_DOCS})
