@@ -2918,6 +2918,12 @@ FAMILY = {
     "supplier_stats_by_nation": "grouped_stats",
     "source_overlap_docs": "curation",
     "lexical_diversity_docs": "text",
+    "pii_scan_docs": "pii",
+    "pii_redact_docs": "pii",
+    "domain_counts_docs": "web_curation",
+    "badwords_ratio_docs": "web_curation",
+    "weighted_sample_docs": "curation",
+    "incremental_distinct_docs": "distinct_index",
 }
 
 # BEGIN GENERATED ROTATION DATA (scripts/update_rotation.py)
@@ -2926,6 +2932,12 @@ FAMILY = {
 #: None = never driver-proven.  Source artifacts: r01, r02, r03, r04, r05, r06, r07, r08, r09, r10.
 CURRENT_ROUND = 11
 LAST_GREEN = {
+    "badwords_ratio_docs": None,
+    "domain_counts_docs": None,
+    "incremental_distinct_docs": None,
+    "pii_redact_docs": None,
+    "pii_scan_docs": None,
+    "weighted_sample_docs": None,
     "cdc_rewrite_docs": None,
     "incremental_cdc_docs": None,
     "incremental_substring_docs": None,

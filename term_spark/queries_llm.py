@@ -2463,3 +2463,437 @@ ORDER BY dr.doc_id
 
 LLM_QUERIES.update({"incremental_cdc_docs": q_incremental_cdc_docs})
 LLM_ORACLES.update({"incremental_cdc_docs": SQL_INCREMENTAL_CDC_DOCS})
+
+
+# ---------------------------------------------------------------------------
+# PII scan / redaction + web-curation blocklists (operators/pii.py)
+# ---------------------------------------------------------------------------
+
+#: RE2-portable PII kinds, in PII_PATTERNS (redaction) order.  ipv6 and
+#: phone_e164 use lookbehind, which DuckDB's RE2 cannot run — they stay
+#: pytest-covered (test_pii.py); the oracle rows prove the other five
+#: kinds END-TO-END, including the Luhn validator gate.
+_PII_KINDS = ("email", "ssn", "credit_card", "ipv4", "phone")
+
+
+def _pii_injected(d: DataFrame) -> DataFrame:
+    """The synthetic corpus is digit-free word salad (verified: zero
+    docs match \\d at any SF), so PII ground truth is INJECTED
+    deterministically from doc_id — the scan under test then has an
+    exactly computable answer on both engines.  Residue classes give
+    overlapping kinds per doc (doc 0 carries all of them); the four
+    card payloads split 2 Luhn-valid / 2 Luhn-invalid so the validator
+    gate (regex proposes, checksum confirms) is what the oracle checks,
+    not just the regex."""
+    did = F.col("doc_id")
+
+    def when_mod(m, payload):
+        return F.when(did % m == 0, payload).otherwise(F.lit(""))
+
+    s = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        when_mod(7, F.concat(F.lit(" contact u"), did.cast("string"),
+                             F.lit("@example.com"))),
+        when_mod(11, F.concat(
+            F.lit(" ssn "),
+            F.lpad(((did * 7) % 1000).cast("string"), 3, "0"), F.lit("-"),
+            F.lpad(((did * 3) % 100).cast("string"), 2, "0"), F.lit("-"),
+            F.lpad(((did * 11) % 10000).cast("string"), 4, "0"))),
+        when_mod(17, F.lit(" card 4111 1111 1111 1111")),   # Luhn-valid
+        when_mod(19, F.lit(" card 4111-1111-1111-1112")),   # Luhn-invalid
+        when_mod(23, F.lit(" pan 4012888888881881")),       # Luhn-valid
+        when_mod(29, F.lit(" pan 4242424242424241")),       # Luhn-invalid
+        when_mod(13, F.concat(
+            F.lit(" ip 10."), (did % 256).cast("string"), F.lit("."),
+            ((did * 7) % 256).cast("string"), F.lit("."),
+            (did % 100).cast("string"))),
+        when_mod(5, F.concat(
+            F.lit(" call (555) "),
+            F.lpad((did % 1000).cast("string"), 3, "0"), F.lit("-"),
+            F.lpad(((did * 9) % 10000).cast("string"), 4, "0"))),
+    )
+    return d.select("doc_id", s.alias("text"))
+
+
+#: the same injection as DuckDB SQL (residue classes + lpad widths must
+#: stay in lockstep with _pii_injected — the oracle replays the
+#: scaffolding verbatim, then runs ITS OWN regex scan + Luhn on it)
+_PII_INJECT_SQL = """
+  SELECT doc_id,
+    COALESCE(text, '')
+    || CASE WHEN doc_id % 7 = 0 THEN ' contact u' || CAST(doc_id AS VARCHAR)
+            || '@example.com' ELSE '' END
+    || CASE WHEN doc_id % 11 = 0 THEN ' ssn '
+            || lpad(CAST(doc_id * 7 % 1000 AS VARCHAR), 3, '0') || '-'
+            || lpad(CAST(doc_id * 3 % 100 AS VARCHAR), 2, '0') || '-'
+            || lpad(CAST(doc_id * 11 % 10000 AS VARCHAR), 4, '0')
+            ELSE '' END
+    || CASE WHEN doc_id % 17 = 0 THEN ' card 4111 1111 1111 1111' ELSE '' END
+    || CASE WHEN doc_id % 19 = 0 THEN ' card 4111-1111-1111-1112' ELSE '' END
+    || CASE WHEN doc_id % 23 = 0 THEN ' pan 4012888888881881' ELSE '' END
+    || CASE WHEN doc_id % 29 = 0 THEN ' pan 4242424242424241' ELSE '' END
+    || CASE WHEN doc_id % 13 = 0 THEN ' ip 10.'
+            || CAST(doc_id % 256 AS VARCHAR) || '.'
+            || CAST(doc_id * 7 % 256 AS VARCHAR) || '.'
+            || CAST(doc_id % 100 AS VARCHAR) ELSE '' END
+    || CASE WHEN doc_id % 5 = 0 THEN ' call (555) '
+            || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+            || lpad(CAST(doc_id * 9 % 10000 AS VARCHAR), 4, '0')
+            ELSE '' END
+    AS tx
+  FROM documents
+"""
+
+#: RE2 spellings of the RE2-portable patterns (identical strings to
+#: PII_PATTERNS — asserted in test_pii.py so the two tables cannot
+#: drift apart silently)
+_PII_RE2 = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+    "credit_card": r"\b(?:\d{4}[- ]){3}\d{4}\b|\b\d{15,16}\b",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    "phone": r"(?:\+?1[-. ])?(?:\(\d{3}\)|\b\d{3})[-. ]\d{3}[-. ]\d{4}\b",
+}
+
+#: DuckDB Luhn over one regex candidate ``c`` — digits reversed, every
+#: second doubled (−9 past 9), total ≡ 0 (mod 10); mirrors pii.luhn_valid
+_LUHN_SQL = (
+    "list_sum(list_transform("
+    "generate_series(1, len(regexp_extract_all(c, '\\d'))), "
+    "i -> CASE WHEN i % 2 = 0 THEN "
+    "CASE WHEN CAST(list_reverse(regexp_extract_all(c, '\\d'))[i] AS INT)"
+    " * 2 > 9 "
+    "THEN CAST(list_reverse(regexp_extract_all(c, '\\d'))[i] AS INT) * 2 - 9 "
+    "ELSE CAST(list_reverse(regexp_extract_all(c, '\\d'))[i] AS INT) * 2 END "
+    "ELSE CAST(list_reverse(regexp_extract_all(c, '\\d'))[i] AS INT) END"
+    ")) % 10 = 0")
+
+
+def _pii_count_sql(kind: str) -> str:
+    pat = _PII_RE2[kind].replace("'", "''")
+    if kind == "credit_card":
+        return (f"CAST(len(list_filter(regexp_extract_all(tx, '{pat}'), "
+                f"c -> {_LUHN_SQL})) AS BIGINT)")
+    return f"CAST(len(regexp_extract_all(tx, '{pat}')) AS BIGINT)"
+
+
+def q_pii_scan_docs(spark, sf_dir) -> DataFrame:
+    """Per-document structured-PII counts (operators/pii.pii_counts)
+    over the deterministically PII-injected corpus: one codegen regex
+    scan per kind (map-only, no UDF, no shuffle), credit cards gated
+    by the JVM-column Luhn validator.  The oracle re-runs the scan in
+    RE2 with its own list-lambda Luhn — a true cross-engine check of
+    both the patterns and the checksum gate."""
+    from .operators import pii as P
+    d = _pii_injected(_docs(spark, sf_dir))
+    return (P.pii_counts(d, kinds=_PII_KINDS)
+            .orderBy("doc_id"))
+
+
+SQL_PII_SCAN_DOCS = f"""
+WITH inj AS ({_PII_INJECT_SQL}),
+m AS (
+  SELECT doc_id,
+         {_pii_count_sql('email')} AS n_email,
+         {_pii_count_sql('ssn')} AS n_ssn,
+         {_pii_count_sql('credit_card')} AS n_credit_card,
+         {_pii_count_sql('ipv4')} AS n_ipv4,
+         {_pii_count_sql('phone')} AS n_phone
+  FROM inj
+)
+SELECT doc_id, n_email, n_ssn, n_credit_card, n_ipv4, n_phone,
+       n_email + n_ssn + n_credit_card + n_ipv4 + n_phone AS n_pii,
+       (n_email + n_ssn + n_credit_card + n_ipv4 + n_phone) > 0 AS has_pii
+FROM m ORDER BY doc_id
+"""
+
+
+LLM_QUERIES.update({"pii_scan_docs": q_pii_scan_docs})
+LLM_ORACLES.update({"pii_scan_docs": SQL_PII_SCAN_DOCS})
+
+
+def q_pii_redact_docs(spark, sf_dir) -> DataFrame:
+    """Corpus PII release gate (pii.redact_pii + corpus rollup), one
+    row: per-kind totals and affected-doc counts BEFORE redaction
+    (oracle-computed exactly), then two Spark-verified attestations the
+    oracle pins TRUE — ``residual_pii`` (re-scanning the redacted text
+    finds zero matches of any scanned kind) and
+    ``redaction_idempotent`` (redacting twice is byte-identical to
+    redacting once, for every document).  Everything is one map-only
+    projection (chained codegen regexp_replace) plus one fused agg."""
+    from .operators import pii as P
+    d = _pii_injected(_docs(spark, sf_dir))
+    pre = [P.pii_count_expr(F.col("text"), k).alias(f"__pre_{k}")
+           for k in _PII_KINDS]
+    staged = d.select("doc_id", "text", *pre)
+    staged = P.redact_pii(staged, text_col="text", kinds=_PII_KINDS,
+                          output_col="red1")
+    staged = P.redact_pii(staged, text_col="red1", kinds=_PII_KINDS,
+                          output_col="red2")
+    resid = sum((P.pii_count_expr(F.col("red1"), k) for k in _PII_KINDS),
+                F.lit(0))
+    aggs = [F.count(F.lit(1)).alias("n_docs")]
+    for k in _PII_KINDS:
+        aggs.append(F.sum(f"__pre_{k}").cast("bigint").alias(f"total_{k}"))
+        aggs.append(F.count(F.when(F.col(f"__pre_{k}") > 0, 1))
+                    .alias(f"docs_with_{k}"))
+    aggs.append(F.sum(resid).cast("bigint").alias("residual_pii"))
+    aggs.append(F.min(F.col("red1") == F.col("red2"))
+                .alias("redaction_idempotent"))
+    return staged.agg(*aggs)
+
+
+SQL_PII_REDACT_DOCS = f"""
+WITH inj AS ({_PII_INJECT_SQL}),
+m AS (
+  SELECT doc_id,
+         {_pii_count_sql('email')} AS n_email,
+         {_pii_count_sql('ssn')} AS n_ssn,
+         {_pii_count_sql('credit_card')} AS n_credit_card,
+         {_pii_count_sql('ipv4')} AS n_ipv4,
+         {_pii_count_sql('phone')} AS n_phone
+  FROM inj
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_email) AS BIGINT) AS total_email,
+       CAST(COUNT(*) FILTER (n_email > 0) AS BIGINT) AS docs_with_email,
+       CAST(SUM(n_ssn) AS BIGINT) AS total_ssn,
+       CAST(COUNT(*) FILTER (n_ssn > 0) AS BIGINT) AS docs_with_ssn,
+       CAST(SUM(n_credit_card) AS BIGINT) AS total_credit_card,
+       CAST(COUNT(*) FILTER (n_credit_card > 0) AS BIGINT)
+           AS docs_with_credit_card,
+       CAST(SUM(n_ipv4) AS BIGINT) AS total_ipv4,
+       CAST(COUNT(*) FILTER (n_ipv4 > 0) AS BIGINT) AS docs_with_ipv4,
+       CAST(SUM(n_phone) AS BIGINT) AS total_phone,
+       CAST(COUNT(*) FILTER (n_phone > 0) AS BIGINT) AS docs_with_phone,
+       CAST(0 AS BIGINT) AS residual_pii,
+       TRUE AS redaction_idempotent
+FROM m
+"""
+
+
+LLM_QUERIES.update({"pii_redact_docs": q_pii_redact_docs})
+LLM_ORACLES.update({"pii_redact_docs": SQL_PII_REDACT_DOCS})
+
+
+def _url_injected(d: DataFrame) -> DataFrame:
+    """URL scaffolding for the web-curation oracles (the corpus is
+    URL-free word salad): every doc cites its source's domain; every
+    third doc adds a creds+port URL (exercises the host-extraction
+    strip) and every fourth an uppercase-host URL (exercises the
+    lowercase normalization).  Sources are 'src0'..'src19' — already
+    [A-Za-z0-9], safe to embed as subdomains."""
+    did = F.col("doc_id")
+    s = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.concat(F.lit(" see https://"), F.col("source"),
+                 F.lit(".example.org/d/"), did.cast("string")),
+        F.when(did % 3 == 0,
+               F.concat(F.lit(" and https://u"), (did % 7).cast("string"),
+                        F.lit("@mirror."), F.col("source"),
+                        F.lit(".example.org:8080/p?q=1")))
+         .otherwise(F.lit("")),
+        F.when(did % 4 == 0, F.lit(" ref https://CDN.Example.ORG/a"))
+         .otherwise(F.lit("")),
+    )
+    return d.select("doc_id", s.alias("text"))
+
+
+_URL_INJECT_SQL = """
+  SELECT doc_id,
+    COALESCE(text, '')
+    || ' see https://' || source || '.example.org/d/'
+    || CAST(doc_id AS VARCHAR)
+    || CASE WHEN doc_id % 3 = 0 THEN ' and https://u'
+            || CAST(doc_id % 7 AS VARCHAR) || '@mirror.' || source
+            || '.example.org:8080/p?q=1' ELSE '' END
+    || CASE WHEN doc_id % 4 = 0 THEN ' ref https://CDN.Example.ORG/a'
+            ELSE '' END
+    AS tx
+  FROM documents
+"""
+
+
+def q_domain_counts_docs(spark, sf_dir) -> DataFrame:
+    """Corpus domain-frequency report (pii.domain_counts) — the input
+    a human blocklist review reads: per lowercased registrable host,
+    how many documents cite it and how many URL mentions it has.  One
+    codegen regex scan + one explode + one groupBy on the domain key;
+    creds / ports / paths are stripped by the capture group, and the
+    uppercase-host injection proves the normalization."""
+    from .operators import pii as P
+    d = _url_injected(_docs(spark, sf_dir))
+    return (P.domain_counts(d)
+            .withColumn("n_docs", F.col("n_docs").cast("bigint"))
+            .withColumn("n_urls", F.col("n_urls").cast("bigint"))
+            .orderBy(F.desc("n_urls"), "domain"))
+
+
+SQL_DOMAIN_COUNTS_DOCS = f"""
+WITH inj AS ({_URL_INJECT_SQL}),
+u AS (
+  SELECT doc_id,
+         lower(regexp_extract(url,
+               'https?://(?:[^/@\\s]+@)?([A-Za-z0-9.-]+)', 1)) AS domain
+  FROM (SELECT doc_id,
+               unnest(regexp_extract_all(tx,
+                      'https?://[^\\s<>"'')\\]]+')) AS url
+        FROM inj)
+)
+SELECT domain,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_urls
+FROM u WHERE domain <> ''
+GROUP BY domain ORDER BY n_urls DESC, domain
+"""
+
+
+LLM_QUERIES.update({"domain_counts_docs": q_domain_counts_docs})
+LLM_ORACLES.update({"domain_counts_docs": SQL_DOMAIN_COUNTS_DOCS})
+
+
+#: curated blocklist for the driver row — drawn from the synthetic
+#: corpus vocabulary so hits are non-trivial ("slow", "hash") next to
+#: terms that never fire ("fatal", "panic") — both paths proven
+_BADWORDS_TERMS = ("slow", "hash", "fatal", "panic")
+
+
+def q_badwords_ratio_docs(spark, sf_dir) -> DataFrame:
+    """C4-style blocklisted-term accounting (pii.badwords_ratio): the
+    release-gate row a curator reads before committing to the drop —
+    docs flagged, flag ratio, total whole-word hits.  The term list
+    compiles into ONE case-insensitive alternation evaluated map-side
+    by codegen regexp_count (no join, no explode, no per-term passes);
+    the oracle rebuilds the identical pattern string via the same
+    helper, so the \\b-anchoring policy itself is what's checked."""
+    from .operators import pii as P
+    return (P.badwords_ratio(_docs(spark, sf_dir), _BADWORDS_TERMS)
+            .select(F.col("n_docs").cast("bigint").alias("n_docs"),
+                    F.col("docs_flagged").cast("bigint")
+                    .alias("docs_flagged"),
+                    "flag_ratio",
+                    F.col("total_hits").cast("bigint").alias("total_hits")))
+
+
+def _badwords_sql() -> str:
+    from .operators.pii import _badwords_pattern
+    pat = _badwords_pattern(_BADWORDS_TERMS, "badwords_oracle") \
+        .replace("'", "''")
+    return f"""
+WITH m AS (
+  SELECT len(regexp_extract_all(text, '{pat}')) AS hits
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) FILTER (hits > 0) AS BIGINT) AS docs_flagged,
+       ROUND(COUNT(*) FILTER (hits > 0) * 1.0 / COUNT(*), 6) AS flag_ratio,
+       CAST(SUM(hits) AS BIGINT) AS total_hits
+FROM m
+"""
+
+
+SQL_BADWORDS_RATIO_DOCS = _badwords_sql()
+
+
+LLM_QUERIES.update({"badwords_ratio_docs": q_badwords_ratio_docs})
+LLM_ORACLES.update({"badwords_ratio_docs": SQL_BADWORDS_RATIO_DOCS})
+
+
+def q_weighted_sample_docs(spark, sf_dir) -> DataFrame:
+    """Quality-weighted deterministic thinning (curation.weighted_sample):
+    keep a doc iff u(doc_id) < weight, where u is the md5-derived
+    uniform in [0,1) and weight = min(n_chars/1000, 1) — longer docs
+    survive more often, exactly reproducible across runs, engines and
+    corpus growth (per-row decision, no RNG state, map-only).  The
+    oracle replays the identical hash→uniform mapping (both engines
+    round the 60-bit integer to the same IEEE double), so the SELECTION
+    is checked row-for-row, not just the kept count."""
+    from .operators.curation import weighted_sample
+    d = _docs(spark, sf_dir)
+    w = F.least(F.col("n_chars") / F.lit(1000.0), F.lit(1.0))
+    return (weighted_sample(d, w)
+            .select("doc_id", "n_chars")
+            .orderBy("doc_id"))
+
+
+SQL_WEIGHTED_SAMPLE_DOCS = """
+SELECT doc_id, n_chars
+FROM documents
+WHERE CAST(('0x' || substr(md5('term:' || CAST(doc_id AS VARCHAR)), 1, 15))
+           AS UBIGINT) / CAST(16 ** 15 AS DOUBLE)
+      < LEAST(n_chars / 1000.0, 1.0)
+ORDER BY doc_id
+"""
+
+
+LLM_QUERIES.update({"weighted_sample_docs": q_weighted_sample_docs})
+LLM_ORACLES.update({"weighted_sample_docs": SQL_WEIGHTED_SAMPLE_DOCS})
+
+
+def q_incremental_distinct_docs(spark, sf_dir) -> DataFrame:
+    """Persisted HLL distinct-count index lifecycle (round 11 — the
+    FOURTH incremental-ingestion tier: analyzers/distinct_index.py):
+    the corpus slice (doc_id % 4 != 0) is sketched ONCE into a scratch
+    index (one DataSketches HLL blob per tracked column, lgK pinned in
+    meta), the new batch (doc_id % 4 == 0) sketches ONLY ITSELF and
+    appends, and the probe unions the shard blobs — the corpus is
+    never rescanned.  Per column the row carries the exact distinct
+    count (oracle-computable) plus the Spark-verified attestation the
+    oracle pins TRUE: the union estimate lands within 3·RSE(lgK) of
+    exact (lgK=12 ⇒ ±4.9%), which fails loudly if a shard is lost,
+    params drift, or the union is wrong.
+
+    Eagerly materialized so the scratch index is deleted before
+    returning (the q_incremental_neardup_docs pattern)."""
+    import shutil
+    import tempfile
+
+    from .analyzers.distinct_index import (build_distinct_index,
+                                           distinct_index_report)
+
+    d = _docs(spark, sf_dir)
+    corpus = d.filter(F.col("doc_id") % 4 != 0)
+    batch = d.filter(F.col("doc_id") % 4 == 0)
+    cols = ["doc_id", "lang", "source"]
+    tmp = tempfile.mkdtemp(prefix="term_spark_hllidx_")
+    try:
+        build_distinct_index(corpus, cols, tmp)
+        build_distinct_index(batch, cols, tmp, mode="append")
+        res = (distinct_index_report(spark, tmp, exact_df=d)
+               .select("col_name",
+                       F.col("n_exact").cast("bigint").alias("n_exact"),
+                       F.col("n_rows").cast("bigint").alias("n_rows"),
+                       F.col("n_shards").cast("bigint").alias("n_shards"),
+                       "within_tolerance")
+               .orderBy("col_name"))
+        rows = res.collect()
+        schema = res.schema
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+SQL_INCREMENTAL_DISTINCT_DOCS = """
+SELECT col_name, n_exact, n_rows, n_shards, within_tolerance
+FROM (
+  SELECT 'doc_id' AS col_name,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_exact,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(2 AS BIGINT) AS n_shards,
+         TRUE AS within_tolerance
+  FROM documents
+  UNION ALL
+  SELECT 'lang', CAST(COUNT(DISTINCT lang) AS BIGINT),
+         CAST(COUNT(*) AS BIGINT), CAST(2 AS BIGINT), TRUE
+  FROM documents
+  UNION ALL
+  SELECT 'source', CAST(COUNT(DISTINCT source) AS BIGINT),
+         CAST(COUNT(*) AS BIGINT), CAST(2 AS BIGINT), TRUE
+  FROM documents
+) ORDER BY col_name
+"""
+
+
+LLM_QUERIES.update({"incremental_distinct_docs": q_incremental_distinct_docs})
+LLM_ORACLES.update(
+    {"incremental_distinct_docs": SQL_INCREMENTAL_DISTINCT_DOCS})

@@ -250,3 +250,21 @@ def test_badwords_filter_validates_terms(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with _pt.raises(ValueError, match="empty term list"):
         badwords_filter(df, ["", "  "])
+
+
+def test_oracle_re2_patterns_match_pii_patterns():
+    """The driver-oracle's RE2 spellings (queries_llm._PII_RE2) must be
+    byte-identical to the operator's PII_PATTERNS for every RE2-portable
+    kind — the oracle rows prove the REAL patterns, and this pin stops
+    the two tables from drifting apart silently."""
+    from term_spark.operators.pii import PII_PATTERNS
+    from term_spark.queries_llm import _PII_KINDS, _PII_RE2
+
+    assert set(_PII_RE2) == set(_PII_KINDS)
+    for kind in _PII_KINDS:
+        assert _PII_RE2[kind] == PII_PATTERNS[kind], kind
+    # redaction order is PII_PATTERNS order — the oracle kinds must be
+    # listed in that same order or redact_pii masks in a different
+    # sequence than the query documents
+    order = [k for k in PII_PATTERNS if k in _PII_KINDS]
+    assert list(_PII_KINDS) == order
