@@ -304,6 +304,28 @@ class Check:
         from ..operators.pii import PiiConstraint
         return self.with_constraint(PiiConstraint(column, kinds, max_ratio))
 
+    def has_acceptable_badwords_ratio(self, column: str, terms,
+                                      max_ratio: float = 0.0) -> "Check":
+        """C4-style blocklist gate: the share of rows whose text
+        contains a whole-word blocklisted term (case-insensitive, one
+        compiled alternation — no join, no per-term passes) must not
+        exceed ``max_ratio``. Rides the shared fused aggregation."""
+        from ..operators.pii import BadwordsConstraint
+        return self.with_constraint(
+            BadwordsConstraint(column, terms, max_ratio))
+
+    def has_no_blocked_domains(self, column: str, blocked_domains,
+                               max_ratio: float = 0.0,
+                               match_subdomains: bool = True) -> "Check":
+        """Web-curation gate: the share of rows citing a URL on a
+        blocked domain (or subdomain) must not exceed ``max_ratio``.
+        Pure JVM expression (regex extract + array exists), rides the
+        shared fused aggregation; ``pii.blocklist_filter`` is the
+        dropping twin."""
+        from ..operators.pii import BlockedDomainsConstraint
+        return self.with_constraint(BlockedDomainsConstraint(
+            column, blocked_domains, max_ratio, match_subdomains))
+
     def has_stable_distribution(self, ref_df, column: str,
                                 max_psi: float = 0.25, bins: int = 10,
                                 lo=None, hi=None) -> "Check":

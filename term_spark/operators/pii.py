@@ -338,3 +338,113 @@ def badwords_ratio(df: DataFrame, terms, text_col: str = "text") -> DataFrame:
                    F.round(F.count(F.when(hits > 0, 1)) / F.count(F.lit(1)),
                            6).alias("flag_ratio"),
                    F.sum(hits).alias("total_hits")))
+
+
+class BadwordsConstraint(Constraint):
+    """``has_acceptable_badwords_ratio``: the share of rows whose text
+    contains a whole-word blocklisted term must not exceed
+    ``max_ratio`` (default 0 — C4 drops on a single hit).
+
+    Scalar protocol: the curated term list compiles into ONE
+    case-insensitive alternation (``_badwords_pattern`` — per-term
+    word-boundary anchoring, metachars escaped) and the two aggregate
+    expressions (row count + flagged-row count) ride the suite's
+    shared fused aggregation — no extra scan next to other checks.
+    """
+
+    name = "badwords"
+
+    def __init__(self, column: str, terms, max_ratio: float = 0.0):
+        if not 0.0 <= max_ratio <= 1.0:
+            raise ValueError(f"max_ratio must be in [0, 1], got {max_ratio}")
+        self.column = validate_identifier(column)
+        self.pattern = _badwords_pattern(terms, "has_acceptable_badwords_ratio")
+        self.max_ratio = float(max_ratio)
+        self._rows = metric_alias("badwords_rows", column)
+        self._hits = metric_alias("badwords_hits", column,
+                                  str(hash(self.pattern) & 0xFFFFFFFF))
+
+    def scalar_metrics(self, df: DataFrame) -> Dict[str, Column]:
+        hits = F.regexp_count(F.coalesce(F.col(self.column), F.lit("")),
+                              F.lit(self.pattern))
+        return {self._rows: F.count(F.lit(1)),
+                self._hits: F.count(F.when(hits > 0, 1))}
+
+    def result_from_metrics(self, metrics) -> ConstraintResult:
+        rows = int(metrics[self._rows])
+        if rows == 0:
+            return self._finish(ConstraintResult.skipped(
+                f"badwords({self.column}): empty table"))
+        hits = int(metrics[self._hits])
+        ratio = hits / rows
+        if ratio <= self.max_ratio:
+            return self._finish(ConstraintResult.success(ratio))
+        return self._finish(ConstraintResult.failure(
+            ratio,
+            f"badwords({self.column}): {hits} of {rows} rows "
+            f"({ratio:.4%}) contain a blocklisted term; allowed ratio "
+            f"is {self.max_ratio}"))
+
+
+class BlockedDomainsConstraint(Constraint):
+    """``has_no_blocked_domains``: the share of rows citing a URL on a
+    blocked domain (or any subdomain) must not exceed ``max_ratio``.
+
+    The blocklist is human-curated and bounded, so it inlines as an
+    ARRAY literal and the per-row test is a pure JVM expression —
+    extract URLs (codegen regex), map to lowercased hosts, and
+    ``exists``-match against the list (exact or dot-suffix) — riding
+    the shared fused aggregation like every scalar gate.  The
+    anti-join form for actually DROPPING offenders is
+    ``pii.blocklist_filter``; this is its go/no-go twin.
+    """
+
+    name = "blocked_domains"
+
+    def __init__(self, column: str, blocked_domains,
+                 max_ratio: float = 0.0, match_subdomains: bool = True):
+        if not 0.0 <= max_ratio <= 1.0:
+            raise ValueError(f"max_ratio must be in [0, 1], got {max_ratio}")
+        cleaned = sorted({d.strip().lower() for d in blocked_domains
+                          if d and d.strip()})
+        if not cleaned:
+            raise ValueError("has_no_blocked_domains: empty domain list")
+        self.column = validate_identifier(column)
+        self.blocked = cleaned
+        self.max_ratio = float(max_ratio)
+        self.match_subdomains = bool(match_subdomains)
+        self._rows = metric_alias("blocked_domains_rows", column)
+        self._hits = metric_alias("blocked_domains_hits", column,
+                                  *cleaned[:8])
+
+    def _row_flagged(self) -> Column:
+        txt = F.coalesce(F.col(self.column), F.lit(""))
+        urls = F.regexp_extract_all(txt, F.lit(URL_PATTERN), 0)
+        domains = F.transform(
+            urls, lambda u: F.lower(F.regexp_extract(u, DOMAIN_PATTERN, 1)))
+        bl = F.array(*[F.lit(d) for d in self.blocked])
+        if self.match_subdomains:
+            match = lambda d: F.exists(  # noqa: E731
+                bl, lambda b: (d == b) | d.endswith(F.concat(F.lit("."), b)))
+        else:
+            match = lambda d: F.array_contains(bl, d)  # noqa: E731
+        return F.exists(domains, lambda d: (d != "") & match(d))
+
+    def scalar_metrics(self, df: DataFrame) -> Dict[str, Column]:
+        return {self._rows: F.count(F.lit(1)),
+                self._hits: F.count(F.when(self._row_flagged(), 1))}
+
+    def result_from_metrics(self, metrics) -> ConstraintResult:
+        rows = int(metrics[self._rows])
+        if rows == 0:
+            return self._finish(ConstraintResult.skipped(
+                f"blocked_domains({self.column}): empty table"))
+        hits = int(metrics[self._hits])
+        ratio = hits / rows
+        if ratio <= self.max_ratio:
+            return self._finish(ConstraintResult.success(ratio))
+        return self._finish(ConstraintResult.failure(
+            ratio,
+            f"blocked_domains({self.column}): {hits} of {rows} rows "
+            f"({ratio:.4%}) cite a blocked domain; allowed ratio is "
+            f"{self.max_ratio}"))

@@ -510,3 +510,99 @@ class StreamingGroupedHeavyHitterMonitor:
     def attach(self, stream_writer):
         """writer.foreachBatch hookup: monitor.attach(df.writeStream)"""
         return stream_writer.foreachBatch(self.foreach_batch)
+
+
+def pii_rate_metrics(stream_df, ts_col: str, text_col: str = "text",
+                     kinds: Optional[List[str]] = None,
+                     window: str = "1 minute",
+                     slide: Optional[str] = None,
+                     watermark: str = "10 minutes"):
+    """Per-window PII exposure dashboard (round 11): document count,
+    documents with ANY confirmed structured-PII match, total match
+    count, and the affected-doc ratio — the streaming companion to the
+    batch release gate (``Check.has_no_pii`` / corpus_pii_summary).
+
+    Reuses the SAME codegen expressions as the batch gate
+    (``operators.pii.pii_count_expr`` — regex candidates, Luhn-gated
+    cards), so streamed and batch readings agree exactly on identical
+    rows.  Pure additive sums over a watermarked window — no distinct,
+    no UDF, state bounded by windows in flight; safe in append mode.
+    """
+    from ..operators.pii import _kinds, pii_count_expr
+    ks = _kinds(kinds)
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    total = sum((pii_count_expr(txt, k) for k in ks), F.lit(0))
+    exprs = {
+        "n_docs": F.count(F.lit(1)),
+        "docs_with_pii": F.count(F.when(total > 0, 1)),
+        "total_pii": F.sum(total).cast("bigint"),
+        "pii_ratio": F.round(
+            F.count(F.when(total > 0, 1)) / F.count(F.lit(1)), 6),
+    }
+    return windowed_metrics(stream_df, ts_col, exprs, window, slide,
+                            watermark)
+
+
+class StreamingPiiMonitor:
+    """Stream-wide PII release gate: every micro-batch runs the SAME
+    map-only scan as the batch gate (one fused agg per batch — regex
+    candidates + Luhn confirmation, all codegen), and the monitor
+    keeps two running counters (docs seen, docs with a confirmed
+    match) — constant state no matter how long the stream runs, and
+    counts are exact, not sketched: PII exposure is additive, so
+    micro-batch boundaries change nothing (unlike the heavy-hitter
+    monitor, which needs the MG merge law for that property).
+
+    With ``max_ratio`` set (default 0 — the release-gate posture),
+    ``on_alert`` fires (batch_id, cumulative_ratio, batch_hits) the
+    moment the cumulative affected-doc ratio exceeds the cap; the
+    alert carries the batch that tipped it.  ``status()`` reads the
+    running exposure at any point.
+    """
+
+    def __init__(self, text_col: str = "text",
+                 kinds: Optional[List[str]] = None,
+                 max_ratio: float = 0.0,
+                 on_alert: Optional[Callable] = None):
+        from ..operators.pii import _kinds
+        if not 0.0 <= max_ratio <= 1.0:
+            raise ValueError(f"max_ratio must be in [0, 1], got {max_ratio}")
+        self.text_col = text_col
+        self.kinds = tuple(_kinds(kinds))
+        self.max_ratio = float(max_ratio)
+        self.on_alert = on_alert
+        self.n_docs = 0
+        self.docs_with_pii = 0
+        self.total_pii = 0
+        self.alerts: List = []
+
+    def foreach_batch(self, batch_df, batch_id: int) -> None:
+        from ..operators.pii import pii_count_expr
+        txt = F.coalesce(F.col(self.text_col), F.lit(""))
+        total = sum((pii_count_expr(txt, k) for k in self.kinds), F.lit(0))
+        row = batch_df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(total > 0, 1)).alias("hit_docs"),
+            F.coalesce(F.sum(total), F.lit(0)).alias("hits")).collect()[0]
+        self.n_docs += row["n"]
+        self.docs_with_pii += row["hit_docs"]
+        self.total_pii += int(row["hits"])
+        if self.n_docs == 0:
+            return
+        ratio = self.docs_with_pii / self.n_docs
+        if ratio > self.max_ratio and row["hit_docs"] > 0:
+            self.alerts.append((batch_id, ratio, row["hit_docs"]))
+            del self.alerts[:-100]
+            if self.on_alert is not None:
+                self.on_alert(batch_id, ratio, row["hit_docs"])
+
+    def status(self) -> dict:
+        return {"n_docs": self.n_docs,
+                "docs_with_pii": self.docs_with_pii,
+                "total_pii": self.total_pii,
+                "pii_ratio": (self.docs_with_pii / self.n_docs
+                              if self.n_docs else 0.0)}
+
+    def attach(self, stream_writer):
+        """writer.foreachBatch hookup: monitor.attach(df.writeStream)"""
+        return stream_writer.foreachBatch(self.foreach_batch)

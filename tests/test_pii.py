@@ -268,3 +268,57 @@ def test_oracle_re2_patterns_match_pii_patterns():
     # sequence than the query documents
     order = [k for k in PII_PATTERNS if k in _PII_KINDS]
     assert list(_PII_KINDS) == order
+
+
+def _run_suite(spark, df, check):
+    from term_spark import ValidationSuite
+    r = (ValidationSuite.builder("pii_gates").with_check(check)
+         .run(spark, {"data": df}))
+    return r.report.outcomes[0].result
+
+
+def test_has_acceptable_badwords_ratio_gate(spark):
+    from term_spark.core.check import Check, Level
+    df = spark.createDataFrame(
+        [(1, "totally clean text"), (2, "a slow day"), (3, None)],
+        "doc_id long, text string")
+    ok = _run_suite(spark, df, Check("bw", Level.ERROR)
+                    .has_acceptable_badwords_ratio("text", ["slow"],
+                                                   max_ratio=0.5))
+    assert ok.status.value == "success" and ok.metric == pytest.approx(1 / 3)
+    bad = _run_suite(spark, df, Check("bw", Level.ERROR)
+                     .has_acceptable_badwords_ratio("text", ["slow"]))
+    assert bad.status.value == "failure"
+    assert "blocklisted term" in bad.message
+
+
+def test_has_no_blocked_domains_gate_subdomains(spark):
+    from term_spark.core.check import Check, Level
+    df = spark.createDataFrame(
+        [(1, "see https://ok.example.org/x"),
+         (2, "see https://spam.bad.site/y"),
+         (3, "see https://u@BAD.SITE:8080/z"),   # creds+port+case
+         (4, "no urls here"),
+         (5, None)],
+        "doc_id long, text string")
+    gate = _run_suite(spark, df, Check("bl", Level.ERROR)
+                      .has_no_blocked_domains("text", ["bad.site"]))
+    assert gate.status.value == "failure"
+    assert gate.metric == pytest.approx(2 / 5)
+    exact_only = _run_suite(
+        spark, df, Check("bl", Level.ERROR)
+        .has_no_blocked_domains("text", ["bad.site"], max_ratio=0.25,
+                                match_subdomains=False))
+    # only row 3 matches exactly -> 1/5 <= 0.25
+    assert exact_only.status.value == "success"
+    assert exact_only.metric == pytest.approx(1 / 5)
+
+
+def test_blocked_domains_validates_inputs(spark):
+    import pytest as _pt
+
+    from term_spark.operators.pii import BlockedDomainsConstraint
+    with _pt.raises(ValueError, match="empty domain list"):
+        BlockedDomainsConstraint("text", ["", " "])
+    with _pt.raises(ValueError, match="max_ratio"):
+        BlockedDomainsConstraint("text", ["x.com"], max_ratio=1.5)

@@ -104,3 +104,61 @@ def test_streaming_anomaly_monitor_respects_min_history(spark, tmp_path):
     # two batches < min_history+1 -> no alerts, but history recorded
     assert monitor.alerts == []
     assert repo.series("n_rows") == [10.0, 1000.0]
+
+
+def test_streaming_pii_monitor_alerts_and_totals(spark, tmp_path):
+    from term_spark.streaming import StreamingPiiMonitor
+    src = str(tmp_path / "pii_src")
+    os.makedirs(src)
+    batches = [
+        [("clean text one",), ("clean text two",)],                  # b0
+        [("contact bob@example.com now",), ("clean",)],              # b1
+        [("card 4111 1111 1111 1111",), ("card 4111-1111-1111-1112",)],
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, "text string").coalesce(1) \
+            .write.parquet(f"{src}/b{i}.parquet")
+
+    monitor = StreamingPiiMonitor(max_ratio=0.0)
+    stream = (spark.readStream.schema("text string")
+              .option("maxFilesPerTrigger", 1).parquet(src + "/*.parquet"))
+    q = monitor.attach(stream.writeStream).trigger(availableNow=True).start()
+    q.awaitTermination(180)
+
+    st = monitor.status()
+    assert st["n_docs"] == 6
+    # the Luhn-invalid card must NOT count — 1 email + 1 valid card
+    assert st["docs_with_pii"] == 2
+    assert st["total_pii"] == 2
+    assert st["pii_ratio"] == pytest.approx(2 / 6)
+    # both PII-carrying batches alerted (release-gate max_ratio=0)
+    assert [b for b, _, _ in monitor.alerts] == [1, 2]
+
+
+def test_streaming_pii_rate_metrics_windowed(spark, tmp_path):
+    from term_spark.streaming import pii_rate_metrics
+    src = str(tmp_path / "pii_win_src")
+    os.makedirs(src)
+    rows = [
+        ("2024-01-01 00:00:10", "contact bob@example.com"),
+        ("2024-01-01 00:00:20", "clean"),
+        ("2024-01-01 00:01:10", "clean"),
+        ("2024-01-01 00:01:20", "clean"),
+    ]
+    spark.createDataFrame(rows, "ts string, text string") \
+        .selectExpr("CAST(ts AS TIMESTAMP) AS ts", "text") \
+        .coalesce(1).write.parquet(f"{src}/b0.parquet")
+
+    stream = spark.readStream.schema("ts timestamp, text string") \
+        .parquet(src + "/*.parquet")
+    out = pii_rate_metrics(stream, "ts", window="1 minute")
+    # complete mode: append would withhold windows the 10-minute
+    # watermark hasn't closed yet (none, with a 90-second stream)
+    q = (out.writeStream.format("memory").queryName("pii_win")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = {r["window"]["start"].minute: r
+           for r in spark.sql("SELECT * FROM pii_win").collect()}
+    assert got[0]["n_docs"] == 2 and got[0]["docs_with_pii"] == 1
+    assert got[0]["pii_ratio"] == pytest.approx(0.5)
+    assert got[1]["n_docs"] == 2 and got[1]["docs_with_pii"] == 0
