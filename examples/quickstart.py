@@ -389,6 +389,39 @@ def main():
           f"instance(s); {cdc_cleaned.count()} of {sdocs.count()} docs "
           "survive with first-occurrence chunks reassembled in order")
 
+    # round 11: PII release gates (batch + streaming forms share the
+    # same codegen exprs) and the persisted HLL distinct-count index —
+    # corpus-wide COUNT(DISTINCT) dashboards from kilobytes of sketches
+    from term_spark.analyzers.distinct_index import (
+        build_distinct_index, distinct_estimates_from_index)
+    from term_spark.operators.pii import corpus_pii_summary, redact_pii
+
+    pdocs = spark.createDataFrame(
+        [(1, "contact bob@example.com or card 4111 1111 1111 1111"),
+         (2, "order id 1234567890123456 is NOT a card (Luhn fails)"),
+         (3, "clean document")],
+        "doc_id long, text string")
+    prow = corpus_pii_summary(pdocs).collect()[0]
+    red = redact_pii(pdocs).filter("doc_id = 1").collect()[0]["text"]
+    print(f"PII gate: {prow['docs_with_pii']}/{prow['n_docs']} docs "
+          f"carry confirmed PII (Luhn rejects the order id); doc 1 "
+          f"redacts to: {red!r}")
+
+    hidx = tempfile.mkdtemp(prefix="term_spark_quickstart_hllidx_")
+    try:
+        build_distinct_index(gdocs.filter("doc_id < 3"),
+                             ["doc_id", "source"], hidx)
+        build_distinct_index(gdocs.filter("doc_id >= 3"),
+                             ["doc_id", "source"], hidx, mode="append")
+        ests = {r["col_name"]: r
+                for r in distinct_estimates_from_index(spark, hidx).collect()}
+        print("persisted HLL index (2 shards, probe reads only sketch "
+              "blobs): "
+              + ", ".join(f"{c}~{int(ests[c]['n_distinct_est'])} distinct"
+                          for c in sorted(ests)))
+    finally:
+        shutil.rmtree(hidx, ignore_errors=True)
+
 
 if __name__ == "__main__":
     main()
