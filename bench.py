@@ -173,7 +173,7 @@ def _measure_query(spark, fn, sf_dir: str, samples: int = 2) -> float:
 
 def _bench_index_lifecycles(spark, sf_dir: str, ivf_centroids: int = 16,
                             which: tuple = ("minhash", "substring",
-                                            "ivf")) -> dict:
+                                            "ivf", "hll")) -> dict:
     """Separate BUILD vs PROBE timings for the persisted indexes
     (round-11 ask #5: `incremental_neardup_docs` bench readings
     conflated writing the index — parquet x3 — with probing it, and
@@ -199,7 +199,7 @@ def _bench_index_lifecycles(spark, sf_dir: str, ivf_centroids: int = 16,
     out = {}
     tmp = tempfile.mkdtemp(prefix="term_spark_bench_idx_")
     try:
-        if "minhash" in which or "substring" in which:
+        if {"minhash", "substring", "hll"} & set(which):
             docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
             corpus = docs.filter(F.col("doc_id") % 4 != 0)
             batch = docs.filter(F.col("doc_id") % 4 == 0)
@@ -223,6 +223,21 @@ def _bench_index_lifecycles(spark, sf_dir: str, ivf_centroids: int = 16,
             sprobe()
             out["substring_index_probe"] = round(min(
                 _timed(sprobe) for _ in range(2)), 4)
+
+        if "hll" in which:
+            from term_spark.analyzers.distinct_index import (
+                build_distinct_index, distinct_estimates_from_index)
+            t0 = time.perf_counter()
+            build_distinct_index(corpus, ["doc_id", "lang", "source"],
+                                 f"{tmp}/hll")
+            build_distinct_index(batch, ["doc_id", "lang", "source"],
+                                 f"{tmp}/hll", mode="append")
+            out["hll_index_build"] = round(time.perf_counter() - t0, 4)
+            hprobe = lambda: distinct_estimates_from_index(  # noqa: E731
+                spark, f"{tmp}/hll").collect()
+            hprobe()
+            out["hll_index_probe"] = round(min(
+                _timed(hprobe) for _ in range(2)), 4)
 
         if "ivf" not in which:
             return out
@@ -443,6 +458,9 @@ def main() -> None:
         # join-cardinality pre-flight
         "mg_heavy_hitters_docs", "cdc_dedup_docs",
         "join_cardinality_orders_lineitem", "incremental_neardup_docs",
+        # round-11 PII/safety layer (map-only regex scans over the
+        # injected corpus — the realistic pre-release scrub shape)
+        "pii_scan_docs", "badwords_ratio_docs", "domain_counts_docs",
     ]
     sections["sf01_queries_start"] = _load_stamp()
     for name in bench_queries:

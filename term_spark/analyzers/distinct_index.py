@@ -163,3 +163,40 @@ def distinct_index_report(spark, index_path: str,
                 F.abs(F.col("n_distinct_est") - F.col("n_exact"))
                 <= F.lit(tol) * F.col("n_exact"))
             .orderBy("col_name"))
+
+
+def compact_distinct_index(spark, index_path: str) -> None:
+    """Fold the shard sketch rows into ONE row per column (the
+    ``compact_substring_index`` role): after thousands of ingest
+    batches the sketch table is O(shards × columns) rows — still tiny,
+    but compaction restores O(columns) and every future probe unions
+    one blob per column instead of one per shard.
+
+    Sound by the same register-MAX idempotence as the probe itself:
+    union-of-shards IS the compacted sketch, so estimates before and
+    after compaction are identical (pinned by test).  lgK and the
+    column set in ``meta`` are untouched — appends keep composing.
+
+    Writes to a sibling temp dir then swaps, so a concurrent probe
+    never sees a half-written table.
+    """
+    import pyspark.sql.functions as F2
+
+    sk = spark.read.parquet(f"{index_path}/sketches")
+    compacted = (sk.groupBy("col_name")
+                 .agg(F2.hll_union_agg("sketch").alias("sketch"),
+                      F2.sum("n_rows").alias("n_rows"))
+                 .select("col_name", "sketch", "n_rows"))
+    tmp = f"{index_path}/sketches__compacting"
+    compacted.write.mode("overwrite").parquet(tmp)
+    # swap: the JVM-side FileSystem rename is atomic per directory on
+    # HDFS-like stores; on object stores the window is the rename pair
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    path_cls = jvm.org.apache.hadoop.fs.Path
+    fs = path_cls(index_path).getFileSystem(conf)
+    old = path_cls(f"{index_path}/sketches")
+    bak = path_cls(f"{index_path}/sketches__old")
+    fs.rename(old, bak)
+    fs.rename(path_cls(tmp), old)
+    fs.delete(bak, True)

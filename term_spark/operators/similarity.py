@@ -1329,3 +1329,61 @@ def ivfpq_topk_from_index(spark, path: str, queries: DataFrame, k: int = 5,
     return ivfpq_topk(codes, queries, model, k=k, nprobe=nprobe,
                       query_id_col=query_id_col,
                       query_vec_col=query_vec_col)
+
+
+def semantic_contamination(train_df: DataFrame, eval_df: DataFrame,
+                           threshold: float = 0.8,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding",
+                           eval_id_col: str = "vec_id",
+                           eval_vec_col: str = "embedding") -> DataFrame:
+    """Embedding-level benchmark decontamination — the SEMANTIC tier of
+    the decontamination stack (exact-hash → Bloom → n-gram overlap →
+    this): a training vector is contaminated when its cosine similarity
+    to ANY benchmark/eval vector reaches ``threshold`` — catching
+    paraphrases and translations that n-gram overlap misses (the
+    GPT-3/PaLM-style embedding dedup-against-eval step).
+
+    Returns one row per contaminated training vector: (train_id,
+    eval_id of the nearest benchmark item — ties broken to the smallest
+    id, cosine rounded 6).  Feed the ids to an anti-join to drop them.
+
+    Scale shape: the BENCHMARK side broadcasts (eval suites are
+    thousands of rows, bounded by construction — the opposite
+    orientation from ``cosine_topk``, which broadcasts queries); the
+    training side streams map-only through |train| × |eval| fused dot
+    products with per-side norms hoisted, then ONE partial-aggregated
+    max per train id.  No shuffle of vectors, no window, no pairs
+    table — the contaminated subset is the only thing that leaves the
+    map stage beyond the groupBy of (id, best-struct) partials.
+
+    The threshold applies to the ROUNDED cosine so inclusion is
+    reproducible across engines (raw last-ulp noise cannot flip
+    membership).
+    """
+    if not -1.0 <= threshold <= 1.0:
+        raise ValueError(f"threshold must be in [-1, 1], got {threshold}")
+    from .dedup import spread
+    train = (spread(train_df, id_col)
+             .select(F.col(id_col).alias("train_id"),
+                     F.transform(F.col(vec_col),
+                                 lambda x: x.cast("double")).alias("vt")))
+    train = train.withColumn("nt", _norm(F.col("vt")))
+    ev = (eval_df.select(F.col(eval_id_col).alias("eval_id"),
+                         F.transform(F.col(eval_vec_col),
+                                     lambda x: x.cast("double")).alias("ve"))
+          .withColumn("ne", _norm(F.col("ve"))))
+    scored = (train.crossJoin(F.broadcast(ev))
+              .withColumn("cosine",
+                          F.round(_dot(F.col("vt"), F.col("ve")) /
+                                  (F.col("nt") * F.col("ne")), 6)))
+    # argmax via struct max: (cosine, -eval_id) so cosine ties break to
+    # the SMALLEST eval id deterministically
+    best = (scored.groupBy("train_id")
+            .agg(F.max(F.struct(F.col("cosine"),
+                                (-F.col("eval_id")).alias("neg_id")))
+                 .alias("b"))
+            .select("train_id",
+                    (-F.col("b.neg_id")).cast("bigint").alias("eval_id"),
+                    F.col("b.cosine").alias("cosine")))
+    return best.filter(F.col("cosine") >= float(threshold))

@@ -2673,6 +2673,135 @@ ORACLES.update({
 })
 
 
+def q_large_volume_customers(spark, sf_dir) -> DataFrame:
+    """TPC-H Q18 analogue (round 11 — the HAVING-subquery join): orders
+    whose total line quantity exceeds 250, joined back to customer.
+    The HAVING pre-aggregate runs FIRST (map-side combined on
+    l_orderkey, the fact table's natural key) and only qualifying
+    orderkeys — p99-tail cardinality, thousands per billion rows —
+    reach the joins, so the two dimension joins see a filtered stream
+    and Catalyst/AQE broadcast them; top-k is TakeOrderedAndProject,
+    never a global sort.  This is how Q18 should run at 100 TB: the
+    quantity filter cannot be pushed below the agg, but the agg itself
+    is the reducer."""
+    c, o, li = _t(spark, sf_dir, "customer", "orders", "lineitem")
+    big = (li.groupBy("l_orderkey")
+             .agg(F.sum("l_quantity").alias("sum_qty"))
+             .filter(F.col("sum_qty") > 250))
+    return (o.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+             .join(c, F.col("o_custkey") == F.col("c_custkey"))
+             .select(F.col("c_custkey").alias("custkey"),
+                     F.col("o_orderkey").alias("orderkey"),
+                     r6(epoch_seconds("o_orderdate")).alias("order_epoch"),
+                     r6(F.col("o_totalprice")).alias("totalprice"),
+                     r6(F.col("sum_qty")).alias("sum_qty"))
+             .orderBy(F.desc("totalprice"), "orderkey")
+             .limit(100))
+
+
+SQL_LARGE_VOLUME_CUSTOMERS = """
+WITH big AS (
+    SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+    FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 250
+)
+SELECT c_custkey AS custkey, o_orderkey AS orderkey,
+       ROUND(EPOCH(o_orderdate), 6) AS order_epoch,
+       ROUND(o_totalprice, 6) AS totalprice,
+       ROUND(sum_qty, 6) AS sum_qty
+FROM orders
+JOIN big ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY totalprice DESC, orderkey LIMIT 100
+"""
+
+
+def q_small_quantity_revenue(spark, sf_dir) -> DataFrame:
+    """TPC-H Q17 analogue (round 11 — the correlated scalar subquery,
+    decorrelated the way Catalyst itself rewrites it): per brand, the
+    would-be yearly revenue of line items ordering LESS than half
+    their part's average quantity.  The correlated ``avg(l_quantity)
+    where l_partkey = p_partkey`` becomes one per-part aggregate
+    (map-side combined on the fact's partkey) joined back to the fact
+    — the self-join-of-aggregates plan every engine should reach; the
+    part dimension broadcasts.  Revenue sums in decimal then rounds,
+    the cross-engine float discipline every money query here uses."""
+    li, p = _t(spark, sf_dir, "lineitem", "part")
+    avg_q = (li.groupBy(F.col("l_partkey").alias("ap_key"))
+               .agg(F.avg("l_quantity").alias("avg_qty")))
+    small = (li.join(avg_q, F.col("l_partkey") == F.col("ap_key"))
+               .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty")))
+    return (small.join(F.broadcast(p),
+                       F.col("l_partkey") == F.col("p_partkey"))
+            .groupBy(F.col("p_brand").alias("brand"))
+            .agg(r6(F.sum(F.col("l_extendedprice")
+                          .cast("decimal(25,4)")).cast("double")
+                    / F.lit(7.0)).alias("avg_yearly"),
+                 F.count(F.lit(1)).alias("n_lines"))
+            .orderBy("brand"))
+
+
+SQL_SMALL_QUANTITY_REVENUE = """
+WITH avg_q AS (
+    SELECT l_partkey AS ap_key, AVG(l_quantity) AS avg_qty
+    FROM lineitem GROUP BY l_partkey
+)
+SELECT p_brand AS brand,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,4))) AS DOUBLE)
+             / 7.0, 6) AS avg_yearly,
+       COUNT(*) AS n_lines
+FROM lineitem
+JOIN avg_q ON l_partkey = ap_key
+JOIN part ON l_partkey = p_partkey
+WHERE l_quantity < 0.5 * avg_qty
+GROUP BY p_brand ORDER BY brand
+"""
+
+
+def q_late_shipment_priority(spark, sf_dir) -> DataFrame:
+    """TPC-H Q4 analogue (round 11 — the EXISTS semi-join): count
+    orders per priority that had AT LEAST ONE line item shipped more
+    than 90 days after the order date.  ONE left-semi join carries
+    both the equi key and the cross-table date predicate as its join
+    condition — the semi-join deduplicates by construction (no
+    DISTINCT pass, no join product to re-aggregate), lineitem ships
+    only its two pruned columns, and the first matching line item
+    short-circuits the probe.  At 100 TB this is the shape that keeps
+    EXISTS from becoming a COUNT(DISTINCT) over a join product."""
+    o, li = _t(spark, sf_dir, "orders", "lineitem")
+    return (o.join(li.select("l_orderkey", "l_shipdate"),
+                   (F.col("o_orderkey") == F.col("l_orderkey"))
+                   & (F.col("l_shipdate") > F.col("o_orderdate")
+                      + F.expr("INTERVAL 90 DAYS")),
+                   "left_semi")
+             .groupBy(F.col("o_orderpriority").alias("priority"))
+             .agg(F.count(F.lit(1)).alias("order_count"))
+             .orderBy("priority"))
+
+
+SQL_LATE_SHIPMENT_PRIORITY = """
+SELECT o_orderpriority AS priority, COUNT(*) AS order_count
+FROM orders
+WHERE EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+)
+GROUP BY o_orderpriority ORDER BY priority
+"""
+
+
+QUERIES.update({
+    "large_volume_customers": q_large_volume_customers,
+    "small_quantity_revenue": q_small_quantity_revenue,
+    "late_shipment_priority": q_late_shipment_priority,
+})
+ORACLES.update({
+    "large_volume_customers": SQL_LARGE_VOLUME_CUSTOMERS,
+    "small_quantity_revenue": SQL_SMALL_QUANTITY_REVENUE,
+    "late_shipment_priority": SQL_LATE_SHIPMENT_PRIORITY,
+})
+
+
 def q_join_cardinality_orders_lineitem(spark, sf_dir) -> DataFrame:
     """Join-cardinality pre-flight, made driver-oracle-checkable (the
     ``q_approx_distinct_orderkey`` attestation pattern): the returned
@@ -2924,6 +3053,10 @@ FAMILY = {
     "badwords_ratio_docs": "web_curation",
     "weighted_sample_docs": "curation",
     "incremental_distinct_docs": "distinct_index",
+    "semantic_contamination_embeddings": "decontamination",
+    "large_volume_customers": "tpch_suite",
+    "small_quantity_revenue": "tpch_suite",
+    "late_shipment_priority": "tpch_suite",
 }
 
 # BEGIN GENERATED ROTATION DATA (scripts/update_rotation.py)
@@ -2933,6 +3066,10 @@ FAMILY = {
 CURRENT_ROUND = 11
 LAST_GREEN = {
     "badwords_ratio_docs": None,
+    "semantic_contamination_embeddings": None,
+    "large_volume_customers": None,
+    "small_quantity_revenue": None,
+    "late_shipment_priority": None,
     "domain_counts_docs": None,
     "incremental_distinct_docs": None,
     "pii_redact_docs": None,

@@ -2897,3 +2897,46 @@ FROM (
 LLM_QUERIES.update({"incremental_distinct_docs": q_incremental_distinct_docs})
 LLM_ORACLES.update(
     {"incremental_distinct_docs": SQL_INCREMENTAL_DISTINCT_DOCS})
+
+
+def q_semantic_contamination_embeddings(spark, sf_dir) -> DataFrame:
+    """Semantic benchmark decontamination (round 11 — the embedding
+    tier completing the exact→Bloom→n-gram stack,
+    similarity.semantic_contamination): vec_id % 10 == 0 plays the
+    benchmark; every training vector whose rounded cosine to ANY
+    benchmark vector reaches 0.40 is reported with its nearest
+    benchmark item (ties to the smallest id).  Benchmark broadcasts,
+    training streams map-only, one partial-agg max per train id."""
+    e = _emb(spark, sf_dir)
+    ev = e.filter(F.col("vec_id") % 10 == 0)
+    tr = e.filter(F.col("vec_id") % 10 != 0)
+    return (S.semantic_contamination(tr, ev, threshold=0.40)
+            .orderBy("train_id"))
+
+
+SQL_SEMANTIC_CONTAMINATION_EMBEDDINGS = """
+WITH v AS (
+    SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+    FROM embeddings
+), scored AS (
+    SELECT t.vec_id AS train_id, b.vec_id AS eval_id,
+           ROUND(list_dot_product(t.e, b.e) /
+                 (sqrt(list_dot_product(t.e, t.e))
+                  * sqrt(list_dot_product(b.e, b.e))), 6) AS cosine
+    FROM v t JOIN v b ON t.vec_id % 10 <> 0 AND b.vec_id % 10 = 0
+), best AS (
+    SELECT train_id, eval_id, cosine,
+           ROW_NUMBER() OVER (PARTITION BY train_id
+                              ORDER BY cosine DESC, eval_id ASC) AS rn
+    FROM scored
+)
+SELECT train_id, eval_id, cosine
+FROM best WHERE rn = 1 AND cosine >= 0.40
+ORDER BY train_id
+"""
+
+
+LLM_QUERIES.update(
+    {"semantic_contamination_embeddings": q_semantic_contamination_embeddings})
+LLM_ORACLES.update(
+    {"semantic_contamination_embeddings": SQL_SEMANTIC_CONTAMINATION_EMBEDDINGS})

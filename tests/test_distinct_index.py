@@ -125,3 +125,25 @@ def test_report_attestation_column(spark, tmp_path):
         assert rep[col]["within_tolerance"] is True
         assert rep[col]["n_exact"] == {"doc_id": 300, "lang": 7,
                                        "source": 13}[col]
+
+
+def test_compaction_preserves_estimates_and_append_composes(spark, tmp_path):
+    from term_spark.analyzers.distinct_index import compact_distinct_index
+    d = _docs(spark, n=400)
+    path = str(tmp_path / "idx")
+    for m in range(4):   # four shards
+        build_distinct_index(d.filter(F.col("doc_id") % 4 == m),
+                             ["doc_id", "lang"], path,
+                             mode="overwrite" if m == 0 else "append")
+    before = _est(spark, path)
+    compact_distinct_index(spark, path)
+    after = _est(spark, path)
+    for col in ("doc_id", "lang"):
+        assert after[col]["n_distinct_est"] == before[col]["n_distinct_est"]
+        assert after[col]["n_rows"] == 400
+        assert after[col]["n_shards"] == 1   # one blob per column now
+    # appends keep composing after compaction
+    build_distinct_index(_docs(spark, n=100, start=400),
+                         ["doc_id", "lang"], path, mode="append")
+    est = _est(spark, path)["doc_id"]
+    assert abs(est["n_distinct_est"] - 500) <= 3.0 * rse(DEFAULT_LGK) * 500

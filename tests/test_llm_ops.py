@@ -1939,3 +1939,58 @@ def test_with_nearest_centroid_paths_agree(spark, monkeypatch):
     import pytest as _pt
     with _pt.raises(ValueError, match="metric"):
         S.with_nearest_centroid(df, "embedding", cents, metric="l2")
+
+
+# ---------------------------------------------------------------------------
+# semantic contamination (round 11 — embedding decontamination tier)
+# ---------------------------------------------------------------------------
+
+def test_semantic_contamination_flags_paraphrase_vector(spark):
+    from term_spark.operators.similarity import semantic_contamination
+
+    # benchmark: two orthogonal unit vectors; training: one near-copy of
+    # eval 0 (cos ~0.9995), one mirrored (cos -1), one orthogonal (cos 0)
+    ev = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>")
+    tr = spark.createDataFrame(
+        [(10, [0.99, 0.03, 0.0, 0.0]),
+         (11, [-1.0, 0.0, 0.0, 0.0]),
+         (12, [0.0, 0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<float>")
+    got = {r["train_id"]: r for r in
+           semantic_contamination(tr, ev, threshold=0.8).collect()}
+    assert set(got) == {10}
+    assert got[10]["eval_id"] == 0
+    assert got[10]["cosine"] > 0.99
+
+
+def test_semantic_contamination_tie_breaks_to_smallest_eval_id(spark):
+    from term_spark.operators.similarity import semantic_contamination
+
+    ev = spark.createDataFrame(
+        [(5, [1.0, 0.0]), (3, [1.0, 0.0])],   # identical benchmark rows
+        "vec_id long, embedding array<float>")
+    tr = spark.createDataFrame(
+        [(10, [2.0, 0.0])], "vec_id long, embedding array<float>")
+    row = semantic_contamination(tr, ev, threshold=0.5).collect()[0]
+    assert row["eval_id"] == 3 and row["cosine"] == 1.0
+
+
+def test_semantic_contamination_broadcasts_eval_side(spark):
+    """The benchmark side must broadcast — the training side streams
+    (the opposite orientation from cosine_topk)."""
+    from term_spark.operators.similarity import semantic_contamination
+
+    ev = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id long, embedding array<float>")
+    tr = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(1, 30)],
+        "vec_id long, embedding array<float>")
+    plan = semantic_contamination(tr, ev)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+
+    with pytest.raises(ValueError, match="threshold"):
+        semantic_contamination(tr, ev, threshold=1.5)
