@@ -470,6 +470,23 @@ class Check:
         return self.with_constraint(ContaminationConstraint(
             eval_df, text_col, id_col, k, per_doc_threshold, max_doc_ratio))
 
+    def has_low_semantic_contamination(self, eval_df, cosine_threshold: float = 0.8,
+                                       id_col: str = "vec_id",
+                                       vec_col: str = "embedding",
+                                       eval_id_col: str = "vec_id",
+                                       eval_vec_col: str = "embedding",
+                                       max_doc_ratio: float = 0.0) -> "Check":
+        """Embedding decontamination gate (the semantic twin of
+        ``has_low_contamination``): the share of training vectors whose
+        cosine to any benchmark vector reaches ``cosine_threshold``
+        must stay within ``max_doc_ratio``. Benchmark broadcasts,
+        training streams map-only — catches paraphrases the n-gram
+        tier misses."""
+        from ..operators.similarity import SemanticContaminationConstraint
+        return self.with_constraint(SemanticContaminationConstraint(
+            eval_df, cosine_threshold, id_col, vec_col, eval_id_col,
+            eval_vec_col, max_doc_ratio))
+
     def has_low_duplication(self, column: str = "text",
                             max_ratio: float = 0.0,
                             assertion=None) -> "Check":

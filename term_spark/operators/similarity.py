@@ -32,6 +32,8 @@ from typing import List, Optional
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+from ..core.constraint import Constraint
+
 
 def _dot(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
@@ -1387,3 +1389,60 @@ def semantic_contamination(train_df: DataFrame, eval_df: DataFrame,
                     (-F.col("b.neg_id")).cast("bigint").alias("eval_id"),
                     F.col("b.cosine").alias("cosine")))
     return best.filter(F.col("cosine") >= float(threshold))
+
+
+class SemanticContaminationConstraint(Constraint):
+    """``has_low_semantic_contamination``: the fraction of training
+    vectors whose cosine to ANY benchmark vector reaches
+    ``cosine_threshold`` must stay within ``max_doc_ratio`` (default 0
+    — a release gate).  The check-level form of
+    ``semantic_contamination``, completing the decontamination gate
+    pair: ``has_low_contamination`` catches verbatim n-gram overlap,
+    this catches paraphrases/translations the lexical tier misses.
+
+    Self-executing (needs the eval DataFrame) like the drift and
+    n-gram contamination constraints; the job is the operator's
+    broadcast-eval map-only scan + one count — the denominator rides
+    the same pass via a count over the training side."""
+
+    name = "low_semantic_contamination"
+
+    def __init__(self, eval_df: DataFrame, cosine_threshold: float = 0.8,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 eval_id_col: str = "vec_id",
+                 eval_vec_col: str = "embedding",
+                 max_doc_ratio: float = 0.0):
+        if not -1.0 <= cosine_threshold <= 1.0:
+            raise ValueError(
+                f"cosine_threshold must be in [-1,1], got {cosine_threshold}")
+        if not 0.0 <= max_doc_ratio <= 1.0:
+            raise ValueError(
+                f"max_doc_ratio must be in [0,1], got {max_doc_ratio}")
+        from ..functions.security import validate_identifier
+        self.eval_df = eval_df
+        self.cosine_threshold = float(cosine_threshold)
+        self.id_col = validate_identifier(id_col)
+        self.vec_col = validate_identifier(vec_col)
+        self.eval_id_col = validate_identifier(eval_id_col)
+        self.eval_vec_col = validate_identifier(eval_vec_col)
+        self.max_doc_ratio = float(max_doc_ratio)
+
+    def evaluate(self, ctx):
+        from ..core.result import ConstraintResult
+        cur = ctx.df(self.table)
+        hits = semantic_contamination(
+            cur, self.eval_df, self.cosine_threshold, self.id_col,
+            self.vec_col, self.eval_id_col, self.eval_vec_col)
+        bad = hits.count()
+        n = cur.filter(F.col(self.vec_col).isNotNull()).count()
+        if n == 0:
+            return self._finish(ConstraintResult.skipped(
+                "low_semantic_contamination: no vectors"))
+        ratio = bad / n
+        if ratio <= self.max_doc_ratio:
+            return self._finish(ConstraintResult.success(ratio))
+        return self._finish(ConstraintResult.failure(
+            ratio, f"low_semantic_contamination: {bad}/{n} training "
+                   f"vectors reach cosine {self.cosine_threshold} to a "
+                   f"benchmark vector (ratio {ratio:.4f} > max "
+                   f"{self.max_doc_ratio})"))

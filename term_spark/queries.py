@@ -3057,6 +3057,7 @@ FAMILY = {
     "large_volume_customers": "tpch_suite",
     "small_quantity_revenue": "tpch_suite",
     "late_shipment_priority": "tpch_suite",
+    "multimodal_probe_docs": "multimodal",
 }
 
 # BEGIN GENERATED ROTATION DATA (scripts/update_rotation.py)
@@ -3070,6 +3071,7 @@ LAST_GREEN = {
     "large_volume_customers": None,
     "small_quantity_revenue": None,
     "late_shipment_priority": None,
+    "multimodal_probe_docs": None,
     "domain_counts_docs": None,
     "incremental_distinct_docs": None,
     "pii_redact_docs": None,

@@ -13,7 +13,7 @@ Engine-portability techniques:
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 
 from .operators import dedup as D
 from .operators import similarity as S
@@ -2940,3 +2940,94 @@ LLM_QUERIES.update(
     {"semantic_contamination_embeddings": q_semantic_contamination_embeddings})
 LLM_ORACLES.update(
     {"semantic_contamination_embeddings": SQL_SEMANTIC_CONTAMINATION_EMBEDDINGS})
+
+
+def q_multimodal_probe_docs(spark, sf_dir) -> DataFrame:
+    """Multimodal header-codec probe, driver-oracle-checkable (round
+    11 — the first driver row for operators/multimodal.py): each doc
+    CONSTRUCTS a deterministic media payload from doc_id as pure JVM
+    hex/unhex expressions — even ids a 44-byte WAV header (declared
+    data size, no sample bytes: the parser's header-only duration
+    path), odd ids a 29-byte PNG signature + IHDR — and
+    ``probe_media`` (Arrow-batched mapInPandas, the real stdlib-struct
+    parser) decodes them.  The oracle computes every field by the
+    INVERSE arithmetic (sample rate / channels / duration / dimensions
+    as formulas of doc_id), so the byte layout and the parser check
+    each other: any endianness slip, chunk-walk bug, or wrong offset
+    breaks the hash.  Payload construction is map-only codegen; the
+    parse touches 29-44 bytes per row."""
+    from .operators.multimodal import probe_media
+
+    did = F.col("doc_id")
+
+    def he(s: str) -> Column:
+        return F.lit(s.encode().hex())
+
+    def be32(c) -> Column:
+        return F.lpad(F.hex(c.cast("bigint")), 8, "0")
+
+    def le32(c) -> Column:
+        b = be32(c)
+        return F.concat(F.substring(b, 7, 2), F.substring(b, 5, 2),
+                        F.substring(b, 3, 2), F.substring(b, 1, 2))
+
+    def le16(c) -> Column:
+        b = F.lpad(F.hex(c.cast("bigint")), 4, "0")
+        return F.concat(F.substring(b, 3, 2), F.substring(b, 1, 2))
+
+    sr = (F.lit(8000) + (did % 8) * 1000).cast("bigint")
+    ch = (F.lit(1) + (did % 4) / F.lit(2)).cast("bigint")
+    secs = (F.lit(1) + did % 3).cast("bigint")
+    byte_rate = sr * ch * 2
+    data_size = byte_rate * secs
+    wav_hex = F.concat(
+        he("RIFF"), le32(data_size + 36), he("WAVE"),
+        he("fmt "), le32(F.lit(16)), le16(F.lit(1)), le16(ch),
+        le32(sr), le32(byte_rate), le16(ch * 2), le16(F.lit(16)),
+        he("data"), le32(data_size))
+    w = (F.lit(16) + did % 101).cast("bigint")
+    h = (F.lit(16) + (did * 7) % 101).cast("bigint")
+    png_hex = F.concat(
+        F.lit("89504e470d0a1a0a"), F.lit("0000000d"), he("IHDR"),
+        be32(w), be32(h), F.lit("08"), F.lit("02000000"))
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("media_id"),
+        F.when(did % 2 == 0, F.lit("audio")).otherwise(F.lit("image"))
+         .alias("kind"),
+        F.when(did % 2 == 0, F.lit("audio/wav"))
+         .otherwise(F.lit("image/png")).alias("mime"),
+        F.unhex(F.when(did % 2 == 0, wav_hex).otherwise(png_hex))
+         .alias("payload"))
+    return (probe_media(d)
+            .select("media_id", "kind", "mime", "detected_mime",
+                    "detected_width", "detected_height", "bit_depth",
+                    "detected_duration_ms", "sample_rate", "channels",
+                    "n_bytes", "header_ok")
+            .orderBy("media_id"))
+
+
+SQL_MULTIMODAL_PROBE_DOCS = """
+SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'audio' ELSE 'image' END AS kind,
+       CASE WHEN doc_id % 2 = 0 THEN 'audio/wav' ELSE 'image/png' END AS mime,
+       CASE WHEN doc_id % 2 = 0 THEN 'audio/wav' ELSE 'image/png' END
+           AS detected_mime,
+       CASE WHEN doc_id % 2 = 0 THEN CAST(NULL AS BIGINT)
+            ELSE 16 + doc_id % 101 END AS detected_width,
+       CASE WHEN doc_id % 2 = 0 THEN CAST(NULL AS BIGINT)
+            ELSE 16 + doc_id * 7 % 101 END AS detected_height,
+       CASE WHEN doc_id % 2 = 0 THEN 16 ELSE 8 END AS bit_depth,
+       CASE WHEN doc_id % 2 = 0 THEN (1 + doc_id % 3) * 1000
+            ELSE CAST(NULL AS BIGINT) END AS detected_duration_ms,
+       CASE WHEN doc_id % 2 = 0 THEN 8000 + (doc_id % 8) * 1000
+            ELSE CAST(NULL AS BIGINT) END AS sample_rate,
+       CASE WHEN doc_id % 2 = 0 THEN 1 + (doc_id % 4) // 2
+            ELSE CAST(NULL AS BIGINT) END AS channels,
+       CASE WHEN doc_id % 2 = 0 THEN 44 ELSE 29 END AS n_bytes,
+       'ok' AS header_ok
+FROM documents ORDER BY media_id
+"""
+
+
+LLM_QUERIES.update({"multimodal_probe_docs": q_multimodal_probe_docs})
+LLM_ORACLES.update({"multimodal_probe_docs": SQL_MULTIMODAL_PROBE_DOCS})

@@ -606,3 +606,93 @@ class StreamingPiiMonitor:
     def attach(self, stream_writer):
         """writer.foreachBatch hookup: monitor.attach(df.writeStream)"""
         return stream_writer.foreachBatch(self.foreach_batch)
+
+
+class StreamingDistinctMonitor:
+    """Stream-wide distinct-count tracking via mergeable HLL sketches —
+    the streaming companion of the persisted distinct-count index
+    (analyzers/distinct_index.py): every micro-batch is sketched in one
+    fused aggregation (all tracked columns ride the same pass,
+    map-side combined) and folded into ONE running blob per column, so
+    monitor state is a few KB per column no matter how long the stream
+    runs, and the estimate covers the WHOLE stream — register MAX is
+    commutative/associative/idempotent, so micro-batch boundaries (and
+    replayed batches, foreachBatch's at-least-once reality) cannot
+    double-count, the property running COUNT(DISTINCT) sums lack.
+
+    With ``max_distinct`` set for a column, ``on_alert`` fires
+    (batch_id, column, estimate) when the stream-wide estimate first
+    exceeds the cap — the cardinality-explosion tripwire (runaway id
+    generators, unbounded label spaces).  ``estimates()`` reads the
+    current stream-wide distinct counts at any point.
+    """
+
+    def __init__(self, columns: List[str], lgk: int = 12,
+                 max_distinct: Optional[Dict[str, float]] = None,
+                 on_alert: Optional[Callable] = None):
+        from ..functions.security import validate_identifiers
+        self.columns = list(validate_identifiers(columns))
+        if not self.columns:
+            raise ValueError("StreamingDistinctMonitor: empty column list")
+        if not 4 <= int(lgk) <= 21:
+            raise ValueError(f"lgk must be in [4, 21], got {lgk}")
+        self.lgk = int(lgk)
+        self.max_distinct = dict(max_distinct or {})
+        unknown = set(self.max_distinct) - set(self.columns)
+        if unknown:
+            raise ValueError(f"max_distinct for untracked columns: "
+                             f"{sorted(unknown)}")
+        self.on_alert = on_alert
+        self.n_rows = 0
+        self._blobs: Dict[str, bytes] = {}   # column -> running sketch
+        self._tripped: set = set()
+        self.alerts: List = []
+
+    def foreach_batch(self, batch_df, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        aggs = [F.hll_sketch_agg(F.col(c).cast("string"),
+                                 F.lit(self.lgk)).alias(c)
+                for c in self.columns]
+        aggs.append(F.count(F.lit(1)).alias("__n"))
+        row = batch_df.agg(*aggs).collect()[0]
+        self.n_rows += row["__n"]
+        fresh = {c: row[c] for c in self.columns if row[c] is not None}
+        if fresh:
+            # fold into the running blob: one tiny job over <= 2 rows
+            # per column (stored + batch), never the batch data again
+            pairs = [(c, b) for c, b in list(self._blobs.items())
+                     + list(fresh.items())]
+            merged = (spark.createDataFrame(pairs,
+                                            "col_name string, s binary")
+                      .groupBy("col_name")
+                      .agg(F.hll_union_agg("s").alias("s"))
+                      .collect())
+            self._blobs = {r["col_name"]: r["s"] for r in merged}
+        if not self.max_distinct:
+            return
+        for c, est in self.estimates().items():
+            cap = self.max_distinct.get(c)
+            if cap is not None and est > cap and c not in self._tripped:
+                self._tripped.add(c)
+                self.alerts.append((batch_id, c, est))
+                if self.on_alert is not None:
+                    self.on_alert(batch_id, c, est)
+
+    def estimates(self) -> Dict[str, int]:
+        """Stream-wide distinct-count estimate per tracked column."""
+        if not self._blobs:
+            return {c: 0 for c in self.columns}
+        spark = None
+        from pyspark.sql import SparkSession
+        spark = SparkSession.getActiveSession()
+        rows = (spark.createDataFrame(list(self._blobs.items()),
+                                      "col_name string, s binary")
+                .select("col_name",
+                        F.hll_sketch_estimate("s").alias("e")).collect())
+        out = {c: 0 for c in self.columns}
+        out.update({r["col_name"]: int(r["e"]) for r in rows})
+        return out
+
+    def attach(self, stream_writer):
+        """writer.foreachBatch hookup: monitor.attach(df.writeStream)"""
+        return stream_writer.foreachBatch(self.foreach_batch)

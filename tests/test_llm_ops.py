@@ -1994,3 +1994,30 @@ def test_semantic_contamination_broadcasts_eval_side(spark):
 
     with pytest.raises(ValueError, match="threshold"):
         semantic_contamination(tr, ev, threshold=1.5)
+
+
+def test_has_low_semantic_contamination_gate(spark):
+    from term_spark import Check, Level, ValidationSuite
+
+    ev = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0])], "vec_id long, embedding array<float>")
+    tr = spark.createDataFrame(
+        [(10, [0.999, 0.01, 0.0]),    # near-copy of the benchmark
+         (11, [0.0, 1.0, 0.0]),
+         (12, [0.0, 0.0, 1.0])],
+        "vec_id long, embedding array<float>")
+
+    def run(check):
+        return (ValidationSuite.builder("sem").with_check(check)
+                .run(spark, {"data": tr}))
+
+    bad = run(Check("c", Level.ERROR)
+              .has_low_semantic_contamination(ev, cosine_threshold=0.9))
+    o = bad.report.outcomes[0].result
+    assert not bad.passed and o.metric == pytest.approx(1 / 3)
+    assert "1/3" in o.message
+
+    ok = run(Check("c", Level.ERROR)
+             .has_low_semantic_contamination(ev, cosine_threshold=0.9,
+                                             max_doc_ratio=0.5))
+    assert ok.passed

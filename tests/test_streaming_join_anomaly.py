@@ -162,3 +162,42 @@ def test_streaming_pii_rate_metrics_windowed(spark, tmp_path):
     assert got[0]["n_docs"] == 2 and got[0]["docs_with_pii"] == 1
     assert got[0]["pii_ratio"] == pytest.approx(0.5)
     assert got[1]["n_docs"] == 2 and got[1]["docs_with_pii"] == 0
+
+
+def test_streaming_distinct_monitor_tracks_and_alerts(spark, tmp_path):
+    from term_spark.streaming import StreamingDistinctMonitor
+    src = str(tmp_path / "dist_src")
+    os.makedirs(src)
+    # batch 0: users 0..9; batch 1: users 5..14 (overlap!); batch 2: 15..39
+    batches = [range(0, 10), range(5, 15), range(15, 40)]
+    for i, rng in enumerate(batches):
+        spark.createDataFrame([(u, "x") for u in rng],
+                              "user_id long, k string").coalesce(1) \
+            .write.parquet(f"{src}/b{i}.parquet")
+
+    alerts = []
+    monitor = StreamingDistinctMonitor(
+        ["user_id", "k"], max_distinct={"user_id": 30},
+        on_alert=lambda b, c, e: alerts.append((b, c, e)))
+    stream = (spark.readStream.schema("user_id long, k string")
+              .option("maxFilesPerTrigger", 1).parquet(src + "/*.parquet"))
+    q = monitor.attach(stream.writeStream).trigger(availableNow=True).start()
+    q.awaitTermination(180)
+
+    est = monitor.estimates()
+    # sparse-mode HLL at this size is exact: the 5-user overlap between
+    # batches 0 and 1 must NOT double-count (the idempotence property)
+    assert est["user_id"] == 40
+    assert est["k"] == 1
+    assert monitor.n_rows == 45
+    # the cap tripped exactly once, on the batch that crossed 30
+    assert [(c) for _, c, _ in alerts] == ["user_id"]
+    assert alerts[0][2] == 40
+
+
+def test_streaming_distinct_monitor_validates_inputs(spark):
+    from term_spark.streaming import StreamingDistinctMonitor
+    with pytest.raises(ValueError, match="empty column list"):
+        StreamingDistinctMonitor([])
+    with pytest.raises(ValueError, match="untracked"):
+        StreamingDistinctMonitor(["a"], max_distinct={"b": 10})
