@@ -40,7 +40,7 @@ REPO_DIR = os.path.dirname(os.path.abspath(__file__))
 
 
 def _wait_for_quiet(threshold: float = 1.5, threshold_5m: float = 1.0,
-                    cap_sec: float = 600.0) -> dict:
+                    cap_sec: float = 1500.0) -> dict:
     """Block until BOTH the 1-minute loadavg drops below ``threshold``
     and the 5-minute loadavg below ``threshold_5m`` (cap ``cap_sec``),
     so the headline numbers are taken on a quiet machine.
@@ -60,7 +60,11 @@ def _wait_for_quiet(threshold: float = 1.5, threshold_5m: float = 1.0,
     read a uniform 10-35% over its quiet-window level with zero code
     change — the regime the builder's spot checks measured clean is
     load5 < 1.0, and decaying 1.5 → 1.0 costs ~300·ln(1.5) ≈ 120 s
-    more at worst, once per round.
+    more at worst, once per round.  Mid-round-11 the 600 s cap proved
+    too short to drain a just-finished 15-minute full-pytest run (5-min
+    average still 1.51 at expiry → a contended artifact); the cap is
+    now 1500 s — a full 5-minute-average turnover plus decay headroom,
+    still bounded so a driver run can never hang on a busy host.
 
     Returns the quiet-gate outcome: the loadavgs the measurement
     actually started under, how long we waited, and ``contended`` when
@@ -383,6 +387,16 @@ def main() -> None:
             print(f"bench: WARNING sf10 fresh-JVM child failed: "
                   f"{child.stderr[-500:]}", file=sys.stderr)
     sections["after_sf10_child"] = _load_stamp()
+
+    # re-arm the quiet gate before the per-query section: the fresh-JVM
+    # children above are 32-thread jobs, and round 11's stamps showed
+    # the sf0.1 loop STARTING at load1 ~14 from their residue — the
+    # children have exited (subprocess.run waits), so true contention
+    # is near zero, but tail-end kernel/page-cache churn overlaps the
+    # first queries and the stamps read as contaminated either way.
+    # 1-minute decay is cheap; cap it so a busy host can't stall us.
+    _wait_for_quiet(threshold=1.0, threshold_5m=float("inf"), cap_sec=240)
+    sections["pre_sf01_rearm"] = _load_stamp()
 
     spark = get_spark("term_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")

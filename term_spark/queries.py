@@ -3058,6 +3058,9 @@ FAMILY = {
     "small_quantity_revenue": "tpch_suite",
     "late_shipment_priority": "tpch_suite",
     "multimodal_probe_docs": "multimodal",
+    "csv_source_roundtrip": "sources",
+    "json_source_roundtrip": "sources",
+    "metrics_repository_roundtrip": "repository",
 }
 
 # BEGIN GENERATED ROTATION DATA (scripts/update_rotation.py)
@@ -3072,6 +3075,9 @@ LAST_GREEN = {
     "small_quantity_revenue": None,
     "late_shipment_priority": None,
     "multimodal_probe_docs": None,
+    "csv_source_roundtrip": None,
+    "json_source_roundtrip": None,
+    "metrics_repository_roundtrip": None,
     "domain_counts_docs": None,
     "incremental_distinct_docs": None,
     "pii_redact_docs": None,

@@ -3031,3 +3031,172 @@ FROM documents ORDER BY media_id
 
 LLM_QUERIES.update({"multimodal_probe_docs": q_multimodal_probe_docs})
 LLM_ORACLES.update({"multimodal_probe_docs": SQL_MULTIMODAL_PROBE_DOCS})
+
+
+# ---------------------------------------------------------------------------
+# source / sink round-trips (driver rows for SURVEY §2.1 items that were
+# pytest-only: the CSV and NDJSON readers and the metrics repository)
+# ---------------------------------------------------------------------------
+
+def q_csv_source_roundtrip(spark, sf_dir) -> DataFrame:
+    """CsvSource round-trip, driver-oracle-checkable (round 11): the
+    part table is written as a 2-file headered CSV (multi-file
+    directory — the glob/multi-path reader surface), read back through
+    ``sources.read_csv`` with schema inference, and aggregated per
+    brand.  Sums ride decimal so fold order is irrelevant, and Java's
+    shortest-round-trip double formatting guarantees the CSV text
+    parses back to identical bits — the oracle aggregates the parquet
+    directly, so any reader/writer asymmetry (quoting, header, type
+    inference) breaks the hash.  Eagerly materialized, scratch dir
+    deleted (the q_incremental_neardup_docs pattern)."""
+    import shutil
+    import tempfile
+
+    from .sources import read_csv
+    p = read_parquet(spark, f"{sf_dir}/part.parquet")
+    tmp = tempfile.mkdtemp(prefix="term_spark_csv_")
+    try:
+        (p.select("p_partkey", "p_brand", "p_retailprice")
+          .repartition(2)
+          .write.mode("overwrite").option("header", True)
+          .csv(f"{tmp}/part_csv"))
+        back = read_csv(spark, f"{tmp}/part_csv/*.csv")
+        res = (back.groupBy(F.col("p_brand").alias("brand"))
+               .agg(F.count(F.lit(1)).alias("n_parts"),
+                    F.count_distinct("p_partkey").alias("n_keys"),
+                    F.round(F.sum(F.col("p_retailprice")
+                                  .cast("decimal(25,4)")).cast("double"), 4)
+                     .alias("sum_price"))
+               .orderBy("brand"))
+        rows = res.collect()
+        schema = res.schema
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+SQL_CSV_SOURCE_ROUNDTRIP = """
+SELECT p_brand AS brand,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(COUNT(DISTINCT p_partkey) AS BIGINT) AS n_keys,
+       ROUND(CAST(SUM(CAST(p_retailprice AS DECIMAL(25,4))) AS DOUBLE), 4)
+           AS sum_price
+FROM part GROUP BY p_brand ORDER BY brand
+"""
+
+
+LLM_QUERIES.update({"csv_source_roundtrip": q_csv_source_roundtrip})
+LLM_ORACLES.update({"csv_source_roundtrip": SQL_CSV_SOURCE_ROUNDTRIP})
+
+
+def q_json_source_roundtrip(spark, sf_dir) -> DataFrame:
+    """JsonSource round-trip (round 11, the CSV row's NDJSON sibling):
+    orders (strings + doubles; timestamps excluded — JSON re-typing
+    them is a schema decision, not a reader property) written as
+    2-file NDJSON, read back through ``sources.read_json`` with
+    ``multiline=False`` (the NDJSON path), aggregated per priority.
+    Oracle aggregates the parquet — a quoting, escaping, or inference
+    asymmetry breaks the hash."""
+    import shutil
+    import tempfile
+
+    from .sources import read_json
+    o = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    tmp = tempfile.mkdtemp(prefix="term_spark_json_")
+    try:
+        (o.select("o_orderkey", "o_orderpriority", "o_totalprice")
+          .repartition(2)
+          .write.mode("overwrite").json(f"{tmp}/orders_json"))
+        back = read_json(spark, f"{tmp}/orders_json/*.json",
+                         multiline=False)
+        res = (back.groupBy(F.col("o_orderpriority").alias("priority"))
+               .agg(F.count(F.lit(1)).alias("n_orders"),
+                    F.count_distinct("o_orderkey").alias("n_keys"),
+                    F.round(F.sum(F.col("o_totalprice")
+                                  .cast("decimal(25,4)")).cast("double"), 4)
+                     .alias("sum_price"))
+               .orderBy("priority"))
+        rows = res.collect()
+        schema = res.schema
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+SQL_JSON_SOURCE_ROUNDTRIP = """
+SELECT o_orderpriority AS priority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,4))) AS DOUBLE), 4)
+           AS sum_price
+FROM orders GROUP BY o_orderpriority ORDER BY priority
+"""
+
+
+LLM_QUERIES.update({"json_source_roundtrip": q_json_source_roundtrip})
+LLM_ORACLES.update({"json_source_roundtrip": SQL_JSON_SOURCE_ROUNDTRIP})
+
+
+def q_metrics_repository_roundtrip(spark, sf_dir) -> DataFrame:
+    """Metrics-repository round-trip (round 11 — the sink side of
+    SURVEY §2.1 driver-proven): a five-constraint suite runs over
+    lineitem, ``run_and_store`` persists its numeric metrics to a
+    scratch ParquetRepository under a pinned ResultKey, and the row
+    set is what ``query()`` READS BACK from disk — so the oracle
+    (which recomputes each metric's value straight from the parquet
+    table) transitively checks the fused-agg executor, the
+    metric-key naming contract ('{analyzer}.{column}'), the repository
+    serialization, and the read path in one hash.  l_quantity is
+    integral-valued, so min/max/mean are exact doubles — no fold-order
+    noise to round away."""
+    import shutil
+    import tempfile
+
+    from .core.check import Check, Level
+    from .core.suite import ValidationSuite
+    from .repository import ParquetRepository
+
+    li = read_parquet(spark, f"{sf_dir}/lineitem.parquet")
+    tmp = tempfile.mkdtemp(prefix="term_spark_repo_")
+    try:
+        repo = ParquetRepository(f"{tmp}/metrics")
+        check = (Check("repo_roundtrip", Level.ERROR)
+                 .has_size(lambda n: n > 0)
+                 .is_complete("l_orderkey")
+                 .has_min("l_quantity", lambda v: v >= 0)
+                 .has_max("l_quantity", lambda v: v > 0)
+                 .has_mean("l_quantity", lambda v: v > 0))
+        (ValidationSuite.builder("repo_roundtrip").with_check(check)
+         .run_and_store(spark, {"data": li}, repo,
+                        timestamp=1700000000.0, env="driver"))
+        stored = sorted((name, float(val.value))
+                        for _, name, val in repo.query()
+                        if isinstance(val.value, (int, float)))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        [(n, round(v, 6)) for n, v in stored],
+        "metric string, value double")
+
+
+SQL_METRICS_REPOSITORY_ROUNDTRIP = """
+SELECT metric, value FROM (
+    SELECT 'completeness.l_orderkey' AS metric,
+           ROUND(COUNT(l_orderkey) * 1.0 / COUNT(*), 6) AS value
+    FROM lineitem
+    UNION ALL
+    SELECT 'max.l_quantity', ROUND(MAX(l_quantity), 6) FROM lineitem
+    UNION ALL
+    SELECT 'mean.l_quantity', ROUND(AVG(l_quantity), 6) FROM lineitem
+    UNION ALL
+    SELECT 'min.l_quantity', ROUND(MIN(l_quantity), 6) FROM lineitem
+    UNION ALL
+    SELECT 'size', ROUND(COUNT(*), 6) FROM lineitem
+) ORDER BY metric
+"""
+
+
+LLM_QUERIES.update(
+    {"metrics_repository_roundtrip": q_metrics_repository_roundtrip})
+LLM_ORACLES.update(
+    {"metrics_repository_roundtrip": SQL_METRICS_REPOSITORY_ROUNDTRIP})
