@@ -122,3 +122,28 @@ class QuantileSketchAnalyzer(Analyzer):
 
     def metric_from_state(self, state):
         return MetricValue.double(self.quantile_from_state(state, self.q))
+
+
+def quantile_sketch_by(df, group_col: str, column: str, k: int = 200,
+                       accuracy: int = 10000) -> dict:
+    """Per-group mergeable quantile states in ONE grouped aggregation —
+    the grouped form of the analyzer (the ``mg_sketch_by`` symmetry:
+    every sketch family ships batch, grouped, incremental and
+    streaming shapes).  Returns {group value: AnalyzerState}; states
+    from different SHARDS of the same group merge with the analyzer's
+    ``merge_states``, with the same 2/k + 1/accuracy rank-error bound
+    per group — groups never interact, so the merge-law argument
+    applies group-wise verbatim.
+
+    Scale shape: one hash aggregation keyed on the group column (the
+    grid rides ``percentile_approx``'s partial state, map-side
+    combined); the collected result is O(|groups| · k) doubles —
+    driver-safe for the categorical group columns a profile tracks.
+    NULL groups are kept (they are a data segment like any other).
+    """
+    an = QuantileSketchAnalyzer(column, k=k, accuracy=accuracy)
+    gcol = validate_identifier(group_col)
+    rows = (df.groupBy(gcol)
+            .agg(*[e.alias(a) for a, e in an.state_exprs().items()])
+            .collect())
+    return {r[gcol]: an.state_from_row(r) for r in rows}

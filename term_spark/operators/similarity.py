@@ -403,8 +403,6 @@ def build_ivf_index(df: DataFrame, path: str, n_centroids: int = 16,
     corpus is ever read. Build once, serve many query batches
     (``ivf_topk_from_index``) with no re-training or re-assignment.
     """
-    from pyspark.sql import Window
-
     spark = df.sparkSession
     trained = kmeans_centroids(df, id_col, vec_col, n_centroids,
                                train_iterations, seed)
@@ -415,14 +413,15 @@ def build_ivf_index(df: DataFrame, path: str, n_centroids: int = 16,
     corpus = df.select(F.col(id_col).alias("nbr_id"),
                        F.transform(F.col(vec_col),
                                    lambda x: x.cast("double")).alias("vb"))
-    assigned = with_cosine(corpus.crossJoin(F.broadcast(cents)),
-                           "vb", "cvec", "csim")
-    w = Window.partitionBy("nbr_id").orderBy(F.desc("csim"), F.asc("cid"))
-    # persist each vector's norm with its assignment — serving then
-    # evaluates one dot per probed pair and never recomputes norms
-    (assigned.withColumn("r", F.row_number().over(w))
-     .filter(F.col("r") == 1)
-     .select("nbr_id", "vb", "cid", _norm(F.col("vb")).alias("nb"))
+    # cell assignment is MAP-ONLY (with_nearest_centroid: normalized-IP
+    # argmax ≡ cosine argmax, ties to smallest cid — the same contract
+    # the old crossJoin + per-id window produced, minus the k× row
+    # amplification and the n·k sort-shuffle; round 10 moved IVF-PQ to
+    # this primitive, round 11 moves the IVF build too).  Norms persist
+    # with the assignment — serving evaluates one dot per probed pair.
+    assigned = with_nearest_centroid(corpus, "vb", trained,
+                                     out="cid", metric="cosine")
+    (assigned.select("nbr_id", "vb", "cid", _norm(F.col("vb")).alias("nb"))
      .write.mode("overwrite").partitionBy("cid")
      .parquet(f"{path}/assignments"))
 

@@ -771,6 +771,71 @@ FROM lineitem
 """
 
 
+def q_quantile_sketch_by_returnflag(spark, sf_dir) -> DataFrame:
+    """Grouped mergeable quantile sketch, driver-oracle-checkable
+    (round 11 — the grouped form of ``quantile_sketch_merge_quantity``,
+    completing the mg_sketch/mg_sketch_by symmetry for the quantile
+    family): per returnflag, TWO l_orderkey-parity shards each run ONE
+    grouped state aggregation (``quantile_sketch_by``), the per-group
+    states merge DRIVER-SIDE, and each group's read-off median must
+    land within the documented 2/k + 1/accuracy rank bound of that
+    group's own distribution — groups never interact, so the merge law
+    applies group-wise.  The returned p50 is the EXACT per-group
+    type-7 percentile (engine-portable); the attestation is pinned
+    TRUE by the oracle.  Tie handling is the rank-interval form of the
+    global query."""
+    from .analyzers.quantile_sketch import (QuantileSketchAnalyzer,
+                                            quantile_sketch_by)
+
+    (li,) = _t(spark, sf_dir, "lineitem")
+    qcol = F.col("l_quantity")
+    an = QuantileSketchAnalyzer("l_quantity", k=200, accuracy=10000)
+    shard_states = [
+        quantile_sketch_by(li.filter(F.col("l_orderkey") % 2 == parity),
+                           "l_returnflag", "l_quantity",
+                           k=200, accuracy=10000)
+        for parity in (0, 1)]
+    groups = sorted(set(shard_states[0]) | set(shard_states[1]))
+    merged = {g: an.merge_states([s[g] for s in shard_states if g in s])
+              for g in groups}
+    eps = an.merge_error_bound()
+    est = {g: an.quantile_from_state(merged[g], 0.5) for g in groups}
+    # each group's rank interval around ITS estimate, one grouped agg:
+    # the estimate enters the plan as a CASE over the group column
+    est_col = F.lit(None).cast("double")
+    for g in groups:
+        est_col = F.when(F.col("l_returnflag") == g,
+                         F.lit(est[g])).otherwise(est_col)
+    per = (li.groupBy("l_returnflag")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.count(F.when(qcol < est_col, 1)).alias("lt"),
+                F.count(F.when(qcol <= est_col, 1)).alias("le"),
+                r6(F.percentile(qcol, 0.5)).alias("p50")))
+    return (per.select(
+        F.col("l_returnflag").alias("returnflag"),
+        F.col("n").cast("bigint").alias("n"),
+        "p50",
+        ((F.col("lt") / F.col("n") - F.lit(eps) <= 0.5)
+         & (F.lit(0.5) <= F.col("le") / F.col("n") + F.lit(eps)))
+        .alias("merged_within_bound"))
+        .orderBy("returnflag"))
+
+
+SQL_QUANTILE_SKETCH_BY_RETURNFLAG = """
+SELECT l_returnflag AS returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(quantile_cont(l_quantity, 0.5), 6) AS p50,
+       TRUE AS merged_within_bound
+FROM lineitem GROUP BY l_returnflag ORDER BY returnflag
+"""
+
+
+QUERIES.update(
+    {"quantile_sketch_by_returnflag": q_quantile_sketch_by_returnflag})
+ORACLES.update(
+    {"quantile_sketch_by_returnflag": SQL_QUANTILE_SKETCH_BY_RETURNFLAG})
+
+
 def q_fk_violation_examples(spark, sf_dir) -> DataFrame:
     """Bounded violation sampling, made deterministic and
     driver-oracle-checkable: restrict customer to c_custkey % 7 != 0
@@ -3061,6 +3126,7 @@ FAMILY = {
     "csv_source_roundtrip": "sources",
     "json_source_roundtrip": "sources",
     "metrics_repository_roundtrip": "repository",
+    "quantile_sketch_by_returnflag": "quantile_sketch",
 }
 
 # BEGIN GENERATED ROTATION DATA (scripts/update_rotation.py)
@@ -3078,6 +3144,7 @@ LAST_GREEN = {
     "csv_source_roundtrip": None,
     "json_source_roundtrip": None,
     "metrics_repository_roundtrip": None,
+    "quantile_sketch_by_returnflag": None,
     "domain_counts_docs": None,
     "incremental_distinct_docs": None,
     "pii_redact_docs": None,

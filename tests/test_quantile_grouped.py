@@ -104,3 +104,37 @@ def test_quantile_sketch_error_bound(spark):
         hi_r = bisect.bisect_right(union, est) / len(union)
         err = 0.0 if lo_r <= q <= hi_r else min(abs(q - lo_r), abs(q - hi_r))
         assert err <= eps, (q, est, err, eps)
+
+
+def test_quantile_sketch_by_groupwise_merge_law(spark):
+    """Grouped states from arbitrary shards merge per group to within
+    the documented rank bound of each group's own exact quantile —
+    groups never interact (round 11, the mg_sketch_by symmetry)."""
+    import pyspark.sql.functions as F
+
+    from term_spark.analyzers.quantile_sketch import (
+        QuantileSketchAnalyzer, quantile_sketch_by)
+
+    # two groups with very different distributions, 3 uneven shards
+    rows = ([("a", float(i % 97)) for i in range(700)]
+            + [("b", float((i * i) % 31)) for i in range(300)])
+    df = spark.createDataFrame(rows, "g string, v double").repartition(7)
+    an = QuantileSketchAnalyzer("v", k=100, accuracy=1000)
+    # shard rows must partition df rows exactly: index-residue shards
+    df = df.withColumn("i", F.monotonically_increasing_id())
+    shards = [df.filter(F.col("i") % 3 == s).drop("i") for s in range(3)]
+    per_shard = [quantile_sketch_by(s, "g", "v", k=100, accuracy=1000)
+                 for s in shards]
+    eps = an.merge_error_bound()
+    import bisect
+    by_group = {"a": sorted(v for g, v in rows if g == "a"),
+                "b": sorted(v for g, v in rows if g == "b")}
+    for g, vals in by_group.items():
+        states = [ps[g] for ps in per_shard if g in ps]
+        merged = an.merge_states(states)
+        assert merged["n"] == len(vals)
+        for q in (0.1, 0.5, 0.9):
+            est = an.quantile_from_state(merged, q)
+            lo = bisect.bisect_left(vals, est) / len(vals)
+            hi = bisect.bisect_right(vals, est) / len(vals)
+            assert lo - eps <= q <= hi + eps, (g, q, est, lo, hi)
