@@ -1445,3 +1445,54 @@ class SemanticContaminationConstraint(Constraint):
                    f"vectors reach cosine {self.cosine_threshold} to a "
                    f"benchmark vector (ratio {ratio:.4f} > max "
                    f"{self.max_doc_ratio})"))
+
+
+def knn_label_agreement(df: DataFrame, k: int = 3,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        label_col: str = "label") -> DataFrame:
+    """Label-noise screen over a labeled embedding table (the
+    Confident-Learning-style geometry check): for every vector, the
+    fraction of its k nearest neighbors (cosine, excluding itself)
+    sharing its label, rolled up per label — (label, n,
+    mean_agreement).  Healthy labels cluster (agreement >> 1/|labels|);
+    agreement AT ~1/|labels| means labels are uncorrelated with the
+    embedding geometry (random/corrupted labeling), and a single label
+    far below its peers is the classic annotation-noise signature.
+
+    This is the EXACT form (self-join + per-vector top-k window) — the
+    evaluation baseline, same contract as ``cosine_topk``: norms
+    hoisted per side, deterministic ties (higher cosine, then smaller
+    neighbor id).  At corpus scale swap the pair source for the
+    bucketed candidates (``lsh_neardup_pairs`` / IVF cells, the
+    semantic_dedup pattern) — agreement over approximate neighbors is
+    the same rollup over a sparser pair set.
+    """
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    base = df.select(F.col(id_col).alias("id"),
+                     F.col(label_col).alias("lbl"),
+                     F.transform(F.col(vec_col),
+                                 lambda x: x.cast("double")).alias("v"))
+    a = (base.select(F.col("id").alias("a_id"), F.col("lbl").alias("a_lbl"),
+                     F.col("v").alias("va"))
+         .withColumn("na", _norm(F.col("va"))))
+    b = (base.select(F.col("id").alias("b_id"), F.col("lbl").alias("b_lbl"),
+                     F.col("v").alias("vb"))
+         .withColumn("nb", _norm(F.col("vb"))))
+    scored = (a.crossJoin(b)
+              .filter(F.col("a_id") != F.col("b_id"))
+              .withColumn("cosine", _dot(F.col("va"), F.col("vb"))
+                          / (F.col("na") * F.col("nb"))))
+    w = Window.partitionBy("a_id").orderBy(F.desc("cosine"), F.asc("b_id"))
+    per_vec = (scored.withColumn("r", F.row_number().over(w))
+               .filter(F.col("r") <= k)
+               .groupBy("a_id", "a_lbl")
+               .agg((F.count(F.when(F.col("b_lbl") == F.col("a_lbl"), 1))
+                     / F.lit(float(k))).alias("agree")))
+    return (per_vec.groupBy(F.col("a_lbl").alias("label"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.avg("agree"), 6).alias("mean_agreement"))
+            .orderBy("label"))

@@ -3127,6 +3127,7 @@ FAMILY = {
     "json_source_roundtrip": "sources",
     "metrics_repository_roundtrip": "repository",
     "quantile_sketch_by_returnflag": "quantile_sketch",
+    "knn_label_agreement_embeddings": "label_quality",
 }
 
 # BEGIN GENERATED ROTATION DATA (scripts/update_rotation.py)
@@ -3145,6 +3146,7 @@ LAST_GREEN = {
     "json_source_roundtrip": None,
     "metrics_repository_roundtrip": None,
     "quantile_sketch_by_returnflag": None,
+    "knn_label_agreement_embeddings": None,
     "domain_counts_docs": None,
     "incremental_distinct_docs": None,
     "pii_redact_docs": None,

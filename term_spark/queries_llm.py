@@ -3200,3 +3200,44 @@ LLM_QUERIES.update(
     {"metrics_repository_roundtrip": q_metrics_repository_roundtrip})
 LLM_ORACLES.update(
     {"metrics_repository_roundtrip": SQL_METRICS_REPOSITORY_ROUNDTRIP})
+
+
+def q_knn_label_agreement_embeddings(spark, sf_dir) -> DataFrame:
+    """kNN label-agreement screen (round 11 —
+    similarity.knn_label_agreement, the Confident-Learning-style
+    label-noise check): per label, the mean fraction of each vector's
+    3 nearest cosine neighbors sharing its label.  On this synthetic
+    corpus labels are uncorrelated with geometry, so every label reads
+    ~1/|labels| — exactly the 'random labeling' signature the screen
+    exists to surface; the oracle replays the full exact-kNN rollup."""
+    return S.knn_label_agreement(_emb(spark, sf_dir), k=3)
+
+
+SQL_KNN_LABEL_AGREEMENT_EMBEDDINGS = """
+WITH v AS (
+    SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS e
+    FROM embeddings
+), scored AS (
+    SELECT a.vec_id AS a_id, a.label AS a_lbl, b.label AS b_lbl,
+           ROW_NUMBER() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY list_dot_product(a.e, b.e) /
+                        (sqrt(list_dot_product(a.e, a.e))
+                         * sqrt(list_dot_product(b.e, b.e))) DESC,
+                        b.vec_id ASC) AS r
+    FROM v a JOIN v b ON a.vec_id <> b.vec_id
+), per_vec AS (
+    SELECT a_id, a_lbl,
+           COUNT(*) FILTER (b_lbl = a_lbl) * 1.0 / 3.0 AS agree
+    FROM scored WHERE r <= 3 GROUP BY a_id, a_lbl
+)
+SELECT a_lbl AS label, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(AVG(agree), 6) AS mean_agreement
+FROM per_vec GROUP BY a_lbl ORDER BY label
+"""
+
+
+LLM_QUERIES.update(
+    {"knn_label_agreement_embeddings": q_knn_label_agreement_embeddings})
+LLM_ORACLES.update(
+    {"knn_label_agreement_embeddings": SQL_KNN_LABEL_AGREEMENT_EMBEDDINGS})

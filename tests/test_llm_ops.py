@@ -2021,3 +2021,32 @@ def test_has_low_semantic_contamination_gate(spark):
              .has_low_semantic_contamination(ev, cosine_threshold=0.9,
                                              max_doc_ratio=0.5))
     assert ok.passed
+
+
+def test_knn_label_agreement_separates_clean_from_noisy_labels(spark):
+    """Two tight clusters with consistent labels -> agreement 1.0;
+    relabel part of cluster B randomly -> its agreement drops while
+    A's survives — the label-noise signature the screen exists for."""
+    from term_spark.operators.similarity import knn_label_agreement
+
+    a = [(i, [1.0, 0.0, float(i) * 1e-4], 0) for i in range(8)]
+    b = [(100 + i, [0.0, 1.0, float(i) * 1e-4], 1) for i in range(8)]
+    clean = spark.createDataFrame(
+        a + b, "vec_id long, embedding array<float>, label int")
+    got = {r["label"]: r for r in knn_label_agreement(clean, k=3).collect()}
+    assert got[0]["mean_agreement"] == 1.0
+    assert got[1]["mean_agreement"] == 1.0
+
+    # poison half of cluster B's labels
+    noisy_b = [(100 + i, [0.0, 1.0, float(i) * 1e-4], 1 if i % 2 else 2)
+               for i in range(8)]
+    noisy = spark.createDataFrame(
+        a + noisy_b, "vec_id long, embedding array<float>, label int")
+    got = {r["label"]: r for r in knn_label_agreement(noisy, k=3).collect()}
+    assert got[0]["mean_agreement"] == 1.0          # A untouched
+    assert got[1]["mean_agreement"] < 0.7           # B's coherence broke
+    assert got[2]["mean_agreement"] < 0.7
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="k must be"):
+        knn_label_agreement(clean, k=0)
