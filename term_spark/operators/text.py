@@ -1763,3 +1763,117 @@ class GopherQualityConstraint(_Constraint):
             f"gopher_quality({self.column}): only {ok} of {rows} docs "
             f"({ratio:.4%}) pass the Gopher rule bundle; required "
             f"ratio {self.min_pass_ratio}"))
+
+
+# ---------------------------------------------------------------------------
+# Persisted BM25 postings index — the retrieval serving tier
+# ---------------------------------------------------------------------------
+
+#: tokenizer identity pinned into BM25 index metas — bump when
+#: norm_tokens changes so stale indexes refuse to serve silently-wrong
+#: postings instead of mixing two tokenizations
+BM25_TOKENIZER_TAG = "norm_tokens_v1"
+
+
+def build_bm25_index(df, index_path: str, text_col: str = "text",
+                     id_col: str = "doc_id", mode: str = "overwrite") -> None:
+    """Persist the corpus's BM25 postings so query batches retrieve
+    WITHOUT re-tokenizing the corpus — the FIFTH incremental-ingestion
+    tier (near-dup/substring/chunk/distinct-count, now retrieval), and
+    the serving half of ``bm25_topk``: build once per ingest, serve
+    many query batches.
+
+    Layout under ``index_path``:
+    - ``meta``      1 row — the tokenizer tag is pinned (a probe or
+                    append under a different tokenization is a
+                    different term space and would silently miss).
+    - ``postings``  (doc_id, term, tf) — the corpus side of the score.
+    - ``doclens``   (doc_id, dl) — the length-normalization side.
+
+    Append soundness is STRONGER than the counts-add tiers: postings
+    and doclens rows are DOC-LOCAL (each document's rows derive from
+    its own text alone, and a document lives in exactly one ingest
+    shard), so shard-wise appends equal the batch build by ROW-SET
+    EQUALITY — not just in aggregate.  The corpus-global statistics
+    (N, avgdl, per-term df) are therefore NOT stored; the probe
+    derives them from the unioned tables, so they are correct after
+    any number of appends with no read-modify-write step.  Ids must be
+    unique across shards (the same ingest contract as every tier).
+
+    Scale shape: one explode + one map-side-combined (doc, term)
+    groupBy per shard — the exact postings pass ``bm25_topk`` runs,
+    now amortized across every future query batch.
+    """
+    spark = df.sparkSession
+    if mode == "append":
+        try:
+            meta = spark.read.parquet(f"{index_path}/meta").collect()[0]
+        except Exception:
+            meta = None
+        if meta is not None and meta["tokenizer"] != BM25_TOKENIZER_TAG:
+            raise ValueError(
+                f"append with tokenizer={BM25_TOKENIZER_TAG!r} onto an "
+                f"index built with {meta['tokenizer']!r} — the term "
+                "space is pinned at build time")
+    base = df.filter(F.col(text_col).isNotNull())
+    ex = base.select(F.col(id_col).alias("doc_id"),
+                     F.explode(norm_tokens(text_col)).alias("term"))
+    (ex.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+     .write.mode(mode).parquet(f"{index_path}/postings"))
+    (base.select(F.col(id_col).alias("doc_id"),
+                 F.size(norm_tokens(text_col)).cast("double").alias("dl"))
+     .write.mode(mode).parquet(f"{index_path}/doclens"))
+    spark.createDataFrame([(BM25_TOKENIZER_TAG,)], "tokenizer string") \
+        .write.mode("overwrite").parquet(f"{index_path}/meta")
+
+
+def bm25_topk_from_index(spark, index_path: str, queries,
+                         query_id_col: str = "query_id",
+                         query_col: str = "query",
+                         k: int = 10, k1: float = 1.2,
+                         b: float = 0.75):
+    """Serve BM25 top-k from a persisted postings index — score-for-
+    score identical to ``bm25_topk`` over the same corpus (pinned by
+    test), with the corpus work already paid: the query batch
+    broadcasts, the postings scan prunes to matching-term rows via the
+    broadcast join, per-term df aggregates over exactly those rows
+    (they ARE every posting for those terms), and N/avgdl ride a 1-row
+    aggregate over doclens.  The corpus text is never read — a query
+    batch against a 100 TB corpus touches the postings of its own
+    terms plus a doc-length table.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be > 0, got {k}")
+    if k1 < 0 or not 0 <= b <= 1:
+        raise ValueError(f"need k1 >= 0 and 0 <= b <= 1, got {k1}, {b}")
+    from pyspark.sql import Window
+
+    tf = spark.read.parquet(f"{index_path}/postings")
+    dl = spark.read.parquet(f"{index_path}/doclens")
+    stats = dl.agg(F.count(F.lit(1)).alias("__n"),
+                   F.avg("dl").alias("__avgdl"))
+    qt = (queries.select(F.col(query_id_col).alias("query_id"),
+                         F.explode(norm_tokens(query_col)).alias("term"))
+          .groupBy("query_id", "term")
+          .agg(F.count(F.lit(1)).alias("qtf")))
+    pruned = tf.join(F.broadcast(qt.select("term").distinct()), "term",
+                     "left_semi")
+    docfreq = pruned.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.round(F.log(
+        1.0 + (F.col("__n") - F.col("df") + 0.5) / (F.col("df") + 0.5)), 6)
+    contrib = (F.col("qtf") * F.col("__idf") *
+               F.col("tf") * (k1 + 1.0) /
+               (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") /
+                                    F.col("__avgdl"))))
+    scored = (pruned.join(F.broadcast(qt), "term")
+              .join(docfreq, "term")
+              .join(dl, "doc_id")
+              .crossJoin(F.broadcast(stats))
+              .withColumn("__idf", idf)
+              .groupBy("query_id", "doc_id")
+              .agg(F.round(F.sum(contrib), 6).alias("score")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"),
+                                               F.asc("doc_id"))
+    return (scored.withColumn("rank",
+                              F.row_number().over(w).cast("bigint"))
+                  .filter(F.col("rank") <= int(k)))

@@ -3128,6 +3128,7 @@ FAMILY = {
     "metrics_repository_roundtrip": "repository",
     "quantile_sketch_by_returnflag": "quantile_sketch",
     "knn_label_agreement_embeddings": "label_quality",
+    "incremental_bm25_docs": "retrieval",
 }
 
 # BEGIN GENERATED ROTATION DATA (scripts/update_rotation.py)
@@ -3147,6 +3148,7 @@ LAST_GREEN = {
     "metrics_repository_roundtrip": None,
     "quantile_sketch_by_returnflag": None,
     "knn_label_agreement_embeddings": None,
+    "incremental_bm25_docs": None,
     "domain_counts_docs": None,
     "incremental_distinct_docs": None,
     "pii_redact_docs": None,

@@ -3241,3 +3241,39 @@ LLM_QUERIES.update(
     {"knn_label_agreement_embeddings": q_knn_label_agreement_embeddings})
 LLM_ORACLES.update(
     {"knn_label_agreement_embeddings": SQL_KNN_LABEL_AGREEMENT_EMBEDDINGS})
+
+
+def q_incremental_bm25_docs(spark, sf_dir) -> DataFrame:
+    """Persisted BM25 postings-index lifecycle (round 11 — the FIFTH
+    incremental tier: retrieval serving): the corpus slice
+    (doc_id % 4 != 0) builds the index ONCE, the new batch appends
+    only ITSELF (postings are doc-local, so append == batch build by
+    row-set equality), and the probes retrieve from the store without
+    the corpus ever being re-tokenized.  The oracle is the SAME
+    full-corpus BM25 replay that checks ``bm25_topk_docs`` — the index
+    path must reproduce the in-memory path score-for-score, which is
+    exactly the claim worth pinning.  Eagerly materialized, scratch
+    deleted (the q_incremental_neardup_docs pattern)."""
+    import shutil
+    import tempfile
+
+    from .operators.text import bm25_topk_from_index, build_bm25_index
+
+    d = _docs(spark, sf_dir)
+    q = spark.createDataFrame(_BM25_PROBES, "query_id long, query string")
+    tmp = tempfile.mkdtemp(prefix="term_spark_bm25idx_")
+    try:
+        build_bm25_index(d.filter(F.col("doc_id") % 4 != 0), tmp)
+        build_bm25_index(d.filter(F.col("doc_id") % 4 == 0), tmp,
+                         mode="append")
+        res = (bm25_topk_from_index(spark, tmp, q, k=10)
+               .orderBy("query_id", "rank"))
+        rows = res.collect()
+        schema = res.schema
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+LLM_QUERIES.update({"incremental_bm25_docs": q_incremental_bm25_docs})
+LLM_ORACLES.update({"incremental_bm25_docs": SQL_BM25_TOPK_DOCS})
