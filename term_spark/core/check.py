@@ -487,6 +487,19 @@ class Check:
             eval_df, cosine_threshold, id_col, vec_col, eval_id_col,
             eval_vec_col, max_doc_ratio))
 
+    def has_min_label_agreement(self, k: int = 3,
+                                min_agreement: float = 0.5,
+                                id_col: str = "vec_id",
+                                vec_col: str = "embedding",
+                                label_col: str = "label") -> "Check":
+        """Label-noise gate over a labeled embedding table: every
+        label's mean k-NN agreement (fraction of nearest neighbors
+        sharing the label) must reach ``min_agreement``; the metric is
+        the worst label's agreement and the failure names it."""
+        from ..operators.similarity import LabelAgreementConstraint
+        return self.with_constraint(LabelAgreementConstraint(
+            k, min_agreement, id_col, vec_col, label_col))
+
     def has_low_duplication(self, column: str = "text",
                             max_ratio: float = 0.0,
                             assertion=None) -> "Check":

@@ -1496,3 +1496,50 @@ def knn_label_agreement(df: DataFrame, k: int = 3,
             .agg(F.count(F.lit(1)).alias("n"),
                  F.round(F.avg("agree"), 6).alias("mean_agreement"))
             .orderBy("label"))
+
+
+class LabelAgreementConstraint(Constraint):
+    """``has_min_label_agreement``: every label's mean k-NN agreement
+    (``knn_label_agreement``) must reach ``min_agreement`` — the gate
+    twin of the label-noise screen: a label whose neighborhoods stop
+    voting for it has drifted or been corrupted since the last ingest.
+
+    Self-executing (its job is the screen's self-join + rollup); the
+    metric reported is the WORST label's agreement, so the failure
+    message names the offender.
+    """
+
+    name = "min_label_agreement"
+
+    def __init__(self, k: int = 3, min_agreement: float = 0.5,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 label_col: str = "label"):
+        if k < 1:
+            raise ValueError(f"k must be >= 1, got {k}")
+        if not 0.0 <= min_agreement <= 1.0:
+            raise ValueError(
+                f"min_agreement must be in [0, 1], got {min_agreement}")
+        from ..functions.security import validate_identifier
+        self.k = int(k)
+        self.min_agreement = float(min_agreement)
+        self.id_col = validate_identifier(id_col)
+        self.vec_col = validate_identifier(vec_col)
+        self.label_col = validate_identifier(label_col)
+
+    def evaluate(self, ctx):
+        from ..core.result import ConstraintResult
+        cur = ctx.df(self.table)
+        rep = knn_label_agreement(cur, self.k, self.id_col,
+                                  self.vec_col, self.label_col)
+        rows = rep.collect()
+        if not rows:
+            return self._finish(ConstraintResult.skipped(
+                "min_label_agreement: no labeled vectors"))
+        worst = min(rows, key=lambda r: (r["mean_agreement"], str(r["label"])))
+        val = float(worst["mean_agreement"])
+        if val >= self.min_agreement:
+            return self._finish(ConstraintResult.success(val))
+        return self._finish(ConstraintResult.failure(
+            val, f"min_label_agreement: label {worst['label']!r} has "
+                 f"mean {self.k}-NN agreement {val:.4f} < "
+                 f"{self.min_agreement} (noisy or drifted labels)"))

@@ -2050,3 +2050,27 @@ def test_knn_label_agreement_separates_clean_from_noisy_labels(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="k must be"):
         knn_label_agreement(clean, k=0)
+
+
+def test_has_min_label_agreement_gate_names_worst_label(spark):
+    from term_spark import Check, Level, ValidationSuite
+
+    a = [(i, [1.0, 0.0, float(i) * 1e-4], 0) for i in range(6)]
+    bad = [(100 + i, [0.0, 1.0, float(i) * 1e-4], 1 if i % 2 else 2)
+           for i in range(6)]
+    df = spark.createDataFrame(
+        a + bad, "vec_id long, embedding array<float>, label int")
+
+    r = (ValidationSuite.builder("lbl")
+         .with_check(Check("c", Level.ERROR)
+                     .has_min_label_agreement(k=3, min_agreement=0.9))
+         .run(spark, {"data": df}))
+    o = r.report.outcomes[0].result
+    assert not r.passed
+    assert o.metric < 0.9 and "agreement" in o.message
+
+    ok = (ValidationSuite.builder("lbl")
+          .with_check(Check("c", Level.ERROR)
+                      .has_min_label_agreement(k=3, min_agreement=0.1))
+          .run(spark, {"data": df}))
+    assert ok.passed
