@@ -359,3 +359,106 @@ def interval_join(left, right, left_start: str, left_end: str,
     for k in keys:
         out = out.drop(F.col(f"__r.{k}"))
     return out
+
+
+def funnel(df, steps, user_col: str = "user_id", ts_col: str = "ts",
+           type_col: str = "event_type"):
+    """Ordered funnel analysis (round 11 — the product-analytics
+    staple the reference's event tooling stops short of): for the step
+    sequence ``steps``, a user completes step i+1 only with an event
+    of that type AT OR AFTER their step-i completion time, so
+    out-of-order events never count (the mistake naive
+    min-per-type pivots make: a click BEFORE the first view is not a
+    converted click).
+
+    Returns one row per step: (step, step_index, n_users,
+    conversion_overall, conversion_from_prev) — rates rounded 6.
+
+    Scale shape: step i+1 is ONE conditional aggregation of the events
+    table against the per-user step-i completion times (a user-keyed
+    join — the completion table is |users|, far below |events|, and
+    AQE broadcasts it when it fits).  Funnel depth = number of passes,
+    each map-side combined on user_id; no windows, no per-user event
+    sorting, no event-list collection.
+    """
+    if not steps or len(set(steps)) != len(steps):
+        raise ValueError(f"steps must be non-empty and distinct: {steps}")
+    uid = validate_identifier(user_col)
+    tsc = validate_identifier(ts_col)
+    tyc = validate_identifier(type_col)
+    spark = df.sparkSession
+
+    ev = df.select(F.col(uid).alias("__u"), F.col(tsc).alias("__ts"),
+                   F.col(tyc).alias("__ty")).filter(F.col("__ts").isNotNull())
+    # completion times per user, sequentially gated
+    completed = (ev.filter(F.col("__ty") == steps[0])
+                 .groupBy("__u").agg(F.min("__ts").alias("__t")))
+    counts = [completed.count()]
+    for step in steps[1:]:
+        nxt = (ev.filter(F.col("__ty") == step)
+               .join(completed, "__u")
+               .filter(F.col("__ts") >= F.col("__t"))
+               .groupBy("__u").agg(F.min("__ts").alias("__t")))
+        completed = nxt
+        counts.append(completed.count())
+    first = counts[0]
+    rows = []
+    for i, (step, n) in enumerate(zip(steps, counts)):
+        prev = counts[i - 1] if i else n
+        rows.append((step, i,  n,
+                     round(n / first, 6) if first else None,
+                     round(n / prev, 6) if prev else None))
+    return spark.createDataFrame(
+        rows, "step string, step_index int, n_users bigint, "
+              "conversion_overall double, conversion_from_prev double")
+
+
+def retention_cohorts(df, cohort_type: str = "signup",
+                      user_col: str = "user_id", ts_col: str = "ts",
+                      type_col: str = "event_type",
+                      period_days: int = 7):
+    """Cohort retention (round 11, funnel's sibling): users cohort by
+    the period of their FIRST ``cohort_type`` event; a cohort member
+    is retained in offset k when they have ANY event in the k-th
+    period after their cohort period.  Returns (cohort_epoch,
+    period_offset, n_active, cohort_size, retention_rate) — the
+    triangle a growth dashboard plots.
+
+    Periods are fixed-width windows of ``period_days`` anchored at the
+    epoch (floor(epoch_seconds/period)), so cohort identity is a pure
+    per-row function — no calendar UDF, everything codegen.  Two
+    aggregations + one user-keyed join: first-event per user (map-side
+    combined), then distinct (cohort, offset, user) activity counts;
+    negative offsets (activity before the cohort event) are excluded.
+    """
+    if period_days < 1:
+        raise ValueError(f"period_days must be >= 1, got {period_days}")
+    uid = validate_identifier(user_col)
+    tsc = validate_identifier(ts_col)
+    tyc = validate_identifier(type_col)
+    width = float(period_days * 86400)
+
+    period = lambda c: F.floor(epoch_seconds(c) / F.lit(width))  # noqa: E731
+    ev = df.select(F.col(uid).alias("__u"), F.col(tsc).alias("__ts"),
+                   F.col(tyc).alias("__ty")).filter(F.col("__ts").isNotNull())
+    cohort = (ev.filter(F.col("__ty") == cohort_type)
+              .groupBy("__u")
+              .agg(F.min(period(F.col("__ts"))).alias("__cp")))
+    sizes = cohort.groupBy("__cp").agg(
+        F.count(F.lit(1)).alias("cohort_size"))
+    activity = (ev.join(cohort, "__u")
+                .withColumn("__off",
+                            (period(F.col("__ts")) - F.col("__cp"))
+                            .cast("bigint"))
+                .filter(F.col("__off") >= 0)
+                .groupBy("__cp", "__off")
+                .agg(F.count_distinct("__u").alias("n_active")))
+    return (activity.join(sizes, "__cp")
+            .select((F.col("__cp").cast("bigint") * F.lit(int(width))
+                     .cast("bigint")).alias("cohort_epoch"),
+                    F.col("__off").alias("period_offset"),
+                    "n_active",
+                    "cohort_size",
+                    F.round(F.col("n_active") / F.col("cohort_size"), 6)
+                    .alias("retention_rate"))
+            .orderBy("cohort_epoch", "period_offset"))

@@ -2981,6 +2981,103 @@ ORACLES.update(
 
 DRIVER_WINDOW_SIZE = 50
 
+def q_funnel_events(spark, sf_dir) -> DataFrame:
+    """Ordered view→click→purchase funnel over the events stream
+    (round 11, operators/temporal.funnel): step i+1 counts a user only
+    for an event at or after their step-i completion time, so
+    out-of-order events never convert.  One conditional aggregation
+    per step against the per-user completion table (user-keyed join,
+    broadcastable); the oracle replays the same sequential gating in
+    chained CTEs."""
+    from .operators.temporal import funnel
+
+    (ev,) = _t(spark, sf_dir, "events")
+    return funnel(ev, ["view", "click", "purchase"]).orderBy("step_index")
+
+
+SQL_FUNNEL_EVENTS = """
+WITH s0 AS (
+    SELECT user_id AS u, MIN(ts) AS t FROM events
+    WHERE event_type = 'view' AND ts IS NOT NULL GROUP BY 1
+), s1 AS (
+    SELECT e.user_id AS u, MIN(e.ts) AS t FROM events e
+    JOIN s0 ON e.user_id = s0.u AND e.ts >= s0.t
+    WHERE e.event_type = 'click' GROUP BY 1
+), s2 AS (
+    SELECT e.user_id AS u, MIN(e.ts) AS t FROM events e
+    JOIN s1 ON e.user_id = s1.u AND e.ts >= s1.t
+    WHERE e.event_type = 'purchase' GROUP BY 1
+), c AS (
+    SELECT (SELECT COUNT(*) FROM s0) AS n0,
+           (SELECT COUNT(*) FROM s1) AS n1,
+           (SELECT COUNT(*) FROM s2) AS n2
+)
+SELECT * FROM (
+    SELECT 'view' AS step, CAST(0 AS INT) AS step_index,
+           CAST(n0 AS BIGINT) AS n_users,
+           ROUND(n0 * 1.0 / n0, 6) AS conversion_overall,
+           ROUND(n0 * 1.0 / n0, 6) AS conversion_from_prev
+    FROM c
+    UNION ALL
+    SELECT 'click', CAST(1 AS INT), CAST(n1 AS BIGINT),
+           ROUND(n1 * 1.0 / n0, 6), ROUND(n1 * 1.0 / n0, 6) FROM c
+    UNION ALL
+    SELECT 'purchase', CAST(2 AS INT), CAST(n2 AS BIGINT),
+           ROUND(n2 * 1.0 / n0, 6), ROUND(n2 * 1.0 / n1, 6) FROM c
+) ORDER BY step_index
+"""
+
+
+def q_retention_cohorts_events(spark, sf_dir) -> DataFrame:
+    """Weekly signup-cohort retention triangle (round 11,
+    operators/temporal.retention_cohorts): users cohort by the
+    epoch-anchored 7-day period of their first signup; a member is
+    retained at offset k when ANY event lands in the k-th later
+    period.  Pure codegen period arithmetic (floor(epoch/width)) — no
+    calendar UDF; the oracle replays cohorting, offsets and distinct
+    activity exactly."""
+    from .operators.temporal import retention_cohorts
+
+    (ev,) = _t(spark, sf_dir, "events")
+    return retention_cohorts(ev, "signup")
+
+
+SQL_RETENTION_COHORTS_EVENTS = """
+WITH e AS (
+    SELECT user_id AS u, EPOCH(ts) AS es, event_type FROM events
+    WHERE ts IS NOT NULL
+), coh AS (
+    SELECT u, MIN(FLOOR(es / 604800.0)) AS cp FROM e
+    WHERE event_type = 'signup' GROUP BY 1
+), sizes AS (
+    SELECT cp, COUNT(*) AS cohort_size FROM coh GROUP BY 1
+), act AS (
+    SELECT coh.cp, CAST(FLOOR(e.es / 604800.0) - coh.cp AS BIGINT) AS off,
+           COUNT(DISTINCT e.u) AS n_active
+    FROM e JOIN coh ON e.u = coh.u
+    WHERE FLOOR(e.es / 604800.0) >= coh.cp
+    GROUP BY 1, 2
+)
+SELECT CAST(cp * 604800 AS BIGINT) AS cohort_epoch,
+       off AS period_offset,
+       CAST(n_active AS BIGINT) AS n_active,
+       CAST(cohort_size AS BIGINT) AS cohort_size,
+       ROUND(n_active * 1.0 / cohort_size, 6) AS retention_rate
+FROM act JOIN sizes USING (cp)
+ORDER BY cohort_epoch, period_offset
+"""
+
+
+QUERIES.update({
+    "funnel_events": q_funnel_events,
+    "retention_cohorts_events": q_retention_cohorts_events,
+})
+ORACLES.update({
+    "funnel_events": SQL_FUNNEL_EVENTS,
+    "retention_cohorts_events": SQL_RETENTION_COHORTS_EVENTS,
+})
+
+
 #: Queries with no DuckDB oracle by design (the driver can only ever
 #: record a weaker rows-only row for them); they never take a window
 #: slot from an oracle-checkable query.  Empty since round 9:
@@ -3129,6 +3226,8 @@ FAMILY = {
     "quantile_sketch_by_returnflag": "quantile_sketch",
     "knn_label_agreement_embeddings": "label_quality",
     "incremental_bm25_docs": "retrieval",
+    "funnel_events": "event_analytics",
+    "retention_cohorts_events": "event_analytics",
 }
 
 # BEGIN GENERATED ROTATION DATA (scripts/update_rotation.py)
@@ -3149,6 +3248,8 @@ LAST_GREEN = {
     "quantile_sketch_by_returnflag": None,
     "knn_label_agreement_embeddings": None,
     "incremental_bm25_docs": None,
+    "funnel_events": None,
+    "retention_cohorts_events": None,
     "domain_counts_docs": None,
     "incremental_distinct_docs": None,
     "pii_redact_docs": None,
@@ -3292,3 +3393,4 @@ def driver_window(size: int = DRIVER_WINDOW_SIZE) -> list:
 _WINDOW = driver_window()
 QUERIES = {k: QUERIES[k] for k in _WINDOW} | {
     k: v for k, v in QUERIES.items() if k not in _WINDOW}
+

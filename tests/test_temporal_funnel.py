@@ -1,0 +1,72 @@
+"""Funnel + cohort retention (round 11): sequential gating semantics
+on planted event sequences."""
+
+import pytest
+
+from term_spark.operators.temporal import funnel, retention_cohorts
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string") \
+        .selectExpr("user_id", "CAST(ts AS TIMESTAMP) AS ts", "event_type")
+
+
+def test_funnel_requires_order(spark):
+    rows = [
+        # u1 converts fully in order
+        (1, "2024-01-01 10:00:00", "view"),
+        (1, "2024-01-01 10:01:00", "click"),
+        (1, "2024-01-01 10:02:00", "purchase"),
+        # u2 clicks BEFORE viewing — click must not convert
+        (2, "2024-01-01 09:00:00", "click"),
+        (2, "2024-01-01 10:00:00", "view"),
+        # u3 views only
+        (3, "2024-01-01 08:00:00", "view"),
+        # u4 purchases with no view at all — not even in the funnel
+        (4, "2024-01-01 08:00:00", "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, event_type string") \
+        .selectExpr("user_id", "CAST(ts AS TIMESTAMP) AS ts", "event_type")
+    got = {r["step"]: r for r in funnel(
+        df, ["view", "click", "purchase"]).collect()}
+    assert got["view"]["n_users"] == 3
+    assert got["click"]["n_users"] == 1      # only u1; u2's click was early
+    assert got["purchase"]["n_users"] == 1
+    assert got["click"]["conversion_overall"] == pytest.approx(1 / 3)
+    assert got["purchase"]["conversion_from_prev"] == 1.0
+
+    with pytest.raises(ValueError, match="distinct"):
+        funnel(df, ["view", "view"])
+
+
+def test_retention_cohorts_offsets_and_rates(spark):
+    day = 86400
+    rows = [
+        # u1 signs up week 0, active weeks 0 and 2
+        (1, "1970-01-01 00:00:10", "signup"),
+        (1, "1970-01-16 00:00:00", "view"),       # day 15 -> week 2
+        # u2 signs up week 0, never returns
+        (2, "1970-01-02 00:00:00", "signup"),
+        # u3 signs up week 1, active week 2 (offset 1)
+        (3, "1970-01-08 00:00:00", "signup"),
+        (3, "1970-01-15 00:00:00", "click"),
+        # u3 also has an event BEFORE signing up — excluded (negative)
+        (3, "1970-01-01 00:00:00", "view"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, event_type string") \
+        .selectExpr("user_id", "CAST(ts AS TIMESTAMP) AS ts", "event_type")
+    got = {(r["cohort_epoch"], r["period_offset"]): r
+           for r in retention_cohorts(df, "signup").collect()}
+    # week-0 cohort: 2 members, both active at offset 0 (their signup)
+    assert got[(0, 0)]["n_active"] == 2
+    assert got[(0, 0)]["retention_rate"] == 1.0
+    # only u1 returns at offset 2
+    assert got[(0, 2)]["n_active"] == 1
+    assert got[(0, 2)]["retention_rate"] == pytest.approx(0.5)
+    # week-1 cohort of u3: active offsets 0 and 1; pre-signup view gone
+    assert got[(7 * day, 0)]["n_active"] == 1
+    assert got[(7 * day, 1)]["n_active"] == 1
+    assert (0, -1) not in got and (7 * day, -1) not in got
