@@ -462,3 +462,44 @@ def retention_cohorts(df, cohort_type: str = "signup",
                     F.round(F.col("n_active") / F.col("cohort_size"), 6)
                     .alias("retention_rate"))
             .orderBy("cohort_epoch", "period_offset"))
+
+
+def event_transitions(df, user_col: str = "user_id", ts_col: str = "ts",
+                      type_col: str = "event_type",
+                      min_count: int = 1):
+    """First-order Markov transition report over per-user event
+    streams (funnel's exploratory sibling — funnel checks ONE ordered
+    path, this surfaces ALL of them): for each observed (from_type,
+    to_type) of CONSECUTIVE events within a user's timeline, the
+    transition count and P(to | from).  The output is what picks the
+    funnel steps worth gating, and a sudden new high-mass transition
+    (view→error) is an incident signature.
+
+    One LAG window per user (partitioned by user — Spark's windowed
+    shuffle keys on user_id, so no global sort) + one (from, to)
+    groupBy; ties at identical timestamps order by event id when
+    present, else by type, so the report is deterministic.
+    ``min_count`` drops the long tail of one-off transitions.
+    """
+    from pyspark.sql import Window
+
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    uid = validate_identifier(user_col)
+    tsc = validate_identifier(ts_col)
+    tyc = validate_identifier(type_col)
+    tie = "event_id" if "event_id" in df.columns else tyc
+    ev = df.select(F.col(uid).alias("__u"), F.col(tsc).alias("__ts"),
+                   F.col(tyc).alias("__ty"), F.col(tie).alias("__tie")) \
+           .filter(F.col("__ts").isNotNull())
+    w = Window.partitionBy("__u").orderBy("__ts", "__tie")
+    pairs = (ev.withColumn("__next", F.lead("__ty").over(w))
+             .filter(F.col("__next").isNotNull())
+             .groupBy(F.col("__ty").alias("from_type"),
+                      F.col("__next").alias("to_type"))
+             .agg(F.count(F.lit(1)).alias("n")))
+    wfrom = Window.partitionBy("from_type")
+    return (pairs.withColumn("p_next",
+                             F.round(F.col("n") / F.sum("n").over(wfrom), 6))
+            .filter(F.col("n") >= int(min_count))
+            .orderBy("from_type", F.desc("n"), "to_type"))

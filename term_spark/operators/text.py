@@ -1877,3 +1877,33 @@ def bm25_topk_from_index(spark, index_path: str, queries,
     return (scored.withColumn("rank",
                               F.row_number().over(w).cast("bigint"))
                   .filter(F.col("rank") <= int(k)))
+
+
+def compact_bm25_index(spark, index_path: str,
+                       target_partitions: int = 8) -> None:
+    """Fold the per-shard postings/doclens files into
+    ``target_partitions`` files each (the ``compact_substring_index``
+    role for the retrieval tier): rows are doc-local and never
+    duplicate across shards, so compaction is a pure REWRITE — no
+    aggregation, byte-identical row set, estimates and scores
+    unchanged by construction.  After thousands of ingest appends the
+    win is file-count, not bytes: a probe's postings scan stops paying
+    per-file open/footer costs.  Write-then-swap, so a concurrent
+    probe never sees a half-written table.
+    """
+    if target_partitions < 1:
+        raise ValueError(
+            f"target_partitions must be >= 1, got {target_partitions}")
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    path_cls = jvm.org.apache.hadoop.fs.Path
+    fs = path_cls(index_path).getFileSystem(conf)
+    for table in ("postings", "doclens"):
+        src = f"{index_path}/{table}"
+        tmp = f"{index_path}/{table}__compacting"
+        spark.read.parquet(src).coalesce(int(target_partitions)) \
+            .write.mode("overwrite").parquet(tmp)
+        bak = path_cls(f"{index_path}/{table}__old")
+        fs.rename(path_cls(src), bak)
+        fs.rename(path_cls(tmp), path_cls(src))
+        fs.delete(bak, True)

@@ -3078,6 +3078,41 @@ ORACLES.update({
 })
 
 
+
+
+def q_event_transitions_events(spark, sf_dir) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    streams (round 11, operators/temporal.event_transitions — the
+    exploratory sibling of funnel_events): per (from_type, to_type) of
+    consecutive same-user events, the count and P(to | from).  One
+    user-partitioned LAG window + one grouped count; deterministic
+    ties on (ts, event_id)."""
+    from .operators.temporal import event_transitions
+
+    (ev,) = _t(spark, sf_dir, "events")
+    return event_transitions(ev)
+
+
+SQL_EVENT_TRANSITIONS_EVENTS = """
+WITH seq AS (
+    SELECT event_type AS from_type,
+           LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+    FROM events WHERE ts IS NOT NULL
+), pairs AS (
+    SELECT from_type, to_type, COUNT(*) AS n
+    FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+       ROUND(n * 1.0 / SUM(n) OVER (PARTITION BY from_type), 6) AS p_next
+FROM pairs ORDER BY from_type, n DESC, to_type
+"""
+
+
+QUERIES.update({"event_transitions_events": q_event_transitions_events})
+ORACLES.update({"event_transitions_events": SQL_EVENT_TRANSITIONS_EVENTS})
+
+
 #: Queries with no DuckDB oracle by design (the driver can only ever
 #: record a weaker rows-only row for them); they never take a window
 #: slot from an oracle-checkable query.  Empty since round 9:
@@ -3228,6 +3263,7 @@ FAMILY = {
     "incremental_bm25_docs": "retrieval",
     "funnel_events": "event_analytics",
     "retention_cohorts_events": "event_analytics",
+    "event_transitions_events": "event_analytics",
 }
 
 # BEGIN GENERATED ROTATION DATA (scripts/update_rotation.py)
@@ -3250,6 +3286,7 @@ LAST_GREEN = {
     "incremental_bm25_docs": None,
     "funnel_events": None,
     "retention_cohorts_events": None,
+    "event_transitions_events": None,
     "domain_counts_docs": None,
     "incremental_distinct_docs": None,
     "pii_redact_docs": None,

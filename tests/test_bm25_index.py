@@ -80,3 +80,29 @@ def test_probe_prunes_postings_scan_to_query_terms(spark, tmp_path):
     plan = bm25_topk_from_index(spark, path, q)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "LeftSemi" in plan
+
+
+def test_compaction_is_a_pure_rewrite(spark, tmp_path):
+    import os
+
+    from term_spark.operators.text import compact_bm25_index
+    docs = spark.createDataFrame(_DOCS, "doc_id long, text string")
+    q = spark.createDataFrame(_QUERIES, "query_id long, query string")
+    path = str(tmp_path / "bm25")
+    for lo, hi in ((1, 2), (3, 3), (4, 5)):
+        build_bm25_index(docs.filter(f"doc_id between {lo} and {hi}"),
+                         path, mode="overwrite" if lo == 1 else "append")
+    before = _rows(bm25_topk_from_index(spark, path, q, k=5))
+    compact_bm25_index(spark, path, target_partitions=1)
+    after = _rows(bm25_topk_from_index(spark, path, q, k=5))
+    assert after == before
+    n_files = len([f for f in os.listdir(f"{path}/postings")
+                   if f.endswith(".parquet")])
+    assert n_files == 1
+    # appends keep composing after compaction
+    build_bm25_index(
+        spark.createDataFrame([(9, "a brand new lazy dog document")],
+                              "doc_id long, text string"),
+        path, mode="append")
+    grown = _rows(bm25_topk_from_index(spark, path, q, k=5))
+    assert any(doc == 9 for _, doc, _, _ in grown)

@@ -70,3 +70,30 @@ def test_retention_cohorts_offsets_and_rates(spark):
     assert got[(7 * day, 0)]["n_active"] == 1
     assert got[(7 * day, 1)]["n_active"] == 1
     assert (0, -1) not in got and (7 * day, -1) not in got
+
+
+def test_event_transitions_counts_and_probabilities(spark):
+    rows = [
+        (1, "2024-01-01 10:00:00", "view"),
+        (1, "2024-01-01 10:01:00", "click"),
+        (1, "2024-01-01 10:02:00", "view"),
+        (1, "2024-01-01 10:03:00", "click"),
+        (2, "2024-01-01 10:00:00", "view"),
+        (2, "2024-01-01 10:05:00", "error"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, event_type string") \
+        .selectExpr("user_id", "CAST(ts AS TIMESTAMP) AS ts", "event_type")
+    from term_spark.operators.temporal import event_transitions
+    got = {(r["from_type"], r["to_type"]): r
+           for r in event_transitions(df).collect()}
+    assert got[("view", "click")]["n"] == 2
+    assert got[("view", "error")]["n"] == 1
+    assert got[("view", "click")]["p_next"] == pytest.approx(2 / 3)
+    assert got[("click", "view")]["n"] == 1      # within u1's stream
+    # cross-user boundaries never produce a transition
+    assert ("error", "view") not in got
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="min_count"):
+        event_transitions(df, min_count=0)
