@@ -475,6 +475,11 @@ def main() -> None:
         # round-11 PII/safety layer (map-only regex scans over the
         # injected corpus — the realistic pre-release scrub shape)
         "pii_scan_docs", "badwords_ratio_docs", "domain_counts_docs",
+        # round-11 second wave: event analytics (sequential-gate joins,
+        # cohort arithmetic, LAG transitions) + the Arrow-batched
+        # multimodal header probe
+        "funnel_events", "retention_cohorts_events",
+        "event_transitions_events", "multimodal_probe_docs",
     ]
     sections["sf01_queries_start"] = _load_stamp()
     for name in bench_queries:
