@@ -3269,88 +3269,80 @@ FAMILY = {
 # BEGIN GENERATED ROTATION DATA (scripts/update_rotation.py)
 #: Most recent round whose CORRECTNESS_r{N}.json holds a green
 #: (rows_match + schema_match + hash_match) driver row for each query;
-#: None = never driver-proven.  Source artifacts: r01, r02, r03, r04, r05, r06, r07, r08, r09, r10.
-CURRENT_ROUND = 11
+#: None = never driver-proven.  Source artifacts: r01, r02, r03, r04, r05, r06, r07, r08, r09, r10, r11.
+CURRENT_ROUND = 12
 LAST_GREEN = {
-    "badwords_ratio_docs": None,
-    "semantic_contamination_embeddings": None,
-    "large_volume_customers": None,
-    "small_quantity_revenue": None,
-    "late_shipment_priority": None,
-    "multimodal_probe_docs": None,
-    "csv_source_roundtrip": None,
-    "json_source_roundtrip": None,
-    "metrics_repository_roundtrip": None,
-    "quantile_sketch_by_returnflag": None,
-    "knn_label_agreement_embeddings": None,
-    "incremental_bm25_docs": None,
-    "funnel_events": None,
-    "retention_cohorts_events": None,
-    "event_transitions_events": None,
-    "domain_counts_docs": None,
-    "incremental_distinct_docs": None,
-    "pii_redact_docs": None,
-    "pii_scan_docs": None,
-    "weighted_sample_docs": None,
-    "cdc_rewrite_docs": None,
-    "incremental_cdc_docs": None,
-    "incremental_substring_docs": None,
-    "mg_grouped_heavy_hitters_docs": None,
-    "salted_join_sum_orders_customer": None,
-    "row_violations_docs": 8,
-    "script_profile_docs": 8,
-    "shape_stats_quantity": 8,
-    "simhash_docs": 8,
-    "simhash_near_pairs": 8,
-    "source_mixing_docs": 8,
-    "source_overlap_docs": 8,
-    "spearman_quantity_price": 8,
-    "split_counts_docs": 8,
-    "stratified_sample_docs": 8,
-    "supplier_stats_by_nation": 8,
-    "temporal_ordering_orders_lineitem": 8,
-    "text_quality": 8,
-    "text_tokens": 8,
-    "tfidf_top_terms_docs": 8,
-    "winnow_overlap_docs": 8,
-    "approx_distinct_orderkey": 9,
-    "benford_acctbal": 9,
-    "completeness_customer": 9,
-    "compliance_discount": 9,
-    "corr_quantity_price": 9,
-    "cosine_topk_embeddings": 9,
-    "cross_table_sum_orders_lineitem": 9,
-    "datatype_detection": 9,
-    "dedup_exact_docs": 9,
-    "distinctness_orders": 9,
-    "dominant_value_orderstatus": 9,
-    "drift_chi2_returnflag": 9,
-    "drift_js_quantity": 9,
-    "drift_ks_quantity": 9,
-    "drift_psi_by_returnflag": 9,
-    "drift_psi_quantity": 9,
-    "entropy_returnflag": 9,
-    "fk_orders_customer": 9,
-    "format_orderpriority": 9,
-    "grouped_completeness_events": 9,
-    "histogram_returnflag": 9,
-    "join_coverage_lineitem_orders": 9,
-    "length_customer_name": 9,
-    "line_dedup_summary_docs": 9,
-    "max_time_gap_events": 9,
-    "median_by_returnflag": 9,
-    "minhash_lsh_candidates": 9,
-    "mutual_information_lineitem": 9,
-    "ngram_jaccard_pairs": 9,
+    "badwords_ratio_docs": 11,
+    "cdc_rewrite_docs": 11,
+    "csv_source_roundtrip": 11,
+    "domain_counts_docs": 11,
+    "event_transitions_events": 11,
+    "funnel_events": 11,
+    "incremental_bm25_docs": 11,
+    "incremental_cdc_docs": 11,
+    "incremental_distinct_docs": 11,
+    "incremental_substring_docs": 11,
+    "json_source_roundtrip": 11,
+    "knn_label_agreement_embeddings": 11,
+    "large_volume_customers": 11,
+    "late_shipment_priority": 11,
+    "metrics_repository_roundtrip": 11,
+    "mg_grouped_heavy_hitters_docs": 11,
+    "multimodal_probe_docs": 11,
+    "pii_redact_docs": 11,
+    "pii_scan_docs": 11,
+    "quantile_sketch_by_returnflag": 11,
+    "retention_cohorts_events": 11,
+    "salted_join_sum_orders_customer": 11,
+    "semantic_contamination_embeddings": 11,
+    "small_quantity_revenue": 11,
+    "weighted_sample_docs": 11,
+    "row_violations_docs": 11,
+    "script_profile_docs": 11,
+    "shape_stats_quantity": 11,
+    "simhash_docs": 11,
+    "simhash_near_pairs": 11,
+    "source_mixing_docs": 11,
+    "source_overlap_docs": 11,
+    "spearman_quantity_price": 11,
+    "split_counts_docs": 11,
+    "stratified_sample_docs": 11,
+    "supplier_stats_by_nation": 11,
+    "temporal_ordering_orders_lineitem": 11,
+    "text_quality": 11,
+    "text_tokens": 11,
+    "tfidf_top_terms_docs": 11,
+    "winnow_overlap_docs": 11,
+    "approx_distinct_orderkey": 11,
+    "benford_acctbal": 11,
+    "completeness_customer": 11,
+    "compliance_discount": 11,
+    "corr_quantity_price": 11,
+    "cosine_topk_embeddings": 11,
+    "cross_table_sum_orders_lineitem": 11,
+    "datatype_detection": 11,
+    "dedup_exact_docs": 11,
     "size_lineitem": 9,
     "stats_quantity": 9,
+    "distinctness_orders": 9,
     "unique_value_ratio_custkey": 10,
     "containment_orderstatus": 10,
+    "format_orderpriority": 9,
+    "length_customer_name": 9,
+    "histogram_returnflag": 9,
+    "entropy_returnflag": 9,
+    "grouped_completeness_events": 9,
+    "mutual_information_lineitem": 9,
+    "fk_orders_customer": 9,
+    "join_coverage_lineitem_orders": 9,
     "business_hours_events": 10,
     "date_range_orders": 10,
+    "max_time_gap_events": 9,
     "pricing_summary": 9,
     "fingerprint_docs": 10,
     "lang_id": 10,
+    "ngram_jaccard_pairs": 9,
+    "minhash_lsh_candidates": 9,
     "embedding_neardup_pairs": 10,
     "ivfpq_recall_embeddings": 10,
     "ivf_index_recall_embeddings": 10,
@@ -3388,19 +3380,27 @@ LAST_GREEN = {
     "sessionize_events": 9,
     "top_customers_revenue": 10,
     "asof_click_error": 10,
+    "median_by_returnflag": 9,
     "range_join_events": 9,
     "interval_join_events": 10,
     "rolling_daily_events": 9,
     "pivot_returnflag_linestatus": 9,
     "top3_customers_per_segment": 9,
     "unpivot_pricing": 10,
+    "drift_psi_quantity": 9,
+    "drift_ks_quantity": 9,
+    "drift_chi2_returnflag": 9,
+    "drift_js_quantity": 9,
     "drift_w1_quantity": 10,
+    "line_dedup_summary_docs": 9,
     "paragraph_dedup_summary_docs": 9,
     "substring_dedup_docs": 10,
     "substring_rewrite_docs": 10,
     "token_budget_sample_docs": 9,
     "outlier_mad_acctbal": 9,
     "text_cleaning_docs": 9,
+    "dominant_value_orderstatus": 9,
+    "drift_psi_by_returnflag": 9,
     "quality_model_docs": 9,
     "unigram_surprisal_docs": 10,
     "bigram_surprisal_docs": 10,
