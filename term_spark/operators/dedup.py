@@ -846,22 +846,31 @@ def remove_duplicate_chunks(df: DataFrame, text_col: str = "text",
     span rewrite); dropped_df is the dropped chunk instances
     (id, chunk_idx, start, length, chunk_hash) for caller accounting.
 
-    Scale shape: the election is one per-hash window over the chunk
-    table — a single shuffle on the 16-byte chunk hash, identical to
-    the summary's — then kept instances regroup per doc (one shuffle
-    on id) into a bounded (chunk_idx, start, length) array and the
-    reassembly is a JVM transform+substr over the original text: the
-    text itself never shuffles, and a document with nothing dropped
-    rebuilds to its exact original bytes (the cuts partition the
-    text), so the rewrite is byte-identical a no-op where dedup is.
+    Scale shape: the election is ``min(struct(id, chunk_idx))`` per
+    chunk hash + a join-back — NOT a per-hash row_number window: a
+    window partition is one task and cannot be split, so a chunk
+    duplicated millions of times (exactly the regime chunk dedup
+    targets) would serialize into a single sort.  The min-struct
+    aggregate is map-side combined (a hot hash collapses to one row
+    per input partition before the shuffle) and the join-back is an
+    ordinary equi-join AQE can skew-split.  Kept instances then
+    regroup per doc (one shuffle on id) into a bounded (chunk_idx,
+    start, length) array and the reassembly is a JVM transform+substr
+    over the original text: the text itself never shuffles, and a
+    document with nothing dropped rebuilds to its exact original
+    bytes (the cuts partition the text), so the rewrite is
+    byte-identical a no-op where dedup is.
     """
-    from pyspark.sql import Window
-
     ch = cdc_chunks(df, text_col, id_col, k=k, divisor=divisor)
-    w = Window.partitionBy("chunk_hash").orderBy("id", "chunk_idx")
-    ranked = ch.withColumn("__rn", F.row_number().over(w))
-    dropped = ranked.filter(F.col("__rn") > 1).drop("__rn")
-    kept = (ranked.filter(F.col("__rn") == 1)
+    winner = (ch.groupBy("chunk_hash")
+              .agg(F.min(F.struct("id", "chunk_idx")).alias("__w")))
+    marked = (ch.join(winner, "chunk_hash")
+              .withColumn("__keep",
+                          (F.col("id") == F.col("__w.id")) &
+                          (F.col("chunk_idx") == F.col("__w.chunk_idx"))))
+    dropped = (marked.filter(~F.col("__keep"))
+               .select("id", "chunk_idx", "start", "length", "chunk_hash"))
+    kept = (marked.filter(F.col("__keep"))
             .groupBy("id")
             .agg(F.sort_array(F.collect_list(
                 F.struct("chunk_idx", "start", "length"))).alias("__ks")))
@@ -935,12 +944,12 @@ def remove_duplicate_chunks_against_index(spark, index_path: str, new_df,
 
     Scale shape: the batch is chunked once (map-only JVM HOFs); the
     corpus-sized chunk table is touched by ONE semi-join against the
-    batch's distinct hashes; the election window and per-doc
-    reassembly run on batch rows only.  History text is never read,
-    never re-chunked, never shuffled.
+    batch's distinct hashes; the election (min-struct per hash +
+    join-back — skew-safe like the in-memory form: no per-hash window
+    partition a single task must sort) and per-doc reassembly run on
+    batch rows only.  History text is never read, never re-chunked,
+    never shuffled.
     """
-    from pyspark.sql import Window
-
     meta = spark.read.parquet(f"{index_path}/meta").collect()[0]
     k, divisor = meta["k"], meta["divisor"]
     ch = cdc_chunks(new_df, text_col, id_col, k=k, divisor=divisor) \
@@ -951,14 +960,16 @@ def remove_duplicate_chunks_against_index(spark, index_path: str, new_df,
                          "chunk_hash", "left_semi")
                    .distinct()
                    .withColumn("__stored", F.lit(True)))
-    w = Window.partitionBy("chunk_hash").orderBy("id", "chunk_idx")
-    ranked = (ch.join(stored_hits, "chunk_hash", "left")
-              .withColumn("__rn", F.row_number().over(w))
+    winner = (ch.groupBy("chunk_hash")
+              .agg(F.min(F.struct("id", "chunk_idx")).alias("__w")))
+    marked = (ch.join(stored_hits, "chunk_hash", "left")
+              .join(winner, "chunk_hash")
               .withColumn("__drop", F.col("__stored").isNotNull()
-                          | (F.col("__rn") > 1)))
-    dropped = (ranked.filter(F.col("__drop"))
+                          | ~((F.col("id") == F.col("__w.id")) &
+                              (F.col("chunk_idx") == F.col("__w.chunk_idx")))))
+    dropped = (marked.filter(F.col("__drop"))
                .select("id", "chunk_idx", "start", "length", "chunk_hash"))
-    kept = (ranked.filter(~F.col("__drop"))
+    kept = (marked.filter(~F.col("__drop"))
             .groupBy("id")
             .agg(F.sort_array(F.collect_list(
                 F.struct("chunk_idx", "start", "length"))).alias("__ks")))

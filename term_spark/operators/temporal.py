@@ -377,9 +377,14 @@ def funnel(df, steps, user_col: str = "user_id", ts_col: str = "ts",
     Scale shape: step i+1 is ONE conditional aggregation of the events
     table against the per-user step-i completion times (a user-keyed
     join — the completion table is |users|, far below |events|, and
-    AQE broadcasts it when it fits).  Funnel depth = number of passes,
-    each map-side combined on user_id; no windows, no per-user event
-    sorting, no event-list collection.
+    AQE broadcasts it when it fits).  Each step's completion table is
+    localCheckpoint-ed before its count, so counting step i and
+    building step i+1 both start from the materialized |users|-sized
+    table instead of re-executing steps 1..i-1's filters and joins —
+    funnel depth = number of passes over events, exactly d scans for
+    depth d (without the checkpoint the chained lineage re-runs,
+    O(d²) scans).  Each pass is map-side combined on user_id; no
+    windows, no per-user event sorting, no event-list collection.
     """
     if not steps or len(set(steps)) != len(steps):
         raise ValueError(f"steps must be non-empty and distinct: {steps}")
@@ -390,16 +395,20 @@ def funnel(df, steps, user_col: str = "user_id", ts_col: str = "ts",
 
     ev = df.select(F.col(uid).alias("__u"), F.col(tsc).alias("__ts"),
                    F.col(tyc).alias("__ty")).filter(F.col("__ts").isNotNull())
-    # completion times per user, sequentially gated
+    # completion times per user, sequentially gated; each step's
+    # |users|-sized completion table is materialized (localCheckpoint)
+    # so its count AND the next step's join read it instead of
+    # re-executing the whole chain — d scans of events for depth d
     completed = (ev.filter(F.col("__ty") == steps[0])
-                 .groupBy("__u").agg(F.min("__ts").alias("__t")))
+                 .groupBy("__u").agg(F.min("__ts").alias("__t"))
+                 .localCheckpoint())
     counts = [completed.count()]
     for step in steps[1:]:
-        nxt = (ev.filter(F.col("__ty") == step)
-               .join(completed, "__u")
-               .filter(F.col("__ts") >= F.col("__t"))
-               .groupBy("__u").agg(F.min("__ts").alias("__t")))
-        completed = nxt
+        completed = (ev.filter(F.col("__ty") == step)
+                     .join(completed, "__u")
+                     .filter(F.col("__ts") >= F.col("__t"))
+                     .groupBy("__u").agg(F.min("__ts").alias("__t"))
+                     .localCheckpoint())
         counts.append(completed.count())
     first = counts[0]
     rows = []

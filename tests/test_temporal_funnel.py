@@ -41,6 +41,39 @@ def test_funnel_requires_order(spark):
         funnel(df, ["view", "view"])
 
 
+def test_funnel_materializes_each_step(spark, monkeypatch):
+    """Round-12 scan-count pin: a depth-d funnel must localCheckpoint
+    each step's completion table exactly once (d checkpoints), so each
+    count and the next step's join read the materialized |users| table
+    instead of re-executing steps 1..i-1 — d scans of events for depth
+    d, not O(d²)."""
+    # Spark 4: concrete sessions build pyspark.sql.classic DataFrames;
+    # patching the abstract pyspark.sql.DataFrame would miss them
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    calls = []
+    orig = DataFrame.localCheckpoint
+
+    def spy(self, *a, **kw):
+        calls.append(1)
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(DataFrame, "localCheckpoint", spy)
+    rows = [
+        (1, "2024-01-01 10:00:00", "view"),
+        (1, "2024-01-01 10:01:00", "click"),
+        (1, "2024-01-01 10:02:00", "purchase"),
+        (2, "2024-01-01 10:00:00", "view"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, event_type string") \
+        .selectExpr("user_id", "CAST(ts AS TIMESTAMP) AS ts", "event_type")
+    got = {r["step"]: r["n_users"] for r in funnel(
+        df, ["view", "click", "purchase"]).collect()}
+    assert got == {"view": 2, "click": 1, "purchase": 1}
+    assert len(calls) == 3
+
+
 def test_retention_cohorts_offsets_and_rates(spark):
     day = 86400
     rows = [
