@@ -104,7 +104,12 @@ def build_distinct_index(df: DataFrame, columns: Sequence[str],
     rows = one.select(F.explode(F.array(*[
         F.struct(F.lit(c).alias("col_name"),
                  F.col(f"__s_{c}").alias("sketch"),
-                 F.col("__n").alias("n_rows"))
+                 F.col("__n").alias("n_rows"),
+                 # shard counter carried IN the rows so compaction can
+                 # preserve it — "shards that contributed" must not
+                 # silently become "rows in the sketch table" after a
+                 # compaction folds the table to one row per column
+                 F.lit(1).cast("bigint").alias("n_shards"))
         for c in cols])).alias("r")).select("r.*")
     # an empty shard aggregates to a zero-row empty-sketch blob (or a
     # NULL on some agg paths) — zero information either way; dropping
@@ -128,7 +133,10 @@ def distinct_estimates_from_index(spark, index_path: str) -> DataFrame:
             .agg(F.hll_sketch_estimate(F.hll_union_agg("sketch"))
                  .alias("n_distinct_est"),
                  F.sum("n_rows").alias("n_rows"),
-                 F.count(F.lit(1)).alias("n_shards"))
+                 # SUM of the per-row shard counters, not a row count —
+                 # compaction folds rows but sums the counters, so this
+                 # keeps meaning "shards that contributed data"
+                 F.sum("n_shards").alias("n_shards"))
             .orderBy("col_name"))
 
 
@@ -185,18 +193,14 @@ def compact_distinct_index(spark, index_path: str) -> None:
     sk = spark.read.parquet(f"{index_path}/sketches")
     compacted = (sk.groupBy("col_name")
                  .agg(F2.hll_union_agg("sketch").alias("sketch"),
-                      F2.sum("n_rows").alias("n_rows"))
-                 .select("col_name", "sketch", "n_rows"))
+                      F2.sum("n_rows").alias("n_rows"),
+                      F2.sum("n_shards").alias("n_shards"))
+                 .select("col_name", "sketch", "n_rows", "n_shards"))
     tmp = f"{index_path}/sketches__compacting"
     compacted.write.mode("overwrite").parquet(tmp)
     # swap: the JVM-side FileSystem rename is atomic per directory on
-    # HDFS-like stores; on object stores the window is the rename pair
-    jvm = spark.sparkContext._jvm
-    conf = spark.sparkContext._jsc.hadoopConfiguration()
-    path_cls = jvm.org.apache.hadoop.fs.Path
-    fs = path_cls(index_path).getFileSystem(conf)
-    old = path_cls(f"{index_path}/sketches")
-    bak = path_cls(f"{index_path}/sketches__old")
-    fs.rename(old, bak)
-    fs.rename(path_cls(tmp), old)
-    fs.delete(bak, True)
+    # HDFS-like stores; on object stores the window is the rename pair.
+    # Every rename return is CHECKED (false, not an exception, is how
+    # FileSystem.rename fails) and stale backups are cleared first.
+    from ..sources import hadoop_swap_dir
+    hadoop_swap_dir(spark, f"{index_path}/sketches", tmp)

@@ -361,8 +361,11 @@ class BadwordsConstraint(Constraint):
         self.pattern = _badwords_pattern(terms, "has_acceptable_badwords_ratio")
         self.max_ratio = float(max_ratio)
         self._rows = metric_alias("badwords_rows", column)
-        self._hits = metric_alias("badwords_hits", column,
-                                  str(hash(self.pattern) & 0xFFFFFFFF))
+        # the raw pattern is an alias part (metric_alias md5-digests its
+        # parts, so length is fine); Python's builtin hash() is salted
+        # per process and would make the alias nondeterministic across
+        # driver runs
+        self._hits = metric_alias("badwords_hits", column, self.pattern)
 
     def scalar_metrics(self, df: DataFrame) -> Dict[str, Column]:
         hits = F.regexp_count(F.coalesce(F.col(self.column), F.lit("")),
@@ -414,8 +417,12 @@ class BlockedDomainsConstraint(Constraint):
         self.max_ratio = float(max_ratio)
         self.match_subdomains = bool(match_subdomains)
         self._rows = metric_alias("blocked_domains_rows", column)
+        # the alias must cover EVERYTHING the expression depends on —
+        # the FULL domain list and the subdomain flag — or two gates
+        # differing only past a prefix would collide and the fused-agg
+        # executor would dedup them onto one hit count
         self._hits = metric_alias("blocked_domains_hits", column,
-                                  *cleaned[:8])
+                                  str(self.match_subdomains), *cleaned)
 
     def _row_flagged(self) -> Column:
         txt = F.coalesce(F.col(self.column), F.lit(""))

@@ -1378,15 +1378,30 @@ def semantic_contamination(train_df: DataFrame, eval_df: DataFrame,
               .withColumn("cosine",
                           F.round(_dot(F.col("vt"), F.col("ve")) /
                                   (F.col("nt") * F.col("ne")), 6)))
-    # argmax via struct max: (cosine, -eval_id) so cosine ties break to
-    # the SMALLEST eval id deterministically
-    best = (scored.groupBy("train_id")
-            .agg(F.max(F.struct(F.col("cosine"),
-                                (-F.col("eval_id")).alias("neg_id")))
-                 .alias("b"))
-            .select("train_id",
-                    (-F.col("b.neg_id")).cast("bigint").alias("eval_id"),
-                    F.col("b.cosine").alias("cosine")))
+    from pyspark.sql.types import NumericType
+    eval_id_type = {f.name: f.dataType for f in eval_df.schema}
+    is_numeric = isinstance(eval_id_type.get(eval_id_col), NumericType)
+    if is_numeric:
+        # argmax via struct max: (cosine, -eval_id) so cosine ties break
+        # to the SMALLEST eval id deterministically — map-side combined,
+        # no shuffle of anything but (id, struct) partials
+        best = (scored.groupBy("train_id")
+                .agg(F.max(F.struct(F.col("cosine"),
+                                    (-F.col("eval_id")).alias("neg_id")))
+                     .alias("b"))
+                .select("train_id",
+                        (-F.col("b.neg_id")).cast("bigint").alias("eval_id"),
+                        F.col("b.cosine").alias("cosine")))
+    else:
+        # non-numeric eval ids can't negate (it would silently yield
+        # NULL and break the tie-break) — rank instead: same argmax,
+        # smallest-id tie-break, at the cost of a per-train-id sort
+        from pyspark.sql import Window
+        w = Window.partitionBy("train_id").orderBy(
+            F.desc("cosine"), F.asc("eval_id"))
+        best = (scored.withColumn("__r", F.row_number().over(w))
+                .filter(F.col("__r") == 1)
+                .select("train_id", "eval_id", "cosine"))
     return best.filter(F.col("cosine") >= float(threshold))
 
 
@@ -1450,7 +1465,14 @@ class SemanticContaminationConstraint(Constraint):
 def knn_label_agreement(df: DataFrame, k: int = 3,
                         id_col: str = "vec_id",
                         vec_col: str = "embedding",
-                        label_col: str = "label") -> DataFrame:
+                        label_col: str = "label",
+                        method: str = "exact",
+                        candidate_pairs: Optional[DataFrame] = None,
+                        n_planes: int = 8, seed: str = "term",
+                        dim: Optional[int] = None,
+                        n_centroids: int = 16,
+                        train_iterations: int = 2,
+                        kmeans_seed: int = 42) -> DataFrame:
     """Label-noise screen over a labeled embedding table (the
     Confident-Learning-style geometry check): for every vector, the
     fraction of its k nearest neighbors (cosine, excluding itself)
@@ -1460,42 +1482,108 @@ def knn_label_agreement(df: DataFrame, k: int = 3,
     embedding geometry (random/corrupted labeling), and a single label
     far below its peers is the classic annotation-noise signature.
 
-    This is the EXACT form (self-join + per-vector top-k window) — the
-    evaluation baseline, same contract as ``cosine_topk``: norms
-    hoisted per side, deterministic ties (higher cosine, then smaller
-    neighbor id).  At corpus scale swap the pair source for the
-    bucketed candidates (``lsh_neardup_pairs`` / IVF cells, the
-    semantic_dedup pattern) — agreement over approximate neighbors is
-    the same rollup over a sparser pair set.
+    Candidate sources (round 12 — the scale path is a CODE path, not
+    prose):
+
+    - ``method="exact"``: all-pairs self-join + per-vector top-k
+      window — the evaluation baseline, same contract as
+      ``cosine_topk``.  n² pairs: small-n only.
+    - ``method="lsh"``: neighbors ranked only within each vector's
+      random-hyperplane bucket (``lsh_bucket`` — md5-seeded planes,
+      deterministic) — ONE equi-join on the bucket key, no cartesian;
+      the semantic_dedup scale pattern.
+    - ``method="ivf"``: neighbors ranked within each vector's nearest
+      k-means cell (``kmeans_centroids`` + map-only
+      ``with_nearest_centroid``) — one equi-join on cid.
+    - ``candidate_pairs``: bring-your-own undirected (id_a, id_b)
+      pairs (e.g. ``lsh_neardup_pairs`` / ``minhash_lsh_candidates``
+      output); they are symmetrized and ranked the same way.
+
+    All paths share the exact ranking and rollup: per vector, top-k
+    candidates by (cosine DESC, neighbor id ASC); agreement divides by
+    the number of neighbors actually ranked (= k whenever ≥ k
+    candidates exist — always true for exact on n > k rows; a sparse
+    bucket divides by what it has rather than deflating agreement),
+    and vectors with NO candidates drop out of the rollup (their
+    agreement is undefined, not zero).
     """
     from pyspark.sql import Window
 
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    if method not in ("exact", "lsh", "ivf"):
+        raise ValueError(
+            f"method must be 'exact', 'lsh' or 'ivf', got {method!r}")
     base = df.select(F.col(id_col).alias("id"),
                      F.col(label_col).alias("lbl"),
                      F.transform(F.col(vec_col),
                                  lambda x: x.cast("double")).alias("v"))
-    a = (base.select(F.col("id").alias("a_id"), F.col("lbl").alias("a_lbl"),
-                     F.col("v").alias("va"))
-         .withColumn("na", _norm(F.col("va"))))
-    b = (base.select(F.col("id").alias("b_id"), F.col("lbl").alias("b_lbl"),
-                     F.col("v").alias("vb"))
-         .withColumn("nb", _norm(F.col("vb"))))
-    scored = (a.crossJoin(b)
-              .filter(F.col("a_id") != F.col("b_id"))
-              .withColumn("cosine", _dot(F.col("va"), F.col("vb"))
-                          / (F.col("na") * F.col("nb"))))
+    base = base.withColumn("nrm", _norm(F.col("v")))
+
+    def _side(tag):
+        return base.select(F.col("id").alias(f"{tag}_id"),
+                           F.col("lbl").alias(f"{tag}_lbl"),
+                           F.col("v").alias(f"v{tag}"),
+                           F.col("nrm").alias(f"n{tag}"))
+
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    if candidate_pairs is not None:
+        # symmetrize: pair (x, y) makes y a candidate of x AND x of y
+        sym = (candidate_pairs.select(F.col("id_a").alias("a_id"),
+                                      F.col("id_b").alias("b_id"))
+               .unionByName(
+                   candidate_pairs.select(F.col("id_b").alias("a_id"),
+                                          F.col("id_a").alias("b_id"))))
+        scored = (sym.join(_side("a"), "a_id").join(_side("b"), "b_id")
+                  .withColumn("cosine", cos))
+    elif method == "exact":
+        scored = (_side("a").crossJoin(_side("b"))
+                  .filter(F.col("a_id") != F.col("b_id"))
+                  .withColumn("cosine", cos))
+    elif method == "lsh":
+        bucketed = lsh_bucket(base, "v", n_planes, seed, dim=dim)
+        a = bucketed.select(F.col("id").alias("a_id"),
+                            F.col("lbl").alias("a_lbl"),
+                            F.col("v").alias("va"), F.col("nrm").alias("na"),
+                            "bucket")
+        b = bucketed.select(F.col("id").alias("b_id"),
+                            F.col("lbl").alias("b_lbl"),
+                            F.col("v").alias("vb"), F.col("nrm").alias("nb"),
+                            F.col("bucket").alias("bucket_b"))
+        scored = (a.join(b, (F.col("bucket") == F.col("bucket_b")) &
+                         (F.col("a_id") != F.col("b_id")))
+                  .withColumn("cosine", cos))
+    else:  # ivf
+        cents = kmeans_centroids(df, id_col, vec_col, n_centroids,
+                                 train_iterations, kmeans_seed)
+        assigned = with_nearest_centroid(base, "v", cents, metric="cosine")
+        a = assigned.select(F.col("id").alias("a_id"),
+                            F.col("lbl").alias("a_lbl"),
+                            F.col("v").alias("va"), F.col("nrm").alias("na"),
+                            "cid")
+        b = assigned.select(F.col("id").alias("b_id"),
+                            F.col("lbl").alias("b_lbl"),
+                            F.col("v").alias("vb"), F.col("nrm").alias("nb"),
+                            F.col("cid").alias("cid_b"))
+        scored = (a.join(b, (F.col("cid") == F.col("cid_b")) &
+                         (F.col("a_id") != F.col("b_id")))
+                  .withColumn("cosine", cos))
     w = Window.partitionBy("a_id").orderBy(F.desc("cosine"), F.asc("b_id"))
     per_vec = (scored.withColumn("r", F.row_number().over(w))
                .filter(F.col("r") <= k)
                .groupBy("a_id", "a_lbl")
                .agg((F.count(F.when(F.col("b_lbl") == F.col("a_lbl"), 1))
-                     / F.lit(float(k))).alias("agree")))
+                     / F.count(F.lit(1))).alias("agree")))
     return (per_vec.groupBy(F.col("a_lbl").alias("label"))
             .agg(F.count(F.lit(1)).alias("n"),
                  F.round(F.avg("agree"), 6).alias("mean_agreement"))
             .orderBy("label"))
+
+
+#: row threshold above which ``has_min_label_agreement`` refuses the
+#: exact n² self-join and (in ``method="auto"``) swaps to the LSH
+#: candidate path — at 100k rows the exact form is ~10¹⁰ pairs.
+LABEL_AGREEMENT_EXACT_ROW_LIMIT = 100_000
 
 
 class LabelAgreementConstraint(Constraint):
@@ -1504,33 +1592,65 @@ class LabelAgreementConstraint(Constraint):
     twin of the label-noise screen: a label whose neighborhoods stop
     voting for it has drifted or been corrupted since the last ingest.
 
-    Self-executing (its job is the screen's self-join + rollup); the
-    metric reported is the WORST label's agreement, so the failure
+    Self-executing (its job is the screen's candidate join + rollup);
+    the metric reported is the WORST label's agreement, so the failure
     message names the offender.
+
+    Scale safety (round 12): ``method="auto"`` (default) uses the
+    exact all-pairs form up to ``exact_row_limit`` rows
+    (``LABEL_AGREEMENT_EXACT_ROW_LIMIT``) and the LSH-bucketed
+    candidate path beyond it — a 1B-vector release suite never runs a
+    cartesian.  Explicitly requesting ``method="exact"`` above the
+    limit raises rather than silently planning n² pairs.
     """
 
     name = "min_label_agreement"
 
     def __init__(self, k: int = 3, min_agreement: float = 0.5,
                  id_col: str = "vec_id", vec_col: str = "embedding",
-                 label_col: str = "label"):
+                 label_col: str = "label", method: str = "auto",
+                 exact_row_limit: int = LABEL_AGREEMENT_EXACT_ROW_LIMIT,
+                 n_planes: int = 8):
         if k < 1:
             raise ValueError(f"k must be >= 1, got {k}")
         if not 0.0 <= min_agreement <= 1.0:
             raise ValueError(
                 f"min_agreement must be in [0, 1], got {min_agreement}")
+        if method not in ("auto", "exact", "lsh", "ivf"):
+            raise ValueError(
+                f"method must be 'auto', 'exact', 'lsh' or 'ivf', "
+                f"got {method!r}")
+        if exact_row_limit < 1:
+            raise ValueError(
+                f"exact_row_limit must be >= 1, got {exact_row_limit}")
         from ..functions.security import validate_identifier
         self.k = int(k)
         self.min_agreement = float(min_agreement)
         self.id_col = validate_identifier(id_col)
         self.vec_col = validate_identifier(vec_col)
         self.label_col = validate_identifier(label_col)
+        self.method = method
+        self.exact_row_limit = int(exact_row_limit)
+        self.n_planes = int(n_planes)
 
     def evaluate(self, ctx):
         from ..core.result import ConstraintResult
         cur = ctx.df(self.table)
+        method = self.method
+        if method in ("auto", "exact"):
+            n_rows = cur.count()
+            if method == "auto":
+                method = ("exact" if n_rows <= self.exact_row_limit
+                          else "lsh")
+            elif n_rows > self.exact_row_limit:
+                raise ValueError(
+                    f"min_label_agreement: method='exact' on {n_rows} rows "
+                    f"exceeds exact_row_limit={self.exact_row_limit} — the "
+                    "all-pairs form is n² pairs; use method='lsh'/'ivf' "
+                    "(or raise exact_row_limit deliberately)")
         rep = knn_label_agreement(cur, self.k, self.id_col,
-                                  self.vec_col, self.label_col)
+                                  self.vec_col, self.label_col,
+                                  method=method, n_planes=self.n_planes)
         rows = rep.collect()
         if not rows:
             return self._finish(ConstraintResult.skipped(

@@ -1894,16 +1894,12 @@ def compact_bm25_index(spark, index_path: str,
     if target_partitions < 1:
         raise ValueError(
             f"target_partitions must be >= 1, got {target_partitions}")
-    jvm = spark.sparkContext._jvm
-    conf = spark.sparkContext._jsc.hadoopConfiguration()
-    path_cls = jvm.org.apache.hadoop.fs.Path
-    fs = path_cls(index_path).getFileSystem(conf)
+    from ..sources import hadoop_swap_dir
     for table in ("postings", "doclens"):
         src = f"{index_path}/{table}"
         tmp = f"{index_path}/{table}__compacting"
         spark.read.parquet(src).coalesce(int(target_partitions)) \
             .write.mode("overwrite").parquet(tmp)
-        bak = path_cls(f"{index_path}/{table}__old")
-        fs.rename(path_cls(src), bak)
-        fs.rename(path_cls(tmp), path_cls(src))
-        fs.delete(bak, True)
+        # checked swap: rename returns false on failure; an unchecked
+        # false here would delete the only copy of the postings
+        hadoop_swap_dir(spark, src, tmp)

@@ -141,9 +141,39 @@ def test_compaction_preserves_estimates_and_append_composes(spark, tmp_path):
     for col in ("doc_id", "lang"):
         assert after[col]["n_distinct_est"] == before[col]["n_distinct_est"]
         assert after[col]["n_rows"] == 400
-        assert after[col]["n_shards"] == 1   # one blob per column now
+        # n_shards keeps meaning "shards that contributed" (round-12
+        # fix): compaction folds rows but sums the shard counters
+        assert after[col]["n_shards"] == 4
+    # the table itself DID fold to one blob per column
+    assert spark.read.parquet(f"{path}/sketches").count() == 2
     # appends keep composing after compaction
     build_distinct_index(_docs(spark, n=100, start=400),
                          ["doc_id", "lang"], path, mode="append")
     est = _est(spark, path)["doc_id"]
     assert abs(est["n_distinct_est"] - 500) <= 3.0 * rse(DEFAULT_LGK) * 500
+
+
+def test_compaction_clears_stale_backup_and_checks_renames(spark, tmp_path):
+    """Round-12 advice pin: a crashed prior compaction can leave a
+    ``sketches__old`` dir; rename onto an existing directory NESTS the
+    source inside it instead of replacing it, so the swap must clear
+    stale backups first and check every rename's boolean return."""
+    import os
+
+    from term_spark.analyzers.distinct_index import compact_distinct_index
+    d = _docs(spark, n=200)
+    path = str(tmp_path / "idx")
+    build_distinct_index(d, ["doc_id"], path)
+    build_distinct_index(_docs(spark, n=50, start=200), ["doc_id"], path,
+                         mode="append")
+    before = _est(spark, path)["doc_id"]
+    # plant a stale backup from a "crashed" prior compaction
+    stale = tmp_path / "idx" / "sketches__old"
+    stale.mkdir()
+    (stale / "junk.parquet").write_bytes(b"not parquet")
+    compact_distinct_index(spark, path)
+    after = _est(spark, path)["doc_id"]
+    assert after["n_distinct_est"] == before["n_distinct_est"]
+    assert after["n_shards"] == 2
+    # backup cleaned up, no nested live-table-inside-backup wreckage
+    assert not os.path.exists(str(stale))

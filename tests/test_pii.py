@@ -322,3 +322,30 @@ def test_blocked_domains_validates_inputs(spark):
         BlockedDomainsConstraint("text", ["", " "])
     with _pt.raises(ValueError, match="max_ratio"):
         BlockedDomainsConstraint("text", ["x.com"], max_ratio=1.5)
+
+
+def test_metric_aliases_cover_full_constraint_identity():
+    """Round-12 advice pins: the fused-agg executor dedups expressions
+    BY ALIAS, so an alias must cover everything the expression depends
+    on — the FULL domain list (not a prefix) and the subdomain flag —
+    and must be deterministic across driver processes (no builtin
+    hash(), which PYTHONHASHSEED salts)."""
+    from term_spark.operators.pii import (BadwordsConstraint,
+                                          BlockedDomainsConstraint)
+
+    base = ["d0.com", "d1.com", "d2.com", "d3.com",
+            "d4.com", "d5.com", "d6.com", "d7.com"]
+    a = BlockedDomainsConstraint("text", base + ["evil.com"])
+    b = BlockedDomainsConstraint("text", base + ["other.com"])
+    assert a._hits != b._hits          # differ only past the 8th domain
+    c = BlockedDomainsConstraint("text", base, match_subdomains=True)
+    d = BlockedDomainsConstraint("text", base, match_subdomains=False)
+    assert c._hits != d._hits          # flag changes the expression
+    e = BlockedDomainsConstraint("text", list(reversed(base)))
+    assert c._hits == e._hits          # list order is NOT identity
+
+    bw1 = BadwordsConstraint("text", ["foo", "bar"])
+    bw2 = BadwordsConstraint("text", ["foo", "bar"])
+    bw3 = BadwordsConstraint("text", ["foo", "baz"])
+    assert bw1._hits == bw2._hits      # deterministic, process-stable
+    assert bw1._hits != bw3._hits
