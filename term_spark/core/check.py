@@ -491,14 +491,27 @@ class Check:
                                 min_agreement: float = 0.5,
                                 id_col: str = "vec_id",
                                 vec_col: str = "embedding",
-                                label_col: str = "label") -> "Check":
+                                label_col: str = "label",
+                                method: str = "auto",
+                                exact_row_limit: int | None = None,
+                                n_planes: int = 8) -> "Check":
         """Label-noise gate over a labeled embedding table: every
         label's mean k-NN agreement (fraction of nearest neighbors
         sharing the label) must reach ``min_agreement``; the metric is
-        the worst label's agreement and the failure names it."""
-        from ..operators.similarity import LabelAgreementConstraint
+        the worst label's agreement and the failure names it.
+        ``method="auto"`` (default) runs the exact all-pairs form only
+        up to ``exact_row_limit`` rows (default
+        ``LABEL_AGREEMENT_EXACT_ROW_LIMIT`` = 100k) and the LSH
+        candidate path beyond — the gate never plans an unguarded n²
+        self-join."""
+        from ..operators.similarity import (
+            LABEL_AGREEMENT_EXACT_ROW_LIMIT, LabelAgreementConstraint)
+        if exact_row_limit is None:
+            exact_row_limit = LABEL_AGREEMENT_EXACT_ROW_LIMIT
         return self.with_constraint(LabelAgreementConstraint(
-            k, min_agreement, id_col, vec_col, label_col))
+            k, min_agreement, id_col, vec_col, label_col,
+            method=method, exact_row_limit=exact_row_limit,
+            n_planes=n_planes))
 
     def has_low_duplication(self, column: str = "text",
                             max_ratio: float = 0.0,

@@ -3260,6 +3260,7 @@ FAMILY = {
     "metrics_repository_roundtrip": "repository",
     "quantile_sketch_by_returnflag": "quantile_sketch",
     "knn_label_agreement_embeddings": "label_quality",
+    "knn_label_agreement_lsh_embeddings": "label_quality",
     "incremental_bm25_docs": "retrieval",
     "funnel_events": "event_analytics",
     "retention_cohorts_events": "event_analytics",
@@ -3272,147 +3273,148 @@ FAMILY = {
 #: None = never driver-proven.  Source artifacts: r01, r02, r03, r04, r05, r06, r07, r08, r09, r10, r11.
 CURRENT_ROUND = 12
 LAST_GREEN = {
-    "badwords_ratio_docs": 11,
-    "cdc_rewrite_docs": 11,
-    "csv_source_roundtrip": 11,
-    "domain_counts_docs": 11,
-    "event_transitions_events": 11,
-    "funnel_events": 11,
-    "incremental_bm25_docs": 11,
-    "incremental_cdc_docs": 11,
-    "incremental_distinct_docs": 11,
-    "incremental_substring_docs": 11,
-    "json_source_roundtrip": 11,
-    "knn_label_agreement_embeddings": 11,
-    "large_volume_customers": 11,
-    "late_shipment_priority": 11,
-    "metrics_repository_roundtrip": 11,
-    "mg_grouped_heavy_hitters_docs": 11,
-    "multimodal_probe_docs": 11,
-    "pii_redact_docs": 11,
-    "pii_scan_docs": 11,
-    "quantile_sketch_by_returnflag": 11,
-    "retention_cohorts_events": 11,
-    "salted_join_sum_orders_customer": 11,
-    "semantic_contamination_embeddings": 11,
-    "small_quantity_revenue": 11,
-    "weighted_sample_docs": 11,
-    "row_violations_docs": 11,
-    "script_profile_docs": 11,
-    "shape_stats_quantity": 11,
-    "simhash_docs": 11,
-    "simhash_near_pairs": 11,
-    "source_mixing_docs": 11,
-    "source_overlap_docs": 11,
-    "spearman_quantity_price": 11,
-    "split_counts_docs": 11,
-    "stratified_sample_docs": 11,
-    "supplier_stats_by_nation": 11,
-    "temporal_ordering_orders_lineitem": 11,
-    "text_quality": 11,
-    "text_tokens": 11,
-    "tfidf_top_terms_docs": 11,
-    "winnow_overlap_docs": 11,
-    "approx_distinct_orderkey": 11,
-    "benford_acctbal": 11,
-    "completeness_customer": 11,
-    "compliance_discount": 11,
-    "corr_quantity_price": 11,
-    "cosine_topk_embeddings": 11,
-    "cross_table_sum_orders_lineitem": 11,
-    "datatype_detection": 11,
-    "dedup_exact_docs": 11,
+    "knn_label_agreement_lsh_embeddings": None,
+    "distinctness_orders": 9,
+    "dominant_value_orderstatus": 9,
+    "drift_chi2_returnflag": 9,
+    "drift_js_quantity": 9,
+    "drift_ks_quantity": 9,
+    "drift_psi_by_returnflag": 9,
+    "drift_psi_quantity": 9,
+    "entropy_returnflag": 9,
+    "fk_orders_customer": 9,
+    "format_orderpriority": 9,
+    "grouped_completeness_events": 9,
+    "histogram_returnflag": 9,
+    "join_coverage_lineitem_orders": 9,
+    "length_customer_name": 9,
+    "line_dedup_summary_docs": 9,
+    "max_time_gap_events": 9,
+    "median_by_returnflag": 9,
+    "minhash_lsh_candidates": 9,
+    "mutual_information_lineitem": 9,
+    "ngram_jaccard_pairs": 9,
+    "outlier_mad_acctbal": 9,
+    "packing_stats_docs": 9,
+    "paragraph_dedup_summary_docs": 9,
+    "pivot_returnflag_linestatus": 9,
+    "pricing_summary": 9,
+    "profile_customer": 9,
+    "quality_model_docs": 9,
+    "quantile_exact_quantity": 9,
+    "range_join_events": 9,
+    "regional_supplier_volume": 9,
+    "returned_item_customers": 9,
+    "rolling_daily_events": 9,
+    "rollup_pricing": 9,
+    "semantic_dedup_embeddings": 9,
+    "sessionize_events": 9,
+    "shipping_priority_orders": 9,
     "size_lineitem": 9,
     "stats_quantity": 9,
-    "distinctness_orders": 9,
-    "unique_value_ratio_custkey": 10,
-    "containment_orderstatus": 10,
-    "format_orderpriority": 9,
-    "length_customer_name": 9,
-    "histogram_returnflag": 9,
-    "entropy_returnflag": 9,
-    "grouped_completeness_events": 9,
-    "mutual_information_lineitem": 9,
-    "fk_orders_customer": 9,
-    "join_coverage_lineitem_orders": 9,
+    "text_cleaning_docs": 9,
+    "token_budget_sample_docs": 9,
+    "top3_customers_per_segment": 9,
+    "asof_click_error": 10,
+    "bigram_surprisal_docs": 10,
+    "bm25_topk_docs": 10,
+    "brand_profile_part": 10,
     "business_hours_events": 10,
+    "cdc_dedup_docs": 10,
+    "chunk_documents_docs": 10,
+    "containment_orderstatus": 10,
+    "completeness_customer": 11,
+    "unique_value_ratio_custkey": 10,
+    "compliance_discount": 11,
+    "datatype_detection": 11,
+    "spearman_quantity_price": 11,
+    "corr_quantity_price": 11,
+    "cross_table_sum_orders_lineitem": 11,
+    "temporal_ordering_orders_lineitem": 11,
     "date_range_orders": 10,
-    "max_time_gap_events": 9,
-    "pricing_summary": 9,
+    "dedup_exact_docs": 11,
     "fingerprint_docs": 10,
+    "text_tokens": 11,
+    "text_quality": 11,
     "lang_id": 10,
-    "ngram_jaccard_pairs": 9,
-    "minhash_lsh_candidates": 9,
+    "simhash_docs": 11,
+    "simhash_near_pairs": 11,
+    "cosine_topk_embeddings": 11,
     "embedding_neardup_pairs": 10,
     "ivfpq_recall_embeddings": 10,
     "ivf_index_recall_embeddings": 10,
     "lsh_neardup_recall_embeddings": 10,
     "neardup_components": 10,
+    "split_counts_docs": 11,
     "decontaminate_docs": 10,
+    "stratified_sample_docs": 11,
     "repetition_docs": 10,
-    "packing_stats_docs": 9,
     "dedup_pipeline_docs": 10,
-    "semantic_dedup_embeddings": 9,
+    "source_mixing_docs": 11,
     "doc_length_buckets": 10,
     "dsir_weights_docs": 10,
+    "winnow_overlap_docs": 11,
+    "script_profile_docs": 11,
     "decontamination_report_docs": 10,
-    "bm25_topk_docs": 10,
+    "tfidf_top_terms_docs": 11,
     "readability_docs": 10,
     "jaccard_prefix_pairs_docs": 10,
     "ngram_novelty_docs": 10,
-    "chunk_documents_docs": 10,
     "frequent_terms_docs": 10,
     "corpus_profile_by_lang": 10,
     "minhash_oph_candidates_docs": 10,
+    "row_violations_docs": 11,
     "embedding_centroid_drift": 10,
     "gopher_rules_docs": 10,
+    "source_overlap_docs": 11,
     "lexical_diversity_docs": 10,
     "mg_heavy_hitters_docs": 10,
-    "cdc_dedup_docs": 10,
     "incremental_neardup_docs": 10,
-    "quantile_exact_quantity": 9,
+    "incremental_substring_docs": 11,
+    "mg_grouped_heavy_hitters_docs": 11,
+    "cdc_rewrite_docs": 11,
+    "incremental_cdc_docs": 11,
+    "pii_scan_docs": 11,
+    "pii_redact_docs": 11,
+    "domain_counts_docs": 11,
+    "badwords_ratio_docs": 11,
+    "weighted_sample_docs": 11,
+    "incremental_distinct_docs": 11,
+    "semantic_contamination_embeddings": 11,
+    "multimodal_probe_docs": 11,
+    "csv_source_roundtrip": 11,
+    "json_source_roundtrip": 11,
+    "metrics_repository_roundtrip": 11,
+    "knn_label_agreement_embeddings": 11,
+    "incremental_bm25_docs": 11,
+    "quantile_sketch_by_returnflag": 11,
     "numeric_histogram_quantity": 10,
-    "profile_customer": 9,
+    "approx_distinct_orderkey": 11,
     "quantile_sketch_merge_quantity": 10,
     "fk_violation_examples": 10,
     "grouped_stats_mktsegment": 10,
-    "rollup_pricing": 9,
-    "sessionize_events": 9,
     "top_customers_revenue": 10,
-    "asof_click_error": 10,
-    "median_by_returnflag": 9,
-    "range_join_events": 9,
     "interval_join_events": 10,
-    "rolling_daily_events": 9,
-    "pivot_returnflag_linestatus": 9,
-    "top3_customers_per_segment": 9,
     "unpivot_pricing": 10,
-    "drift_psi_quantity": 9,
-    "drift_ks_quantity": 9,
-    "drift_chi2_returnflag": 9,
-    "drift_js_quantity": 9,
+    "benford_acctbal": 11,
     "drift_w1_quantity": 10,
-    "line_dedup_summary_docs": 9,
-    "paragraph_dedup_summary_docs": 9,
     "substring_dedup_docs": 10,
     "substring_rewrite_docs": 10,
-    "token_budget_sample_docs": 9,
-    "outlier_mad_acctbal": 9,
-    "text_cleaning_docs": 9,
-    "dominant_value_orderstatus": 9,
-    "drift_psi_by_returnflag": 9,
-    "quality_model_docs": 9,
     "unigram_surprisal_docs": 10,
-    "bigram_surprisal_docs": 10,
     "corr_matrix_lineitem": 10,
     "fd_custkey_orderstatus": 10,
+    "shape_stats_quantity": 11,
     "dataset_diff_orders": 10,
     "key_skew_custkey": 10,
-    "brand_profile_part": 10,
-    "shipping_priority_orders": 9,
-    "regional_supplier_volume": 9,
-    "returned_item_customers": 9,
+    "supplier_stats_by_nation": 11,
+    "large_volume_customers": 11,
+    "small_quantity_revenue": 11,
+    "late_shipment_priority": 11,
     "join_cardinality_orders_lineitem": 10,
+    "salted_join_sum_orders_customer": 11,
+    "funnel_events": 11,
+    "retention_cohorts_events": 11,
+    "event_transitions_events": 11,
 }
 # END GENERATED ROTATION DATA
 

@@ -3277,3 +3277,65 @@ def q_incremental_bm25_docs(spark, sf_dir) -> DataFrame:
 
 LLM_QUERIES.update({"incremental_bm25_docs": q_incremental_bm25_docs})
 LLM_ORACLES.update({"incremental_bm25_docs": SQL_BM25_TOPK_DOCS})
+
+
+def q_knn_label_agreement_lsh_embeddings(spark, sf_dir) -> DataFrame:
+    """kNN label agreement over LSH-BUCKETED candidates (round 12 —
+    the scale path the round-11 verdict asked to make a code path):
+    same screen as ``knn_label_agreement_embeddings`` but neighbors
+    are ranked only within each vector's random-hyperplane bucket —
+    one equi-join on the bucket key, no cartesian (plan-gated in
+    test_plans.py).  The oracle replays the REAL bucketing: the
+    md5-seeded hyperplanes are deterministic driver-side constants,
+    so the SQL below carries them as literals and DuckDB recomputes
+    bucket bits, in-bucket top-3 and the per-label rollup exactly."""
+    return S.knn_label_agreement(_emb(spark, sf_dir), k=3, method="lsh",
+                                 n_planes=4, dim=64)
+
+
+# the md5-derived hyperplanes are deterministic, so the oracle carries
+# them as literals — regenerating this string from _hyperplanes() at
+# import keeps query and oracle pinned to the same planes
+def _knn_lsh_oracle_sql() -> str:
+    from .operators.similarity import _hyperplanes as _hp
+    planes = _hp(64, 4, "term")
+    bits = " || ".join(
+        "(CASE WHEN list_dot_product(e, ["
+        + ", ".join(repr(x) for x in p)
+        + "]) >= 0 THEN '1' ELSE '0' END)" for p in planes)
+    return f"""
+WITH v AS (
+    SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS e
+    FROM embeddings
+), b AS (
+    SELECT vec_id, label, e, {bits} AS bucket FROM v
+), scored AS (
+    SELECT a.vec_id AS a_id, a.label AS a_lbl, b2.label AS b_lbl,
+           ROW_NUMBER() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY list_dot_product(a.e, b2.e) /
+                        (sqrt(list_dot_product(a.e, a.e))
+                         * sqrt(list_dot_product(b2.e, b2.e))) DESC,
+                        b2.vec_id ASC) AS r
+    FROM b a JOIN b b2
+      ON a.bucket = b2.bucket AND a.vec_id <> b2.vec_id
+), per_vec AS (
+    SELECT a_id, a_lbl,
+           COUNT(*) FILTER (b_lbl = a_lbl) * 1.0 / COUNT(*) AS agree
+    FROM scored WHERE r <= 3 GROUP BY a_id, a_lbl
+)
+SELECT a_lbl AS label, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(AVG(agree), 6) AS mean_agreement
+FROM per_vec GROUP BY a_lbl ORDER BY label
+"""
+
+
+SQL_KNN_LABEL_AGREEMENT_LSH_EMBEDDINGS = _knn_lsh_oracle_sql()
+
+
+LLM_QUERIES.update(
+    {"knn_label_agreement_lsh_embeddings":
+      q_knn_label_agreement_lsh_embeddings})
+LLM_ORACLES.update(
+    {"knn_label_agreement_lsh_embeddings":
+      SQL_KNN_LABEL_AGREEMENT_LSH_EMBEDDINGS})

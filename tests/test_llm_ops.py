@@ -1977,6 +1977,26 @@ def test_semantic_contamination_tie_breaks_to_smallest_eval_id(spark):
     assert row["eval_id"] == 3 and row["cosine"] == 1.0
 
 
+def test_semantic_contamination_string_eval_ids(spark):
+    """Round-12 advice pin: the struct-max argmax negates eval_id, which
+    silently yields NULL for string ids — non-numeric ids must take the
+    rank fallback and still tie-break to the smallest id."""
+    from term_spark.operators.similarity import semantic_contamination
+
+    ev = spark.createDataFrame(
+        [("mmlu-b", [1.0, 0.0]), ("mmlu-a", [1.0, 0.0]),
+         ("gsm-1", [0.0, 1.0])],
+        "vec_id string, embedding array<float>")
+    tr = spark.createDataFrame(
+        [(10, [2.0, 0.0]), (11, [0.0, 0.0 + 3.0])],
+        "vec_id long, embedding array<float>")
+    got = {r["train_id"]: r for r in
+           semantic_contamination(tr, ev, threshold=0.5).collect()}
+    assert got[10]["eval_id"] == "mmlu-a"   # tie -> smallest id, not NULL
+    assert got[10]["cosine"] == 1.0
+    assert got[11]["eval_id"] == "gsm-1"
+
+
 def test_semantic_contamination_broadcasts_eval_side(spark):
     """The benchmark side must broadcast — the training side streams
     (the opposite orientation from cosine_topk)."""
@@ -2074,3 +2094,89 @@ def test_has_min_label_agreement_gate_names_worst_label(spark):
                       .has_min_label_agreement(k=3, min_agreement=0.1))
           .run(spark, {"data": df}))
     assert ok.passed
+
+
+def test_knn_label_agreement_candidate_paths(spark):
+    """Round-12 scale path: LSH/IVF/bring-your-own candidates are code
+    paths, not prose — bucketed paths plan NO cartesian, agree with
+    exact on well-separated clusters, and sparse neighborhoods divide
+    by what they have."""
+    from term_spark.operators.similarity import knn_label_agreement
+
+    a = [(i, [1.0, 0.0, float(i) * 1e-4], 0) for i in range(8)]
+    b = [(100 + i, [0.0, 1.0, float(i) * 1e-4], 1) for i in range(8)]
+    clean = spark.createDataFrame(
+        a + b, "vec_id long, embedding array<float>, label int")
+
+    exact = {r["label"]: r["mean_agreement"]
+             for r in knn_label_agreement(clean, k=3).collect()}
+    for method, kw in (("lsh", {"n_planes": 4, "dim": 3}),
+                       ("ivf", {"n_centroids": 2})):
+        rep = knn_label_agreement(clean, k=3, method=method, **kw)
+        plan = rep._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, method
+        assert "BroadcastNestedLoopJoin" not in plan, method
+        got = {r["label"]: r["mean_agreement"] for r in rep.collect()}
+        # tight, well-separated clusters: every candidate source that
+        # keeps clusters together reproduces the exact verdict
+        for lbl, val in got.items():
+            assert val == exact[lbl], (method, lbl)
+
+    # bring-your-own pairs: u10<->u11 share label, u12 pairs to u10
+    # with a different label; u13 has no candidates -> drops out
+    df = spark.createDataFrame(
+        [(10, [1.0, 0.0], 0), (11, [0.9, 0.1], 0),
+         (12, [0.8, 0.2], 1), (13, [0.0, 1.0], 0)],
+        "vec_id long, embedding array<float>, label int")
+    pairs = spark.createDataFrame(
+        [(10, 11), (10, 12)], "id_a long, id_b long")
+    got = {r["label"]: r for r in knn_label_agreement(
+        df, k=3, candidate_pairs=pairs).collect()}
+    # label 0: u10 has nbrs {11 (match), 12 (no)} -> 1/2; u11 has {10}
+    # -> 1/1; u13 excluded (no candidates). mean = (0.5 + 1.0) / 2
+    assert got[0]["n"] == 2
+    assert got[0]["mean_agreement"] == pytest.approx(0.75)
+    # label 1: u12's only candidate is u10 (label 0) -> 0/1
+    assert got[1]["n"] == 1
+    assert got[1]["mean_agreement"] == 0.0
+
+    with pytest.raises(ValueError, match="method"):
+        knn_label_agreement(clean, method="nope")
+
+
+def test_has_min_label_agreement_gate_is_scale_safe(spark):
+    """method='auto' swaps to LSH above exact_row_limit; explicit
+    'exact' above the limit refuses instead of planning n² pairs."""
+    from term_spark import Check, Level, ValidationSuite
+    from term_spark.operators.similarity import (
+        LABEL_AGREEMENT_EXACT_ROW_LIMIT, LabelAgreementConstraint)
+
+    assert LABEL_AGREEMENT_EXACT_ROW_LIMIT == 100_000  # documented limit
+
+    a = [(i, [1.0, 0.0, float(i) * 1e-4], 0) for i in range(8)]
+    b = [(100 + i, [0.0, 1.0, float(i) * 1e-4], 1) for i in range(8)]
+    df = spark.createDataFrame(
+        a + b, "vec_id long, embedding array<float>, label int")
+
+    # auto above the (tiny, forced) limit: swaps to LSH and still gates
+    r = (ValidationSuite.builder("lbl")
+         .with_check(Check("c", Level.ERROR)
+                     .has_min_label_agreement(
+                         k=3, min_agreement=0.9, exact_row_limit=4,
+                         n_planes=4))
+         .run(spark, {"data": df}))
+    assert r.passed
+    assert r.report.outcomes[0].result.metric == 1.0
+
+    # explicit exact above the limit refuses
+    c = LabelAgreementConstraint(k=3, method="exact", exact_row_limit=4)
+    c.table = "data"
+
+    class _Ctx:
+        def df(self, _):
+            return df
+    with pytest.raises(ValueError, match="exceeds exact_row_limit"):
+        c.evaluate(_Ctx())
+
+    with pytest.raises(ValueError, match="method"):
+        LabelAgreementConstraint(method="nope")
