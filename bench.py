@@ -98,6 +98,25 @@ def _load_stamp() -> dict:
     return {"load1": round(l1, 2), "load5": round(l5, 2)}
 
 
+def _cpu_canary() -> float:
+    """Host-speed canary (round 12, verdict ask #3): a FIXED
+    single-thread pure-CPU workload — 12M iterations of a pinned FNV-1a
+    fold, no allocation, no IO — timed once at gate-pass and stamped
+    into ``env.cpu_canary_sec``.  Rounds 10-11 both read uniform
+    15-25% shifts on doc-heavy queries with zero code change and had to
+    ATTRIBUTE them to host-level speed drift by inference; the canary
+    turns that into a number: if query walls move with the canary,
+    it's the host; if they move against it, it's the code.  ~2 s on
+    the round-12 reference host (value 955175621 pins the loop against
+    accidental edits)."""
+    t0 = time.perf_counter()
+    h = 2166136261
+    for i in range(12_000_000):
+        h = (h ^ i) * 16777619 & 0xFFFFFFFF
+    assert h == 955175621, "canary workload changed — comparisons void"
+    return round(time.perf_counter() - t0, 3)
+
+
 def _count_java_procs() -> int:
     """Java processes currently alive (incl. our own driver JVM).
 
@@ -302,23 +321,33 @@ def sf10_fresh_main() -> None:
         out[name] = round(
             _measure_query(spark, QUERIES[name], sf10_dir, samples=2), 4)
     # round-11 (verdict ask #3): the LLM-pipeline flagships at the
-    # third decade — 500k docs.  Read the minhash number against the
-    # OUTPUT size, not the input: benchdata replicates sf0.1 100x with
-    # key offsets, so every document gains ~100 exact clones and the
-    # true near-dup PAIR count grows ~quadratically in the replication
-    # factor (~25M candidate pairs at sf10 vs ~0.2M at sf1, 110x the
-    # pairs for 10x the docs) — wall scales with pairs emitted, and
-    # per-pair cost stays flat.  These run 30-120 s each, so they are
-    # single timed runs (JIT/codegen amortizes to <5% at this length;
-    # a warm + best-of-2 discipline would triple a multi-minute
-    # section for noise smaller than the load jitter the per-section
-    # stamps expose anyway).  line_dedup is short enough to warm.
+    # third decade — 500k docs.  Round 12: the corpus is now generated
+    # with make_sf1.py --perturb (per-copy vocabulary rewrite), so
+    # cross-copy clone pairs fall below candidate thresholds and true
+    # near-dup pair counts grow LINEARLY in the replication factor —
+    # the round-11 number (304 s) measured the byte-identical
+    # replicator's quadratic pair blowup, not the design; _meta.json
+    # in the corpus dir records which replicator produced the data.
+    # These can run 30-120 s, so they are single timed runs
+    # (JIT/codegen amortizes to <5% at this length).  line_dedup is
+    # short enough to warm.
     for name in ("minhash_lsh_candidates", "substring_dedup_docs"):
         out[name] = round(_timed(
             lambda: QUERIES[name](spark, sf10_dir).collect()), 4)
     out["line_dedup_summary_docs"] = round(
         _measure_query(spark, QUERIES["line_dedup_summary_docs"],
                        sf10_dir, samples=1), 4)
+    # round-12 (verdict ask #7): event analytics at the third decade —
+    # the events table replicates cleanly (user_id offsets preserve
+    # per-user streams), so these slopes are real, not clone artifacts
+    for name in ("funnel_events", "retention_cohorts_events",
+                 "event_transitions_events", "asof_click_error"):
+        out[name] = round(
+            _measure_query(spark, QUERIES[name], sf10_dir, samples=2), 4)
+    meta_path = os.path.join(sf10_dir, "_meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as fh:
+            out["corpus_meta"] = json.load(fh)
     # one ANN serving point at sf10 (200k vectors): persisted-IVF
     # build once + steady-state probe, split (ask #5); the doc-index
     # lifecycles run at sf0.1 where their registry row is benched
@@ -361,6 +390,9 @@ def main() -> None:
     # quiet-gate BEFORE any JVM exists: from here on our own 32-thread
     # stages dominate loadavg, so this is the only honest sample point
     quiet = _wait_for_quiet()
+    # host-speed canary immediately after the gate passes (quiet box,
+    # no JVM yet): the number query deltas normalize against
+    quiet["cpu_canary_sec"] = _cpu_canary()
     sections = {"gate": _load_stamp()}
 
     # sf1 / sf10 headlines in FRESH subprocess JVMs, before this
