@@ -3339,3 +3339,83 @@ LLM_QUERIES.update(
 LLM_ORACLES.update(
     {"knn_label_agreement_lsh_embeddings":
       SQL_KNN_LABEL_AGREEMENT_LSH_EMBEDDINGS})
+
+
+def q_incremental_quantile_docs(spark, sf_dir) -> DataFrame:
+    """Persisted quantile-sketch index lifecycle (round 12 — the SIXTH
+    incremental-ingestion tier: analyzers/quantile_index.py): the
+    corpus slice (doc_id % 4 != 0) is sketched ONCE into a scratch
+    index (one equi-depth grid per tracked column, k/accuracy pinned
+    in meta), the new batch (doc_id % 4 == 0) sketches ONLY ITSELF in
+    one fused percentile_approx pass and appends, and the probe merges
+    the O(shards x columns) grid rows driver-side — the corpus is
+    never rescanned.  Per (column, prob) the row carries the EXACT
+    quantile (oracle-computable: Spark's exact `percentile` == DuckDB
+    `quantile_cont`, both interpolate at rank (n-1)p) plus the
+    Spark-verified attestation the oracle pins TRUE: the merged
+    estimate's rank inside the exact data lands within the two-merge
+    -level bound 2*(2/k + 1/accuracy) of the requested prob, which
+    fails loudly on a lost shard, a double append, or a wrong merge.
+
+    Eagerly materialized so the scratch index is deleted before
+    returning (the q_incremental_distinct_docs pattern)."""
+    import shutil
+    import tempfile
+
+    from .analyzers.quantile_index import (build_quantile_index,
+                                           quantile_index_report)
+
+    d = _docs(spark, sf_dir)
+    corpus = d.filter(F.col("doc_id") % 4 != 0)
+    batch = d.filter(F.col("doc_id") % 4 == 0)
+    cols = ["n_chars", "doc_id"]
+    probs = [0.25, 0.5, 0.75]
+    tmp = tempfile.mkdtemp(prefix="term_spark_qidx_")
+    try:
+        build_quantile_index(corpus, cols, tmp)
+        build_quantile_index(batch, cols, tmp, mode="append")
+        rep = quantile_index_report(spark, tmp, probs, exact_df=d)
+        exact = d.agg(*[
+            F.round(F.percentile(F.col(c).cast("double"), F.lit(p)), 6)
+             .alias(f"__q_{c}_{i}")
+            for c in cols for i, p in enumerate(probs)])
+        ex_rows = exact.collect()[0]
+        ex = spark.createDataFrame(
+            [(c, float(p), float(ex_rows[f"__q_{c}_{i}"]))
+             for c in cols for i, p in enumerate(probs)],
+            "col_name string, p double, q_exact double")
+        res = (rep.join(ex, ["col_name", "p"])
+               .select("col_name", "p", "q_exact",
+                       F.col("n_rows").cast("bigint").alias("n_rows"),
+                       F.col("n_shards").cast("bigint").alias("n_shards"),
+                       "within_bound")
+               .orderBy("col_name", "p"))
+        rows = res.collect()
+        schema = res.schema
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+SQL_INCREMENTAL_QUANTILE_DOCS = """
+WITH a AS (
+  SELECT 'n_chars' AS col_name,
+         quantile_cont(n_chars::DOUBLE, [0.25, 0.5, 0.75]) AS qs,
+         CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM documents
+  UNION ALL
+  SELECT 'doc_id',
+         quantile_cont(doc_id::DOUBLE, [0.25, 0.5, 0.75]),
+         CAST(COUNT(*) AS BIGINT)
+  FROM documents
+)
+SELECT col_name, [0.25, 0.5, 0.75][i] AS p, ROUND(qs[i], 6) AS q_exact,
+       n_rows, CAST(2 AS BIGINT) AS n_shards, TRUE AS within_bound
+FROM a CROSS JOIN (VALUES (1), (2), (3)) t(i)
+ORDER BY col_name, p
+"""
+
+
+LLM_QUERIES.update({"incremental_quantile_docs": q_incremental_quantile_docs})
+LLM_ORACLES.update(
+    {"incremental_quantile_docs": SQL_INCREMENTAL_QUANTILE_DOCS})
