@@ -3419,3 +3419,94 @@ ORDER BY col_name, p
 LLM_QUERIES.update({"incremental_quantile_docs": q_incremental_quantile_docs})
 LLM_ORACLES.update(
     {"incremental_quantile_docs": SQL_INCREMENTAL_QUANTILE_DOCS})
+
+
+def q_hybrid_rrf_docs(spark, sf_dir) -> DataFrame:
+    """Hybrid retrieval (round 12 — operators/retrieval.py): BM25
+    top-20 over the documents text + exact-cosine top-20 over the
+    embeddings (query vectors = the embeddings of vec_id 0..2, query
+    texts = the three fixed BM25 probes), reciprocal-rank-fused
+    (Cormack 2009, k=60) to top-10 per query.  Scores from the two
+    systems are incommensurable, so fusion uses ranks only:
+    rrf = sum over systems of 1/(60 + rank), rounded to 6 BEFORE the
+    fused ranking, ties by ascending doc_id; `n_systems` counts the
+    per-doc votes.  The oracle replays BOTH retrievers (the proven
+    bm25_topk_docs / cosine_topk_embeddings pipelines at depth 20)
+    plus the fusion arithmetic — the contribution sum has at most two
+    addends, so double addition is order-free and the row is
+    value-exact."""
+    from .operators.retrieval import hybrid_topk
+
+    d = _docs(spark, sf_dir)
+    e = _emb(spark, sf_dir)
+    probes = spark.createDataFrame(_BM25_PROBES,
+                                   "query_id long, query string")
+    qv = (e.filter(F.col("vec_id") < 3)
+          .select(F.col("vec_id").alias("query_id"),
+                  F.col("embedding").alias("query_vec")))
+    q = probes.join(qv, "query_id")
+    return (hybrid_topk(d, e, q, k=10, depth=20)
+            .orderBy("query_id", "rank"))
+
+
+SQL_HYBRID_RRF_DOCS = f"""
+WITH q(query_id, query) AS (VALUES {", ".join(
+    f"(CAST({i} AS BIGINT), '{s}')" for i, s in _BM25_PROBES)}),
+n AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+      WHERE text IS NOT NULL),
+ex AS (SELECT doc_id, unnest(toks) AS term FROM n),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM ex GROUP BY 1, 2),
+dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+dl AS (SELECT doc_id, len(toks)::DOUBLE AS dl FROM n),
+stats AS (SELECT COUNT(*) AS n, AVG(len(toks)) AS avgdl FROM n),
+qt AS (SELECT query_id,
+              unnest(string_split(trim(regexp_replace(lower(query),
+                     '[^\\p{{L}}\\p{{N}}]+', ' ', 'g')), ' ')) AS term
+       FROM q),
+qtf AS (SELECT query_id, term, COUNT(*) AS qtf FROM qt GROUP BY 1, 2),
+scored AS (
+    SELECT qtf.query_id, tf.doc_id,
+           ROUND(SUM(qtf.qtf
+                     * ROUND(LN(1.0 + (s.n - dfq.df + 0.5)
+                                / (dfq.df + 0.5)), 6)
+                     * tf.tf * (1.2 + 1.0)
+                     / (tf.tf + 1.2 * (1.0 - 0.75
+                                       + 0.75 * dl.dl / s.avgdl))), 6)
+               AS score
+    FROM tf JOIN qtf USING (term) JOIN dfq USING (term)
+         JOIN dl USING (doc_id) CROSS JOIN stats s
+    GROUP BY 1, 2),
+bm AS (SELECT query_id, doc_id,
+              ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, doc_id) AS rank
+       FROM scored),
+v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+      FROM embeddings),
+cs AS (SELECT qe.vec_id AS query_id, c.vec_id AS doc_id,
+              list_dot_product(qe.e, c.e) /
+              (sqrt(list_dot_product(qe.e, qe.e))
+               * sqrt(list_dot_product(c.e, c.e))) AS cos_raw
+       FROM v qe JOIN v c ON qe.vec_id < 3),
+cr AS (SELECT query_id, doc_id,
+              ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cos_raw DESC, doc_id) AS rank
+       FROM cs),
+contrib AS (
+    SELECT query_id, doc_id, 1.0 / (60 + rank) AS c
+    FROM bm WHERE rank <= 20
+    UNION ALL
+    SELECT query_id, doc_id, 1.0 / (60 + rank) FROM cr WHERE rank <= 20),
+fused AS (SELECT query_id, doc_id, ROUND(SUM(c), 6) AS rrf_score,
+                 CAST(COUNT(*) AS BIGINT) AS n_systems
+          FROM contrib GROUP BY 1, 2),
+fr AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY rrf_score DESC, doc_id)
+              AS rank
+       FROM fused)
+SELECT query_id, doc_id, rrf_score, n_systems, rank
+FROM fr WHERE rank <= 10 ORDER BY query_id, rank
+"""
+
+
+LLM_QUERIES.update({"hybrid_rrf_docs": q_hybrid_rrf_docs})
+LLM_ORACLES.update({"hybrid_rrf_docs": SQL_HYBRID_RRF_DOCS})
