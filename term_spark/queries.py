@@ -3433,3 +3433,59 @@ _WINDOW = driver_window()
 QUERIES = {k: QUERIES[k] for k in _WINDOW} | {
     k: v for k, v in QUERIES.items() if k not in _WINDOW}
 
+
+
+def q_zorder_key_orders(spark, sf_dir) -> DataFrame:
+    """Morton (Z-order) clustering key over orders (round 12 —
+    plans/layout.py): 8-bit equi-width buckets of (o_custkey,
+    o_orderdate as epoch days) with spans measured in one exact
+    min/max agg, bits interleaved into one bigint — the key
+    ``write_zordered`` range-partitions on so every output file covers
+    a small (customer × date) rectangle and parquet footer stats prune
+    range predicates on EITHER column.  The key is pure integer/double
+    arithmetic by design (equi-width, not rank-based), so the oracle
+    replays it bit-for-bit; ``test_layout.py`` proves the pruning
+    claim the key exists for (a 25% box on the non-lead dimension
+    overlaps ≤ half the files that a linear sort does)."""
+    from .plans.layout import measure_spans, zorder_key
+
+    (o,) = _t(spark, sf_dir, "orders")
+    d = o.select(
+        "o_orderkey", "o_custkey",
+        F.datediff(F.col("o_orderdate").cast("date"),
+                   F.lit("1970-01-01").cast("date")).alias("o_days"))
+    spans = measure_spans(d, ["o_custkey", "o_days"])
+    return (d.select("o_orderkey",
+                     zorder_key(["o_custkey", "o_days"], spans, bits=8)
+                     .alias("zkey"))
+            .orderBy("o_orderkey"))
+
+
+_Z_TERMS = " + ".join(
+    f"(((b{j} >> {b}) & 1) << {b * 2 + j})"
+    for b in range(8) for j in (0, 1))
+
+SQL_ZORDER_KEY_ORDERS = f"""
+WITH d AS (
+  SELECT o_orderkey, o_custkey,
+         (CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS o_days
+  FROM orders),
+s AS (SELECT MIN(o_custkey)::DOUBLE AS mn0, MAX(o_custkey)::DOUBLE AS mx0,
+             MIN(o_days)::DOUBLE AS mn1, MAX(o_days)::DOUBLE AS mx1
+      FROM d),
+bk AS (
+  SELECT o_orderkey,
+         LEAST(255, GREATEST(0, CAST(FLOOR((o_custkey - mn0) * 256.0
+                                           / (mx0 - mn0 + 1.0)) AS BIGINT)))
+             AS b0,
+         LEAST(255, GREATEST(0, CAST(FLOOR((o_days - mn1) * 256.0
+                                           / (mx1 - mn1 + 1.0)) AS BIGINT)))
+             AS b1
+  FROM d CROSS JOIN s)
+SELECT o_orderkey, CAST({_Z_TERMS} AS BIGINT) AS zkey
+FROM bk ORDER BY o_orderkey
+"""
+
+
+QUERIES.update({"zorder_key_orders": q_zorder_key_orders})
+ORACLES.update({"zorder_key_orders": SQL_ZORDER_KEY_ORDERS})
