@@ -3510,3 +3510,93 @@ FROM fr WHERE rank <= 10 ORDER BY query_id, rank
 
 LLM_QUERIES.update({"hybrid_rrf_docs": q_hybrid_rrf_docs})
 LLM_ORACLES.update({"hybrid_rrf_docs": SQL_HYBRID_RRF_DOCS})
+
+
+def q_incremental_overlap_docs(spark, sf_dir) -> DataFrame:
+    """Persisted KMV overlap index lifecycle (round 12 — the SEVENTH
+    incremental-ingestion tier: analyzers/kmv_index.py): per-source
+    8-gram shingle sets are sketched shard-wise (corpus slice
+    doc_id % 4 != 0 ONCE, then the batch doc_id % 4 == 0 sketches only
+    itself and appends), the index is COMPACTED mid-lifecycle (min-k
+    is an exact idempotent monoid, so the fold is byte-identical —
+    the compaction is part of the proven path, not an aside), and the
+    pairwise dashboard reads O(groups² · k) hash strings — the corpus
+    shingle tables are never re-joined.  The returned rows are the
+    EXACT pairwise overlap stats (the proven source_overlap_report
+    pipeline — DuckDB replays them) plus ``est_ok``, the
+    Spark-verified attestation the oracle pins TRUE: every estimated
+    distinct count lands within 3/√(k−2) relative and every estimated
+    Jaccard within 3·√(J(1−J)/k) + 2/k absolute of exact — trips
+    loudly on a lost shard, a truncated merge, or a wrong membership
+    test."""
+    import shutil
+    import tempfile
+
+    from .analyzers.kmv_index import build_kmv_index, compact_kmv_index, \
+        overlap_from_index
+    from .operators.curation import source_overlap_report
+
+    d = _docs(spark, sf_dir)
+    sh = d.select("doc_id", "source",
+                  F.explode(T.word_shingles_from(T.norm_tokens("text"), 8))
+                  .alias("shingle"))
+    k = 4096
+    tmp = tempfile.mkdtemp(prefix="term_spark_kmvidx_")
+    try:
+        build_kmv_index(sh.filter(F.col("doc_id") % 4 != 0),
+                        "source", "shingle", tmp, k=k)
+        build_kmv_index(sh.filter(F.col("doc_id") % 4 == 0),
+                        "source", "shingle", tmp, k=k, mode="append")
+        compact_kmv_index(spark, tmp)
+        est = overlap_from_index(spark, tmp).select(
+            F.col("grp_a").alias("source_a"),
+            F.col("grp_b").alias("source_b"),
+            F.col("n_a").alias("e_a"), F.col("n_b").alias("e_b"),
+            F.col("jaccard").alias("e_j"))
+        exact = source_overlap_report(d, k=8).select(
+            "source_a", "source_b", "n_a", "n_b", "n_common", "jaccard")
+        rel = 3.0 / (k - 2) ** 0.5
+        res = (exact.join(est, ["source_a", "source_b"])
+               .withColumn(
+                   "est_ok",
+                   (F.abs(F.col("e_a") - F.col("n_a"))
+                    <= F.lit(rel) * F.col("n_a"))
+                   & (F.abs(F.col("e_b") - F.col("n_b"))
+                      <= F.lit(rel) * F.col("n_b"))
+                   & (F.abs(F.col("e_j") - F.col("jaccard"))
+                      <= 3.0 * F.sqrt(F.col("jaccard")
+                                      * (1.0 - F.col("jaccard"))
+                                      / F.lit(float(k))) + 2.0 / k))
+               .select("source_a", "source_b", "n_a", "n_b", "n_common",
+                       "jaccard", "est_ok")
+               .orderBy("source_a", "source_b"))
+        rows = res.collect()
+        schema = res.schema
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+SQL_INCREMENTAL_OVERLAP_DOCS = f"""
+WITH sh AS ({_shingle_sql_by_source(8)}),
+cnt AS (SELECT source, COUNT(*) AS n FROM sh GROUP BY source),
+p AS (SELECT a.source AS source_a, b.source AS source_b,
+             COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle
+      WHERE a.source < b.source
+      GROUP BY 1, 2)
+SELECT source_a, source_b,
+       CAST(ca.n AS BIGINT) AS n_a, CAST(cb.n AS BIGINT) AS n_b,
+       CAST(n_common AS BIGINT) AS n_common,
+       ROUND(n_common * 1.0 / (ca.n + cb.n - n_common), 6) AS jaccard,
+       TRUE AS est_ok
+FROM p
+JOIN cnt ca ON ca.source = p.source_a
+JOIN cnt cb ON cb.source = p.source_b
+ORDER BY source_a, source_b
+"""
+
+
+LLM_QUERIES.update({"incremental_overlap_docs": q_incremental_overlap_docs})
+LLM_ORACLES.update(
+    {"incremental_overlap_docs": SQL_INCREMENTAL_OVERLAP_DOCS})
