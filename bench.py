@@ -512,6 +512,12 @@ def main() -> None:
         # multimodal header probe
         "funnel_events", "retention_cohorts_events",
         "event_transitions_events", "multimodal_probe_docs",
+        # round-12: hybrid retrieval fusion, Morton clustering key,
+        # and the two new persisted-tier lifecycles (quantile grids,
+        # KMV overlap — full build→append→probe rows, like
+        # incremental_neardup_docs above)
+        "hybrid_rrf_docs", "zorder_key_orders",
+        "incremental_quantile_docs", "incremental_overlap_docs",
     ]
     sections["sf01_queries_start"] = _load_stamp()
     for name in bench_queries:

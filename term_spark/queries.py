@@ -3489,3 +3489,122 @@ FROM bk ORDER BY o_orderkey
 
 QUERIES.update({"zorder_key_orders": q_zorder_key_orders})
 ORACLES.update({"zorder_key_orders": SQL_ZORDER_KEY_ORDERS})
+
+
+def q_waiting_suppliers(spark, sf_dir) -> DataFrame:
+    """TPC-H Q21 analogue (round 12 — the double-correlated-subquery
+    decorrelation, with lateness proxied by l_shipdate > o_orderdate +
+    90 days since the trimmed schema carries no commit/receipt dates):
+    suppliers who were the SOLE late supplier on a multi-supplier
+    order.  The textbook form is EXISTS (another supplier on the
+    order) AND NOT EXISTS (another LATE supplier on the order) — two
+    correlated self-joins of the fact table.  The Spark-first form
+    decorrelates BOTH subqueries into ONE grouped pass: per order,
+    count distinct suppliers overall and distinct late suppliers; a
+    late line qualifies iff its order has ≥ 2 suppliers and exactly 1
+    late one (necessarily this supplier).  One shuffle on l_orderkey
+    replaces two lineitem×lineitem joins — the decorrelation that
+    keeps Q21 from being the benchmark's slowest query at 100 TB; the
+    oracle runs the literal EXISTS/NOT-EXISTS formulation, so the
+    rewrite is proven semantics-preserving, not assumed."""
+    o, li, s = _t(spark, sf_dir, "orders", "lineitem", "supplier")
+    lines = (li.select("l_orderkey", "l_suppkey", "l_shipdate")
+             .join(o.select("o_orderkey", "o_orderdate"),
+                   F.col("l_orderkey") == F.col("o_orderkey"))
+             .withColumn("is_late",
+                         F.col("l_shipdate") > F.col("o_orderdate")
+                         + F.expr("INTERVAL 90 DAYS")))
+    per_order = (lines.groupBy("l_orderkey")
+                 .agg(F.count_distinct("l_suppkey").alias("n_supp"),
+                      F.count_distinct(F.when(F.col("is_late"),
+                                              F.col("l_suppkey")))
+                      .alias("n_late_supp")))
+    late = (lines.filter("is_late")
+            .select("l_orderkey", "l_suppkey").distinct())
+    waiting = (late.join(per_order.filter((F.col("n_supp") >= 2)
+                                          & (F.col("n_late_supp") == 1)),
+                         "l_orderkey"))
+    return (waiting.groupBy("l_suppkey")
+            .agg(F.count(F.lit(1)).alias("numwait"))
+            .join(F.broadcast(s.select("s_suppkey", "s_name")),
+                  F.col("l_suppkey") == F.col("s_suppkey"))
+            .select("s_name", "numwait")
+            .orderBy(F.col("numwait").desc(), "s_name")
+            .limit(20))
+
+
+SQL_WAITING_SUPPLIERS = """
+WITH late AS (
+  SELECT DISTINCT l1.l_orderkey, l1.l_suppkey
+  FROM lineitem l1 JOIN orders o ON l1.l_orderkey = o_orderkey
+  WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+)
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM late t JOIN supplier ON s_suppkey = t.l_suppkey
+WHERE EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = t.l_orderkey
+      AND l2.l_suppkey <> t.l_suppkey)
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+           JOIN orders o3 ON l3.l_orderkey = o3.o_orderkey
+    WHERE l3.l_orderkey = t.l_orderkey
+      AND l3.l_suppkey <> t.l_suppkey
+      AND l3.l_shipdate > o3.o_orderdate + INTERVAL 90 DAY)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+
+def q_global_sales_opportunity(spark, sf_dir) -> DataFrame:
+    """TPC-H Q22 analogue (round 12 — scalar subquery + anti-join,
+    with the country code derived from c_nationkey since the trimmed
+    schema carries no phone column): count and total balance of
+    customers in selected "codes" whose balance exceeds the average
+    positive balance of those codes AND who have never ordered.  The
+    Spark-first shape: the scalar average is one 1-row aggregate
+    cross-joined as a broadcast literal (no correlated re-evaluation),
+    and NOT EXISTS(orders) is one left-anti join on the join key —
+    customer never widens, orders ships one column.  The oracle runs
+    the literal scalar-subquery + NOT EXISTS formulation."""
+    c, o = _t(spark, sf_dir, "customer", "orders")
+    codes = [1, 3, 5, 7, 9, 11, 13]
+    sel = (c.withColumn("cntrycode", F.col("c_nationkey") % 15)
+           .filter(F.col("cntrycode").isin(codes)))
+    avg_bal = sel.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("__avg"))
+    rich = (sel.crossJoin(F.broadcast(avg_bal))
+            .filter(F.col("c_acctbal") > F.col("__avg")))
+    no_orders = rich.join(o.select("o_custkey"),
+                          F.col("c_custkey") == F.col("o_custkey"),
+                          "left_anti")
+    return (no_orders.groupBy("cntrycode")
+            .agg(F.count(F.lit(1)).alias("numcust"),
+                 F.round(F.sum("c_acctbal"), 2).alias("totacctbal"))
+            .orderBy("cntrycode"))
+
+
+SQL_GLOBAL_SALES_OPPORTUNITY = """
+SELECT c_nationkey % 15 AS cntrycode,
+       CAST(COUNT(*) AS BIGINT) AS numcust,
+       ROUND(SUM(c_acctbal), 2) AS totacctbal
+FROM customer
+WHERE c_nationkey % 15 IN (1, 3, 5, 7, 9, 11, 13)
+  AND c_acctbal > (
+      SELECT AVG(c_acctbal) FROM customer
+      WHERE c_acctbal > 0 AND c_nationkey % 15 IN (1, 3, 5, 7, 9, 11, 13))
+  AND NOT EXISTS (
+      SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY cntrycode ORDER BY cntrycode
+"""
+
+
+QUERIES.update({
+    "waiting_suppliers": q_waiting_suppliers,
+    "global_sales_opportunity": q_global_sales_opportunity,
+})
+ORACLES.update({
+    "waiting_suppliers": SQL_WAITING_SUPPLIERS,
+    "global_sales_opportunity": SQL_GLOBAL_SALES_OPPORTUNITY,
+})
