@@ -696,3 +696,126 @@ class StreamingDistinctMonitor:
     def attach(self, stream_writer):
         """writer.foreachBatch hookup: monitor.attach(df.writeStream)"""
         return stream_writer.foreachBatch(self.foreach_batch)
+
+
+class StreamingQuantileMonitor:
+    """Stream-wide quantile tracking via mergeable grid states — the
+    streaming companion of the persisted quantile index
+    (analyzers/quantile_index.py), completing the quantile family's
+    batch/grouped/incremental/streaming symmetry: every micro-batch is
+    sketched in ONE fused count/min/max/percentile_approx aggregation
+    (all tracked columns ride the same pass, map-side combined), and
+    readings merge ALL per-batch states in one level — the same
+    2/k + 1/accuracy rank bound as the persisted tier, not a
+    compounding per-batch fold.
+
+    Replay safety: the weighted-grid merge is NOT idempotent (a
+    replayed batch would double-weight, the COUNT discipline), so the
+    monitor dedups on ``batch_id`` — foreachBatch replays reuse the
+    id, making readings exactly-once without any upstream help
+    (pinned by test).
+
+    With ``bounds`` set — {column: (q, lo, hi)} — ``on_alert`` fires
+    (batch_id, column, q, estimate) when the STREAM-WIDE q-quantile
+    first leaves [lo, hi]: the distribution tripwire (p95 document
+    length collapsing = boilerplate flood; p99 token count rising =
+    context-window overflow ahead).  ``quantiles(probs)`` reads the
+    current stream-wide estimates at any point.
+
+    State: O(batches × k) doubles on the driver (a day of 1-minute
+    micro-batches at k=200 ≈ 2 MB); ``compact()`` folds history into
+    one state at the cost of one extra merge level of rank error —
+    the persisted tier's compaction contract, verbatim.
+    """
+
+    def __init__(self, columns: List[str], k: int = 200,
+                 accuracy: int = 10000,
+                 bounds: Optional[Dict[str, tuple]] = None,
+                 on_alert: Optional[Callable] = None):
+        from ..analyzers.quantile_sketch import QuantileSketchAnalyzer
+        from ..functions.security import validate_identifiers
+        self.columns = list(validate_identifiers(columns))
+        if not self.columns:
+            raise ValueError("StreamingQuantileMonitor: empty column list")
+        self._ana = QuantileSketchAnalyzer("__stream__", k=int(k),
+                                           accuracy=int(accuracy))
+        self.k = int(k)
+        self.bounds = dict(bounds or {})
+        unknown = set(self.bounds) - set(self.columns)
+        if unknown:
+            raise ValueError(f"bounds for untracked columns: "
+                             f"{sorted(unknown)}")
+        for c, (q, lo, hi) in self.bounds.items():
+            if not (0.0 <= q <= 1.0 and lo <= hi):
+                raise ValueError(f"bounds[{c}] must be (q in [0,1], lo <= hi)")
+        self.on_alert = on_alert
+        self.n_rows = 0
+        self._states: Dict[str, list] = {c: [] for c in self.columns}
+        self._seen_batches: set = set()
+        self._tripped: set = set()
+        self.alerts: List = []
+
+    def foreach_batch(self, batch_df, batch_id: int) -> None:
+        if batch_id in self._seen_batches:
+            return  # foreachBatch replay — already folded, exactly-once
+        self._seen_batches.add(batch_id)
+        from ..analyzers.base import AnalyzerState
+        probs = [(j + 0.5) / self.k for j in range(self.k)]
+        aggs = []
+        for c in self.columns:
+            v = F.col(c).cast("double")
+            aggs.extend([F.count(v).alias(f"__n_{c}"),
+                         F.min(v).alias(f"__mn_{c}"),
+                         F.max(v).alias(f"__mx_{c}"),
+                         F.percentile_approx(v, probs, self._ana.accuracy)
+                         .alias(f"__g_{c}")])
+        aggs.append(F.count(F.lit(1)).alias("__rows"))
+        row = batch_df.agg(*aggs).collect()[0]
+        self.n_rows += row["__rows"]
+        for c in self.columns:
+            if row[f"__n_{c}"]:
+                self._states[c].append(AnalyzerState(
+                    n=int(row[f"__n_{c}"]),
+                    mn=float(row[f"__mn_{c}"]),
+                    mx=float(row[f"__mx_{c}"]),
+                    grid=[float(g) for g in row[f"__g_{c}"]]))
+        for c, (q, lo, hi) in self.bounds.items():
+            if c in self._tripped or not self._states[c]:
+                continue
+            est = self._quantile(c, q)
+            if not lo <= est <= hi:
+                self._tripped.add(c)
+                self.alerts.append((batch_id, c, q, est))
+                if self.on_alert is not None:
+                    self.on_alert(batch_id, c, q, est)
+
+    def _quantile(self, c: str, q: float) -> float:
+        merged = self._ana.merge_states(self._states[c])
+        return self._ana.quantile_from_state(merged, q)
+
+    def quantiles(self, probs) -> Dict[str, Dict[float, float]]:
+        """Stream-wide quantile estimates: {column: {p: value}} — one
+        single-level merge of the per-batch states per column (the
+        persisted tier's probe, driver-side)."""
+        out = {}
+        for c in self.columns:
+            if not self._states[c]:
+                out[c] = {float(p): float("nan") for p in probs}
+            else:
+                merged = self._ana.merge_states(self._states[c])
+                out[c] = {float(p):
+                          self._ana.quantile_from_state(merged, float(p))
+                          for p in probs}
+        return out
+
+    def compact(self) -> None:
+        """Fold history into one state per column — O(k) memory again,
+        plus one merge level of rank error (the tier's compaction
+        contract)."""
+        for c in self.columns:
+            if len(self._states[c]) > 1:
+                self._states[c] = [self._ana.merge_states(self._states[c])]
+
+    def attach(self, stream_writer):
+        """writer.foreachBatch hookup: monitor.attach(df.writeStream)"""
+        return stream_writer.foreachBatch(self.foreach_batch)

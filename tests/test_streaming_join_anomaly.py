@@ -201,3 +201,56 @@ def test_streaming_distinct_monitor_validates_inputs(spark):
         StreamingDistinctMonitor([])
     with pytest.raises(ValueError, match="untracked"):
         StreamingDistinctMonitor(["a"], max_distinct={"b": 10})
+
+
+def test_streaming_quantile_monitor_tracks_and_alerts(spark, tmp_path):
+    from term_spark.streaming import StreamingQuantileMonitor
+    src = str(tmp_path / "q_src")
+    os.makedirs(src)
+    # batches 0-1: lengths ~ U[100, 300); batch 2: boilerplate flood
+    # (2000 of 2400 rows are 12 chars -> the MEDIAN collapses to 12)
+    import itertools
+    batches = [
+        [(i, 100 + (i * 37) % 200) for i in range(200)],
+        [(i, 100 + (i * 53) % 200) for i in range(200)],
+        [(i, 12) for i in range(2000)],
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, "doc_id long, n_chars long") \
+            .coalesce(1).write.parquet(f"{src}/b{i}.parquet")
+
+    alerts = []
+    monitor = StreamingQuantileMonitor(
+        ["n_chars"], bounds={"n_chars": (0.5, 50.0, 1000.0)},
+        on_alert=lambda b, c, q, e: alerts.append((c, q, e)))
+    stream = (spark.readStream.schema("doc_id long, n_chars long")
+              .option("maxFilesPerTrigger", 1).parquet(src + "/*.parquet"))
+    q = monitor.attach(stream.writeStream).trigger(availableNow=True).start()
+    q.awaitTermination(180)
+
+    assert monitor.n_rows == 2400
+    est = monitor.quantiles([0.5, 0.95])["n_chars"]
+    assert est[0.5] < 50.0          # the flood dragged the median under the floor
+    assert est[0.95] > 50.0         # the tail still reads the real docs
+    assert len(alerts) == 1 and alerts[0][0] == "n_chars"
+    # replayed batch ids fold exactly once (at-least-once safety)
+    before = monitor.quantiles([0.5])["n_chars"][0.5]
+    df = spark.createDataFrame(batches[0], "doc_id long, n_chars long")
+    monitor.foreach_batch(df, 0)    # same id as the first batch -> no-op
+    assert monitor.n_rows == 2400
+    assert monitor.quantiles([0.5])["n_chars"][0.5] == before
+    # compaction keeps readings close and memory O(k)
+    monitor.compact()
+    assert all(len(v) == 1 for v in monitor._states.values())
+    after = monitor.quantiles([0.5])["n_chars"][0.5]
+    assert abs(after - before) <= 0.05 * max(abs(before), 1.0)
+
+
+def test_streaming_quantile_monitor_validates_inputs(spark):
+    from term_spark.streaming import StreamingQuantileMonitor
+    with pytest.raises(ValueError, match="empty column list"):
+        StreamingQuantileMonitor([])
+    with pytest.raises(ValueError, match="untracked"):
+        StreamingQuantileMonitor(["a"], bounds={"b": (0.5, 0, 1)})
+    with pytest.raises(ValueError, match="bounds"):
+        StreamingQuantileMonitor(["a"], bounds={"a": (1.5, 0, 1)})
