@@ -1663,3 +1663,92 @@ class LabelAgreementConstraint(Constraint):
             val, f"min_label_agreement: label {worst['label']!r} has "
                  f"mean {self.k}-NN agreement {val:.4f} < "
                  f"{self.min_agreement} (noisy or drifted labels)"))
+
+
+# ---------------------------------------------------------------------------
+# SQ8 scalar quantization — the compressed-but-nearly-exact rung of the
+# quantization ladder (Flat -> SQ8 -> IVF -> IVF-PQ)
+
+def sq8_quantize(df: DataFrame, id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """Per-vector symmetric int8 quantization (the FAISS
+    ``IndexScalarQuantizer(QT_8bit)`` role): each component maps to
+    ``round(v_i / scale)`` with ``scale = max_i |v_i| / 127``, stored
+    with the scale and the TRUE norm, so the table shrinks ~4× (int8
+    vs float32 payload) while approximate cosine stays within ~1/127
+    per component of exact.
+
+    Why per-vector symmetric (not per-dataset min/max): the scale is a
+    row-local expression — quantization is MAP-ONLY, needs no training
+    pass, no global statistics job, and appends are trivially sound
+    (each row quantizes alone — the property that lets a 100 TB corpus
+    quantize incrementally with zero coordination).  Zero vectors get
+    scale 0 and all-zero codes (their cosine is undefined everywhere
+    in this module).
+
+    Returns (id, codes array<int> in [-127, 127], scale, norm).
+    Deterministic: round-half-even on exact double quotients.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    mx = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = (mx / F.lit(127.0)).alias("scale")
+    codes = F.when(mx > 0, F.transform(
+        v, lambda x: F.round(x / (mx / F.lit(127.0))).cast("int"))) \
+        .otherwise(F.transform(v, lambda x: F.lit(0))).alias("codes")
+    return df.select(F.col(id_col).alias("id"), codes, scale,
+                     _norm(v).alias("norm"))
+
+
+def sq8_topk_refined(df: DataFrame, codes: DataFrame, queries: DataFrame,
+                     k: int = 5, refine_factor: int = 4,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     query_id_col: str = "query_id",
+                     query_vec_col: str = "query_vec") -> DataFrame:
+    """SQ8 search with an exact re-rank (the ``ivfpq_topk_refined``
+    contract): approximate cosine from the int8 codes —
+    ``scale · dot(q, codes) / (|q| · norm)``, a one-multiply
+    reconstruction since quantization is linear — shortlists
+    ``refine_factor · k`` per query, then the shortlist alone is
+    re-scored against the raw vectors and the true top-k taken.
+
+    Scale shape: the approximate pass streams the CODES table (the 4×
+    smaller one — at serving time the raw vectors stay cold on disk)
+    against a broadcast query matrix, map-only per pair; the re-rank
+    reads raw vectors for ≤ |queries|·k′ ids via a broadcast semi
+    join.  Returns (query_id, nbr_id, cosine, rank) — the
+    ``cosine_topk`` schema, so ``ann_recall`` compares directly.
+    """
+    from pyspark.sql import Window
+
+    q = (queries.select(F.col(query_id_col).alias("query_id"),
+                        F.transform(F.col(query_vec_col),
+                                    lambda x: x.cast("double")).alias("va"))
+         .withColumn("na", _norm(F.col("va"))))
+    cd = codes.select("id", F.transform(F.col("codes"),
+                                        lambda x: x.cast("double"))
+              .alias("cb"), "scale", "norm")
+    approx = (cd.crossJoin(F.broadcast(q))
+              .withColumn("a_cos",
+                          F.col("scale") * _dot(F.col("va"), F.col("cb"))
+                          / (F.col("na") * F.col("norm"))))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("a_cos").desc(), F.col("id").asc())
+    kk = max(int(k), int(refine_factor) * int(k))
+    shortlist = (approx.withColumn("__r", F.row_number().over(w))
+                 .filter(F.col("__r") <= kk)
+                 .select("query_id", F.col("id").alias("nbr_id")))
+    corpus = (df.select(F.col(id_col).alias("nbr_id"),
+                        F.transform(F.col(vec_col),
+                                    lambda x: x.cast("double")).alias("vb"))
+              .withColumn("nb", _norm(F.col("vb"))))
+    rescored = (corpus.join(F.broadcast(shortlist), "nbr_id")
+                .join(F.broadcast(q), "query_id")
+                .withColumn("cos_raw",
+                            _dot(F.col("va"), F.col("vb"))
+                            / (F.col("na") * F.col("nb"))))
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cos_raw").desc(), F.col("nbr_id").asc())
+    return (rescored.withColumn("rank", F.row_number().over(w2))
+            .filter(F.col("rank") <= int(k))
+            .select("query_id", "nbr_id",
+                    F.round(F.col("cos_raw"), 6).alias("cosine"), "rank"))

@@ -3600,3 +3600,65 @@ ORDER BY source_a, source_b
 LLM_QUERIES.update({"incremental_overlap_docs": q_incremental_overlap_docs})
 LLM_ORACLES.update(
     {"incremental_overlap_docs": SQL_INCREMENTAL_OVERLAP_DOCS})
+
+
+def q_sq8_recall_embeddings(spark, sf_dir) -> DataFrame:
+    """SQ8 scalar-quantized ANN with exact re-rank (round 12 — the
+    compressed-but-nearly-exact rung between brute force and IVF:
+    operators/similarity.py sq8_quantize/sq8_topk_refined), made
+    driver-oracle-checkable via the q_ivfpq_recall_embeddings pattern:
+    the returned ROWS are the exact brute-force cosine top-5 per query
+    — DuckDB recomputes them bit-for-bit — and ``sq8_recall_ok`` is a
+    Spark-computed attestation that the int8 index found them: the
+    4×-smaller codes table shortlists refine_factor·k per query via
+    the one-multiply linear reconstruction (scale · dot(q, codes)),
+    the shortlist re-ranks exactly, and the result must recover ≥ 0.9
+    of the exact neighbor set (measured 1.0 at all three SFs — the
+    per-vector symmetric quantizer keeps ranking error ~1/127 per
+    component, far below neighbor gaps).  Quantization is MAP-ONLY
+    and row-local — a 100 TB corpus quantizes incrementally with zero
+    coordination."""
+    e = _emb(spark, sf_dir)
+    corpus = e.filter(F.col("vec_id") >= 5)
+    queries = (e.filter(F.col("vec_id") < 5)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("query_vec")))
+    exact = S.cosine_topk(corpus, queries, k=5)
+    codes = S.sq8_quantize(corpus)
+    refined = S.sq8_topk_refined(corpus, codes, queries, k=5,
+                                 refine_factor=4)
+    tot = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    hits = (exact.join(refined.select("query_id", "nbr_id"),
+                       ["query_id", "nbr_id"], "left_semi")
+            .agg(F.count(F.lit(1)).alias("n_hit")))
+    att = (tot.crossJoin(hits)
+           .select((F.col("n_hit").cast("double") >=
+                    F.lit(0.9) * F.col("n_exact").cast("double"))
+                   .alias("sq8_recall_ok")))
+    return (exact.crossJoin(F.broadcast(att))
+            .orderBy("query_id", "rank"))
+
+
+SQL_SQ8_RECALL_EMBEDDINGS = """
+WITH v AS (
+    SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings
+), scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+           list_dot_product(q.e, c.e) /
+           (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e)))
+               AS cos_raw
+    FROM v q JOIN v c ON q.vec_id < 5 AND c.vec_id >= 5
+), ranked AS (
+    SELECT query_id, nbr_id, cos_raw,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cos_raw DESC, nbr_id ASC) AS rank
+    FROM scored
+)
+SELECT query_id, nbr_id, ROUND(cos_raw, 6) AS cosine, rank,
+       TRUE AS sq8_recall_ok
+FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
+LLM_QUERIES.update({"sq8_recall_embeddings": q_sq8_recall_embeddings})
+LLM_ORACLES.update({"sq8_recall_embeddings": SQL_SQ8_RECALL_EMBEDDINGS})
