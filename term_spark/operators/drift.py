@@ -555,3 +555,71 @@ class GroupedPsiDriftConstraint(Constraint):
             worst, f"grouped_psi({self.column} by {self.group_col}): "
                    f"group {worst_group!r} PSI {worst:.4f} exceeds "
                    f"max_psi {self.max_psi}{note}"))
+
+
+def psi_timeline(ref: DataFrame, cur: DataFrame, column: str,
+                 time_col: str, bins: int = 10,
+                 lo: float = None, hi: float = None,
+                 granularity: str = "day", eps: float = 1e-6) -> DataFrame:
+    """WHEN did the distribution drift — per-time-bucket PSI of
+    ``column`` against one static reference snapshot: the temporal
+    sibling of ``population_stability_by`` ("which segment" →
+    "which day").  A corpus-level PSI over a month of data averages a
+    mid-month shift into noise; the timeline localizes it to the day
+    (ingest pipelines: WHICH dump introduced the boilerplate flood;
+    serving: WHEN the feature distribution moved).
+
+    Shape: the reference buckets ONCE into ≤ ``bins`` share rows (one
+    grouped agg); current rows key by (date_trunc(granularity), bucket)
+    — one grouped count, shares via a ≤bins-row window per period; the
+    period × reference-bucket frame (|periods| · bins rows, driver
+    -trivial) full-outer-joins the current counts so a bucket missing
+    from either side eps-floors exactly like every other PSI in the
+    module (shared ``psi_bucket``, shared eps convention — streamed,
+    grouped, and timeline readings are comparable by construction).
+    Periods with zero rows simply don't appear; ``lo``/``hi`` are
+    required for the same reason as the grouped form: one shared
+    bucket domain is what makes period scores comparable.
+    """
+    if lo is None or hi is None:
+        raise ValueError("psi_timeline: pass explicit lo/hi (the shared "
+                         "bucket domain is what makes per-period PSIs "
+                         "comparable)")
+    if float(hi) <= float(lo):
+        raise ValueError(f"psi_timeline({column!r}): hi ({hi}) must "
+                         f"exceed lo ({lo})")
+    validate_identifier(column)
+    validate_identifier(time_col)
+    width = (float(hi) - float(lo)) / bins
+    col = F.col(column).cast("double")
+    b = psi_bucket(col, float(lo), width, bins)
+
+    ref_n = (ref.filter(col.isNotNull())
+             .groupBy(b.alias("bucket"))
+             .agg(F.count(F.lit(1)).alias("n_p")))
+    ref_shares = ref_n.withColumn(
+        "p", F.col("n_p") / F.sum("n_p").over(Window.partitionBy()))
+
+    period = F.date_trunc(granularity, F.col(time_col)).alias("period")
+    cur_pb = (cur.filter(col.isNotNull())
+              .groupBy(period, b.alias("bucket"))
+              .agg(F.count(F.lit(1)).alias("n_q")))
+    w = Window.partitionBy("period")
+    cur_pb = cur_pb.withColumn("q", F.col("n_q") / F.sum("n_q").over(w))
+
+    periods = cur_pb.select("period").distinct()
+    frame = periods.crossJoin(F.broadcast(ref_shares))
+    j = (frame.join(cur_pb, ["period", "bucket"], "full_outer")
+         .select("period",
+                 F.coalesce("n_q", F.lit(0)).alias("n_q"),
+                 F.greatest(F.coalesce("p", F.lit(0.0)), F.lit(eps))
+                 .alias("p"),
+                 F.greatest(F.coalesce("q", F.lit(0.0)), F.lit(eps))
+                 .alias("q")))
+    return (j.groupBy("period")
+            .agg(F.sum("n_q").alias("n_cur"),
+                 F.round(F.sum((F.col("p") - F.col("q"))
+                               * F.log(F.col("p") / F.col("q"))), 6)
+                 .alias("psi"))
+            .filter(F.col("period").isNotNull())
+            .orderBy("period"))

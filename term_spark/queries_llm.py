@@ -3662,3 +3662,64 @@ FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
 
 LLM_QUERIES.update({"sq8_recall_embeddings": q_sq8_recall_embeddings})
 LLM_ORACLES.update({"sq8_recall_embeddings": SQL_SQ8_RECALL_EMBEDDINGS})
+
+
+def q_drift_psi_timeline_events(spark, sf_dir) -> DataFrame:
+    """Per-day PSI timeline (round 12 — drift.psi_timeline): the WHEN
+    companion to the grouped PSI's WHICH — days 1-10 of the events
+    stream are the reference snapshot, every later day scores against
+    it over the shared [0, 500)×10 bucket domain (same psi_bucket,
+    same eps floor as every PSI in the engine, so corpus, grouped,
+    streamed and timeline readings are comparable).  One ≤bins-row
+    reference agg + one (day, bucket) current agg; the join frame is
+    |days|·bins rows — the month of data crosses the wire as ~200 key
+    rows."""
+    from .operators.drift import psi_timeline
+    from .sources import read_parquet
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    split = F.lit("2024-01-11").cast("timestamp")
+    return psi_timeline(ev.filter(F.col("ts") < split),
+                        ev.filter(F.col("ts") >= split),
+                        "value", "ts", bins=10, lo=0.0, hi=500.0)
+
+
+SQL_DRIFT_PSI_TIMELINE_EVENTS = """
+WITH refn AS (
+  SELECT GREATEST(0, LEAST(9, CAST(FLOOR(value / 50.0) AS BIGINT)))
+             AS bucket,
+         COUNT(*) AS n_p
+  FROM events
+  WHERE ts < TIMESTAMP '2024-01-11' AND value IS NOT NULL
+  GROUP BY 1),
+refs AS (SELECT bucket, n_p * 1.0 / SUM(n_p) OVER () AS p FROM refn),
+curn AS (
+  SELECT date_trunc('day', ts) AS period,
+         GREATEST(0, LEAST(9, CAST(FLOOR(value / 50.0) AS BIGINT)))
+             AS bucket,
+         COUNT(*) AS n_q
+  FROM events
+  WHERE ts >= TIMESTAMP '2024-01-11' AND value IS NOT NULL
+  GROUP BY 1, 2),
+curs AS (SELECT period, bucket, n_q,
+                n_q * 1.0 / SUM(n_q) OVER (PARTITION BY period) AS q
+         FROM curn),
+frame AS (SELECT pr.period, r.bucket, r.p
+          FROM (SELECT DISTINCT period FROM curs) pr CROSS JOIN refs r),
+j AS (SELECT COALESCE(f.period, c.period) AS period,
+             COALESCE(c.n_q, 0) AS n_q,
+             GREATEST(COALESCE(f.p, 0), 0.000001) AS p,
+             GREATEST(COALESCE(c.q, 0), 0.000001) AS q
+      FROM frame f
+      FULL OUTER JOIN curs c
+        ON f.period = c.period AND f.bucket = c.bucket)
+SELECT period, CAST(SUM(n_q) AS BIGINT) AS n_cur,
+       ROUND(SUM((p - q) * LN(p / q)), 6) AS psi
+FROM j GROUP BY period ORDER BY period
+"""
+
+
+LLM_QUERIES.update(
+    {"drift_psi_timeline_events": q_drift_psi_timeline_events})
+LLM_ORACLES.update(
+    {"drift_psi_timeline_events": SQL_DRIFT_PSI_TIMELINE_EVENTS})

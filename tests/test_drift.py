@@ -353,3 +353,36 @@ def test_check_wasserstein_drift_passes_fails_and_errors(spark):
     assert not err.passed
     statuses = [o.result.status for o in err.report.outcomes]
     assert Status.ERROR in statuses and Status.FAILURE not in statuses
+
+
+def test_psi_timeline_localizes_the_drift_day(spark):
+    """Days 1-2 match the reference; day 3 is shifted — the timeline
+    must read ~0 for the stable days and large for the drifted one."""
+    import pyspark.sql.functions as F
+    from term_spark.operators.drift import psi_timeline
+
+    def day(d, base):
+        return [(f"2024-02-0{d} 0{h}:00:00", float(base + (i % 50)))
+                for h in range(1, 5) for i in range(100)]
+
+    ref = spark.createDataFrame(day(1, 0) + day(2, 0), "ts string, value double") \
+        .select(F.col("ts").cast("timestamp").alias("ts"), "value")
+    cur = spark.createDataFrame(day(3, 0) + day(4, 0) + day(5, 400),
+                                "ts string, value double") \
+        .select(F.col("ts").cast("timestamp").alias("ts"), "value")
+    got = {r["period"].day: r["psi"] for r in
+           psi_timeline(ref, cur, "value", "ts", bins=10,
+                        lo=0.0, hi=500.0).collect()}
+    assert got[3] == 0.0 and got[4] == 0.0     # identical distribution
+    assert got[5] > 1.0                        # the shifted day screams
+
+
+def test_psi_timeline_validates_domain(spark):
+    import pytest as _pytest
+
+    from term_spark.operators.drift import psi_timeline
+    df = spark.createDataFrame([("2024-01-01", 1.0)], "ts string, value double")
+    with _pytest.raises(ValueError, match="lo/hi"):
+        psi_timeline(df, df, "value", "ts")
+    with _pytest.raises(ValueError, match="must exceed"):
+        psi_timeline(df, df, "value", "ts", lo=5.0, hi=1.0)
