@@ -3514,16 +3514,19 @@ def q_waiting_suppliers(spark, sf_dir) -> DataFrame:
              .withColumn("is_late",
                          F.col("l_shipdate") > F.col("o_orderdate")
                          + F.expr("INTERVAL 90 DAYS")))
-    per_order = (lines.groupBy("l_orderkey")
-                 .agg(F.count_distinct("l_suppkey").alias("n_supp"),
-                      F.count_distinct(F.when(F.col("is_late"),
-                                              F.col("l_suppkey")))
-                      .alias("n_late_supp")))
-    late = (lines.filter("is_late")
-            .select("l_orderkey", "l_suppkey").distinct())
-    waiting = (late.join(per_order.filter((F.col("n_supp") >= 2)
-                                          & (F.col("n_late_supp") == 1)),
-                         "l_orderkey"))
+    # collapse to the (order, supplier) grain FIRST — one plain hash
+    # agg — so the per-order counts below are ordinary count/count_if,
+    # NOT a two-distinct aggregate (whose Expand plan triples the
+    # shuffle; the catalog-wide plan gate rejects it)
+    per_supp = (lines.groupBy("l_orderkey", "l_suppkey")
+                .agg(F.max("is_late").alias("late")))
+    per_order = (per_supp.groupBy("l_orderkey")
+                 .agg(F.count(F.lit(1)).alias("n_supp"),
+                      F.count_if("late").alias("n_late_supp")))
+    waiting = (per_supp.filter("late")
+               .join(per_order.filter((F.col("n_supp") >= 2)
+                                      & (F.col("n_late_supp") == 1)),
+                     "l_orderkey"))
     return (waiting.groupBy("l_suppkey")
             .agg(F.count(F.lit(1)).alias("numwait"))
             .join(F.broadcast(s.select("s_suppkey", "s_name")),
