@@ -518,6 +518,8 @@ def main() -> None:
         # incremental_neardup_docs above)
         "hybrid_rrf_docs", "zorder_key_orders",
         "incremental_quantile_docs", "incremental_overlap_docs",
+        "drift_psi_timeline_events", "sq8_recall_embeddings",
+        "waiting_suppliers", "global_sales_opportunity",
     ]
     sections["sf01_queries_start"] = _load_stamp()
     for name in bench_queries:

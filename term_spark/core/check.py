@@ -556,6 +556,20 @@ class Check:
         return self.with_constraint(GroupedPsiDriftConstraint(
             column, group_col, ref_df, max_psi, bins, lo, hi, on_missing))
 
+    def has_stable_timeline(self, ref_df, column: str, time_col: str,
+                            max_psi: float = 0.25, bins: int = 10,
+                            lo=None, hi=None,
+                            granularity: str = "day") -> "Check":
+        """Temporal drift gate: the WORST per-period (day/hour/week)
+        PSI of ``column`` vs the ``ref_df`` snapshot must stay under
+        ``max_psi`` — catches the single drifted dump a whole-corpus
+        PSI averages away; failure names the period.  ``lo``/``hi``
+        are required (one shared bucket domain is what makes period
+        scores comparable)."""
+        from ..operators.drift import TimelinePsiDriftConstraint
+        return self.with_constraint(TimelinePsiDriftConstraint(
+            column, time_col, ref_df, max_psi, bins, lo, hi, granularity))
+
     def has_stable_categories(self, ref_df, column: str,
                               max_v: float = 0.1) -> "Check":
         """Categorical drift gate: Cramér's V of the column's category

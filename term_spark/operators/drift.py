@@ -623,3 +623,55 @@ def psi_timeline(ref: DataFrame, cur: DataFrame, column: str,
                  .alias("psi"))
             .filter(F.col("period").isNotNull())
             .orderBy("period"))
+
+
+class TimelinePsiDriftConstraint(Constraint):
+    """``has_stable_timeline``: the WORST per-period PSI against a
+    reference snapshot must stay under ``max_psi`` — the WHEN gate
+    beside ``has_stable_distribution_by``'s WHICH: a release cut from
+    a month of ingest passes the corpus-level PSI even when one day's
+    dump drifted badly; per-period scoring catches the day, and the
+    failure message names it.
+
+    Self-executing (needs the reference DataFrame).  Job shape =
+    psi_timeline: one ≤bins-row reference agg, one (period, bucket)
+    grouped count, a |periods|·bins join frame.
+    """
+
+    name = "timeline_psi_drift"
+
+    def __init__(self, column: str, time_col: str, ref_df,
+                 max_psi: float = 0.25, bins: int = 10,
+                 lo: float = None, hi: float = None,
+                 granularity: str = "day"):
+        if max_psi <= 0:
+            raise ValueError(f"max_psi must be > 0, got {max_psi}")
+        self.column = validate_identifier(column)
+        self.time_col = validate_identifier(time_col)
+        self.ref_df = ref_df
+        self.max_psi = float(max_psi)
+        self.bins, self.lo, self.hi = bins, lo, hi
+        self.granularity = granularity
+
+    def evaluate(self, ctx) -> ConstraintResult:
+        cur = ctx.df(self.table)
+        try:
+            rows = psi_timeline(self.ref_df, cur, self.column,
+                                self.time_col, bins=self.bins,
+                                lo=self.lo, hi=self.hi,
+                                granularity=self.granularity).collect()
+        except ValueError as e:
+            return self._finish(ConstraintResult.error(str(e)))
+        if not rows:
+            return self._finish(ConstraintResult.error(
+                f"timeline_psi({self.column} by {self.granularity}): "
+                "no periods with data in the current snapshot"))
+        worst, worst_period = max(
+            ((float(r["psi"]), r["period"]) for r in rows),
+            key=lambda t: t[0])
+        if worst <= self.max_psi:
+            return self._finish(ConstraintResult.success(worst))
+        return self._finish(ConstraintResult.failure(
+            worst, f"timeline_psi({self.column} by {self.granularity}): "
+                   f"period {worst_period} PSI {worst:.4f} exceeds "
+                   f"max_psi {self.max_psi}"))

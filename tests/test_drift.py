@@ -386,3 +386,30 @@ def test_psi_timeline_validates_domain(spark):
         psi_timeline(df, df, "value", "ts")
     with _pytest.raises(ValueError, match="must exceed"):
         psi_timeline(df, df, "value", "ts", lo=5.0, hi=1.0)
+
+
+def test_has_stable_timeline_gate(spark):
+    """The gate passes on stable days, and a single drifted day fails
+    it with the period named — the failure the corpus-level PSI gate
+    cannot produce."""
+    import pyspark.sql.functions as F
+
+    def day(d, base, n=200):
+        return [(f"2024-03-0{d} 0{h}:00:00", float(base + (i % 50)))
+                for h in range(1, 3) for i in range(n)]
+
+    mk = lambda rows: spark.createDataFrame(rows, "ts string, v double") \
+        .select(F.col("ts").cast("timestamp").alias("ts"), "v")
+    ref = mk(day(1, 0))
+    ok = ValidationSuite.builder("drift").with_check(
+        Check("d", Level.ERROR).has_stable_timeline(
+            ref, "v", "ts", max_psi=0.25, lo=0.0, hi=500.0))
+    assert ok.run(spark, mk(day(2, 0) + day(3, 0))).passed
+
+    bad = ValidationSuite.builder("drift").with_check(
+        Check("d", Level.ERROR).has_stable_timeline(
+            ref, "v", "ts", max_psi=0.25, lo=0.0, hi=500.0))
+    res = bad.run(spark, mk(day(2, 0) + day(3, 400)))
+    assert not res.passed
+    msg = [x.message for x in res.report.issues][0]
+    assert "2024-03-03" in msg and "exceeds" in msg
