@@ -422,6 +422,38 @@ def main():
     finally:
         shutil.rmtree(hidx, ignore_errors=True)
 
+    # --- round 12: hybrid retrieval + the quantile tier -----------------
+    from term_spark.analyzers.quantile_index import (build_quantile_index,
+                                                     quantiles_from_index)
+    from term_spark.operators.retrieval import hybrid_topk
+
+    rdocs = spark.createDataFrame(
+        [(0, "spark hash join strategies"), (1, "hash join deep dive"),
+         (2, "gardening for beginners"), (3, "join algorithms survey")],
+        "doc_id long, text string")
+    remb = spark.createDataFrame(
+        [(0, [1.0, 0.1]), (1, [0.9, 0.2]), (2, [0.0, 1.0]),
+         (3, [0.8, 0.3])], "vec_id long, embedding array<double>")
+    rq = spark.createDataFrame([(0, "hash join", [1.0, 0.0])],
+                               "query_id long, query string, "
+                               "query_vec array<double>")
+    top = hybrid_topk(rdocs, remb, rq, k=2, depth=3).collect()
+    print("hybrid RRF top-2 for 'hash join': "
+          + ", ".join(f"doc {r['doc_id']} ({r['n_systems']} systems)"
+                      for r in sorted(top, key=lambda r: r['rank'])))
+
+    qidx = tempfile.mkdtemp(prefix="term_spark_quickstart_qidx_")
+    try:
+        build_quantile_index(gdocs.filter("doc_id < 3"), ["doc_id"], qidx)
+        build_quantile_index(gdocs.filter("doc_id >= 3"), ["doc_id"], qidx,
+                             mode="append")
+        med = quantiles_from_index(spark, qidx, [0.5]).collect()[0]
+        print(f"persisted quantile index (2 shards, probe merges KB grid "
+              f"rows): median doc_id ~ {med['q_est']:.1f}")
+    finally:
+        shutil.rmtree(qidx, ignore_errors=True)
+
+
 
 if __name__ == "__main__":
     main()
