@@ -3449,6 +3449,7 @@ FAMILY = {
     "hybrid_rrf_docs": "retrieval",
     "sq8_recall_embeddings": "embedding_cosine",
     "incremental_quantile_docs": "quantile_sketch",
+    "quantile_by_source_docs": "quantile_sketch",
     "incremental_overlap_docs": "source_overlap",
     "drift_psi_timeline_events": "drift",
 }
@@ -3465,6 +3466,7 @@ LAST_GREEN = {
     "incremental_overlap_docs": None,
     "incremental_quantile_docs": None,
     "knn_label_agreement_lsh_embeddings": None,
+    "quantile_by_source_docs": None,
     "sq8_recall_embeddings": None,
     "waiting_suppliers": None,
     "zorder_key_orders": None,
@@ -3508,7 +3510,6 @@ LAST_GREEN = {
     "stats_quantity": 9,
     "text_cleaning_docs": 9,
     "token_budget_sample_docs": 9,
-    "top3_customers_per_segment": 9,
     "completeness_customer": 11,
     "unique_value_ratio_custkey": 10,
     "compliance_discount": 11,
@@ -3587,6 +3588,7 @@ LAST_GREEN = {
     "top_customers_revenue": 10,
     "asof_click_error": 10,
     "interval_join_events": 10,
+    "top3_customers_per_segment": 9,
     "unpivot_pricing": 10,
     "benford_acctbal": 11,
     "drift_w1_quantity": 10,

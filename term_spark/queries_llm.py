@@ -3723,3 +3723,75 @@ LLM_QUERIES.update(
     {"drift_psi_timeline_events": q_drift_psi_timeline_events})
 LLM_ORACLES.update(
     {"drift_psi_timeline_events": SQL_DRIFT_PSI_TIMELINE_EVENTS})
+
+
+def q_quantile_by_source_docs(spark, sf_dir) -> DataFrame:
+    """Grouped quantile-index lifecycle (round 12 — the mg_sketch_by
+    symmetry for the SIXTH tier: per-(source, column) grids from the
+    SAME fused percentile_approx pass keyed on the group column, so a
+    per-crawl p25/p50/p75 length dashboard merges kilobyte grid rows;
+    group_col is pinned in meta like k/accuracy — an ungrouped append
+    onto a grouped index refuses).  Same 2-shard build→append→probe
+    shape as q_incremental_quantile_docs; per (source, prob) the row
+    carries the EXACT per-group quantile (oracle-computable) plus the
+    group-wise rank-band attestation pinned TRUE — groups never
+    interact, so the bound argument applies group-wise verbatim."""
+    import shutil
+    import tempfile
+
+    from .analyzers.quantile_index import (build_quantile_index,
+                                           quantile_index_report)
+
+    d = _docs(spark, sf_dir)
+    probs = [0.25, 0.5, 0.75]
+    tmp = tempfile.mkdtemp(prefix="term_spark_qgidx_")
+    try:
+        build_quantile_index(d.filter(F.col("doc_id") % 4 != 0),
+                             ["n_chars"], tmp, group_col="source")
+        build_quantile_index(d.filter(F.col("doc_id") % 4 == 0),
+                             ["n_chars"], tmp, group_col="source",
+                             mode="append")
+        rep = quantile_index_report(spark, tmp, probs, exact_df=d)
+        exact = (d.groupBy(F.col("source").alias("grp"))
+                 .agg(*[F.round(F.percentile(
+                     F.col("n_chars").cast("double"), F.lit(p)), 6)
+                     .alias(f"__q_{i}") for i, p in enumerate(probs)]))
+        ex = exact.select("grp", F.explode(F.array(*[
+            F.struct(F.lit(float(p)).alias("p"),
+                     F.col(f"__q_{i}").alias("q_exact"))
+            for i, p in enumerate(probs)])).alias("r")) \
+            .select("grp", "r.p", "r.q_exact")
+        res = (rep.join(ex, ["grp", "p"])
+               .select(F.col("grp").alias("source"), "p", "q_exact",
+                       F.col("n_rows").cast("bigint").alias("n_rows"),
+                       F.col("n_shards").cast("bigint").alias("n_shards"),
+                       "within_bound")
+               .orderBy("source", "p"))
+        rows = res.collect()
+        schema = res.schema
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+SQL_QUANTILE_BY_SOURCE_DOCS = """
+WITH a AS (
+  SELECT source,
+         quantile_cont(n_chars::DOUBLE, [0.25, 0.5, 0.75]) AS qs,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         -- a source contributes a shard row per slice it has docs in
+         CAST((COUNT(*) FILTER (WHERE doc_id % 4 != 0) > 0)::INT
+              + (COUNT(*) FILTER (WHERE doc_id % 4 = 0) > 0)::INT
+              AS BIGINT) AS n_shards
+  FROM documents GROUP BY source
+)
+SELECT source, [0.25, 0.5, 0.75][i] AS p, ROUND(qs[i], 6) AS q_exact,
+       n_rows, n_shards, TRUE AS within_bound
+FROM a CROSS JOIN (VALUES (1), (2), (3)) t(i)
+ORDER BY source, p
+"""
+
+
+LLM_QUERIES.update({"quantile_by_source_docs": q_quantile_by_source_docs})
+LLM_ORACLES.update(
+    {"quantile_by_source_docs": SQL_QUANTILE_BY_SOURCE_DOCS})

@@ -149,3 +149,35 @@ def test_compaction_bounded_and_append_composes(spark, tmp_path):
     assert all(r["within_bound"] for r in rep)
     assert all(r["n_rows"] == 1800 for r in rep)
     assert all(r["n_shards"] == 3 for r in rep)
+
+
+def test_grouped_index_per_group_quantiles(spark, tmp_path):
+    """The mg_sketch_by symmetry: per-group grids, group-wise rank
+    bound, group_col pinned against ungrouped probes."""
+    d = spark.range(3000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "a").otherwise("b").alias("src"),
+        # group a: values 0..999ish; group b: values shifted +10000
+        (F.col("id") + F.when(F.col("id") % 3 == 0, 0)
+         .otherwise(10000)).cast("double").alias("v"))
+    path = str(tmp_path / "gidx")
+    build_quantile_index(d.filter(F.col("doc_id") < 1500), ["v"], path,
+                         group_col="src")
+    build_quantile_index(d.filter(F.col("doc_id") >= 1500), ["v"], path,
+                         group_col="src", mode="append")
+    rep = quantile_index_report(spark, path, [0.5], exact_df=d)
+    rows = {r["grp"]: r for r in rep.collect()}
+    assert set(rows) == {"a", "b"}
+    assert all(r["within_bound"] for r in rows.values())
+    assert rows["a"]["q_est"] < 3000 and rows["b"]["q_est"] > 10000
+    assert rows["a"]["n_rows"] == 1000 and rows["b"]["n_rows"] == 2000
+    # grouped-vs-ungrouped params are pinned like k/accuracy
+    with pytest.raises(ValueError, match="pinned"):
+        build_quantile_index(d, ["v"], path, mode="append")
+    # compaction folds to one row per (group, column) and keeps probing
+    compact_quantile_index(spark, path)
+    grids = spark.read.parquet(f"{path}/grids")
+    assert grids.count() == 2
+    rep2 = {r["grp"]: r for r in quantile_index_report(
+        spark, path, [0.5], exact_df=d).collect()}
+    assert all(r["within_bound"] for r in rep2.values())
