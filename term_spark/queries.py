@@ -3457,59 +3457,59 @@ FAMILY = {
 # BEGIN GENERATED ROTATION DATA (scripts/update_rotation.py)
 #: Most recent round whose CORRECTNESS_r{N}.json holds a green
 #: (rows_match + schema_match + hash_match) driver row for each query;
-#: None = never driver-proven.  Source artifacts: r01, r02, r03, r04, r05, r06, r07, r08, r09, r10, r11.
-CURRENT_ROUND = 12
+#: None = never driver-proven.  Source artifacts: r01, r02, r03, r04, r05, r06, r07, r08, r09, r10, r11, r12.
+CURRENT_ROUND = 13
 LAST_GREEN = {
-    "drift_psi_timeline_events": None,
-    "global_sales_opportunity": None,
-    "hybrid_rrf_docs": None,
-    "incremental_overlap_docs": None,
-    "incremental_quantile_docs": None,
-    "knn_label_agreement_lsh_embeddings": None,
-    "quantile_by_source_docs": None,
-    "sq8_recall_embeddings": None,
-    "waiting_suppliers": None,
-    "zorder_key_orders": None,
-    "distinctness_orders": 9,
-    "dominant_value_orderstatus": 9,
-    "drift_chi2_returnflag": 9,
-    "drift_js_quantity": 9,
-    "drift_ks_quantity": 9,
-    "drift_psi_by_returnflag": 9,
-    "drift_psi_quantity": 9,
-    "entropy_returnflag": 9,
-    "fk_orders_customer": 9,
-    "format_orderpriority": 9,
-    "grouped_completeness_events": 9,
-    "histogram_returnflag": 9,
-    "join_coverage_lineitem_orders": 9,
-    "length_customer_name": 9,
-    "line_dedup_summary_docs": 9,
-    "max_time_gap_events": 9,
-    "median_by_returnflag": 9,
-    "minhash_lsh_candidates": 9,
-    "mutual_information_lineitem": 9,
-    "ngram_jaccard_pairs": 9,
-    "outlier_mad_acctbal": 9,
-    "packing_stats_docs": 9,
-    "paragraph_dedup_summary_docs": 9,
-    "pivot_returnflag_linestatus": 9,
-    "pricing_summary": 9,
-    "profile_customer": 9,
-    "quality_model_docs": 9,
-    "quantile_exact_quantity": 9,
-    "range_join_events": 9,
-    "regional_supplier_volume": 9,
-    "returned_item_customers": 9,
-    "rolling_daily_events": 9,
-    "rollup_pricing": 9,
-    "semantic_dedup_embeddings": 9,
-    "sessionize_events": 9,
-    "shipping_priority_orders": 9,
-    "size_lineitem": 9,
-    "stats_quantity": 9,
-    "text_cleaning_docs": 9,
-    "token_budget_sample_docs": 9,
+    "drift_psi_timeline_events": 12,
+    "global_sales_opportunity": 12,
+    "hybrid_rrf_docs": 12,
+    "incremental_overlap_docs": 12,
+    "incremental_quantile_docs": 12,
+    "knn_label_agreement_lsh_embeddings": 12,
+    "quantile_by_source_docs": 12,
+    "sq8_recall_embeddings": 12,
+    "waiting_suppliers": 12,
+    "zorder_key_orders": 12,
+    "distinctness_orders": 12,
+    "dominant_value_orderstatus": 12,
+    "drift_chi2_returnflag": 12,
+    "drift_js_quantity": 12,
+    "drift_ks_quantity": 12,
+    "drift_psi_by_returnflag": 12,
+    "drift_psi_quantity": 12,
+    "entropy_returnflag": 12,
+    "fk_orders_customer": 12,
+    "format_orderpriority": 12,
+    "grouped_completeness_events": 12,
+    "histogram_returnflag": 12,
+    "join_coverage_lineitem_orders": 12,
+    "length_customer_name": 12,
+    "line_dedup_summary_docs": 12,
+    "max_time_gap_events": 12,
+    "median_by_returnflag": 12,
+    "minhash_lsh_candidates": 12,
+    "mutual_information_lineitem": 12,
+    "ngram_jaccard_pairs": 12,
+    "outlier_mad_acctbal": 12,
+    "packing_stats_docs": 12,
+    "paragraph_dedup_summary_docs": 12,
+    "pivot_returnflag_linestatus": 12,
+    "pricing_summary": 12,
+    "profile_customer": 12,
+    "quality_model_docs": 12,
+    "quantile_exact_quantity": 12,
+    "range_join_events": 12,
+    "regional_supplier_volume": 12,
+    "returned_item_customers": 12,
+    "rolling_daily_events": 12,
+    "rollup_pricing": 12,
+    "semantic_dedup_embeddings": 12,
+    "sessionize_events": 12,
+    "shipping_priority_orders": 12,
+    "size_lineitem": 12,
+    "stats_quantity": 12,
+    "text_cleaning_docs": 12,
+    "token_budget_sample_docs": 12,
     "completeness_customer": 11,
     "unique_value_ratio_custkey": 10,
     "compliance_discount": 11,
