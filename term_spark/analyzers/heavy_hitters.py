@@ -3,7 +3,7 @@ with deterministic error bounds, the bounded-shuffle answer to "which
 values dominate this column?" at 100 TB.
 
 Reference role: the reference answers frequency questions exactly —
-its histogram / top-k analyzers (term-guard/src/analyzers/histogram.rs)
+its histogram / top-k analyzers (term-guard/src/analyzers/advanced/histogram.rs)
 group by the raw value, which shuffles one row per DISTINCT key. That
 is the right plan when distinct counts are modest; over a 100 TB token
 stream (billions of distinct tokens) the exact groupBy's shuffle IS

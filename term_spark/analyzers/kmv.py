@@ -5,7 +5,7 @@ join ("how many documents do these two 100 TB dumps share?" from two
 k-row summaries).
 
 Reference role: the reference's approx-distinct analyzer family
-(term-guard/src/analyzers/approx_distinct.rs) is union-only (HLL);
+(term-guard/src/analyzers/advanced/approx_count_distinct.rs) is union-only (HLL);
 KMV is the classical alternative (Bar-Yossef et al. 2002;
 Beyer et al. SIGMOD'07 "distinct-value synopses") whose sketches
 intersect.  Public-theory implementation, Spark-first.
@@ -80,16 +80,42 @@ def kmv_sketch(df: DataFrame, column: str, k: int = 1024) -> KMVSketch:
 def kmv_sketch_by(df: DataFrame, group_col: str, column: str,
                   k: int = 1024) -> DataFrame:
     """Per-group sketches as (group, hashes array<string>) — the
-    engine's standard bounded window top-k (sort-based, spillable);
-    each output row is at most k hashes.  Feed rows to
-    ``sketch_from_row`` and combine with ``kmv_merge``/``kmv_jaccard``
-    driver-side — no cross-group join ever runs."""
+    engine's standard bounded window top-k; each output row is at most
+    k hashes.  Feed rows to ``sketch_from_row`` and combine with
+    ``kmv_merge``/``kmv_jaccard`` driver-side — no cross-group join
+    ever runs.
+
+    NULL groups are dropped alongside NULL values: a NULL source
+    label is not a source, and letting one through would poison every
+    downstream ``sorted(groups)`` with a None/str comparison.
+
+    Scale contract — the bounded-top-k claim is STRUCTURAL, not an
+    optimizer accident: the rank filter only prunes before the shuffle
+    when Catalyst's ``WindowGroupLimit`` rule fires, and that rule is
+    gated on ``spark.sql.optimizer.windowGroupLimitThreshold``
+    (default 1000 — BELOW our default k of 1024, so out of the box
+    the rule would silently NOT fire and every map task would ship its
+    full distinct-hash set into one per-group sort).  We raise the
+    threshold to cover ``k`` before planning, and
+    ``test_kmv.py::test_kmv_sketch_by_plan_has_partial_group_limit``
+    pins the Partial group-limit node in the executed plan so a Spark
+    upgrade or conf regression fails loudly instead of quietly
+    un-bounding the build."""
     validate_identifier(group_col)
     validate_identifier(column)
     if k < 8:
         raise ValueError(f"k must be >= 8, got {k}")
     from pyspark.sql import Window
-    base = (df.filter(F.col(column).isNotNull())
+    spark = df.sparkSession
+    thr_key = "spark.sql.optimizer.windowGroupLimitThreshold"
+    try:
+        cur = int(spark.conf.get(thr_key, "1000"))
+    except Exception:
+        cur = 1000
+    if cur < k:
+        spark.conf.set(thr_key, str(int(k)))
+    base = (df.filter(F.col(column).isNotNull()
+                      & F.col(group_col).isNotNull())
               .select(F.col(group_col).alias("grp"),
                       F.md5(F.col(column).cast("string")).alias("h"))
               .distinct())

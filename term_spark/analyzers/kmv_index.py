@@ -123,7 +123,11 @@ def overlap_from_index(spark, index_path: str) -> DataFrame:
     driver-side; the corpus is never touched."""
     meta, merged = _merged_sketches(spark, index_path)
     out = []
-    for ga, gb in combinations(sorted(merged), 2):
+    # NULL groups can no longer be built (kmv_sketch_by drops them),
+    # but an index persisted before that fix may still carry one —
+    # sort None last instead of raising on a None/str comparison.
+    for ga, gb in combinations(
+            sorted(merged, key=lambda g: (g is None, g)), 2):
         sa, n_sh_a = merged[ga]
         sb, n_sh_b = merged[gb]
         j = kmv_jaccard(sa, sb)

@@ -28,10 +28,12 @@ Determinism contract (the driver-oracle standard): contributions are
 the grouped SUM adds a handful of terms — rounded to 6 decimals BEFORE
 ranking, ties broken by ascending document id.
 
-Reference relationship: the reference ships BM25 scoring
-(term-search/src/bm25.rs) and vector similarity primitives; hybrid
-fusion is the composition its users run between the two — re-expressed
-here as one union + one aggregation + one bounded window.
+Reference relationship: beyond-reference extension — the reference
+(term-guard) ships no retrieval or fusion surface.  This is part of
+the LLM-data-pipeline extension layer (alongside the BM25 postings
+index in operators/text.py and the ANN probes in
+operators/similarity.py), composed as one union + one aggregation +
+one bounded window.
 """
 
 from __future__ import annotations
@@ -65,6 +67,13 @@ def rrf_fuse(rankings: Dict[str, DataFrame], k: int = 10,
     if not rankings:
         raise ValueError("rrf_fuse: no rankings given")
     weights = weights or {}
+    unknown = set(weights) - set(rankings)
+    if unknown:
+        # A typo'd system name would otherwise silently degrade to
+        # unweighted fusion — fail loudly instead.
+        raise ValueError(
+            f"rrf_fuse: weights for unknown rankings {sorted(unknown)}; "
+            f"known: {sorted(rankings)}")
     parts = []
     for name, df in rankings.items():
         w = float(weights.get(name, 1.0))

@@ -1687,7 +1687,9 @@ def sq8_quantize(df: DataFrame, id_col: str = "vec_id",
     in this module).
 
     Returns (id, codes array<int> in [-127, 127], scale, norm).
-    Deterministic: round-half-even on exact double quotients.
+    Deterministic: HALF_UP rounding (Spark's ``F.round``) on exact
+    double quotients — the driver oracle replays the same HALF_UP
+    convention, so codes agree bit-for-bit across engines.
     """
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     mx = F.array_max(F.transform(v, lambda x: F.abs(x)))

@@ -31,10 +31,12 @@ Design notes (the 100 TB posture):
   2^bits and span, both < 2^53 for any realistic key domain, so the
   floored quotient is correctly rounded and identical across engines.
 
-Reference relationship: the reference's partition-layout advisor
-(term-etl's layout planner) recommends sort keys for scan locality;
-this module is the multi-column generalization Spark+parquet can
-execute natively.
+Reference relationship: beyond-reference extension — the reference
+(term-guard) has no storage-layout surface.  This is the layout half
+of the LLM-data-pipeline extension layer, following the public
+Z-order/liquid-clustering literature (Morton 1966; the Delta Lake
+OPTIMIZE ZORDER design), executed with nothing but open-source Spark
+and parquet footer statistics.
 """
 
 from __future__ import annotations

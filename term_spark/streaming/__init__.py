@@ -758,7 +758,6 @@ class StreamingQuantileMonitor:
     def foreach_batch(self, batch_df, batch_id: int) -> None:
         if batch_id in self._seen_batches:
             return  # foreachBatch replay — already folded, exactly-once
-        self._seen_batches.add(batch_id)
         from ..analyzers.base import AnalyzerState
         probs = [(j + 0.5) / self.k for j in range(self.k)]
         aggs = []
@@ -779,6 +778,14 @@ class StreamingQuantileMonitor:
                     mn=float(row[f"__mn_{c}"]),
                     mx=float(row[f"__mx_{c}"]),
                     grid=[float(g) for g in row[f"__g_{c}"]]))
+        # Mark the batch folded only AFTER the aggregation ran and the
+        # states landed: if the collect above throws and Spark retries
+        # the batch (same id), the retry must fold it, not skip it —
+        # marking first would silently drop the batch's data and
+        # weaken exactly-once to at-most-once under failure.  The
+        # mutations above are driver-local pure Python, so a retry can
+        # no longer observe a half-folded batch once we reach here.
+        self._seen_batches.add(batch_id)
         for c, (q, lo, hi) in self.bounds.items():
             if c in self._tripped or not self._states[c]:
                 continue

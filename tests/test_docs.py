@@ -21,3 +21,53 @@ def test_every_query_has_an_oracle_or_is_declared_no_oracle():
     from term_spark.queries import NO_ORACLE, ORACLES, QUERIES
     missing = set(QUERIES) - set(ORACLES) - set(NO_ORACLE)
     assert not missing, f"queries without oracle or NO_ORACLE entry: {missing}"
+
+
+def test_reference_citations_resolve():
+    """Provenance linter (round 13): every reference file-path citation in
+    term_spark source must resolve to a real file under /root/reference.
+
+    Round 12 landed two docstrings citing invented reference modules
+    ("term-search/src/bm25.rs", a "term-etl layout planner") — modules
+    that do not exist in the reference tree.  This pin makes a
+    hallucinated citation a test failure: any token that LOOKS like a
+    reference path (``term-<crate>/<path>.<ext>``, optionally with a
+    ``:line`` anchor) must exist on disk, and any mention of a
+    ``term-*`` crate other than the ones actually shipped must not
+    appear at all.
+    """
+    ref_root = "/root/reference"
+    if not os.path.isdir(ref_root):
+        import pytest
+        pytest.skip("reference tree not mounted")
+    shipped_crates = {d for d in os.listdir(ref_root)
+                      if os.path.isdir(os.path.join(ref_root, d))
+                      and d.startswith("term-")}
+
+    pkg = os.path.join(REPO, "term_spark")
+    path_pat = re.compile(r"term-[a-z]+/[A-Za-z0-9_/.-]+\.[a-z]{1,4}")
+    crate_pat = re.compile(r"\bterm-[a-z]+\b")
+    bad_paths, bad_crates = [], []
+    for dirpath, _dirs, files in os.walk(pkg):
+        for fn in files:
+            if not fn.endswith(".py"):
+                continue
+            fp = os.path.join(dirpath, fn)
+            text = open(fp, encoding="utf-8").read()
+            for m in path_pat.finditer(text):
+                cited = m.group(0).rstrip(".")
+                if not os.path.isfile(os.path.join(ref_root, cited)):
+                    bad_paths.append(f"{fp}: {cited}")
+            for line in text.splitlines():
+                # Only lines making a provenance claim — "term-keyed"
+                # style English compounds are not crate citations.
+                if "reference" not in line and "/src/" not in line:
+                    continue
+                for m in crate_pat.finditer(line):
+                    if m.group(0) not in shipped_crates:
+                        bad_crates.append(f"{fp}: {m.group(0)}")
+    assert not bad_paths, (
+        "citations to nonexistent reference files:\n" + "\n".join(bad_paths))
+    assert not bad_crates, (
+        "mentions of reference crates that do not exist:\n"
+        + "\n".join(sorted(set(bad_crates))))

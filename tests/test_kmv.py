@@ -98,3 +98,50 @@ def test_source_overlap_kmv_tracks_exact_report(spark, tpch):
     # pairs absent from the exact report truly estimate (near) zero
     for pair in set(est) - set(exact):
         assert est[pair]["est_jaccard"] <= 0.02
+
+
+def test_kmv_sketch_by_plan_has_partial_group_limit(spark):
+    """Scale pin (round 13): the per-group min-k build must prune to k
+    rows per group BEFORE the shuffle — the Catalyst WindowGroupLimit
+    rule, whose threshold (default 1000) sits BELOW our default
+    k=1024.  kmv_sketch_by raises the threshold to cover k at plan
+    time; this gate fails if a Spark upgrade, conf regression, or a
+    refactor to a rank-unfriendly filter silently reintroduces the
+    unbounded single-sort-per-group plan."""
+    from term_spark.analyzers.kmv import kmv_sketch_by
+    from term_spark.analyzers.kmv_index import DEFAULT_K
+    df = spark.range(5000).selectExpr(
+        "cast(id % 5 as string) as src", "cast(id as string) as val")
+    sk = kmv_sketch_by(df, "src", "val", k=DEFAULT_K)
+    plan = sk._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan
+    assert "Partial" in plan, plan
+
+
+def test_kmv_sketch_by_drops_null_groups(spark):
+    from term_spark.analyzers.kmv import kmv_sketch_by
+    df = spark.createDataFrame(
+        [("a", "x"), (None, "y"), ("b", None), ("a", "z")],
+        "src string, val string")
+    rows = kmv_sketch_by(df, "src", "val", k=8).collect()
+    grps = {r["grp"] for r in rows}
+    assert grps == {"a"}  # NULL group dropped; b's only value is NULL
+    assert len([h for r in rows for h in r["hashes"]]) == 2
+
+
+def test_overlap_from_index_sorts_legacy_null_group(spark, tmp_path):
+    """An index persisted before the NULL-group fix may carry a None
+    key; the probe must order it deterministically, not raise."""
+    from term_spark.analyzers.kmv_index import overlap_from_index
+    import pyspark.sql.functions as F
+    p = str(tmp_path / "kmv_null")
+    spark.createDataFrame([(8, "src", "val")],
+                          "k int, group_col string, column string") \
+        .write.parquet(f"{p}/meta")
+    spark.createDataFrame(
+        [("a", ["0a", "0b"], 1), (None, ["0a", "0c"], 1)],
+        "grp string, hashes array<string>, n_shards bigint") \
+        .write.parquet(f"{p}/sketches")
+    rows = overlap_from_index(spark, p).collect()
+    assert len(rows) == 1
+    assert rows[0]["grp_a"] == "a" and rows[0]["grp_b"] is None

@@ -77,3 +77,12 @@ def test_rrf_plan_is_bounded(spark):
         rrf_fuse({"a": a, "b": b})._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_rrf_rejects_unknown_weight_keys(spark):
+    import pytest
+    from term_spark.operators.retrieval import rrf_fuse
+    df = spark.createDataFrame([(1, "d1", 1)],
+                               "query_id int, doc_id string, rank int")
+    with pytest.raises(ValueError, match="unknown rankings"):
+        rrf_fuse({"bm25": df}, weights={"bm52": 2.0})

@@ -254,3 +254,29 @@ def test_streaming_quantile_monitor_validates_inputs(spark):
         StreamingQuantileMonitor(["a"], bounds={"b": (0.5, 0, 1)})
     with pytest.raises(ValueError, match="bounds"):
         StreamingQuantileMonitor(["a"], bounds={"a": (1.5, 0, 1)})
+
+
+def test_quantile_monitor_failed_batch_retry_is_folded(spark):
+    """Exactly-once under failure (round-13 fix): a batch whose fold
+    THROWS must not be marked seen — Spark's retry (same batch_id)
+    must fold it, while a retry of a SUCCESSFUL batch stays a no-op."""
+    from term_spark.streaming import StreamingQuantileMonitor
+    monitor = StreamingQuantileMonitor(["v"], k=16)
+    good = spark.createDataFrame([(float(i),) for i in range(10)],
+                                 "v double")
+
+    class _Boom(Exception):
+        pass
+
+    class _FailingDF:
+        def agg(self, *a, **k):
+            raise _Boom()
+
+    import pytest
+    with pytest.raises(_Boom):
+        monitor.foreach_batch(_FailingDF(), 0)
+    assert monitor.n_rows == 0
+    monitor.foreach_batch(good, 0)        # retry of the failed batch
+    assert monitor.n_rows == 10
+    monitor.foreach_batch(good, 0)        # replay of a folded batch
+    assert monitor.n_rows == 10
