@@ -196,7 +196,8 @@ def _measure_query(spark, fn, sf_dir: str, samples: int = 2) -> float:
 
 def _bench_index_lifecycles(spark, sf_dir: str, ivf_centroids: int = 16,
                             which: tuple = ("minhash", "substring",
-                                            "ivf", "hll")) -> dict:
+                                            "ivf", "hll", "kmv",
+                                            "hybrid")) -> dict:
     """Separate BUILD vs PROBE timings for the persisted indexes
     (round-11 ask #5: `incremental_neardup_docs` bench readings
     conflated writing the index — parquet x3 — with probing it, and
@@ -205,9 +206,13 @@ def _bench_index_lifecycles(spark, sf_dir: str, ivf_centroids: int = 16,
 
     Build is timed once — it is the one-time ingestion cost, a write.
     Probe is warm + best-of-2 — the steady-state serving number.
-    Returns {minhash_index_build, minhash_index_probe,
-    substring_index_build, substring_index_probe, ivf_index_build,
-    ivf_index_probe}.
+    Round 13 adds the KMV overlap tier (ask #4: its registry row
+    benches the exact-replay ATTESTATION lifecycle, which buried the
+    ~0.1 s-class serving number) and the probe-vs-fuse split of
+    index-backed hybrid retrieval (ask #5).
+    Returns {<tier>_index_build, <tier>_index_probe, ...} plus
+    {bm25_index_build, hybrid_bm25_probe, hybrid_ann_probe,
+    hybrid_fuse}.
     """
     import shutil
     import tempfile
@@ -222,7 +227,7 @@ def _bench_index_lifecycles(spark, sf_dir: str, ivf_centroids: int = 16,
     out = {}
     tmp = tempfile.mkdtemp(prefix="term_spark_bench_idx_")
     try:
-        if {"minhash", "substring", "hll"} & set(which):
+        if {"minhash", "substring", "hll", "kmv", "hybrid"} & set(which):
             docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
             corpus = docs.filter(F.col("doc_id") % 4 != 0)
             batch = docs.filter(F.col("doc_id") % 4 == 0)
@@ -262,21 +267,77 @@ def _bench_index_lifecycles(spark, sf_dir: str, ivf_centroids: int = 16,
             out["hll_index_probe"] = round(min(
                 _timed(hprobe) for _ in range(2)), 4)
 
-        if "ivf" not in which:
-            return out
-        emb = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
-        t0 = time.perf_counter()
-        S.build_ivf_index(emb, f"{tmp}/ivf", n_centroids=ivf_centroids)
-        out["ivf_index_build"] = round(time.perf_counter() - t0, 4)
-        queries = (emb.limit(64)
-                   .select(F.col("vec_id").alias("query_id"),
-                           F.col("embedding").alias("query_vec"))
-                   .localCheckpoint())
-        iprobe = lambda: S.ivf_topk_from_index(  # noqa: E731
-            spark, f"{tmp}/ivf", queries, k=5, nprobe=4).collect()
-        iprobe()
-        out["ivf_index_probe"] = round(min(
-            _timed(iprobe) for _ in range(2)), 4)
+        if "kmv" in which:
+            from term_spark.analyzers.kmv_index import (build_kmv_index,
+                                                        overlap_from_index)
+            sh = lambda d: d.select(  # noqa: E731
+                "source",
+                F.explode(T.word_shingles_from(T.norm_tokens("text"), 8))
+                .alias("shingle"))
+            t0 = time.perf_counter()
+            build_kmv_index(sh(corpus), "source", "shingle",
+                            f"{tmp}/kmv", k=4096)
+            build_kmv_index(sh(batch), "source", "shingle",
+                            f"{tmp}/kmv", k=4096, mode="append")
+            out["kmv_index_build"] = round(time.perf_counter() - t0, 4)
+            kprobe = lambda: overlap_from_index(  # noqa: E731
+                spark, f"{tmp}/kmv").collect()
+            kprobe()
+            out["kmv_index_probe"] = round(min(
+                _timed(kprobe) for _ in range(2)), 4)
+
+        if "ivf" in which:
+            emb = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
+            t0 = time.perf_counter()
+            S.build_ivf_index(emb, f"{tmp}/ivf", n_centroids=ivf_centroids)
+            out["ivf_index_build"] = round(time.perf_counter() - t0, 4)
+            queries = (emb.limit(64)
+                       .select(F.col("vec_id").alias("query_id"),
+                               F.col("embedding").alias("query_vec"))
+                       .localCheckpoint())
+            iprobe = lambda: S.ivf_topk_from_index(  # noqa: E731
+                spark, f"{tmp}/ivf", queries, k=5, nprobe=4).collect()
+            iprobe()
+            out["ivf_index_probe"] = round(min(
+                _timed(iprobe) for _ in range(2)), 4)
+
+        if "hybrid" in which and "ivf" in which:
+            # probe-vs-fuse split for index-backed hybrid retrieval:
+            # each stage timed alone, fusion over localCheckpointed
+            # bounded top-N tables so its number contains NO probe work
+            from term_spark.operators.retrieval import rrf_fuse
+            from term_spark.queries_llm import _BM25_PROBES
+            probes = spark.createDataFrame(
+                _BM25_PROBES, "query_id long, query string")
+            t0 = time.perf_counter()
+            T.build_bm25_index(docs, f"{tmp}/bm25")
+            out["bm25_index_build"] = round(time.perf_counter() - t0, 4)
+            qv = (emb.filter(F.col("vec_id") < 3)
+                  .select(F.col("vec_id").alias("query_id"),
+                          F.col("embedding").alias("query_vec"))
+                  .localCheckpoint())
+            bprobe = lambda: T.bm25_topk_from_index(  # noqa: E731
+                spark, f"{tmp}/bm25", probes, k=20).collect()
+            bprobe()
+            out["hybrid_bm25_probe"] = round(min(
+                _timed(bprobe) for _ in range(2)), 4)
+            aprobe = lambda: S.ivf_topk_from_index(  # noqa: E731
+                spark, f"{tmp}/ivf", qv, k=20, nprobe=4).collect()
+            aprobe()
+            out["hybrid_ann_probe"] = round(min(
+                _timed(aprobe) for _ in range(2)), 4)
+            bm_ck = T.bm25_topk_from_index(
+                spark, f"{tmp}/bm25", probes, k=20) \
+                .select("query_id", "doc_id", "rank").localCheckpoint()
+            ann_ck = S.ivf_topk_from_index(
+                spark, f"{tmp}/ivf", qv, k=20, nprobe=4) \
+                .select("query_id", F.col("nbr_id").alias("doc_id"),
+                        "rank").localCheckpoint()
+            fuse = lambda: rrf_fuse(  # noqa: E731
+                {"bm25": bm_ck, "cosine": ann_ck}, k=10).collect()
+            fuse()
+            out["hybrid_fuse"] = round(min(
+                _timed(fuse) for _ in range(2)), 4)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
@@ -344,15 +405,71 @@ def sf10_fresh_main() -> None:
                  "event_transitions_events", "asof_click_error"):
         out[name] = round(
             _measure_query(spark, QUERIES[name], sf10_dir, samples=2), 4)
+    # round-13 (verdict ask #8): the decorrelated Q21/Q22 at the third
+    # decade — Q21 is exactly the plan whose value shows at scale (the
+    # textbook form runs two 60M-row lineitem self-joins; ours is one
+    # grouped pass on the fact key)
+    for name in ("waiting_suppliers", "global_sales_opportunity"):
+        out[name] = round(
+            _measure_query(spark, QUERIES[name], sf10_dir, samples=2), 4)
+    # round-13 (verdict ask #6): Z-order at a file population that
+    # matters — 64 files over the 15M-row orders table, then the
+    # measured overlap of a 25% box on the NON-LEAD dimension (the
+    # predicate a linear sort cannot prune: every file would overlap)
+    import shutil
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from term_spark.plans.layout import file_pruning_stats, write_zordered
+    ztmp = tempfile.mkdtemp(prefix="term_spark_bench_z_")
+    try:
+        orders = read_parquet(spark, f"{sf10_dir}/orders.parquet")
+        t0 = time.perf_counter()
+        spans = write_zordered(
+            orders.select("o_orderkey", "o_custkey", "o_totalprice"),
+            f"{ztmp}/z", ["o_custkey", "o_totalprice"], n_files=64)
+        out["zorder_write_orders"] = round(time.perf_counter() - t0, 4)
+        stats = file_pruning_stats(
+            spark, f"{ztmp}/z", ["o_custkey", "o_totalprice"]).collect()
+        lo, hi = spans[1]
+        q1 = lo + 0.25 * (hi - lo)
+        out["zorder_files_total"] = len(stats)
+        out["zorder_overlap_25pct_box"] = sum(
+            1 for r in stats
+            if not (r["max_o_totalprice"] < lo or r["min_o_totalprice"] > q1))
+        # round-13 (ask #6, second half): SQ8 serving — the int8
+        # codes-table scan + exact re-rank vs the raw-vector scan,
+        # both from parquet (the serving I/O shape, not cached frames)
+        from term_spark.operators.similarity import (cosine_topk,
+                                                     sq8_quantize,
+                                                     sq8_topk_refined)
+        emb = read_parquet(spark, f"{sf10_dir}/embeddings.parquet")
+        sq8_quantize(emb).write.parquet(f"{ztmp}/codes")
+        codes = spark.read.parquet(f"{ztmp}/codes")
+        qv = (emb.limit(16)
+              .select(F.col("vec_id").alias("query_id"),
+                      F.col("embedding").alias("query_vec"))
+              .localCheckpoint())
+        sqp = lambda: sq8_topk_refined(  # noqa: E731
+            emb, codes, qv, k=5).collect()
+        sqp()
+        out["sq8_refined_topk"] = round(min(_timed(sqp) for _ in range(2)), 4)
+        rawp = lambda: cosine_topk(emb, qv, k=5).collect()  # noqa: E731
+        rawp()
+        out["cosine_raw_topk"] = round(min(_timed(rawp) for _ in range(2)), 4)
+    finally:
+        shutil.rmtree(ztmp, ignore_errors=True)
     meta_path = os.path.join(sf10_dir, "_meta.json")
     if os.path.exists(meta_path):
         with open(meta_path) as fh:
             out["corpus_meta"] = json.load(fh)
-    # one ANN serving point at sf10 (200k vectors): persisted-IVF
-    # build once + steady-state probe, split (ask #5); the doc-index
-    # lifecycles run at sf0.1 where their registry row is benched
+    # ANN + overlap serving points at sf10: persisted-IVF and
+    # persisted-KMV build once + steady-state probe, split (asks #5,
+    # #4); the other doc-index lifecycles run at sf0.1 where their
+    # registry rows are benched
     out.update(_bench_index_lifecycles(spark, sf10_dir, ivf_centroids=32,
-                                       which=("ivf",)))
+                                       which=("ivf", "kmv")))
     out["load_at_end"] = _load_stamp()
     print(json.dumps(out))
 
@@ -520,6 +637,15 @@ def main() -> None:
         "incremental_quantile_docs", "incremental_overlap_docs",
         "drift_psi_timeline_events", "sq8_recall_embeddings",
         "waiting_suppliers", "global_sales_opportunity",
+        # round-13: the remaining partsupp-free TPC-H analogues, the
+        # Benford first-digit screen, and the index-backed hybrid
+        # retrieval lifecycle (its probe-vs-fuse split is measured in
+        # _bench_index_lifecycles)
+        "forecast_revenue_change", "volume_shipping",
+        "national_market_share", "product_profit_by_nation",
+        "customer_order_distribution", "promo_revenue",
+        "top_supplier_revenue", "discounted_revenue_brands",
+        "benford_totalprice", "hybrid_rrf_from_index_docs",
     ]
     sections["sf01_queries_start"] = _load_stamp()
     for name in bench_queries:

@@ -3291,6 +3291,428 @@ ORACLES.update({
 })
 
 
+# ---------------------------------------------------------------------------
+# round 13: the remaining partsupp-free TPC-H analogues (Q6/Q7/Q8/Q9/
+# Q13/Q14/Q15/Q19) — closing the suite over the tables the testdata
+# ships (Q2/Q11/Q16/Q20 need partsupp, which the generator does not
+# emit; see COVERAGE.md).  Shared conventions: money sums go through
+# DECIMAL(25,4) so addition is order-free and engine-exact, outputs
+# round to 6, every query ends in a total order.
+# ---------------------------------------------------------------------------
+
+def q_forecast_revenue_change(spark, sf_dir) -> DataFrame:
+    """TPC-H Q6 analogue: revenue a blanket discount-policy change
+    would have freed — one filter + one scalar aggregate, the query
+    whose ENTIRE cost is the scan.  All three predicates sit in
+    PushedFilters at the parquet scan and only three columns are read;
+    on a 100 TB lineitem this is min/max row-group pruning on
+    l_shipdate plus a map-only partial sum — no shuffle wider than one
+    row per task."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    y0 = F.lit("1996-01-01").cast("timestamp")
+    y1 = F.lit("1997-01-01").cast("timestamp")
+    return (li.filter((F.col("l_shipdate") >= y0) & (F.col("l_shipdate") < y1)
+                      & (F.col("l_discount") >= 0.05)
+                      & (F.col("l_discount") <= 0.07)
+                      & (F.col("l_quantity") < 24))
+              .agg(r6(F.sum((F.col("l_extendedprice") * F.col("l_discount"))
+                            .cast("decimal(25,4)")).cast("double"))
+                   .alias("revenue"),
+                   F.count(F.lit(1)).alias("n_items")))
+
+
+SQL_FORECAST_REVENUE_CHANGE = """
+SELECT ROUND(CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(25,4)))
+             AS DOUBLE), 6) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+def q_volume_shipping(spark, sf_dir) -> DataFrame:
+    """TPC-H Q7 analogue: bilateral shipping revenue between two
+    nations by ship year.  Spark-first shape: each nation filter lands
+    on its OWN dimension branch before any fact join (supplier and
+    customer each shrink to ~1/25 and then ~2 names), nation
+    broadcasts explicitly (25 rows), the supplier/customer joins stay
+    unhinted (auto-broadcast at any realistic SF, AQE shuffle
+    fallback), and the pair predicate is applied on the two already-
+    joined name columns — lineitem is touched exactly once."""
+    li, o, c, s, n = _t(spark, sf_dir, "lineitem", "orders", "customer",
+                        "supplier", "nation")
+    n1, n2 = "NATION_11", "NATION_20"
+    y0 = F.lit("1995-01-01").cast("timestamp")
+    y1 = F.lit("1997-01-01").cast("timestamp")
+    sn = (s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+           .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+           .filter(F.col("supp_nation").isin(n1, n2)))
+    cn = (c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+           .select("c_custkey", F.col("n_name").alias("cust_nation"))
+           .filter(F.col("cust_nation").isin(n1, n2)))
+    j = (li.filter((F.col("l_shipdate") >= y0) & (F.col("l_shipdate") < y1))
+           .join(o.select("o_orderkey", "o_custkey"),
+                 li["l_orderkey"] == F.col("o_orderkey"))
+           .join(cn, F.col("o_custkey") == F.col("c_custkey"))
+           .join(sn, li["l_suppkey"] == F.col("s_suppkey"))
+           .filter(((F.col("supp_nation") == n1)
+                    & (F.col("cust_nation") == n2))
+                   | ((F.col("supp_nation") == n2)
+                      & (F.col("cust_nation") == n1))))
+    return (j.groupBy("supp_nation", "cust_nation",
+                      F.year("l_shipdate").alias("l_year"))
+             .agg(r6(F.sum((F.col("l_extendedprice")
+                            * (F.lit(1.0) - F.col("l_discount")))
+                           .cast("decimal(25,4)")).cast("double"))
+                  .alias("revenue"))
+             .orderBy("supp_nation", "cust_nation", "l_year"))
+
+
+SQL_VOLUME_SHIPPING = """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       EXTRACT(YEAR FROM l_shipdate) AS l_year,
+       ROUND(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                           AS DECIMAL(25,4))) AS DOUBLE), 6) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND ((sn.n_name = 'NATION_11' AND cn.n_name = 'NATION_20')
+       OR (sn.n_name = 'NATION_20' AND cn.n_name = 'NATION_11'))
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
+def q_national_market_share(spark, sf_dir) -> DataFrame:
+    """TPC-H Q8 analogue: NATION_5's share of ECONOMY-part revenue
+    sold into ASIA-region customers, by order year.  The share is
+    num/den of two DECIMAL-exact sums computed in ONE grouped pass
+    (a conditional sum, not a second scan); part is filtered to one
+    type before joining so the fact join is against the pruned key
+    set; nation/region broadcast explicitly."""
+    li, o, c, s, n, r, p = _t(spark, sf_dir, "lineitem", "orders",
+                              "customer", "supplier", "nation", "region",
+                              "part")
+    y0 = F.lit("1995-01-01").cast("timestamp")
+    y1 = F.lit("1997-01-01").cast("timestamp")
+    pk = p.filter(F.col("p_type") == "ECONOMY").select("p_partkey")
+    cust_region = (c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+                    .join(F.broadcast(r.filter(F.col("r_name") == "ASIA")),
+                          F.col("n_regionkey") == F.col("r_regionkey"))
+                    .select("c_custkey"))
+    supp_nation = (s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+                    .select("s_suppkey", F.col("n_name").alias("supp_nation")))
+    vol = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))) \
+        .cast("decimal(25,4)")
+    j = (li.join(pk, li["l_partkey"] == F.col("p_partkey"))
+           .join(o.filter((F.col("o_orderdate") >= y0)
+                          & (F.col("o_orderdate") < y1))
+                  .select("o_orderkey", "o_custkey", "o_orderdate"),
+                 li["l_orderkey"] == F.col("o_orderkey"))
+           .join(cust_region, F.col("o_custkey") == F.col("c_custkey"))
+           .join(supp_nation, li["l_suppkey"] == F.col("s_suppkey")))
+    g = (j.groupBy(F.year("o_orderdate").alias("o_year"))
+          .agg(F.sum(F.when(F.col("supp_nation") == "NATION_5", vol)
+                     .otherwise(F.lit(0).cast("decimal(25,4)")))
+               .cast("double").alias("__num"),
+               F.sum(vol).cast("double").alias("__den")))
+    return (g.select("o_year",
+                     r6(F.col("__num") / F.col("__den")).alias("mkt_share"))
+             .orderBy("o_year"))
+
+
+SQL_NATIONAL_MARKET_SHARE = """
+WITH j AS (
+    SELECT EXTRACT(YEAR FROM o_orderdate) AS o_year,
+           CAST(l_extendedprice * (1.0 - l_discount)
+                AS DECIMAL(25,4)) AS vol,
+           sn.n_name AS supp_nation
+    FROM lineitem
+    JOIN part     ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    JOIN region   ON cn.n_regionkey = r_regionkey AND r_name = 'ASIA'
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+)
+SELECT o_year,
+       ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_5' THEN vol
+                           ELSE CAST(0 AS DECIMAL(25,4)) END) AS DOUBLE)
+             / CAST(SUM(vol) AS DOUBLE), 6) AS mkt_share
+FROM j GROUP BY o_year ORDER BY o_year
+"""
+
+
+def q_product_profit_by_nation(spark, sf_dir) -> DataFrame:
+    """TPC-H Q9 analogue: per (supplier nation, order year) revenue on
+    parts whose name contains 'widget' (the trimmed schema has no
+    partsupp, so profit is proxied by discounted revenue — the join
+    topology, which is what Q9 exercises, is unchanged).  The p_name
+    LIKE filter prunes part BEFORE the fact join; nation broadcasts;
+    the single wide shuffle is the final (nation, year) aggregate."""
+    li, o, s, n, p = _t(spark, sf_dir, "lineitem", "orders", "supplier",
+                        "nation", "part")
+    pk = p.filter(F.col("p_name").contains("widget")).select("p_partkey")
+    sn = (s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+           .select("s_suppkey", F.col("n_name").alias("nation")))
+    j = (li.join(pk, li["l_partkey"] == F.col("p_partkey"))
+           .join(o.select("o_orderkey", "o_orderdate"),
+                 li["l_orderkey"] == F.col("o_orderkey"))
+           .join(sn, li["l_suppkey"] == F.col("s_suppkey")))
+    return (j.groupBy("nation", F.year("o_orderdate").alias("o_year"))
+             .agg(r6(F.sum((F.col("l_extendedprice")
+                            * (F.lit(1.0) - F.col("l_discount")))
+                           .cast("decimal(25,4)")).cast("double"))
+                  .alias("sum_profit"))
+             .orderBy("nation", F.desc("o_year")))
+
+
+SQL_PRODUCT_PROFIT_BY_NATION = """
+SELECT n_name AS nation, EXTRACT(YEAR FROM o_orderdate) AS o_year,
+       ROUND(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                           AS DECIMAL(25,4))) AS DOUBLE), 6) AS sum_profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey AND p_name LIKE '%widget%'
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+GROUP BY 1, 2 ORDER BY nation, o_year DESC
+"""
+
+
+def q_customer_order_distribution(spark, sf_dir) -> DataFrame:
+    """TPC-H Q13 analogue: the distribution of per-customer order
+    counts INCLUDING never-ordered customers (the left join is the
+    point — an inner join silently drops the zero bucket, the most
+    interesting row), excluding urgent orders via a JOIN-time
+    predicate (a WHERE would turn the left join inner).  Two
+    aggregations: per-customer count on the join key, then the
+    bounded count-of-counts."""
+    c, o = _t(spark, sf_dir, "customer", "orders")
+    per_cust = (c.select("c_custkey")
+                 .join(o.filter(F.col("o_orderpriority") != "1-URGENT")
+                        .select("o_custkey", "o_orderkey"),
+                       F.col("c_custkey") == F.col("o_custkey"), "left")
+                 .groupBy("c_custkey")
+                 .agg(F.count("o_orderkey").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+            .agg(F.count(F.lit(1)).alias("custdist"))
+            .orderBy(F.desc("custdist"), F.desc("c_count")))
+
+
+SQL_CUSTOMER_ORDER_DISTRIBUTION = """
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (
+    SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+    FROM customer LEFT JOIN orders
+      ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+    GROUP BY c_custkey
+) GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q_promo_revenue(spark, sf_dir) -> DataFrame:
+    """TPC-H Q14 analogue: the PROMO share of one ship-month's revenue
+    as a percentage.  One fact scan with the month filter pushed down,
+    one part join (unhinted — auto-broadcast until part outgrows the
+    threshold), numerator and denominator in the SAME single-row
+    aggregate via a conditional sum."""
+    li, p = _t(spark, sf_dir, "lineitem", "part")
+    m0 = F.lit("1996-03-01").cast("timestamp")
+    m1 = F.lit("1996-04-01").cast("timestamp")
+    vol = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))) \
+        .cast("decimal(25,4)")
+    j = (li.filter((F.col("l_shipdate") >= m0) & (F.col("l_shipdate") < m1))
+           .join(p.select("p_partkey", "p_type"),
+                 li["l_partkey"] == F.col("p_partkey")))
+    g = j.agg(F.sum(F.when(F.col("p_type") == "PROMO", vol)
+                    .otherwise(F.lit(0).cast("decimal(25,4)")))
+              .cast("double").alias("__num"),
+              F.sum(vol).cast("double").alias("__den"))
+    return g.select(
+        r6(F.lit(100.0) * F.col("__num") / F.col("__den"))
+        .alias("promo_revenue_pct"))
+
+
+SQL_PROMO_REVENUE = """
+SELECT ROUND(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                   THEN CAST(l_extendedprice * (1.0 - l_discount)
+                             AS DECIMAL(25,4))
+                   ELSE CAST(0 AS DECIMAL(25,4)) END) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                             AS DECIMAL(25,4))) AS DOUBLE), 6)
+       AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+  AND l_shipdate <  TIMESTAMP '1996-04-01'
+"""
+
+
+def q_top_supplier_revenue(spark, sf_dir) -> DataFrame:
+    """TPC-H Q15 analogue: the supplier(s) whose one-quarter revenue
+    equals the maximum (the classic view + scalar-max query).  The
+    per-supplier revenue aggregates once; the scalar max is a 1-row
+    aggregate broadcast back as a cross join — no correlated
+    re-evaluation, no second fact scan (localCheckpoint pins the
+    aggregate so max and filter read the SAME computed table).
+    Equality on the DECIMAL-exact sums is engine-portable because
+    both sides are the same exact value, not a float accumulation."""
+    li, s = _t(spark, sf_dir, "lineitem", "supplier")
+    q0 = F.lit("1996-01-01").cast("timestamp")
+    q1 = F.lit("1996-04-01").cast("timestamp")
+    rev = (li.filter((F.col("l_shipdate") >= q0) & (F.col("l_shipdate") < q1))
+             .groupBy("l_suppkey")
+             .agg(F.sum((F.col("l_extendedprice")
+                         * (F.lit(1.0) - F.col("l_discount")))
+                        .cast("decimal(25,4)")).cast("double")
+                  .alias("total_revenue"))).localCheckpoint(eager=False)
+    mx = rev.agg(F.max("total_revenue").alias("__mx"))
+    return (rev.crossJoin(F.broadcast(mx))
+               .filter(F.col("total_revenue") == F.col("__mx"))
+               .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+               .select(F.col("s_suppkey").alias("suppkey"),
+                       F.col("s_name").alias("supp_name"),
+                       r6(F.col("total_revenue")).alias("total_revenue"))
+               .orderBy("suppkey"))
+
+
+SQL_TOP_SUPPLIER_REVENUE = """
+WITH rev AS (
+    SELECT l_suppkey,
+           CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                         AS DECIMAL(25,4))) AS DOUBLE) AS total_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1996-04-01'
+    GROUP BY l_suppkey
+)
+SELECT s_suppkey AS suppkey, s_name AS supp_name,
+       ROUND(total_revenue, 6) AS total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+ORDER BY suppkey
+"""
+
+
+def q_discounted_revenue_brands(spark, sf_dir) -> DataFrame:
+    """TPC-H Q19 analogue: revenue under three disjunctive
+    (brand, size-range, quantity-range) windows — the query that
+    tests OR-of-ANDs predicate handling.  Spark evaluates the
+    disjunction AFTER the single part join (part pre-pruned to the
+    union of the three brand/size boxes, so the join key set is
+    small); nothing scans twice and no union of three plans is
+    needed."""
+    li, p = _t(spark, sf_dir, "lineitem", "part")
+    pp = (p.filter(((F.col("p_brand") == "Brand#1")
+                    & F.col("p_size").between(1, 10))
+                   | ((F.col("p_brand") == "Brand#2")
+                      & F.col("p_size").between(1, 20))
+                   | ((F.col("p_brand") == "Brand#3")
+                      & F.col("p_size").between(1, 30)))
+            .select("p_partkey", "p_brand"))
+    j = (li.join(pp, li["l_partkey"] == F.col("p_partkey"))
+           .filter(((F.col("p_brand") == "Brand#1")
+                    & F.col("l_quantity").between(1, 15))
+                   | ((F.col("p_brand") == "Brand#2")
+                      & F.col("l_quantity").between(10, 25))
+                   | ((F.col("p_brand") == "Brand#3")
+                      & F.col("l_quantity").between(20, 35))))
+    return j.agg(
+        r6(F.sum((F.col("l_extendedprice")
+                  * (F.lit(1.0) - F.col("l_discount")))
+                 .cast("decimal(25,4)")).cast("double")).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"))
+
+
+SQL_DISCOUNTED_REVENUE_BRANDS = """
+SELECT ROUND(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                           AS DECIMAL(25,4))) AS DOUBLE), 6) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 1 AND 15)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20
+       AND l_quantity BETWEEN 10 AND 25)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30
+       AND l_quantity BETWEEN 20 AND 35)
+"""
+
+
+def q_benford_totalprice(spark, sf_dir) -> DataFrame:
+    """Benford first-digit conformance of o_totalprice (round 13 —
+    operators/drift.py benford_deviation): per leading digit the
+    count, observed share, the Benford expectation log10(1 + 1/d)
+    (shared LITERALS, not per-engine log10), the absolute deviation,
+    and the 3σ binomial band verdict.  The digit comes from the
+    DECIMAL(18,2) string rendering — exact across engines where
+    floor(log10(x)) risks an off-by-one ulp at powers of ten."""
+    from .operators.drift import benford_deviation
+    (o,) = _t(spark, sf_dir, "orders")
+    return benford_deviation(o, "o_totalprice")
+
+
+def _benford_oracle_sql() -> str:
+    from .operators.drift import BENFORD_EXPECTED
+    cases = " ".join(
+        f"WHEN '{d}' THEN {p!r}" for d, p in sorted(BENFORD_EXPECTED.items()))
+    return f"""
+WITH base AS (
+    SELECT substr(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+                  1, 1) AS digit
+    FROM orders WHERE o_totalprice IS NOT NULL AND o_totalprice >= 1.0
+), counts AS (
+    SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM base GROUP BY digit
+), tot AS (SELECT COUNT(*) AS total FROM base)
+SELECT digit, n,
+       ROUND(n / CAST(total AS DOUBLE), 6) AS observed,
+       ROUND(exp, 6) AS expected,
+       ROUND(ABS(n / CAST(total AS DOUBLE) - exp), 6) AS abs_dev,
+       ABS(n / CAST(total AS DOUBLE) - exp)
+           <= 3.0 * SQRT(exp * (1.0 - exp) / total) AS within_band
+FROM (SELECT digit, n, total,
+             CASE digit {cases} END AS exp
+      FROM counts CROSS JOIN tot)
+ORDER BY digit
+"""
+
+
+SQL_BENFORD_TOTALPRICE = _benford_oracle_sql()
+
+
+QUERIES.update({
+    "forecast_revenue_change": q_forecast_revenue_change,
+    "volume_shipping": q_volume_shipping,
+    "national_market_share": q_national_market_share,
+    "product_profit_by_nation": q_product_profit_by_nation,
+    "customer_order_distribution": q_customer_order_distribution,
+    "promo_revenue": q_promo_revenue,
+    "top_supplier_revenue": q_top_supplier_revenue,
+    "discounted_revenue_brands": q_discounted_revenue_brands,
+    "benford_totalprice": q_benford_totalprice,
+})
+ORACLES.update({
+    "forecast_revenue_change": SQL_FORECAST_REVENUE_CHANGE,
+    "volume_shipping": SQL_VOLUME_SHIPPING,
+    "national_market_share": SQL_NATIONAL_MARKET_SHARE,
+    "product_profit_by_nation": SQL_PRODUCT_PROFIT_BY_NATION,
+    "customer_order_distribution": SQL_CUSTOMER_ORDER_DISTRIBUTION,
+    "promo_revenue": SQL_PROMO_REVENUE,
+    "top_supplier_revenue": SQL_TOP_SUPPLIER_REVENUE,
+    "discounted_revenue_brands": SQL_DISCOUNTED_REVENUE_BRANDS,
+    "benford_totalprice": SQL_BENFORD_TOTALPRICE,
+})
+
+
 #: Queries with no DuckDB oracle by design (the driver can only ever
 #: record a weaker rows-only row for them); they never take a window
 #: slot from an oracle-checkable query.  Empty since round 9:
@@ -3452,6 +3874,16 @@ FAMILY = {
     "quantile_by_source_docs": "quantile_sketch",
     "incremental_overlap_docs": "source_overlap",
     "drift_psi_timeline_events": "drift",
+    "forecast_revenue_change": "tpch_suite",
+    "volume_shipping": "tpch_suite",
+    "national_market_share": "tpch_suite",
+    "product_profit_by_nation": "tpch_suite",
+    "customer_order_distribution": "tpch_suite",
+    "promo_revenue": "tpch_suite",
+    "top_supplier_revenue": "tpch_suite",
+    "discounted_revenue_brands": "tpch_suite",
+    "benford_totalprice": "drift",
+    "hybrid_rrf_from_index_docs": "retrieval",
 }
 
 # BEGIN GENERATED ROTATION DATA (scripts/update_rotation.py)
@@ -3460,108 +3892,98 @@ FAMILY = {
 #: None = never driver-proven.  Source artifacts: r01, r02, r03, r04, r05, r06, r07, r08, r09, r10, r11, r12.
 CURRENT_ROUND = 13
 LAST_GREEN = {
-    "drift_psi_timeline_events": 12,
-    "global_sales_opportunity": 12,
-    "hybrid_rrf_docs": 12,
-    "incremental_overlap_docs": 12,
-    "incremental_quantile_docs": 12,
-    "knn_label_agreement_lsh_embeddings": 12,
-    "quantile_by_source_docs": 12,
-    "sq8_recall_embeddings": 12,
-    "waiting_suppliers": 12,
-    "zorder_key_orders": 12,
-    "distinctness_orders": 12,
-    "dominant_value_orderstatus": 12,
-    "drift_chi2_returnflag": 12,
-    "drift_js_quantity": 12,
-    "drift_ks_quantity": 12,
-    "drift_psi_by_returnflag": 12,
-    "drift_psi_quantity": 12,
-    "entropy_returnflag": 12,
-    "fk_orders_customer": 12,
-    "format_orderpriority": 12,
-    "grouped_completeness_events": 12,
-    "histogram_returnflag": 12,
-    "join_coverage_lineitem_orders": 12,
-    "length_customer_name": 12,
-    "line_dedup_summary_docs": 12,
-    "max_time_gap_events": 12,
-    "median_by_returnflag": 12,
-    "minhash_lsh_candidates": 12,
-    "mutual_information_lineitem": 12,
-    "ngram_jaccard_pairs": 12,
-    "outlier_mad_acctbal": 12,
-    "packing_stats_docs": 12,
-    "paragraph_dedup_summary_docs": 12,
-    "pivot_returnflag_linestatus": 12,
-    "pricing_summary": 12,
-    "profile_customer": 12,
-    "quality_model_docs": 12,
-    "quantile_exact_quantity": 12,
-    "range_join_events": 12,
-    "regional_supplier_volume": 12,
-    "returned_item_customers": 12,
-    "rolling_daily_events": 12,
-    "rollup_pricing": 12,
-    "semantic_dedup_embeddings": 12,
-    "sessionize_events": 12,
-    "shipping_priority_orders": 12,
+    "benford_totalprice": None,
+    "customer_order_distribution": None,
+    "discounted_revenue_brands": None,
+    "forecast_revenue_change": None,
+    "hybrid_rrf_from_index_docs": None,
+    "national_market_share": None,
+    "product_profit_by_nation": None,
+    "promo_revenue": None,
+    "top_supplier_revenue": None,
+    "volume_shipping": None,
+    "top3_customers_per_segment": 9,
+    "asof_click_error": 10,
+    "bigram_surprisal_docs": 10,
+    "bm25_topk_docs": 10,
+    "brand_profile_part": 10,
+    "business_hours_events": 10,
+    "cdc_dedup_docs": 10,
+    "chunk_documents_docs": 10,
+    "containment_orderstatus": 10,
+    "corpus_profile_by_lang": 10,
+    "corr_matrix_lineitem": 10,
+    "dataset_diff_orders": 10,
+    "date_range_orders": 10,
+    "decontaminate_docs": 10,
+    "decontamination_report_docs": 10,
+    "dedup_pipeline_docs": 10,
+    "doc_length_buckets": 10,
+    "drift_w1_quantity": 10,
+    "dsir_weights_docs": 10,
+    "embedding_centroid_drift": 10,
+    "embedding_neardup_pairs": 10,
+    "fd_custkey_orderstatus": 10,
+    "fingerprint_docs": 10,
+    "fk_violation_examples": 10,
+    "frequent_terms_docs": 10,
+    "gopher_rules_docs": 10,
+    "grouped_stats_mktsegment": 10,
+    "incremental_neardup_docs": 10,
+    "interval_join_events": 10,
+    "ivf_index_recall_embeddings": 10,
+    "ivfpq_recall_embeddings": 10,
+    "jaccard_prefix_pairs_docs": 10,
+    "join_cardinality_orders_lineitem": 10,
+    "key_skew_custkey": 10,
+    "lang_id": 10,
+    "lexical_diversity_docs": 10,
+    "lsh_neardup_recall_embeddings": 10,
+    "mg_heavy_hitters_docs": 10,
+    "minhash_oph_candidates_docs": 10,
+    "neardup_components": 10,
     "size_lineitem": 12,
-    "stats_quantity": 12,
-    "text_cleaning_docs": 12,
-    "token_budget_sample_docs": 12,
     "completeness_customer": 11,
+    "stats_quantity": 12,
+    "distinctness_orders": 12,
     "unique_value_ratio_custkey": 10,
     "compliance_discount": 11,
-    "containment_orderstatus": 10,
+    "format_orderpriority": 12,
+    "length_customer_name": 12,
     "datatype_detection": 11,
+    "histogram_returnflag": 12,
+    "entropy_returnflag": 12,
+    "grouped_completeness_events": 12,
+    "mutual_information_lineitem": 12,
     "spearman_quantity_price": 11,
     "corr_quantity_price": 11,
+    "fk_orders_customer": 12,
+    "join_coverage_lineitem_orders": 12,
     "cross_table_sum_orders_lineitem": 11,
     "temporal_ordering_orders_lineitem": 11,
-    "business_hours_events": 10,
-    "date_range_orders": 10,
+    "max_time_gap_events": 12,
+    "pricing_summary": 12,
     "dedup_exact_docs": 11,
-    "fingerprint_docs": 10,
     "text_tokens": 11,
     "text_quality": 11,
-    "lang_id": 10,
+    "ngram_jaccard_pairs": 12,
+    "minhash_lsh_candidates": 12,
     "simhash_docs": 11,
     "simhash_near_pairs": 11,
     "cosine_topk_embeddings": 11,
-    "embedding_neardup_pairs": 10,
-    "ivfpq_recall_embeddings": 10,
-    "ivf_index_recall_embeddings": 10,
-    "lsh_neardup_recall_embeddings": 10,
-    "neardup_components": 10,
     "split_counts_docs": 11,
-    "decontaminate_docs": 10,
     "stratified_sample_docs": 11,
     "repetition_docs": 10,
-    "dedup_pipeline_docs": 10,
+    "packing_stats_docs": 12,
+    "semantic_dedup_embeddings": 12,
     "source_mixing_docs": 11,
-    "doc_length_buckets": 10,
-    "dsir_weights_docs": 10,
     "winnow_overlap_docs": 11,
     "script_profile_docs": 11,
-    "decontamination_report_docs": 10,
     "tfidf_top_terms_docs": 11,
-    "bm25_topk_docs": 10,
     "readability_docs": 10,
-    "jaccard_prefix_pairs_docs": 10,
     "ngram_novelty_docs": 10,
-    "chunk_documents_docs": 10,
-    "frequent_terms_docs": 10,
-    "corpus_profile_by_lang": 10,
-    "minhash_oph_candidates_docs": 10,
     "row_violations_docs": 11,
-    "embedding_centroid_drift": 10,
-    "gopher_rules_docs": 10,
     "source_overlap_docs": 11,
-    "lexical_diversity_docs": 10,
-    "mg_heavy_hitters_docs": 10,
-    "cdc_dedup_docs": 10,
-    "incremental_neardup_docs": 10,
     "incremental_substring_docs": 11,
     "mg_grouped_heavy_hitters_docs": 11,
     "cdc_rewrite_docs": 11,
@@ -3579,50 +4001,104 @@ LAST_GREEN = {
     "metrics_repository_roundtrip": 11,
     "knn_label_agreement_embeddings": 11,
     "incremental_bm25_docs": 11,
+    "knn_label_agreement_lsh_embeddings": 12,
+    "incremental_quantile_docs": 12,
+    "hybrid_rrf_docs": 12,
+    "incremental_overlap_docs": 12,
+    "sq8_recall_embeddings": 12,
+    "drift_psi_timeline_events": 12,
+    "quantile_by_source_docs": 12,
     "quantile_sketch_by_returnflag": 11,
+    "quantile_exact_quantity": 12,
     "numeric_histogram_quantity": 10,
+    "profile_customer": 12,
     "approx_distinct_orderkey": 11,
     "quantile_sketch_merge_quantity": 10,
-    "fk_violation_examples": 10,
-    "grouped_stats_mktsegment": 10,
+    "rollup_pricing": 12,
+    "sessionize_events": 12,
     "top_customers_revenue": 10,
-    "asof_click_error": 10,
-    "interval_join_events": 10,
-    "top3_customers_per_segment": 9,
+    "median_by_returnflag": 12,
+    "range_join_events": 12,
+    "rolling_daily_events": 12,
+    "pivot_returnflag_linestatus": 12,
     "unpivot_pricing": 10,
     "benford_acctbal": 11,
-    "drift_w1_quantity": 10,
+    "drift_psi_quantity": 12,
+    "drift_ks_quantity": 12,
+    "drift_chi2_returnflag": 12,
+    "drift_js_quantity": 12,
+    "line_dedup_summary_docs": 12,
+    "paragraph_dedup_summary_docs": 12,
     "substring_dedup_docs": 10,
     "substring_rewrite_docs": 10,
+    "token_budget_sample_docs": 12,
+    "outlier_mad_acctbal": 12,
+    "text_cleaning_docs": 12,
+    "dominant_value_orderstatus": 12,
+    "drift_psi_by_returnflag": 12,
+    "quality_model_docs": 12,
     "unigram_surprisal_docs": 10,
-    "bigram_surprisal_docs": 10,
-    "corr_matrix_lineitem": 10,
-    "fd_custkey_orderstatus": 10,
     "shape_stats_quantity": 11,
-    "dataset_diff_orders": 10,
-    "key_skew_custkey": 10,
-    "brand_profile_part": 10,
     "supplier_stats_by_nation": 11,
+    "shipping_priority_orders": 12,
+    "regional_supplier_volume": 12,
+    "returned_item_customers": 12,
     "large_volume_customers": 11,
     "small_quantity_revenue": 11,
     "late_shipment_priority": 11,
-    "join_cardinality_orders_lineitem": 10,
     "salted_join_sum_orders_customer": 11,
     "funnel_events": 11,
     "retention_cohorts_events": 11,
     "event_transitions_events": 11,
+    "zorder_key_orders": 12,
+    "waiting_suppliers": 12,
+    "global_sales_opportunity": 12,
 }
 # END GENERATED ROTATION DATA
 
 
 def driver_window(size: int = DRIVER_WINDOW_SIZE) -> list:
     """The ``size`` stalest oracle-backed queries: never-driver-proven
-    first, then oldest last-green round, alphabetical tie-break."""
+    first, then oldest last-green round, alphabetical tie-break.
+
+    Family-freshness guard (round 13): once the registry outgrew
+    3 × size (161 queries, 50 slots), pure stalest-first could starve
+    a FAMILY — ten new round-13 queries took slots and three families
+    whose only members last proved in r10 fell out on the alphabetical
+    tie-break, aging past the 3-round bound test_registry_window pins.
+    So after the stalest-first fill, any family at the bound with no
+    member in-window swaps its stalest member in, evicting the
+    LEAST-stale window member whose family stays covered (fresh
+    elsewhere or represented twice).  Still fully mechanical — the
+    window remains a pure function of (LAST_GREEN, FAMILY, names)."""
     eligible = [q for q in QUERIES if q not in NO_ORACLE]
-    return sorted(
+    order = sorted(
         eligible,
         key=lambda q: (LAST_GREEN.get(q) is not None, LAST_GREEN.get(q) or 0, q),
-    )[:size]
+    )
+    window = order[:size]
+    fam_newest: dict = {}
+    for q in eligible:
+        f = FAMILY[q]
+        fam_newest[f] = max(fam_newest.get(f, 0), LAST_GREEN.get(q) or 0)
+    in_window = set(window)
+    for q in order[size:]:
+        f = FAMILY[q]
+        if fam_newest[f] >= CURRENT_ROUND - 2:
+            continue  # family fresh enough without a slot this round
+        if any(FAMILY[w] == f for w in in_window):
+            continue  # family already represented
+        # evict the least-stale window member whose family survives it
+        for victim in reversed(window):
+            vf = FAMILY[victim]
+            if (fam_newest[vf] >= CURRENT_ROUND - 2
+                    or sum(1 for w in in_window if FAMILY[w] == vf) > 1):
+                window.remove(victim)
+                in_window.discard(victim)
+                window.append(q)
+                in_window.add(q)
+                break
+    return window
 
 
 _WINDOW = driver_window()

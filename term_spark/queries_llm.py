@@ -3512,6 +3512,69 @@ LLM_QUERIES.update({"hybrid_rrf_docs": q_hybrid_rrf_docs})
 LLM_ORACLES.update({"hybrid_rrf_docs": SQL_HYBRID_RRF_DOCS})
 
 
+def q_hybrid_rrf_from_index_docs(spark, sf_dir) -> DataFrame:
+    """Index-backed hybrid retrieval lifecycle (round 13 — the
+    composition the round-12 verdict asked to prove end-to-end): the
+    BM25 side builds the persisted postings index SHARD-WISE (corpus
+    slice once, then the doc_id % 4 == 0 batch appends only itself)
+    and probes it at depth 20; the ANN side builds the persisted IVF
+    index over the embeddings and probes it at depth 20; RRF fuses the
+    two BOUNDED top-N tables to top-10 per query — the fusion stage
+    never touches the corpus, and at serving time neither does either
+    probe (postings + doclens on one side, centroid-pruned assignment
+    partitions on the other).
+
+    Value-exactness: the oracle is the SAME dual replay that checks
+    ``hybrid_rrf_docs`` — legitimate because each index path is
+    score-for-score identical to its in-memory form (BM25: pinned by
+    test and by ``incremental_bm25_docs``; IVF: probed here at
+    nprobe = n_centroids, where coverage is total and the ranking IS
+    exact cosine, tie-break and all).  Recall at partial nprobe is a
+    DIFFERENT claim, pinned by ``ivf_index_recall_embeddings``; the
+    claim THIS row pins is that the fused, index-served pipeline
+    reproduces the brute-force pipeline exactly.  Eagerly
+    materialized, scratch deleted (the q_incremental_neardup_docs
+    pattern)."""
+    import shutil
+    import tempfile
+
+    from .operators.retrieval import rrf_fuse
+    from .operators.similarity import build_ivf_index, ivf_topk_from_index
+    from .operators.text import bm25_topk_from_index, build_bm25_index
+
+    d = _docs(spark, sf_dir)
+    e = _emb(spark, sf_dir)
+    probes = spark.createDataFrame(_BM25_PROBES, "query_id long, query string")
+    qv = (e.filter(F.col("vec_id") < 3)
+          .select(F.col("vec_id").alias("query_id"),
+                  F.col("embedding").alias("query_vec")))
+    n_cents = 16
+    tmp = tempfile.mkdtemp(prefix="term_spark_hybridx_")
+    try:
+        build_bm25_index(d.filter(F.col("doc_id") % 4 != 0), f"{tmp}/bm25")
+        build_bm25_index(d.filter(F.col("doc_id") % 4 == 0), f"{tmp}/bm25",
+                         mode="append")
+        build_ivf_index(e, f"{tmp}/ivf", n_centroids=n_cents)
+        bm = bm25_topk_from_index(spark, f"{tmp}/bm25", probes, k=20)
+        ann = (ivf_topk_from_index(spark, f"{tmp}/ivf", qv, k=20,
+                                   nprobe=n_cents)
+               .select("query_id", F.col("nbr_id").alias("doc_id"), "rank"))
+        res = (rrf_fuse({"bm25": bm.select("query_id", "doc_id", "rank"),
+                         "cosine": ann}, k=10)
+               .orderBy("query_id", "rank"))
+        rows = res.collect()
+        schema = res.schema
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+LLM_QUERIES.update(
+    {"hybrid_rrf_from_index_docs": q_hybrid_rrf_from_index_docs})
+LLM_ORACLES.update(
+    {"hybrid_rrf_from_index_docs": SQL_HYBRID_RRF_DOCS})
+
+
 def q_incremental_overlap_docs(spark, sf_dir) -> DataFrame:
     """Persisted KMV overlap index lifecycle (round 12 — the SEVENTH
     incremental-ingestion tier: analyzers/kmv_index.py): per-source

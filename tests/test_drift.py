@@ -413,3 +413,40 @@ def test_has_stable_timeline_gate(spark):
     assert not res.passed
     msg = [x.message for x in res.report.issues][0]
     assert "2024-03-03" in msg and "exceeds" in msg
+
+
+def test_benford_deviation_math_and_filters(spark):
+    """Benford screen (round 13): per-digit shares, literal
+    expectations, 3σ band verdict; NULLs and sub-1 values dropped."""
+    from term_spark.operators.drift import (BENFORD_EXPECTED,
+                                            benford_deviation)
+    # 30 ones, 10 twos, 10 nines + ignorable rows
+    rows = ([(float(100 + i),) for i in range(30)]
+            + [(float(200 + i),) for i in range(10)]
+            + [(float(900 + i),) for i in range(10)]
+            + [(None,), (0.5,), (0.0,)])
+    df = spark.createDataFrame(rows, "v double")
+    out = {r["digit"]: r for r in benford_deviation(df, "v").collect()}
+    assert set(out) == {"1", "2", "9"}
+    assert out["1"]["n"] == 30 and out["2"]["n"] == 10
+    assert out["1"]["observed"] == 0.6
+    assert out["1"]["expected"] == round(BENFORD_EXPECTED[1], 6)
+    assert out["9"]["observed"] == 0.2
+    # 0.6 vs 0.30103 at N=50: band = 3*sqrt(.30103*.69897/50) ~ 0.195
+    assert not out["1"]["within_band"]
+    abs_dev = out["1"]["abs_dev"]
+    assert abs(abs_dev - abs(0.6 - BENFORD_EXPECTED[1])) < 1e-6
+
+
+def test_benford_conformant_sample_passes(spark):
+    """A synthetic exactly-Benford-weighted sample sits inside the
+    band for every digit."""
+    from term_spark.operators.drift import (BENFORD_EXPECTED,
+                                            benford_deviation)
+    rows = []
+    for d, p in BENFORD_EXPECTED.items():
+        rows += [(float(d) * 10,)] * round(p * 10000)
+    df = spark.createDataFrame(rows, "v double")
+    out = benford_deviation(df, "v").collect()
+    assert len(out) == 9
+    assert all(r["within_band"] for r in out)
