@@ -508,8 +508,25 @@ def main() -> None:
     # stages dominate loadavg, so this is the only honest sample point
     quiet = _wait_for_quiet()
     # host-speed canary immediately after the gate passes (quiet box,
-    # no JVM yet): the number query deltas normalize against
-    quiet["cpu_canary_sec"] = _cpu_canary()
+    # no JVM yet): the number query deltas normalize against.
+    # Round-13 hardening: loadavg CANNOT see hypervisor CPU steal —
+    # round 13 measured loadavg 0.04 at gate-pass while the canary
+    # read 1.26 (15% slow) and later 1.86 (70% slow) with ZERO busy
+    # local processes, and the sf1 fresh suite read 2-6x its clean
+    # value under that steal.  So the canary itself is a second gate:
+    # retry up to ~10 min until it lands within 25% of the pinned
+    # reference host speed, and stamp how long we waited.  A capped
+    # wait keeps a permanently-slow host from hanging the driver —
+    # the artifact then self-identifies via canary_contended.
+    canary_ref = 1.09  # round-12 reference host, seconds
+    t0 = time.monotonic()
+    canary = _cpu_canary()
+    while canary > canary_ref * 1.25 and time.monotonic() - t0 < 600:
+        time.sleep(30.0)
+        canary = _cpu_canary()
+    quiet["cpu_canary_sec"] = canary
+    quiet["canary_wait_sec"] = round(time.monotonic() - t0, 1)
+    quiet["canary_contended"] = canary > canary_ref * 1.25
     sections = {"gate": _load_stamp()}
 
     # sf1 / sf10 headlines in FRESH subprocess JVMs, before this

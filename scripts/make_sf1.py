@@ -53,6 +53,14 @@ KEY_OFFSETS = {
     "embeddings": {"vec_id": "vecid"},
 }
 
+# dimension tables copied VERBATIM (round 13): l_suppkey / l_partkey
+# are deliberately NOT offset per copy, so the replicated fact rows
+# keep resolving against the original sf0.1 dimension key space —
+# each supplier/part simply serves ``copies``× the lines, which is
+# exactly the fan-out a bigger SF produces.  Without these the sf10
+# TPC-H points that join supplier/nation/region/part cannot run.
+DIM_COPY = ["supplier", "nation", "region", "part"]
+
 
 def _perturb_text(col, copy_idx: int, rate_denom: int = 10):
     """Copy-``copy_idx``'s vocabulary rewrite: every token whose
@@ -108,6 +116,10 @@ def build(scale: int, perturb: bool = False) -> None:
         (out.repartition(32)
             .write.mode("overwrite").parquet(f"{dst}/{name}.parquet"))
         print(f"{name}: {copies}x -> {dst}/{name}.parquet", flush=True)
+    for name in DIM_COPY:
+        (read_parquet(spark, f"{SRC}/{name}.parquet")
+         .write.mode("overwrite").parquet(f"{dst}/{name}.parquet"))
+        print(f"{name}: copied verbatim -> {dst}/{name}.parquet", flush=True)
     with open(os.path.join(dst, "_meta.json"), "w") as fh:
         json.dump({"copies": copies, "perturb_documents": bool(perturb)}, fh)
     spark.stop()
