@@ -677,63 +677,64 @@ class TimelinePsiDriftConstraint(Constraint):
                    f"max_psi {self.max_psi}"))
 
 
-# --- Benford first-digit conformance (round 13) -----------------------------
+# --- Benford first-digit conformance dashboard (round 13) -------------------
 
-import math as _math
+#: P(first significant digit = d) = log10(1 + 1/d) — the SAME table
+#: statistics.BenfordConstraint gates on (re-exported so dashboard and
+#: gate can never disagree on the expectation).
+def _benford_expected():
+    from .statistics import BenfordConstraint
+    return dict(BenfordConstraint.BENFORD_P)
 
-#: P(first significant digit = d) = log10(1 + 1/d) — carried as Python
-#: literals so Spark and any replaying engine share the exact doubles
-#: instead of each calling its own libm log10.
-BENFORD_EXPECTED = {d: _math.log10(1.0 + 1.0 / d) for d in range(1, 10)}
+
+BENFORD_EXPECTED = _benford_expected()
 
 
 def benford_deviation(df: DataFrame, column: str) -> DataFrame:
-    """First-significant-digit conformance against Benford's law — the
-    classic fabricated-amounts / wrong-unit / truncated-export screen
-    for financial-style magnitude columns (Benford 1938; Nigrini's
-    audit practice): natural multiplicative data has
-    P(lead digit d) = log10(1 + 1/d); pasted constants, capped fields
-    and unit mix-ups bend the curve loudly.
+    """Per-digit Benford conformance dashboard — the WHICH-DIGIT
+    companion to ``statistics.BenfordConstraint``
+    (``Check.has_benford_distribution``), the way ``psi_timeline`` is
+    the WHEN companion to the PSI gate: the gate reports one TVD
+    number; this view shows each digit's observed vs expected share
+    and a per-digit verdict, so a failing audit names WHERE the curve
+    bent (Benford 1938; Nigrini's audit practice — pasted constants,
+    capped fields and unit mix-ups each bend specific digits).
+
+    Shares the family's conventions exactly: digit extraction is
+    ``BenfordConstraint.first_digit`` (floor/log10 clamped to 1..9 —
+    the clamp absorbs the float-rounding edge at powers of ten) and
+    the expected shares are the gate's own literals, not a second
+    log10.  ``within_band`` = observed inside the 3σ binomial band
+    ± 3·√(p(1−p)/N) around expected — sample-size-aware where the
+    gate's TVD threshold is scale-free; the two read together.
 
     Parity: beyond-reference extension of the drift family — the
     reference's snapshot detectors (term-guard/src/analyzers/mod.rs)
     compare a column to ITS OWN history; Benford compares it to a
     distribution-free prior, so it fires on day one with no reference
-    snapshot at all.
-
-    Per digit (rows with a positive, non-null value count): n,
-    observed share, expected share, and ``within_band`` — observed
-    inside the 3σ binomial band ± 3·√(p(1−p)/N) around expected, the
-    attestation a release gate reads.
-
-    Determinism/scale contract: the digit is the first character of
-    the value rendered as DECIMAL(18,2) (exact decimal formatting —
-    identical across engines, where ``floor(log10(x))`` risks an
-    off-by-one ulp at powers of ten); expected shares are shared
-    literals, not per-engine log10 calls.  One map-side-combined
-    groupBy over ≤ 9 keys plus a 1-row count broadcast back onto them
-    — no window, no per-row state.
+    snapshot.  One map-side-combined groupBy over ≤ 9 keys plus a
+    1-row count broadcast back onto them — no window, no per-row
+    state.
     """
+    from .statistics import BenfordConstraint
     validate_identifier(column)
-    v = F.col(column).cast("double")
-    digit = F.substring(v.cast("decimal(18,2)").cast("string"), 1, 1)
-    base = (df.filter(v.isNotNull() & (v >= 1.0))
-              .select(digit.alias("digit")))
+    digit = BenfordConstraint.first_digit(F.col(column))
+    base = (df.select(digit.alias("digit"))
+              .filter(F.col("digit").isNotNull()))
     counts = (base.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
               .crossJoin(F.broadcast(
                   base.agg(F.count(F.lit(1)).alias("__total")))))
     total = F.col("__total")
     expected = F.element_at(
         F.create_map(*[F.lit(x) for d, p in sorted(BENFORD_EXPECTED.items())
-                       for x in (str(d), p)]),
+                       for x in (d, p)]),
         F.col("digit"))
     obs = F.col("n") / total
     band = 3.0 * F.sqrt(expected * (1.0 - expected) / total)
     return (counts
-            .withColumn("observed", F.round(obs, 6))
-            .withColumn("expected", F.round(expected, 6))
-            .withColumn("abs_dev", F.round(F.abs(obs - expected), 6))
-            .withColumn("within_band",
-                        F.abs(obs - expected) <= band)
-            .drop("__total")
+            .select(F.col("digit").cast("bigint").alias("digit"), "n",
+                    F.round(obs, 6).alias("observed"),
+                    F.round(expected, 6).alias("expected"),
+                    F.round(F.abs(obs - expected), 6).alias("abs_dev"),
+                    (F.abs(obs - expected) <= band).alias("within_band"))
             .orderBy("digit"))

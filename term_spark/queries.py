@@ -3649,13 +3649,14 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
 
 
 def q_benford_totalprice(spark, sf_dir) -> DataFrame:
-    """Benford first-digit conformance of o_totalprice (round 13 —
-    operators/drift.py benford_deviation): per leading digit the
-    count, observed share, the Benford expectation log10(1 + 1/d)
-    (shared LITERALS, not per-engine log10), the absolute deviation,
-    and the 3σ binomial band verdict.  The digit comes from the
-    DECIMAL(18,2) string rendering — exact across engines where
-    floor(log10(x)) risks an off-by-one ulp at powers of ten."""
+    """Benford per-digit dashboard of o_totalprice (round 13 —
+    operators/drift.py benford_deviation, the WHICH-DIGIT companion
+    to the benford_acctbal gate row): per leading digit the count,
+    observed share, the expectation log10(1 + 1/d) as shared literals,
+    the absolute deviation, and the 3σ binomial band verdict.  Digit
+    extraction is the family's BenfordConstraint.first_digit
+    (floor/log10 clamped 1..9), identical to benford_acctbal's
+    oracle arithmetic."""
     from .operators.drift import benford_deviation
     (o,) = _t(spark, sf_dir, "orders")
     return benford_deviation(o, "o_totalprice")
@@ -3664,16 +3665,16 @@ def q_benford_totalprice(spark, sf_dir) -> DataFrame:
 def _benford_oracle_sql() -> str:
     from .operators.drift import BENFORD_EXPECTED
     cases = " ".join(
-        f"WHEN '{d}' THEN {p!r}" for d, p in sorted(BENFORD_EXPECTED.items()))
+        f"WHEN {d} THEN {p!r}" for d, p in sorted(BENFORD_EXPECTED.items()))
     return f"""
 WITH base AS (
-    SELECT substr(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
-                  1, 1) AS digit
-    FROM orders WHERE o_totalprice IS NOT NULL AND o_totalprice >= 1.0
+    SELECT GREATEST(1, LEAST(9, CAST(FLOOR(ABS(o_totalprice) /
+               POW(10.0, FLOOR(LOG10(ABS(o_totalprice))))) AS INT))) AS digit
+    FROM orders WHERE o_totalprice IS NOT NULL AND ABS(o_totalprice) > 0
 ), counts AS (
     SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM base GROUP BY digit
 ), tot AS (SELECT COUNT(*) AS total FROM base)
-SELECT digit, n,
+SELECT CAST(digit AS BIGINT) AS digit, n,
        ROUND(n / CAST(total AS DOUBLE), 6) AS observed,
        ROUND(exp, 6) AS expected,
        ROUND(ABS(n / CAST(total AS DOUBLE) - exp), 6) AS abs_dev,

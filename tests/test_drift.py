@@ -420,21 +420,23 @@ def test_benford_deviation_math_and_filters(spark):
     expectations, 3σ band verdict; NULLs and sub-1 values dropped."""
     from term_spark.operators.drift import (BENFORD_EXPECTED,
                                             benford_deviation)
-    # 30 ones, 10 twos, 10 nines + ignorable rows
+    # 30 ones, 10 twos, 10 nines; 0.5 has first digit 5 (sub-1
+    # magnitudes count — the family's first_digit convention); NULL
+    # and exact zero have no first digit and drop
     rows = ([(float(100 + i),) for i in range(30)]
             + [(float(200 + i),) for i in range(10)]
-            + [(float(900 + i),) for i in range(10)]
+            + [(float(900 + i),) for i in range(9)]
             + [(None,), (0.5,), (0.0,)])
     df = spark.createDataFrame(rows, "v double")
     out = {r["digit"]: r for r in benford_deviation(df, "v").collect()}
-    assert set(out) == {"1", "2", "9"}
-    assert out["1"]["n"] == 30 and out["2"]["n"] == 10
-    assert out["1"]["observed"] == 0.6
-    assert out["1"]["expected"] == round(BENFORD_EXPECTED[1], 6)
-    assert out["9"]["observed"] == 0.2
+    assert set(out) == {1, 2, 5, 9}
+    assert out[1]["n"] == 30 and out[2]["n"] == 10 and out[5]["n"] == 1
+    assert out[1]["observed"] == 0.6
+    assert out[1]["expected"] == round(BENFORD_EXPECTED[1], 6)
+    assert out[9]["observed"] == 0.18
     # 0.6 vs 0.30103 at N=50: band = 3*sqrt(.30103*.69897/50) ~ 0.195
-    assert not out["1"]["within_band"]
-    abs_dev = out["1"]["abs_dev"]
+    assert not out[1]["within_band"]
+    abs_dev = out[1]["abs_dev"]
     assert abs(abs_dev - abs(0.6 - BENFORD_EXPECTED[1])) < 1e-6
 
 
