@@ -453,6 +453,24 @@ def main():
     finally:
         shutil.rmtree(qidx, ignore_errors=True)
 
+    # --- round 13: the Benford audit pair -------------------------------
+    from term_spark.operators.drift import benford_deviation
+
+    amounts = spark.createDataFrame(
+        [(float(x),) for x in
+         [1200, 1340, 1810, 1150, 1990, 2400, 2750, 3100, 3900, 4200,
+          5100, 6300, 7800, 9100, 1020, 1460, 2210, 1111, 8400, 1600]],
+        "amount double")
+    gate = ValidationSuite.builder("audit").with_check(
+        Check("amounts", Level.WARNING)
+        .has_benford_distribution("amount", assertion=Assertion.le(0.4)))
+    verdict = gate.run(spark, amounts)
+    worst = max(benford_deviation(amounts, "amount").collect(),
+                key=lambda r: r["abs_dev"])
+    print(f"benford gate passed={verdict.passed}; per-digit dashboard "
+          f"names the loudest digit: {worst['digit']} "
+          f"(observed {worst['observed']:.2f} vs "
+          f"expected {worst['expected']:.2f})")
 
 
 if __name__ == "__main__":
