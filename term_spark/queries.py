@@ -3198,14 +3198,21 @@ def q_waiting_suppliers(spark, sf_dir) -> DataFrame:
     # shuffle; the catalog-wide plan gate rejects it)
     per_supp = (lines.groupBy("l_orderkey", "l_suppkey")
                 .agg(F.max("is_late").alias("late")))
+    # the sole late supplier's IDENTITY rides the same per-order
+    # aggregate (max over a late-only conditional — well-defined
+    # exactly in the n_late_supp == 1 rows we keep), so the grain
+    # table is consumed ONCE: round 12 joined per_supp back to
+    # per_order, which re-executed the fact-sized lineitem⨝orders
+    # join + grain agg on both branches (measured ~2× the whole
+    # query's cost at sf10 — round 13)
     per_order = (per_supp.groupBy("l_orderkey")
                  .agg(F.count(F.lit(1)).alias("n_supp"),
-                      F.count_if("late").alias("n_late_supp")))
-    waiting = (per_supp.filter("late")
-               .join(per_order.filter((F.col("n_supp") >= 2)
-                                      & (F.col("n_late_supp") == 1)),
-                     "l_orderkey"))
-    return (waiting.groupBy("l_suppkey")
+                      F.count_if("late").alias("n_late_supp"),
+                      F.max(F.when(F.col("late"), F.col("l_suppkey")))
+                      .alias("late_supp")))
+    waiting = per_order.filter((F.col("n_supp") >= 2)
+                               & (F.col("n_late_supp") == 1))
+    return (waiting.groupBy(F.col("late_supp").alias("l_suppkey"))
             .agg(F.count(F.lit(1)).alias("numwait"))
             .join(F.broadcast(s.select("s_suppkey", "s_name")),
                   F.col("l_suppkey") == F.col("s_suppkey"))
