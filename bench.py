@@ -663,6 +663,8 @@ def main() -> None:
         "customer_order_distribution", "promo_revenue",
         "top_supplier_revenue", "discounted_revenue_brands",
         "benford_totalprice", "hybrid_rrf_from_index_docs",
+        "fuzzy_name_pairs_part", "fuzzy_canonical_part",
+        "equidepth_price_histogram",
     ]
     sections["sf01_queries_start"] = _load_stamp()
     for name in bench_queries:

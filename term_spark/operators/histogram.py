@@ -259,3 +259,76 @@ def merge_frequent_items(summaries, k: int = 100):
         out.append((item, lower, upper))
     out.sort(key=lambda t: (-t[1], t[0]))
     return out[:k]
+
+
+def equidepth_histogram(df, column: str, buckets: int = 10) -> "DataFrame":
+    """Equi-depth (quantile-bucketed) histogram — the companion to
+    ``compute_numeric_histogram``'s equi-width view: bucket EDGES are
+    the exact interpolated percentiles at i/buckets, so each bucket
+    holds ~1/buckets of the rows and heavy tails stop collapsing into
+    one mega-bucket (the reading equi-width gives a log-normal).
+
+    Parity: extends the reference's histogram analyzer family
+    (term-guard/src/analyzers/advanced/histogram.rs holds the
+    equi-width/categorical forms); equi-depth is the standard
+    companion every profiler pairs with it.
+
+    Exactness contract: edges use Spark's exact ``percentile`` —
+    interpolation at rank (n−1)p, the SAME arithmetic DuckDB's
+    ``quantile_cont`` uses (pinned by the quantile_exact_quantity
+    driver row) — so an oracle replays edges AND counts bit-for-bit.
+    Buckets are [edge_i, edge_{i+1}) with the last bucket closed.
+
+    Shape: one exact-percentile aggregate (a sort-based single pass
+    per Spark's percentile implementation over the column only), then
+    the edges return as ≤ buckets+1 DRIVER-SIDE LITERALS folded into
+    one codegen CASE — the second pass is a map-only bucket id + a
+    ≤ buckets-key grouped count.  For 100 TB-scale columns where the
+    exact sort is too hot, the quantile-sketch tier
+    (analyzers/quantile_index.py) serves approximate edges from
+    persisted grids; this operator is the exact, oracle-checkable
+    form.
+
+    Returns (bucket, lo, hi, n, share) ordered by bucket; degenerate
+    distributions (all values equal) collapse to one bucket.
+    """
+    validate_identifier(column)
+    if buckets < 2:
+        raise ValueError(f"buckets must be >= 2, got {buckets}")
+    col = F.col(column).cast("double")
+    probs = [i / buckets for i in range(buckets + 1)]
+    row = (df.filter(col.isNotNull())
+           .agg(F.expr(f"percentile({column}, array({', '.join(map(repr, probs))}))")
+                .alias("edges"),
+                F.count(F.lit(1)).alias("n")).collect()[0])
+    total = int(row["n"])
+    spark = df.sparkSession
+    if not total:
+        return spark.createDataFrame(
+            [], "bucket bigint, lo double, hi double, n bigint, share double")
+    edges = [float(e) for e in row["edges"]]
+    # all `buckets` half-open spans, last closed: repeated edges
+    # (discrete data) yield empty [x, x) spans that match nothing, and
+    # since sorted half-open spans never overlap the first-match CASE
+    # below assigns exactly what an oracle's range join assigns
+    spans = [(edges[i], edges[i + 1]) for i in range(buckets)]
+    bucket = None
+    for i, (lo, hi) in enumerate(spans):
+        cond = (col >= F.lit(lo)) & (
+            col <= F.lit(hi) if i == len(spans) - 1 else col < F.lit(hi))
+        bucket = F.when(cond, F.lit(i)) if bucket is None \
+            else bucket.when(cond, F.lit(i))
+    counted = (df.filter(col.isNotNull())
+               .select(bucket.alias("bucket"))
+               .groupBy("bucket").agg(F.count(F.lit(1)).alias("n")))
+    span_df = spark.createDataFrame(
+        [(i, lo, hi) for i, (lo, hi) in enumerate(spans)],
+        "bucket int, lo double, hi double")
+    return (F.broadcast(span_df)
+            .join(counted, "bucket", "left")
+            .select(F.col("bucket").cast("bigint").alias("bucket"),
+                    "lo", "hi",
+                    F.coalesce("n", F.lit(0)).alias("n"),
+                    F.round(F.coalesce("n", F.lit(0)) / F.lit(float(total)), 6)
+                    .alias("share"))
+            .orderBy("bucket"))

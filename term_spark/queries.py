@@ -3721,6 +3721,133 @@ ORACLES.update({
 })
 
 
+# ---------------------------------------------------------------------------
+# round 13, second wave: fuzzy key matching (entity-resolution blocking)
+# and the equi-depth histogram
+# ---------------------------------------------------------------------------
+
+def q_fuzzy_name_pairs_part(spark, sf_dir) -> DataFrame:
+    """Blocked fuzzy key pairs over part names (round 13 —
+    operators/fuzzy.py): the record-linkage screen for NAME columns —
+    matching runs on the distinct-value DICTIONARY (64 names here; a
+    100 TB fact with 50k brand strings pairs 50k rows, not 100 TB),
+    candidates form only within the last-token block (an equi-join,
+    no cartesian), and the distance is Spark's builtin levenshtein —
+    JVM codegen, no UDF.  The oracle replays dictionary, blocking and
+    edit distance in DuckDB (same classical Levenshtein)."""
+    from .operators.fuzzy import blocked_fuzzy_pairs
+    (p,) = _t(spark, sf_dir, "part")
+    return blocked_fuzzy_pairs(p, "p_name", max_distance=3)
+
+
+SQL_FUZZY_NAME_PAIRS_PART = r"""
+WITH d AS (
+    SELECT p_name AS name, CAST(COUNT(*) AS BIGINT) AS n
+    FROM part WHERE p_name IS NOT NULL GROUP BY p_name
+), b AS (
+    SELECT name, n,
+           list_extract(string_split_regex(trim(name), '\s+'), -1) AS blk
+    FROM d
+)
+SELECT a.name AS name_a, c.name AS name_b,
+       CAST(levenshtein(a.name, c.name) AS BIGINT) AS distance,
+       a.n AS n_a, c.n AS n_b
+FROM b a JOIN b c ON a.blk = c.blk AND a.name < c.name
+WHERE levenshtein(a.name, c.name) <= 3
+ORDER BY name_a, name_b
+"""
+
+
+def q_fuzzy_canonical_part(spark, sf_dir) -> DataFrame:
+    """Greedy fuzzy canonicalization of part names (round 13 —
+    operators/fuzzy.py): each name maps to the most frequent name
+    within edit distance 3 in its block, ties by smallest name — the
+    one-hop cleanup that repairs fragmented groupBy/join keys without
+    transitively merging unlike values (full transitive clustering is
+    the union-find tier's job).  Deterministic election: max count,
+    then min name; the oracle replays dictionary, candidates and both
+    election passes."""
+    from .operators.fuzzy import fuzzy_canonicalize
+    (p,) = _t(spark, sf_dir, "part")
+    return fuzzy_canonicalize(p, "p_name", max_distance=3)
+
+
+SQL_FUZZY_CANONICAL_PART = r"""
+WITH d AS (
+    SELECT p_name AS name, CAST(COUNT(*) AS BIGINT) AS n
+    FROM part WHERE p_name IS NOT NULL GROUP BY p_name
+), b AS (
+    SELECT name, n,
+           list_extract(string_split_regex(trim(name), '\s+'), -1) AS blk
+    FROM d
+), cand AS (
+    SELECT a.name, a.n, c.name AS cand, c.n AS cand_n
+    FROM b a JOIN b c ON a.blk = c.blk
+    WHERE levenshtein(a.name, c.name) <= 3
+), win AS (
+    SELECT name, n, MAX(cand_n) AS win_n FROM cand GROUP BY name, n
+)
+SELECT c.name AS name, MIN(c.cand) AS canonical, w.n,
+       w.win_n AS canonical_n
+FROM cand c JOIN win w ON c.name = w.name AND c.cand_n = w.win_n
+GROUP BY c.name, w.n, w.win_n
+ORDER BY name
+"""
+
+
+def q_equidepth_price_histogram(spark, sf_dir) -> DataFrame:
+    """Equi-depth histogram of l_extendedprice, 8 buckets (round 13 —
+    operators/histogram.equidepth_histogram): edges are EXACT
+    interpolated percentiles (Spark `percentile` == DuckDB
+    `quantile_cont` at rank (n−1)p — the quantile_exact_quantity
+    contract), buckets are [lo, hi) with the last closed, counts
+    exact.  Shape: one exact-percentile pass + one map-only
+    CASE-bucketed grouped count over ≤ 8 keys; repeated edges
+    (discrete data) yield empty spans deterministically on both
+    engines because sorted half-open spans never overlap."""
+    from .operators.histogram import equidepth_histogram
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return equidepth_histogram(li, "l_extendedprice", buckets=8)
+
+
+SQL_EQUIDEPTH_PRICE_HISTOGRAM = """
+WITH v AS (
+    SELECT CAST(l_extendedprice AS DOUBLE) AS v
+    FROM lineitem WHERE l_extendedprice IS NOT NULL
+), e AS (
+    SELECT quantile_cont(v, [0.0, 0.125, 0.25, 0.375, 0.5,
+                             0.625, 0.75, 0.875, 1.0]) AS edges,
+           COUNT(*) AS total
+    FROM v
+), spans AS (
+    SELECT i AS bucket, CAST(edges[i + 1] AS DOUBLE) AS lo,
+           CAST(edges[i + 2] AS DOUBLE) AS hi, total
+    FROM e CROSS JOIN generate_series(0, 7) t(i)
+), counted AS (
+    SELECT s.bucket, s.lo, s.hi, s.total, COUNT(v.v) AS n
+    FROM spans s LEFT JOIN v
+      ON v.v >= s.lo AND (v.v < s.hi OR (s.bucket = 7 AND v.v <= s.hi))
+    GROUP BY s.bucket, s.lo, s.hi, s.total
+)
+SELECT CAST(bucket AS BIGINT) AS bucket, lo, hi,
+       CAST(n AS BIGINT) AS n,
+       ROUND(n / CAST(total AS DOUBLE), 6) AS share
+FROM counted ORDER BY bucket
+"""
+
+
+QUERIES.update({
+    "fuzzy_name_pairs_part": q_fuzzy_name_pairs_part,
+    "fuzzy_canonical_part": q_fuzzy_canonical_part,
+    "equidepth_price_histogram": q_equidepth_price_histogram,
+})
+ORACLES.update({
+    "fuzzy_name_pairs_part": SQL_FUZZY_NAME_PAIRS_PART,
+    "fuzzy_canonical_part": SQL_FUZZY_CANONICAL_PART,
+    "equidepth_price_histogram": SQL_EQUIDEPTH_PRICE_HISTOGRAM,
+})
+
+
 #: Queries with no DuckDB oracle by design (the driver can only ever
 #: record a weaker rows-only row for them); they never take a window
 #: slot from an oracle-checkable query.  Empty since round 9:
@@ -3892,6 +4019,9 @@ FAMILY = {
     "discounted_revenue_brands": "tpch_suite",
     "benford_totalprice": "drift",
     "hybrid_rrf_from_index_docs": "retrieval",
+    "fuzzy_name_pairs_part": "fuzzy",
+    "fuzzy_canonical_part": "fuzzy",
+    "equidepth_price_histogram": "histogram",
 }
 
 # BEGIN GENERATED ROTATION DATA (scripts/update_rotation.py)
@@ -3903,7 +4033,10 @@ LAST_GREEN = {
     "benford_totalprice": None,
     "customer_order_distribution": None,
     "discounted_revenue_brands": None,
+    "equidepth_price_histogram": None,
     "forecast_revenue_change": None,
+    "fuzzy_canonical_part": None,
+    "fuzzy_name_pairs_part": None,
     "hybrid_rrf_from_index_docs": None,
     "national_market_share": None,
     "product_profit_by_nation": None,
@@ -3941,15 +4074,12 @@ LAST_GREEN = {
     "interval_join_events": 10,
     "ivf_index_recall_embeddings": 10,
     "ivfpq_recall_embeddings": 10,
-    "jaccard_prefix_pairs_docs": 10,
-    "join_cardinality_orders_lineitem": 10,
     "key_skew_custkey": 10,
-    "lang_id": 10,
-    "lexical_diversity_docs": 10,
     "lsh_neardup_recall_embeddings": 10,
-    "mg_heavy_hitters_docs": 10,
-    "minhash_oph_candidates_docs": 10,
     "neardup_components": 10,
+    "ngram_novelty_docs": 10,
+    "readability_docs": 10,
+    "repetition_docs": 10,
     "size_lineitem": 12,
     "completeness_customer": 11,
     "stats_quantity": 12,
@@ -3974,6 +4104,7 @@ LAST_GREEN = {
     "dedup_exact_docs": 11,
     "text_tokens": 11,
     "text_quality": 11,
+    "lang_id": 10,
     "ngram_jaccard_pairs": 12,
     "minhash_lsh_candidates": 12,
     "simhash_docs": 11,
@@ -3981,17 +4112,18 @@ LAST_GREEN = {
     "cosine_topk_embeddings": 11,
     "split_counts_docs": 11,
     "stratified_sample_docs": 11,
-    "repetition_docs": 10,
     "packing_stats_docs": 12,
     "semantic_dedup_embeddings": 12,
     "source_mixing_docs": 11,
     "winnow_overlap_docs": 11,
     "script_profile_docs": 11,
     "tfidf_top_terms_docs": 11,
-    "readability_docs": 10,
-    "ngram_novelty_docs": 10,
+    "jaccard_prefix_pairs_docs": 10,
+    "minhash_oph_candidates_docs": 10,
     "row_violations_docs": 11,
     "source_overlap_docs": 11,
+    "lexical_diversity_docs": 10,
+    "mg_heavy_hitters_docs": 10,
     "incremental_substring_docs": 11,
     "mg_grouped_heavy_hitters_docs": 11,
     "cdc_rewrite_docs": 11,
@@ -4054,6 +4186,7 @@ LAST_GREEN = {
     "large_volume_customers": 11,
     "small_quantity_revenue": 11,
     "late_shipment_priority": 11,
+    "join_cardinality_orders_lineitem": 10,
     "salted_join_sum_orders_customer": 11,
     "funnel_events": 11,
     "retention_cohorts_events": 11,

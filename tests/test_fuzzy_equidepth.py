@@ -1,0 +1,105 @@
+"""Fuzzy key matching + equi-depth histogram (round 13)."""
+
+import pytest
+
+import pyspark.sql.functions as F
+
+
+def test_blocked_fuzzy_pairs_blocks_and_bounds(spark):
+    from term_spark.operators.fuzzy import blocked_fuzzy_pairs
+    df = spark.createDataFrame(
+        [("acme corp",)] * 5 + [("acme corp.",)] * 1 + [("acmee corp",)] * 2
+        + [("zenith corp",)] * 3 + [("acme labs",)] * 4 + [(None,)],
+        "vendor string")
+    rows = blocked_fuzzy_pairs(df, "vendor", max_distance=2).collect()
+    got = {(r["name_a"], r["name_b"]): (r["distance"], r["n_a"], r["n_b"])
+           for r in rows}
+    # same block ("corp"-ish tokens differ: 'corp' vs 'corp.' block
+    # apart — blocking is exact by design), distances are classical
+    assert got[("acme corp", "acmee corp")] == (1, 5, 2)
+    # cross-block pairs never form, even at tiny distance
+    assert ("acme corp", "acme corp.") not in got   # blocks corp / corp.
+    assert ("acme corp", "acme labs") not in got    # blocks corp / labs
+    # far names in the same block are filtered by the distance bound
+    assert ("acme corp", "zenith corp") not in got
+    # ordering + dedup: name_a < name_b exactly once
+    assert all(a < b for a, b in got)
+
+
+def test_fuzzy_canonicalize_elects_heaviest_then_smallest(spark):
+    from term_spark.operators.fuzzy import fuzzy_canonicalize
+    df = spark.createDataFrame(
+        [("acme corp",)] * 5 + [("acmee corp",)] * 2 + [("acm corp",)] * 5
+        + [("solo corp",)] * 1,
+        "vendor string")
+    out = {r["name"]: r for r in
+           fuzzy_canonicalize(df, "vendor", max_distance=2).collect()}
+    # 'acmee corp' sees both 5-count neighbors; count tie -> smallest name
+    assert out["acmee corp"]["canonical"] == "acm corp"
+    assert out["acmee corp"]["canonical_n"] == 5
+    # tied heavyweights CONVERGE to the smallest name (self-preference
+    # would leave a tied pair permanently unmerged) — both 5-count
+    # names elect 'acm corp'
+    assert out["acme corp"]["canonical"] == "acm corp"
+    assert out["acm corp"]["canonical"] == "acm corp"
+    # distance-isolated names map to themselves
+    assert out["solo corp"]["canonical"] == "solo corp"
+    assert out["solo corp"]["canonical_n"] == 1
+
+
+def test_fuzzy_validation(spark):
+    from term_spark.operators.fuzzy import blocked_fuzzy_pairs
+    df = spark.createDataFrame([("a",)], "v string")
+    with pytest.raises(ValueError, match="max_distance"):
+        blocked_fuzzy_pairs(df, "v", max_distance=0)
+    with pytest.raises(ValueError, match="min_count"):
+        blocked_fuzzy_pairs(df, "v", min_count=0)
+
+
+def test_fuzzy_pairs_plan_is_equi_join(spark):
+    """The block join must be a hash/sort-merge EQUI join — a
+    cartesian or broadcast nested loop would mean the blocking failed
+    to reach the join condition."""
+    from term_spark.operators.fuzzy import blocked_fuzzy_pairs
+    df = spark.createDataFrame([("red widget",), ("blue widget",)],
+                               "v string")
+    plan = blocked_fuzzy_pairs(df, "v")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_equidepth_histogram_even_depths_and_edges(spark):
+    from term_spark.operators.histogram import equidepth_histogram
+    df = spark.createDataFrame([(float(i),) for i in range(1, 101)],
+                               "v double")
+    rows = equidepth_histogram(df, "v", buckets=4).collect()
+    assert [r["bucket"] for r in rows] == [0, 1, 2, 3]
+    assert [r["n"] for r in rows] == [25, 25, 25, 25]
+    assert rows[0]["lo"] == 1.0 and rows[-1]["hi"] == 100.0
+    # interpolated interior edge at rank (n-1)p = 99*0.25 = 24.75 -> 25.75
+    assert rows[0]["hi"] == pytest.approx(25.75)
+    assert all(r["share"] == 0.25 for r in rows)
+
+
+def test_equidepth_histogram_skewed_beats_equiwidth(spark):
+    """The motivating case: a heavy tail collapses equi-width into one
+    mega-bucket; equi-depth keeps depths even."""
+    from term_spark.operators.histogram import equidepth_histogram
+    vals = [float(i) for i in range(1, 97)] + [1e6, 2e6, 3e6, 4e6]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    rows = equidepth_histogram(df, "v", buckets=4).collect()
+    assert [r["n"] for r in rows] == [25, 25, 25, 25]
+
+
+def test_equidepth_histogram_degenerate_and_empty(spark):
+    from term_spark.operators.histogram import equidepth_histogram
+    same = spark.createDataFrame([(7.0,)] * 10, "v double")
+    rows = equidepth_histogram(same, "v", buckets=4).collect()
+    # all spans are [7,7); only the closed last bucket catches rows
+    assert sum(r["n"] for r in rows) == 10
+    assert [r["n"] for r in rows][-1] == 10
+    empty = spark.createDataFrame([], "v double")
+    assert equidepth_histogram(empty, "v", buckets=4).collect() == []
+    with pytest.raises(ValueError, match="buckets"):
+        equidepth_histogram(same, "v", buckets=1)
