@@ -570,6 +570,18 @@ class Check:
         return self.with_constraint(TimelinePsiDriftConstraint(
             column, time_col, ref_df, max_psi, bins, lo, hi, granularity))
 
+    def has_canonical_keys(self, column: str, max_ratio: float = 0.01,
+                           max_distance: int = 2, block=None) -> "Check":
+        """Fuzzy-fragmentation gate: the row-weighted fraction of
+        values that are not their own fuzzy canonical (most frequent
+        name within ``max_distance`` in their block) must stay under
+        ``max_ratio`` — catches a label column silently splitting
+        groupBy/join keys.  Failure names the heaviest fragmented
+        value and its canonical."""
+        from ..operators.fuzzy import FuzzyFragmentationConstraint
+        return self.with_constraint(FuzzyFragmentationConstraint(
+            column, max_ratio, max_distance, block))
+
     def has_stable_categories(self, ref_df, column: str,
                               max_v: float = 0.1) -> "Check":
         """Categorical drift gate: Cramér's V of the column's category

@@ -40,6 +40,7 @@ from typing import Optional
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
+from ..core.constraint import Constraint
 from ..functions.security import validate_identifier
 
 
@@ -143,3 +144,53 @@ def fuzzy_canonicalize(df: DataFrame, column: str,
     return (win.select("name", "canonical", "n",
                        F.col("win_n").alias("canonical_n"))
             .orderBy("name"))
+
+
+class FuzzyFragmentationConstraint(Constraint):
+    """``has_canonical_keys``: the fraction of rows whose value is NOT
+    its own fuzzy canonical (the fragmentation ratio — rows that would
+    move under canonicalization) must stay under ``max_ratio``.  The
+    release gate over this module: a vendor/brand/label column whose
+    fragmentation creeps up is silently splitting groupBys and join
+    keys downstream.
+
+    Metric = Σ n(name ≠ canonical) / Σ n — row-weighted, so one rare
+    typo barely moves it but a heavyweight split (two spellings of the
+    top brand) screams.  Failure names the heaviest fragmented value
+    and where it wants to go.
+
+    Self-executing; job shape = fuzzy_canonicalize on the value
+    dictionary (see module docstring for the scale argument).
+    """
+
+    name = "fuzzy_fragmentation"
+
+    def __init__(self, column: str, max_ratio: float = 0.01,
+                 max_distance: int = 2, block: Optional[Column] = None):
+        if not 0 <= max_ratio < 1:
+            raise ValueError(f"max_ratio must be in [0, 1), got {max_ratio}")
+        self.column = validate_identifier(column)
+        self.max_ratio = float(max_ratio)
+        self.max_distance = int(max_distance)
+        self.block = block
+
+    def evaluate(self, ctx) -> "ConstraintResult":
+        from ..core.result import ConstraintResult
+        rows = fuzzy_canonicalize(ctx.df(self.table), self.column,
+                                  max_distance=self.max_distance,
+                                  block=self.block).collect()
+        total = sum(int(r["n"]) for r in rows)
+        if not total:
+            return self._finish(ConstraintResult.skipped(
+                f"fuzzy_fragmentation({self.column}): no values"))
+        moved = [r for r in rows if r["name"] != r["canonical"]]
+        ratio = sum(int(r["n"]) for r in moved) / total
+        if ratio <= self.max_ratio:
+            return self._finish(ConstraintResult.success(ratio))
+        worst = max(moved, key=lambda r: int(r["n"]))
+        return self._finish(ConstraintResult.failure(
+            ratio,
+            f"fuzzy_fragmentation({self.column}) = {ratio:.4f} exceeds "
+            f"{self.max_ratio} — heaviest: {worst['name']!r} "
+            f"(n={worst['n']}) canonicalizes to {worst['canonical']!r} "
+            f"(n={worst['canonical_n']})"))

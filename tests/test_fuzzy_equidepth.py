@@ -103,3 +103,28 @@ def test_equidepth_histogram_degenerate_and_empty(spark):
     assert equidepth_histogram(empty, "v", buckets=4).collect() == []
     with pytest.raises(ValueError, match="buckets"):
         equidepth_histogram(same, "v", buckets=1)
+
+
+def test_has_canonical_keys_gate(spark):
+    from term_spark import Check, Level, ValidationSuite
+    ok_df = spark.createDataFrame(
+        [("acme corp",)] * 99 + [("zenith corp",)] * 99 + [("acmee corp",)],
+        "vendor string")
+    ok = ValidationSuite.builder("keys").with_check(
+        Check("v", Level.ERROR).has_canonical_keys("vendor", max_ratio=0.02))
+    assert ok.run(spark, ok_df).passed
+
+    bad_df = spark.createDataFrame(
+        [("acme corp",)] * 60 + [("acmee corp",)] * 40, "vendor string")
+    bad = ValidationSuite.builder("keys").with_check(
+        Check("v", Level.ERROR).has_canonical_keys("vendor", max_ratio=0.02))
+    res = bad.run(spark, bad_df)
+    assert not res.passed
+    msg = [x.message for x in res.report.issues][0]
+    assert "acmee corp" in msg and "acme corp" in msg
+
+
+def test_fuzzy_fragmentation_validates(spark):
+    from term_spark.operators.fuzzy import FuzzyFragmentationConstraint
+    with pytest.raises(ValueError, match="max_ratio"):
+        FuzzyFragmentationConstraint("v", max_ratio=1.5)
