@@ -458,6 +458,17 @@ def sf10_fresh_main() -> None:
         rawp = lambda: cosine_topk(emb, qv, k=5).collect()  # noqa: E731
         rawp()
         out["cosine_raw_topk"] = round(min(_timed(rawp) for _ in range(2)), 4)
+
+        def _dir_bytes(path):
+            return sum(os.path.getsize(os.path.join(dp, fn))
+                       for dp, _dirs, fns in os.walk(path) for fn in fns)
+        # the tier's real claim is BYTES (serving IO when vectors are
+        # cold), not local FLOPs — round 13 measured the two-pass
+        # refine LOSING to one brute pass on page-cached 64-dim data,
+        # so record the storage ratio the claim actually rests on
+        out["sq8_codes_bytes"] = _dir_bytes(f"{ztmp}/codes")
+        out["raw_embeddings_bytes"] = _dir_bytes(
+            f"{sf10_dir}/embeddings.parquet")
     finally:
         shutil.rmtree(ztmp, ignore_errors=True)
     meta_path = os.path.join(sf10_dir, "_meta.json")
