@@ -387,3 +387,51 @@ def test_parse_wav_rejects_undersized_fmt_chunk():
     ok = _parse_wav(good)
     assert ok["channels"] == 2 and ok["sample_rate"] == 16000
     assert ok["duration_ms"] == 1000
+
+
+@given(values=st.lists(st.floats(min_value=-1e5, max_value=1e5,
+                                 allow_nan=False, allow_infinity=False),
+                       min_size=8, max_size=60),
+       k=st.integers(2, 6))
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_equidepth_partitions_every_row_exactly_once(spark, values, k):
+    """Property (round 13): equi-depth buckets partition the data —
+    counts sum to n, no row lost to an edge, depths are rank-balanced
+    (each ≤ ceil(n/k) + ties' slack — with heavy ties a bucket can
+    legitimately hold more, so we only pin the partition property and
+    monotone edges)."""
+    from term_spark.operators.histogram import equidepth_histogram
+    df = spark.createDataFrame([(float(v),) for v in values], "v double")
+    rows = equidepth_histogram(df, "v", buckets=k).collect()
+    assert sum(r["n"] for r in rows) == len(values)
+    los = [r["lo"] for r in rows]
+    his = [r["hi"] for r in rows]
+    assert los == sorted(los) and his == sorted(his)
+    assert all(r["hi"] >= r["lo"] for r in rows)
+    assert min(los) == min(values) and max(his) == max(values)
+
+
+@given(names=st.lists(
+    st.sampled_from(["acme corp", "acmee corp", "acm corp", "zen corp",
+                     "acme labs", "solo ring"]),
+    min_size=1, max_size=40))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_fuzzy_canonicalize_is_total_and_count_preserving(spark, names):
+    """Property (round 13): canonicalization maps EVERY distinct value
+    exactly once, preserves the row-count mass, and every canonical is
+    itself a dictionary value whose count equals canonical_n."""
+    from term_spark.operators.fuzzy import fuzzy_canonicalize
+    df = spark.createDataFrame([(n,) for n in names], "v string")
+    rows = fuzzy_canonicalize(df, "v", max_distance=2).collect()
+    from collections import Counter
+    counts = Counter(names)
+    assert {r["name"] for r in rows} == set(counts)
+    assert sum(r["n"] for r in rows) == len(names)
+    for r in rows:
+        assert r["n"] == counts[r["name"]]
+        assert r["canonical"] in counts
+        assert r["canonical_n"] == counts[r["canonical"]]
+        # the elected canonical is never lighter than the name itself
+        assert r["canonical_n"] >= r["n"] or r["canonical"] == r["name"]
