@@ -4027,59 +4027,59 @@ FAMILY = {
 # BEGIN GENERATED ROTATION DATA (scripts/update_rotation.py)
 #: Most recent round whose CORRECTNESS_r{N}.json holds a green
 #: (rows_match + schema_match + hash_match) driver row for each query;
-#: None = never driver-proven.  Source artifacts: r01, r02, r03, r04, r05, r06, r07, r08, r09, r10, r11, r12.
-CURRENT_ROUND = 13
+#: None = never driver-proven.  Source artifacts: r01, r02, r03, r04, r05, r06, r07, r08, r09, r10, r11, r12, r13.
+CURRENT_ROUND = 14
 LAST_GREEN = {
-    "benford_totalprice": None,
-    "customer_order_distribution": None,
-    "discounted_revenue_brands": None,
-    "equidepth_price_histogram": None,
-    "forecast_revenue_change": None,
-    "fuzzy_canonical_part": None,
-    "fuzzy_name_pairs_part": None,
-    "hybrid_rrf_from_index_docs": None,
-    "national_market_share": None,
-    "product_profit_by_nation": None,
-    "promo_revenue": None,
-    "top_supplier_revenue": None,
-    "volume_shipping": None,
-    "top3_customers_per_segment": 9,
-    "asof_click_error": 10,
-    "bigram_surprisal_docs": 10,
-    "bm25_topk_docs": 10,
-    "brand_profile_part": 10,
-    "business_hours_events": 10,
-    "cdc_dedup_docs": 10,
-    "chunk_documents_docs": 10,
-    "containment_orderstatus": 10,
-    "corpus_profile_by_lang": 10,
-    "corr_matrix_lineitem": 10,
-    "dataset_diff_orders": 10,
-    "date_range_orders": 10,
-    "decontaminate_docs": 10,
-    "decontamination_report_docs": 10,
-    "dedup_pipeline_docs": 10,
-    "doc_length_buckets": 10,
-    "drift_w1_quantity": 10,
-    "dsir_weights_docs": 10,
-    "embedding_centroid_drift": 10,
-    "embedding_neardup_pairs": 10,
-    "fd_custkey_orderstatus": 10,
-    "fingerprint_docs": 10,
-    "fk_violation_examples": 10,
-    "frequent_terms_docs": 10,
-    "gopher_rules_docs": 10,
-    "grouped_stats_mktsegment": 10,
-    "incremental_neardup_docs": 10,
-    "interval_join_events": 10,
-    "ivf_index_recall_embeddings": 10,
-    "ivfpq_recall_embeddings": 10,
-    "key_skew_custkey": 10,
-    "lsh_neardup_recall_embeddings": 10,
-    "neardup_components": 10,
-    "ngram_novelty_docs": 10,
-    "readability_docs": 10,
-    "repetition_docs": 10,
+    "benford_totalprice": 13,
+    "customer_order_distribution": 13,
+    "discounted_revenue_brands": 13,
+    "equidepth_price_histogram": 13,
+    "forecast_revenue_change": 13,
+    "fuzzy_canonical_part": 13,
+    "fuzzy_name_pairs_part": 13,
+    "hybrid_rrf_from_index_docs": 13,
+    "national_market_share": 13,
+    "product_profit_by_nation": 13,
+    "promo_revenue": 13,
+    "top_supplier_revenue": 13,
+    "volume_shipping": 13,
+    "top3_customers_per_segment": 13,
+    "asof_click_error": 13,
+    "bigram_surprisal_docs": 13,
+    "bm25_topk_docs": 13,
+    "brand_profile_part": 13,
+    "business_hours_events": 13,
+    "cdc_dedup_docs": 13,
+    "chunk_documents_docs": 13,
+    "containment_orderstatus": 13,
+    "corpus_profile_by_lang": 13,
+    "corr_matrix_lineitem": 13,
+    "dataset_diff_orders": 13,
+    "date_range_orders": 13,
+    "decontaminate_docs": 13,
+    "decontamination_report_docs": 13,
+    "dedup_pipeline_docs": 13,
+    "doc_length_buckets": 13,
+    "drift_w1_quantity": 13,
+    "dsir_weights_docs": 13,
+    "embedding_centroid_drift": 13,
+    "embedding_neardup_pairs": 13,
+    "fd_custkey_orderstatus": 13,
+    "fingerprint_docs": 13,
+    "fk_violation_examples": 13,
+    "frequent_terms_docs": 13,
+    "gopher_rules_docs": 13,
+    "grouped_stats_mktsegment": 13,
+    "incremental_neardup_docs": 13,
+    "interval_join_events": 13,
+    "ivf_index_recall_embeddings": 13,
+    "ivfpq_recall_embeddings": 13,
+    "key_skew_custkey": 13,
+    "lsh_neardup_recall_embeddings": 13,
+    "neardup_components": 13,
+    "ngram_novelty_docs": 13,
+    "readability_docs": 13,
+    "repetition_docs": 13,
     "size_lineitem": 12,
     "completeness_customer": 11,
     "stats_quantity": 12,
