@@ -97,39 +97,13 @@ def main() -> int:
         return 1
     new_src = pattern.sub(block, src)
 
-    # Report the window delta the new data produces — the SAME rule as
-    # queries.driver_window(), family-freshness guard included (round
-    # 13: a replica without the guard prints a delta the real window
-    # does not have).
-    def window(lg):
-        elig = [q for q in registry if q not in Q.NO_ORACLE]
-        order = sorted(elig, key=lambda q: (lg.get(q) is not None,
-                                            lg.get(q) or 0, q))
-        size = Q.DRIVER_WINDOW_SIZE
-        w = order[:size]
-        fam_newest = {}
-        for q in elig:
-            f = Q.FAMILY[q]
-            fam_newest[f] = max(fam_newest.get(f, 0), lg.get(q) or 0)
-        in_w = set(w)
-        for q in order[size:]:
-            f = Q.FAMILY[q]
-            if fam_newest[f] >= current_round - 2:
-                continue
-            if any(Q.FAMILY[x] == f for x in in_w):
-                continue
-            for victim in reversed(w):
-                vf = Q.FAMILY[victim]
-                if (fam_newest[vf] >= current_round - 2
-                        or sum(1 for x in in_w if Q.FAMILY[x] == vf) > 1):
-                    w.remove(victim)
-                    in_w.discard(victim)
-                    w.append(q)
-                    in_w.add(q)
-                    break
-        return w
-
-    old_w, new_w = set(window(Q.LAST_GREEN)), set(window(last_green))
+    # Report the window delta the new data produces — by calling THE
+    # rule itself with candidate (LAST_GREEN, round) values (r13
+    # advice: this script used to carry a verbatim replica of
+    # driver_window(), which any future edit to one copy would
+    # silently desynchronize).
+    old_w = set(Q.driver_window(lg=Q.LAST_GREEN, current_round=current_round))
+    new_w = set(Q.driver_window(lg=last_green, current_round=current_round))
     print(f"round {current_round}: window delta "
           f"(+{len(new_w - old_w)}/-{len(old_w - new_w)})")
     for q in sorted(new_w - old_w):

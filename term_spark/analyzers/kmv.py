@@ -96,7 +96,22 @@ def kmv_sketch_by(df: DataFrame, group_col: str, column: str,
     (default 1000 — BELOW our default k of 1024, so out of the box
     the rule would silently NOT fire and every map task would ship its
     full distinct-hash set into one per-group sort).  We raise the
-    threshold to cover ``k`` before planning, and
+    threshold to cover ``k`` before planning.
+
+    SESSION-WIDE SIDE EFFECT (deliberate, r13 advice): the raise is
+    monotone (never lowered, only lifted to ``max(current, k)``) and
+    is NOT restored afterwards.  It cannot be: Spark re-reads the conf
+    every time a NEW QueryExecution optimizes this plan — the index
+    build's ``.write`` path, a caller's join on the result, a cache
+    materialization — so a try/finally restore would silently un-bound
+    exactly the downstream plans the guarantee exists for.  The
+    threshold only gates when Catalyst may prune rank filters BEFORE a
+    shuffle; raising it from 1000 to ~1024 enables that prune for a
+    slightly larger k and changes no query's results.  Callers who
+    need the old value can snapshot
+    ``spark.conf.get("spark.sql.optimizer.windowGroupLimitThreshold")``
+    before calling.
+
     ``test_kmv.py::test_kmv_sketch_by_plan_has_partial_group_limit``
     pins the Partial group-limit node in the executed plan so a Spark
     upgrade or conf regression fails loudly instead of quietly

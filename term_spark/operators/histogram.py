@@ -296,8 +296,12 @@ def equidepth_histogram(df, column: str, buckets: int = 10) -> "DataFrame":
     if buckets < 2:
         raise ValueError(f"buckets must be >= 2, got {buckets}")
     col = F.col(column).cast("double")
+    # NaN passes an isNotNull filter yet compares false against every
+    # span (r13 advice): filter it with NULLs in BOTH passes so the
+    # two passes see the same population and n/share can't undercount
+    clean = df.filter(col.isNotNull() & ~F.isnan(col))
     probs = [i / buckets for i in range(buckets + 1)]
-    row = (df.filter(col.isNotNull())
+    row = (clean
            .agg(F.expr(f"percentile({column}, array({', '.join(map(repr, probs))}))")
                 .alias("edges"),
                 F.count(F.lit(1)).alias("n")).collect()[0])
@@ -318,17 +322,28 @@ def equidepth_histogram(df, column: str, buckets: int = 10) -> "DataFrame":
             col <= F.lit(hi) if i == len(spans) - 1 else col < F.lit(hi))
         bucket = F.when(cond, F.lit(i)) if bucket is None \
             else bucket.when(cond, F.lit(i))
-    counted = (df.filter(col.isNotNull())
-               .select(bucket.alias("bucket"))
-               .groupBy("bucket").agg(F.count(F.lit(1)).alias("n")))
-    span_df = spark.createDataFrame(
-        [(i, lo, hi) for i, (lo, hi) in enumerate(spans)],
-        "bucket int, lo double, hi double")
-    return (F.broadcast(span_df)
-            .join(counted, "bucket", "left")
-            .select(F.col("bucket").cast("bigint").alias("bucket"),
-                    "lo", "hi",
-                    F.coalesce("n", F.lit(0)).alias("n"),
-                    F.round(F.coalesce("n", F.lit(0)) / F.lit(float(total)), 6)
-                    .alias("share"))
+    # ≤ buckets+1 grouped rows: collect them so rows that matched NO
+    # span (a non-deterministic source shifting values outside
+    # [min,max] between the percentile pass and this one) surface as a
+    # loud error instead of a silent undercount (r13 advice)
+    counts = {r["bucket"]: int(r["n"])
+              for r in (clean.select(bucket.alias("bucket"))
+                        .groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+                        .collect())}
+    unmatched = counts.pop(None, 0)
+    if unmatched or sum(counts.values()) != total:
+        raise ValueError(
+            f"equidepth_histogram({column}): bucketed counts "
+            f"({sum(counts.values())} + {unmatched} unmatched) != total "
+            f"{total} — the source changed between the percentile pass "
+            "and the count pass (non-deterministic input); checkpoint "
+            "or cache the input and retry")
+    out = spark.createDataFrame(
+        [(i, lo, hi, counts.get(i, 0)) for i, (lo, hi) in enumerate(spans)],
+        "bucket bigint, lo double, hi double, n bigint")
+    # share rounds in Spark (HALF_UP) so the result is bit-identical
+    # to the pre-r14 broadcast-join form the driver oracle pinned
+    return (out.select("bucket", "lo", "hi", "n",
+                       F.round(F.col("n") / F.lit(float(total)), 6)
+                       .alias("share"))
             .orderBy("bucket"))

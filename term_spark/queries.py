@@ -4198,7 +4198,8 @@ LAST_GREEN = {
 # END GENERATED ROTATION DATA
 
 
-def driver_window(size: int = DRIVER_WINDOW_SIZE) -> list:
+def driver_window(size: int = DRIVER_WINDOW_SIZE, lg: dict = None,
+                  current_round: int = None) -> list:
     """The ``size`` stalest oracle-backed queries: never-driver-proven
     first, then oldest last-green round, alphabetical tie-break.
 
@@ -4211,28 +4212,39 @@ def driver_window(size: int = DRIVER_WINDOW_SIZE) -> list:
     member in-window swaps its stalest member in, evicting the
     LEAST-stale window member whose family stays covered (fresh
     elsewhere or represented twice).  Still fully mechanical — the
-    window remains a pure function of (LAST_GREEN, FAMILY, names)."""
+    window remains a pure function of (LAST_GREEN, FAMILY, names).
+
+    ``lg``/``current_round`` default to the module's generated
+    LAST_GREEN/CURRENT_ROUND; scripts/update_rotation.py passes
+    candidate values to preview the window a new artifact set would
+    produce (r13 advice: the script previously maintained a verbatim
+    replica of this rule, which any future edit would silently
+    desynchronize)."""
+    if lg is None:
+        lg = LAST_GREEN
+    if current_round is None:
+        current_round = CURRENT_ROUND
     eligible = [q for q in QUERIES if q not in NO_ORACLE]
     order = sorted(
         eligible,
-        key=lambda q: (LAST_GREEN.get(q) is not None, LAST_GREEN.get(q) or 0, q),
+        key=lambda q: (lg.get(q) is not None, lg.get(q) or 0, q),
     )
     window = order[:size]
     fam_newest: dict = {}
     for q in eligible:
         f = FAMILY[q]
-        fam_newest[f] = max(fam_newest.get(f, 0), LAST_GREEN.get(q) or 0)
+        fam_newest[f] = max(fam_newest.get(f, 0), lg.get(q) or 0)
     in_window = set(window)
     for q in order[size:]:
         f = FAMILY[q]
-        if fam_newest[f] >= CURRENT_ROUND - 2:
+        if fam_newest[f] >= current_round - 2:
             continue  # family fresh enough without a slot this round
         if any(FAMILY[w] == f for w in in_window):
             continue  # family already represented
         # evict the least-stale window member whose family survives it
         for victim in reversed(window):
             vf = FAMILY[victim]
-            if (fam_newest[vf] >= CURRENT_ROUND - 2
+            if (fam_newest[vf] >= current_round - 2
                     or sum(1 for w in in_window if FAMILY[w] == vf) > 1):
                 window.remove(victim)
                 in_window.discard(victim)

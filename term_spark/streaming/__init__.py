@@ -770,21 +770,30 @@ class StreamingQuantileMonitor:
                          .alias(f"__g_{c}")])
         aggs.append(F.count(F.lit(1)).alias("__rows"))
         row = batch_df.agg(*aggs).collect()[0]
-        self.n_rows += row["__rows"]
+        # Build every new state in LOCALS first (r13 advice): the
+        # float/grid conversions are the only fallible steps, and if
+        # one throws mid-loop with self.* already partially mutated, a
+        # Spark retry of the batch would double-fold the columns that
+        # landed.  With construction hoisted, the commit below is
+        # nothing but int-add / list.append / set.add — a retry either
+        # sees NO effect of the failed attempt or all of it.
+        new_states = {}
         for c in self.columns:
             if row[f"__n_{c}"]:
-                self._states[c].append(AnalyzerState(
+                new_states[c] = AnalyzerState(
                     n=int(row[f"__n_{c}"]),
                     mn=float(row[f"__mn_{c}"]),
                     mx=float(row[f"__mx_{c}"]),
-                    grid=[float(g) for g in row[f"__g_{c}"]]))
-        # Mark the batch folded only AFTER the aggregation ran and the
-        # states landed: if the collect above throws and Spark retries
-        # the batch (same id), the retry must fold it, not skip it —
-        # marking first would silently drop the batch's data and
-        # weaken exactly-once to at-most-once under failure.  The
-        # mutations above are driver-local pure Python, so a retry can
-        # no longer observe a half-folded batch once we reach here.
+                    grid=[float(g) for g in row[f"__g_{c}"]])
+        # Commit point — all mutations land together, and the batch is
+        # marked folded only AFTER they do: if the collect above threw
+        # and Spark retried the batch (same id), the retry must fold
+        # it, not skip it — marking first would silently drop the
+        # batch's data and weaken exactly-once to at-most-once under
+        # failure.
+        self.n_rows += row["__rows"]
+        for c, st in new_states.items():
+            self._states[c].append(st)
         self._seen_batches.add(batch_id)
         for c, (q, lo, hi) in self.bounds.items():
             if c in self._tripped or not self._states[c]:

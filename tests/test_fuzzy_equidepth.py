@@ -105,6 +105,21 @@ def test_equidepth_histogram_degenerate_and_empty(spark):
         equidepth_histogram(same, "v", buckets=1)
 
 
+def test_equidepth_histogram_ignores_nan(spark):
+    """NaN passes isNotNull yet compares false against every span
+    (r13 advice): it must be excluded from BOTH passes, so totals and
+    shares come out as if the NaN rows never existed."""
+    from term_spark.operators.histogram import equidepth_histogram
+    vals = [(float(i),) for i in range(1, 9)] + [(float("nan"),)] * 3
+    df = spark.createDataFrame(vals, "v double")
+    rows = equidepth_histogram(df, "v", buckets=4).collect()
+    assert sum(r["n"] for r in rows) == 8          # NaNs not counted
+    assert sum(r["share"] for r in rows) == pytest.approx(1.0, abs=1e-6)
+    clean = equidepth_histogram(
+        spark.createDataFrame(vals[:8], "v double"), "v", buckets=4).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in clean]
+
+
 def test_has_canonical_keys_gate(spark):
     from term_spark import Check, Level, ValidationSuite
     ok_df = spark.createDataFrame(
