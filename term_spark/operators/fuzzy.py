@@ -176,18 +176,31 @@ class FuzzyFragmentationConstraint(Constraint):
 
     def evaluate(self, ctx) -> "ConstraintResult":
         from ..core.result import ConstraintResult
-        rows = fuzzy_canonicalize(ctx.df(self.table), self.column,
-                                  max_distance=self.max_distance,
-                                  block=self.block).collect()
-        total = sum(int(r["n"]) for r in rows)
+        canon = fuzzy_canonicalize(ctx.df(self.table), self.column,
+                                   max_distance=self.max_distance,
+                                   block=self.block)
+        # Aggregate-side ratio (r13 verdict ask #3): the old form
+        # collected the WHOLE value dictionary and summed in Python —
+        # fine for brand labels, but on a high-cardinality key column
+        # the dictionary IS the table.  The ratio is one Spark
+        # aggregate; the driver receives exactly ONE row here.
+        agg = canon.agg(
+            F.sum("n").alias("total"),
+            F.sum(F.when(F.col("name") != F.col("canonical"), F.col("n"))
+                  .otherwise(F.lit(0))).alias("moved")).collect()[0]
+        total = int(agg["total"] or 0)
         if not total:
             return self._finish(ConstraintResult.skipped(
                 f"fuzzy_fragmentation({self.column}): no values"))
-        moved = [r for r in rows if r["name"] != r["canonical"]]
-        ratio = sum(int(r["n"]) for r in moved) / total
+        ratio = int(agg["moved"] or 0) / total
         if ratio <= self.max_ratio:
             return self._finish(ConstraintResult.success(ratio))
-        worst = max(moved, key=lambda r: int(r["n"]))
+        # failure path only: fetch the single heaviest fragmented value
+        # (count DESC, name ASC — the same winner the old Python max
+        # elected over the name-ordered collect) via a bounded top-1
+        worst = (canon.filter(F.col("name") != F.col("canonical"))
+                 .orderBy(F.col("n").desc(), F.col("name").asc())
+                 .limit(1).collect())[0]
         return self._finish(ConstraintResult.failure(
             ratio,
             f"fuzzy_fragmentation({self.column}) = {ratio:.4f} exceeds "

@@ -143,3 +143,40 @@ def test_fuzzy_fragmentation_validates(spark):
     from term_spark.operators.fuzzy import FuzzyFragmentationConstraint
     with pytest.raises(ValueError, match="max_ratio"):
         FuzzyFragmentationConstraint("v", max_ratio=1.5)
+
+
+def test_has_canonical_keys_bounded_driver_on_high_cardinality(
+        spark, monkeypatch):
+    """r13 verdict ask #3: the gate must stay aggregate-side — on a
+    5,000-distinct-value key column every collect() the constraint
+    issues must hand the driver O(1) rows (the old form collected the
+    whole value dictionary)."""
+    # patch the CONCRETE class: pyspark.sql.DataFrame is the abstract
+    # facade in Spark 4 and the classic subclass defines its own collect
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    from term_spark import Check, Level, ValidationSuite
+    df = spark.range(5000).selectExpr("concat('key_', id) as k")
+    sizes = []
+    orig = DataFrame.collect
+
+    def spy(self):
+        rows = orig(self)
+        sizes.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(DataFrame, "collect", spy)
+    suite = ValidationSuite.builder("keys").with_check(
+        Check("v", Level.ERROR).has_canonical_keys("k", max_ratio=0.5))
+    assert suite.run(spark, df).passed
+    assert sizes and max(sizes) <= 1, sizes
+
+    # failure path fetches exactly one worst-offender row
+    sizes.clear()
+    bad = spark.createDataFrame(
+        [("acme corp",)] * 60 + [("acmee corp",)] * 40, "vendor string")
+    res = ValidationSuite.builder("keys").with_check(
+        Check("v", Level.ERROR).has_canonical_keys(
+            "vendor", max_ratio=0.02)).run(spark, bad)
+    assert not res.passed
+    assert sizes and max(sizes) <= 1, sizes
