@@ -290,7 +290,7 @@ def _measure_query(spark, fn, sf_dir: str, samples: int = 2) -> float:
 def _bench_index_lifecycles(spark, sf_dir: str, ivf_centroids: int = 16,
                             which: tuple = ("minhash", "substring",
                                             "ivf", "hll", "kmv",
-                                            "hybrid")) -> dict:
+                                            "hybrid", "equidepth")) -> dict:
     """Separate BUILD vs PROBE timings for the persisted indexes
     (round-11 ask #5: `incremental_neardup_docs` bench readings
     conflated writing the index — parquet x3 — with probing it, and
@@ -378,6 +378,33 @@ def _bench_index_lifecycles(spark, sf_dir: str, ivf_centroids: int = 16,
             kprobe()
             out["kmv_index_probe"] = round(min(
                 _timed(kprobe) for _ in range(2)), 4)
+
+        if "equidepth" in which:
+            # r13 verdict ask #5: the exact-vs-grid pair — the exact
+            # form's percentile sort pass is the cost the grid tier
+            # amortizes; the serve number (attest=False) is the
+            # steady-state dashboard refresh: a KB index probe + ONE
+            # map-only CASE count (vs the registry row
+            # equidepth_price_histogram, which pays the sort each run)
+            from term_spark.analyzers.quantile_index import \
+                build_quantile_index
+            from term_spark.operators.histogram import (
+                equidepth_histogram, equidepth_histogram_from_index)
+            li = read_parquet(spark, f"{sf_dir}/lineitem.parquet")
+            t0 = time.perf_counter()
+            build_quantile_index(li, ["l_extendedprice"], f"{tmp}/eqg")
+            out["equidepth_grid_build"] = round(time.perf_counter() - t0, 4)
+            gserve = lambda: equidepth_histogram_from_index(  # noqa: E731
+                li, "l_extendedprice", f"{tmp}/eqg", buckets=8,
+                attest=False).collect()
+            gserve()
+            out["equidepth_grid_serve"] = round(min(
+                _timed(gserve) for _ in range(2)), 4)
+            eserve = lambda: equidepth_histogram(  # noqa: E731
+                li, "l_extendedprice", buckets=8).collect()
+            eserve()
+            out["equidepth_exact"] = round(min(
+                _timed(eserve) for _ in range(2)), 4)
 
         if "ivf" in which:
             emb = read_parquet(spark, f"{sf_dir}/embeddings.parquet")

@@ -180,3 +180,46 @@ def test_has_canonical_keys_bounded_driver_on_high_cardinality(
             "vendor", max_ratio=0.02)).run(spark, bad)
     assert not res.passed
     assert sizes and max(sizes) <= 1, sizes
+
+
+def test_equidepth_from_index_counts_exact_edges_attested(spark, tmp_path):
+    """Grid-served equi-depth (r13 verdict ask #5): edges come from the
+    persisted quantile index, counts stay exact — every row lands in a
+    bucket (unbounded outer buckets), Σn is the exact population, each
+    bucket's depth is near 1/buckets, and every edge's rank attestation
+    pins TRUE."""
+    from term_spark.analyzers.quantile_index import build_quantile_index
+    from term_spark.operators.histogram import (
+        equidepth_histogram, equidepth_histogram_from_index)
+    df = spark.range(10_000).selectExpr("cast(id as double) as v",
+                                        "id % 7 as junk")
+    idx = str(tmp_path / "qidx")
+    build_quantile_index(df, ["v"], idx)
+    rows = equidepth_histogram_from_index(df, "v", idx, buckets=8).collect()
+    assert len(rows) == 8
+    assert sum(r["n"] for r in rows) == 10_000       # counts exact
+    assert all(r["edge_within_bound"] for r in rows)  # rank attestation
+    # each bucket's depth within the tier's rank band of 1/buckets
+    for r in rows:
+        assert abs(r["share"] - 0.125) <= 2 * 2 * (2 / 200 + 1 / 10_000)
+    # near the exact form's buckets on uniform data
+    exact = equidepth_histogram(df, "v", buckets=8).collect()
+    for a, b in zip(rows, exact):
+        assert abs(a["n"] - b["n"]) <= 600
+
+    # append a second shard: probe must still attest over the union
+    df2 = spark.range(10_000, 20_000).selectExpr("cast(id as double) as v",
+                                                 "id % 7 as junk")
+    build_quantile_index(df2, ["v"], idx, mode="append")
+    both = df.unionByName(df2)
+    rows2 = equidepth_histogram_from_index(both, "v", idx, buckets=8).collect()
+    assert sum(r["n"] for r in rows2) == 20_000
+    assert all(r["edge_within_bound"] for r in rows2)
+
+    # untracked column refuses loudly; attest=False skips the column
+    with pytest.raises(ValueError, match="not tracked"):
+        equidepth_histogram_from_index(df, "junk", idx, buckets=4)
+    lean = equidepth_histogram_from_index(df, "v", idx, buckets=8,
+                                          attest=False)
+    assert "edge_within_bound" not in lean.columns
+    assert sum(r["n"] for r in lean.collect()) == 10_000
