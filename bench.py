@@ -469,6 +469,41 @@ def _timed(fn) -> float:
     return time.perf_counter() - t0
 
 
+def _bench_curation_stages(spark, sf_dir: str) -> dict:
+    """Per-stage cost split of the composed curation pipeline (r13
+    verdict ask #4): each stage is lazily localCheckpoint-pinned, so
+    timing each stage's first materialization measures THAT stage's
+    incremental work — upstream stages are already pinned when stage N
+    runs.  Single timed pass (the composition's registry row measures
+    the whole-chain accounting cost; this is the where-does-it-go
+    split)."""
+    import pyspark.sql.functions as F
+
+    from term_spark.operators.curation import curation_pipeline
+    from term_spark.sources import read_parquet
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet") \
+        .filter(F.col("text").isNotNull())
+    it = curation_pipeline(
+        docs, eval_df=docs.filter(F.col("source") == "src0"),
+        train_filter=F.col("source") != "src0")
+    out = {}
+    while True:
+        # time next() TOGETHER with the count: the generator builds
+        # stage N between yields, and the near-dup stage runs its
+        # component-convergence actions during that build — a plain
+        # `for` would advance the generator outside the timer and
+        # charge ~80% of the pipeline to nothing
+        t0 = time.perf_counter()
+        try:
+            name, sdf = next(it)
+        except StopIteration:
+            break
+        sdf.count()
+        out[f"curation_{name}"] = round(time.perf_counter() - t0, 4)
+    return out
+
+
 def _sf10_dir() -> str:
     return os.environ.get(
         "SPARK_GRAFT_SF10_DIR", os.path.join(REPO_DIR, "benchdata", "sf10"))
@@ -812,6 +847,9 @@ def main() -> None:
         "benford_totalprice", "hybrid_rrf_from_index_docs",
         "fuzzy_name_pairs_part", "fuzzy_canonical_part",
         "equidepth_price_histogram",
+        # round-14: the composed curation pipeline (per-stage split in
+        # _bench_curation_stages) and the grid-served equi-depth
+        "curation_pipeline_docs", "equidepth_from_grid_price",
     ]
     sections["sf01_queries_start"] = _load_stamp()
     for name in bench_queries:
@@ -854,6 +892,7 @@ def main() -> None:
     # so the aged-JVM sf1 numbers keep their historical position in the
     # run (round-over-round comparability).
     per_query.update(_bench_index_lifecycles(spark, SF_DIR))
+    per_query.update(_bench_curation_stages(spark, SF_DIR))
     sections["after_index_lifecycles"] = _load_stamp()
 
     detail = {

@@ -794,3 +794,76 @@ class ContaminationConstraint(Constraint):
             ratio, f"low_contamination: {bad}/{n} docs exceed "
                    f"{self.per_doc_threshold:.0%} eval-set {self.k}-gram "
                    f"overlap (ratio {ratio:.4f} > max {self.max_doc_ratio})"))
+
+
+def curation_pipeline(df: DataFrame, eval_df: Optional[DataFrame] = None,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      min_words: int = 8, line_min_count: int = 5,
+                      jaccard_threshold: float = 0.6,
+                      decontaminate_k: int = 8,
+                      budget_tokens: int = 1000,
+                      budget_by: str = "source",
+                      train_filter=None):
+    """The composed end-to-end curation chain (round 14 — the brief's
+    training-data pipeline, wired from the individually-audited
+    operators):
+
+        raw → clean_text → Gopher gate → line dedup (strip
+        ``line_min_count``+-occurrence corpus lines) → exact dedup →
+        near dedup (MinHash-LSH → Jaccard verify → components) →
+        decontaminate vs ``eval_df`` (skipped when None) →
+        token-budget sample (greedy ``budget_tokens``/``budget_by``)
+
+    A GENERATOR of (stage_name, DataFrame), in pipeline order.  Every
+    stage after raw is lazily ``localCheckpoint``-pinned, so a
+    consumer that acts on each stage (per-stage accounting, per-stage
+    bench timing) executes each stage's work exactly once — stage N's
+    action never re-runs stages 1..N-1.  Generator rather than list
+    on purpose: the near-dup stage's connected-components step runs
+    driver-side convergence ACTIONS while the stage is being BUILT, so
+    a pre-built list would charge that work to construction where no
+    per-stage timer can see it; yielding lazily keeps each stage's
+    build+execute cost inside its consumer's measurement window.
+
+    Scale shape: each stage is its operator's already-audited plan —
+    at most one wide shuffle each (line/exact/near dedup key shuffles,
+    the LSH band join); clean/Gopher are map-only codegen; eval-side
+    decontamination shingles broadcast.  The driver-proven composition
+    row is queries_llm.q_curation_pipeline_docs; per-stage costs are
+    split in bench.py."""
+    yield "raw", df
+    cur = (df.withColumn(text_col, T.clean_text(text_col))
+           .localCheckpoint(eager=False))
+    yield "clean", cur
+    flags = T.gopher_quality_flags(cur, text_col=text_col, id_col=id_col,
+                                   min_words=min_words)
+    cur = (cur.join(flags.filter(F.col("passes"))
+                    .select(F.col("id").alias(id_col)), id_col)
+           .localCheckpoint(eager=False))
+    yield "gopher", cur
+    kept_lines, _lines = T.dedup_lines(cur, text_col, id_col,
+                                       min_count=line_min_count)
+    cur = (cur.drop(text_col).join(kept_lines, id_col)
+           .localCheckpoint(eager=False))
+    yield "line_dedup", cur
+    cur = D.dedup_exact(cur, text_col, id_col).localCheckpoint(eager=False)
+    yield "exact_dedup", cur
+    cur = (near_dedup(cur, text_col, id_col,
+                      jaccard_threshold=jaccard_threshold)
+           .localCheckpoint(eager=False))
+    yield "near_dedup", cur
+    if eval_df is not None:
+        # train_filter drops the holdout's own rows from the training
+        # side (an eval doc trivially shares every shingle with
+        # itself) — e.g. F.col("source") != "src0" when the holdout is
+        # a source slice of the same corpus
+        train = cur.filter(train_filter) if train_filter is not None else cur
+        cur = (decontaminate_ngram(train, eval_df, text_col, id_col,
+                                   k=decontaminate_k)
+               .localCheckpoint(eager=False))
+        yield "decontaminate", cur
+    cur = (token_budget_sample(cur, budget_tokens, by=budget_by,
+                               text_col=text_col, id_col=id_col)
+           .drop("__n_tokens", "__cum_tokens")
+           .localCheckpoint(eager=False))
+    yield "token_budget", cur

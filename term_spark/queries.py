@@ -4036,6 +4036,7 @@ FAMILY = {
     "source_mixing_docs": "curation",
     "split_counts_docs": "curation",
     "token_budget_sample_docs": "curation",
+    "curation_pipeline_docs": "curation",
     "dsir_weights_docs": "dsir",
     "decontamination_report_docs": "decontamination_report",
     "line_dedup_summary_docs": "line_dedup",
@@ -4129,6 +4130,7 @@ LAST_GREEN = {
     "benford_totalprice": 13,
     "customer_order_distribution": 13,
     "discounted_revenue_brands": 13,
+    "curation_pipeline_docs": None,
     "equidepth_from_grid_price": None,
     "equidepth_price_histogram": 13,
     "forecast_revenue_change": 13,

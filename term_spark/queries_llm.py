@@ -929,6 +929,277 @@ LLM_ORACLES.update({"dedup_pipeline_docs": SQL_DEDUP_PIPELINE_DOCS})
 
 
 # ---------------------------------------------------------------------------
+# end-to-end CURATION pipeline: raw -> clean -> Gopher -> line dedup ->
+# exact dedup -> near dedup -> decontaminate -> token budget (r13 ask #4)
+# ---------------------------------------------------------------------------
+
+#: line-dedup strip threshold for the composed pipeline: 5+ corpus
+#: occurrences = boilerplate (2 would also delete BOTH copies of every
+#: planted doc clone on the single-line synthetic corpus, starving the
+#: exact/near-dedup stages of their work)
+CURATION_LINE_MIN_COUNT = 5
+#: greedy per-source token budget for the final sampling stage —
+#: the synthetic corpus carries ~1,200-1,650 tokens per source, so
+#: 1,000 makes the greedy prefix genuinely truncate every source
+CURATION_BUDGET_TOKENS = 1000
+
+#: the ftfy-lite clean_text chain in DuckDB (kept verbatim in sync with
+#: queries.SQL_TEXT_CLEANING_DOCS, whose parity row pins it against
+#: operators/text.clean_text every round)
+_CLEAN_EXPR_SQL = (
+    "trim(regexp_replace("
+    "regexp_replace("
+    "translate("
+    "regexp_replace("
+    "regexp_replace(text, "
+    r"'[\x00-\x08\x0B\x0C\x0E-\x1F\x7F\x{200B}-\x{200D}\x{FEFF}]', "
+    "'', 'g'), "
+    r"'[\x{00A0}\x{1680}\x{2000}-\x{200A}\x{202F}\x{205F}\x{3000}]', "
+    "' ', 'g'), "
+    "'“”‘’–—', "
+    "'\"\"' || chr(39) || chr(39) || '--'), "
+    r"'[ \t]+', ' ', 'g'), "
+    r"'\n[ ]*(\n[ ]*)+', chr(10) || chr(10), 'g'))")
+
+
+def q_curation_pipeline_docs(spark, sf_dir) -> DataFrame:
+    """The COMPOSED training-data curation pipeline as one lifecycle
+    accounting row per stage (round 14, verdict ask #4 — every stage
+    below has its own driver-proven row; this query value-checks their
+    end-to-end composition, the brief's actual pitch):
+
+        raw → clean_text → Gopher gate (min_words=8) → line dedup
+        (strip 5+-occurrence corpus lines, reassemble) → exact dedup
+        (min-id per normalized-md5) → near dedup (MinHash-LSH →
+        exact-Jaccard verify → components → keep min id) →
+        decontaminate (drop train docs sharing an 8-gram with the
+        src0 eval holdout) → token-budget sample (greedy 1,000
+        tokens/source in md5 order)
+
+    Per stage: surviving doc count, whitespace-token total, the
+    2,048-token concat-and-chunk window count (the packing stat), and
+    a CORPUS HASH — bit_xor of each doc's 48-bit md5(text) prefix —
+    so the oracle pins not just how many docs survived each stage but
+    WHICH BYTES (order-independent, map-side-combinable, overflow-free
+    — the scale-safe corpus identity).
+
+    Scale shape: each stage is the already-audited operator (one wide
+    shuffle each at most); stages are lazily localCheckpoint-pinned
+    (operators/curation.curation_pipeline) so the 8 accounting
+    aggregates never re-execute upstream stages.  Eval-side shingles
+    broadcast; no pairwise work outside the LSH-bounded verify join."""
+    from .operators.curation import curation_pipeline
+
+    d = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    stages = curation_pipeline(
+        d, eval_df=d.filter(F.col("source") == "src0"),
+        min_words=8, line_min_count=CURATION_LINE_MIN_COUNT,
+        jaccard_threshold=JACCARD_THRESHOLD, decontaminate_k=8,
+        budget_tokens=CURATION_BUDGET_TOKENS, budget_by="source",
+        train_filter=F.col("source") != "src0")
+    h48 = F.conv(F.substring(F.md5("text"), 1, 12), 16, 10).cast("long")
+    rows = []
+    for i, (name, sdf) in enumerate(stages):
+        row = sdf.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(T.token_count("text")).alias("tok"),
+            F.bit_xor(h48).alias("hsh")).collect()[0]
+        tok = int(row["tok"] or 0)
+        rows.append((i, name, int(row["n"]), tok,
+                     -(-tok // PACK_CONTEXT_LEN), int(row["hsh"] or 0)))
+    return spark.createDataFrame(
+        rows,
+        "stage_id bigint, stage string, n_docs bigint, n_tokens bigint, "
+        "n_windows bigint, corpus_hash bigint").orderBy("stage_id")
+
+
+def _curation_pipeline_sql() -> str:
+    """DuckDB replay of the full composition — every stage rebuilt
+    against the PREVIOUS stage's CTE (the per-stage oracles all read
+    the raw table; composition is exactly what they can't check)."""
+    k = JACCARD_K
+    r = NUM_HASHES // BANDS
+
+    def shingles(src: str, kk: int) -> str:
+        return f"""
+    SELECT DISTINCT doc_id AS id,
+           unnest(CASE WHEN len(toks) >= {kk}
+                  THEN list_transform(generate_series(1, len(toks) - {kk - 1}),
+                                      i -> array_to_string(toks[i:i+{kk - 1}], ' '))
+                  ELSE [array_to_string(toks, ' ')] END) AS shingle
+    FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM {src})"""
+
+    mh = ", ".join(
+        f"MIN(md5('{i}:' || shingle)) AS mh_{i}" for i in range(NUM_HASHES))
+    band_exprs = []
+    for b in range(BANDS):
+        parts = " || '|' || ".join(f"mh_{i}" for i in range(b * r, (b + 1) * r))
+        band_exprs.append(f"md5({parts}) AS band_{b}")
+    bands_sql = ", ".join(band_exprs)
+    stack = " UNION ALL ".join(
+        f"SELECT id, {b} AS band, band_{b} AS h FROM banded"
+        for b in range(BANDS))
+
+    def stat(i: int, name: str, src: str) -> str:
+        return f"""
+SELECT {i} AS stage_id, '{name}' AS stage,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COALESCE(SUM(ntok), 0) AS BIGINT) AS n_tokens,
+       CAST(CEIL(COALESCE(SUM(ntok), 0) * 1.0 / {PACK_CONTEXT_LEN})
+            AS BIGINT) AS n_windows,
+       CAST(COALESCE(bit_xor(
+            CAST(('0x' || substr(md5(text), 1, 12)) AS BIGINT)), 0)
+            AS BIGINT) AS corpus_hash
+FROM (SELECT text,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+'))
+             END AS ntok
+      FROM {src})"""
+
+    return f"""
+WITH RECURSIVE
+raw AS MATERIALIZED (SELECT doc_id, source, lang, text FROM documents
+        WHERE text IS NOT NULL),
+clean AS MATERIALIZED (SELECT doc_id, source, lang, {_CLEAN_EXPR_SQL} AS text FROM raw),
+gt AS (
+    SELECT doc_id, source, lang, text,
+           CASE WHEN trim(COALESCE(text, '')) = '' THEN []
+                ELSE string_split_regex(trim(COALESCE(text, '')), '\\s+')
+           END AS words,
+           string_split(COALESCE(text, ''), chr(10)) AS lines
+    FROM clean
+),
+gm AS (
+    SELECT doc_id, source, lang, text,
+           len(words) AS n_words,
+           ROUND(list_sum(list_transform(words, w -> length(w))) * 1.0
+                 / GREATEST(len(words), 1), 6) AS mwl,
+           ROUND((length(regexp_replace(text, '[^#…]', '', 'g'))
+                  + len(regexp_extract_all(text, '\\.\\.\\.'))) * 1.0
+                 / GREATEST(len(words), 1), 6) AS swr,
+           ROUND(len(list_filter(lines,
+                     l -> regexp_matches(trim(l), '^[-*•]'))) * 1.0
+                 / GREATEST(len(lines), 1), 6) AS blr,
+           ROUND(len(list_filter(lines,
+                     l -> regexp_matches(rtrim(l), '(\\.\\.\\.|…)$'))) * 1.0
+                 / GREATEST(len(lines), 1), 6) AS elr,
+           ROUND(len(list_filter(words,
+                     w -> regexp_matches(w, '\\p{{L}}'))) * 1.0
+                 / GREATEST(len(words), 1), 6) AS awr
+    FROM gt
+),
+gopher AS MATERIALIZED (
+    SELECT doc_id, source, lang, text FROM gm
+    WHERE n_words >= 8 AND n_words <= 100000
+      AND mwl BETWEEN 3.0 AND 10.0 AND swr <= 0.1
+      AND blr <= 0.9 AND elr <= 0.3 AND awr >= 0.8
+),
+glists AS (SELECT doc_id, source, lang,
+                  unnest(list_transform(string_split(text, chr(10)),
+                                        (x, i) -> {{'pos': i, 'line': x}}))
+                      AS pl
+           FROM gopher),
+glines AS (SELECT doc_id, source, lang, pl.pos AS pos, pl.line AS line
+           FROM glists),
+lfreq AS (SELECT line, COUNT(*) AS n FROM glines GROUP BY line),
+lkept AS (SELECT g.* FROM glines g JOIN lfreq f ON g.line = f.line
+          WHERE f.n < {CURATION_LINE_MIN_COUNT}),
+line_dedup AS MATERIALIZED (
+    SELECT doc_id, source, lang,
+           string_agg(line, chr(10) ORDER BY pos) AS text
+    FROM lkept GROUP BY doc_id, source, lang
+),
+efp AS (SELECT *, md5({_NORM_SQL}) AS f FROM line_dedup),
+exact AS MATERIALIZED (
+    SELECT doc_id, source, lang, text FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY f ORDER BY doc_id) AS rn
+        FROM efp) WHERE rn = 1
+),
+xsh AS MATERIALIZED ({shingles("exact", k)}),
+sig AS (SELECT id, {mh} FROM xsh GROUP BY id),
+banded AS (SELECT id, {bands_sql} FROM sig),
+stacked AS MATERIALIZED ({stack}),
+cands AS MATERIALIZED (
+    SELECT a.id AS id_a, b.id AS id_b
+    FROM stacked a JOIN stacked b
+      ON a.band = b.band AND a.h = b.h AND a.id < b.id
+    GROUP BY 1, 2
+),
+sizes AS MATERIALIZED (SELECT id, COUNT(*) AS n FROM xsh GROUP BY id),
+ver_inter AS (
+    SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+    FROM cands c
+    JOIN xsh a ON a.id = c.id_a
+    JOIN xsh b ON b.id = c.id_b AND b.shingle = a.shingle
+    GROUP BY c.id_a, c.id_b
+),
+verified AS MATERIALIZED (
+    SELECT v.id_a, v.id_b FROM ver_inter v
+    JOIN sizes sa ON v.id_a = sa.id
+    JOIN sizes sb ON v.id_b = sb.id
+    WHERE v.n_common * 1.0 / (sa.n + sb.n - v.n_common)
+          >= {JACCARD_THRESHOLD}
+),
+edges AS MATERIALIZED (
+    SELECT id_a AS s, id_b AS d FROM verified
+    UNION
+    SELECT id_b, id_a FROM verified
+),
+verts AS (SELECT DISTINCT s AS v FROM edges),
+reach(v, rr) AS (
+    SELECT v, v FROM verts
+    UNION
+    SELECT reach.v, edges.d FROM reach JOIN edges ON reach.rr = edges.s
+),
+comps AS (SELECT v, MIN(rr) AS component FROM reach GROUP BY v),
+near_dedup AS MATERIALIZED (
+    SELECT * FROM exact
+    WHERE doc_id NOT IN (SELECT v FROM comps WHERE v <> component)
+),
+tsh AS ({shingles("(SELECT doc_id, text FROM near_dedup "
+                  "WHERE source <> 'src0')", 8)}),
+esh AS (SELECT DISTINCT shingle FROM (
+    {shingles("(SELECT doc_id, text FROM documents WHERE source = 'src0')", 8)}
+)),
+contam AS (SELECT DISTINCT t.id FROM tsh t JOIN esh e
+           ON t.shingle = e.shingle),
+decon AS MATERIALIZED (
+    SELECT * FROM near_dedup
+    WHERE source <> 'src0' AND doc_id NOT IN (SELECT id FROM contam)
+),
+tb AS (
+    SELECT *, CASE WHEN trim(text) = '' THEN 0
+                   ELSE len(string_split_regex(trim(text), '\\s+'))
+              END AS nt,
+           md5('term:' || CAST(doc_id AS VARCHAR)) AS rk
+    FROM decon
+),
+tbc AS (
+    SELECT *, SUM(nt) OVER (PARTITION BY source ORDER BY rk, doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum
+    FROM tb
+),
+token_budget AS MATERIALIZED (SELECT doc_id, source, lang, text FROM tbc
+                 WHERE cum <= {CURATION_BUDGET_TOKENS})
+{stat(0, "raw", "raw")}
+UNION ALL {stat(1, "clean", "clean")}
+UNION ALL {stat(2, "gopher", "gopher")}
+UNION ALL {stat(3, "line_dedup", "line_dedup")}
+UNION ALL {stat(4, "exact_dedup", "exact")}
+UNION ALL {stat(5, "near_dedup", "near_dedup")}
+UNION ALL {stat(6, "decontaminate", "decon")}
+UNION ALL {stat(7, "token_budget", "token_budget")}
+ORDER BY stage_id
+"""
+
+
+SQL_CURATION_PIPELINE_DOCS = _curation_pipeline_sql()
+
+LLM_QUERIES.update({"curation_pipeline_docs": q_curation_pipeline_docs})
+LLM_ORACLES.update({"curation_pipeline_docs": SQL_CURATION_PIPELINE_DOCS})
+
+
+# ---------------------------------------------------------------------------
 # semantic dedup (SemDeDup-style, untrained deterministic-centroid path)
 # ---------------------------------------------------------------------------
 
