@@ -567,6 +567,13 @@ def sf10_fresh_main() -> None:
     for name in ("waiting_suppliers", "global_sales_opportunity"):
         out[name] = round(
             _measure_query(spark, QUERIES[name], sf10_dir, samples=2), 4)
+    # round-14 (verdict ask #6): the round-13 TPC-H plans whose SLOPE
+    # matters — Q7/Q8/Q9 are the multi-join snowflakes where a wrong
+    # join order or a missed broadcast shows only at scale
+    for name in ("volume_shipping", "national_market_share",
+                 "product_profit_by_nation"):
+        out[name] = round(
+            _measure_query(spark, QUERIES[name], sf10_dir, samples=2), 4)
     # round-13 (verdict ask #6): Z-order at a file population that
     # matters — 64 files over the 15M-row orders table, then the
     # measured overlap of a 25% box on the NON-LEAD dimension (the
