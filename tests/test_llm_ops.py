@@ -374,6 +374,64 @@ def test_curate_corpus_pipeline(spark):
     assert kept == [1, 6]
 
 
+def test_curation_pipeline_stages_each_do_their_job(spark):
+    """The composed generator pipeline (round 14): every stage removes
+    exactly its planted fixture, hashes/pins are consistent, and
+    consuming the generator stage-by-stage never re-runs upstream
+    work (the stages are lazily checkpoint-pinned)."""
+    import pyspark.sql.functions as F
+
+    from term_spark.operators.curation import curation_pipeline
+
+    boiler = "subscribe to our newsletter today"
+    base = ("the data pipeline processes the large table with care and "
+            "the results are good")
+    rows = [
+        # 1+2: exact dups (identical text) — exact stage drops 2
+        (1, "web", base),
+        (2, "web", base),
+        # 3: near dup of 1 — near stage drops it
+        (3, "web", base.replace("good", "fine")),
+        # 4: fails Gopher word-count (min_words=8)
+        (4, "web", "way too short to pass"),
+        # 5: clean survivor
+        (5, "web", "a completely different document about the spark "
+                   "engine and the catalyst optimizer with great plans"),
+        # 6: shares an 8-gram with the eval holdout — decontaminate
+        #    drops it
+        (6, "web", "students often ask about the seven wonders of the "
+                   "ancient world and their remarkable history lessons"),
+        # 7-11: every doc carries the boilerplate line 5 times total —
+        #       line dedup strips the LINE, docs survive with the rest
+        *[(7 + i, "web",
+           boiler + "\n" + f"unique body text number {i} with plenty of "
+           "additional words to stay above the gopher word floor")
+          for i in range(5)],
+        # eval holdout rows (source='eval')
+        (100, "eval", "the exam question covers the seven wonders of the "
+                      "ancient world and their remarkable history"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {}
+    for name, sdf in curation_pipeline(
+            df, eval_df=df.filter(F.col("source") == "eval"),
+            jaccard_threshold=0.7, budget_tokens=10_000,
+            train_filter=F.col("source") != "eval"):
+        got[name] = sorted(r["doc_id"] for r in sdf.select("doc_id").collect())
+        if name == "line_dedup":
+            # the boilerplate line is gone from every carrier's text
+            texts = {r["doc_id"]: r["text"] for r in sdf.collect()}
+            assert all(boiler not in texts[i] for i in range(7, 12))
+    assert got["raw"] == got["clean"] != []                  # clean: no-op
+    assert got["gopher"] == [i for i in got["clean"] if i != 4]  # Gopher gate
+    assert got["line_dedup"] == got["gopher"]                # docs survive
+    assert got["exact_dedup"] == [i for i in got["line_dedup"] if i != 2]
+    assert got["near_dedup"] == [i for i in got["exact_dedup"] if i != 3]
+    assert got["decontaminate"] == [
+        i for i in got["near_dedup"] if i not in (6, 100)]
+    assert got["token_budget"] == got["decontaminate"]       # budget loose
+
+
 def test_minhash_deterministic_across_builds(spark, docs):
     """Two independently-built plans must agree exactly (band counts
     included) — guards against seed literals that embed per-plan state
