@@ -102,3 +102,48 @@ def test_scaling_budget(spark, tpch):
     t_big, _ = _run_timed(spark, big)
     assert t_big < max(t_small * 15.0, 2.0 * MULT), \
         f"10x data: {t_small:.2f}s -> {t_big:.2f}s"
+
+
+def test_canary_ref_rolls_min_over_artifacts(tmp_path, monkeypatch):
+    """The bench gate's reference (round 14): min over prior BENCH
+    artifacts' recorded canaries, seeded — monotone, ignores junk."""
+    import json
+    import sys
+    sys.path.insert(0, os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))))
+    import bench
+
+    monkeypatch.setattr(bench, "REPO_DIR", str(tmp_path))
+    # no artifacts -> the seed
+    assert bench._canary_ref("cpu_canary_mt_sec", 1.31) == 1.31
+    (tmp_path / "BENCH_r14.json").write_text(json.dumps(
+        {"parsed": {"env": {"cpu_canary_mt_sec": 1.22}}}))
+    (tmp_path / "BENCH_r15.json").write_text(json.dumps(
+        {"parsed": {"env": {"cpu_canary_mt_sec": 1.41}}}))
+    # junk values (absent / non-numeric / sub-floor) never win
+    (tmp_path / "BENCH_r16.json").write_text(json.dumps(
+        {"parsed": {"env": {"cpu_canary_mt_sec": 0.001}}}))
+    (tmp_path / "BENCH_r17.json").write_text("not json at all")
+    assert bench._canary_ref("cpu_canary_mt_sec", 1.31) == 1.22
+    # a faster committed window tightens the gate below the seed
+    (tmp_path / "BENCH_r18.json").write_text(json.dumps(
+        {"parsed": {"env": {"cpu_canary_mt_sec": 1.05}}}))
+    assert bench._canary_ref("cpu_canary_mt_sec", 1.31) == 1.05
+
+
+def test_canary_mt_prices_concurrent_load():
+    """The multi-core canary must run its workers in PROCESSES (GIL)
+    and report the max per-worker wall: with workers=2 on a 32-core
+    box the wall must stay close to one worker's single-thread time,
+    NOT ~2x it (which is what a thread-based 'parallel' canary would
+    read)."""
+    import sys
+    sys.path.insert(0, os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))))
+    import bench
+
+    st = bench._cpu_canary()
+    mt2 = bench._cpu_canary_mt(workers=2)
+    assert mt2 < st * 1.8, (
+        f"2-process canary {mt2:.2f}s vs single-thread {st:.2f}s — "
+        "workers are serializing (GIL?)")
