@@ -391,12 +391,25 @@ def equidepth_histogram_from_index(df, column: str, index_path: str,
         raise ValueError(f"buckets must be >= 2, got {buckets}")
     spark = df.sparkSession
     probs = [i / buckets for i in range(buckets + 1)]
+    # refuse a GROUPED index up front (before the report path builds
+    # its attestation aggregate, which references the group column):
+    # a grouped index returns one estimate per (group, p) — taking
+    # them un-keyed would silently blend groups (duplicate p keys,
+    # last group wins).  Per-group histograms need per-group exact
+    # counts too; refuse rather than guess.
+    meta = spark.read.parquet(f"{index_path}/meta").collect()[0]
+    if meta["group_col"]:
+        raise ValueError(
+            f"equidepth_histogram_from_index: the index at {index_path} "
+            f"is GROUPED (group_col={meta['group_col']!r}) — probe an "
+            "ungrouped index, or build per-group histograms by filtering "
+            "df to one group and building an ungrouped index over that "
+            "slice")
     if attest:
-        rep = (quantile_index_report(spark, index_path, probs, exact_df=df)
-               .filter(F.col("col_name") == column).collect())
+        rep_df = quantile_index_report(spark, index_path, probs, exact_df=df)
     else:
-        rep = (quantiles_from_index(spark, index_path, probs)
-               .filter(F.col("col_name") == column).collect())
+        rep_df = quantiles_from_index(spark, index_path, probs)
+    rep = rep_df.filter(F.col("col_name") == column).collect()
     if not rep:
         raise ValueError(
             f"equidepth_histogram_from_index: column {column!r} is not "

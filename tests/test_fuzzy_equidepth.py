@@ -219,6 +219,13 @@ def test_equidepth_from_index_counts_exact_edges_attested(spark, tmp_path):
     # untracked column refuses loudly; attest=False skips the column
     with pytest.raises(ValueError, match="not tracked"):
         equidepth_histogram_from_index(df, "junk", idx, buckets=4)
+    # grouped index refuses loudly — probing it un-keyed would blend
+    # groups (duplicate p keys, last group silently winning)
+    gidx = str(tmp_path / "qidx_grouped")
+    build_quantile_index(df.selectExpr("v", "cast(junk as string) as g"),
+                         ["v"], gidx, group_col="g")
+    with pytest.raises(ValueError, match="GROUPED"):
+        equidepth_histogram_from_index(df, "v", gidx, buckets=4)
     lean = equidepth_histogram_from_index(df, "v", idx, buckets=8,
                                           attest=False)
     assert "edge_within_bound" not in lean.columns
