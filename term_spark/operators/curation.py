@@ -382,6 +382,59 @@ def stratified_sample_exact(df: DataFrame, strata_col: str,
             .drop("__rn"))
 
 
+def weighted_sample_exact(df: DataFrame, weight_col, n: int,
+                          by: Optional[str] = None,
+                          id_col: str = "doc_id",
+                          seed: str = "term") -> DataFrame:
+    """EXACTLY ``n`` rows (per ``by`` group when given), selected
+    WITHOUT replacement with probability proportional to ``weight_col``
+    — Efraimidis & Spirakis 2006 (A-ES): each row draws a key
+    u^(1/w) with u uniform in (0, 1], and the top-n keys ARE a
+    weight-proportional sample without replacement.  The uniform is
+    md5-derived from (seed, id) — no RNG state, reproducible across
+    runs AND engines, growth-stable (a row's key never changes when
+    other rows appear), so the selection is oracle-checkable.
+
+    This completes the sampling family's quadrant: hash_split
+    (uniform, fractions), stratified_sample_exact (uniform, exact n),
+    weighted_sample (weighted, Bernoulli/approximate n) — this is
+    (weighted, exact n): "give me exactly 10k docs per source, chosen
+    proportional to quality score", the training-mix ask the other
+    three can't express.
+
+    Rows with NULL or non-positive weight are EXCLUDED (their
+    selection probability is zero/undefined — A-ES requires w > 0).
+    Keys compare as ln(u)/w (monotone in u^(1/w), numerically stable
+    for tiny weights), rounded to 12 for cross-engine float parity,
+    ties broken by id.
+
+    Scale: grouped form is one window on the ``by`` key (rank only —
+    the same shuffle stratified_sample_exact pays); ungrouped is a
+    bounded TakeOrdered top-n.  No weight normalization pass — A-ES
+    keys depend only on each row's own weight.
+    """
+    if n <= 0:
+        raise ValueError(f"n must be > 0, got {n}")
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    w = w.cast("double")
+    # u in (0, 1]: 12 hex digits of md5 → [0, 2^48), +1 → (0, 2^48]
+    u = ((F.conv(F.substring(
+            F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))),
+            1, 12), 16, 10).cast("double") + F.lit(1.0))
+         / F.lit(float(2 ** 48)))
+    key = F.round(F.log(u) / w, 12).alias("__aes_key")
+    base = df.filter(w.isNotNull() & (w > 0)).withColumn("__aes_key", key)
+    if by is not None:
+        from pyspark.sql import Window
+        win = Window.partitionBy(by).orderBy(F.col("__aes_key").desc(),
+                                             F.col(id_col).asc())
+        return (base.withColumn("__rn", F.row_number().over(win))
+                .filter(F.col("__rn") <= n)
+                .drop("__rn", "__aes_key"))
+    return (base.orderBy(F.col("__aes_key").desc(), F.col(id_col).asc())
+            .limit(n).drop("__aes_key"))
+
+
 def weighted_sample(df: DataFrame, weight_col, id_col: str = "doc_id",
                     seed: str = "term") -> DataFrame:
     """Deterministic Bernoulli thinning: keep a row iff

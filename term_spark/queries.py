@@ -4037,6 +4037,7 @@ FAMILY = {
     "split_counts_docs": "curation",
     "token_budget_sample_docs": "curation",
     "curation_pipeline_docs": "curation",
+    "weighted_exact_sample_docs": "curation",
     "dsir_weights_docs": "dsir",
     "decontamination_report_docs": "decontamination_report",
     "line_dedup_summary_docs": "line_dedup",
@@ -4132,6 +4133,7 @@ LAST_GREEN = {
     "discounted_revenue_brands": 13,
     "curation_pipeline_docs": None,
     "equidepth_from_grid_price": None,
+    "weighted_exact_sample_docs": None,
     "equidepth_price_histogram": 13,
     "forecast_revenue_change": 13,
     "fuzzy_canonical_part": 13,

@@ -752,6 +752,47 @@ LLM_QUERIES.update({"stratified_sample_docs": q_stratified_sample_docs})
 LLM_ORACLES.update({"stratified_sample_docs": SQL_STRATIFIED_SAMPLE_DOCS})
 
 
+def q_weighted_exact_sample_docs(spark, sf_dir) -> DataFrame:
+    """Exact-size weighted sampling WITHOUT replacement (round 14,
+    curation.weighted_sample_exact — Efraimidis-Spirakis A-ES): exactly
+    5 docs per source, selection probability proportional to n_chars,
+    via the deterministic md5-uniform key u^(1/w) (compared as
+    ln(u)/w, rounded 12 for engine parity, ties by id).  Completes the
+    sampling quadrant: hash_split (uniform/fractions),
+    stratified_sample_exact (uniform/exact-n), weighted_sample
+    (weighted/Bernoulli) — this is weighted/exact-n, the "10k docs per
+    source by quality score" training-mix ask.  Emits the SELECTION so
+    the oracle checks which rows won, not just counts."""
+    from .operators.curation import weighted_sample_exact
+    d = _docs(spark, sf_dir)
+    return (weighted_sample_exact(d, "n_chars", 5, by="source")
+            .select("source", "doc_id")
+            .orderBy("source", "doc_id"))
+
+
+SQL_WEIGHTED_EXACT_SAMPLE_DOCS = """
+WITH k AS (
+    SELECT source, doc_id,
+           ROUND(ln((CAST(('0x' || substr(
+                       md5('term:' || CAST(doc_id AS VARCHAR)), 1, 12))
+                     AS BIGINT) + 1.0) / 281474976710656.0)
+                 / CAST(n_chars AS DOUBLE), 12) AS aes_key
+    FROM documents
+    WHERE n_chars IS NOT NULL AND n_chars > 0
+), r AS (
+    SELECT source, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY source
+                              ORDER BY aes_key DESC, doc_id ASC) AS rn
+    FROM k
+)
+SELECT source, doc_id FROM r WHERE rn <= 5 ORDER BY source, doc_id
+"""
+
+
+LLM_QUERIES.update({"weighted_exact_sample_docs": q_weighted_exact_sample_docs})
+LLM_ORACLES.update({"weighted_exact_sample_docs": SQL_WEIGHTED_EXACT_SAMPLE_DOCS})
+
+
 # ---------------------------------------------------------------------------
 # repetition metrics (Gopher-style) + sequence packing
 # ---------------------------------------------------------------------------

@@ -752,6 +752,47 @@ def test_stratified_sample_exact_counts_and_determinism(spark):
     assert sorted(map(tuple, out)) != sorted(map(tuple, other))
 
 
+def test_weighted_sample_exact_counts_proportionality_and_guards(spark):
+    """A-ES weighted sampling without replacement (round 14): exact n
+    per group, deterministic, weight-proportional across seeds, and
+    zero/NULL weights excluded."""
+    from collections import Counter
+
+    import pytest as _pt
+
+    from term_spark.operators.curation import weighted_sample_exact
+
+    rows = ([(i, "a", 1.0) for i in range(20)]
+            + [(100 + i, "b", 5.0) for i in range(10)]
+            + [(200, "tiny", 3.0)]
+            + [(300, "a", None), (301, "a", 0.0), (302, "a", -2.0)])
+    df = spark.createDataFrame(rows, "doc_id long, source string, w double")
+    out = weighted_sample_exact(df, "w", 4, by="source").collect()
+    counts = Counter(r["source"] for r in out)
+    assert counts == {"a": 4, "b": 4, "tiny": 1}
+    assert all(r["doc_id"] < 300 for r in out)   # bad weights excluded
+    again = weighted_sample_exact(df, "w", 4, by="source").collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+    # ungrouped exact-n
+    assert len(weighted_sample_exact(df, "w", 6).collect()) == 6
+
+    # weight-proportionality: one heavy (w=10) vs nine light (w=1)
+    # items; across 80 seeds the heavy item must win n=1 roughly
+    # 10/19 of the time — far more than any single light item's 1/19
+    mix = spark.createDataFrame(
+        [(0, 10.0)] + [(i, 1.0) for i in range(1, 10)],
+        "doc_id long, w double").cache()
+    wins = sum(
+        weighted_sample_exact(mix, "w", 1, seed=f"s{k}")
+        .collect()[0]["doc_id"] == 0
+        for k in range(80))
+    assert 25 <= wins <= 60, wins  # E≈42, binomial 3σ ≈ ±13
+
+    with _pt.raises(ValueError, match="n must be > 0"):
+        weighted_sample_exact(df, "w", 0)
+
+
 def test_operator_input_guards(spark):
     import pytest as _pt
 
