@@ -570,6 +570,20 @@ class Check:
         return self.with_constraint(TimelinePsiDriftConstraint(
             column, time_col, ref_df, max_psi, bins, lo, hi, granularity))
 
+    def has_valid_embeddings(self, column: str = "embedding",
+                             expect_dim=None, require_unit_norm: bool = False,
+                             norm_tol: float = 1e-3,
+                             max_bad_ratio: float = 0.0) -> "Check":
+        """Embedding hygiene gate: the fraction of rows whose vector is
+        unusable for vector math (NULL, wrong dimension, NaN/Inf
+        element, zero norm; optionally norm outside 1 ± ``norm_tol``)
+        must stay within ``max_bad_ratio`` — the release screen in
+        front of every ANN/cosine tier, one map-only pass riding the
+        suite's fused aggregation."""
+        from ..operators.similarity import EmbeddingQualityConstraint
+        return self.with_constraint(EmbeddingQualityConstraint(
+            column, expect_dim, require_unit_norm, norm_tol, max_bad_ratio))
+
     def has_canonical_keys(self, column: str, max_ratio: float = 0.01,
                            max_distance: int = 2, block=None) -> "Check":
         """Fuzzy-fragmentation gate: the row-weighted fraction of

@@ -1754,3 +1754,127 @@ def sq8_topk_refined(df: DataFrame, codes: DataFrame, queries: DataFrame,
             .filter(F.col("rank") <= int(k))
             .select("query_id", "nbr_id",
                     F.round(F.col("cos_raw"), 6).alias("cosine"), "rank"))
+
+
+def embedding_quality_summary(df: DataFrame, vec_col: str = "embedding",
+                              expect_dim: Optional[int] = None) -> DataFrame:
+    """Embedding-column hygiene audit (round 14) — the pre-ANN release
+    screen: ONE fused map-only aggregation that counts, per corpus,
+    the vectors that would silently poison downstream vector math —
+    NULL arrays, wrong dimension (vs ``expect_dim`` when given), any
+    non-finite element (NaN/±Inf propagate through every dot product
+    they touch), and zero-norm vectors (cosine divides by the norm).
+    Also reports min/max/mean norm over the CLEAN population (rounded
+    6) — a norm range far from 1.0 flags an un-normalized corpus
+    before it meets a cosine-assuming index.
+
+    Everything is JVM higher-order functions over the array column
+    (transform/exists/aggregate) — no explode, no shuffle beyond the
+    single 1-row aggregate, no Python.  At 100 TB this is one
+    map-side-combined pass.
+
+    Returns one row: (n_vecs, n_null, n_wrong_dim, n_nonfinite,
+    n_zero_norm, n_clean, min_norm, max_norm, mean_norm).
+    ``n_wrong_dim`` is NULL when ``expect_dim`` is not given.
+    """
+    from ..functions.security import validate_identifier
+
+    validate_identifier(vec_col)
+    v = F.col(vec_col)
+    dvec = F.transform(v, lambda x: x.cast("double"))
+    nonfinite = F.exists(
+        dvec, lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf"))))
+    norm2 = F.aggregate(dvec, F.lit(0.0), lambda a, x: a + x * x)
+    wrong_dim = (F.size(v) != F.lit(int(expect_dim))
+                 if expect_dim is not None else F.lit(None).cast("boolean"))
+    clean = v.isNotNull() & ~nonfinite & (norm2 > 0)
+    if expect_dim is not None:
+        clean = clean & ~wrong_dim
+    norm = F.sqrt(norm2)
+    return df.agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.count_if(v.isNull()).alias("n_null"),
+        (F.count_if(v.isNotNull() & wrong_dim)
+         if expect_dim is not None
+         else F.lit(None).cast("bigint")).alias("n_wrong_dim"),
+        F.count_if(v.isNotNull() & nonfinite).alias("n_nonfinite"),
+        F.count_if(v.isNotNull() & ~nonfinite & (norm2 == 0))
+        .alias("n_zero_norm"),
+        F.count_if(clean).alias("n_clean"),
+        F.round(F.min(F.when(clean, norm)), 6).alias("min_norm"),
+        F.round(F.max(F.when(clean, norm)), 6).alias("max_norm"),
+        F.round(F.avg(F.when(clean, norm)), 6).alias("mean_norm"))
+
+
+class EmbeddingQualityConstraint(Constraint):
+    """``has_valid_embeddings``: the fraction of rows whose embedding
+    is unusable for vector math (NULL, wrong dimension, non-finite
+    element, zero norm — and, with ``require_unit_norm``, norm outside
+    1 ± ``norm_tol``) must stay within ``max_bad_ratio`` (default 0).
+    The release gate in front of every ANN/cosine tier: one bad vector
+    NaN-poisons each dot product it meets and a wrong-dim vector
+    breaks the GEMM batch shape — both silently, both found here for
+    the cost of one map-only pass.  Rides the suite's shared fused
+    aggregation as plain count expressions."""
+
+    name = "embedding_quality"
+
+    def __init__(self, column: str = "embedding",
+                 expect_dim: Optional[int] = None,
+                 require_unit_norm: bool = False,
+                 norm_tol: float = 1e-3,
+                 max_bad_ratio: float = 0.0):
+        from ..core.constraint import metric_alias
+        from ..functions.security import validate_identifier
+        if not 0.0 <= max_bad_ratio <= 1.0:
+            raise ValueError(
+                f"max_bad_ratio must be in [0,1], got {max_bad_ratio}")
+        if norm_tol <= 0:
+            raise ValueError(f"norm_tol must be > 0, got {norm_tol}")
+        self.column = validate_identifier(column)
+        self.expect_dim = int(expect_dim) if expect_dim is not None else None
+        self.require_unit_norm = bool(require_unit_norm)
+        self.norm_tol = float(norm_tol)
+        self.max_bad_ratio = float(max_bad_ratio)
+        self._rows = metric_alias("emb_rows", column)
+        self._bad = metric_alias("emb_bad", column, self.expect_dim,
+                                 self.require_unit_norm, self.norm_tol)
+
+    def _bad_cond(self):
+        v = F.col(self.column)
+        dvec = F.transform(v, lambda x: x.cast("double"))
+        nonfinite = F.exists(
+            dvec, lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf"))))
+        norm2 = F.aggregate(dvec, F.lit(0.0), lambda a, x: a + x * x)
+        bad = v.isNull() | nonfinite | (norm2 <= 0)
+        if self.expect_dim is not None:
+            bad = bad | (F.size(v) != F.lit(self.expect_dim))
+        if self.require_unit_norm:
+            bad = bad | (F.abs(F.sqrt(norm2) - F.lit(1.0))
+                         > F.lit(self.norm_tol))
+        return bad
+
+    def scalar_metrics(self, df):
+        return {self._rows: F.count(F.lit(1)),
+                self._bad: F.count_if(self._bad_cond())}
+
+    def result_from_metrics(self, metrics):
+        from ..core.result import ConstraintResult
+        rows = int(metrics[self._rows])
+        if rows == 0:
+            return self._finish(ConstraintResult.skipped(
+                f"embedding_quality({self.column}): empty table"))
+        bad = int(metrics[self._bad])
+        ratio = bad / rows
+        if ratio <= self.max_bad_ratio:
+            return self._finish(ConstraintResult.success(ratio))
+        wants = [w for w, on in (
+            (f"dim={self.expect_dim}", self.expect_dim is not None),
+            (f"unit norm ±{self.norm_tol}", self.require_unit_norm),
+        ) if on]
+        return self._finish(ConstraintResult.failure(
+            ratio,
+            f"embedding_quality({self.column}): {bad}/{rows} vectors "
+            f"unusable (NULL / non-finite / zero-norm"
+            + (f" / {' / '.join(wants)}" if wants else "")
+            + f"), ratio {ratio:.6f} > max {self.max_bad_ratio}"))

@@ -4038,6 +4038,7 @@ FAMILY = {
     "token_budget_sample_docs": "curation",
     "curation_pipeline_docs": "curation",
     "weighted_exact_sample_docs": "curation",
+    "embedding_quality_embeddings": "embedding_cosine",
     "dsir_weights_docs": "dsir",
     "decontamination_report_docs": "decontamination_report",
     "line_dedup_summary_docs": "line_dedup",
@@ -4133,6 +4134,7 @@ LAST_GREEN = {
     "discounted_revenue_brands": 13,
     "curation_pipeline_docs": None,
     "equidepth_from_grid_price": None,
+    "embedding_quality_embeddings": None,
     "weighted_exact_sample_docs": None,
     "equidepth_price_histogram": 13,
     "forecast_revenue_change": 13,

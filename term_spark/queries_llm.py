@@ -793,6 +793,58 @@ LLM_QUERIES.update({"weighted_exact_sample_docs": q_weighted_exact_sample_docs})
 LLM_ORACLES.update({"weighted_exact_sample_docs": SQL_WEIGHTED_EXACT_SAMPLE_DOCS})
 
 
+def q_embedding_quality_embeddings(spark, sf_dir) -> DataFrame:
+    """Embedding-column hygiene audit (round 14,
+    similarity.embedding_quality_summary): one fused map-only pass
+    counting the vectors that silently poison ANN/cosine math — NULL
+    arrays, wrong dimension (vs 64), non-finite elements, zero norms —
+    plus the clean population's norm range.  The release screen every
+    ANN tier in this repo assumes; `Check.has_valid_embeddings` is the
+    suite-level gate over the same condition."""
+    from .operators.similarity import embedding_quality_summary
+    return embedding_quality_summary(_emb(spark, sf_dir), "embedding",
+                                     expect_dim=64)
+
+
+SQL_EMBEDDING_QUALITY_EMBEDDINGS = """
+WITH m AS (
+    SELECT embedding AS v,
+           list_transform(embedding, x -> x::DOUBLE) AS dv
+    FROM embeddings
+), s AS (
+    SELECT v, dv,
+           len(list_filter(dv, x -> isnan(x) OR isinf(x))) > 0 AS nonfinite,
+           list_dot_product(dv, dv) AS norm2
+    FROM m
+), c AS (
+    SELECT *,
+           v IS NOT NULL AND NOT nonfinite AND norm2 > 0
+               AND len(v) = 64 AS clean,
+           sqrt(norm2) AS nrm
+    FROM s
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(COUNT(*) FILTER (v IS NULL) AS BIGINT) AS n_null,
+       CAST(COUNT(*) FILTER (v IS NOT NULL AND len(v) <> 64) AS BIGINT)
+           AS n_wrong_dim,
+       CAST(COUNT(*) FILTER (v IS NOT NULL AND nonfinite) AS BIGINT)
+           AS n_nonfinite,
+       CAST(COUNT(*) FILTER (v IS NOT NULL AND NOT nonfinite AND norm2 = 0)
+            AS BIGINT) AS n_zero_norm,
+       CAST(COUNT(*) FILTER (clean) AS BIGINT) AS n_clean,
+       ROUND(MIN(nrm) FILTER (clean), 6) AS min_norm,
+       ROUND(MAX(nrm) FILTER (clean), 6) AS max_norm,
+       ROUND(AVG(nrm) FILTER (clean), 6) AS mean_norm
+FROM c
+"""
+
+
+LLM_QUERIES.update(
+    {"embedding_quality_embeddings": q_embedding_quality_embeddings})
+LLM_ORACLES.update(
+    {"embedding_quality_embeddings": SQL_EMBEDDING_QUALITY_EMBEDDINGS})
+
+
 # ---------------------------------------------------------------------------
 # repetition metrics (Gopher-style) + sequence packing
 # ---------------------------------------------------------------------------
