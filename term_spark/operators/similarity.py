@@ -1806,6 +1806,27 @@ def embedding_quality_summary(df: DataFrame, vec_col: str = "embedding",
         F.round(F.avg(F.when(clean, norm)), 6).alias("mean_norm"))
 
 
+def bad_embedding_cond(column: str, expect_dim: Optional[int] = None,
+                       require_unit_norm: bool = False,
+                       norm_tol: float = 1e-3) -> "F.Column":
+    """The shared unusable-vector predicate (NULL / non-finite element
+    / zero norm / wrong dim / off-unit norm) — one boolean codegen
+    expression used by the suite gate and the streaming monitor, so
+    batch and stream can never disagree on what "bad" means."""
+    v = F.col(column)
+    dvec = F.transform(v, lambda x: x.cast("double"))
+    nonfinite = F.exists(
+        dvec, lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf"))))
+    norm2 = F.aggregate(dvec, F.lit(0.0), lambda a, x: a + x * x)
+    bad = v.isNull() | nonfinite | (norm2 <= 0)
+    if expect_dim is not None:
+        bad = bad | (F.size(v) != F.lit(int(expect_dim)))
+    if require_unit_norm:
+        bad = bad | (F.abs(F.sqrt(norm2) - F.lit(1.0))
+                     > F.lit(float(norm_tol)))
+    return bad
+
+
 class EmbeddingQualityConstraint(Constraint):
     """``has_valid_embeddings``: the fraction of rows whose embedding
     is unusable for vector math (NULL, wrong dimension, non-finite
@@ -1841,18 +1862,8 @@ class EmbeddingQualityConstraint(Constraint):
                                  self.require_unit_norm, self.norm_tol)
 
     def _bad_cond(self):
-        v = F.col(self.column)
-        dvec = F.transform(v, lambda x: x.cast("double"))
-        nonfinite = F.exists(
-            dvec, lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf"))))
-        norm2 = F.aggregate(dvec, F.lit(0.0), lambda a, x: a + x * x)
-        bad = v.isNull() | nonfinite | (norm2 <= 0)
-        if self.expect_dim is not None:
-            bad = bad | (F.size(v) != F.lit(self.expect_dim))
-        if self.require_unit_norm:
-            bad = bad | (F.abs(F.sqrt(norm2) - F.lit(1.0))
-                         > F.lit(self.norm_tol))
-        return bad
+        return bad_embedding_cond(self.column, self.expect_dim,
+                                  self.require_unit_norm, self.norm_tol)
 
     def scalar_metrics(self, df):
         return {self._rows: F.count(F.lit(1)),

@@ -835,3 +835,80 @@ class StreamingQuantileMonitor:
     def attach(self, stream_writer):
         """writer.foreachBatch hookup: monitor.attach(df.writeStream)"""
         return stream_writer.foreachBatch(self.foreach_batch)
+
+
+class StreamingEmbeddingQualityMonitor:
+    """Stream-wide embedding hygiene gate — the streaming companion of
+    ``Check.has_valid_embeddings`` (operators/similarity.py), sharing
+    its ``bad_embedding_cond`` predicate so batch and stream can never
+    disagree on what an unusable vector is: every micro-batch runs one
+    fused map-only aggregation (total rows + bad rows — NULL array,
+    wrong dim, NaN/Inf element, zero norm, optionally off-unit norm),
+    and the monitor keeps two running counters — constant driver state
+    for an unbounded stream, exact counts (badness is additive).
+
+    Exactly-once: counts are NOT idempotent, so the monitor dedups on
+    batch_id and marks a batch seen only AFTER its counts land (the
+    StreamingQuantileMonitor discipline — a failed collect retried by
+    Spark must fold, not skip; a replay of a folded batch must skip,
+    not double-count).
+
+    ``on_alert`` fires (batch_id, cumulative_ratio, batch_bad) the
+    moment the cumulative bad ratio exceeds ``max_bad_ratio`` and the
+    tipping batch contributed bad rows; ``status()`` reads the running
+    exposure at any point.
+    """
+
+    def __init__(self, column: str = "embedding",
+                 expect_dim: Optional[int] = None,
+                 require_unit_norm: bool = False,
+                 norm_tol: float = 1e-3,
+                 max_bad_ratio: float = 0.0,
+                 on_alert: Optional[Callable] = None):
+        from ..functions.security import validate_identifier
+        if not 0.0 <= max_bad_ratio <= 1.0:
+            raise ValueError(
+                f"max_bad_ratio must be in [0, 1], got {max_bad_ratio}")
+        if norm_tol <= 0:
+            raise ValueError(f"norm_tol must be > 0, got {norm_tol}")
+        self.column = validate_identifier(column)
+        self.expect_dim = int(expect_dim) if expect_dim is not None else None
+        self.require_unit_norm = bool(require_unit_norm)
+        self.norm_tol = float(norm_tol)
+        self.max_bad_ratio = float(max_bad_ratio)
+        self.on_alert = on_alert
+        self.n_vecs = 0
+        self.n_bad = 0
+        self._seen_batches: set = set()
+        self.alerts: List = []
+
+    def foreach_batch(self, batch_df, batch_id: int) -> None:
+        if batch_id in self._seen_batches:
+            return  # foreachBatch replay — already counted
+        from ..operators.similarity import bad_embedding_cond
+        bad = bad_embedding_cond(self.column, self.expect_dim,
+                                 self.require_unit_norm, self.norm_tol)
+        row = batch_df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_if(bad).alias("bad")).collect()[0]
+        # commit all mutations together, seen-mark last (see class doc)
+        self.n_vecs += int(row["n"])
+        self.n_bad += int(row["bad"])
+        self._seen_batches.add(batch_id)
+        if self.n_vecs == 0:
+            return
+        ratio = self.n_bad / self.n_vecs
+        if ratio > self.max_bad_ratio and int(row["bad"]) > 0:
+            self.alerts.append((batch_id, ratio, int(row["bad"])))
+            del self.alerts[:-100]
+            if self.on_alert is not None:
+                self.on_alert(batch_id, ratio, int(row["bad"]))
+
+    def status(self) -> dict:
+        return {"n_vecs": self.n_vecs, "n_bad": self.n_bad,
+                "bad_ratio": (self.n_bad / self.n_vecs
+                              if self.n_vecs else 0.0)}
+
+    def attach(self, stream_writer):
+        """writer.foreachBatch hookup: monitor.attach(df.writeStream)"""
+        return stream_writer.foreachBatch(self.foreach_batch)

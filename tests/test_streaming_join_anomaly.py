@@ -280,3 +280,41 @@ def test_quantile_monitor_failed_batch_retry_is_folded(spark):
     assert monitor.n_rows == 10
     monitor.foreach_batch(good, 0)        # replay of a folded batch
     assert monitor.n_rows == 10
+
+
+def test_streaming_embedding_quality_monitor_alerts_and_replay(spark, tmp_path):
+    """The streaming form of has_valid_embeddings (round 14): exact
+    running counters, alert on the tipping batch, replayed batch ids
+    fold exactly once, and the bad-vector predicate is the SAME one
+    the batch gate uses."""
+    from term_spark.streaming import StreamingEmbeddingQualityMonitor
+    src = str(tmp_path / "emb_src")
+    os.makedirs(src)
+    batches = [
+        [(1, [0.6, 0.8]), (2, [1.0, 0.0])],               # b0 clean
+        [(3, [float("nan"), 1.0]), (4, [0.0, 1.0])],      # b1: 1 bad
+        [(5, None), (6, [0.0, 0.0])],                     # b2: 2 bad
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, "vec_id long, embedding array<double>") \
+            .coalesce(1).write.parquet(f"{src}/b{i}.parquet")
+
+    monitor = StreamingEmbeddingQualityMonitor(expect_dim=2)
+    stream = (spark.readStream.schema("vec_id long, embedding array<double>")
+              .option("maxFilesPerTrigger", 1).parquet(src + "/*.parquet"))
+    q = monitor.attach(stream.writeStream).trigger(availableNow=True).start()
+    q.awaitTermination(180)
+
+    st = monitor.status()
+    assert st["n_vecs"] == 6 and st["n_bad"] == 3
+    assert st["bad_ratio"] == pytest.approx(0.5)
+    assert [b for b, _, _ in monitor.alerts] == [1, 2]
+
+    # replayed batch id is a no-op (exactly-once)
+    replay = spark.createDataFrame(batches[1],
+                                   "vec_id long, embedding array<double>")
+    monitor.foreach_batch(replay, 1)
+    assert monitor.status()["n_vecs"] == 6
+
+    with pytest.raises(ValueError, match="max_bad_ratio"):
+        StreamingEmbeddingQualityMonitor(max_bad_ratio=1.5)
