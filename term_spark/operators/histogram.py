@@ -448,3 +448,101 @@ def equidepth_histogram_from_index(df, column: str, index_path: str,
         F.round(F.col("n") / F.lit(float(total)), 6).alias("share"),
         *(["edge_within_bound"] if attest else []))
     return out.orderBy("bucket")
+
+
+def equidepth_histograms_by_group(df, column: str, index_path: str,
+                                  buckets: int = 10,
+                                  attest: bool = True) -> "DataFrame":
+    """Per-GROUP equi-depth histograms served from a GROUPED
+    quantile-grid index (round 14 — the per-source companion of
+    ``equidepth_histogram_from_index``: "document-length distribution
+    per crawl" without one exact percentile sort per source): each
+    group's bucket edges come from its own grid probe, counts stay
+    EXACT via one broadcast span join + a (group × buckets)-key
+    grouped count over ``df``.
+
+    Bucket membership uses each group's INTERIOR edges only — bucket 0
+    is unbounded below and the last bucket unbounded above, so sketch
+    rank error at p=0/1 can never drop a row and each group's Σn is
+    its exact population.  Repeated edges (discrete data) leave empty
+    middle buckets, matching the ungrouped form's semantics.
+
+    The span table is O(groups × buckets) driver-side rows — the same
+    bounded-groups shape as every grouped probe in the tier (the index
+    itself is O(shards × groups × columns) driver-merged rows).  The
+    group column name comes from the index meta, so df must carry it.
+
+    Returns (grp, bucket, lo, hi, n, share[, edge_within_bound])
+    ordered by (grp, bucket); groups present in the index but absent
+    from ``df`` report n=0 rows.
+    """
+    from ..analyzers.quantile_index import (quantile_index_report,
+                                            quantiles_from_index)
+
+    validate_identifier(column)
+    if buckets < 2:
+        raise ValueError(f"buckets must be >= 2, got {buckets}")
+    spark = df.sparkSession
+    meta = spark.read.parquet(f"{index_path}/meta").collect()[0]
+    gcol = meta["group_col"]
+    if not gcol:
+        raise ValueError(
+            f"equidepth_histograms_by_group: the index at {index_path} is "
+            "UNGROUPED — use equidepth_histogram_from_index")
+    probs = [i / buckets for i in range(buckets + 1)]
+    if attest:
+        rep = (quantile_index_report(spark, index_path, probs, exact_df=df)
+               .filter(F.col("col_name") == column).collect())
+    else:
+        rep = (quantiles_from_index(spark, index_path, probs)
+               .filter(F.col("col_name") == column).collect())
+    if not rep:
+        raise ValueError(
+            f"equidepth_histograms_by_group: column {column!r} is not "
+            f"tracked by the index at {index_path}")
+    by_grp: dict = {}
+    for r in rep:
+        by_grp.setdefault(r["grp"], {})[round(r["p"], 12)] = r
+    span_rows = []
+    for g, by_p in sorted(by_grp.items()):
+        edges = [float(by_p[round(p, 12)]["q_est"]) for p in probs]
+        ok = [bool(by_p[round(p, 12)]["within_bound"]) if attest else None
+              for p in probs]
+        for i in range(buckets):
+            row = (g, i, edges[i], edges[i + 1])
+            if attest:
+                row += (bool(ok[i] and ok[i + 1]),)
+            span_rows.append(row)
+    span_schema = "grp string, bucket int, lo double, hi double" + \
+        (", edge_within_bound boolean" if attest else "")
+    spans = spark.createDataFrame(span_rows, span_schema)
+
+    col = F.col(column).cast("double")
+    clean = (df.filter(col.isNotNull() & ~F.isnan(col)
+                       & F.col(gcol).isNotNull())
+             .select(F.col(gcol).cast("string").alias("grp"),
+                     col.alias("__v")))
+    last = buckets - 1
+    cond = ((F.col("bucket") == 0) & (F.col("__v") < F.col("hi"))) | \
+           ((F.col("bucket") == last) & (F.col("__v") >= F.col("lo"))) | \
+           ((F.col("bucket") > 0) & (F.col("bucket") < last)
+            & (F.col("__v") >= F.col("lo")) & (F.col("__v") < F.col("hi")))
+    counted = (clean.join(F.broadcast(spans.select("grp", "bucket",
+                                                   "lo", "hi")),
+                          on=[clean["grp"] == spans["grp"], cond],
+                          how="inner")
+               .groupBy(spans["grp"].alias("grp"), "bucket")
+               .agg(F.count(F.lit(1)).alias("n")))
+    totals = counted.groupBy("grp").agg(F.sum("n").alias("__tot"))
+    out = (spans.join(counted, ["grp", "bucket"], "left")
+           .join(F.broadcast(totals), "grp", "left")
+           .select("grp",
+                   F.col("bucket").cast("bigint").alias("bucket"),
+                   "lo", "hi",
+                   F.coalesce("n", F.lit(0)).alias("n"),
+                   F.when(F.col("__tot") > 0,
+                          F.round(F.coalesce("n", F.lit(0))
+                                  / F.col("__tot"), 6))
+                   .otherwise(F.lit(0.0)).alias("share"),
+                   *(["edge_within_bound"] if attest else [])))
+    return out.orderBy("grp", "bucket")

@@ -4121,6 +4121,7 @@ FAMILY = {
     "fuzzy_canonical_part": "fuzzy",
     "equidepth_price_histogram": "histogram",
     "equidepth_from_grid_price": "histogram",
+    "equidepth_by_source_grid_docs": "histogram",
 }
 
 # BEGIN GENERATED ROTATION DATA (scripts/update_rotation.py)
@@ -4133,6 +4134,7 @@ LAST_GREEN = {
     "customer_order_distribution": 13,
     "discounted_revenue_brands": 13,
     "curation_pipeline_docs": None,
+    "equidepth_by_source_grid_docs": None,
     "equidepth_from_grid_price": None,
     "embedding_quality_embeddings": None,
     "weighted_exact_sample_docs": None,

@@ -845,6 +845,109 @@ LLM_ORACLES.update(
     {"embedding_quality_embeddings": SQL_EMBEDDING_QUALITY_EMBEDDINGS})
 
 
+def q_equidepth_by_source_grid_docs(spark, sf_dir) -> DataFrame:
+    """Per-SOURCE equi-depth histograms of document length served from
+    the GROUPED quantile-grid tier (round 14,
+    histogram.equidepth_histograms_by_group — "length distribution per
+    crawl" without one exact percentile sort per source): a grouped
+    index over (source, n_chars) is built once, each source's 4 bucket
+    edges come from its own kilobyte grid probe, and counts stay exact
+    via one broadcast span join + a (source × buckets)-key grouped
+    count.  Per (source, bucket) the row carries the oracle-replayable
+    exact per-group percentile edges and population, plus the
+    Spark-verified attestations (edge rank band, per-group depth, per-
+    group count completeness) the oracle pins TRUE — the grouped form
+    of equidepth_from_grid_price.
+
+    The depth attestation here is TIE-AWARE: with ~25 small-int doc
+    lengths per source, a probed edge landing inside a tied run moves
+    the whole run between buckets at once, so the sound bound is
+    |share − 1/buckets| ≤ 2·(rank band + m_g/n_g) with m_g the group's
+    maximal single-value multiplicity — the continuous-data form
+    (2·rank band alone, which equidepth_from_grid_price uses over
+    ~unique prices) is provably violated on tied data and DID trip at
+    sf0.01.
+
+    Eagerly materialized; scratch index deleted before returning."""
+    import shutil
+    import tempfile
+
+    from .analyzers.quantile_index import (DEFAULT_ACCURACY, DEFAULT_K,
+                                           build_quantile_index)
+    from .operators.histogram import equidepth_histograms_by_group
+
+    d = _docs(spark, sf_dir)
+    buckets = 4
+    probs = [i / buckets for i in range(buckets + 1)]
+    tmp = tempfile.mkdtemp(prefix="term_spark_eqgrid_src_")
+    try:
+        build_quantile_index(d, ["n_chars"], tmp, group_col="source")
+        hist = equidepth_histograms_by_group(
+            d, "n_chars", tmp, buckets=buckets).collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    totals: dict = {}
+    for r in hist:
+        totals[r["grp"]] = totals.get(r["grp"], 0) + int(r["n"])
+    v = F.col("n_chars").cast("double")
+    exact = (d.filter(v.isNotNull())
+             .groupBy(F.col("source").cast("string").alias("grp"))
+             .agg(F.count(F.lit(1)).alias("__n"),
+                  *[F.round(F.percentile(v, F.lit(p)), 6).alias(f"__e_{i}")
+                    for i, p in enumerate(probs)])).collect()
+    ex = {r["grp"]: r for r in exact}
+    # per-group maximal tie mass m_g: the depth bound's tie term
+    ties = {r["grp"]: int(r["m"]) for r in
+            (d.filter(v.isNotNull())
+             .groupBy(F.col("source").cast("string").alias("grp"),
+                      v.alias("__v"))
+             .agg(F.count(F.lit(1)).alias("c"))
+             .groupBy("grp").agg(F.max("c").alias("m"))).collect()}
+    band = 2.0 / DEFAULT_K + 1.0 / DEFAULT_ACCURACY
+    rows = [(r["grp"], int(r["bucket"]),
+             float(ex[r["grp"]][f"__e_{r['bucket']}"]),
+             float(ex[r["grp"]][f"__e_{r['bucket'] + 1}"]),
+             int(ex[r["grp"]]["__n"]),
+             bool(r["edge_within_bound"]),
+             abs(r["share"] - 1.0 / buckets)
+             <= 2.0 * (2.0 * band
+                       + ties[r["grp"]] / int(ex[r["grp"]]["__n"])),
+             totals[r["grp"]] == int(ex[r["grp"]]["__n"]))
+            for r in hist]
+    return spark.createDataFrame(
+        rows,
+        "source string, bucket bigint, lo_exact double, hi_exact double, "
+        "n_total bigint, edge_attested boolean, depth_within_band boolean, "
+        "counts_complete boolean").orderBy("source", "bucket")
+
+
+SQL_EQUIDEPTH_BY_SOURCE_GRID_DOCS = """
+WITH e AS (
+    SELECT CAST(source AS VARCHAR) AS source,
+           quantile_cont(CAST(n_chars AS DOUBLE),
+                         [0.0, 0.25, 0.5, 0.75, 1.0]) AS edges,
+           COUNT(*) AS total
+    FROM documents WHERE n_chars IS NOT NULL
+    GROUP BY source
+)
+SELECT source, CAST(i AS BIGINT) AS bucket,
+       ROUND(edges[i + 1], 6) AS lo_exact,
+       ROUND(edges[i + 2], 6) AS hi_exact,
+       CAST(total AS BIGINT) AS n_total,
+       TRUE AS edge_attested,
+       TRUE AS depth_within_band,
+       TRUE AS counts_complete
+FROM e CROSS JOIN generate_series(0, 3) t(i)
+ORDER BY source, bucket
+"""
+
+
+LLM_QUERIES.update(
+    {"equidepth_by_source_grid_docs": q_equidepth_by_source_grid_docs})
+LLM_ORACLES.update(
+    {"equidepth_by_source_grid_docs": SQL_EQUIDEPTH_BY_SOURCE_GRID_DOCS})
+
+
 # ---------------------------------------------------------------------------
 # repetition metrics (Gopher-style) + sequence packing
 # ---------------------------------------------------------------------------

@@ -230,3 +230,41 @@ def test_equidepth_from_index_counts_exact_edges_attested(spark, tmp_path):
                                           attest=False)
     assert "edge_within_bound" not in lean.columns
     assert sum(r["n"] for r in lean.collect()) == 10_000
+
+
+def test_equidepth_by_group_grid_served(spark, tmp_path):
+    """Per-group grid-served equi-depth (round 14): each group gets its
+    OWN probed edges, per-group counts stay exact, attestations pin
+    TRUE, and ungrouped indexes refuse."""
+    from term_spark.analyzers.quantile_index import build_quantile_index
+    from term_spark.operators.histogram import (
+        equidepth_histogram_from_index, equidepth_histograms_by_group)
+    # group a: uniform 0..9999; group b: uniform 0..999 (different scales)
+    df = spark.range(10_000).selectExpr(
+        "cast(id as double) as v",
+        "case when id % 2 = 0 then 'a' else 'b' end as g") \
+        .withColumn("v", F.when(F.col("g") == "b", F.col("v") / 10)
+                    .otherwise(F.col("v")))
+    idx = str(tmp_path / "qidx_g")
+    build_quantile_index(df, ["v"], idx, group_col="g")
+    rows = equidepth_histograms_by_group(df, "v", idx, buckets=4).collect()
+    assert len(rows) == 8
+    by_g = {}
+    for r in rows:
+        by_g.setdefault(r["grp"], []).append(r)
+    for g, rs in by_g.items():
+        assert sum(r["n"] for r in rs) == 5_000          # exact per group
+        assert all(r["edge_within_bound"] for r in rs)
+        for r in rs:
+            assert abs(r["share"] - 0.25) <= 2 * 2 * (2 / 200 + 1 / 10_000)
+    # the two groups' edges live on their own scales
+    assert by_g["a"][-1]["hi"] > 9_000
+    assert by_g["b"][-1]["hi"] < 1_100
+    # ungrouped index refuses here; grouped index refuses in the
+    # ungrouped operator (symmetry)
+    uidx = str(tmp_path / "qidx_u")
+    build_quantile_index(df, ["v"], uidx)
+    with pytest.raises(ValueError, match="UNGROUPED"):
+        equidepth_histograms_by_group(df, "v", uidx, buckets=4)
+    with pytest.raises(ValueError, match="GROUPED"):
+        equidepth_histogram_from_index(df, "v", idx, buckets=4)
