@@ -3886,15 +3886,22 @@ def q_equidepth_from_grid_price(spark, sf_dir) -> DataFrame:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     total = sum(r["n"] for r in hist)
-    v = F.col("l_extendedprice").cast("double")
-    exact = li.filter(v.isNotNull()).agg(
+    # ONE array-percentile aggregate for the oracle-replayable exact
+    # edges: nine scalar F.percentile(v, p) calls in one agg each buffer
+    # and sort independently (measured 21.5 s vs 4.5 s at sf0.1 — the
+    # difference was the whole row's cost problem); rounding stays
+    # Spark-side (HALF_UP) via transform
+    exact = li.filter(F.col("l_extendedprice").isNotNull()).agg(
         F.count(F.lit(1)).alias("__n"),
-        *[F.round(F.percentile(v, F.lit(p)), 6).alias(f"__e_{i}")
-          for i, p in enumerate(probs)]).collect()[0]
+        F.transform(
+            F.expr("percentile(cast(l_extendedprice as double), "
+                   f"array({', '.join(map(repr, probs))}))"),
+            lambda e: F.round(e, 6)).alias("__edges")).collect()[0]
+    edges = [float(e) for e in exact["__edges"]]
     band = 2.0 * 2.0 * (2.0 / DEFAULT_K + 1.0 / DEFAULT_ACCURACY)
     rows = [(int(r["bucket"]),
-             float(exact[f"__e_{r['bucket']}"]),
-             float(exact[f"__e_{r['bucket'] + 1}"]),
+             edges[r["bucket"]],
+             edges[r["bucket"] + 1],
              int(exact["__n"]),
              bool(r["edge_within_bound"]),
              abs(r["share"] - 1.0 / buckets) <= band,
