@@ -859,8 +859,11 @@ def main() -> None:
         "fuzzy_name_pairs_part", "fuzzy_canonical_part",
         "equidepth_price_histogram",
         # round-14: the composed curation pipeline (per-stage split in
-        # _bench_curation_stages) and the grid-served equi-depth
+        # _bench_curation_stages), the grid-served equi-depth (global
+        # + per-source), A-ES weighted sampling, embedding hygiene
         "curation_pipeline_docs", "equidepth_from_grid_price",
+        "equidepth_by_source_grid_docs", "weighted_exact_sample_docs",
+        "embedding_quality_embeddings",
     ]
     sections["sf01_queries_start"] = _load_stamp()
     for name in bench_queries:
