@@ -472,6 +472,30 @@ def main():
           f"(observed {worst['observed']:.2f} vs "
           f"expected {worst['expected']:.2f})")
 
+    # round 14: the COMPOSED curation pipeline — every stage above,
+    # wired end-to-end with per-stage accounting (a generator of
+    # lazily checkpoint-pinned stages, so this loop runs each stage's
+    # work exactly once)
+    from term_spark.operators.curation import (curation_pipeline,
+                                               weighted_sample_exact)
+    evals = docs.filter(F.col("source") == "src0")
+    for name, stage_df in curation_pipeline(
+            docs, eval_df=evals, budget_tokens=1000,
+            train_filter=F.col("source") != "src0"):
+        print(f"curation pipeline [{name}]: {stage_df.count()} docs")
+
+    # round 14: exact-size weighted sampling (A-ES) — exactly 3 docs
+    # per source, probability proportional to length
+    ws = weighted_sample_exact(docs, "n_chars", 3, by="source")
+    print("A-ES weighted sample:", ws.count(), "docs (3 per source, "
+          "length-weighted, deterministic)")
+
+    # round 14: embedding hygiene gate before anything ANN-shaped
+    from term_spark.operators.similarity import embedding_quality_summary
+    eq = embedding_quality_summary(emb, "embedding", expect_dim=64).collect()[0]
+    print(f"embedding hygiene: {eq['n_clean']}/{eq['n_vecs']} clean, "
+          f"norms in [{eq['min_norm']}, {eq['max_norm']}]")
+
 
 if __name__ == "__main__":
     main()
