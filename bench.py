@@ -473,6 +473,45 @@ def _timed(fn) -> float:
     return time.perf_counter() - t0
 
 
+#: sf10 keys allowed into the COMPACT stdout line — the suite headline
+#: plus the handful of slope queries the round-over-round story reads;
+#: every other sf10 number stays in BENCH_DETAIL.json.  Round 14's
+#: compact line dumped the whole sf10 section (~30 keys incl. nested
+#: load stamps and byte counters), outgrew its own 1500-char assert at
+#: bench.py:969, and the assert fired BEFORE print — converting a
+#: finished, clean, canary-gated run into rc=1/parsed:null in the
+#: driver's BENCH_r14.json (verdict r14 ask #1).
+SF10_COMPACT_KEYS = (
+    "suite_20_constraints", "minhash_lsh_candidates",
+    "substring_dedup_docs", "cross_table_sum_orders_lineitem",
+    "waiting_suppliers")
+
+#: Hard budget for the compact stdout line (the driver records only the
+#: last ~2,000 chars of stdout; headroom for a trailing newline plus any
+#: late stderr interleave).
+COMPACT_BUDGET = 1500
+
+
+def fit_compact(compact: dict, budget: int = COMPACT_BUDGET) -> str:
+    """Serialize the compact payload, shedding the FASTEST of the
+    'slowest per-query' rows until the line fits ``budget``.  Never
+    raises and never returns an over-budget line while any shedding
+    remains: the compact line is the driver's machine-readable bench
+    artifact, so an over-long line must degrade (fewer per-query rows —
+    the full set is in BENCH_DETAIL.json regardless) rather than abort
+    a finished run (verdict r14 ask #1b: print must not be preceded by
+    a failing assert)."""
+    line = json.dumps(compact)
+    queries = compact.get("queries", {})
+    while len(line) >= budget:
+        shed = [k for k in queries if k != "suite_20_constraints"]
+        if not shed:
+            break
+        del queries[min(shed, key=lambda k: queries[k])]
+        line = json.dumps(compact)
+    return line
+
+
 def _bench_curation_stages(spark, sf_dir: str) -> dict:
     """Per-stage cost split of the composed curation pipeline (r13
     verdict ask #4): each stage is lazily localCheckpoint-pinned, so
@@ -960,14 +999,24 @@ def main() -> None:
                           ("suite_20_constraints", "minhash_lsh_candidates")
                           if k in sf1}
     if sf10:
-        # timings only — the byte/file counters and corpus_meta stay in
-        # the detail file (round 13: they pushed the line past the
-        # driver's tail budget)
-        compact["sf10"] = {k: round(v, 2) for k, v in sf10.items()
-                           if isinstance(v, float)}
-    line = json.dumps(compact)
-    assert len(line) < 1500, f"compact bench line too long: {len(line)}"
+        # headline keys only — the full sf10 section (incl. byte/file
+        # counters, corpus_meta, load stamps and the long tail of slope
+        # queries) stays in the detail file: round 13's byte counters
+        # and round 14's grown key set both pushed the line past the
+        # driver's tail budget (r14 fatally — see SF10_COMPACT_KEYS)
+        compact["sf10"] = {k: round(sf10[k], 2) for k in SF10_COMPACT_KEYS
+                           if isinstance(sf10.get(k), (int, float))}
+    # print FIRST — emitting the data can never be gated on a length
+    # check again (r14: the assert ran before print and the driver got
+    # a traceback instead of the line); fit_compact guarantees the
+    # budget by shedding detail-duplicated rows, and the warning below
+    # makes a somehow-still-over line loud without discarding the run
+    line = fit_compact(compact)
     print(line)
+    if len(line) >= COMPACT_BUDGET:
+        print(f"bench: WARNING compact line {len(line)} chars >= "
+              f"{COMPACT_BUDGET} even after shedding — widen the budget "
+              "or trim compact keys", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -4134,178 +4134,178 @@ FAMILY = {
 # BEGIN GENERATED ROTATION DATA (scripts/update_rotation.py)
 #: Most recent round whose CORRECTNESS_r{N}.json holds a green
 #: (rows_match + schema_match + hash_match) driver row for each query;
-#: None = never driver-proven.  Source artifacts: r01, r02, r03, r04, r05, r06, r07, r08, r09, r10, r11, r12, r13.
-CURRENT_ROUND = 14
+#: None = never driver-proven.  Source artifacts: r01, r02, r03, r04, r05, r06, r07, r08, r09, r10, r11, r12, r13, r14.
+CURRENT_ROUND = 15
 LAST_GREEN = {
-    "benford_totalprice": 13,
-    "customer_order_distribution": 13,
-    "discounted_revenue_brands": 13,
-    "curation_pipeline_docs": None,
-    "equidepth_by_source_grid_docs": None,
-    "equidepth_from_grid_price": None,
-    "embedding_quality_embeddings": None,
-    "weighted_exact_sample_docs": None,
-    "equidepth_price_histogram": 13,
-    "forecast_revenue_change": 13,
-    "fuzzy_canonical_part": 13,
-    "fuzzy_name_pairs_part": 13,
-    "hybrid_rrf_from_index_docs": 13,
-    "national_market_share": 13,
-    "product_profit_by_nation": 13,
-    "promo_revenue": 13,
-    "top_supplier_revenue": 13,
-    "volume_shipping": 13,
-    "top3_customers_per_segment": 13,
-    "asof_click_error": 13,
-    "bigram_surprisal_docs": 13,
-    "bm25_topk_docs": 13,
-    "brand_profile_part": 13,
-    "business_hours_events": 13,
-    "cdc_dedup_docs": 13,
-    "chunk_documents_docs": 13,
-    "containment_orderstatus": 13,
-    "corpus_profile_by_lang": 13,
-    "corr_matrix_lineitem": 13,
-    "dataset_diff_orders": 13,
-    "date_range_orders": 13,
-    "decontaminate_docs": 13,
-    "decontamination_report_docs": 13,
-    "dedup_pipeline_docs": 13,
-    "doc_length_buckets": 13,
-    "drift_w1_quantity": 13,
-    "dsir_weights_docs": 13,
-    "embedding_centroid_drift": 13,
-    "embedding_neardup_pairs": 13,
-    "fd_custkey_orderstatus": 13,
-    "fingerprint_docs": 13,
-    "fk_violation_examples": 13,
-    "frequent_terms_docs": 13,
-    "gopher_rules_docs": 13,
-    "grouped_stats_mktsegment": 13,
-    "incremental_neardup_docs": 13,
-    "interval_join_events": 13,
-    "ivf_index_recall_embeddings": 13,
-    "ivfpq_recall_embeddings": 13,
-    "key_skew_custkey": 13,
-    "lsh_neardup_recall_embeddings": 13,
-    "neardup_components": 13,
-    "ngram_novelty_docs": 13,
-    "readability_docs": 13,
-    "repetition_docs": 13,
+    "curation_pipeline_docs": 14,
+    "embedding_quality_embeddings": 14,
+    "equidepth_by_source_grid_docs": 14,
+    "equidepth_from_grid_price": 14,
+    "weighted_exact_sample_docs": 14,
+    "jaccard_prefix_pairs_docs": 14,
+    "join_cardinality_orders_lineitem": 14,
+    "lang_id": 14,
+    "lexical_diversity_docs": 14,
+    "mg_heavy_hitters_docs": 14,
+    "minhash_oph_candidates_docs": 14,
+    "numeric_histogram_quantity": 14,
+    "quantile_sketch_merge_quantity": 14,
+    "substring_dedup_docs": 14,
+    "substring_rewrite_docs": 14,
+    "top_customers_revenue": 14,
+    "unigram_surprisal_docs": 14,
+    "unique_value_ratio_custkey": 14,
+    "unpivot_pricing": 14,
+    "approx_distinct_orderkey": 14,
+    "badwords_ratio_docs": 14,
+    "benford_acctbal": 14,
+    "cdc_rewrite_docs": 14,
+    "completeness_customer": 14,
+    "compliance_discount": 14,
+    "corr_quantity_price": 14,
+    "cosine_topk_embeddings": 14,
+    "cross_table_sum_orders_lineitem": 14,
+    "csv_source_roundtrip": 14,
+    "datatype_detection": 14,
+    "dedup_exact_docs": 14,
+    "domain_counts_docs": 14,
+    "event_transitions_events": 14,
+    "funnel_events": 14,
+    "incremental_bm25_docs": 14,
+    "incremental_cdc_docs": 14,
+    "incremental_distinct_docs": 14,
+    "incremental_substring_docs": 14,
+    "json_source_roundtrip": 14,
+    "knn_label_agreement_embeddings": 14,
+    "large_volume_customers": 14,
+    "metrics_repository_roundtrip": 14,
+    "multimodal_probe_docs": 14,
+    "pii_redact_docs": 14,
+    "row_violations_docs": 14,
+    "script_profile_docs": 14,
+    "semantic_contamination_embeddings": 14,
+    "simhash_docs": 14,
+    "tfidf_top_terms_docs": 14,
+    "winnow_overlap_docs": 14,
     "size_lineitem": 12,
-    "completeness_customer": 11,
     "stats_quantity": 12,
     "distinctness_orders": 12,
-    "unique_value_ratio_custkey": 10,
-    "compliance_discount": 11,
+    "containment_orderstatus": 13,
     "format_orderpriority": 12,
     "length_customer_name": 12,
-    "datatype_detection": 11,
     "histogram_returnflag": 12,
     "entropy_returnflag": 12,
     "grouped_completeness_events": 12,
     "mutual_information_lineitem": 12,
     "spearman_quantity_price": 11,
-    "corr_quantity_price": 11,
     "fk_orders_customer": 12,
     "join_coverage_lineitem_orders": 12,
-    "cross_table_sum_orders_lineitem": 11,
     "temporal_ordering_orders_lineitem": 11,
+    "business_hours_events": 13,
+    "date_range_orders": 13,
     "max_time_gap_events": 12,
     "pricing_summary": 12,
-    "dedup_exact_docs": 11,
+    "fingerprint_docs": 13,
     "text_tokens": 11,
     "text_quality": 11,
-    "lang_id": 10,
     "ngram_jaccard_pairs": 12,
     "minhash_lsh_candidates": 12,
-    "simhash_docs": 11,
     "simhash_near_pairs": 11,
-    "cosine_topk_embeddings": 11,
+    "embedding_neardup_pairs": 13,
+    "ivfpq_recall_embeddings": 13,
+    "ivf_index_recall_embeddings": 13,
+    "lsh_neardup_recall_embeddings": 13,
+    "neardup_components": 13,
     "split_counts_docs": 11,
+    "decontaminate_docs": 13,
     "stratified_sample_docs": 11,
+    "repetition_docs": 13,
     "packing_stats_docs": 12,
+    "dedup_pipeline_docs": 13,
     "semantic_dedup_embeddings": 12,
     "source_mixing_docs": 11,
-    "winnow_overlap_docs": 11,
-    "script_profile_docs": 11,
-    "tfidf_top_terms_docs": 11,
-    "jaccard_prefix_pairs_docs": 10,
-    "minhash_oph_candidates_docs": 10,
-    "row_violations_docs": 11,
+    "doc_length_buckets": 13,
+    "dsir_weights_docs": 13,
+    "decontamination_report_docs": 13,
+    "bm25_topk_docs": 13,
+    "readability_docs": 13,
+    "ngram_novelty_docs": 13,
+    "chunk_documents_docs": 13,
+    "frequent_terms_docs": 13,
+    "corpus_profile_by_lang": 13,
+    "embedding_centroid_drift": 13,
+    "gopher_rules_docs": 13,
     "source_overlap_docs": 11,
-    "lexical_diversity_docs": 10,
-    "mg_heavy_hitters_docs": 10,
-    "incremental_substring_docs": 11,
+    "cdc_dedup_docs": 13,
+    "incremental_neardup_docs": 13,
     "mg_grouped_heavy_hitters_docs": 11,
-    "cdc_rewrite_docs": 11,
-    "incremental_cdc_docs": 11,
     "pii_scan_docs": 11,
-    "pii_redact_docs": 11,
-    "domain_counts_docs": 11,
-    "badwords_ratio_docs": 11,
     "weighted_sample_docs": 11,
-    "incremental_distinct_docs": 11,
-    "semantic_contamination_embeddings": 11,
-    "multimodal_probe_docs": 11,
-    "csv_source_roundtrip": 11,
-    "json_source_roundtrip": 11,
-    "metrics_repository_roundtrip": 11,
-    "knn_label_agreement_embeddings": 11,
-    "incremental_bm25_docs": 11,
     "knn_label_agreement_lsh_embeddings": 12,
     "incremental_quantile_docs": 12,
     "hybrid_rrf_docs": 12,
+    "hybrid_rrf_from_index_docs": 13,
     "incremental_overlap_docs": 12,
     "sq8_recall_embeddings": 12,
     "drift_psi_timeline_events": 12,
     "quantile_by_source_docs": 12,
     "quantile_sketch_by_returnflag": 11,
     "quantile_exact_quantity": 12,
-    "numeric_histogram_quantity": 10,
     "profile_customer": 12,
-    "approx_distinct_orderkey": 11,
-    "quantile_sketch_merge_quantity": 10,
+    "fk_violation_examples": 13,
+    "grouped_stats_mktsegment": 13,
     "rollup_pricing": 12,
     "sessionize_events": 12,
-    "top_customers_revenue": 10,
+    "asof_click_error": 13,
     "median_by_returnflag": 12,
     "range_join_events": 12,
+    "interval_join_events": 13,
     "rolling_daily_events": 12,
     "pivot_returnflag_linestatus": 12,
-    "unpivot_pricing": 10,
-    "benford_acctbal": 11,
+    "top3_customers_per_segment": 13,
     "drift_psi_quantity": 12,
     "drift_ks_quantity": 12,
     "drift_chi2_returnflag": 12,
     "drift_js_quantity": 12,
+    "drift_w1_quantity": 13,
     "line_dedup_summary_docs": 12,
     "paragraph_dedup_summary_docs": 12,
-    "substring_dedup_docs": 10,
-    "substring_rewrite_docs": 10,
     "token_budget_sample_docs": 12,
     "outlier_mad_acctbal": 12,
     "text_cleaning_docs": 12,
     "dominant_value_orderstatus": 12,
     "drift_psi_by_returnflag": 12,
     "quality_model_docs": 12,
-    "unigram_surprisal_docs": 10,
+    "bigram_surprisal_docs": 13,
+    "corr_matrix_lineitem": 13,
+    "fd_custkey_orderstatus": 13,
     "shape_stats_quantity": 11,
+    "dataset_diff_orders": 13,
+    "key_skew_custkey": 13,
+    "brand_profile_part": 13,
     "supplier_stats_by_nation": 11,
     "shipping_priority_orders": 12,
     "regional_supplier_volume": 12,
     "returned_item_customers": 12,
-    "large_volume_customers": 11,
     "small_quantity_revenue": 11,
     "late_shipment_priority": 11,
-    "join_cardinality_orders_lineitem": 10,
     "salted_join_sum_orders_customer": 11,
-    "funnel_events": 11,
     "retention_cohorts_events": 11,
-    "event_transitions_events": 11,
     "zorder_key_orders": 12,
     "waiting_suppliers": 12,
     "global_sales_opportunity": 12,
+    "forecast_revenue_change": 13,
+    "volume_shipping": 13,
+    "national_market_share": 13,
+    "product_profit_by_nation": 13,
+    "customer_order_distribution": 13,
+    "promo_revenue": 13,
+    "top_supplier_revenue": 13,
+    "discounted_revenue_brands": 13,
+    "benford_totalprice": 13,
+    "fuzzy_name_pairs_part": 13,
+    "fuzzy_canonical_part": 13,
+    "equidepth_price_histogram": 13,
 }
 # END GENERATED ROTATION DATA
 

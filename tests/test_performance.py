@@ -147,3 +147,48 @@ def test_canary_mt_prices_concurrent_load():
     assert mt2 < st * 1.8, (
         f"2-process canary {mt2:.2f}s vs single-thread {st:.2f}s — "
         "workers are serializing (GIL?)")
+
+
+def test_compact_line_fits_budget_on_maximal_sections():
+    """Verdict r14 ask #1c: build the compact bench line from a
+    MAXIMAL synthetic section set (every sf0.1 query, every sf1 slope
+    key, the full sf10 headline set, worst-case env stamps) and assert
+    it lands under the driver-tail budget with headroom.  r14's line
+    hit 1617 chars and the old post-computation assert converted a
+    finished clean run into rc=1/parsed:null."""
+    import sys
+    sys.path.insert(0, os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))))
+    import bench
+
+    env = {"loadavg_1m": 11.23, "loadavg_5m": 11.88,
+           "quiet_wait_sec": 1500.0, "contended": True,
+           "cpu_canary_sec": 1.642, "cpu_canary_mt_sec": 5.3127,
+           "canary_wait_sec": 600.2, "canary_contended": True,
+           "canary_mt_ref": 1.708, "canary_st_ref": 1.09,
+           "other_jvms": 3, "load5_max": 15.63, "canary_mt_max": 5.31}
+    slowest = {f"a_very_long_query_name_number_{i:02d}_docs": 99.99
+               for i in range(12)}
+    compact = {
+        "metric": "suite_20_constraints_wall_sec", "value": 999.99,
+        "unit": "sec", "sf": 0.1,
+        "queries": {"suite_20_constraints": 999.99, **slowest},
+        "env": env, "detail": "BENCH_DETAIL.json",
+        "sf1": {"suite_20_constraints": 99.99,
+                "minhash_lsh_candidates": 99.99},
+        "sf10": {k: 999.99 for k in bench.SF10_COMPACT_KEYS},
+    }
+    line = bench.fit_compact(compact)
+    assert len(line) < bench.COMPACT_BUDGET - 100, (
+        f"maximal compact line {len(line)} chars leaves <100 headroom")
+    # shedding kicks in when the budget shrinks, keeps the headline,
+    # and the result still parses
+    import json
+    tight = bench.fit_compact(json.loads(line), budget=900)
+    parsed = json.loads(tight)
+    assert len(tight) < 900
+    assert "suite_20_constraints" in parsed["queries"]
+    # an unreachable budget degrades to the irreducible floor (headline
+    # + env + sf10 headline keys) WITHOUT raising — the r14 failure mode
+    floor = bench.fit_compact(json.loads(line), budget=1)
+    assert "suite_20_constraints" in json.loads(floor)["queries"]
