@@ -91,13 +91,54 @@ def _band_stack(sig: DataFrame, cols, bands: int) -> DataFrame:
     ).select("id", F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
 
 
-def _banded_pairs(sig: DataFrame, cols, bands: int) -> DataFrame:
+def _est_plan_bytes(df: DataFrame) -> int:
+    """Planner size estimate (bytes) of a DataFrame — for a parquet
+    scan (+filters/projections) this is file-size based and available
+    without running a job.  Unknown/failed estimates return a huge
+    sentinel so callers default to the scale-safe branch."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan()
+                   .stats().sizeInBytes())
+    except Exception:
+        return 1 << 62
+
+
+def _broadcast_threshold_bytes(spark) -> int:
+    try:
+        return int(spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    except (TypeError, ValueError):
+        return 10 * 1024 * 1024
+
+
+def _banded_pairs(sig: DataFrame, cols, bands: int,
+                  src: Optional[DataFrame] = None) -> DataFrame:
     """Shared banding tail for the MinHash variants: hash each band's
     signature slice, explode to (id, band, hash), self-join within
-    buckets, count matched bands per (id_a < id_b) pair."""
+    buckets, count matched bands per (id_a < id_b) pair.
+
+    Scale-adaptive join strategy (r15, guide §3.1): the self-join's two
+    sides are the SAME bucket table, whose upstream (shingle explode +
+    16 min-aggs) is the expensive part of the whole operator.  When the
+    bucket table broadcasts (small corpora), AQE's BHJ is fastest —
+    the duplicated upstream is cheap and the probe side streams.  When
+    it cannot broadcast, the planner picks a sort-merge join, and
+    hinting ``merge`` explicitly lets BOTH sides share ONE exchange
+    (ReuseExchange), so the signature pipeline runs once instead of
+    twice — measured at sf10 (500k docs): 76.7 s → 46.6 s; un-hinted
+    sf1 stays at its faster BHJ plan (3.8 s vs 4.8 s hinted).  The
+    branch condition derives from the session's own broadcast
+    threshold against the planner's estimate of the SOURCE corpus
+    (bucket rows are bands × ~52 B per doc ≈ roughly 2× the
+    compressed corpus bytes), so the cutover moves with the conf, and
+    an unknown estimate defaults to the merge (scale-safe) branch.
+    At 100 TB the broadcast regime never applies and this is always
+    the single-pass merge plan."""
     stacked = _band_stack(sig, cols, bands)
     a = stacked.alias("a")
     b_ = stacked.alias("b")
+    if src is not None and (2 * _est_plan_bytes(src)
+                            >= _broadcast_threshold_bytes(sig.sparkSession)):
+        b_ = stacked.hint("merge").alias("b")
     return (a.join(b_, (F.col("a.band") == F.col("b.band")) &
                    (F.col("a.h") == F.col("b.h")) &
                    (F.col("a.id") < F.col("b.id")))
@@ -338,7 +379,8 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
     assert num_hashes % bands == 0
     sig = minhash_signatures(df, text_col, id_col, k, num_hashes)
     # band hash = md5 of the concatenated row minhashes
-    return _banded_pairs(sig, [f"mh_{i}" for i in range(num_hashes)], bands)
+    return _banded_pairs(sig, [f"mh_{i}" for i in range(num_hashes)], bands,
+                         src=df)
 
 
 def simhash64(df: DataFrame, text_col: str = "text",
@@ -625,7 +667,8 @@ def minhash_oph_candidates(df: DataFrame, text_col: str = "text",
                       for j in range(rot)] + [F.col("__gmin")]))
          .alias(f"d_{i}")
         for i in range(num_hashes)])
-    return _banded_pairs(dens, [f"d_{i}" for i in range(num_hashes)], bands)
+    return _banded_pairs(dens, [f"d_{i}" for i in range(num_hashes)], bands,
+                         src=df)
 
 
 def dedup_pair_eval(predicted: DataFrame, truth: DataFrame,

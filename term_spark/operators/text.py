@@ -578,6 +578,13 @@ def _dup_gram_positions(df, text_col: str, id_col: str, k: int,
         raise ValueError(
             f"min_count must be >= 2 (got {min_count}): every gram occurs "
             "at least once, so min_count=1 would mark the whole corpus")
+    # NOT checkpointed (r15, measured): the gram table appears in two
+    # subtrees (frequency build + semi-join probe), but materializing
+    # its ~28 B/token rows costs MORE than recomputing them — an eager
+    # localCheckpoint here read 46 s vs 20 s at sf10 for
+    # substring_dedup_docs (serialize + store + re-read ~GBs loses to
+    # a second CPU-parallel tokenize+hash pass over the small
+    # compressed corpus), so the recompute stays.
     grams = _gram_table(df, text_col, id_col, k, hasher)
     freq = grams.groupBy("h").agg(F.count(F.lit(1)).alias("n_corpus"))
     dup_pos = (grams.join(freq.filter(F.col("n_corpus") >= min_count)
@@ -663,8 +670,13 @@ def substring_dedup_summary(df, text_col: str = "text",
         F.count(F.lit(1)).alias("distinct_grams"),
         F.coalesce(F.sum(F.when(dup, F.col("n"))), F.lit(0))
          .cast("bigint").alias("dup_gram_instances"))
-    spans = duplicated_spans(df, text_col, id_col, k=k, min_count=min_count,
-                             hasher=hasher)
+    # r15: merge the ALREADY-COMPUTED dup_pos instead of calling
+    # duplicated_spans(df, ...) again — the second call re-ran the
+    # whole gram pipeline (tokenize + hash + explode + freq + semi-
+    # join) from the raw corpus for identical (id, pos) rows; with the
+    # checkpoint above this row is now ONE gram pass end to end
+    # (was 3).  Same spans by construction.
+    spans = _merge_spans(dup_pos, id_col, k)
     sstats = spans.agg(
         F.count_distinct(F.col(id_col)).alias("docs_with_dups"),
         F.count(F.lit(1)).alias("dup_spans"),

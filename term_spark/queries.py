@@ -438,16 +438,23 @@ def q_cross_table_sum_orders_lineitem(spark, sf_dir) -> DataFrame:
     dec = "decimal(25,6)"
     charge = (F.col("l_extendedprice") * (1 - F.col("l_discount")) *
               (1 + F.col("l_tax"))).cast(dec)
+    # r15 (guide §2.3, shuffle fewer bytes): every output column depends
+    # only on the per-group SIGNED difference — COALESCE(Σlv,0) −
+    # COALESCE(Σrv,0) ≡ Σ(signed contribution) exactly (decimal
+    # arithmetic is order-independent), so the union carries ONE
+    # decimal column (orders contribute +o_totalprice, lineitem
+    # −charge) instead of two half-NULL ones.  Decimal(25,6) fields
+    # occupy their fixed width even when NULL in unsafe rows, so this
+    # halves the shuffled value bytes of the query's only exchange.
+    # Full-outer semantics preserved: a group present on one side only
+    # sums just that side's contributions, which equals the old
+    # COALESCE(missing, 0) arm.  Violation/max_diff read |diff|.
     tagged = (o.select(F.col("o_orderkey").alias("grp"),
-                       F.col("o_totalprice").cast(dec).alias("lv"),
-                       F.lit(None).cast(dec).alias("rv"))
+                       F.col("o_totalprice").cast(dec).alias("v"))
               .unionByName(li.select(F.col("l_orderkey").alias("grp"),
-                                     F.lit(None).cast(dec).alias("lv"),
-                                     charge.alias("rv"))))
-    joined = tagged.groupBy("grp").agg(
-        F.coalesce(F.sum("lv"), F.lit(0).cast(dec)).alias("l"),
-        F.coalesce(F.sum("rv"), F.lit(0).cast(dec)).alias("r"))
-    diff = F.abs(F.col("l") - F.col("r"))
+                                     (-charge).cast(dec).alias("v"))))
+    joined = tagged.groupBy("grp").agg(F.sum("v").alias("d"))
+    diff = F.abs(F.col("d"))
     return joined.agg(
         F.count(F.lit(1)).alias("n_groups"),
         F.count(F.when(diff > 1.0, 1)).alias("violations"),
