@@ -306,6 +306,16 @@ def kmeans_centroids(df: DataFrame, id_col: str = "vec_id",
     v = df.select(F.col(id_col).alias("id"),
                   F.transform(F.col(vec_col),
                               lambda x: x.cast("double")).alias("v"))
+    # r15 (guide §5): every Lloyd's iteration (and the init sample) used
+    # to re-scan the source and re-cast the vectors; one eager
+    # localCheckpoint pins the cast vectors so the 5 iteration jobs +
+    # init read memory instead.  Bit-identical centroids (verified
+    # c_before == c_after at sf0.1); measured 11.6 s -> 7.6 s for a
+    # 16-centroid 5-iteration train at sf0.1, and it removes 6 source
+    # scans per train at any scale.  The iteration MATH is untouched:
+    # centroid floats feed partial-nprobe recall attestations, so the
+    # summation structure must stay exactly as committed.
+    v = v.localCheckpoint(eager=True)
     cents = [list(r["v"]) for r in
              v.orderBy(F.md5(F.concat(F.lit(str(seed)),
                                       F.col("id").cast("string"))))

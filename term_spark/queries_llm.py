@@ -4030,7 +4030,19 @@ def q_hybrid_rrf_from_index_docs(spark, sf_dir) -> DataFrame:
         build_bm25_index(d.filter(F.col("doc_id") % 4 != 0), f"{tmp}/bm25")
         build_bm25_index(d.filter(F.col("doc_id") % 4 == 0), f"{tmp}/bm25",
                          mode="append")
-        build_ivf_index(e, f"{tmp}/ivf", n_centroids=n_cents)
+        # train_iterations=0 (r15 diet, verdict r14 ask #4): this row
+        # probes at nprobe = n_centroids, where coverage is total and
+        # the returned ranking IS exact cosine for ANY centroid set —
+        # so Lloyd's training cannot change a single output row (the
+        # deterministic hash-sample init keeps the index itself
+        # reproducible).  The trained build's real cost stays measured
+        # by the bench's ivf_index_build lifecycle key; paying it here
+        # bought nothing the oracle could see (measured ~7 s of the
+        # row's 16 s).  Partial-nprobe recall — the claim that DOES
+        # depend on training — is pinned by ivf_index_recall_embeddings,
+        # which keeps its trained build.
+        build_ivf_index(e, f"{tmp}/ivf", n_centroids=n_cents,
+                        train_iterations=0)
         bm = bm25_topk_from_index(spark, f"{tmp}/bm25", probes, k=20)
         ann = (ivf_topk_from_index(spark, f"{tmp}/ivf", qv, k=20,
                                    nprobe=n_cents)
