@@ -2290,9 +2290,17 @@ def q_source_overlap_docs(spark, sf_dir) -> DataFrame:
     """Cross-source content overlap (curation.source_overlap_report):
     per source pair, distinct 8-gram shingle counts, shared count,
     jaccard and containment — the "how much of B is already in A"
-    report a mix curator reads before weighting corpora."""
+    report a mix curator reads before weighting corpora.
+
+    spread() first (r15, guide §2.5 input under-partitioning): the
+    corpus arrives as ONE parquet split, so the 8-gram explode +
+    distinct serialized on a single core; one narrow doc_id shuffle
+    uses all of them (shingle pipeline alone measured 5.2 s -> 1.8 s
+    at sf0.1; no-op at real scale where the scan is already split)."""
     from .operators.curation import source_overlap_report
-    return source_overlap_report(_docs(spark, sf_dir), k=8)
+    from .operators.dedup import spread
+    return source_overlap_report(spread(_docs(spark, sf_dir), "doc_id"),
+                                 k=8)
 
 
 def _shingle_sql_by_source(k: int) -> str:
@@ -4086,8 +4094,12 @@ def q_incremental_overlap_docs(spark, sf_dir) -> DataFrame:
     from .analyzers.kmv_index import build_kmv_index, compact_kmv_index, \
         overlap_from_index
     from .operators.curation import source_overlap_report
+    from .operators.dedup import spread
 
-    d = _docs(spark, sf_dir)
+    # spread() (r15, guide §2.5): the single-split corpus serialized
+    # every shingle explode below on one core; spreading ONCE here
+    # parallelizes both shard builds AND the exact attestation report.
+    d = spread(_docs(spark, sf_dir), "doc_id")
     sh = d.select("doc_id", "source",
                   F.explode(T.word_shingles_from(T.norm_tokens("text"), 8))
                   .alias("shingle"))
