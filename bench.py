@@ -367,7 +367,13 @@ def _bench_index_lifecycles(spark, sf_dir: str, ivf_centroids: int = 16,
         if "kmv" in which:
             from term_spark.analyzers.kmv_index import (build_kmv_index,
                                                         overlap_from_index)
-            sh = lambda d: d.select(  # noqa: E731
+            # r15: spread the shingle feed like the registry row (and
+            # like the minhash/substring sections, whose operators
+            # spread internally) — the raw single-split corpus ran the
+            # whole tokenize+explode on one core. Same lifecycle, same
+            # timing; sf0.1 build 7.7-8.1 -> ~4.9 s same-session A/B.
+            from term_spark.operators.dedup import spread
+            sh = lambda d: spread(d, "doc_id").select(  # noqa: E731
                 "source",
                 F.explode(T.word_shingles_from(T.norm_tokens("text"), 8))
                 .alias("shingle"))
