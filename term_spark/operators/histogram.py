@@ -365,39 +365,41 @@ def equidepth_histogram_from_index(df, column: str, index_path: str,
     membership — bucket 0 is ``col < edge_1`` and the last bucket is
     ``col >= edge_{b-1}`` — so sketch rank error at p=0/p=1 can never
     drop a row; every non-NULL/non-NaN row lands in exactly one bucket
-    and Σn equals the exact population (asserted below, the same
-    loud-fail the exact form grew in r14).  The displayed lo/hi are
-    the probed estimates, including the p=0/p=1 ones.
+    and Σn equals the exact population STRUCTURALLY: counts are
+    differences of cumulative ``count_if(col < edge)`` aggregates, so
+    they telescope to the exact clean population by construction.  The
+    displayed lo/hi are the probed estimates, including the p=0/p=1
+    ones.
 
     Attestation (``attest=True``): each edge's estimate is rank-checked
-    against ``df`` via ``quantile_index_report`` — the normalized rank
-    of the estimate inside the exact data must land within the tier's
-    two-merge-level bound 2*(2/k + 1/accuracy) of the requested prob —
-    and each bucket row carries ``edge_within_bound`` (both of its
-    edges attested).  A lost shard, double append, or wrong merge
-    trips it loudly.  The attestation pass is one fused aggregation
-    over ``df`` that rides the SAME scan discipline as the count pass;
-    steady-state consumers pass ``attest=False`` and pay only the
-    count pass.
+    against ``df`` with ``quantile_index_report``'s exact arithmetic —
+    the normalized rank of the estimate inside the exact data must land
+    within the tier's two-merge-level bound 2*(2/k + 1/accuracy) of the
+    requested prob — and each bucket row carries ``edge_within_bound``
+    (both of its edges attested).  A lost shard, double append, or
+    wrong merge trips it loudly.  The rank check and the bucket counts
+    share ONE fused map-side-combined aggregation over ``df`` (r15:
+    the rank numerators ``count_if(col < edge)`` at the interior edges
+    ARE the cumulative bucket counts, so attestation adds no second
+    pass); edges come from a driver-side merge of the kilobyte grid
+    rows — the corpus is never scanned for the percentile pass.
 
     Returns (bucket, lo, hi, n, share[, edge_within_bound]) ordered by
     bucket; empty input returns an empty frame of the same schema.
     """
-    from ..analyzers.quantile_index import (quantile_index_report,
-                                            quantiles_from_index)
+    from ..analyzers.quantile_index import _bound, _merged_states, _NO_GROUP
 
     validate_identifier(column)
     if buckets < 2:
         raise ValueError(f"buckets must be >= 2, got {buckets}")
     spark = df.sparkSession
     probs = [i / buckets for i in range(buckets + 1)]
-    # refuse a GROUPED index up front (before the report path builds
-    # its attestation aggregate, which references the group column):
-    # a grouped index returns one estimate per (group, p) — taking
-    # them un-keyed would silently blend groups (duplicate p keys,
-    # last group wins).  Per-group histograms need per-group exact
-    # counts too; refuse rather than guess.
-    meta = spark.read.parquet(f"{index_path}/meta").collect()[0]
+    # refuse a GROUPED index up front: a grouped index returns one
+    # estimate per (group, p) — taking them un-keyed would silently
+    # blend groups (duplicate p keys, last group wins).  Per-group
+    # histograms need per-group exact counts too; refuse rather than
+    # guess.
+    meta, ana, merged = _merged_states(spark, index_path)
     if meta["group_col"]:
         raise ValueError(
             f"equidepth_histogram_from_index: the index at {index_path} "
@@ -405,35 +407,44 @@ def equidepth_histogram_from_index(df, column: str, index_path: str,
             "ungrouped index, or build per-group histograms by filtering "
             "df to one group and building an ungrouped index over that "
             "slice")
-    if attest:
-        rep_df = quantile_index_report(spark, index_path, probs, exact_df=df)
-    else:
-        rep_df = quantiles_from_index(spark, index_path, probs)
-    rep = rep_df.filter(F.col("col_name") == column).collect()
-    if not rep:
+    if (_NO_GROUP, column) not in merged:
         raise ValueError(
             f"equidepth_histogram_from_index: column {column!r} is not "
             f"tracked by the index at {index_path}")
-    by_p = {round(r["p"], 12): r for r in rep}
-    edges = [float(by_p[round(p, 12)]["q_est"]) for p in probs]
-    edge_ok = [bool(by_p[round(p, 12)]["within_bound"]) if attest else None
-               for p in probs]
+    st, _n_shards = merged[(_NO_GROUP, column)]
+    edges = [float(ana.quantile_from_state(st, float(p))) for p in probs]
+    tol = 2.0 * _bound(int(meta["k"]), int(meta["accuracy"]))
 
     col = F.col(column).cast("double")
-    clean = df.filter(col.isNotNull() & ~F.isnan(col))
-    # first-match CASE on interior edges only; the otherwise() arm IS
-    # the last bucket, so no value can fall outside the bucket domain
-    bucket = None
-    for i in range(buckets - 1):
-        cond = col < F.lit(edges[i + 1])
-        bucket = F.when(cond, F.lit(i)) if bucket is None \
-            else bucket.when(cond, F.lit(i))
-    bucket = bucket.otherwise(F.lit(buckets - 1))
-    counts = {r["bucket"]: int(r["n"])
-              for r in (clean.select(bucket.alias("bucket"))
-                        .groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
-                        .collect())}
-    total = sum(counts.values())
+    # ONE pass: cumulative strict-below counts at every edge (bucket
+    # counts by first-match semantics: NaN compares false, so the
+    # cumulative counts are over exactly the clean rows the old CASE
+    # path bucketed), at-or-below counts + the non-null population for
+    # the rank attestation, and the clean population for the last
+    # bucket / shares.
+    aggs = [F.count_if(col < F.lit(e)).alias(f"__lt_{k}")
+            for k, e in enumerate(edges)]
+    if attest:
+        aggs += [F.count_if(col <= F.lit(e)).alias(f"__le_{k}")
+                 for k, e in enumerate(edges)]
+        aggs.append(F.count(col).alias("__nv"))
+    aggs.append(F.count_if(col.isNotNull() & ~F.isnan(col)).alias("__nc"))
+    r = df.agg(*aggs).collect()[0]
+    n_clean = int(r["__nc"])
+    counts = {}
+    for i in range(buckets):
+        hi_cum = (int(r[f"__lt_{i + 1}"]) if i < buckets - 1 else n_clean)
+        counts[i] = hi_cum - (int(r[f"__lt_{i}"]) if i > 0 else 0)
+    if attest:
+        nv = int(r["__nv"])
+        edge_ok = [
+            bool(nv > 0
+                 and int(r[f"__lt_{k}"]) / nv - tol <= p
+                 and p <= int(r[f"__le_{k}"]) / nv + tol)
+            for k, p in enumerate(probs)]
+    else:
+        edge_ok = [None] * len(probs)
+    total = n_clean
     schema = ("bucket bigint, lo double, hi double, n bigint, share double"
               + (", edge_within_bound boolean" if attest else ""))
     if not total:
@@ -467,82 +478,106 @@ def equidepth_histograms_by_group(df, column: str, index_path: str,
     its exact population.  Repeated edges (discrete data) leave empty
     middle buckets, matching the ungrouped form's semantics.
 
-    The span table is O(groups × buckets) driver-side rows — the same
-    bounded-groups shape as every grouped probe in the tier (the index
-    itself is O(shards × groups × columns) driver-merged rows).  The
-    group column name comes from the index meta, so df must carry it.
+    The per-group probe table is O(groups × buckets) driver-side rows —
+    the same bounded-groups shape as every grouped probe in the tier
+    (the index itself is O(shards × groups × columns) driver-merged
+    rows).  The group column name comes from the index meta, so df
+    must carry it.
+
+    Counts, rank attestation and a coverage audit share ONE fused
+    map-side-combined aggregation over ``df`` (r15: per group, the
+    rank numerators ``count_if(col < edge)`` at the interior edges ARE
+    the cumulative bucket counts — the shape of the ungrouped form).
+    Per-group Σn equals the group's exact clean population
+    structurally (cumulative counts telescope).  Rows whose group
+    exists in ``df`` but NOT in the grouped index raise loudly (they
+    have no edges to bucket against; silently dropping them would
+    undercount the corpus) — the audit rides the same single pass.
 
     Returns (grp, bucket, lo, hi, n, share[, edge_within_bound])
     ordered by (grp, bucket); groups present in the index but absent
     from ``df`` report n=0 rows.
     """
-    from ..analyzers.quantile_index import (quantile_index_report,
-                                            quantiles_from_index)
+    from ..analyzers.quantile_index import _bound, _merged_states
 
     validate_identifier(column)
     if buckets < 2:
         raise ValueError(f"buckets must be >= 2, got {buckets}")
     spark = df.sparkSession
-    meta = spark.read.parquet(f"{index_path}/meta").collect()[0]
+    meta, ana, merged = _merged_states(spark, index_path)
     gcol = meta["group_col"]
     if not gcol:
         raise ValueError(
             f"equidepth_histograms_by_group: the index at {index_path} is "
             "UNGROUPED — use equidepth_histogram_from_index")
     probs = [i / buckets for i in range(buckets + 1)]
-    if attest:
-        rep = (quantile_index_report(spark, index_path, probs, exact_df=df)
-               .filter(F.col("col_name") == column).collect())
-    else:
-        rep = (quantiles_from_index(spark, index_path, probs)
-               .filter(F.col("col_name") == column).collect())
-    if not rep:
+    groups = sorted(g for (g, c) in merged if c == column)
+    if not groups:
         raise ValueError(
             f"equidepth_histograms_by_group: column {column!r} is not "
             f"tracked by the index at {index_path}")
-    by_grp: dict = {}
-    for r in rep:
-        by_grp.setdefault(r["grp"], {})[round(r["p"], 12)] = r
-    span_rows = []
-    for g, by_p in sorted(by_grp.items()):
-        edges = [float(by_p[round(p, 12)]["q_est"]) for p in probs]
-        ok = [bool(by_p[round(p, 12)]["within_bound"]) if attest else None
-              for p in probs]
-        for i in range(buckets):
-            row = (g, i, edges[i], edges[i + 1])
-            if attest:
-                row += (bool(ok[i] and ok[i + 1]),)
-            span_rows.append(row)
-    span_schema = "grp string, bucket int, lo double, hi double" + \
-        (", edge_within_bound boolean" if attest else "")
-    spans = spark.createDataFrame(span_rows, span_schema)
+    edges_by_g = {}
+    for g in groups:
+        st, _n_shards = merged[(g, column)]
+        edges_by_g[g] = [float(ana.quantile_from_state(st, float(p)))
+                         for p in probs]
+    tol = 2.0 * _bound(int(meta["k"]), int(meta["accuracy"]))
 
     col = F.col(column).cast("double")
-    clean = (df.filter(col.isNotNull() & ~F.isnan(col)
-                       & F.col(gcol).isNotNull())
-             .select(F.col(gcol).cast("string").alias("grp"),
-                     col.alias("__v")))
-    last = buckets - 1
-    cond = ((F.col("bucket") == 0) & (F.col("__v") < F.col("hi"))) | \
-           ((F.col("bucket") == last) & (F.col("__v") >= F.col("lo"))) | \
-           ((F.col("bucket") > 0) & (F.col("bucket") < last)
-            & (F.col("__v") >= F.col("lo")) & (F.col("__v") < F.col("hi")))
-    counted = (clean.join(F.broadcast(spans.select("grp", "bucket",
-                                                   "lo", "hi")),
-                          on=[clean["grp"] == spans["grp"], cond],
-                          how="inner")
-               .groupBy(spans["grp"].alias("grp"), "bucket")
-               .agg(F.count(F.lit(1)).alias("n")))
-    totals = counted.groupBy("grp").agg(F.sum("n").alias("__tot"))
-    out = (spans.join(counted, ["grp", "bucket"], "left")
-           .join(F.broadcast(totals), "grp", "left")
-           .select("grp",
-                   F.col("bucket").cast("bigint").alias("bucket"),
-                   "lo", "hi",
-                   F.coalesce("n", F.lit(0)).alias("n"),
-                   F.when(F.col("__tot") > 0,
-                          F.round(F.coalesce("n", F.lit(0))
-                                  / F.col("__tot"), 6))
-                   .otherwise(F.lit(0.0)).alias("share"),
-                   *(["edge_within_bound"] if attest else [])))
-    return out.orderBy("grp", "bucket")
+    gstr = F.col(gcol).cast("string")
+    aggs = []
+    for gi, g in enumerate(groups):
+        gmatch = gstr == F.lit(g)
+        for k, e in enumerate(edges_by_g[g]):
+            aggs.append(F.count_if(gmatch & (col < F.lit(e)))
+                        .alias(f"__lt_{gi}_{k}"))
+            if attest:
+                aggs.append(F.count_if(gmatch & (col <= F.lit(e)))
+                            .alias(f"__le_{gi}_{k}"))
+        if attest:
+            aggs.append(F.count(F.when(gmatch, col)).alias(f"__nv_{gi}"))
+        aggs.append(F.count_if(gmatch & col.isNotNull() & ~F.isnan(col))
+                    .alias(f"__nc_{gi}"))
+    # coverage audit: clean rows whose group the index does not track
+    aggs.append(F.count_if(col.isNotNull() & ~F.isnan(col)
+                           & gstr.isNotNull()
+                           & ~gstr.isin(list(groups)))
+                .alias("__n_unindexed"))
+    r = df.agg(*aggs).collect()[0]
+    if int(r["__n_unindexed"]):
+        raise ValueError(
+            f"equidepth_histograms_by_group: {int(r['__n_unindexed'])} "
+            f"clean rows of {column!r} belong to groups absent from the "
+            f"index at {index_path} — rebuild or append the index to "
+            "cover them (bucketing them against another group's edges "
+            "would be wrong, and dropping them would undercount)")
+
+    out_rows = []
+    for gi, g in enumerate(groups):
+        n_clean = int(r[f"__nc_{gi}"])
+        edges = edges_by_g[g]
+        if attest:
+            nv = int(r[f"__nv_{gi}"])
+            ok = [bool(nv > 0
+                       and int(r[f"__lt_{gi}_{k}"]) / nv - tol <= p
+                       and p <= int(r[f"__le_{gi}_{k}"]) / nv + tol)
+                  for k, p in enumerate(probs)]
+        for i in range(buckets):
+            hi_cum = (int(r[f"__lt_{gi}_{i + 1}"]) if i < buckets - 1
+                      else n_clean)
+            n = hi_cum - (int(r[f"__lt_{gi}_{i}"]) if i > 0 else 0)
+            row = (g, i, edges[i], edges[i + 1], n, n_clean)
+            if attest:
+                row += (bool(ok[i] and ok[i + 1]),)
+            out_rows.append(row)
+    schema = ("grp string, bucket bigint, lo double, hi double, "
+              "n bigint, __tot bigint"
+              + (", edge_within_bound boolean" if attest else ""))
+    # share rounds in Spark (HALF_UP — F.round), exactly as before r15
+    return (spark.createDataFrame(out_rows, schema)
+            .select("grp", "bucket", "lo", "hi", "n",
+                    F.when(F.col("__tot") > 0,
+                           F.round(F.col("n") / F.col("__tot"), 6))
+                    .otherwise(F.lit(0.0)).alias("share"),
+                    *(["edge_within_bound"] if attest else []))
+            .orderBy("grp", "bucket"))

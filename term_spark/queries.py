@@ -3879,31 +3879,41 @@ def q_equidepth_from_grid_price(spark, sf_dir) -> DataFrame:
                                            build_quantile_index)
     from .operators.histogram import equidepth_histogram_from_index
 
+    from concurrent.futures import ThreadPoolExecutor
+
     (li,) = _t(spark, sf_dir, "lineitem")
     buckets = 8
     probs = [i / buckets for i in range(buckets + 1)]
-    tmp = tempfile.mkdtemp(prefix="term_spark_eqgrid_")
-    try:
-        build_quantile_index(li.filter(F.col("l_orderkey") % 4 != 0),
-                             ["l_extendedprice"], tmp)
-        build_quantile_index(li.filter(F.col("l_orderkey") % 4 == 0),
-                             ["l_extendedprice"], tmp, mode="append")
-        hist = equidepth_histogram_from_index(
-            li, "l_extendedprice", tmp, buckets=buckets).collect()
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
-    total = sum(r["n"] for r in hist)
     # ONE array-percentile aggregate for the oracle-replayable exact
     # edges: nine scalar F.percentile(v, p) calls in one agg each buffer
     # and sort independently (measured 21.5 s vs 4.5 s at sf0.1 — the
     # difference was the whole row's cost problem); rounding stays
-    # Spark-side (HALF_UP) via transform
-    exact = li.filter(F.col("l_extendedprice").isNotNull()).agg(
-        F.count(F.lit(1)).alias("__n"),
-        F.transform(
-            F.expr("percentile(cast(l_extendedprice as double), "
-                   f"array({', '.join(map(repr, probs))}))"),
-            lambda e: F.round(e, 6)).alias("__edges")).collect()[0]
+    # Spark-side (HALF_UP) via transform.  The agg is independent of
+    # the index lifecycle, so it runs CONCURRENTLY with the builds +
+    # serve (guide-§2.6 job overlap: its single-reducer percentile
+    # merge back-fills cores the lifecycle's tails leave idle).
+    def _exact_edges():
+        return li.filter(F.col("l_extendedprice").isNotNull()).agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.transform(
+                F.expr("percentile(cast(l_extendedprice as double), "
+                       f"array({', '.join(map(repr, probs))}))"),
+                lambda e: F.round(e, 6)).alias("__edges")).collect()[0]
+
+    tmp = tempfile.mkdtemp(prefix="term_spark_eqgrid_")
+    try:
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            exact_fut = pool.submit(_exact_edges)
+            build_quantile_index(li.filter(F.col("l_orderkey") % 4 != 0),
+                                 ["l_extendedprice"], tmp)
+            build_quantile_index(li.filter(F.col("l_orderkey") % 4 == 0),
+                                 ["l_extendedprice"], tmp, mode="append")
+            hist = equidepth_histogram_from_index(
+                li, "l_extendedprice", tmp, buckets=buckets).collect()
+            exact = exact_fut.result()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    total = sum(r["n"] for r in hist)
     edges = [float(e) for e in exact["__edges"]]
     band = 2.0 * 2.0 * (2.0 / DEFAULT_K + 1.0 / DEFAULT_ACCURACY)
     rows = [(int(r["bucket"]),

@@ -876,37 +876,52 @@ def q_equidepth_by_source_grid_docs(spark, sf_dir) -> DataFrame:
                                            build_quantile_index)
     from .operators.histogram import equidepth_histograms_by_group
 
+    from concurrent.futures import ThreadPoolExecutor
+
     d = _docs(spark, sf_dir)
     buckets = 4
     probs = [i / buckets for i in range(buckets + 1)]
+    v = F.col("n_chars").cast("double")
+
+    # one array-percentile per group (N scalar percentile aggs each
+    # buffer+sort independently — the 4.8x cost the price row measured)
+    def _exact():
+        return (d.filter(v.isNotNull())
+                .groupBy(F.col("source").cast("string").alias("grp"))
+                .agg(F.count(F.lit(1)).alias("__n"),
+                     F.transform(
+                         F.expr("percentile(cast(n_chars as double), "
+                                f"array({', '.join(map(repr, probs))}))"),
+                         lambda e: F.round(e, 6)).alias("__edges"))).collect()
+
+    # per-group maximal tie mass m_g: the depth bound's tie term
+    def _ties():
+        return {r["grp"]: int(r["m"]) for r in
+                (d.filter(v.isNotNull())
+                 .groupBy(F.col("source").cast("string").alias("grp"),
+                          v.alias("__v"))
+                 .agg(F.count(F.lit(1)).alias("c"))
+                 .groupBy("grp").agg(F.max("c").alias("m"))).collect()}
+
+    # the exact-replay aggs are independent of the index lifecycle —
+    # overlap them with the build + serve (guide-§2.6 job overlap; the
+    # docs table is small, so the row's cost is job latency, not data)
     tmp = tempfile.mkdtemp(prefix="term_spark_eqgrid_src_")
     try:
-        build_quantile_index(d, ["n_chars"], tmp, group_col="source")
-        hist = equidepth_histograms_by_group(
-            d, "n_chars", tmp, buckets=buckets).collect()
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            exact_fut = pool.submit(_exact)
+            ties_fut = pool.submit(_ties)
+            build_quantile_index(d, ["n_chars"], tmp, group_col="source")
+            hist = equidepth_histograms_by_group(
+                d, "n_chars", tmp, buckets=buckets).collect()
+            exact = exact_fut.result()
+            ties = ties_fut.result()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     totals: dict = {}
     for r in hist:
         totals[r["grp"]] = totals.get(r["grp"], 0) + int(r["n"])
-    v = F.col("n_chars").cast("double")
-    # one array-percentile per group (N scalar percentile aggs each
-    # buffer+sort independently — the 4.8x cost the price row measured)
-    exact = (d.filter(v.isNotNull())
-             .groupBy(F.col("source").cast("string").alias("grp"))
-             .agg(F.count(F.lit(1)).alias("__n"),
-                  F.transform(
-                      F.expr("percentile(cast(n_chars as double), "
-                             f"array({', '.join(map(repr, probs))}))"),
-                      lambda e: F.round(e, 6)).alias("__edges"))).collect()
     ex = {r["grp"]: r for r in exact}
-    # per-group maximal tie mass m_g: the depth bound's tie term
-    ties = {r["grp"]: int(r["m"]) for r in
-            (d.filter(v.isNotNull())
-             .groupBy(F.col("source").cast("string").alias("grp"),
-                      v.alias("__v"))
-             .agg(F.count(F.lit(1)).alias("c"))
-             .groupBy("grp").agg(F.max("c").alias("m"))).collect()}
     band = 2.0 / DEFAULT_K + 1.0 / DEFAULT_ACCURACY
     rows = [(r["grp"], int(r["bucket"]),
              float(ex[r["grp"]]["__edges"][r["bucket"]]),
@@ -3849,21 +3864,29 @@ def q_incremental_quantile_docs(spark, sf_dir) -> DataFrame:
     batch = d.filter(F.col("doc_id") % 4 == 0)
     cols = ["n_chars", "doc_id"]
     probs = [0.25, 0.5, 0.75]
-    tmp = tempfile.mkdtemp(prefix="term_spark_qidx_")
-    try:
-        build_quantile_index(corpus, cols, tmp)
-        build_quantile_index(batch, cols, tmp, mode="append")
-        rep = quantile_index_report(spark, tmp, probs, exact_df=d)
-        # one array-percentile per column (r14: N scalar percentile
-        # aggregates in one agg each buffer+sort independently —
-        # measured 4.8x the array form's cost on lineitem)
+    from concurrent.futures import ThreadPoolExecutor
+
+    # one array-percentile per column (r14: N scalar percentile
+    # aggregates in one agg each buffer+sort independently —
+    # measured 4.8x the array form's cost on lineitem); independent of
+    # the index lifecycle, so it overlaps the builds + report
+    # (guide-§2.6 job overlap)
+    def _exact_rows():
         plist = ", ".join(map(repr, probs))
-        exact = d.agg(*[
+        return d.agg(*[
             F.transform(
                 F.expr(f"percentile(cast({c} as double), array({plist}))"),
                 lambda e: F.round(e, 6)).alias(f"__q_{c}")
-            for c in cols])
-        ex_rows = exact.collect()[0]
+            for c in cols]).collect()[0]
+
+    tmp = tempfile.mkdtemp(prefix="term_spark_qidx_")
+    try:
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            exact_fut = pool.submit(_exact_rows)
+            build_quantile_index(corpus, cols, tmp)
+            build_quantile_index(batch, cols, tmp, mode="append")
+            rep = quantile_index_report(spark, tmp, probs, exact_df=d)
+            ex_rows = exact_fut.result()
         ex = spark.createDataFrame(
             [(c, float(p), float(ex_rows[f"__q_{c}"][i]))
              for c in cols for i, p in enumerate(probs)],

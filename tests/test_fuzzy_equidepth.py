@@ -268,3 +268,28 @@ def test_equidepth_by_group_grid_served(spark, tmp_path):
         equidepth_histograms_by_group(df, "v", uidx, buckets=4)
     with pytest.raises(ValueError, match="GROUPED"):
         equidepth_histogram_from_index(df, "v", idx, buckets=4)
+
+
+def test_equidepth_by_group_unindexed_group_raises(spark, tmp_path):
+    """r15 (ADVICE fix): clean rows whose group the grouped index does
+    NOT track must raise loudly instead of being silently dropped —
+    bucketing them against another group's edges would be wrong, and
+    dropping them would undercount the corpus.  Index-only groups keep
+    reporting n=0 rows (the documented asymmetry)."""
+    from term_spark.analyzers.quantile_index import build_quantile_index
+    from term_spark.operators.histogram import equidepth_histograms_by_group
+    df = spark.range(2_000).selectExpr(
+        "cast(id as double) as v",
+        "case when id % 2 = 0 then 'a' else 'b' end as g")
+    idx = str(tmp_path / "qidx_partial")
+    build_quantile_index(df.filter("g = 'a'"), ["v"], idx, group_col="g")
+    with pytest.raises(ValueError, match="absent from the index"):
+        equidepth_histograms_by_group(df, "v", idx, buckets=4)
+    # covered df passes; an index-only group reports n=0 rows
+    ok = equidepth_histograms_by_group(
+        df.filter("g = 'a'"), "v", idx, buckets=4).collect()
+    assert sum(r["n"] for r in ok) == 1_000
+    none_left = equidepth_histograms_by_group(
+        df.filter("g = 'zzz'"), "v", idx, buckets=4).collect()
+    assert [r["n"] for r in none_left] == [0, 0, 0, 0]
+    assert all(not r["edge_within_bound"] for r in none_left)
