@@ -290,10 +290,20 @@ def ngram_jaccard_for_pairs(df: DataFrame, pairs: DataFrame,
     O(|candidates| · shingles-per-doc) instead of O(corpus²) — this is
     what makes LSH + verify actually cheaper than exact-all-pairs at
     scale. Returns (id_a, id_b, n_common, n_a, n_b, jaccard ≥ τ).
+
+    r15: only docs that appear as a pair endpoint are shingled — a
+    semi-join on the candidate ids prunes the corpus BEFORE the
+    CPU-heavy shingle explode and the size aggregation (every output
+    row joins inner to a pair id, so non-candidate docs never
+    contributed; at corpus scale candidates are a vanishing fraction).
     """
+    p = pairs.select("id_a", "id_b")
+    cand_ids = (p.select(F.col("id_a").alias(id_col))
+                .union(p.select(F.col("id_b").alias(id_col)))
+                .distinct())
+    df = df.join(cand_ids, id_col, "left_semi")
     sh = _doc_shingles(df, text_col, id_col, k)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    p = pairs.select("id_a", "id_b")
     a = sh.select(F.col("id").alias("id_a"), "shingle")
     b = sh.select(F.col("id").alias("id_b"), "shingle")
     inter = (p.join(a, "id_a")

@@ -89,6 +89,16 @@ def test_jaccard_for_pairs_equals_allpairs_restriction(spark, docs):
     got = sorted(tuple(r) for r in
                  D.ngram_jaccard_for_pairs(docs, cands, threshold=0.1).collect())
     assert got == expect and got  # non-empty on the fixture
+    # r15 semi-join pruning: docs that are no pair's endpoint must not
+    # change the output — padding the corpus with candidate-free noise
+    # rows yields the identical verification table
+    noise = docs.sparkSession.createDataFrame(
+        [(10_000 + i, f"unrelated filler text number {i} zz{i}qq")
+         for i in range(20)], "doc_id long, text string")
+    padded = docs.select("doc_id", "text").unionByName(noise)
+    got_padded = sorted(tuple(r) for r in D.ngram_jaccard_for_pairs(
+        padded, cands, threshold=0.1).collect())
+    assert got_padded == expect
 
 
 def test_simhash_recall_beyond_three(spark):
