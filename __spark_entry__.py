@@ -26,6 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 def entry(spark: SparkSession) -> DataFrame:
     from term_spark import Assertion, Check, Level, ValidationSuite
+    from term_spark.session import local_df
     from term_spark.sources import load_tpch_tables
 
     tables = load_tpch_tables(
@@ -122,8 +123,8 @@ def entry(spark: SparkSession) -> DataFrame:
         r["metric"] = float(r["metric"]) if r["metric"] is not None else None
         r["column"] = r["column"] or ""
         r["suite_passed"] = bool(result.passed)
-    return spark.createDataFrame(
-        rows,
+    return local_df(
+        spark, rows,
         "check string, level string, constraint string, column string, "
         "status string, metric double, message string, suite_passed boolean")
 

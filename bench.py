@@ -437,8 +437,9 @@ def _bench_index_lifecycles(spark, sf_dir: str, ivf_centroids: int = 16,
             # bounded top-N tables so its number contains NO probe work
             from term_spark.operators.retrieval import rrf_fuse
             from term_spark.queries_llm import _BM25_PROBES
-            probes = spark.createDataFrame(
-                _BM25_PROBES, "query_id long, query string")
+            from term_spark.session import local_df
+            probes = local_df(
+                spark, _BM25_PROBES, "query_id long, query string")
             t0 = time.perf_counter()
             T.build_bm25_index(docs, f"{tmp}/bm25")
             out["bm25_index_build"] = round(time.perf_counter() - t0, 4)

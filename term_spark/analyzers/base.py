@@ -33,6 +33,7 @@ import pyspark.sql.functions as F
 
 from ..core.constraint import metric_alias
 from ..functions.security import validate_identifier
+from ..session import local_df
 
 
 @dataclass
@@ -413,7 +414,7 @@ class ApproxCountDistinctAnalyzer(Analyzer):
             return AnalyzerState(sketch=sketches[0])
         if self._spark is None:
             raise RuntimeError("HLL merge needs a SparkSession (bind_spark)")
-        df = self._spark.createDataFrame([(s,) for s in sketches], "b64 string")
+        df = local_df(self._spark, [(s,) for s in sketches], "b64 string")
         row = df.select(F.hll_union_agg(F.unbase64("b64")).alias("u")).collect()[0]
         return AnalyzerState(
             sketch=base64.b64encode(bytes(row["u"])).decode())
@@ -423,7 +424,7 @@ class ApproxCountDistinctAnalyzer(Analyzer):
             return MetricValue.long(0)
         if self._spark is None:
             raise RuntimeError("HLL estimate needs a SparkSession (bind_spark)")
-        df = self._spark.createDataFrame([(state["sketch"],)], "b64 string")
+        df = local_df(self._spark, [(state["sketch"],)], "b64 string")
         row = df.select(
             F.hll_sketch_estimate(F.unbase64("b64")).alias("est")).collect()[0]
         return MetricValue.long(int(row["est"]))
@@ -471,7 +472,7 @@ class DistinctnessAnalyzer(Analyzer):
         sketches = [s["sketch"] for s in states if s.get("sketch")]
         if self._spark is None:
             raise RuntimeError("distinctness merge needs bind_spark")
-        df = self._spark.createDataFrame([(s,) for s in sketches], "b64 string")
+        df = local_df(self._spark, [(s,) for s in sketches], "b64 string")
         row = df.select(F.hll_sketch_estimate(
             F.hll_union_agg(F.unbase64("b64"))).alias("est")).collect()[0]
         return AnalyzerState(n=sum(s["n"] for s in states),

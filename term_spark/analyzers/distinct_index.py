@@ -54,6 +54,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 from ..functions.security import validate_identifiers
+from ..session import local_df
 
 #: lgK=12 ⇒ 4096 registers ⇒ RSE ≈ 1.04/sqrt(4096) ≈ 1.625 %.
 DEFAULT_LGK = 12
@@ -116,8 +117,8 @@ def build_distinct_index(df: DataFrame, columns: Sequence[str],
     # it keeps the shard count meaning "shards that contributed data"
     rows.filter(F.col("sketch").isNotNull() & (F.col("n_rows") > 0)) \
         .write.mode(mode).parquet(f"{index_path}/sketches")
-    spark.createDataFrame(
-        [(int(lgk), cols)], "lgk int, columns array<string>") \
+    local_df(
+        spark, [(int(lgk), cols)], "lgk int, columns array<string>") \
         .write.mode("overwrite").parquet(f"{index_path}/meta")
 
 

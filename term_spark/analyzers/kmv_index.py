@@ -47,6 +47,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 from ..functions.security import validate_identifier
+from ..session import local_df
 from .kmv import (KMVSketch, kmv_distinct, kmv_jaccard, kmv_merge,
                   kmv_sketch_by, kmv_union)
 
@@ -94,8 +95,8 @@ def build_kmv_index(df: DataFrame, group_col: str, column: str,
     # emits only groups with data), so n_shards keeps meaning "shards
     # that contributed data to this group"
     rows.write.mode(mode).parquet(f"{index_path}/sketches")
-    spark.createDataFrame(
-        [(int(k), group_col, column)],
+    local_df(
+        spark, [(int(k), group_col, column)],
         "k int, group_col string, column string") \
         .write.mode("overwrite").parquet(f"{index_path}/meta")
 
@@ -137,8 +138,8 @@ def overlap_from_index(spark, index_path: str) -> DataFrame:
                     round(j, 6), float(u), round(j * u, 6),
                     not sa.saturated and not sb.saturated,
                     n_sh_a + n_sh_b))
-    return spark.createDataFrame(
-        out, "grp_a string, grp_b string, n_a double, n_b double, "
+    return local_df(
+        spark, out, "grp_a string, grp_b string, n_a double, n_b double, "
              "jaccard double, n_union double, n_intersection double, "
              "exact_regime boolean, n_shards bigint")
 
@@ -155,8 +156,8 @@ def compact_kmv_index(spark, index_path: str) -> None:
     meta, merged = _merged_sketches(spark, index_path)
     rows = [(g, list(sk.hashes), n_sh)
             for g, (sk, n_sh) in sorted(merged.items())]
-    compacted = spark.createDataFrame(
-        rows, "grp string, hashes array<string>, n_shards bigint")
+    compacted = local_df(
+        spark, rows, "grp string, hashes array<string>, n_shards bigint")
     tmp = f"{index_path}/sketches__compacting"
     compacted.write.mode("overwrite").parquet(tmp)
     from ..sources import hadoop_swap_dir

@@ -73,6 +73,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 from ..functions.security import validate_identifier, validate_identifiers
+from ..session import local_df
 from .base import AnalyzerState
 from .quantile_sketch import QuantileSketchAnalyzer
 
@@ -157,8 +158,8 @@ def build_quantile_index(df: DataFrame, columns: Sequence[str],
         for c in cols])).alias("r")).select("r.*")
     rows.filter(F.col("n") > 0).write.mode(mode) \
         .parquet(f"{index_path}/grids")
-    spark.createDataFrame(
-        [(int(k), int(accuracy), cols, gcol or _NO_GROUP)],
+    local_df(
+        spark, [(int(k), int(accuracy), cols, gcol or _NO_GROUP)],
         "k int, accuracy int, columns array<string>, group_col string") \
         .write.mode("overwrite").parquet(f"{index_path}/meta")
 
@@ -208,7 +209,7 @@ def quantiles_from_index(spark, index_path: str,
               "n_shards bigint")
     if grouped:
         schema = "grp string, " + schema
-    return spark.createDataFrame(out, schema)
+    return local_df(spark, out, schema)
 
 
 def quantile_index_report(spark, index_path: str,
@@ -280,7 +281,7 @@ def quantile_index_report(spark, index_path: str,
               "rank_at_or_below double")
     if grouped:
         schema = "grp string, " + schema
-    att = spark.createDataFrame(att_rows, schema)
+    att = local_df(spark, att_rows, schema)
     return (est.join(att, keys)
             .withColumn("within_bound",
                         (F.col("rank_below") - F.lit(float(tolerance))
@@ -315,8 +316,8 @@ def compact_quantile_index(spark, index_path: str) -> None:
     for (g, c) in sorted(merged):
         st, n_sh = merged[(g, c)]
         rows.append((g, c, st["n"], st["mn"], st["mx"], st["grid"], n_sh))
-    compacted = spark.createDataFrame(
-        rows, "grp string, col_name string, n bigint, mn double, "
+    compacted = local_df(
+        spark, rows, "grp string, col_name string, n bigint, mn double, "
               "mx double, grid array<double>, n_shards bigint")
     tmp = f"{index_path}/grids__compacting"
     compacted.write.mode("overwrite").parquet(tmp)

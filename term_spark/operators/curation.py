@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame
 from . import dedup as D
 from . import text as T
 from ..core.constraint import Constraint
+from ..session import local_df
 
 
 @dataclass
@@ -788,8 +789,9 @@ def source_overlap_kmv(df: DataFrame, source_col: str = "source",
             cont = min(1.0, inter / min(na, nb)) if min(na, nb) > 0 else 0.0
             rows.append((sa, sb, round(na, 1), round(nb, 1),
                          round(inter, 1), round(jac, 6), round(cont, 6)))
-    return df.sparkSession.createDataFrame(
-        rows, "source_a string, source_b string, est_n_a double, "
+    return local_df(
+        df.sparkSession, rows,
+        "source_a string, source_b string, est_n_a double, "
               "est_n_b double, est_common double, est_jaccard double, "
               "est_containment double")
 

@@ -32,6 +32,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 from ..core.constraint import Constraint
+from ..session import local_df
 from .text import fingerprint, word_shingles
 
 
@@ -718,8 +719,8 @@ def dedup_pair_eval(predicted: DataFrame, truth: DataFrame,
           if prec is not None and rec is not None and (prec + rec) > 0
           else (0.0 if prec is not None and rec is not None else None))
     spark = predicted.sparkSession
-    return spark.createDataFrame(
-        [(n_p, n_t, tp,
+    return local_df(
+        spark, [(n_p, n_t, tp,
           round(prec, 6) if prec is not None else None,
           round(rec, 6) if rec is not None else None,
           round(f1, 6) if f1 is not None else None)],
@@ -975,7 +976,7 @@ def build_cdc_index(df: DataFrame, index_path: str, text_col: str = "text",
                  .groupBy(F.col("chunk_hash").alias("h"))
                  .agg(F.count(F.lit(1)).alias("n")))
     per_shard.write.mode(mode).parquet(f"{index_path}/chunks")
-    spark.createDataFrame([(k, divisor)], "k int, divisor int") \
+    local_df(spark, [(k, divisor)], "k int, divisor int") \
         .write.mode("overwrite").parquet(f"{index_path}/meta")
 
 
@@ -1093,8 +1094,8 @@ def build_minhash_index(df: DataFrame, index_path: str,
     cols = [f"mh_{i}" for i in range(num_hashes)]
     _band_stack(sig, cols, bands).write.mode(mode) \
         .parquet(f"{index_path}/buckets")
-    spark.createDataFrame([(k, num_hashes, bands)],
-                          "k int, num_hashes int, bands int") \
+    local_df(spark, [(k, num_hashes, bands)],
+             "k int, num_hashes int, bands int") \
         .write.mode("overwrite").parquet(f"{index_path}/meta")
 
 

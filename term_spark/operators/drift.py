@@ -30,6 +30,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
 from ..core.constraint import Constraint
+from ..session import local_df
 from ..core.result import ConstraintResult
 from ..functions.security import validate_identifier
 from .statistics import psi_bucket
@@ -123,8 +124,8 @@ def _distributed_cdf(counts: DataFrame):
         acc_c += totals[pid][1]
     tot_ref, tot_cur = acc_r, acc_c
     spark = counts.sparkSession
-    off_df = spark.createDataFrame(
-        offs or [(0, 0, 0, None)],
+    off_df = local_df(
+        spark, offs or [(0, 0, 0, None)],
         f"pid int, off_ref bigint, off_cur bigint, part_next_k {ktype}")
     w = (Window.partitionBy("pid").orderBy("k")
                .rowsBetween(Window.unboundedPreceding, 0))

@@ -22,6 +22,7 @@ from __future__ import annotations
 from typing import Optional
 
 import pyspark.sql.functions as F
+from ..session import local_df
 
 from ..core.assertion import Assertion
 from ..core.constraint import Constraint, EngineContext
@@ -190,8 +191,8 @@ def _rank_map(d, column: str, alias: str):
         offsets[pid] = acc
         acc += totals[pid]
     spark = d.sparkSession
-    off_df = spark.createDataFrame(
-        [(int(p), int(o)) for p, o in offsets.items()] or [(0, 0)],
+    off_df = local_df(
+        spark, [(int(p), int(o)) for p, o in offsets.items()] or [(0, 0)],
         "pid int, off bigint")
     w = (Window.partitionBy("pid").orderBy(alias + "_v")
                .rowsBetween(Window.unboundedPreceding, -1))

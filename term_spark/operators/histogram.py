@@ -21,6 +21,7 @@ from dataclasses import dataclass
 from typing import Callable, Dict, List, Optional
 
 import pyspark.sql.functions as F
+from ..session import local_df
 
 from ..core.constraint import Constraint, EngineContext
 from ..core.result import ConstraintResult
@@ -219,8 +220,8 @@ def frequent_items_summary(df, column: str, k: int = 100):
     spark = df.sparkSession
     rows = [(r["item"], int(r["cnt"]), i + 1, int(n_slice), max_dropped)
             for i, r in enumerate(top[:k])]
-    return spark.createDataFrame(
-        rows,
+    return local_df(
+        spark, rows,
         "item string, cnt bigint, rank int, n_slice bigint, "
         "max_dropped bigint")
 
@@ -308,8 +309,9 @@ def equidepth_histogram(df, column: str, buckets: int = 10) -> "DataFrame":
     total = int(row["n"])
     spark = df.sparkSession
     if not total:
-        return spark.createDataFrame(
-            [], "bucket bigint, lo double, hi double, n bigint, share double")
+        return local_df(
+            spark, [],
+            "bucket bigint, lo double, hi double, n bigint, share double")
     edges = [float(e) for e in row["edges"]]
     # all `buckets` half-open spans, last closed: repeated edges
     # (discrete data) yield empty [x, x) spans that match nothing, and
@@ -338,8 +340,9 @@ def equidepth_histogram(df, column: str, buckets: int = 10) -> "DataFrame":
             f"{total} — the source changed between the percentile pass "
             "and the count pass (non-deterministic input); checkpoint "
             "or cache the input and retry")
-    out = spark.createDataFrame(
-        [(i, lo, hi, counts.get(i, 0)) for i, (lo, hi) in enumerate(spans)],
+    out = local_df(
+        spark, [(i, lo, hi, counts.get(i, 0))
+                for i, (lo, hi) in enumerate(spans)],
         "bucket bigint, lo double, hi double, n bigint")
     # share rounds in Spark (HALF_UP) so the result is bit-identical
     # to the pre-r14 broadcast-join form the driver oracle pinned
@@ -448,9 +451,9 @@ def equidepth_histogram_from_index(df, column: str, index_path: str,
     schema = ("bucket bigint, lo double, hi double, n bigint, share double"
               + (", edge_within_bound boolean" if attest else ""))
     if not total:
-        return spark.createDataFrame([], schema)
-    base = spark.createDataFrame(
-        [(i, edges[i], edges[i + 1], counts.get(i, 0))
+        return local_df(spark, [], schema)
+    base = local_df(
+        spark, [(i, edges[i], edges[i + 1], counts.get(i, 0))
          + ((bool(edge_ok[i] and edge_ok[i + 1]),) if attest else ())
          for i in range(buckets)],
         schema.replace(", share double", ""))
@@ -574,7 +577,7 @@ def equidepth_histograms_by_group(df, column: str, index_path: str,
               "n bigint, __tot bigint"
               + (", edge_within_bound boolean" if attest else ""))
     # share rounds in Spark (HALF_UP — F.round), exactly as before r15
-    return (spark.createDataFrame(out_rows, schema)
+    return (local_df(spark, out_rows, schema)
             .select("grp", "bucket", "lo", "hi", "n",
                     F.when(F.col("__tot") > 0,
                            F.round(F.col("n") / F.col("__tot"), 6))

@@ -27,6 +27,7 @@ from typing import Callable, Iterator, Optional
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
+from ..session import local_df
 from pyspark.sql.types import (ArrayType, BinaryType, DoubleType, LongType,
                                StringType, StructField, StructType)
 
@@ -388,4 +389,4 @@ def synthetic_media(spark, n: int = 32, kind: str = "image") -> DataFrame:
     for i in range(n):
         payload = hashlib.sha256(f"media{i}".encode()).digest() * 4
         rows.append((i, kind, bytearray(payload), f"{kind}/fake", 64, 64, 1000))
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return local_df(spark, rows, MEDIA_SCHEMA)

@@ -28,6 +28,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
 from ..core.constraint import Constraint, metric_alias
+from ..session import local_df
 from ..core.result import ConstraintResult
 from ..functions.security import validate_identifier
 
@@ -275,8 +276,8 @@ def blocklist_filter(df: DataFrame, blocked_domains, text_col: str = "text",
     (it is human-curated, bounded); the corpus pass stays map-side plus
     one anti-join on the offender ids."""
     spark = df.sparkSession
-    bl = F.broadcast(spark.createDataFrame(
-        [(d.lower(),) for d in blocked_domains], "blocked string"))
+    bl = F.broadcast(local_df(
+        spark, [(d.lower(),) for d in blocked_domains], "blocked string"))
     docs = (url_counts(df, text_col, id_col)
             .select(F.col(id_col), F.explode("domains").alias("domain")))
     if match_subdomains:

@@ -33,6 +33,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 from ..core.constraint import Constraint
+from ..session import local_df
 
 
 def _dot(a, b):
@@ -315,7 +316,11 @@ def kmeans_centroids(df: DataFrame, id_col: str = "vec_id",
     # scans per train at any scale.  The iteration MATH is untouched:
     # centroid floats feed partial-nprobe recall attestations, so the
     # summation structure must stay exactly as committed.
-    v = v.localCheckpoint(eager=True)
+    # (r15) ... but ONLY when iterations follow: at iterations=0 the
+    # init sample is the sole consumer, and the eager materialization
+    # would cost a full extra pass for nothing.
+    if iterations > 0:
+        v = v.localCheckpoint(eager=True)
     cents = [list(r["v"]) for r in
              v.orderBy(F.md5(F.concat(F.lit(str(seed)),
                                       F.col("id").cast("string"))))
@@ -363,8 +368,8 @@ def ivf_topk(df: DataFrame, queries: DataFrame, k: int = 5, n_centroids: int = 1
                             F.col(vec_col),
                             lambda x: x.cast("double")).alias("cvec"))
                         .collect())]
-    cents = F.broadcast(df.sparkSession.createDataFrame(
-        [(i, c) for i, c in enumerate(cent_list)],
+    cents = F.broadcast(local_df(
+        df.sparkSession, [(i, c) for i, c in enumerate(cent_list)],
         "cid long, cvec array<double>"))
 
     corpus = df.select(F.col(id_col).alias("nbr_id"),
@@ -416,8 +421,9 @@ def build_ivf_index(df: DataFrame, path: str, n_centroids: int = 16,
     spark = df.sparkSession
     trained = kmeans_centroids(df, id_col, vec_col, n_centroids,
                                train_iterations, seed)
-    cents = spark.createDataFrame(
-        [(i, c) for i, c in enumerate(trained)], "cid long, cvec array<double>")
+    cents = local_df(
+        spark, [(i, c) for i, c in enumerate(trained)],
+        "cid long, cvec array<double>")
     cents.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
 
     corpus = df.select(F.col(id_col).alias("nbr_id"),
@@ -617,8 +623,8 @@ def semantic_dedup_pairs(df: DataFrame, id_col: str = "vec_id",
     if train_iterations > 0:
         trained = kmeans_centroids(df, id_col, vec_col, n_clusters,
                                    train_iterations, seed)
-        cents = spark.createDataFrame(
-            [(i, c) for i, c in enumerate(trained)],
+        cents = local_df(
+            spark, [(i, c) for i, c in enumerate(trained)],
             "cid long, cvec array<double>")
     else:
         # deterministic hash sample; TakeOrdered (bounded k×d collect),
@@ -626,8 +632,8 @@ def semantic_dedup_pairs(df: DataFrame, id_col: str = "vec_id",
         sample = (v.orderBy(F.md5(F.concat(F.lit(f"{seed}:"),
                                            F.col("id").cast("string"))), "id")
                    .limit(n_clusters).collect())
-        cents = spark.createDataFrame(
-            [(i, list(r["v"])) for i, r in enumerate(sample)],
+        cents = local_df(
+            spark, [(i, list(r["v"])) for i, r in enumerate(sample)],
             "cid long, cvec array<double>")
 
     scored = with_cosine(v.crossJoin(F.broadcast(cents)), "v", "cvec", "csim")
@@ -1126,8 +1132,8 @@ def ivfpq_build(df: DataFrame, id_col: str = "vec_id",
     spark = df.sparkSession
     cents = kmeans_centroids(df, id_col, vec_col, n_centroids,
                              train_iterations, seed)
-    cdf = F.broadcast(spark.createDataFrame(
-        [(i, c) for i, c in enumerate(cents)],
+    cdf = F.broadcast(local_df(
+        spark, [(i, c) for i, c in enumerate(cents)],
         "cid long, cvec array<double>"))
     v = df.select(F.col(id_col).alias("id"),
                   F.transform(F.col(vec_col),
@@ -1311,7 +1317,7 @@ def build_ivfpq_index(df: DataFrame, path: str, id_col: str = "vec_id",
     spark = df.sparkSession
     codes, model = ivfpq_build(df, id_col, vec_col, n_centroids, m, pq_k,
                                train_iterations, sample_size, iters, seed)
-    (spark.createDataFrame([(json.dumps(model),)], "model string")
+    (local_df(spark, [(json.dumps(model),)], "model string")
      .coalesce(1).write.mode("overwrite").json(f"{path}/model"))
     (codes.write.mode("overwrite").partitionBy("cid")
      .parquet(f"{path}/codes"))

@@ -25,6 +25,7 @@ from __future__ import annotations
 from typing import Dict, Mapping, Optional
 
 import pyspark.sql.functions as F
+from ..session import local_df
 
 from ..core.assertion import Assertion
 from ..core.constraint import Constraint, EngineContext, metric_alias
@@ -417,8 +418,8 @@ def funnel(df, steps, user_col: str = "user_id", ts_col: str = "ts",
         rows.append((step, i,  n,
                      round(n / first, 6) if first else None,
                      round(n / prev, 6) if prev else None))
-    return spark.createDataFrame(
-        rows, "step string, step_index int, n_users bigint, "
+    return local_df(
+        spark, rows, "step string, step_index int, n_users bigint, "
               "conversion_overall double, conversion_from_prev double")
 
 

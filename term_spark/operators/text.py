@@ -18,6 +18,7 @@ from typing import Dict, List, Optional, Sequence
 import pyspark.sql.functions as F
 
 from ..core.constraint import Constraint
+from ..session import local_df
 
 # Marker stopwords per language for the n-gram/marker heuristic
 # language-ID. Chosen to be disjoint across languages.
@@ -801,7 +802,7 @@ def build_substring_index(df, index_path: str, text_col: str = "text",
     per_shard = (_gram_table(df, text_col, id_col, k, hasher)
                  .groupBy("h").agg(F.count(F.lit(1)).alias("n")))
     per_shard.write.mode(mode).parquet(f"{index_path}/grams")
-    spark.createDataFrame([(k, hasher)], "k int, hasher string") \
+    local_df(spark, [(k, hasher)], "k int, hasher string") \
         .write.mode("overwrite").parquet(f"{index_path}/meta")
 
 
@@ -1020,8 +1021,9 @@ def quality_model_scores(df, weights, text_col: str = "text",
     if D < 1:
         raise ValueError("weights must be non-empty")
     spark = df.sparkSession
-    wdf = spark.createDataFrame(
-        [(i, float(w)) for i, w in enumerate(weights)], "idx int, w double")
+    wdf = local_df(
+        spark, [(i, float(w)) for i, w in enumerate(weights)],
+        "idx int, w double")
     toks = norm_tokens(text_col)
     ex = (df.filter(F.col(text_col).isNotNull())
             .select(F.col(id_col), F.explode(toks).alias("tok")))
@@ -1835,7 +1837,7 @@ def build_bm25_index(df, index_path: str, text_col: str = "text",
     (base.select(F.col(id_col).alias("doc_id"),
                  F.size(norm_tokens(text_col)).cast("double").alias("dl"))
      .write.mode(mode).parquet(f"{index_path}/doclens"))
-    spark.createDataFrame([(BM25_TOKENIZER_TAG,)], "tokenizer string") \
+    local_df(spark, [(BM25_TOKENIZER_TAG,)], "tokenizer string") \
         .write.mode("overwrite").parquet(f"{index_path}/meta")
 
 

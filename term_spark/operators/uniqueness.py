@@ -20,6 +20,7 @@ from __future__ import annotations
 from typing import Dict, List, Mapping, Sequence
 
 import pyspark.sql.functions as F
+from ..session import local_df
 
 from ..core.assertion import Assertion
 from ..core.constraint import Constraint, EngineContext, metric_alias
@@ -313,15 +314,15 @@ def key_skew_report(df, key_cols, top_k: int = 10):
     n_keys = int(row["n_keys"])
     spark = df.sparkSession
     if n_rows == 0:
-        return spark.createDataFrame(
-            [(0, 0, None, None, None, None)],
+        return local_df(
+            spark, [(0, 0, None, None, None, None)],
             "n_rows bigint, n_keys bigint, max_key_share double, "
             f"top{top_k}_share double, key_entropy_norm double, "
             "count_cv double")
     import math as _m
     ent_norm = (float(row["ent"]) / _m.log(n_keys)) if n_keys > 1 else 1.0
-    return spark.createDataFrame(
-        [(n_rows, n_keys,
+    return local_df(
+        spark, [(n_rows, n_keys,
           round(int(row["max_cnt"]) / n_rows, 6),
           round(sum(top) / n_rows, 6),
           round(ent_norm, 6),

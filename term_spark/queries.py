@@ -18,6 +18,7 @@ Determinism rules (so Spark and DuckDB value-hashes match):
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+from .session import local_df
 from pyspark.sql import DataFrame, SparkSession
 
 from .functions import epoch_seconds
@@ -318,7 +319,7 @@ def q_mutual_information_lineitem(spark, sf_dir) -> DataFrame:
     (li,) = _t(spark, sf_dir, "lineitem")
     from .operators.entropy import mutual_information_value
     mi = mutual_information_value(li, "l_returnflag", "l_linestatus")
-    return spark.createDataFrame([(round(mi, 6),)], "mi double")
+    return local_df(spark, [(round(mi, 6),)], "mi double")
 
 
 SQL_MUTUAL_INFORMATION_LINEITEM = """
@@ -343,7 +344,7 @@ def q_spearman_quantity_price(spark, sf_dir) -> DataFrame:
     (li,) = _t(spark, sf_dir, "lineitem")
     from .operators.entropy import spearman_value
     rho = spearman_value(li, "l_quantity", "l_extendedprice")
-    return spark.createDataFrame([(round(rho, 6),)], "spearman double")
+    return local_df(spark, [(round(rho, 6),)], "spearman double")
 
 
 SQL_SPEARMAN_QUANTITY_PRICE = """
@@ -3924,7 +3925,8 @@ def q_equidepth_from_grid_price(spark, sf_dir) -> DataFrame:
              abs(r["share"] - 1.0 / buckets) <= band,
              total == int(exact["__n"]))
             for r in hist]
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         rows,
         "bucket bigint, lo_exact double, hi_exact double, n_total bigint, "
         "edge_attested boolean, depth_within_band boolean, "

@@ -13,6 +13,7 @@ Engine-portability techniques:
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+from .session import local_df
 from pyspark.sql import Column, DataFrame
 
 from .operators import dedup as D
@@ -933,7 +934,8 @@ def q_equidepth_by_source_grid_docs(spark, sf_dir) -> DataFrame:
                        + ties[r["grp"]] / int(ex[r["grp"]]["__n"])),
              totals[r["grp"]] == int(ex[r["grp"]]["__n"]))
             for r in hist]
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         rows,
         "source string, bucket bigint, lo_exact double, hi_exact double, "
         "n_total bigint, edge_attested boolean, depth_within_band boolean, "
@@ -1222,7 +1224,8 @@ def q_curation_pipeline_docs(spark, sf_dir) -> DataFrame:
         tok = int(row["tok"] or 0)
         rows.append((i, name, int(row["n"]), tok,
                      -(-tok // PACK_CONTEXT_LEN), int(row["hsh"] or 0)))
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         rows,
         "stage_id bigint, stage string, n_docs bigint, n_tokens bigint, "
         "n_windows bigint, corpus_hash bigint").orderBy("stage_id")
@@ -1845,7 +1848,7 @@ def q_bm25_topk_docs(spark, sf_dir) -> DataFrame:
     decimals before the multiply; the oracle replays the identical
     postings→idf→length-normalized sum pipeline in SQL."""
     from .operators.text import bm25_topk
-    q = spark.createDataFrame(_BM25_PROBES, "query_id long, query string")
+    q = local_df(spark, _BM25_PROBES, "query_id long, query string")
     return (bm25_topk(_docs(spark, sf_dir), q, k=10)
             .orderBy("query_id", "rank"))
 
@@ -2426,7 +2429,7 @@ def q_mg_heavy_hitters_docs(spark, sf_dir) -> DataFrame:
     s = mg_sketch(toks, "tok", k=k)
     bound = s.error_bound
     est_rows = [(item, int(cnt)) for item, cnt in s.counters.items()]
-    est_df = spark.createDataFrame(est_rows, "tok string, mg_est long")
+    est_df = local_df(spark, est_rows, "tok string, mg_est long")
     top5 = (toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
             .orderBy(F.desc("cnt"), F.asc("tok")).limit(5))
     return (top5.join(F.broadcast(est_df), "tok", "left")
@@ -2550,7 +2553,7 @@ def q_incremental_neardup_docs(spark, sf_dir) -> DataFrame:
         schema = res.schema
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
+    return local_df(spark, rows, schema)
 
 
 def _incremental_neardup_sql() -> str:
@@ -2633,7 +2636,7 @@ def q_incremental_substring_docs(spark, sf_dir) -> DataFrame:
         schema = res.schema
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
+    return local_df(spark, rows, schema)
 
 
 SQL_INCREMENTAL_SUBSTRING_DOCS = f"""
@@ -2710,9 +2713,9 @@ def q_mg_grouped_heavy_hitters_docs(spark, sf_dir) -> DataFrame:
     est_rows = [(g, item, int(c)) for g, s in sketches.items()
                 for item, c in s.counters.items()]
     bound_rows = [(g, int(s.error_bound)) for g, s in sketches.items()]
-    est_df = spark.createDataFrame(est_rows,
+    est_df = local_df(spark, est_rows,
                                    "source string, tok string, mg_est long")
-    bound_df = spark.createDataFrame(bound_rows,
+    bound_df = local_df(spark, bound_rows,
                                      "source string, bound long")
     w = Window.partitionBy("source").orderBy(F.desc("cnt"), F.asc("tok"))
     top3 = (toks.groupBy("source", "tok")
@@ -2893,7 +2896,7 @@ def q_incremental_cdc_docs(spark, sf_dir) -> DataFrame:
         schema = res.schema
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
+    return local_df(spark, rows, schema)
 
 
 SQL_INCREMENTAL_CDC_DOCS = """
@@ -3364,7 +3367,7 @@ def q_incremental_distinct_docs(spark, sf_dir) -> DataFrame:
         schema = res.schema
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
+    return local_df(spark, rows, schema)
 
 
 SQL_INCREMENTAL_DISTINCT_DOCS = """
@@ -3566,7 +3569,7 @@ def q_csv_source_roundtrip(spark, sf_dir) -> DataFrame:
         schema = res.schema
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
+    return local_df(spark, rows, schema)
 
 
 SQL_CSV_SOURCE_ROUNDTRIP = """
@@ -3614,7 +3617,7 @@ def q_json_source_roundtrip(spark, sf_dir) -> DataFrame:
         schema = res.schema
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
+    return local_df(spark, rows, schema)
 
 
 SQL_JSON_SOURCE_ROUNDTRIP = """
@@ -3668,7 +3671,8 @@ def q_metrics_repository_roundtrip(spark, sf_dir) -> DataFrame:
                         if isinstance(val.value, (int, float)))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [(n, round(v, 6)) for n, v in stored],
         "metric string, value double")
 
@@ -3754,7 +3758,7 @@ def q_incremental_bm25_docs(spark, sf_dir) -> DataFrame:
     from .operators.text import bm25_topk_from_index, build_bm25_index
 
     d = _docs(spark, sf_dir)
-    q = spark.createDataFrame(_BM25_PROBES, "query_id long, query string")
+    q = local_df(spark, _BM25_PROBES, "query_id long, query string")
     tmp = tempfile.mkdtemp(prefix="term_spark_bm25idx_")
     try:
         build_bm25_index(d.filter(F.col("doc_id") % 4 != 0), tmp)
@@ -3766,7 +3770,7 @@ def q_incremental_bm25_docs(spark, sf_dir) -> DataFrame:
         schema = res.schema
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
+    return local_df(spark, rows, schema)
 
 
 LLM_QUERIES.update({"incremental_bm25_docs": q_incremental_bm25_docs})
@@ -3887,7 +3891,8 @@ def q_incremental_quantile_docs(spark, sf_dir) -> DataFrame:
             build_quantile_index(batch, cols, tmp, mode="append")
             rep = quantile_index_report(spark, tmp, probs, exact_df=d)
             ex_rows = exact_fut.result()
-        ex = spark.createDataFrame(
+        ex = local_df(
+            spark,
             [(c, float(p), float(ex_rows[f"__q_{c}"][i]))
              for c in cols for i, p in enumerate(probs)],
             "col_name string, p double, q_exact double")
@@ -3901,7 +3906,7 @@ def q_incremental_quantile_docs(spark, sf_dir) -> DataFrame:
         schema = res.schema
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
+    return local_df(spark, rows, schema)
 
 
 SQL_INCREMENTAL_QUANTILE_DOCS = """
@@ -3946,7 +3951,7 @@ def q_hybrid_rrf_docs(spark, sf_dir) -> DataFrame:
 
     d = _docs(spark, sf_dir)
     e = _emb(spark, sf_dir)
-    probes = spark.createDataFrame(_BM25_PROBES,
+    probes = local_df(spark, _BM25_PROBES,
                                    "query_id long, query string")
     qv = (e.filter(F.col("vec_id") < 3)
           .select(F.col("vec_id").alias("query_id"),
@@ -4051,7 +4056,7 @@ def q_hybrid_rrf_from_index_docs(spark, sf_dir) -> DataFrame:
 
     d = _docs(spark, sf_dir)
     e = _emb(spark, sf_dir)
-    probes = spark.createDataFrame(_BM25_PROBES, "query_id long, query string")
+    probes = local_df(spark, _BM25_PROBES, "query_id long, query string")
     qv = (e.filter(F.col("vec_id") < 3)
           .select(F.col("vec_id").alias("query_id"),
                   F.col("embedding").alias("query_vec")))
@@ -4085,7 +4090,7 @@ def q_hybrid_rrf_from_index_docs(spark, sf_dir) -> DataFrame:
         schema = res.schema
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
+    return local_df(spark, rows, schema)
 
 
 LLM_QUERIES.update(
@@ -4160,7 +4165,7 @@ def q_incremental_overlap_docs(spark, sf_dir) -> DataFrame:
         schema = res.schema
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
+    return local_df(spark, rows, schema)
 
 
 SQL_INCREMENTAL_OVERLAP_DOCS = f"""
@@ -4357,7 +4362,7 @@ def q_quantile_by_source_docs(spark, sf_dir) -> DataFrame:
         schema = res.schema
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
+    return local_df(spark, rows, schema)
 
 
 SQL_QUANTILE_BY_SOURCE_DOCS = """

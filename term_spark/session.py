@@ -37,3 +37,22 @@ def get_spark(app_name: str = "term_spark", shuffle_partitions: int = None,
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
+
+
+def local_df(spark: SparkSession, rows, schema):
+    """Driver-local rows as a ONE-partition DataFrame.
+
+    ``spark.createDataFrame(list, schema)`` spreads the rows over
+    ``sc.defaultParallelism`` pickled partitions (32 on this host), and
+    every downstream evaluation — a collect, a broadcast-relation
+    build, a ``coalesce(1)`` metadata write — then pays one
+    Python-worker roundtrip PER partition; a coalesced single task
+    walks all of them sequentially (measured r15: ~6 s to write a
+    16-row centroid table, ~0.35 s with one partition).  Small
+    driver-side tables are tiny by construction, so one partition is
+    always the right shape; row order and values are identical to the
+    default path (same element conversion, same schema machinery —
+    only the slice count changes).
+    """
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(list(rows), 1), schema)

@@ -18,6 +18,7 @@ import time
 from typing import Callable, Dict, List, Optional
 
 import pyspark.sql.functions as F
+from ..session import local_df
 
 
 class StreamingSuiteRunner:
@@ -662,8 +663,8 @@ class StreamingDistinctMonitor:
             # per column (stored + batch), never the batch data again
             pairs = [(c, b) for c, b in list(self._blobs.items())
                      + list(fresh.items())]
-            merged = (spark.createDataFrame(pairs,
-                                            "col_name string, s binary")
+            merged = (local_df(spark, pairs,
+                               "col_name string, s binary")
                       .groupBy("col_name")
                       .agg(F.hll_union_agg("s").alias("s"))
                       .collect())
@@ -685,8 +686,8 @@ class StreamingDistinctMonitor:
         spark = None
         from pyspark.sql import SparkSession
         spark = SparkSession.getActiveSession()
-        rows = (spark.createDataFrame(list(self._blobs.items()),
-                                      "col_name string, s binary")
+        rows = (local_df(spark, list(self._blobs.items()),
+                         "col_name string, s binary")
                 .select("col_name",
                         F.hll_sketch_estimate("s").alias("e")).collect())
         out = {c: 0 for c in self.columns}

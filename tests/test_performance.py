@@ -192,3 +192,24 @@ def test_compact_line_fits_budget_on_maximal_sections():
     # + env + sf10 headline keys) WITHOUT raising — the r14 failure mode
     floor = bench.fit_compact(json.loads(line), budget=1)
     assert "suite_20_constraints" in json.loads(floor)["queries"]
+
+
+def test_local_df_single_partition_same_values(spark):
+    """Driver-local tables must be ONE partition: the default
+    createDataFrame spreads tiny row lists over defaultParallelism
+    pickled partitions and every downstream evaluation pays one
+    Python-worker roundtrip per partition (r15: ~6 s to write a 16-row
+    table at local[32], ~0.35 s with one partition)."""
+    from term_spark.session import local_df
+
+    rows = [(i, f"v{i}") for i in range(16)]
+    schema = "a bigint, b string"
+    got = local_df(spark, rows, schema)
+    assert got.rdd.getNumPartitions() == 1
+    ref = spark.createDataFrame(rows, schema)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, ref.collect()))
+    assert got.schema == ref.schema
+    # empty + None handling match the default path
+    assert local_df(spark, [], schema).collect() == []
+    assert local_df(spark, [(1, None)], schema).collect() == \
+        spark.createDataFrame([(1, None)], schema).collect()
