@@ -23,6 +23,11 @@ from . import text as T
 from ..core.constraint import Constraint
 from ..session import local_df
 
+#: connected_components switches to driver-side union-find at or below
+#: this many directed edges — the bounded-collect budget (~tens of MB);
+#: above it the distributed min-label propagation runs unchanged.
+_CC_DRIVER_MAX_EDGES = 1_000_000
+
 
 @dataclass
 class CurationReport:
@@ -150,12 +155,52 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     truncates the growing lineage each round (iterative-plan blowup is
     the classic failure here). Stops early when a round changes no
     label (one lightweight count per round).
+
+    r15 (guide §1.1 first-principles pass counting): a confirmed
+    near-dup pair graph is usually TINY relative to its corpus — the
+    whole point of dedup is that duplicates are the exception — yet
+    every propagation round costs two Spark jobs plus an eager
+    checkpoint. When the (already materialized) edge list is small
+    enough to be a bounded driver collect (≤ ``_CC_DRIVER_MAX_EDGES``
+    undirected edges, the same bounded-collect budget the KMV/MG
+    sketch paths use), run union-find on the driver instead: exact
+    min-reachable labels in O(E α(E)) with ZERO further jobs. Output
+    is identical to converged propagation — both compute
+    component = min id reachable. Above the bound (100 TB posture) the
+    distributed loop runs unchanged; Python/Spark id comparisons agree
+    on the integral and UTF8-binary string keys used here (Spark's
+    default UTF8_BINARY collation = UTF-8 byte order = Python
+    code-point order).
     """
     edges = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
              .union(pairs.select(F.col(id_b).alias("src"),
                                  F.col(id_a).alias("dst")))
              .distinct())
     edges = edges.localCheckpoint()
+    n_edges = edges.count()
+    if n_edges <= _CC_DRIVER_MAX_EDGES:
+        id_type = edges.schema["src"].dataType.simpleString()
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        for a, b in ((r["src"], r["dst"]) for r in edges.collect()):
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by MIN label so every root IS the component min
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        out = sorted((v, find(v)) for v in parent)
+        return local_df(pairs.sparkSession, out,
+                        f"id {id_type}, component {id_type}")
     labels = (edges.select(F.col("src").alias("id"))
               .distinct()
               .withColumn("component", F.col("id")))

@@ -329,14 +329,20 @@ def kmeans_centroids(df: DataFrame, id_col: str = "vec_id",
     for _ in range(max(0, iterations)):
         assigned = (with_nearest_centroid(v, "v", cents, metric="cosine")
                     .select("cid", "v"))
+        # r15 (guide §2.4): collect the k·d (cid, pos, mean) cells and
+        # assemble the centroid rows on the driver — the matrix is
+        # driver-resident by design (it IS the return value), and the
+        # old groupBy(cid)+sort_array(collect_list) assembly cost one
+        # extra Exchange + object-hash aggregate per iteration just to
+        # do the same reordering executor-side. avg values unchanged.
         means = (assigned.select("cid", F.posexplode("v").alias("pos", "val"))
                  .groupBy("cid", "pos").agg(F.avg("val").alias("m"))
-                 .groupBy("cid")
-                 .agg(F.transform(
-                     F.sort_array(F.collect_list(F.struct("pos", "m"))),
-                     lambda s: s["m"]).alias("cvec"))
                  .collect())
-        new = {r["cid"]: list(r["cvec"]) for r in means}
+        by_cid: dict = {}
+        for r in means:
+            by_cid.setdefault(r["cid"], {})[r["pos"]] = r["m"]
+        new = {cid: [cells[p] for p in sorted(cells)]
+               for cid, cells in by_cid.items()}
         cents = [new.get(i, cents[i]) for i in range(len(cents))]
     return cents
 
@@ -621,30 +627,57 @@ def semantic_dedup_pairs(df: DataFrame, id_col: str = "vec_id",
                 # shard guard engages on a genuinely hot cluster
                 max_cluster_size = 4 * n_clusters
     if train_iterations > 0:
-        trained = kmeans_centroids(df, id_col, vec_col, n_clusters,
-                                   train_iterations, seed)
-        cents = local_df(
-            spark, [(i, c) for i, c in enumerate(trained)],
-            "cid long, cvec array<double>")
+        cent_list = kmeans_centroids(df, id_col, vec_col, n_clusters,
+                                     train_iterations, seed)
     else:
         # deterministic hash sample; TakeOrdered (bounded k×d collect),
         # cid = position in hash order so an oracle can reproduce it
         sample = (v.orderBy(F.md5(F.concat(F.lit(f"{seed}:"),
                                            F.col("id").cast("string"))), "id")
                    .limit(n_clusters).collect())
-        cents = local_df(
-            spark, [(i, list(r["v"])) for i, r in enumerate(sample)],
-            "cid long, cvec array<double>")
+        cent_list = [list(r["v"]) for r in sample]
 
-    scored = with_cosine(v.crossJoin(F.broadcast(cents)), "v", "cvec", "csim")
-    w = Window.partitionBy("id").orderBy(F.desc("csim"), F.asc("cid"))
     # carry each vector's norm OUT of the pair join: norm work is then
     # O(n·d) instead of O(pairs·d) — the pair stage only computes the
     # dot. Same doubles as a per-pair norm (a row's norm is one number
     # however often it's read), so oracle parity is untouched.
-    assigned = (scored.withColumn("r", F.row_number().over(w))
-                .filter(F.col("r") == 1)
-                .select("id", "v", "cid", _norm(F.col("v")).alias("nrm")))
+    n_lits = len(cent_list) * (len(cent_list[0]) if cent_list else 0)
+    if cent_list and n_lits <= _CENT_LITERAL_BUDGET:
+        # r15 (guide §2.4 remove shuffles outright): assignment is a
+        # pure function of the row and the k×d model, so it rides the
+        # scan as a map-only argmax instead of materializing n×k
+        # crossJoin rows and shuffling them through a per-id window
+        # sort. The SCORE ARITHMETIC is kept bit-identical to the old
+        # with_cosine form (dot(v,c) / (norm(v)·norm(c)), centroid
+        # norm pre-folded in the same left-to-right IEEE order Spark's
+        # _norm uses), and the (csim DESC, cid ASC) pick becomes
+        # array_max over (s, -cid) structs — same winner on ties, and
+        # a zero-norm row raises DIVIDE_BY_ZERO under ANSI mode on
+        # both forms. Oversized models (k·d literals beyond the plan
+        # budget) keep the crossJoin + window path below.
+        entries = []
+        for i, c in enumerate(cent_list):
+            acc = 0.0
+            for x in c:
+                acc += float(x) * float(x)
+            s = (_dot(F.col("v"), F.array(*[F.lit(float(x)) for x in c]))
+                 / (_norm(F.col("v")) * F.lit(math.sqrt(acc))))
+            entries.append(F.struct(
+                s.alias("s"), F.lit(-i).alias("tb"),
+                F.lit(i).cast("long").alias("cid")))
+        assigned = v.select(
+            "id", "v", F.array_max(F.array(*entries))["cid"].alias("cid"),
+            _norm(F.col("v")).alias("nrm"))
+    else:
+        cents = local_df(
+            spark, [(i, c) for i, c in enumerate(cent_list)],
+            "cid long, cvec array<double>")
+        scored = with_cosine(v.crossJoin(F.broadcast(cents)), "v", "cvec",
+                             "csim")
+        w = Window.partitionBy("id").orderBy(F.desc("csim"), F.asc("cid"))
+        assigned = (scored.withColumn("r", F.row_number().over(w))
+                    .filter(F.col("r") == 1)
+                    .select("id", "v", "cid", _norm(F.col("v")).alias("nrm")))
 
     if max_cluster_size is not None:
         # hot-cluster guard: a cluster above the cap splits into

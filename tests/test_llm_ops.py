@@ -546,13 +546,17 @@ def test_hash_split_deterministic_and_proportional(spark):
     assert all(c[i] == a[i] for i in a)
 
 
-def test_connected_components_long_chain_converges(spark):
+def test_connected_components_long_chain_converges(spark, monkeypatch):
     """A 15-link chain (diameter > the old fixed cap of 10) must still
     collapse to one component; hitting the cap warns instead of
-    silently mislabeling."""
+    silently mislabeling. The cap applies to the DISTRIBUTED
+    propagation loop, so pin the driver fast path off for this test
+    (r15: small graphs take an exact union-find shortcut)."""
     import warnings
 
+    from term_spark.operators import curation
     from term_spark.operators.curation import connected_components
+    monkeypatch.setattr(curation, "_CC_DRIVER_MAX_EDGES", -1)
     chain = spark.createDataFrame([(i, i + 1) for i in range(15)],
                                   "id_a long, id_b long")
     comp = {r["id"]: r["component"]
@@ -565,6 +569,32 @@ def test_connected_components_long_chain_converges(spark):
                   for r in connected_components(chain, max_iterations=2).collect()}
         assert any("max_iterations" in str(x.message) for x in w)
     assert set(capped.values()) != {0}
+
+
+def test_connected_components_driver_path_matches_distributed(spark, monkeypatch):
+    """r15: the bounded-driver union-find shortcut must label exactly
+    like the distributed min-label propagation — chains, cliques,
+    islands, string ids, and an empty graph."""
+    import random
+
+    from term_spark.operators import curation
+    from term_spark.operators.curation import connected_components
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(80)]
+    edges = [(a, b) for a, b in edges if a != b]
+    for rows, schema in [
+            (edges, "id_a long, id_b long"),
+            ([(f"d{a}", f"d{b}") for a, b in edges], "id_a string, id_b string"),
+            ([], "id_a long, id_b long")]:
+        pairs = spark.createDataFrame(rows, schema)
+        fast = {(r["id"], r["component"])
+                for r in connected_components(pairs).collect()}
+        monkeypatch.setattr(curation, "_CC_DRIVER_MAX_EDGES", -1)
+        slow = {(r["id"], r["component"])
+                for r in connected_components(pairs).collect()}
+        monkeypatch.undo()
+        assert fast == slow
 
 
 def test_lsh_multi_probe_recovers_split_pair(spark):
@@ -891,6 +921,30 @@ def test_semantic_dedup_removes_near_identical_vectors(spark):
     kept = sorted(r["vec_id"] for r in semantic_dedup(
         df, threshold=0.999, n_clusters=3).collect())
     assert kept == [1, 4, 6, 7]  # min id survives each component
+
+
+def test_semantic_dedup_maponly_assignment_matches_crossjoin(spark, monkeypatch):
+    """r15: the map-only argmax-cosine assignment (literal centroids)
+    must produce the exact pair set of the crossJoin + window form it
+    replaced — including score ties (both pick the smaller cid).
+    Zero vectors raise DIVIDE_BY_ZERO under ANSI mode on BOTH paths
+    (preexisting engine semantics), so none appear here."""
+    from term_spark.operators import similarity as S
+
+    rows = [(1, [1.0, 0.0]), (2, [0.99, 0.01]), (3, [0.0, 1.0]),
+            (4, [0.2, 0.9]),
+            (5, [1.0, 0.0]),           # exact duplicate of 1: tied scores
+            (6, [0.5, 0.5])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    for kwargs in ({"n_clusters": 3}, {"n_clusters": 2, "train_iterations": 2},
+                   {"n_clusters": 1, "max_cluster_size": 2}):
+        fast = sorted(map(tuple, S.semantic_dedup_pairs(
+            df, threshold=0.9, **kwargs).collect()))
+        monkeypatch.setattr(S, "_CENT_LITERAL_BUDGET", -1)
+        slow = sorted(map(tuple, S.semantic_dedup_pairs(
+            df, threshold=0.9, **kwargs).collect()))
+        monkeypatch.undo()
+        assert fast == slow and fast
 
 
 def test_semantic_dedup_hot_cluster_guard_bounds_pairs(spark):
