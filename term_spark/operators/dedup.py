@@ -503,7 +503,9 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text",
         raise ValueError(f"k and window must be > 0, got k={k} w={window}")
     from .text import normalize_text
     norm = normalize_text(text_col)
-    t = (df.filter(F.col(text_col).isNotNull())
+    # char-gram md5s per row are CPU-heavy: parallelize a single-split
+    # corpus before the map stage (r15, guide §2.5; no-op at scale)
+    t = (spread(df, id_col).filter(F.col(text_col).isNotNull())
            .select(F.col(id_col).alias("id"), norm.alias("__t")))
     starts = F.sequence(
         F.lit(1), F.greatest(F.length("__t") - (k - 1), F.lit(1)))

@@ -196,7 +196,16 @@ def repetition_metrics(df, text_col: str = "text", id_col: str = "doc_id",
     columns (functionally dependent on the id, so the wider key is
     free); two hash aggregations keyed by the doc id. No windows, no
     joins — at 100 TB this is two partial-agg shuffles on the id key.
+
+    spread() first (r15, guide §2.5 input under-partitioning): the
+    tokenize + shingle explode is per-row CPU-heavy and a single-split
+    corpus otherwise serializes it on one core (measured 2.25 → 0.56 s
+    at sf0.1; a map-only HOF run-length rewrite that removed both
+    shuffles was measured value-identical but ~1.9× SLOWER — the
+    interpreted-lambda tax — and rejected).
     """
+    from .dedup import spread
+    df = spread(df, id_col)
     toks = df.select(F.col(id_col), norm_tokens(text_col).alias("__t"))
     ex = toks.select(
         F.col(id_col),
@@ -1337,6 +1346,11 @@ def tfidf_top_terms(df, text_col: str = "text", id_col: str = "doc_id",
     if not 0 < max_df_frac <= 1:
         raise ValueError(f"max_df_frac must be in (0,1], got {max_df_frac}")
     from pyspark.sql import Window
+
+    from .dedup import spread
+    # tokenize+explode is the CPU stage: spread a single-split corpus
+    # first (r15, guide §2.5; no-op on well-partitioned input)
+    df = spread(df, id_col)
     toks = norm_tokens(text_col)
     ex = (df.filter(F.col(text_col).isNotNull())
             .select(F.col(id_col), F.explode(toks).alias("term")))

@@ -3117,9 +3117,13 @@ def q_pii_redact_docs(spark, sf_dir) -> DataFrame:
     finds zero matches of any scanned kind) and
     ``redaction_idempotent`` (redacting twice is byte-identical to
     redacting once, for every document).  Everything is one map-only
-    projection (chained codegen regexp_replace) plus one fused agg."""
+    projection (chained codegen regexp_replace) plus one fused agg.
+    spread() first (r15, guide §2.5): the chained regex passes are
+    per-row CPU-heavy and a single-split corpus serializes them on one
+    core (measured 1.85 → 0.80 s at sf0.1; no-op at scale)."""
     from .operators import pii as P
-    d = _pii_injected(_docs(spark, sf_dir))
+    from .operators.dedup import spread
+    d = spread(_pii_injected(_docs(spark, sf_dir)), "doc_id")
     pre = [P.pii_count_expr(F.col("text"), k).alias(f"__pre_{k}")
            for k in _PII_KINDS]
     staged = d.select("doc_id", "text", *pre)
@@ -4063,9 +4067,20 @@ def q_hybrid_rrf_from_index_docs(spark, sf_dir) -> DataFrame:
     n_cents = 16
     tmp = tempfile.mkdtemp(prefix="term_spark_hybridx_")
     try:
-        build_bm25_index(d.filter(F.col("doc_id") % 4 != 0), f"{tmp}/bm25")
-        build_bm25_index(d.filter(F.col("doc_id") % 4 == 0), f"{tmp}/bm25",
-                         mode="append")
+        # the IVF build writes only under {tmp}/ivf and shares nothing
+        # with the BM25 lifecycle, so it overlaps the two BM25 shard
+        # builds from a driver thread (guide §2.6 job overlap; the
+        # builds' write tails leave most cores idle)
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            ivf_fut = pool.submit(
+                build_ivf_index, e, f"{tmp}/ivf", n_centroids=n_cents,
+                train_iterations=0)
+            build_bm25_index(d.filter(F.col("doc_id") % 4 != 0),
+                             f"{tmp}/bm25")
+            build_bm25_index(d.filter(F.col("doc_id") % 4 == 0),
+                             f"{tmp}/bm25", mode="append")
+            ivf_fut.result()
         # train_iterations=0 (r15 diet, verdict r14 ask #4): this row
         # probes at nprobe = n_centroids, where coverage is total and
         # the returned ranking IS exact cosine for ANY centroid set —
@@ -4077,8 +4092,6 @@ def q_hybrid_rrf_from_index_docs(spark, sf_dir) -> DataFrame:
         # row's 16 s).  Partial-nprobe recall — the claim that DOES
         # depend on training — is pinned by ivf_index_recall_embeddings,
         # which keeps its trained build.
-        build_ivf_index(e, f"{tmp}/ivf", n_centroids=n_cents,
-                        train_iterations=0)
         bm = bm25_topk_from_index(spark, f"{tmp}/bm25", probes, k=20)
         ann = (ivf_topk_from_index(spark, f"{tmp}/ivf", qv, k=20,
                                    nprobe=n_cents)
@@ -4134,18 +4147,28 @@ def q_incremental_overlap_docs(spark, sf_dir) -> DataFrame:
     k = 4096
     tmp = tempfile.mkdtemp(prefix="term_spark_kmvidx_")
     try:
-        build_kmv_index(sh.filter(F.col("doc_id") % 4 != 0),
-                        "source", "shingle", tmp, k=k)
-        build_kmv_index(sh.filter(F.col("doc_id") % 4 == 0),
-                        "source", "shingle", tmp, k=k, mode="append")
-        compact_kmv_index(spark, tmp)
+        # the exact attestation report never touches the index dir, so
+        # it overlaps the two shard builds + compaction from a driver
+        # thread (guide §2.6 job overlap) — same jobs, same
+        # md5-deterministic counts, just back-filling the cores the
+        # build stages' tails leave idle
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            exact_fut = pool.submit(
+                lambda: source_overlap_report(d, k=8).select(
+                    "source_a", "source_b", "n_a", "n_b", "n_common",
+                    "jaccard").localCheckpoint(eager=True))
+            build_kmv_index(sh.filter(F.col("doc_id") % 4 != 0),
+                            "source", "shingle", tmp, k=k)
+            build_kmv_index(sh.filter(F.col("doc_id") % 4 == 0),
+                            "source", "shingle", tmp, k=k, mode="append")
+            compact_kmv_index(spark, tmp)
+            exact = exact_fut.result()
         est = overlap_from_index(spark, tmp).select(
             F.col("grp_a").alias("source_a"),
             F.col("grp_b").alias("source_b"),
             F.col("n_a").alias("e_a"), F.col("n_b").alias("e_b"),
             F.col("jaccard").alias("e_j"))
-        exact = source_overlap_report(d, k=8).select(
-            "source_a", "source_b", "n_a", "n_b", "n_common", "jaccard")
         rel = 3.0 / (k - 2) ** 0.5
         res = (exact.join(est, ["source_a", "source_b"])
                .withColumn(
