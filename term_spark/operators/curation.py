@@ -56,13 +56,24 @@ def near_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     connected components over confirmed pairs → keep the minimum id of
     each duplicate cluster. ``max_iterations`` caps the component
     propagation rounds (raise it if duplicate chains run deeper)."""
-    cands = D.minhash_lsh_candidates(df, text_col, id_col, k, num_hashes, bands)
+    # r15 (guide §5 lineage truncation): pin the candidate pairs —
+    # ngram_jaccard_for_pairs consumes them at THREE points (the
+    # semi-join prune + both pair-endpoint joins), so an unpinned
+    # candidate table re-executes the whole signature pipeline
+    # (shingle explode + 16 md5 min-aggs + band self-join) per
+    # consumer. The pair list is orders of magnitude smaller than the
+    # corpus by construction (it is the dedup premise), so the eager
+    # checkpoint is a bounded small-table materialization.
+    cands = (D.minhash_lsh_candidates(df, text_col, id_col, k, num_hashes,
+                                      bands)
+             .localCheckpoint(eager=True))
     # Verify ONLY the candidate pairs: the exact-Jaccard join fans out
     # from the LSH candidate list, so LSH actually bounds the O(pairs)
     # verification work instead of being a post-filter on an all-pairs
     # join.
-    confirmed = D.ngram_jaccard_for_pairs(df, cands, text_col, id_col, k,
-                                          jaccard_threshold)
+    confirmed = (D.ngram_jaccard_for_pairs(df, cands, text_col, id_col, k,
+                                           jaccard_threshold)
+                 .localCheckpoint(eager=True))  # consumed twice (edge union)
     # Collapse confirmed pairs into clusters and keep ONE doc per
     # cluster: pair-wise dropping (remove id_b per pair) keeps both
     # endpoints of an unverified-but-connected pair — e.g. pairs

@@ -560,13 +560,23 @@ def estimate_join_cardinality(left, right, left_key: str, right_key: str,
     jobs (2 map-only MG passes, 2 TakeOrdered KMV passes), driver
     state O(k + kmv_k) per side.
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     from ..analyzers.heavy_hitters import mg_sketch
     from ..analyzers.kmv import kmv_distinct, kmv_sketch
 
-    mg_l = mg_sketch(left, left_key, k=k)
-    mg_r = mg_sketch(right, right_key, k=k)
-    d_l = kmv_distinct(kmv_sketch(left, left_key, k=kmv_k))
-    d_r = kmv_distinct(kmv_sketch(right, right_key, k=kmv_k))
+    # the 4 sketch jobs are independent bounded passes — submit them
+    # concurrently so each job's stage tail back-fills the others'
+    # idle cores (guide §2.6); results are sketches, unchanged
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        f_mg_l = pool.submit(mg_sketch, left, left_key, k)
+        f_mg_r = pool.submit(mg_sketch, right, right_key, k)
+        f_d_l = pool.submit(lambda: kmv_distinct(
+            kmv_sketch(left, left_key, k=kmv_k)))
+        f_d_r = pool.submit(lambda: kmv_distinct(
+            kmv_sketch(right, right_key, k=kmv_k)))
+        mg_l, mg_r = f_mg_l.result(), f_mg_r.result()
+        d_l, d_r = f_d_l.result(), f_d_r.result()
 
     common = set(mg_l.counters) & set(mg_r.counters)
     hot_keys = sorted(
