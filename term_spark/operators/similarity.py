@@ -1811,8 +1811,11 @@ def embedding_quality_summary(df: DataFrame, vec_col: str = "embedding",
     screen: ONE fused map-only aggregation that counts, per corpus,
     the vectors that would silently poison downstream vector math —
     NULL arrays, wrong dimension (vs ``expect_dim`` when given), any
-    non-finite element (NaN/±Inf propagate through every dot product
-    they touch), and zero-norm vectors (cosine divides by the norm).
+    NULL element (3VL would otherwise let such vectors slip EVERY
+    bucket — exists/aggregate return SQL NULL over them, r14 advice),
+    any non-finite element (NaN/±Inf propagate through every dot
+    product they touch), and zero-norm vectors (cosine divides by the
+    norm).
     Also reports min/max/mean norm over the CLEAN population (rounded
     6) — a norm range far from 1.0 flags an un-normalized corpus
     before it meets a cosine-assuming index.
@@ -1823,7 +1826,7 @@ def embedding_quality_summary(df: DataFrame, vec_col: str = "embedding",
     map-side-combined pass.
 
     Returns one row: (n_vecs, n_null, n_wrong_dim, n_nonfinite,
-    n_zero_norm, n_clean, min_norm, max_norm, mean_norm).
+    n_zero_norm, n_null_elem, n_clean, min_norm, max_norm, mean_norm).
     ``n_wrong_dim`` is NULL when ``expect_dim`` is not given.
     """
     from ..functions.security import validate_identifier
@@ -1831,12 +1834,16 @@ def embedding_quality_summary(df: DataFrame, vec_col: str = "embedding",
     validate_identifier(vec_col)
     v = F.col(vec_col)
     dvec = F.transform(v, lambda x: x.cast("double"))
+    has_null_elem = F.exists(v, lambda x: x.isNull())
     nonfinite = F.exists(
         dvec, lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf"))))
     norm2 = F.aggregate(dvec, F.lit(0.0), lambda a, x: a + x * x)
     wrong_dim = (F.size(v) != F.lit(int(expect_dim))
                  if expect_dim is not None else F.lit(None).cast("boolean"))
-    clean = v.isNotNull() & ~nonfinite & (norm2 > 0)
+    # ~has_null_elem FIRST: it is two-valued (isNull never yields SQL
+    # NULL), so the conjunction short-circuits the 3VL NULLs that
+    # nonfinite/norm2 produce over null-element vectors.
+    clean = v.isNotNull() & ~has_null_elem & ~nonfinite & (norm2 > 0)
     if expect_dim is not None:
         clean = clean & ~wrong_dim
     norm = F.sqrt(norm2)
@@ -1849,6 +1856,7 @@ def embedding_quality_summary(df: DataFrame, vec_col: str = "embedding",
         F.count_if(v.isNotNull() & nonfinite).alias("n_nonfinite"),
         F.count_if(v.isNotNull() & ~nonfinite & (norm2 == 0))
         .alias("n_zero_norm"),
+        F.count_if(v.isNotNull() & has_null_elem).alias("n_null_elem"),
         F.count_if(clean).alias("n_clean"),
         F.round(F.min(F.when(clean, norm)), 6).alias("min_norm"),
         F.round(F.max(F.when(clean, norm)), 6).alias("max_norm"),
@@ -1858,16 +1866,20 @@ def embedding_quality_summary(df: DataFrame, vec_col: str = "embedding",
 def bad_embedding_cond(column: str, expect_dim: Optional[int] = None,
                        require_unit_norm: bool = False,
                        norm_tol: float = 1e-3) -> "F.Column":
-    """The shared unusable-vector predicate (NULL / non-finite element
-    / zero norm / wrong dim / off-unit norm) — one boolean codegen
-    expression used by the suite gate and the streaming monitor, so
-    batch and stream can never disagree on what "bad" means."""
+    """The shared unusable-vector predicate (NULL / null element /
+    non-finite element / zero norm / wrong dim / off-unit norm) — one
+    boolean codegen expression used by the suite gate and the
+    streaming monitor, so batch and stream can never disagree on what
+    "bad" means.  The null-element term comes before the 3VL-prone
+    ones: exists/aggregate return SQL NULL over [NULL, x] vectors, so
+    without it ``count_if`` would silently skip them (r14 advice)."""
     v = F.col(column)
     dvec = F.transform(v, lambda x: x.cast("double"))
     nonfinite = F.exists(
         dvec, lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf"))))
     norm2 = F.aggregate(dvec, F.lit(0.0), lambda a, x: a + x * x)
-    bad = v.isNull() | nonfinite | (norm2 <= 0)
+    bad = (v.isNull() | F.exists(v, lambda x: x.isNull())
+           | nonfinite | (norm2 <= 0))
     if expect_dim is not None:
         bad = bad | (F.size(v) != F.lit(int(expect_dim)))
     if require_unit_norm:

@@ -798,8 +798,8 @@ def q_embedding_quality_embeddings(spark, sf_dir) -> DataFrame:
     """Embedding-column hygiene audit (round 14,
     similarity.embedding_quality_summary): one fused map-only pass
     counting the vectors that silently poison ANN/cosine math — NULL
-    arrays, wrong dimension (vs 64), non-finite elements, zero norms —
-    plus the clean population's norm range.  The release screen every
+    arrays, wrong dimension (vs 64), non-finite elements, NULL
+    elements, zero norms — plus the clean population's norm range.  The release screen every
     ANN tier in this repo assumes; `Check.has_valid_embeddings` is the
     suite-level gate over the same condition."""
     from .operators.similarity import embedding_quality_summary
@@ -814,13 +814,17 @@ WITH m AS (
     FROM embeddings
 ), s AS (
     SELECT v, dv,
+           len(list_filter(v, x -> x IS NULL)) > 0 AS has_null_elem,
            len(list_filter(dv, x -> isnan(x) OR isinf(x))) > 0 AS nonfinite,
-           list_dot_product(dv, dv) AS norm2
+           CASE WHEN len(list_filter(v, x -> x IS NULL)) > 0 THEN NULL
+                ELSE list_dot_product(list_transform(dv, x -> coalesce(x, 0.0)),
+                                      list_transform(dv, x -> coalesce(x, 0.0)))
+           END AS norm2
     FROM m
 ), c AS (
     SELECT *,
-           v IS NOT NULL AND NOT nonfinite AND norm2 > 0
-               AND len(v) = 64 AS clean,
+           v IS NOT NULL AND NOT has_null_elem AND NOT nonfinite
+               AND norm2 > 0 AND len(v) = 64 AS clean,
            sqrt(norm2) AS nrm
     FROM s
 )
@@ -832,6 +836,8 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
            AS n_nonfinite,
        CAST(COUNT(*) FILTER (v IS NOT NULL AND NOT nonfinite AND norm2 = 0)
             AS BIGINT) AS n_zero_norm,
+       CAST(COUNT(*) FILTER (v IS NOT NULL AND has_null_elem) AS BIGINT)
+           AS n_null_elem,
        CAST(COUNT(*) FILTER (clean) AS BIGINT) AS n_clean,
        ROUND(MIN(nrm) FILTER (clean), 6) AS min_norm,
        ROUND(MAX(nrm) FILTER (clean), 6) AS max_norm,
