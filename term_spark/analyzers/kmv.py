@@ -132,13 +132,24 @@ def kmv_sketch_by(df: DataFrame, group_col: str, column: str,
     base = (df.filter(F.col(column).isNotNull()
                       & F.col(group_col).isNotNull())
               .select(F.col(group_col).alias("grp"),
-                      F.md5(F.col(column).cast("string")).alias("h"))
-              .distinct())
+                      F.md5(F.col(column).cast("string")).alias("h")))
+    # r15 (guide §2.4 remove shuffles outright): the old form ran a
+    # standalone DISTINCT on (grp, h) — a full exchange of the whole
+    # per-task-distinct hash set — before the top-k window's own
+    # exchange.  dense_rank makes the dedup and the rank ONE pass: the
+    # k smallest DISTINCT hashes are exactly the rows with
+    # dense_rank <= k, and the Partial WindowGroupLimit prunes each
+    # map task to those hashes (plus their in-task duplicates) BEFORE
+    # the only remaining shuffle; collect_set dedupes what's left.
+    # Sketch rows are byte-identical (same sorted distinct min-k set —
+    # asserted against the old form on the sf10 shingle feed); plan
+    # 2 Exchange -> 1, and on a real cluster the saved exchange is the
+    # full distinct shingle-hash set of a 100 TB corpus.
     w = Window.partitionBy("grp").orderBy("h")
-    return (base.withColumn("__rn", F.row_number().over(w))
-                .filter(F.col("__rn") <= k)
+    return (base.withColumn("__rk", F.dense_rank().over(w))
+                .filter(F.col("__rk") <= k)
                 .groupBy("grp")
-                .agg(F.sort_array(F.collect_list("h")).alias("hashes")))
+                .agg(F.array_sort(F.collect_set("h")).alias("hashes")))
 
 
 def sketch_from_row(row, k: int) -> KMVSketch:
