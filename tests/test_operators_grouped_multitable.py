@@ -279,6 +279,38 @@ def test_asof_join_backward_with_ties_and_tolerance(spark):
     assert tol[(1, 35.0)] is None            # 5s gap > 2s tolerance
 
 
+def test_asof_join_payload_tiebreak_matches_preagg(spark):
+    """tiebreak_on_payload resolves equal right timestamps to the MAX
+    payload struct — the same winner a groupBy(key, ts).max(payload)
+    pre-aggregation picks — so dropping the pre-agg (the r15 asof
+    optimization) cannot change any matched row."""
+    import pyspark.sql.functions as F
+
+    from term_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(100, 1, 10.0), (101, 1, 20.0), (102, 2, 7.0)],
+        "event_id long, uid long, t double")
+    # planted ties: uid=1 has THREE right rows at t=10.0 (ids 3,9,5)
+    # and two at t=5.0; uid=2 one tie pair at t=7.0
+    right = spark.createDataFrame(
+        [(1, 5.0, 1), (1, 5.0, 2), (1, 10.0, 3), (1, 10.0, 9),
+         (1, 10.0, 5), (2, 7.0, 4), (2, 7.0, 8)],
+        "uid long, t double, rid long")
+
+    tie = {r["event_id"]: (r["t_r"], r["rid_r"])
+           for r in asof_join(left, right, on="uid", left_ts="t",
+                              right_ts="t",
+                              tiebreak_on_payload=True).collect()}
+    pre = right.groupBy("uid", "t").agg(F.max("rid").alias("rid"))
+    agg = {r["event_id"]: (r["t_r"], r["rid_r"])
+           for r in asof_join(left, pre, on="uid", left_ts="t",
+                              right_ts="t").collect()}
+    assert tie == agg
+    assert tie[100] == (10.0, 9)   # max rid among the t=10.0 ties
+    assert tie[102] == (7.0, 8)
+
+
 def test_asof_join_keeps_left_row_count(spark, tpch):
     """As-of join is 1:1 with the left side by construction — no
     fan-out, unlike a naive range join."""
