@@ -155,19 +155,36 @@ def char_ngrams(column: str, n: int = 5) -> "F.Column":
 
 
 def word_shingles_from(toks_col: "F.Column", k: int = 3) -> "F.Column":
-    """k-word shingles from an ALREADY-MATERIALIZED token-array column.
+    """k-word shingles from an ALREADY-MATERIALIZED token-array column
+    of NORMALIZED tokens (``norm_tokens`` output — no token contains
+    whitespace; every call site in the engine satisfies this by
+    construction).
 
-    Performance: the lambda body must reference a plain attribute —
-    if it references the `split(...)` expression tree directly, Spark
-    re-evaluates the split for every array element (O(tokens²) per
-    row; measured 10× slowdown on 5k docs). Project the token array
-    first, then shingle.
+    Implementation (r15, guide §1.2 per-task work): the tokens are
+    rejoined with single spaces (for ``norm_tokens`` input this
+    reconstructs the normalized text exactly) and every overlapping
+    k-gram is captured by ONE codegen'd regex scan per row —
+    ``(?<!\\S)(?=((?:\\S+ ){k-1}\\S+))`` fires at each token start and
+    the lookahead group captures the k space-joined tokens without
+    consuming input. This replaces an interpreted higher-order
+    ``transform`` whose lambda did a ``slice`` (array alloc) plus
+    ``concat_ws`` PER SHINGLE: measured value-identical on all shipped
+    corpora and 27-58 % faster at sf1 (k=8 feed+md5 0.94 → 0.39 s,
+    k=3 16-min-agg signature 2.2 → 1.6 s, noop sink, best-of-3).
+    Fewer than k tokens still yields the whole text as the one
+    shingle (the regex finds no match, so ``when`` falls through).
+
+    (The pre-r15 lambda form had its own trap, kept for the record:
+    the lambda body must reference a plain attribute — referencing the
+    `split(...)` expression tree directly re-evaluates the split for
+    every array element, O(tokens²) per row, measured 10× slower on
+    5k docs. The regex form has no lambda to mis-bind.)
     """
-    n = F.size(toks_col)
-    starts = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    return F.when(n >= k, F.transform(
-        starts, lambda i: F.concat_ws(" ", F.slice(toks_col, i + 1, k)))
-    ).otherwise(F.array(F.concat_ws(" ", toks_col))).alias("shingles")
+    norm = F.concat_ws(" ", toks_col)
+    pat = r"(?<!\S)(?=(" + (r"\S+ " * (k - 1)) + r"\S+))"
+    grams = F.regexp_extract_all(norm, F.lit(pat), 1)
+    return (F.when(F.size(grams) > 0, grams)
+             .otherwise(F.array(norm)).alias("shingles"))
 
 
 def word_shingles(column: str, k: int = 3) -> "F.Column":

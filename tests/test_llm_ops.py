@@ -883,6 +883,42 @@ def test_repetition_metrics_short_doc(spark):
     assert r["dup_token_ratio"] == 0.0 and r["top_ngram_frac"] == 1.0
 
 
+def test_word_shingles_regex_matches_reference_form(spark):
+    """r15: word_shingles_from builds overlapping k-grams with ONE
+    regex scan per row instead of an interpreted transform whose
+    lambda sliced + rejoined per shingle. Pin the regex form against
+    the reference construction position-for-position (order matters:
+    winnow/novelty consumers explode in document order), across the
+    short-doc fallback, exact-k, unicode, digits and repeated-token
+    edges, for every k the engine uses (2=repetition, 3=jaccard/
+    minhash default, 8=kmv/decontaminate)."""
+    from term_spark.operators.text import norm_tokens, word_shingles_from
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "one"), (4, "a b"), (5, "a b c"),
+         (6, "a b c d e f g h i j"), (7, "x x x x x"),
+         (8, "héllo, wörld! foo bar"), (9, "a1 2b 3 4 5 6 7 8 9"),
+         (10, "tab\tsep and\nnewline mix here ok")],
+        "doc_id long, text string")
+    toks = docs.select("doc_id", norm_tokens("text").alias("__t"))
+
+    def reference(toks_col, k):  # the pre-r15 transform construction
+        n = F.size(toks_col)
+        starts = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+        return F.when(n >= k, F.transform(
+            starts, lambda i: F.concat_ws(" ", F.slice(toks_col, i + 1, k)))
+        ).otherwise(F.array(F.concat_ws(" ", toks_col)))
+
+    for k in (1, 2, 3, 8):
+        got = toks.select(
+            "doc_id", F.posexplode(word_shingles_from(F.col("__t"), k))
+            .alias("pos", "shingle")).collect()
+        want = toks.select(
+            "doc_id", F.posexplode(reference(F.col("__t"), k))
+            .alias("pos", "shingle")).collect()
+        assert got == want, f"k={k}: regex shingles diverge from reference"
+
+
 def test_pack_sequences_boundary_math(spark):
     from term_spark.operators.text import pack_sequences
 
