@@ -4162,166 +4162,165 @@ FAMILY = {
 # BEGIN GENERATED ROTATION DATA (scripts/update_rotation.py)
 #: Most recent round whose CORRECTNESS_r{N}.json holds a green
 #: (rows_match + schema_match + hash_match) driver row for each query;
-#: None = never driver-proven.  Source artifacts: r01, r02, r03, r04, r05, r06, r07, r08, r09, r10, r11, r12, r13, r14.
-CURRENT_ROUND = 15
+#: None = never driver-proven.  Source artifacts: r01, r02, r03, r04, r05, r06, r07, r08, r09, r10, r11, r12, r13, r14, r15.
+CURRENT_ROUND = 16
 LAST_GREEN = {
-    "curation_pipeline_docs": 14,
-    "embedding_quality_embeddings": 14,
-    "equidepth_by_source_grid_docs": 14,
-    "equidepth_from_grid_price": 14,
-    "weighted_exact_sample_docs": 14,
-    "jaccard_prefix_pairs_docs": 14,
-    "join_cardinality_orders_lineitem": 14,
-    "lang_id": 14,
-    "lexical_diversity_docs": 14,
-    "mg_heavy_hitters_docs": 14,
-    "minhash_oph_candidates_docs": 14,
-    "numeric_histogram_quantity": 14,
-    "quantile_sketch_merge_quantity": 14,
-    "substring_dedup_docs": 14,
-    "substring_rewrite_docs": 14,
-    "top_customers_revenue": 14,
-    "unigram_surprisal_docs": 14,
-    "unique_value_ratio_custkey": 14,
-    "unpivot_pricing": 14,
-    "approx_distinct_orderkey": 14,
-    "badwords_ratio_docs": 14,
-    "benford_acctbal": 14,
-    "cdc_rewrite_docs": 14,
+    "late_shipment_priority": 15,
+    "mg_grouped_heavy_hitters_docs": 15,
+    "pii_scan_docs": 15,
+    "quantile_sketch_by_returnflag": 15,
+    "retention_cohorts_events": 15,
+    "salted_join_sum_orders_customer": 15,
+    "shape_stats_quantity": 15,
+    "simhash_near_pairs": 15,
+    "small_quantity_revenue": 15,
+    "source_mixing_docs": 15,
+    "source_overlap_docs": 15,
+    "spearman_quantity_price": 15,
+    "split_counts_docs": 15,
+    "stratified_sample_docs": 15,
+    "supplier_stats_by_nation": 15,
+    "temporal_ordering_orders_lineitem": 15,
+    "text_quality": 15,
+    "text_tokens": 15,
+    "weighted_sample_docs": 15,
+    "distinctness_orders": 15,
+    "dominant_value_orderstatus": 15,
+    "drift_chi2_returnflag": 15,
+    "drift_js_quantity": 15,
+    "drift_ks_quantity": 15,
+    "drift_psi_by_returnflag": 15,
+    "drift_psi_quantity": 15,
+    "drift_psi_timeline_events": 15,
+    "entropy_returnflag": 15,
+    "fk_orders_customer": 15,
+    "format_orderpriority": 15,
+    "global_sales_opportunity": 15,
+    "grouped_completeness_events": 15,
+    "histogram_returnflag": 15,
+    "hybrid_rrf_docs": 15,
+    "incremental_overlap_docs": 15,
+    "incremental_quantile_docs": 15,
+    "join_coverage_lineitem_orders": 15,
+    "length_customer_name": 15,
+    "line_dedup_summary_docs": 15,
+    "median_by_returnflag": 15,
+    "mutual_information_lineitem": 15,
+    "outlier_mad_acctbal": 15,
+    "paragraph_dedup_summary_docs": 15,
+    "profile_customer": 15,
+    "quality_model_docs": 15,
+    "rolling_daily_events": 15,
+    "semantic_dedup_embeddings": 15,
+    "sessionize_events": 15,
+    "size_lineitem": 15,
+    "zorder_key_orders": 15,
     "completeness_customer": 14,
-    "compliance_discount": 14,
-    "corr_quantity_price": 14,
-    "cosine_topk_embeddings": 14,
-    "cross_table_sum_orders_lineitem": 14,
-    "csv_source_roundtrip": 14,
-    "datatype_detection": 14,
-    "dedup_exact_docs": 14,
-    "domain_counts_docs": 14,
-    "event_transitions_events": 14,
-    "funnel_events": 14,
-    "incremental_bm25_docs": 14,
-    "incremental_cdc_docs": 14,
-    "incremental_distinct_docs": 14,
-    "incremental_substring_docs": 14,
-    "json_source_roundtrip": 14,
-    "knn_label_agreement_embeddings": 14,
-    "large_volume_customers": 14,
-    "metrics_repository_roundtrip": 14,
-    "multimodal_probe_docs": 14,
-    "pii_redact_docs": 14,
-    "row_violations_docs": 14,
-    "script_profile_docs": 14,
-    "semantic_contamination_embeddings": 14,
-    "simhash_docs": 14,
-    "tfidf_top_terms_docs": 14,
-    "winnow_overlap_docs": 14,
-    "size_lineitem": 12,
     "stats_quantity": 12,
-    "distinctness_orders": 12,
+    "unique_value_ratio_custkey": 14,
+    "compliance_discount": 14,
     "containment_orderstatus": 13,
-    "format_orderpriority": 12,
-    "length_customer_name": 12,
-    "histogram_returnflag": 12,
-    "entropy_returnflag": 12,
-    "grouped_completeness_events": 12,
-    "mutual_information_lineitem": 12,
-    "spearman_quantity_price": 11,
-    "fk_orders_customer": 12,
-    "join_coverage_lineitem_orders": 12,
-    "temporal_ordering_orders_lineitem": 11,
+    "datatype_detection": 14,
+    "corr_quantity_price": 14,
+    "cross_table_sum_orders_lineitem": 14,
     "business_hours_events": 13,
     "date_range_orders": 13,
     "max_time_gap_events": 12,
     "pricing_summary": 12,
+    "dedup_exact_docs": 14,
     "fingerprint_docs": 13,
-    "text_tokens": 11,
-    "text_quality": 11,
+    "lang_id": 14,
     "ngram_jaccard_pairs": 12,
     "minhash_lsh_candidates": 12,
-    "simhash_near_pairs": 11,
+    "simhash_docs": 14,
+    "cosine_topk_embeddings": 14,
     "embedding_neardup_pairs": 13,
     "ivfpq_recall_embeddings": 13,
     "ivf_index_recall_embeddings": 13,
     "lsh_neardup_recall_embeddings": 13,
     "neardup_components": 13,
-    "split_counts_docs": 11,
     "decontaminate_docs": 13,
-    "stratified_sample_docs": 11,
+    "weighted_exact_sample_docs": 14,
+    "embedding_quality_embeddings": 14,
+    "equidepth_by_source_grid_docs": 14,
     "repetition_docs": 13,
     "packing_stats_docs": 12,
     "dedup_pipeline_docs": 13,
-    "semantic_dedup_embeddings": 12,
-    "source_mixing_docs": 11,
+    "curation_pipeline_docs": 14,
     "doc_length_buckets": 13,
     "dsir_weights_docs": 13,
+    "winnow_overlap_docs": 14,
+    "script_profile_docs": 14,
     "decontamination_report_docs": 13,
+    "tfidf_top_terms_docs": 14,
     "bm25_topk_docs": 13,
     "readability_docs": 13,
+    "jaccard_prefix_pairs_docs": 14,
     "ngram_novelty_docs": 13,
     "chunk_documents_docs": 13,
     "frequent_terms_docs": 13,
     "corpus_profile_by_lang": 13,
+    "minhash_oph_candidates_docs": 14,
+    "row_violations_docs": 14,
     "embedding_centroid_drift": 13,
     "gopher_rules_docs": 13,
-    "source_overlap_docs": 11,
+    "lexical_diversity_docs": 14,
+    "mg_heavy_hitters_docs": 14,
     "cdc_dedup_docs": 13,
     "incremental_neardup_docs": 13,
-    "mg_grouped_heavy_hitters_docs": 11,
-    "pii_scan_docs": 11,
-    "weighted_sample_docs": 11,
+    "incremental_substring_docs": 14,
+    "cdc_rewrite_docs": 14,
+    "incremental_cdc_docs": 14,
+    "pii_redact_docs": 14,
+    "domain_counts_docs": 14,
+    "badwords_ratio_docs": 14,
+    "incremental_distinct_docs": 14,
+    "semantic_contamination_embeddings": 14,
+    "multimodal_probe_docs": 14,
+    "csv_source_roundtrip": 14,
+    "json_source_roundtrip": 14,
+    "metrics_repository_roundtrip": 14,
+    "knn_label_agreement_embeddings": 14,
+    "incremental_bm25_docs": 14,
     "knn_label_agreement_lsh_embeddings": 12,
-    "incremental_quantile_docs": 12,
-    "hybrid_rrf_docs": 12,
     "hybrid_rrf_from_index_docs": 13,
-    "incremental_overlap_docs": 12,
     "sq8_recall_embeddings": 12,
-    "drift_psi_timeline_events": 12,
     "quantile_by_source_docs": 12,
-    "quantile_sketch_by_returnflag": 11,
     "quantile_exact_quantity": 12,
-    "profile_customer": 12,
+    "numeric_histogram_quantity": 14,
+    "approx_distinct_orderkey": 14,
+    "quantile_sketch_merge_quantity": 14,
     "fk_violation_examples": 13,
     "grouped_stats_mktsegment": 13,
     "rollup_pricing": 12,
-    "sessionize_events": 12,
+    "top_customers_revenue": 14,
     "asof_click_error": 13,
-    "median_by_returnflag": 12,
     "range_join_events": 12,
     "interval_join_events": 13,
-    "rolling_daily_events": 12,
     "pivot_returnflag_linestatus": 12,
     "top3_customers_per_segment": 13,
-    "drift_psi_quantity": 12,
-    "drift_ks_quantity": 12,
-    "drift_chi2_returnflag": 12,
-    "drift_js_quantity": 12,
+    "unpivot_pricing": 14,
+    "benford_acctbal": 14,
     "drift_w1_quantity": 13,
-    "line_dedup_summary_docs": 12,
-    "paragraph_dedup_summary_docs": 12,
+    "substring_dedup_docs": 14,
+    "substring_rewrite_docs": 14,
     "token_budget_sample_docs": 12,
-    "outlier_mad_acctbal": 12,
     "text_cleaning_docs": 12,
-    "dominant_value_orderstatus": 12,
-    "drift_psi_by_returnflag": 12,
-    "quality_model_docs": 12,
+    "unigram_surprisal_docs": 14,
     "bigram_surprisal_docs": 13,
     "corr_matrix_lineitem": 13,
     "fd_custkey_orderstatus": 13,
-    "shape_stats_quantity": 11,
     "dataset_diff_orders": 13,
     "key_skew_custkey": 13,
     "brand_profile_part": 13,
-    "supplier_stats_by_nation": 11,
     "shipping_priority_orders": 12,
     "regional_supplier_volume": 12,
     "returned_item_customers": 12,
-    "small_quantity_revenue": 11,
-    "late_shipment_priority": 11,
-    "salted_join_sum_orders_customer": 11,
-    "retention_cohorts_events": 11,
-    "zorder_key_orders": 12,
+    "large_volume_customers": 14,
+    "join_cardinality_orders_lineitem": 14,
+    "funnel_events": 14,
+    "event_transitions_events": 14,
     "waiting_suppliers": 12,
-    "global_sales_opportunity": 12,
     "forecast_revenue_change": 13,
     "volume_shipping": 13,
     "national_market_share": 13,
@@ -4334,6 +4333,7 @@ LAST_GREEN = {
     "fuzzy_name_pairs_part": 13,
     "fuzzy_canonical_part": 13,
     "equidepth_price_histogram": 13,
+    "equidepth_from_grid_price": 14,
 }
 # END GENERATED ROTATION DATA
 
