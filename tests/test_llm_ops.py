@@ -919,6 +919,32 @@ def test_word_shingles_regex_matches_reference_form(spark):
         assert got == want, f"k={k}: regex shingles diverge from reference"
 
 
+def test_word_shingles_from_contract_edges(spark):
+    """r15 advice: pin the documented input contract of
+    word_shingles_from. (a) k < 1 raises (the regex form would
+    otherwise silently degenerate to k=1 where the old slice form
+    errored); (b) a token that VIOLATES the normalized-token
+    precondition (contains whitespace) is re-split by the
+    concat_ws+regex round-trip — the intended, documented divergence
+    from the pre-r15 literal array slicing; every engine call site
+    feeds norm_tokens output, which cannot contain whitespace."""
+    import pytest
+
+    from term_spark.operators.text import word_shingles_from
+
+    with pytest.raises(ValueError, match="k must be >= 1"):
+        word_shingles_from(F.col("t"), 0)
+    with pytest.raises(ValueError, match="k must be >= 1"):
+        word_shingles_from(F.col("t"), -2)
+
+    # precondition-violating token "b c" is re-split: the 2-shingles
+    # come from the rejoined text "a b c d", not the literal array
+    df = spark.createDataFrame([(["a", "b c", "d"],)], "t array<string>")
+    got = df.select(word_shingles_from(F.col("t"), 2).alias("s")) \
+        .collect()[0]["s"]
+    assert got == ["a b", "b c", "c d"]
+
+
 def test_pack_sequences_boundary_math(spark):
     from term_spark.operators.text import pack_sequences
 
