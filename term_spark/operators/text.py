@@ -180,6 +180,10 @@ def word_shingles_from(toks_col: "F.Column", k: int = 3) -> "F.Column":
     every array element, O(tokens²) per row, measured 10× slower on
     5k docs. The regex form has no lambda to mis-bind.)
     """
+    if k < 1:
+        # r15 advice: the regex form degenerates to k=1 for k <= 0
+        # (the old slice form raised at runtime); fail loudly instead
+        raise ValueError(f"word_shingles_from: k must be >= 1, got {k}")
     norm = F.concat_ws(" ", toks_col)
     pat = r"(?<!\S)(?=(" + (r"\S+ " * (k - 1)) + r"\S+))"
     grams = F.regexp_extract_all(norm, F.lit(pat), 1)
@@ -495,44 +499,59 @@ def _rolling_gram_table(df, text_col: str, id_col: str, k: int):
         bases = ((np.uint64(_ROLL_B1), np.uint64(binv1)),
                  (np.uint64(_ROLL_B2), np.uint64(binv2)))
 
-        def poly(h, b, binv, n):
+        def poly_batch(h, b, binv, g, t_total):
+            """All gram hashes of a CONCATENATED token-hash stream in
+            one vectorized pass (r16, guide §4.2): with GLOBAL prefix
+            sums P_j = Σ_{t<j} h_t·B^t over the whole batch,
+            H(g) = (P_{g+k} − P_g)·B^{−g} = Σ_{t<k} h_{g+t}·B^t — the
+            global exponents cancel exactly (mod-2^64 integer ring, no
+            rounding), so every value is bit-identical to the per-doc
+            form this replaces; ``g`` holds only in-document gram
+            starts, so no gram ever crosses a doc boundary."""
             pw = np.concatenate((
                 [np.uint64(1)],
-                np.cumprod(np.full(n - 1, b, dtype=np.uint64),
+                np.cumprod(np.full(t_total - 1, b, dtype=np.uint64),
                            dtype=np.uint64)))
             pref = np.concatenate((
                 [np.uint64(0)],
                 np.cumsum(h * pw, dtype=np.uint64)))
             ipw = np.concatenate((
                 [np.uint64(1)],
-                np.cumprod(np.full(n - k, binv, dtype=np.uint64),
+                np.cumprod(np.full(t_total - 1, binv, dtype=np.uint64),
                            dtype=np.uint64)))
-            return ((pref[k:] - pref[:-k]) * ipw).view(np.int64)
+            return ((pref[g + k] - pref[g]) * ipw[g]).view(np.int64)
 
         old = np.seterr(over="ignore")  # uint64 wrap IS the modulus
         try:
             for pdf in batches:
-                ids, poss, h1s, h2s = [], [], [], []
-                for rid, arr_a, arr_b in zip(pdf[id_col], pdf["ta"],
-                                             pdf["tb"]):
-                    if arr_a is None:
-                        continue
-                    ha = np.asarray(arr_a, dtype=np.int64).view(np.uint64)
-                    hb = np.asarray(arr_b, dtype=np.int64).view(np.uint64)
-                    n = ha.size
-                    if n < k:
-                        continue
-                    m = n - k + 1
-                    ids.extend([rid] * m)
-                    poss.extend(range(m))
-                    h1s.append(poly(ha, *bases[0], n))
-                    h2s.append(poly(hb, *bases[1], n))
-                if ids:
-                    yield pd.DataFrame({
-                        id_col: ids,
-                        "pos": np.asarray(poss, dtype=np.int32),
-                        "h1": np.concatenate(h1s),
-                        "h2": np.concatenate(h2s)})
+                # per-doc lengths (0 for NULL token arrays), gram counts
+                lens = np.fromiter(
+                    (0 if a is None else len(a) for a in pdf["ta"]),
+                    dtype=np.int64, count=len(pdf))
+                m = np.maximum(lens - k + 1, 0)   # 0 for short/NULL docs
+                total_m = int(m.sum())
+                if total_m == 0:
+                    continue
+                ha = np.concatenate(
+                    [np.asarray(a, dtype=np.int64)
+                     for a in pdf["ta"] if a is not None and len(a)]
+                ).view(np.uint64)
+                hb = np.concatenate(
+                    [np.asarray(a, dtype=np.int64)
+                     for a in pdf["tb"] if a is not None and len(a)]
+                ).view(np.uint64)
+                t_total = int(lens.sum())
+                offsets = np.concatenate(
+                    ([0], np.cumsum(lens)))[:-1]          # doc -> global start
+                gram0 = np.concatenate(([0], np.cumsum(m)))[:-1]
+                pos = (np.arange(total_m, dtype=np.int64)
+                       - np.repeat(gram0, m))             # local gram pos
+                g = np.repeat(offsets, m) + pos           # global gram start
+                yield pd.DataFrame({
+                    id_col: np.repeat(pdf[id_col].to_numpy(), m),
+                    "pos": pos.astype(np.int32),
+                    "h1": poly_batch(ha, *bases[0], g, t_total),
+                    "h2": poly_batch(hb, *bases[1], g, t_total)})
         finally:
             np.seterr(**old)
 
